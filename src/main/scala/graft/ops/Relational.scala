@@ -1,0 +1,440 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Relational operator surface: scans, joins (hash/broadcast/semi/anti/outer/
+  * range/as-of), aggregations (hash, distinct, rollup), windows, top-k, set ops.
+  *
+  * The reference (amplab/keystone) has no relational layer — its collections
+  * are `RDD[T]` manipulated with map/filter (SURVEY.md §2.B). This engine
+  * provides the capability Spark-first: every query below is a declarative
+  * DataFrame program, so Catalyst gets predicate pushdown, column pruning,
+  * partial aggregation, and AQE join planning for free.
+  *
+  * Determinism rules (SURVEY.md §7): money aggregates go through DECIMAL
+  * casts — double summation order varies with partitioning, and at 60k+ rows
+  * of ~1e5 magnitude the accumulated FP error exceeds 1e-4, which would make
+  * `round(sum, 4)` nondeterministic. Decimal sums are exact and
+  * order-independent; we cast to double and round only at the very end.
+  * Every query ends in a total ORDER BY on a unique key set.
+  *
+  * 100 TB notes: joins keep equi-keys so they hash-partition; small dims are
+  * broadcast explicitly; top-k uses orderBy+limit (TakeOrderedAndProject —
+  * no global sort materialization); nothing collects to the driver.
+  */
+object Relational {
+
+  /** Cast a 2-decimal price double to exact decimal. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dec2(c: Column): Column = c.cast("decimal(3,2)")
+  private val one = lit(1.0).cast("decimal(3,2)")
+
+  /** sum(extendedprice * (1 - discount)) as exact decimal -> double, 4dp. */
+  private def revenueCol: Column =
+    round(sum(dec(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+      .cast("double"), 4)
+
+  // ---------------------------------------------------------------- scans
+
+  /** Scan→filter→project with pushdown-eligible predicates.
+    * Ref capability: RDD.filter/map (keystone loaders); here the predicates
+    * reach the parquet reader as PushedFilters and ReadSchema keeps only the
+    * 7 referenced columns of 11. */
+  def qScanFilterProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+             $"l_discount".between(0.02, 0.09) && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("quantity"),
+        $"l_extendedprice",
+        round($"l_extendedprice" * $"l_discount", 4).as("disc_revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val scanFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS quantity,
+      |  l_extendedprice,
+      |  round(l_extendedprice * l_discount, 4) AS disc_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.09 AS DOUBLE)
+      |  AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+
+  /** Shuffled hash/sort-merge equi-join orders⋈customer + aggregation.
+    * At 100 TB both sides hash-partition on the key; AQE picks SHJ/SMJ. */
+  def qJoinHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec($"o_totalprice")).cast("double"), 4).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinHashSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Explicit broadcast join: fact lineitem ⋈ broadcast(part) ⋈
+    * broadcast(supplier). Dims are tiny relative to the fact at every scale —
+    * broadcasting avoids shuffling the 100 TB side entirely. */
+  def qJoinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)), $"l_suppkey" === $"s_suppkey")
+      .where($"p_size" <= 25)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), revenueCol.as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size <= 25
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Left-semi join: customers that placed an urgent order. */
+  def qJoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no orders at all. */
+  def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join: every nation with its customer count / balance sum
+    * (nations without customers keep a 0 row). */
+  def qJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), $"n_nationkey" === $"c_nationkey", "left")
+      .groupBy($"n_nationkey", $"n_name")
+      .agg(count($"c_custkey").as("n_customers"),
+        round(coalesce(sum(dec($"c_acctbal")).cast("double"), lit(0.0)), 4).as("sum_acctbal"))
+      .orderBy($"n_nationkey")
+  }
+
+  val joinOuterSql: String =
+    """SELECT n_nationkey, n_name, count(c_custkey) AS n_customers,
+      |  round(coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 0.0), 4) AS sum_acctbal
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+
+  /** Range (theta) join on an equi-key: pairs of events by the same user at
+    * most 10 minutes apart. The user_id equi-key keeps the join
+    * hash-partitionable at scale; the time predicate is applied post-match.
+    * For 100 TB streams you would additionally bucket by coarse time windows
+    * to bound the per-key cross product. */
+  def qJoinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val a = e.select($"event_id".as("a_id"), $"user_id", $"ts".as("a_ts"))
+    val b = e.select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+    a.join(b, $"user_id" === $"b_user" && $"a_id" < $"b_id" &&
+        $"b_ts" >= $"a_ts" && $"b_ts" <= $"a_ts" + expr("INTERVAL 10 MINUTES"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  val joinRangeSql: String =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** As-of join: for each purchase event, the latest prior click by the same
+    * user. Implemented as equi-join on user + range predicate, then
+    * row_number()=1 over (purchase) ordered by click time desc — the standard
+    * Spark formulation; stays hash-partitioned on the join key. */
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val p = e.where($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val c = e.where($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val w = Window.partitionBy($"p_id").orderBy($"c_ts".desc, $"c_id".desc)
+    p.join(c, $"user_id" === $"c_user" && $"c_ts" <= $"p_ts")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"p_id", $"user_id", $"c_id",
+        (floor($"p_ts".cast("double")) - floor($"c_ts".cast("double")))
+          .cast("long").as("lag_s"))
+      .orderBy($"p_id")
+  }
+
+  val joinAsofSql: String =
+    """WITH j AS (
+      |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id,
+      |    CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_s,
+      |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id AND c.ts <= p.ts
+      |  WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+      |SELECT p_id, user_id, c_id, lag_s FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  // ----------------------------------------------------------- aggregation
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial+final hash
+    * aggregation. Decimal sums keep it exact; quantity is integral so its
+    * double sum is exact at any order. */
+  def qAggPricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        round(sum(dec($"l_extendedprice")).cast("double"), 4).as("sum_base_price"),
+        round(sum(dec($"l_extendedprice") * (one - dec2($"l_discount")))
+          .cast("double"), 4).as("sum_disc_price"),
+        round(sum(dec($"l_extendedprice") * (one - dec2($"l_discount")) *
+          (one + dec2($"l_tax"))).cast("double"), 4).as("sum_charge"),
+        round(sum($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec($"l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(dec2($"l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+      |    (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 4) AS sum_charge,
+      |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct aggregation (expands to a two-phase distinct under
+    * Catalyst; partial distinct happens map-side). */
+  def qAggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** ROLLUP region→nation→grand-total of order revenue. */
+  def qAggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .join(Tables.orders(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec($"o_totalprice")).cast("double"), 4).as("revenue"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  val aggRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON o_custkey = c_custkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where($"rnk" <= 3)
+      .select($"o_custkey", $"rnk", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Cumulative frame window: running revenue per customer in order-date
+    * order. Decimal sum keeps the running total exact (window accumulation
+    * order differs between engines otherwise). */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("date").as("order_date"),
+        round(sum(dec($"o_totalprice")).over(w).cast("double"), 4).as("running_rev"))
+      .orderBy($"o_custkey", $"order_date", $"o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_rev
+      |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  /** Analytic window with lag: days since the customer's previous order. */
+  def qWindowLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate".cast("date"), lag($"o_orderdate".cast("date"), 1).over(w))
+          .cast("long").as("days_since_prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day',
+      |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    CAST(o_orderdate AS DATE)) AS days_since_prev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------- sort / set ops
+
+  /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject — each
+    * partition keeps only its local top-20, so no global sort at scale. */
+  def qTopkOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** UNION / INTERSECT / EXCEPT (all distinct semantics) of two custkey sets:
+    * BUILDING-segment customers vs urgent-order customers. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val b = Tables.orders(spark, sfDir)
+      .where($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("c_custkey"))
+    def cnt(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+    cnt(a.union(b).distinct, "union")
+      .unionAll(cnt(a.intersect(b), "intersect"))
+      .unionAll(cnt(a.except(b), "except"))
+      .orderBy($"op")
+  }
+
+  val setOpsSql: String =
+    """SELECT op, n FROM (
+      |  SELECT 'union' AS op, count(*) AS n FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT 'intersect', count(*) FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |  UNION ALL
+      |  SELECT 'except', count(*) FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+      |ORDER BY op""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_filter_project" -> (qScanFilterProject _),
+    "q_join_hash" -> (qJoinHash _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_join_range" -> (qJoinRange _),
+    "q_join_asof" -> (qJoinAsof _),
+    "q_agg_pricing_summary" -> (qAggPricingSummary _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_topk_orders" -> (qTopkOrders _),
+    "q_set_ops" -> (qSetOps _))
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_filter_project" -> scanFilterProjectSql,
+    "q_join_hash" -> joinHashSql,
+    "q_join_broadcast" -> joinBroadcastSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_join_outer" -> joinOuterSql,
+    "q_join_range" -> joinRangeSql,
+    "q_join_asof" -> joinAsofSql,
+    "q_agg_pricing_summary" -> aggPricingSummarySql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_window_rank" -> windowRankSql,
+    "q_window_running" -> windowRunningSql,
+    "q_window_lag" -> windowLagSql,
+    "q_topk_orders" -> topkOrdersSql,
+    "q_set_ops" -> setOpsSql)
+}
