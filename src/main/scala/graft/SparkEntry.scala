@@ -24,7 +24,8 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracle),
       (Scalar.queries, Scalar.oracle),
-      (Sessions.queries, Sessions.oracle))
+      (Sessions.queries, Sessions.oracle),
+      (Text.queries, Text.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

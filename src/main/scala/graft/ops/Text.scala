@@ -1,0 +1,378 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Text / NLP operator surface over `documents`.
+  *
+  * Capability parity with the reference's nlp package (SURVEY.md §2.A:
+  * Tokenizer, NGramsFeaturizer, NGramsCounts, TermFrequency,
+  * CommonSparseFeatures, WordFrequencyEncoder, StupidBackoff) plus the
+  * north-star text-analysis ops (language-ID heuristic, quality scoring,
+  * token counting, document fingerprinting).
+  *
+  * All tokenization is `split(text, ' ')` + drop empties — verified safe for
+  * this corpus and byte-identical to DuckDB `string_split` (FIXTURES.md).
+  * Everything is higher-order array functions + explode + hash aggregation:
+  * no UDFs, fully whole-stage-codegen'd, and every shuffle keys on
+  * token/doc_id which hash-partitions evenly at 100 TB (vocabulary and
+  * doc-id spaces are high-cardinality).
+  */
+object Text {
+
+  /** Filtered token array: split on single space, drop empty tokens. */
+  private def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  // --------------------------------------------------------- word counting
+
+  /** Tokenize + global word count (ref: Tokenizer + NGramsCounts n=1). */
+  def qTokenizeWordcount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  val tokenizeWordcountSql: String =
+    s"""SELECT token, count(*) AS cnt
+       |FROM (SELECT unnest($duckToks) AS token FROM documents)
+       |GROUP BY token ORDER BY cnt DESC, token""".stripMargin
+
+  /** Bigram extraction + count (ref: NGramsFeaturizer n=2 + NGramsCounts).
+    * Bigrams are built positionally inside the array (no self-join). */
+  def qBigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, sfDir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram")
+  }
+
+  val bigramCountsSql: String =
+    s"""WITH t AS (SELECT $duckToks AS toks FROM documents)
+       |SELECT toks[i] || ' ' || toks[i + 1] AS bigram, count(*) AS cnt
+       |FROM t, UNNEST(range(1, len(toks))) AS u(i)
+       |GROUP BY bigram ORDER BY cnt DESC, bigram""".stripMargin
+
+  /** Per-language corpus stats (ref capability: grouped summary stats). */
+  def qLangStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        round(sum($"n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------- vocab / tf-idf
+
+  /** Top-K vocabulary by frequency (ref: CommonSparseFeatures(K)).
+    * Global top-k via rank over the aggregated count table — the count table
+    * is vocabulary-sized (small), so the single-partition window is safe at
+    * any corpus scale. */
+  def qCommonTermsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"cnt".desc, $"token")
+    Tables.documents(spark, sfDir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 100)
+      .orderBy($"rank")
+  }
+
+  val commonTermsTopkSql: String =
+    s"""SELECT token, cnt, rank FROM (
+       |  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+       |  FROM (SELECT token, count(*) AS cnt
+       |        FROM (SELECT unnest($duckToks) AS token FROM documents)
+       |        GROUP BY token))
+       |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  /** Frequency-ordered word-id encoding (ref: WordFrequencyEncoder): each
+    * document's tokens mapped to dense ids ordered by corpus frequency. */
+  def qWordIdEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
+    val w = Window.orderBy($"cnt".desc, $"token")
+    val vocab = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .select($"token", $"id")
+    tokens.join(vocab, "token")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"id"))), s => s.getField("id"))
+        .as("token_ids"))
+      .orderBy($"doc_id")
+  }
+
+  val wordIdEncodeSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |vocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+       |  FROM (SELECT token, count(*) AS cnt FROM p GROUP BY token))
+       |SELECT doc_id, list(id ORDER BY pos) AS token_ids
+       |FROM p JOIN vocab USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF with top-3 terms per document (ref: TermFrequency + IDF
+    * weighting). idf = ln(N/df); ranking tie-broken on token. */
+  def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf" * log($"n_docs".cast("double") / $"df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 3)
+      .select($"doc_id", $"rank", $"token", round($"tfidf", 4).as("tfidf"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest($duckToks) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, token, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, token, round(tfidf, 4) AS tfidf
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // --------------------------------------------------- language modelling
+
+  /** Stupid-Backoff bigram LM scores (ref: StupidBackoffEstimator/Model):
+    * scores all pairs from the top-10 unigrams; unseen pairs take the 0.4 *
+    * unigram-relative-frequency backoff branch. Pure count arithmetic. */
+  def qStupidBackoffBigram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val t = toks($"text")
+    val uni = docs.select(explode(t).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("uc"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = docs.select(explode(bigrams).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
+    val w = Window.orderBy($"uc".desc, $"token")
+    val top = uni.withColumn("r", row_number().over(w)).where($"r" <= 10)
+      .select($"token", $"uc")
+    val total = uni.agg(sum($"uc").as("total_tokens"))
+    top.select($"token".as("w1"), $"uc".as("uc1"))
+      .crossJoin(top.select($"token".as("w2"), $"uc".as("uc2")))
+      .join(bi, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(total))
+      .select($"w1", $"w2",
+        round(when($"bc".isNotNull, $"bc".cast("double") / $"uc1")
+          .otherwise(lit(0.4) * $"uc2".cast("double") / $"total_tokens"), 6).as("score"),
+        $"bc".isNotNull.as("observed"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val stupidBackoffBigramSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |uni AS (SELECT token, count(*) AS uc
+       |        FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |bi AS (SELECT w1, w2, count(*) AS bc FROM (
+       |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |         FROM t, UNNEST(range(1, len(toks))) AS u(i))
+       |       GROUP BY w1, w2),
+       |top AS (SELECT token, uc FROM (
+       |          SELECT token, uc, row_number() OVER (ORDER BY uc DESC, token) AS r FROM uni)
+       |        WHERE r <= 10),
+       |total AS (SELECT CAST(sum(uc) AS BIGINT) AS total_tokens FROM uni)
+       |SELECT a.token AS w1, b.token AS w2,
+       |  round(CASE WHEN bc IS NOT NULL THEN CAST(bc AS DOUBLE) / a.uc
+       |        ELSE 0.4 * CAST(b.uc AS DOUBLE) / total_tokens END, 6) AS score,
+       |  bc IS NOT NULL AS observed
+       |FROM top a CROSS JOIN top b
+       |LEFT JOIN bi ON bi.w1 = a.token AND bi.w2 = b.token
+       |CROSS JOIN total
+       |ORDER BY w1, w2""".stripMargin
+
+  // ------------------------------------------------- north-star analysis
+
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo"))
+
+  /** Heuristic language ID (north-star): stopword-hit scoring per language,
+    * argmax with alphabetical tie-break. Expressed as an array-of-structs min
+    * over (-score, lang) — single pass, no shuffle, no UDF. */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val scored = langWords.map { case (lang, words) =>
+      struct(
+        (-size(filter(t, tok => tok.isin(words.map(lit): _*)))).cast("long").as("neg"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        array_min(array(scored: _*)).getField("lang").as("pred_lang"),
+        array_min(array(scored: _*)).getField("neg").cast("long").multiply(-1).as("hits"))
+      .withColumn("match", $"lang" === $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scores = langWords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS cand, len(list_filter($duckToks, x -> list_contains([$lst], x))) AS hits FROM documents"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH scores AS (
+       |  $scores),
+       |ranked AS (
+       |  SELECT doc_id, cand, CAST(hits AS BIGINT) AS hits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+       |  FROM scores)
+       |SELECT d.doc_id, d.lang, r.cand AS pred_lang, r.hits,
+       |  d.lang = r.cand AS "match"
+       |FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Text-quality scoring (north-star): token count, mean token length,
+    * stopword ratio, distinct-token ratio, and a bounded composite score. */
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val en = Seq("the", "and", "of", "to", "a")
+    val nTok = size(t).cast("long")
+    val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
+    val stops = size(filter(t, tok => tok.isin(en.map(lit): _*)))
+    val uniq = size(array_distinct(t))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", nTok.as("n_tokens"),
+        round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+        round(stops.cast("double") / nTok, 4).as("stopword_ratio"),
+        round(uniq.cast("double") / nTok, 4).as("uniq_ratio"),
+        round(least(lit(1.0), nTok.cast("double") / 50.0) *
+          (uniq.cast("double") / nTok), 4).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       |  round(CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+       |  round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) *
+       |    (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality_score
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Token counting, whitespace vs regex tokenizer (north-star). */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(toks($"text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z0-9]+"), lit(0))).cast("long").as("re_tokens"),
+        length($"text").cast("long").as("text_len"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($duckToks) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+       |  length(text) AS text_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Position-weighted rolling-hash document fingerprint (north-star):
+    * deterministic integer arithmetic shared with the oracle — the cheap
+    * first stage of any shingle/minhash pipeline. */
+  def qDocFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val tokHash = transform(t, (tok, i) =>
+      ((i % 64) + 1) *
+        (length(tok) * 131 + ascii(tok) * 7 +
+          ascii(tok.substr(length(tok), lit(1)))))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        (coalesce(aggregate(tokHash, lit(0L), (a, x) => a + x), lit(0L)) % 2147483647L)
+          .cast("long").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS tok,
+       |        unnest(range(1, len(toks) + 1)) AS pos FROM t)
+       |SELECT doc_id,
+       |  CAST(coalesce(sum(((pos - 1) % 64 + 1) *
+       |    (length(tok) * 131 + ascii(tok) * 7 +
+       |     ascii(substring(tok, CAST(length(tok) AS INT), 1)))), 0) % 2147483647 AS BIGINT) AS fingerprint
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tokenize_wordcount" -> (qTokenizeWordcount _),
+    "q_bigram_counts" -> (qBigramCounts _),
+    "q_lang_stats" -> (qLangStats _),
+    "q_common_terms_topk" -> (qCommonTermsTopk _),
+    "q_word_id_encode" -> (qWordIdEncode _),
+    "q_tfidf_top_terms" -> (qTfidfTopTerms _),
+    "q_stupid_backoff_bigram" -> (qStupidBackoffBigram _),
+    "q_lang_id" -> (qLangId _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_doc_fingerprint" -> (qDocFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_tokenize_wordcount" -> tokenizeWordcountSql,
+    "q_bigram_counts" -> bigramCountsSql,
+    "q_lang_stats" -> langStatsSql,
+    "q_common_terms_topk" -> commonTermsTopkSql,
+    "q_word_id_encode" -> wordIdEncodeSql,
+    "q_tfidf_top_terms" -> tfidfTopTermsSql,
+    "q_stupid_backoff_bigram" -> stupidBackoffBigramSql,
+    "q_lang_id" -> langIdSql,
+    "q_text_quality" -> textQualitySql,
+    "q_token_count" -> tokenCountSql,
+    "q_doc_fingerprint" -> docFingerprintSql)
+}
