@@ -25,7 +25,10 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Scalar.queries, Scalar.oracle),
       (Sessions.queries, Sessions.oracle),
-      (Text.queries, Text.oracle))
+      (Text.queries, Text.oracle),
+      (Vectors.queries, Vectors.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (Eval.queries, Eval.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

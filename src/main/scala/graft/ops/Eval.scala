@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoMean
+import graft.tables.Tables
+
+/** Evaluation metrics as aggregations (ref: evaluation package —
+  * BinaryClassifierEvaluator, MulticlassClassifierEvaluator,
+  * MeanAveragePrecisionEvaluator, SURVEY.md §2.A), plus the custom geomean
+  * UDAF (`q_udaf_geomean`).
+  *
+  * Predictions are derived deterministically from the embeddings table
+  * (actual = label; predicted = argmax dimension) so the metric arithmetic —
+  * conditional sums, confusion pivot, precision@k windows — is the thing
+  * under test, with a DuckDB oracle for each.
+  */
+object Eval {
+
+  /** Deterministic (actual, predicted) pairs from embeddings. */
+  private def preds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast("long").as("actual"),
+        ((array_position($"embedding", array_max($"embedding")) - 1) % 10)
+          .cast("long").as("predicted"))
+  }
+
+  private val predsSql: String =
+    """SELECT vec_id, CAST(label AS BIGINT) AS actual,
+      |  CAST((list_position(embedding, list_max(embedding)) - 1) % 10 AS BIGINT) AS predicted
+      |FROM embeddings""".stripMargin
+
+  /** Binary evaluator: TP/FP/TN/FN -> accuracy/precision/recall/F1
+    * (ref: BinaryClassifierEvaluator — pure conditional-sum aggregation). */
+  def qEvalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = preds(spark, sfDir)
+      .select(($"actual" >= 5).as("act"), ($"predicted" >= 5).as("pred"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    p.agg(
+      cnt($"act" && $"pred").as("tp"),
+      cnt(!$"act" && $"pred").as("fp"),
+      cnt(!$"act" && !$"pred").as("tn"),
+      cnt($"act" && !$"pred").as("fn"))
+      .select($"tp", $"fp", $"tn", $"fn",
+        round(($"tp" + $"tn").cast("double") / ($"tp" + $"fp" + $"tn" + $"fn"), 4).as("accuracy"),
+        round($"tp".cast("double") / ($"tp" + $"fp"), 4).as("precision"),
+        round($"tp".cast("double") / ($"tp" + $"fn"), 4).as("recall"),
+        round(lit(2.0) * $"tp" / (lit(2.0) * $"tp" + $"fp" + $"fn"), 4).as("f1"))
+  }
+
+  val evalBinarySql: String =
+    s"""WITH preds AS ($predsSql),
+       |p AS (SELECT actual >= 5 AS act, predicted >= 5 AS pred FROM preds),
+       |c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN act AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN NOT act AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT act AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN act AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM p)
+       |SELECT tp, fp, tn, fn,
+       |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 4) AS accuracy,
+       |  round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+       |  round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall,
+       |  round(CAST(2.0 AS DOUBLE) * tp / (CAST(2.0 AS DOUBLE) * tp + fp + fn), 4) AS f1
+       |FROM c""".stripMargin
+
+  /** Confusion matrix (ref: MulticlassClassifierEvaluator). */
+  def qConfusionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    preds(spark, sfDir)
+      .groupBy($"actual", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"actual", $"predicted")
+  }
+
+  val confusionMatrixSql: String =
+    s"""WITH preds AS ($predsSql)
+       |SELECT actual, predicted, count(*) AS n
+       |FROM preds GROUP BY actual, predicted ORDER BY actual, predicted""".stripMargin
+
+  /** Mean average precision (ref: MeanAveragePrecisionEvaluator, VOC-style):
+    * 10 probes, candidates ranked by cosine, relevant = same label;
+    * AP = mean over relevant candidates of precision@rank. */
+  def qMeanAvgPrecision(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dblV = transform(col("embedding"), x => x.cast("double"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", dblV.as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+    val probes = e.where($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"label".as("p_label"), $"v".as("pv"), $"nrm".as("pn"))
+    val wRank = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.join(broadcast(probes), $"vec_id" =!= $"p_id")
+      .withColumn("cos",
+        aggregate(zip_with($"pv", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+          ($"pn" * $"nrm"))
+      .withColumn("rel", when($"label" === $"p_label", 1L).otherwise(0L))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_rel", sum($"rel").over(wCum))
+      .groupBy($"p_id")
+      .agg(
+        sum($"rel").as("n_rel"),
+        round(sum(when($"rel" === 1, $"cum_rel".cast("double") / $"rank").otherwise(0.0)) /
+          sum($"rel"), 4).as("ap"))
+      .orderBy($"p_id")
+  }
+
+  val meanAvgPrecisionSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |scored AS (
+      |  SELECT p.vec_id AS p_id, c.vec_id,
+      |    CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+      |    list_sum(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2])) / (p.nrm * c.nrm) AS cos
+      |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 10),
+      |r AS (
+      |  SELECT p_id, rel,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id) AS rank,
+      |    sum(rel) OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+      |  FROM scored)
+      |SELECT p_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+      |  round(sum(CASE WHEN rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank ELSE 0.0 END) /
+      |        sum(rel), 4) AS ap
+      |FROM r GROUP BY p_id ORDER BY p_id""".stripMargin
+
+  /** Custom geometric-mean UDAF over lineitem prices (SURVEY.md §4: the one
+    * custom aggregate; oracle identity exp(avg(ln x))). */
+  def qUdafGeomean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val geomean = udaf(GeoMean)
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(round(geomean($"l_extendedprice"), 4).as("geomean_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val udafGeomeanSql: String =
+    """SELECT l_returnflag,
+      |  round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_binary" -> (qEvalBinary _),
+    "q_confusion_matrix" -> (qConfusionMatrix _),
+    "q_mean_avg_precision" -> (qMeanAvgPrecision _),
+    "q_udaf_geomean" -> (qUdafGeomean _))
+
+  val oracle: Map[String, String] = Map(
+    "q_eval_binary" -> evalBinarySql,
+    "q_confusion_matrix" -> confusionMatrixSql,
+    "q_mean_avg_precision" -> meanAvgPrecisionSql,
+    "q_udaf_geomean" -> udafGeomeanSql)
+}

@@ -118,12 +118,12 @@ object Scalar {
   val arrayFuncsSql: String =
     """SELECT vec_id,
       |  len(embedding) AS dim,
-      |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-      |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_val,
-      |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-      |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
-      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_val,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+      |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+      |  round(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_val,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_val,
+      |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_val,
+      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS head3
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** JSON extraction from events.props (the reference's JSON surface is its
