@@ -272,6 +272,20 @@ object Relational {
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Approximate distinct via HyperLogLog++ (SURVEY §2.B: non-oracle — HLL
+    * sketches are engine-specific, so the driver records a rows-only check;
+    * the unit suite bounds the estimate against the exact count). At scale
+    * this is the single-pass, fixed-memory alternative to countDistinct's
+    * two-phase shuffle of the distinct keys. */
+  def qAggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** ROLLUP region→nation→grand-total of order revenue. */
   def qAggRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -413,6 +427,7 @@ object Relational {
     "q_join_asof" -> (qJoinAsof _),
     "q_agg_pricing_summary" -> (qAggPricingSummary _),
     "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),

@@ -99,7 +99,9 @@ object Scalar {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Array function battery over embeddings (higher-order functions on the
-    * float32 vector column — keystone's per-element vector nodes, columnar). */
+    * float32 vector column — keystone's per-element vector nodes, columnar).
+    * All outputs are scalar columns (the slice is emitted as h1..h3) so any
+    * downstream comparator can sort/hash the rows. */
   def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dbl = transform($"embedding", x => x.cast("double"))
@@ -111,7 +113,9 @@ object Scalar {
         round(array_max($"embedding").cast("double"), 4).as("max_val"),
         round(array_min($"embedding").cast("double"), 4).as("min_val"),
         round(aggregate(dbl, lit(0.0), (a, x) => a + x), 4).as("sum_val"),
-        transform(slice($"embedding", 1, 3), x => round(x.cast("double"), 4)).as("head3"))
+        round(element_at($"embedding", 1).cast("double"), 4).as("h1"),
+        round(element_at($"embedding", 2).cast("double"), 4).as("h2"),
+        round(element_at($"embedding", 3).cast("double"), 4).as("h3"))
       .orderBy($"vec_id")
   }
 
@@ -123,8 +127,37 @@ object Scalar {
       |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
       |  round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_val,
       |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS sum_val,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0) AS head3
+      |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS h1,
+      |  round(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS h2,
+      |  round(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS h3
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Map function battery (ref: TermFrequency emits Map values): per-doc
+    * token→count map built with map_from_entries, filtered with map_filter
+    * (count >= 2), read back with map_keys/element_at via explode — emitted
+    * as canonical (doc_id, token, cnt) rows, which is the engine-portable
+    * serialization of a map (SURVEY §2.B flags raw maps as non-oracle). */
+  def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val counted = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(toks).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"token", $"cnt"))).as("tf"))
+    counted
+      .select($"doc_id",
+        explode(map_filter($"tf", (_, v) => v >= 2)).as(Seq("token", "cnt")))
+      .orderBy($"doc_id", $"token")
+  }
+
+  val mapFuncsSql: String =
+    """SELECT doc_id, token, count(*) AS cnt
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |      FROM documents)
+      |GROUP BY doc_id, token HAVING count(*) >= 2
+      |ORDER BY doc_id, token""".stripMargin
 
   /** JSON extraction from events.props (the reference's JSON surface is its
     * Amazon-reviews loader — SURVEY.md §2.A loaders). */
@@ -154,6 +187,7 @@ object Scalar {
     "q_date_funcs" -> (qDateFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
     "q_json_extract" -> (qJsonExtract _))
 
   val oracle: Map[String, String] = Map(
@@ -161,5 +195,6 @@ object Scalar {
     "q_date_funcs" -> dateFuncsSql,
     "q_math_funcs" -> mathFuncsSql,
     "q_array_funcs" -> arrayFuncsSql,
+    "q_map_funcs" -> mapFuncsSql,
     "q_json_extract" -> jsonExtractSql)
 }

@@ -17,7 +17,10 @@ import graft.tables.Tables
   *
   * `events.ts` is ns in parquet and µs after Spark's read — all bucketing is
   * done on whole seconds (`floor(epoch)`) so results are identical for any
-  * reader precision (SURVEY.md §7).
+  * reader precision (SURVEY.md §7). `value` is money-like (2 decimals);
+  * every sum casts it to DECIMAL(18,2) first so summation order can never
+  * flip a rounded double (same determinism rule as the Relational money
+  * aggregates).
   */
 object Sessions {
 
@@ -27,14 +30,14 @@ object Sessions {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp($"w.start").as("bucket_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"bucket_start", $"event_type")
   }
 
   val streamTumblingSql: String =
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
-      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
   /** Sliding window: 1 hour long, sliding every 15 minutes — each event lands
@@ -44,7 +47,7 @@ object Sessions {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp($"w.start").as("bucket_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"bucket_start", $"event_type")
   }
@@ -55,7 +58,7 @@ object Sessions {
       |w AS (
       |  SELECT (t - t % 900) - 900 * u.i AS bucket_start, event_type, value
       |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) u)
-      |SELECT bucket_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |SELECT bucket_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
   /** Sessionization: 30-minute-gap sessions per user via lag + cumulative
@@ -74,7 +77,7 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min($"tsec").as("session_start"),
         (max($"tsec") - min($"tsec")).as("duration_s"),
-        round(sum($"value"), 4).as("sum_value"))
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy($"user_id", $"session_id")
   }
 
@@ -93,7 +96,7 @@ object Sessions {
       |SELECT user_id, session_id, count(*) AS n_events,
       |  min(tsec) AS session_start,
       |  max(tsec) - min(tsec) AS duration_s,
-      |  round(sum(value), 4) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -12,14 +12,21 @@ import graft.tables.Tables
   * Scale design (100 TB):
   *  - exact dedup: hash-partitioned groupBy on a content hash — never
   *    `dropDuplicates` on raw text, the 16-byte digest is the shuffle key.
-  *  - near-dup: shingle inverted index (explode + self-join on shingle) is
-  *    the *blocked* exact algorithm; its candidate set is bounded by shared
-  *    shingles, never all-pairs. The MinHash/LSH variant (banded signatures)
-  *    with the same output contract lives in `graft.ml.Dedup` for the
-  *    trillion-row path (non-oracle: hash functions differ per engine).
+  *  - near-dup (text): shingle inverted index (explode + self-join on
+  *    shingle) with a document-frequency cap that prunes hot shingles
+  *    before the self-join — the candidate set is bounded by shared *rare*
+  *    shingles, never all-pairs and never quadratic in a boilerplate
+  *    phrase's df. The MinHash/LSH banded variant with the same output
+  *    contract lives in [[graft.ml.Dedup]] for the trillion-row path
+  *    (non-oracle: MinHashLSH hash functions are engine-specific).
+  *  - near-dup (embeddings): sign-random-projection LSH bands computed with
+  *    engine-portable integer arithmetic give every vector equi-join bucket
+  *    keys; candidates = pairs sharing >= 1 band bucket; exact cosine
+  *    filters the candidates. Hash join on (band, code) — no nested-loop
+  *    all-pairs anywhere.
   *  - cosine top-k: the probe set is broadcast (bounded), candidates stream —
-  *    brute-force exact per probe. The IVF-partitioned variant that prunes
-  *    candidates by coarse centroid also lives in `graft.ml`.
+  *    brute-force exact per probe. The production ANN variants (MinHashLSH /
+  *    random-projection bucketing) live in [[graft.ml.Dedup]].
   */
 object Similarity {
 
@@ -45,25 +52,56 @@ object Similarity {
     """SELECT min(doc_id) AS keep_doc, count(*) AS n_copies, md5(text) AS text_hash
       |FROM documents GROUP BY md5(text) ORDER BY keep_doc""".stripMargin
 
-  /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.8 — the exact,
-    * inverted-index-blocked formulation: explode distinct shingles, self-join
-    * on the shingle (candidates only), count intersections, Jaccard on
-    * distinct-set sizes. */
+  /** Max document frequency for a shingle to participate in blocking: a
+    * shingle shared by more than this many docs produces df² candidate rows
+    * in the self-join while carrying no discriminative signal (boilerplate).
+    * Mirrored verbatim in the oracle SQL, so the Jaccard is computed over
+    * the pruned shingle space on both engines. */
+  val ShingleMaxDf = 20
+
+  /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.8 — the
+    * inverted-index formulation, shaped for scale:
+    *  1. ONE explode pass builds per-shingle posting lists
+    *     (`groupBy(sh).collect_list(doc_id)`), and the hot-shingle cap is a
+    *     size filter on the list — a shingle shared by more than
+    *     [[ShingleMaxDf]] docs is boilerplate carrying no discriminative
+    *     signal, and would otherwise emit df² candidate rows. The cap also
+    *     BOUNDS every collected list, so the aggregation is skew-free by
+    *     construction. The oracle mirrors the cap.
+    *  2. candidate pairs are generated inline from each posting list
+    *     (nested transform over the sorted list — ≤ C(cap, 2) structs per
+    *     shingle), then hash-aggregated by pair to count intersections. No
+    *     self-join, no second pass over the corpus.
+    *  3. pruned set sizes re-derive from the (tiny, persisted) posting-list
+    *     table and join onto the candidate pairs — both inputs are
+    *     aggregate-sized, not corpus-sized.
+    * The token array is materialized once per row before element_at
+    * indexing (inlining `filter(split(...))` into the lambda would re-split
+    * the text per element access — O(n²) per doc). */
   def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = filter(split($"text", " "), x => x =!= "")
-    val shingles = when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    val toksDf = Tables.documents(spark, sfDir)
+      .select($"doc_id", filter(split($"text", " "), x => x =!= "").as("t"))
+    val shingles = when(size($"t") >= 3,
+      array_distinct(transform(sequence(lit(1), size($"t") - 2), i =>
+        concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+          element_at($"t", i + 2)))))
       .otherwise(array().cast("array<string>"))
-    val sh = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(shingles).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
-      .where($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    // Per-shingle posting lists, capped; persisted because both the pair
+    // generation and the size table hang off it (the reference's AutoCache
+    // rule exists for exactly this diamond — SURVEY §4). Aggregate-sized:
+    // one row per distinct shingle, each list ≤ ShingleMaxDf ids.
+    val lists = toksDf.select($"doc_id", explode(shingles).as("sh"))
+      .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .where(size($"ds") <= ShingleMaxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = lists.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = lists.select(explode(flatten(transform($"ds", (a, i) =>
+        transform(slice($"ds", i + 2, greatest(size($"ds") - i - 1, lit(0))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+    pairs.groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
       .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .withColumn("jaccard",
@@ -74,12 +112,15 @@ object Similarity {
   }
 
   val dedupShingleJaccardSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),
-      |s AS (
+      |s0 AS (
       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+      |s AS (
+      |  SELECT s0.* FROM s0
+      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -91,17 +132,44 @@ object Similarity {
       |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Embedding near-duplicate pairs: cosine >= 0.4 over all pairs — exact
-    * baseline for the LSH-bucketed variant in graft.ml (all-pairs is the
-    * oracle contract at test scale; production path blocks by LSH bucket). */
+  /** LSH geometry for embedding near-dup: 16 sign-random-projection bits,
+    * banded 4 × 4. Hyperplane w(j)[i] = ((i*13 + j*7919) mod 97)/97 − 0.5 is
+    * pure integer arithmetic, identical on both engines; projections are
+    * rounded to 6dp before the sign test so summation-order ulps can't flip
+    * a bit on one engine only. */
+  val LshBands = 4
+  val LshBitsPerBand = 4
+
+  /** Embedding near-duplicate candidate pairs with cosine >= 0.4 (north-star
+    * near-dup at embedding granularity). Candidates are pairs sharing at
+    * least one LSH band bucket — an EQUI-join on (band, code), never an
+    * all-pairs nested loop — then the exact cosine filters them. The oracle
+    * mirrors the identical bucketing, so the result is deterministic on both
+    * engines; like any banded LSH, recall against the unblocked all-pairs
+    * result is < 1 by design (tunable via [[LshBands]]/[[LshBitsPerBand]];
+    * the knobs and the exhaustive variant live in [[graft.ml.Dedup]]). */
   def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", dbl($"embedding").as("v"))
       .withColumn("nrm", l2($"v"))
-    val a = e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"id_a" < $"id_b")
+    def proj(j: Int): Column =
+      round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+        acc + element_at($"v", i) *
+          (((i * 13 + j * 7919) % 97).cast("double") / 97.0 - 0.5)), 6)
+    val codes = (0 until LshBands).map { b =>
+      (0 until LshBitsPerBand).map { k =>
+        when(proj(b * LshBitsPerBand + k) >= 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).cast("long")
+    }
+    val sig = e.select($"vec_id", posexplode(array(codes: _*)).as(Seq("band", "code")))
+    val pairs = sig.as("a").join(sig.as("b"), Seq("band", "code"))
+      .where($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .distinct()
+    pairs
+      .join(e.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na")), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb")), "id_b")
       .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
       .where($"cos" >= 0.4)
       .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
@@ -113,11 +181,23 @@ object Similarity {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |n AS (
-      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |proj AS (
+      |  SELECT vec_id, j, round(list_sum(list_transform(range(1, 65), i ->
+      |    v[i] * (CAST((i * 13 + j * 7919) % 97 AS DOUBLE) / 97.0 - 0.5))), 6) AS p
+      |  FROM n, UNNEST(range(0, 16)) u(j)),
+      |codes AS (
+      |  SELECT vec_id, j // 4 AS band,
+      |         CAST(sum(CASE WHEN p >= 0 THEN 1 << (j % 4) ELSE 0 END) AS BIGINT) AS code
+      |  FROM proj GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM codes a JOIN codes b ON a.band = b.band AND a.code = b.code
+      |                           AND a.vec_id < b.vec_id)
+      |SELECT c.id_a, c.id_b,
       |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
       |        (a.nrm * b.nrm), 4) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |FROM cand c JOIN n a ON c.id_a = a.vec_id JOIN n b ON c.id_b = b.vec_id
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
       |      (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin

@@ -20,6 +20,13 @@ import graft.tables.Tables
   * no UDFs, fully whole-stage-codegen'd, and every shuffle keys on
   * token/doc_id which hash-partitions evenly at 100 TB (vocabulary and
   * doc-id spaces are high-cardinality).
+  *
+  * Global-ranking discipline (no `Window.orderBy` without partitionBy
+  * anywhere in this file): bounded top-K cuts go through `orderBy.limit`
+  * (TakeOrderedAndProject — per-partition heap + driver merge of K rows),
+  * and the one full-vocabulary dense ranking (`q_word_id_encode`) uses a
+  * range-partitioned sort + zipWithIndex (per-partition counts + offsets),
+  * so no stage ever funnels the vocabulary through a single task.
   */
 object Text {
 
@@ -91,17 +98,22 @@ object Text {
   // ------------------------------------------------------- vocab / tf-idf
 
   /** Top-K vocabulary by frequency (ref: CommonSparseFeatures(K)).
-    * Global top-k via rank over the aggregated count table — the count table
-    * is vocabulary-sized (small), so the single-partition window is safe at
-    * any corpus scale. */
+    * The top-100 cut is `orderBy.limit` (TakeOrderedAndProject: per-partition
+    * heaps, driver merges only K rows — no global sort, no single-partition
+    * window over the vocabulary). Ranks are then assigned among the K
+    * surviving rows via a broadcast "count of better rows" self-join, which
+    * is O(K²) on K=100 rows — constant work at any corpus scale. */
   def qCommonTermsTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"cnt".desc, $"token")
-    Tables.documents(spark, sfDir)
+    val top = Tables.documents(spark, sfDir)
       .select(explode(toks($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where($"rank" <= 100)
+      .orderBy($"cnt".desc, $"token").limit(100)
+    val better = top.select($"token".as("t2"), $"cnt".as("c2"))
+    top.join(broadcast(better),
+        $"c2" > $"cnt" || ($"c2" === $"cnt" && $"t2" < $"token"), "left")
+      .groupBy($"token", $"cnt")
+      .agg((count($"t2") + 1).cast("long").as("rank"))
       .orderBy($"rank")
   }
 
@@ -114,32 +126,39 @@ object Text {
        |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   /** Frequency-ordered word-id encoding (ref: WordFrequencyEncoder): each
-    * document's tokens mapped to dense ids ordered by corpus frequency. */
+    * token occurrence mapped to a dense id ordered by corpus frequency,
+    * emitted as one row per (doc_id, pos) — the scalar serialization of the
+    * encoded sequence.
+    *
+    * The dense id assignment is the scalable two-phase ranking: a
+    * range-partitioned sort of the count table by (cnt desc, token) followed
+    * by zipWithIndex (counts each partition, then offsets — two passes, no
+    * single-partition stage), instead of an unpartitioned row_number
+    * window that would funnel a web-scale vocabulary through one task. */
   def qWordIdEncode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val tokens = docs.select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "token")))
-    val w = Window.orderBy($"cnt".desc, $"token")
-    val vocab = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .withColumn("id", (row_number().over(w) - 1).cast("long"))
-      .select($"token", $"id")
+    val sortedVocab = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").select($"token")
+    val vocab = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) })
+      .toDF("token", "token_id")
     tokens.join(vocab, "token")
-      .groupBy($"doc_id")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"id"))), s => s.getField("id"))
-        .as("token_ids"))
-      .orderBy($"doc_id")
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"token_id")
+      .orderBy($"doc_id", $"pos")
   }
 
   val wordIdEncodeSql: String =
     s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
        |p AS (SELECT doc_id, unnest(toks) AS token,
-       |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |        unnest(range(1, len(toks) + 1)) - 1 AS pos FROM t),
        |vocab AS (
-       |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+       |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id
        |  FROM (SELECT token, count(*) AS cnt FROM p GROUP BY token))
-       |SELECT doc_id, list(id ORDER BY pos) AS token_ids
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_id
        |FROM p JOIN vocab USING (token)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |ORDER BY doc_id, pos""".stripMargin
 
   /** TF-IDF with top-3 terms per document (ref: TermFrequency + IDF
     * weighting). idf = ln(N/df); ranking tie-broken on token. */
@@ -194,8 +213,9 @@ object Text {
     val bi = docs.select(explode(bigrams).as("b"))
       .select($"b.w1", $"b.w2")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
-    val w = Window.orderBy($"uc".desc, $"token")
-    val top = uni.withColumn("r", row_number().over(w)).where($"r" <= 10)
+    // top-10 unigram cut via orderBy.limit (TakeOrderedAndProject) — no
+    // unpartitioned window over the vocabulary.
+    val top = uni.orderBy($"uc".desc, $"token").limit(10)
       .select($"token", $"uc")
     val total = uni.agg(sum($"uc").as("total_tokens"))
     top.select($"token".as("w1"), $"uc".as("uc1"))
@@ -229,6 +249,103 @@ object Text {
        |LEFT JOIN bi ON bi.w1 = a.token AND bi.w2 = b.token
        |CROSS JOIN total
        |ORDER BY w1, w2""".stripMargin
+
+  /** Trim + LowerCase + whitespace-collapse composite (ref: Trim andThen
+    * LowerCase — the head of the AmazonReviews/Newsgroups pipelines). Pure
+    * per-row string expressions inside whole-stage codegen. */
+  def qTextClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = trim(lower(regexp_replace($"text", " +", " ")))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", cleaned.as("clean_text"),
+        length(cleaned).cast("long").as("clean_len"),
+        size(filter(split(cleaned, " "), t => t =!= "")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  trim(lower(regexp_replace(text, ' +', ' ', 'g'))) AS clean_text,
+      |  length(trim(lower(regexp_replace(text, ' +', ' ', 'g')))) AS clean_len,
+      |  CAST(len(list_filter(string_split(trim(lower(regexp_replace(text, ' +', ' ', 'g'))), ' '),
+      |    x -> x <> '')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multinomial Naive Bayes scoring with add-one smoothing (ref:
+    * NaiveBayesEstimator — SURVEY §2.A flags the *scoring* as pure count
+    * arithmetic and therefore oracle-able; training wrappers live in
+    * graft.ml). Classes = `lang`; the model counts and the scored documents
+    * come from the same corpus.
+    *
+    * score(d, c) = ln(n_c/N) + Σ_tokens ln((count(tok,c)+1)/(tokens_c+V));
+    * the argmax per doc wins, ties broken on lang. Every model table is
+    * vocabulary- or class-sized; the only data-sized shuffles key on
+    * token / (doc_id, lang) — even at 100 TB. The per-doc argmax window is
+    * partitioned by doc_id. */
+  def qNaiveBayesScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select($"doc_id", $"lang", explode(toks($"text")).as("token"))
+    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))        // #classes rows
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))                      // 1 row
+    val tokClass = tokens.groupBy($"token", $"lang").agg(count(lit(1)).as("tc"))
+    val classTotals = tokens.groupBy($"lang").agg(count(lit(1)).as("tt")) // #classes rows
+    val vocabSize = tokens.select($"token").distinct().agg(count(lit(1)).as("v"))
+    // Laplace-smoothed log-likelihood for every (token, class) pair: the
+    // grid is vocab × #classes — explicit left join supplies the tc=0 rows.
+    val grid = tokens.select($"token").distinct()
+      .crossJoin(broadcast(priors.select($"lang")))
+      .join(tokClass, Seq("token", "lang"), "left")
+      .join(broadcast(classTotals), "lang")
+      .crossJoin(broadcast(vocabSize))
+      .select($"token", $"lang".as("cand"),
+        log((coalesce($"tc", lit(0L)) + 1).cast("double") / ($"tt" + $"v"))
+          .as("loglik"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"cand")
+    tokens.select($"doc_id", $"token")
+      .join(grid, "token")
+      .groupBy($"doc_id", $"cand")
+      .agg(sum($"loglik").as("ll"))
+      .join(broadcast(priors), $"cand" === priors("lang"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score6",
+        round($"ll" + log($"nc".cast("double") / $"n_docs"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"doc_id", $"cand".as("pred_lang"), round($"score6", 4).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val naiveBayesScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($duckToks) AS token FROM documents),
+       |priors AS (SELECT lang, count(*) AS nc FROM documents GROUP BY lang),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |tc AS (SELECT token, lang, count(*) AS tc FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT lang, count(*) AS tt FROM tok GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+       |grid AS (
+       |  SELECT d.token, c.lang AS cand,
+       |    ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) / (tt.tt + v.v)) AS loglik
+       |  FROM (SELECT DISTINCT token FROM tok) d
+       |  CROSS JOIN (SELECT lang FROM priors) c
+       |  LEFT JOIN tc ON tc.token = d.token AND tc.lang = c.lang
+       |  JOIN tt ON tt.lang = c.lang
+       |  CROSS JOIN v),
+       |scored AS (
+       |  SELECT t.doc_id, g.cand,
+       |    round(sum(g.loglik) + ln(CAST(p.nc AS DOUBLE) / n.n_docs), 6) AS score6
+       |  FROM (SELECT doc_id, token FROM tok) t
+       |  JOIN grid g ON g.token = t.token
+       |  JOIN priors p ON p.lang = g.cand
+       |  CROSS JOIN n
+       |  GROUP BY t.doc_id, g.cand, p.nc, n.n_docs),
+       |ranked AS (
+       |  SELECT doc_id, cand, score6,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, cand) AS rn
+       |  FROM scored)
+       |SELECT doc_id, cand AS pred_lang, round(score6, 4) AS score
+       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- north-star analysis
 
@@ -358,6 +475,8 @@ object Text {
     "q_word_id_encode" -> (qWordIdEncode _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stupid_backoff_bigram" -> (qStupidBackoffBigram _),
+    "q_text_clean" -> (qTextClean _),
+    "q_naive_bayes_score" -> (qNaiveBayesScore _),
     "q_lang_id" -> (qLangId _),
     "q_text_quality" -> (qTextQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -371,6 +490,8 @@ object Text {
     "q_word_id_encode" -> wordIdEncodeSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_stupid_backoff_bigram" -> stupidBackoffBigramSql,
+    "q_text_clean" -> textCleanSql,
+    "q_naive_bayes_score" -> naiveBayesScoreSql,
     "q_lang_id" -> langIdSql,
     "q_text_quality" -> textQualitySql,
     "q_token_count" -> tokenCountSql,

@@ -9,8 +9,8 @@ import graft.tables.Tables
   *
   * Capability parity with the reference's nodes.stats / nodes.util /
   * nodes.learning scalar-vector nodes (SURVEY.md §2.A): LinearRectifier,
-  * SignedHellingerMapper, StandardScaler, LinearMapper,
-  * ClassLabelIndicators, MaxClassifier, TopKClassifier,
+  * SignedHellingerMapper, StandardScaler, LinearMapper, CosineRandomFeatures
+  * (fixed-W variant), ClassLabelIndicators, MaxClassifier, TopKClassifier,
   * KMeansPlusPlus (fixed-centroid assignment).
   *
   * The reference lifts per-datum Breeze vector functions over RDDs; here
@@ -18,6 +18,12 @@ import graft.tables.Tables
   * over the `array<float>` column — columnar, codegen'd, zero shuffle for
   * the per-row ops. float→double casts are exact, so both engines compute
   * identical IEEE arithmetic.
+  *
+  * Output shape: every vector-valued result is emitted as scalar rows
+  * `(vec_id, pos, value)` via posexplode rather than as an array column —
+  * the same information, but sortable/hashable by any downstream comparator
+  * and directly usable as a join/agg input. `pos` is 0-based on both
+  * engines.
   */
 object Vectors {
 
@@ -26,19 +32,22 @@ object Vectors {
 
   // ------------------------------------------------------ per-row mappers
 
-  /** ReLU per element (ref: LinearRectifier). */
+  /** ReLU per element (ref: LinearRectifier), one row per (vec_id, pos). */
   def qVectorRelu(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .select($"vec_id",
-        transform(dbl, x => round(greatest(x, lit(0.0)), 4)).as("relu"))
-      .orderBy($"vec_id")
+        posexplode(transform(dbl, x => round(greatest(x, lit(0.0)), 4)))
+          .as(Seq("pos", "relu")))
+      .select($"vec_id", $"pos".cast("long").as("pos"), $"relu")
+      .orderBy($"vec_id", $"pos")
   }
 
   val vectorReluSql: String =
-    """SELECT vec_id,
-      |  list_transform(embedding, x -> round(greatest(CAST(x AS DOUBLE), 0.0), 4)) AS relu
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  round(greatest(CAST(embedding[i] AS DOUBLE), 0.0), 4) + 0.0 AS relu
+      |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |ORDER BY vec_id, pos""".stripMargin
 
   /** Signed Hellinger map sign(x)*sqrt(|x|) per element (ref:
     * SignedHellingerMapper). sign is spelled as CASE so both engines agree
@@ -48,22 +57,25 @@ object Vectors {
     val hell = transform(dbl, x =>
       round(when(x < 0, -sqrt(-x)).otherwise(sqrt(x)), 4))
     Tables.embeddings(spark, sfDir)
-      .select($"vec_id", hell.as("hellinger"))
-      .orderBy($"vec_id")
+      .select($"vec_id", posexplode(hell).as(Seq("pos", "hellinger")))
+      .select($"vec_id", $"pos".cast("long").as("pos"), $"hellinger")
+      .orderBy($"vec_id", $"pos")
   }
 
   val vectorHellingerSql: String =
-    """SELECT vec_id,
-      |  list_transform(embedding, x -> round(
-      |    CASE WHEN CAST(x AS DOUBLE) < 0 THEN -sqrt(-CAST(x AS DOUBLE))
-      |         ELSE sqrt(CAST(x AS DOUBLE)) END, 4) + 0.0) AS hellinger
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  round(CASE WHEN CAST(embedding[i] AS DOUBLE) < 0
+      |             THEN -sqrt(-CAST(embedding[i] AS DOUBLE))
+      |             ELSE sqrt(CAST(embedding[i] AS DOUBLE)) END, 4) + 0.0 AS hellinger
+      |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      |ORDER BY vec_id, pos""".stripMargin
 
   // ------------------------------------------------- fitted transformers
 
   /** Per-dimension standardization (ref: StandardScaler + Model). The "fit"
-    * is the grouped mean/stddev aggregation per dimension; the "transform"
-    * joins the 64-row stats table back (broadcast at any scale). */
+    * is the grouped mean/stddev aggregation per dimension (64 rows); the
+    * "transform" joins the stats table back (broadcast at any scale).
+    * Output is one row per (vec_id, pos). */
   def qStandardScale(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ex = Tables.embeddings(spark, sfDir)
@@ -71,28 +83,27 @@ object Vectors {
     val stats = ex.groupBy($"pos")
       .agg(avg($"v").as("mu"), stddev_samp($"v").as("sd"))
     ex.join(broadcast(stats), "pos")
-      .select($"vec_id", $"pos", round(($"v" - $"mu") / $"sd", 4).as("z"))
-      .groupBy($"vec_id")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"z"))),
-        s => s.getField("z")).as("scaled"))
-      .orderBy($"vec_id")
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        round(($"v" - $"mu") / $"sd", 4).as("z"))
+      .orderBy($"vec_id", $"pos")
   }
 
   val standardScaleSql: String =
     """WITH ex AS (
-      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) - 1 AS pos,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
       |stats AS (
       |  SELECT pos, avg(v) AS mu, stddev_samp(v) AS sd FROM ex GROUP BY pos)
-      |SELECT vec_id, list(round((v - mu) / sd, 4) + 0.0 ORDER BY pos) AS scaled
+      |SELECT vec_id, CAST(pos AS BIGINT) AS pos, round((v - mu) / sd, 4) + 0.0 AS z
       |FROM ex JOIN stats USING (pos)
-      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      |ORDER BY vec_id, pos""".stripMargin
 
   /** Dense linear map x^T W with a fixed deterministic 64->4 weight matrix
     * W(i,j) = ((i*7 + j*13) mod 10)/10 - 0.45 (ref: LinearMapper; at real
     * scale W is a broadcast model matrix and the product runs per partition
-    * via gemm — here the 4-column product is a pure expression). */
+    * via gemm — here the 4-column product is a pure expression). One row per
+    * (vec_id, j). */
   def qLinearMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = dbl
@@ -101,36 +112,70 @@ object Vectors {
         acc + element_at(d, i) *
           (((i * 7 + j * 13) % 10).cast("double") / 10.0 - 0.45)), 4))
     Tables.embeddings(spark, sfDir)
-      .select($"vec_id", out.as("projected"))
-      .orderBy($"vec_id")
+      .select($"vec_id", posexplode(out).as(Seq("j", "projected")))
+      .select($"vec_id", $"j".cast("long").as("j"), $"projected")
+      .orderBy($"vec_id", $"j")
   }
 
   val linearMapSql: String =
-    """SELECT vec_id,
-      |  list_transform(range(0, 4), j ->
-      |    round(list_sum(list_transform(range(1, 65), i ->
+    """SELECT vec_id, CAST(j AS BIGINT) AS j,
+      |  round(list_sum(list_transform(range(1, 65), i ->
+      |    CAST(embedding[i] AS DOUBLE) *
+      |    (CAST((i * 7 + j * 13) % 10 AS DOUBLE) / 10.0 - 0.45))), 4) + 0.0 AS projected
+      |FROM embeddings, UNNEST(range(0, 4)) AS u(j)
+      |ORDER BY vec_id, j""".stripMargin
+
+  /** Random Fourier features cos(w_j·x + b_j) with a fixed deterministic
+    * weight matrix (ref: CosineRandomFeatures / RandomSignNode, Rahimi-Recht
+    * — the production variant draws W ~ N(0, σ²); here W and b derive from
+    * the same integer formula on both engines so the feature values are
+    * oracle-checkable). One row per (vec_id, j), 8 features. */
+  def qRandomFeaturesFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = dbl
+    val out = transform(sequence(lit(0), lit(7)), j =>
+      round(cos(
+        aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+          acc + element_at(d, i) *
+            (((i * 31 + j * 41) % 23).cast("double") / 23.0 - 0.5)) +
+          (j % 7).cast("double")), 4))
+    Tables.embeddings(spark, sfDir)
+      .select($"vec_id", posexplode(out).as(Seq("j", "feature")))
+      .select($"vec_id", $"j".cast("long").as("j"), $"feature")
+      .orderBy($"vec_id", $"j")
+  }
+
+  val randomFeaturesFixedSql: String =
+    """SELECT vec_id, CAST(j AS BIGINT) AS j,
+      |  round(cos(list_sum(list_transform(range(1, 65), i ->
       |      CAST(embedding[i] AS DOUBLE) *
-      |      (CAST((i * 7 + j * 13) % 10 AS DOUBLE) / 10.0 - 0.45))), 4) + 0.0) AS projected
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+      |      (CAST((i * 31 + j * 41) % 23 AS DOUBLE) / 23.0 - 0.5)))
+      |    + CAST(j % 7 AS DOUBLE)), 4) + 0.0 AS feature
+      |FROM embeddings, UNNEST(range(0, 8)) AS u(j)
+      |ORDER BY vec_id, j""".stripMargin
 
   // ------------------------------------------------------- label utilities
 
-  /** Int label -> ±1 one-hot indicator vector (ref:
-    * ClassLabelIndicatorsFromIntLabels). */
+  /** Int label -> ±1 one-hot indicator (ref:
+    * ClassLabelIndicatorsFromIntLabels). One row per (vec_id, class_id). */
   def qOnehotLabels(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label",
-        transform(sequence(lit(0), lit(9)),
-          i => when($"label" === i, 1.0).otherwise(-1.0)).as("indicator"))
-      .orderBy($"vec_id")
+        posexplode(transform(sequence(lit(0), lit(9)),
+          i => when($"label" === i, 1.0).otherwise(-1.0)))
+          .as(Seq("class_id", "indicator")))
+      .select($"vec_id", $"label", $"class_id".cast("long").as("class_id"),
+        $"indicator")
+      .orderBy($"vec_id", $"class_id")
   }
 
   val onehotLabelsSql: String =
-    """SELECT vec_id, label,
-      |  list_transform(range(0, 10),
-      |    i -> CASE WHEN label = i THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS indicator
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, label, CAST(c AS BIGINT) AS class_id,
+      |  CASE WHEN label = c THEN CAST(1.0 AS DOUBLE)
+      |       ELSE CAST(-1.0 AS DOUBLE) END AS indicator
+      |FROM embeddings, UNNEST(range(0, 10)) AS u(c)
+      |ORDER BY vec_id, class_id""".stripMargin
 
   /** Argmax over the score vector (ref: MaxClassifier): first index of the
     * maximum, 0-based. */
@@ -149,16 +194,18 @@ object Vectors {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   /** Top-3 indices by score (ref: TopKClassifier). Spark side sorts an array
-    * of (-value, index) structs — per-row, no shuffle; the oracle mirrors
-    * with a ranking window. */
+    * of (-value, index) structs — per-row, no shuffle; emitted as one row
+    * per (vec_id, rank). The oracle mirrors with a ranking window. */
   def qTopkClasses(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val scored = transform(dbl, (x, i) =>
       struct((-x).as("neg"), i.cast("long").as("idx")))
     Tables.embeddings(spark, sfDir)
       .select($"vec_id",
-        transform(slice(array_sort(scored), 1, 3), s => s.getField("idx")).as("top3"))
-      .orderBy($"vec_id")
+        posexplode(transform(slice(array_sort(scored), 1, 3),
+          s => s.getField("idx"))).as(Seq("r", "idx")))
+      .select($"vec_id", ($"r" + 1).cast("long").as("rank"), $"idx")
+      .orderBy($"vec_id", $"rank")
   }
 
   val topkClassesSql: String =
@@ -170,8 +217,8 @@ object Vectors {
       |  SELECT vec_id, pos - 1 AS idx,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, pos) AS rn
       |  FROM ex)
-      |SELECT vec_id, list(CAST(idx AS BIGINT) ORDER BY rn) AS top3
-      |FROM r WHERE rn <= 3 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      |SELECT vec_id, CAST(rn AS BIGINT) AS rank, CAST(idx AS BIGINT) AS idx
+      |FROM r WHERE rn <= 3 ORDER BY vec_id, rank""".stripMargin
 
   /** K-means assignment against fixed deterministic centroids
     * C(k,i) = (((k*31 + i*17) mod 19)/19 - 0.5) * 0.2 (ref:
@@ -213,6 +260,7 @@ object Vectors {
     "q_vector_hellinger" -> (qVectorHellinger _),
     "q_standard_scale" -> (qStandardScale _),
     "q_linear_map" -> (qLinearMap _),
+    "q_random_features_fixed" -> (qRandomFeaturesFixed _),
     "q_onehot_labels" -> (qOnehotLabels _),
     "q_argmax_class" -> (qArgmaxClass _),
     "q_topk_classes" -> (qTopkClasses _),
@@ -223,6 +271,7 @@ object Vectors {
     "q_vector_hellinger" -> vectorHellingerSql,
     "q_standard_scale" -> standardScaleSql,
     "q_linear_map" -> linearMapSql,
+    "q_random_features_fixed" -> randomFeaturesFixedSql,
     "q_onehot_labels" -> onehotLabelsSql,
     "q_argmax_class" -> argmaxClassSql,
     "q_topk_classes" -> topkClassesSql,

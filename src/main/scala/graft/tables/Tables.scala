@@ -35,11 +35,13 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "lineitem"))
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects by
-    * default. We read it as a raw long (legacy nanosAsLong) and truncate
-    * ns → µs ourselves — the exact same truncation DuckDB applies — so both
-    * engines see identical µs timestamps (FIXTURES.md ⚠ note). */
+    * default. Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at build time (Verify / Bench / the test fixture all do) so the column
+    * arrives as a raw long; this loader then truncates ns → µs — the exact
+    * same truncation DuckDB applies — so both engines see identical µs
+    * timestamps (FIXTURES.md ⚠ note). The loader itself is side-effect
+    * free: it never mutates session conf. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, "events"))
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -1,85 +1,80 @@
-#!/usr/bin/env python3
-"""Local oracle-parity checker (mimics the driver's t2 gate).
+#!/usr/bin/env python
+"""Local oracle-parity checker mimicking the driver's CORRECTNESS gate.
 
-Usage: python3 tools/parity.py <verify_out_dir> <sf_dir> [query ...]
-
-Reads each <out>/<name> parquet result (written by graft.Verify), runs the
-matching SQL from <out>/oracle_sql.json in DuckDB against the same parquet
-tables, and compares: row count, column names (sorted), and exact cell
-values (column-name-sorted, row order as produced).
+Usage: python tools/parity.py OUTDIR SFDIR [query ...]
+  OUTDIR = dir produced by `sbt "runMain graft.Verify SFDIR OUTDIR"`
+  Reads OUTDIR/<name>/ parquet + OUTDIR/oracle_sql.json, runs the oracle in
+  DuckDB against SFDIR parquet tables, sorts columns by name then rows, and
+  compares row counts / schemas / value hashes like the driver does.
 """
-import sys, json, math, glob, os
+import sys, json, glob, os
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # strict: driver hashes exact values
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    if hasattr(v, "tolist"):  # numpy arrays from parquet lists
-        return norm(v.tolist())
-    return repr(v)
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    n_pass = n_fail = n_skip = 0
-    for name in sorted(oracle):
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    n_pass = n_fail = 0
+    for name in names:
         if only and name not in only:
             continue
-        sql = oracle[name]
-        res_dir = os.path.join(out_dir, name)
-        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark result parquet")
+            print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        spark_tbl = pq.read_table(res_dir)
-        try:
-            duck = con.execute(sql)
-            dcols = [d[0] for d in duck.description]
-            drows = duck.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        scols = spark_tbl.column_names
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            n_fail += 1
-            continue
-        sdata = spark_tbl.to_pydict()
-        srows = list(zip(*[sdata[c] for c in sorted(scols)]))
-        didx = [dcols.index(c) for c in sorted(dcols)]
-        drows2 = [tuple(r[i] for i in didx) for r in drows]
-        if len(srows) != len(drows2):
-            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows2)}")
-            n_fail += 1
-            continue
-        bad = None
-        for i, (sr, dr) in enumerate(zip(srows, drows2)):
-            if tuple(norm(x) for x in sr) != tuple(norm(x) for x in dr):
-                bad = (i, sr, dr)
-                break
-        if bad:
-            i, sr, dr = bad
-            print(f"FAIL {name}: row {i} differs\n  cols : {sorted(scols)}\n  spark: {sr}\n  duck : {dr}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(srows)} rows)")
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        if name not in oracle:
+            print(f"ROWS-ONLY {name}: spark_rows={len(spark_df)}")
             n_pass += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+            a, b = canon(spark_df), canon(duck_df)
+            rows = len(a) == len(b)
+            schema = list(a.columns) == list(b.columns)
+            h = False
+            if rows and schema:
+                ha = pd.util.hash_pandas_object(a.astype(str)).sum()
+                hb = pd.util.hash_pandas_object(b.astype(str)).sum()
+                h = ha == hb
+            if rows and schema and h:
+                print(f"PASS {name}: rows={len(a)}")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: rows={rows}({len(a)}/{len(b)}) "
+                      f"schema={schema}({list(a.columns)}/{list(b.columns)}) hash={h}")
+                if rows and schema and not h:
+                    merged = a.astype(str).merge(b.astype(str), how="outer",
+                                                 indicator=True)
+                    diff = merged[merged["_merge"] != "both"]
+                    print(diff.head(10).to_string())
+                n_fail += 1
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
