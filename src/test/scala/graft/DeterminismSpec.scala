@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SURVEY §5 item 4: results must be identical under different parallelism.
+  * Runs a representative query set twice — once at the fixture's 4 shuffle
+  * partitions and once repartitioned to a skewed layout — and compares the
+  * full ordered result. (The driver's own probe re-runs Verify at a
+  * different SPARK_GRAFT_CPUS; this is the in-suite equivalent.) */
+class DeterminismSpec extends GraftSuite {
+
+  private def canonical(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.mkString("|"))
+
+  private def checkStable(name: String): Unit = {
+    val fn = SparkEntry.queries(name)
+    val a = canonical(fn(spark, sf))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = canonical(fn(spark, sf))
+      assert(a == b, s"$name changed under different shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  Seq(
+    "q_agg_pricing_summary",
+    "q_window_running",
+    "q_tfidf_top_terms",
+    "q_word_id_encode",
+    "q_dedup_shingle_jaccard",
+    "q_embed_neardup",
+    "q_naive_bayes_score",
+    "q_sessionize").foreach { name =>
+    test(s"$name is partitioning-invariant") { checkStable(name) }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Eval, Sessions}
+
+/** Windowing/sessionization + evaluator checks on sf0.001. */
+class SessionsEvalSpec extends GraftSuite {
+
+  test("q_stream_tumbling buckets partition all events") {
+    val total = Sessions.qStreamTumbling(spark, sf).agg(sum("n")).head.getLong(0)
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == events)
+  }
+
+  test("q_stream_sliding puts each event in exactly 4 overlapping windows") {
+    val slid = Sessions.qStreamSliding(spark, sf).agg(sum("n")).head.getLong(0)
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(slid == 4 * events, s"1h/15min slide => 4 windows per event ($slid vs ${4 * events})")
+  }
+
+  test("q_sessionize: sessions partition each user's events; durations non-negative") {
+    val s = Sessions.qSessionize(spark, sf)
+    val sessEvents = s.agg(sum("n_events")).head.getLong(0)
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(sessEvents == events)
+    assert(s.where(col("duration_s") < 0).count() == 0)
+    // session ids are dense 1..K per user
+    val bad = s.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("k"))
+      .where(col("mx") =!= col("k")).count()
+    assert(bad == 0)
+  }
+
+  test("q_eval_binary metrics are internally consistent") {
+    val m = Eval.qEvalBinary(spark, sf).head()
+    val tp = m.getAs[Long]("tp").toDouble
+    val fp = m.getAs[Long]("fp").toDouble
+    val fn = m.getAs[Long]("fn").toDouble
+    val prec = m.getAs[Double]("precision")
+    val rec = m.getAs[Double]("recall")
+    assert(math.abs(prec - tp / (tp + fp)) < 1e-3)
+    assert(math.abs(rec - tp / (tp + fn)) < 1e-3)
+  }
+
+  test("q_confusion_matrix cells sum to the scored population") {
+    val cm = Eval.qConfusionMatrix(spark, sf)
+    val total = cm.agg(sum("n")).head.getLong(0)
+    assert(total == 500)
+    assert(cm.count() == 100, "10x10 dense confusion grid")
+  }
+
+  test("q_mean_avg_precision is a valid probability per class") {
+    val r = Eval.qMeanAvgPrecision(spark, sf)
+    assert(r.count() == 10)
+    assert(r.where(col("ap") < 0 || col("ap") > 1).count() == 0)
+  }
+
+  test("q_udaf_geomean equals exp(avg(ln x)) computed directly") {
+    val r = Eval.qUdafGeomean(spark, sf)
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_extendedprice")))), 4).as("expected"))
+    val joined = r.join(direct, "l_returnflag")
+    val bad = joined.where(abs(col("geomean_price") - col("expected")) > 0.01).count()
+    assert(bad == 0)
+  }
+}

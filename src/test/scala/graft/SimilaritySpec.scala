@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Dedup + similarity operator checks on sf0.001 (no exact duplicates exist
+  * at this sf — dedup semantics are exercised on constructed frames). */
+class SimilaritySpec extends GraftSuite {
+
+  test("q_dedup_exact keeps every distinct text exactly once") {
+    val r = Similarity.qDedupExact(spark, sf)
+    assert(r.count() == 500) // sf0.001 has no duplicate texts (DuckDB-pinned)
+    assert(r.where(col("n_copies") =!= 1).count() == 0)
+  }
+
+  test("exact dedup collapses injected duplicates to the min doc_id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "alpha beta gamma"), (5L, "zeta"))
+      .toDF("doc_id", "text")
+    val r = df.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_copies"))
+    val kept = r.collect().map(x => x.getAs[Long]("keep_doc") -> x.getAs[Long]("n_copies")).toMap
+    assert(kept == Map(1L -> 3L, 3L -> 1L, 5L -> 1L))
+    // idempotence: dedup of the dedup result is a no-op
+    val again = r.select($"keep_doc".as("doc_id"), $"h".as("text"))
+      .groupBy($"text").agg(count(lit(1)).as("c"))
+    assert(again.where($"c" =!= 1).count() == 0)
+  }
+
+  test("q_dedup_shingle_jaccard pairs are ordered, deduped, above threshold") {
+    val r = rows(Similarity.qDedupShingleJaccard(spark, sf))
+    r.foreach { x =>
+      assert(x.getAs[Long]("doc_a") < x.getAs[Long]("doc_b"))
+      val j = x.getAs[Double]("jaccard")
+      assert(j >= 0.8 && j <= 1.0)
+    }
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("q_embed_neardup candidates satisfy the cosine threshold and ordering") {
+    val r = rows(Similarity.qEmbedNeardup(spark, sf))
+    assert(r.nonEmpty, "LSH buckets must yield at least one near-dup pair")
+    r.foreach { x =>
+      assert(x.getAs[Long]("id_a") < x.getAs[Long]("id_b"))
+      assert(x.getAs[Double]("cos") >= 0.4)
+    }
+  }
+
+  test("q_embed_neardup output is a subset of the exact all-pairs result") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos",
+        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (a, x) => a + x)
+          / ($"a.nrm" * $"b.nrm"))
+      .where($"cos" >= 0.4)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = rows(Similarity.qEmbedNeardup(spark, sf))
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH candidates must never invent pairs")
+    assert(lsh.nonEmpty && exact.nonEmpty)
+  }
+
+  test("q_cosine_topk: 10 probes x 5 ranked neighbors, no self-matches") {
+    val r = Similarity.qCosineTopk(spark, sf)
+    assert(r.count() == 50)
+    assert(r.where(col("p_id") === col("vec_id")).count() == 0)
+    val perProbe = r.groupBy("p_id").count()
+    assert(perProbe.where(col("count") =!= 5).count() == 0)
+    // ranks descend in cosine within each probe
+    val bad = r.as("x").join(r.as("y"),
+      col("x.p_id") === col("y.p_id") && col("x.rank") === col("y.rank") - 1)
+      .where(col("x.cos") < col("y.cos")).count()
+    assert(bad == 0, "cosine must be non-increasing with rank")
+  }
+
+  test("cosine similarity is symmetric (probe/candidate swap)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where($"vec_id" < 20)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val dots = e.as("a").crossJoin(e.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        round(aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (a, x) => a + x), 9).as("d"))
+    val asym = dots.as("x").join(dots.as("y"),
+      $"x.i" === $"y.j" && $"x.j" === $"y.i" && $"x.d" =!= $"y.d").count()
+    assert(asym == 0)
+  }
+
+  test("q_multimodal_join joins every document to its embedding") {
+    val r = Similarity.qMultimodalJoin(spark, sf)
+    assert(r.count() == 500)
+    assert(r.where(col("vec_norm") <= 0).count() == 0)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+/** Text/NLP operator checks on sf0.001 (goldens pinned with DuckDB). */
+class TextSpec extends GraftSuite {
+
+  test("q_tokenize_wordcount top tokens match pinned goldens") {
+    val r = rows(Text.qTokenizeWordcount(spark, sf))
+    val top3 = r.take(3).map(x => (x.getString(0), x.getAs[Long]("cnt")))
+    assert(top3.toSeq == Seq(("scan", 984L), ("column", 978L), ("window", 976L)))
+  }
+
+  test("word counts sum to total token count") {
+    val fromCounts = Text.qTokenizeWordcount(spark, sf)
+      .agg(sum("cnt")).head.getLong(0)
+    val fromDocs = Text.qTokenCount(spark, sf)
+      .agg(sum("ws_tokens")).head.getLong(0)
+    assert(fromCounts == fromDocs)
+  }
+
+  test("q_common_terms_topk ranks are dense, unique, frequency-ordered") {
+    val r = rows(Text.qCommonTermsTopk(spark, sf))
+    val ranks = r.map(_.getAs[Long]("rank"))
+    assert(ranks == (1L to ranks.size).toSeq, "ranks must be dense 1..K")
+    val cnts = r.map(_.getAs[Long]("cnt"))
+    assert(cnts == cnts.sortBy(-_), "counts must be non-increasing by rank")
+    assert(r.head.getAs[String]("token") == "scan")
+  }
+
+  test("q_word_id_encode assigns dense frequency-ordered ids") {
+    val enc = Text.qWordIdEncode(spark, sf)
+    // token id 0 must be the corpus-most-frequent token's id: every doc
+    // containing "scan" gets id 0 at those positions.
+    val nIds = enc.select("token_id").distinct().count()
+    val maxId = enc.agg(max("token_id")).head.getLong(0)
+    assert(maxId == nIds - 1, "ids must be dense 0..V-1")
+    // encoding preserves sequence length
+    val encLen = enc.groupBy("doc_id").count()
+    val docLen = Text.qTokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
+    val mismatch = encLen.join(docLen, "doc_id")
+      .where(col("count") =!= col("ws_tokens")).count()
+    assert(mismatch == 0, "every token occurrence must be encoded")
+  }
+
+  test("q_tfidf_top_terms gives each doc at most 3 ranked terms") {
+    val r = Text.qTfidfTopTerms(spark, sf)
+    assert(r.groupBy("doc_id").count().agg(max("count")).head.getLong(0) <= 3)
+    val badRank = r.where(col("rank") < 1 || col("rank") > 3).count()
+    assert(badRank == 0)
+  }
+
+  test("q_naive_bayes_score predicts the dominant class more than uniformly") {
+    val pred = Text.qNaiveBayesScore(spark, sf)
+    assert(pred.count() == 500)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val acc = pred.join(docs, "doc_id")
+      .where(col("pred_lang") === col("lang")).count().toDouble / 500.0
+    // 5 classes; anything materially above chance shows the arithmetic is
+    // wired correctly (texts here are near-uniform vocab, so the ceiling
+    // is low — the parity gate pins exact values).
+    assert(acc > 0.25, s"NB accuracy $acc should beat 1/5 chance")
+  }
+
+  test("q_lang_id emits one prediction per doc with valid labels") {
+    val r = Text.qLangId(spark, sf)
+    assert(r.count() == 500)
+    val langs = r.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
+  test("q_doc_fingerprint is deterministic across runs") {
+    val a = rows(Text.qDocFingerprint(spark, sf)).map(r => (r.getLong(0), r.getLong(1)))
+    val b = rows(Text.qDocFingerprint(spark, sf)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(a == b)
+  }
+
+  test("q_text_clean output tokens match q_token_count") {
+    val clean = Text.qTextClean(spark, sf).select(col("doc_id"), col("n_tokens"))
+    val cnt = Text.qTokenCount(spark, sf).select(col("doc_id"), col("ws_tokens"))
+    val mismatch = clean.join(cnt, "doc_id")
+      .where(col("n_tokens") =!= col("ws_tokens")).count()
+    assert(mismatch == 0, "cleaning already-clean text must be a no-op on token counts")
+  }
+
+  test("q_stupid_backoff_bigram scores are positive and observed pairs dominate") {
+    val r = rows(Text.qStupidBackoffBigram(spark, sf))
+    assert(r.size == 100)
+    assert(r.forall(_.getAs[Double]("score") > 0.0))
+    val obs = r.filter(_.getAs[Boolean]("observed"))
+    assert(obs.nonEmpty, "top-10 x top-10 token pairs must include observed bigrams")
+  }
+}
