@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable deduplication / similarity library — the trillion-row paths
+  * behind the declared oracle queries in [[graft.ops.Similarity]].
+  *
+  * Every method is a pure DataFrame program: hash-partitioned shuffles on
+  * high-cardinality keys, bounded state per key, no driver-side collection
+  * of corpus-sized data, no nested-loop joins. Engine-specific hashing
+  * (xxhash64, MinHashLSH) makes these non-oracle by design (SURVEY §2.B);
+  * the unit suites carry their correctness argument.
+  */
+object Dedup {
+
+  /** Exact content dedup: one survivor (min id) per distinct value of
+    * `contentCols`. The shuffle key is the 64-bit content hash — never the
+    * raw text — so shuffle width is constant per row at any scale. */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val h = xxhash64(contentCols.map(col): _*)
+    df.withColumn("__h", h)
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+  }
+
+  /** Tokenize + w-shingle a text column into an array of shingle hashes
+    * (64-bit), distinct per doc. Hashing shingles to longs up front keeps
+    * every downstream shuffle narrow. */
+  def shingleHashes(text: Column, w: Int): Column = {
+    val t = filter(split(text, " "), x => x =!= "")
+    when(size(t) >= w,
+      array_distinct(transform(sequence(lit(1), size(t) - (w - 1)), i =>
+        xxhash64(concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** MinHash signature of a hashed-shingle array: for each of `numHashes`
+    * seeded permutations, the minimum of (a_j * h + b_j mod p). Pure
+    * column arithmetic — one pass per row, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = lit(2147483647L) // 2^31 - 1, Mersenne prime
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      array_min(transform(shingles, h =>
+        pmod((h % p) * (j * 2654435761L % p + 1) + j * 40503L + 1, p))))
+  }
+
+  /** Banded MinHash-LSH near-dup candidates: docs sharing at least one
+    * band of their signature. Returns (id_a, id_b) candidate pairs with
+    * their banded-signature agreement count. The band key is
+    * (band_index, hash(band slice)) — an equi-join key, so candidate
+    * generation is groupBy + bounded pair explosion, mirroring the capped
+    * inverted-index shape of the oracle query.
+    *
+    * @param maxBucket safety valve: buckets larger than this are dropped
+    *                  (degenerate content — e.g. empty docs — would
+    *                  otherwise explode quadratically). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = bands
+    val rowsPerBand = numHashes / bands
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(shingleHashes(col(textCol), shingleWidth), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(rows - 1)), b =>
+        xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+    val lists = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("__id"))).as("ds"))
+      .where(size(col("ds")).between(2, maxBucket))
+    lists.select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, greatest(size(col("ds")) - i - 1, lit(0))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_bands_shared"))
+  }
+
+  /** MinHash near-dup with exact verification: candidates from
+    * [[minhashCandidates]], then the TRUE shingle-Jaccard computed only for
+    * candidate pairs (join back the shingle arrays, intersect per pair).
+    * Output: (id_a, id_b, jaccard) with jaccard >= threshold. */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, shingleWidth, numHashes, bands)
+    val sh = df.select(col(idCol).as("__id"),
+      shingleHashes(col(textCol), shingleWidth).as("__sh"))
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint of a token array: per-bit majority vote of
+    * the token hashes. Near-identical docs differ in few bits (compare
+    * with [[hammingDistance]]). Bit positions are Scala-side literals
+    * because shiftleft/shiftright take Int, so this unrolls to 64 vote
+    * expressions over the precomputed per-token hash array — O(64·n) per
+    * row, bounded by document length. */
+  def simhash(text: Column): Column = {
+    val t = filter(split(text, " "), x => x =!= "")
+    val hs = transform(t, tok => xxhash64(tok))
+    val fpBits = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    fpBits.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Sign-random-projection LSH bucketing of an array<double> embedding —
+    * the parameterized form of the declared q_embed_neardup geometry.
+    * Returns (band, code) rows per input row for equi-join blocking. */
+  def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    def proj(j: Int): Column =
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+        acc + element_at(vec, i) *
+          (((i * 13 + j * 7919) % 97).cast("double") / 97.0 - 0.5))
+    array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { k =>
+        when(proj(b * bitsPerBand + k) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold via SRP-LSH
+    * blocking + exact cosine verification — the library form of
+    * q_embed_neardup with tunable recall/cost. */
+  def embedNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val e = df.select(col(idCol).as("__id"), v.as("__v"))
+      .withColumn("__nrm", sqrt(aggregate(transform(col("__v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val sig = e.select(col("__id"),
+      posexplode(srpBands(col("__v"), dim, bands, bitsPerBand)).as(Seq("band", "code")))
+    val pairs = sig.as("a").join(sig.as("b"), Seq("band", "code"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    pairs
+      .join(e.select(col("__id").as("id_a"), col("__v").as("va"), col("__nrm").as("na")), "id_a")
+      .join(e.select(col("__id").as("id_b"), col("__v").as("vb"), col("__nrm").as("nb")), "id_b")
+      .withColumn("cos", dot / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,344 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.storage.StorageLevel
+
+/** Keystone-shaped pipeline façade, re-expressed Spark-first.
+  *
+  * The reference's defining abstraction (SURVEY §2.A workflow package) is a
+  * lazily-composed DAG of `Transformer[A,B]` / `Estimator[A,B]` nodes over
+  * RDDs, executed by its own graph executor. Here the same composition
+  * surface — `andThen`, `andThen((estimator, data))`, `Pipeline.gather` —
+  * is a thin algebra over `DataFrame => DataFrame` functions: every node
+  * declares column-level work and THE PLAN stays declarative, so Catalyst
+  * (not a hand-rolled graph executor) does CSE, pushdown, and physical
+  * planning. Fitting is eager (like the reference's v0.4 semantics at
+  * `.fit` time); transforming is lazy until an action.
+  *
+  * Columnar conventions: text lives in string columns, token sequences in
+  * `array<string>`, feature vectors in `array<double>` (converted to
+  * `ml.linalg.Vector` only at MLlib boundaries via array_to_vector /
+  * vector_to_array — both columnar, no UDF of ours).
+  */
+object workflow {
+
+  /** A fitted / stateless pipeline stage: pure DataFrame function.
+    * (ref: workflow.Transformer — lifted per-datum function; here the lift
+    * is a column expression, so it stays inside codegen.) */
+  trait Transformer extends Serializable { self =>
+    def apply(df: DataFrame): DataFrame
+
+    /** ref: Pipeline.andThen — composition stays lazy/declarative. */
+    def andThen(next: Transformer): Transformer = Transformer { df => next(self(df)) }
+
+    /** ref: pipeline andThen (Estimator, trainData): fit the estimator on
+      * this pipeline's output over the training set, splice the fitted
+      * transformer onto the chain. */
+    def andThen(est: Estimator, trainData: DataFrame): Transformer =
+      self.andThen(est.fit(self(trainData)))
+  }
+
+  object Transformer {
+    def apply(f: DataFrame => DataFrame): Transformer = new Transformer {
+      def apply(df: DataFrame): DataFrame = f(df)
+    }
+    /** No-op node (ref: workflow.Identity). */
+    val identity: Transformer = Transformer(df => df)
+  }
+
+  /** Unfitted stage: learns state from data, yields a Transformer.
+    * (ref: workflow.Estimator / LabelEstimator — labels here are just
+    * another column of the training DataFrame, which removes the
+    * reference's RDD zip-alignment hazard.) */
+  trait Estimator extends Serializable {
+    def fit(train: DataFrame): Transformer
+  }
+
+  object Pipeline {
+    /** Fan-in of N branches (ref: Pipeline.gather): each branch is a
+      * column-appending transformer producing the named array<double>
+      * column; gather applies them in sequence over the same rows (no join
+      * needed — row identity is preserved) and concatenates the branch
+      * outputs into one feature column. */
+    def gather(branches: Seq[(Transformer, String)], outputCol: String): Transformer =
+      Transformer { df =>
+        val folded = branches.zipWithIndex.foldLeft(df) { case (acc, ((t, col0), i)) =>
+          t(acc).withColumnRenamed(col0, s"__gather_$i")
+        }
+        val parts = branches.indices.map(i => col(s"__gather_$i"))
+        folded.withColumn(outputCol, concat(parts: _*))
+          .drop(branches.indices.map(i => s"__gather_$i"): _*)
+      }
+  }
+
+  // ------------------------------------------------------------ text nodes
+
+  /** ref: nodes.nlp.Trim */
+  case class Trim(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame = df.withColumn(out, trim(col(in)))
+  }
+
+  /** ref: nodes.nlp.LowerCase */
+  case class LowerCase(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame = df.withColumn(out, lower(col(in)))
+  }
+
+  /** ref: nodes.nlp.Tokenizer (single-space split, drop empties — matches
+    * the declared-query tokenization everywhere in graft.ops.Text). */
+  case class Tokenize(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, filter(split(col(in), " "), t => t =!= ""))
+  }
+
+  /** ref: nodes.nlp.NGramsFeaturizer — all n-grams for n in [lo, hi],
+    * emitted as space-joined strings appended into one array column. */
+  case class NGrams(in: String, out: String, lo: Int, hi: Int) extends Transformer {
+    require(lo >= 1 && hi >= lo)
+    def apply(df: DataFrame): DataFrame = {
+      val t = col(in)
+      val grams = (lo to hi).map { n =>
+        if (n == 1) t
+        else when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)), i =>
+            concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+          .otherwise(array().cast("array<string>"))
+      }
+      df.withColumn(out, concat(grams: _*))
+    }
+  }
+
+  /** ref: nodes.nlp.TermFrequency — per-row token→count map. Per-row cost
+    * is O(distinct · n) expression work, bounded by document length (never
+    * by corpus size); corpus-scale counting belongs to the declared
+    * aggregation queries, not this per-datum node. */
+  case class TermFrequency(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out,
+        map_from_entries(transform(
+          array_distinct(col(in)),
+          tok => struct(tok, size(filter(col(in), x => x === tok)).cast("double")))))
+  }
+
+  /** ref: nodes.nlp.CommonSparseFeatures(K): fit = top-K vocabulary by
+    * document frequency (orderBy.limit — no unpartitioned window); the
+    * fitted transformer maps a token-array column to a K-dim dense
+    * array<double> of term counts via explode + broadcast join + pivot-free
+    * regroup. */
+  case class CommonSparseFeatures(in: String, out: String, k: Int) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val vocabRows = train
+        .select(explode(array_distinct(col(in))).as("__tok"))
+        .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+        .orderBy(col("__df").desc, col("__tok")).limit(k)
+        .collect()
+      val vocab = vocabRows.map(_.getString(0)).zipWithIndex.toMap
+      val dim = vocab.size
+      val vocabLit = map(vocab.toSeq.flatMap { case (t, i) =>
+        Seq(lit(t), lit(i)) }: _*)
+      Transformer { df =>
+        val idx = filter(
+          transform(col(in), tok => element_at(vocabLit, tok)),
+          x => x.isNotNull)
+        // dense count vector: for each vocab slot, count occurrences
+        df.withColumn(out,
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => size(filter(idx, x => x === j)).cast("double")))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- vector nodes
+
+  /** ref: nodes.stats.LinearRectifier */
+  case class Relu(in: String, out: String, alpha: Double = 0.0) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, transform(col(in), x => greatest(x - alpha, lit(0.0))))
+  }
+
+  /** ref: nodes.stats.SignedHellingerMapper */
+  case class SignedHellinger(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, transform(col(in),
+        x => when(x < 0, -sqrt(-x)).otherwise(sqrt(x))))
+  }
+
+  /** ref: nodes.util.VectorCombiner */
+  case class VectorCombiner(ins: Seq[String], out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, concat(ins.map(col): _*))
+  }
+
+  /** ref: nodes.util.MaxClassifier — argmax (0-based) of a score array. */
+  case class MaxClassifier(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out,
+        (array_position(col(in), array_max(col(in))) - 1).cast("long"))
+  }
+
+  /** ref: nodes.util.TopKClassifier — indices of the k largest scores. */
+  case class TopKClassifier(in: String, out: String, k: Int) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out,
+        transform(
+          slice(array_sort(transform(col(in), (x, i) =>
+            struct((-x).as("neg"), i.cast("long").as("idx")))), 1, k),
+          s => s.getField("idx")))
+  }
+
+  /** ref: nodes.util.ClassLabelIndicatorsFromIntLabels */
+  case class ClassLabelIndicators(in: String, out: String, numClasses: Int)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, transform(sequence(lit(0), lit(numClasses - 1)),
+        i => when(col(in) === i, 1.0).otherwise(-1.0)))
+  }
+
+  /** ref: nodes.util.Cacher */
+  case class Cacher(level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame = df.persist(level)
+  }
+
+  /** ref: nodes.stats.StandardScaler(+Model): fit = per-dimension
+    * mean/stddev over the array column (posexplode + groupBy — one pass,
+    * dimension-keyed shuffle); transform = per-element normalize with the
+    * broadcast stats. */
+  case class StandardScalerEst(in: String, out: String) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val stats = train
+        .select(posexplode(col(in)).as(Seq("__pos", "__v")))
+        .groupBy(col("__pos"))
+        .agg(avg(col("__v")).as("mu"), stddev_samp(col("__v")).as("sd"))
+        .orderBy(col("__pos"))
+        .collect()
+      val mus = stats.map(_.getAs[Double]("mu"))
+      val sds = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
+      val muLit = array(mus.map(lit): _*)
+      val sdLit = array(sds.map(lit): _*)
+      Transformer { df =>
+        df.withColumn(out, zip_with(
+          zip_with(col(in), muLit, (x, m) => x - m),
+          sdLit, (xm, s) => xm / s))
+      }
+    }
+  }
+
+  // ------------------------------------------------------- MLlib estimators
+
+  private def withVec(df: DataFrame, in: String): DataFrame =
+    df.withColumn("__features", array_to_vector(transform(col(in), _.cast("double"))))
+
+  /** ref: nodes.learning.NaiveBayesEstimator (wraps MLlib multinomial NB).
+    * Label column must be numeric 0..k-1; emits predicted class + the raw
+    * score array. */
+  case class NaiveBayesEst(featuresCol: String, labelCol: String, out: String,
+      smoothing: Double = 1.0) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.classification.NaiveBayes()
+        .setModelType("multinomial").setSmoothing(smoothing)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+        .setPredictionCol(out).setRawPredictionCol("__raw")
+        .setProbabilityCol("__prob")
+        .fit(withVec(train, featuresCol))
+      Transformer { df =>
+        model.transform(withVec(df, featuresCol))
+          .withColumn(s"${out}_scores", vector_to_array(col("__raw")))
+          .drop("__features", "__raw", "__prob")
+      }
+    }
+  }
+
+  /** ref: nodes.learning.LogisticRegressionEstimator (MLlib LR, multinomial). */
+  case class LogisticRegressionEst(featuresCol: String, labelCol: String,
+      out: String, maxIter: Int = 50, regParam: Double = 0.0) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+        .setPredictionCol(out).setRawPredictionCol("__raw")
+        .setProbabilityCol("__prob")
+        .fit(withVec(train, featuresCol))
+      Transformer { df =>
+        model.transform(withVec(df, featuresCol)).drop("__features", "__raw", "__prob")
+      }
+    }
+  }
+
+  /** ref: nodes.learning.KMeansPlusPlusEstimator (MLlib KMeans; k-means||
+    * init — the distributed successor of k-means++). Seeded for
+    * reproducibility. */
+  case class KMeansEst(featuresCol: String, out: String, k: Int,
+      seed: Long = 42L) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed)
+        .setFeaturesCol("__features").setPredictionCol(out)
+        .fit(withVec(train, featuresCol))
+      Transformer { df => model.transform(withVec(df, featuresCol)).drop("__features") }
+    }
+  }
+
+  /** ref: nodes.learning.PCAEstimator / DistributedPCAEstimator — MLlib PCA
+    * (covariance + local SVD under the hood; fine to d ~ 10^4 like the
+    * reference's local path). */
+  case class PCAEst(featuresCol: String, out: String, k: Int) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.feature.PCA()
+        .setK(k).setInputCol("__features").setOutputCol("__pca")
+        .fit(withVec(train, featuresCol))
+      Transformer { df =>
+        model.transform(withVec(df, featuresCol))
+          .withColumn(out, vector_to_array(col("__pca")))
+          .drop("__features", "__pca")
+      }
+    }
+  }
+
+  /** ref: nodes.learning.LeastSquaresEstimator — the reference's
+    * node-level SOLVER DISPATCH (SURVEY §4): it picks a physical solver
+    * from (n, d) at fit time. Re-expressed over MLlib LinearRegression:
+    * narrow designs solve the normal equations exactly (one pass, d²
+    * driver memory), wide designs go through L-BFGS (iterative, never
+    * materializes X'X). The chosen solver is observable for tests. */
+  case class LeastSquaresEst(featuresCol: String, labelCol: String, out: String,
+      regParam: Double = 0.0, normalEqMaxDim: Int = 2048) extends Estimator {
+    @volatile var chosenSolver: String = _
+    def fit(train: DataFrame): Transformer = {
+      val d = train.select(size(col(featuresCol))).head().getInt(0)
+      chosenSolver = if (d <= normalEqMaxDim) "normal" else "l-bfgs"
+      val model = new org.apache.spark.ml.regression.LinearRegression()
+        .setSolver(chosenSolver).setRegParam(regParam)
+        .setFeaturesCol("__features").setLabelCol(labelCol)
+        .setPredictionCol(out)
+        .fit(withVec(train, featuresCol))
+      Transformer { df => model.transform(withVec(df, featuresCol)).drop("__features") }
+    }
+  }
+
+  /** MinHashLSH-backed near-dup estimator (the production-scale path the
+    * declared q_dedup_shingle_jaccard query approximates exactly at test
+    * scale — engine-specific hashing, hence non-oracle; SURVEY §2.B).
+    * fit learns the hash family; the fitted transformer emits, for the
+    * input binary-ish feature column, all pairs within `maxJaccardDist`. */
+  case class MinHashNearDupEst(featuresCol: String, idCol: String,
+      numHashTables: Int = 8, maxJaccardDist: Double = 0.2, seed: Long = 42L)
+      extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val mh = new org.apache.spark.ml.feature.MinHashLSH()
+        .setNumHashTables(numHashTables).setSeed(seed)
+        .setInputCol("__features").setOutputCol("__hashes")
+      val model = mh.fit(withVec(train, featuresCol))
+      Transformer { df =>
+        val v = withVec(df, featuresCol)
+        model.approxSimilarityJoin(v, v, maxJaccardDist, "jaccard_dist")
+          .select(
+            col(s"datasetA.$idCol").as("id_a"),
+            col(s"datasetB.$idCol").as("id_b"),
+            col("jaccard_dist"))
+          .where(col("id_a") < col("id_b"))
+      }
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming wiring for the event surface (SURVEY §2.B streaming
+  * rows; the reference is batch-only — this is net-new capability).
+  *
+  * Every transform here takes a DataFrame that may be a `readStream` source
+  * or a batch frame: the operators (`window`, `session_window`,
+  * `withWatermark`, `dropDuplicatesWithinWatermark`) are the SAME plan
+  * nodes either way — the batch-mode declared queries in
+  * [[graft.ops.Sessions]] pin their semantics against DuckDB, and the
+  * streaming suite drives these through a MemoryStream to prove they run
+  * incrementally with state + watermark.
+  *
+  * Schema contract: an `events`-shaped frame
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string).
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts/sums per event type with a watermark: late
+    * events beyond `lateness` are dropped from state. */
+  def tumblingCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windows per event type (each event lands in
+    * 4 overlapping windows — Expand under the hood, identical to the batch
+    * declared query). */
+  def slidingCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute inactivity gap per user — the
+    * streaming-native equivalent of the batch lag+cumsum sessionization in
+    * graft.ops.Sessions (state: one open session per user, closed by the
+    * watermark). */
+  def sessionAggregate(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup by content key within the watermark horizon —
+    * the streaming face of graft.ml.Dedup.exact (state is bounded by the
+    * watermark instead of growing forever). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

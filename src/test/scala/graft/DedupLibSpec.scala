@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Dedup
+
+/** graft.ml.Dedup — the non-oracle, trillion-row-shaped dedup paths
+  * (MinHash LSH, SimHash, SRP embedding blocking). */
+class DedupLibSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content about database query optimization and join ordering plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "spark structured streaming processes unbounded event data with watermarks and state"))
+
+  test("Dedup.exact collapses identical content to the min id") {
+    val df = base.toDF("id", "text")
+    val r = Dedup.exact(df, "id", Seq("text")).collect()
+      .map(x => x.getAs[Long]("keep_id") -> x.getAs[Long]("n_copies")).toMap
+    assert(r(1L) == 2L, "docs 1 and 4 are identical")
+    assert(r.values.sum == 5L)
+    assert(!r.contains(4L))
+  }
+
+  test("minhashNearDup finds the near-identical pair and skips unrelated docs") {
+    val df = base.toDF("id", "text")
+    val pairs = Dedup.minhashNearDup(df, "id", "text", threshold = 0.5)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 4L)), "exact copies must always collide")
+    assert(pairs.forall { case (a, b) => Set(1L, 2L, 4L).contains(a) && Set(1L, 2L, 4L).contains(b) },
+      s"only the fox-sentence family may pair up, got $pairs")
+  }
+
+  test("minhash jaccard estimates the true shingle jaccard for exact copies") {
+    val df = base.toDF("id", "text")
+    val r = Dedup.minhashNearDup(df, "id", "text", threshold = 0.9)
+      .where(col("id_a") === 1 && col("id_b") === 4).head()
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts share fingerprints; edits flip few bits") {
+    val df = base.toDF("id", "text")
+      .withColumn("fp", Dedup.simhash(col("text")))
+    val fps = df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp")).toMap
+    assert(fps(1L) == fps(4L), "identical text => identical simhash")
+    val nearDist = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val farDist = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(nearDist < farDist,
+      s"one-word edit ($nearDist bits) must be closer than unrelated text ($farDist bits)")
+  }
+
+  test("hammingDistance column matches JVM bitCount") {
+    val df = Seq((0x0FL, 0x00L), (0xFFL, 0xF0L), (-1L, 0L)).toDF("a", "b")
+      .withColumn("d", Dedup.hammingDistance(col("a"), col("b")))
+    val got = df.collect().map(_.getAs[Int]("d")).toSeq
+    assert(got == Seq(4, 4, 64))
+  }
+
+  test("embedNearDup on real embeddings is a subset of exact cosine pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lsh = Dedup.embedNearDup(e, "vec_id", "embedding", dim = 64, threshold = 0.4)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b) => assert(a < b) }
+    // higher-recall config must find at least as many pairs
+    val moreBands = Dedup.embedNearDup(e, "vec_id", "embedding", dim = 64,
+      threshold = 0.4, bands = 8, bitsPerBand = 2).count()
+    assert(moreBands >= lsh.size,
+      "more, shorter bands can only increase candidate recall")
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.workflow._
+import graft.ml.AutoCache
+
+/** The reference's AmazonReviews/Newsgroups capability: compose
+  * trim→lowercase→tokenize→ngrams→features→classifier as a fitted,
+  * reusable pipeline (SURVEY §2.A workflow + pipelines packages). */
+class PipelineSpec extends GraftSuite {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .withColumn("label_id",
+      array_position(array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh")),
+        col("lang")).cast("double") - 1)
+
+  test("text classification pipeline: clean -> tokenize -> topK features -> NB") {
+    val featurize = Trim("text", "text")
+      .andThen(LowerCase("text", "text"))
+      .andThen(Tokenize("text", "tokens"))
+      .andThen(CommonSparseFeatures("tokens", "features", 200), docs)
+    val pipeline = featurize.andThen(
+      NaiveBayesEst("features", "label_id", "pred"), docs)
+    val scored = pipeline(docs)
+    val acc = scored.where(col("pred") === col("label_id")).count().toDouble /
+      scored.count()
+    assert(acc > 0.2, s"NB training accuracy $acc should beat 1/5 chance")
+    assert(scored.columns.contains("pred_scores"))
+  }
+
+  test("andThen composition preserves laziness until an action") {
+    var applied = false
+    val probe = Transformer { df => applied = true; df }
+    val chain = Trim("text", "text").andThen(probe)
+    val out = chain(docs) // builds the plan; probe's closure runs at build
+    assert(applied, "column-level transformers apply at plan-build time")
+    assert(out.columns.sameElements(docs.columns))
+  }
+
+  test("Pipeline.gather concatenates branch features") {
+    val branches = Seq(
+      (Tokenize("text", "t1").andThen(Transformer(df =>
+        df.withColumn("f1", array(size(col("t1")).cast("double"))))), "f1"),
+      (Transformer(df =>
+        df.withColumn("f2", array(length(col("text")).cast("double"),
+          lit(1.0)))), "f2"))
+    val gathered = Pipeline.gather(branches, "features")(docs)
+    val sizes = gathered.select(size(col("features"))).distinct().collect()
+    assert(sizes.length == 1 && sizes.head.getInt(0) == 3,
+      "gather of 1-dim + 2-dim branches must give 3-dim features")
+  }
+
+  test("NGrams node emits unigrams+bigrams counts consistent with tokens") {
+    val out = Tokenize("text", "tokens")
+      .andThen(NGrams("tokens", "grams", 1, 2))(docs)
+    val bad = out.where(
+      size(col("grams")) =!= (size(col("tokens")) * 2 - 1)).count()
+    assert(bad == 0, "n tokens => n unigrams + (n-1) bigrams")
+  }
+
+  test("StandardScalerEst learns moments; scaled output is ~N(0,1) per dim") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val scaled = StandardScalerEst("v", "z").fit(vecs)(vecs)
+    val stats = scaled.select(posexplode(col("z")).as(Seq("pos", "zv")))
+      .groupBy("pos").agg(avg("zv").as("mu"), stddev_samp("zv").as("sd"))
+      .agg(max(abs(col("mu"))).as("worst_mu"),
+        max(abs(col("sd") - 1.0)).as("worst_sd")).head()
+    assert(stats.getAs[Double]("worst_mu") < 1e-6)
+    assert(stats.getAs[Double]("worst_sd") < 1e-6)
+  }
+
+  test("Relu + SignedHellinger + MaxClassifier compose over embeddings") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = Relu("v", "r")
+      .andThen(SignedHellinger("r", "h"))
+      .andThen(MaxClassifier("h", "cls"))
+      .andThen(TopKClassifier("h", "top3", 3))(vecs)
+    val disagree = out.where(col("cls") =!= element_at(col("top3"), 1)).count()
+    assert(disagree == 0, "argmax must equal top-1")
+    assert(out.where(col("cls") < 0 || col("cls") > 63).count() == 0)
+  }
+
+  test("ClassLabelIndicators produces keystone-style ±1 vectors") {
+    val out = ClassLabelIndicators("label_id", "ind", 5)(docs)
+    val ok = out.where(
+      size(filter(col("ind"), x => x === 1.0)) === 1 &&
+        size(col("ind")) === 5).count()
+    assert(ok == docs.count())
+  }
+
+  test("LeastSquaresEst dispatches solver by feature width (ref cost model)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"),
+        element_at(col("embedding"), 1).cast("double").as("y"))
+    val narrow = LeastSquaresEst("v", "y", "pred")
+    narrow.fit(vecs)
+    assert(narrow.chosenSolver == "normal",
+      "64-dim design must take the normal-equations path")
+    val wide = LeastSquaresEst("v", "y", "pred", normalEqMaxDim = 32)
+    wide.fit(vecs)
+    assert(wide.chosenSolver == "l-bfgs",
+      "designs wider than the threshold must take l-bfgs")
+  }
+
+  test("KMeansEst assigns every vector to one of k clusters") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = KMeansEst("v", "cluster", k = 5).fit(vecs)(vecs)
+    assert(out.select("cluster").distinct().count() == 5)
+  }
+
+  test("PCAEst projects 64-dim embeddings to k dims") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val out = PCAEst("v", "pc", k = 8).fit(vecs)(vecs)
+    assert(out.select(size(col("pc"))).distinct().head().getInt(0) == 8)
+  }
+
+  test("AutoCache persists multi-use frames within budget, skips single-use") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey")
+    val (cached, did) = AutoCache.cacheIfWorthIt(df, uses = 2)
+    assert(did, "small multi-use frame should cache")
+    assert(cached.storageLevel.useMemory)
+    cached.unpersist()
+    val (_, single) = AutoCache.cacheIfWorthIt(df, uses = 1)
+    assert(!single, "single-use frame must not cache")
+    val (_, huge) = AutoCache.cacheIfWorthIt(df, uses = 2, memBudgetBytes = 1L)
+    assert(!huge, "over-budget frame must not cache")
+  }
+}

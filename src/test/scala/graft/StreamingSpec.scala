@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Drives StreamingOps through a real incremental MemoryStream execution
+  * (not batch mode): proves the window/session/watermark plans run under
+  * the streaming engine with state. */
+class StreamingSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  private def runToCompletion(stream: MemoryStream[Ev],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sinkName: String, mode: String): Unit = {
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(sinkName).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
+  test("tumblingCounts aggregates incrementally under the streaming engine") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(20), 1, "click", 2.0, "{}"),
+      Ev(3, ts(70), 2, "view", 3.0, "{}"))
+    runToCompletion(stream, StreamingOps.tumblingCounts(_), "tumbling", "append")
+    // append mode emits only watermark-closed windows; push the watermark
+    // forward with a late sentinel and re-run to completion.
+    val stream2 = MemoryStream[Ev]
+    stream2.addData(
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(20), 1, "click", 2.0, "{}"),
+      Ev(3, ts(70), 2, "view", 3.0, "{}"))
+    val q = StreamingOps.tumblingCounts(stream2.toDF())
+      .writeStream.format("memory").queryName("tumbling2").outputMode("append").start()
+    q.processAllAvailable()
+    stream2.addData(Ev(4, ts(200), 3, "click", 0.0, "{}")) // advances watermark past hour 0-1
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tumbling2").collect()
+    val hour0click = out.find(r =>
+      r.getAs[Timestamp]("bucket_start") == ts(0) &&
+        r.getAs[String]("event_type") == "click").get
+    assert(hour0click.getAs[Long]("n") == 2)
+    assert(hour0click.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("sessionAggregate merges events within the gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.sessionAggregate(stream.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // user 1: events at 0 and 10 min (same session), then 60 min (new session)
+    stream.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(10), 1, "click", 2.0, "{}"),
+      Ev(3, ts(60), 1, "click", 4.0, "{}"))
+    q.processAllAvailable()
+    stream.addData(Ev(9, ts(300), 9, "click", 0.0, "{}")) // close all sessions
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions").where($"user_id" === 1).collect()
+    assert(out.length == 2, s"gap of 50min must split into 2 sessions, got ${out.length}")
+    val first = out.minBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(first.getAs[Long]("n_events") == 2)
+    assert(first.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("dedupWithinWatermark drops duplicate keys in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    stream.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(1), 1, "click", 1.0, "{}"), // duplicate id
+      Ev(2, ts(2), 1, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("slidingCounts places each closed event in 4 overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    stream.addData(Ev(1, ts(30), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts(400), 2, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("sliding").where($"event_type" === "click").count()
+    assert(n == 4, s"1h window / 15min slide => 4 windows per event, got $n")
+  }
+}
