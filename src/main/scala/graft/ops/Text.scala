@@ -54,15 +54,18 @@ object Text {
        |GROUP BY token ORDER BY cnt DESC, token""".stripMargin
 
   /** Bigram extraction + count (ref: NGramsFeaturizer n=2 + NGramsCounts).
-    * Bigrams are built positionally inside the array (no self-join). */
+    * Bigrams are built positionally inside the array (no self-join); the
+    * token array is materialized in a projection first so element_at
+    * indexes an array column instead of re-splitting the text per element
+    * (which would be O(n²) per doc). */
   def qBigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = toks($"text")
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(spark, sfDir)
+      .select(toks($"text").as("t"))
       .select(explode(bigrams).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("cnt"))
@@ -202,15 +205,15 @@ object Text {
     * unigram-relative-frequency backoff branch. Pure count arithmetic. */
   def qStupidBackoffBigram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val t = toks($"text")
-    val uni = docs.select(explode(t).as("token"))
+    // token array materialized once per row (see qBigramCounts note)
+    val docsT = Tables.documents(spark, sfDir).select(toks($"text").as("t"))
+    val uni = docsT.select(explode($"t").as("token"))
       .groupBy($"token").agg(count(lit(1)).as("uc"))
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bi = docs.select(explode(bigrams).as("b"))
+    val bi = docsT.select(explode(bigrams).as("b"))
       .select($"b.w1", $"b.w2")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
     // top-10 unigram cut via orderBy.limit (TakeOrderedAndProject) — no
@@ -361,16 +364,18 @@ object Text {
     * over (-score, lang) — single pass, no shuffle, no UDF. */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = toks($"text")
+    // token array + best-candidate struct each materialized once per row
     val scored = langWords.map { case (lang, words) =>
       struct(
-        (-size(filter(t, tok => tok.isin(words.map(lit): _*)))).cast("long").as("neg"),
+        (-size(filter($"t", tok => tok.isin(words.map(lit): _*)))).cast("long").as("neg"),
         lit(lang).as("lang"))
     }
     Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", toks($"text").as("t"))
+      .withColumn("best", array_min(array(scored: _*)))
       .select($"doc_id", $"lang",
-        array_min(array(scored: _*)).getField("lang").as("pred_lang"),
-        array_min(array(scored: _*)).getField("neg").cast("long").multiply(-1).as("hits"))
+        $"best.lang".as("pred_lang"),
+        (-$"best.neg").cast("long").as("hits"))
       .withColumn("match", $"lang" === $"pred_lang")
       .orderBy($"doc_id")
   }
@@ -396,13 +401,14 @@ object Text {
     * stopword ratio, distinct-token ratio, and a bounded composite score. */
   def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val t = toks($"text")
+    val t = col("t") // materialized token array (projected below)
     val en = Seq("the", "and", "of", "to", "a")
     val nTok = size(t).cast("long")
     val sumLen = aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x)
     val stops = size(filter(t, tok => tok.isin(en.map(lit): _*)))
     val uniq = size(array_distinct(t))
     Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
       .select($"doc_id", nTok.as("n_tokens"),
         round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
         round(stops.cast("double") / nTok, 4).as("stopword_ratio"),
