@@ -1,0 +1,215 @@
+package graft.images
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Image operator family (ref: nodes.images — GrayScaler, PixelScaler,
+  * ImageVectorizer, Cropper, SymmetricRectifier, Pooler, Convolver,
+  * CenterCornerPatcher; SURVEY §2.A images table).
+  *
+  * Representation: an image is four columns —
+  * `(x_dim int, y_dim int, n_channels int, image array<double>)` with
+  * row-major, channel-interleaved addressing
+  * `idx(x, y, c) = (y * x_dim + x) * n_channels + c` (0-based). This is the
+  * columnar re-expression of the reference's ChannelMajor/ColumnMajor
+  * vectorized image classes: a flat numeric buffer + metadata, no opaque
+  * object, so every per-pixel op is a Catalyst array expression and the
+  * only `mapPartitions` escape is the BLAS convolution (the reference's
+  * im2col + gemm trick, which is per-partition dense math by design).
+  *
+  * No image CODEC lives here (container has no image libs — the decode
+  * stub in [[MultimodalOps]] fakes it deterministically); everything below
+  * operates on decoded pixel buffers, which is exactly the reference's
+  * contract too (its loaders decode before the pipeline runs).
+  */
+object ImageOps {
+
+  /** Typed row for the mapPartitions (BLAS) path. */
+  case class Img(id: Long, x_dim: Int, y_dim: Int, n_channels: Int,
+      image: Array[Double])
+
+  /** Deterministic synthetic images (test/demo source): pixel(i) of image
+    * `id` = ((id * 31 + i * 7) mod 256) / 255.0. */
+  def syntheticImages(spark: SparkSession, n: Int, x: Int, y: Int,
+      c: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).toDF("id")
+      .withColumn("x_dim", lit(x))
+      .withColumn("y_dim", lit(y))
+      .withColumn("n_channels", lit(c))
+      .withColumn("image",
+        transform(sequence(lit(0), lit(x * y * c - 1)),
+          i => ((col("id") * 31 + i * 7) % 256).cast("double") / 255.0))
+  }
+
+  /** ref: GrayScaler — per-pixel channel mean; n_channels becomes 1. */
+  def grayScale(df: DataFrame): DataFrame =
+    df.withColumn("image",
+        transform(sequence(lit(0), col("x_dim") * col("y_dim") - 1), p =>
+          aggregate(sequence(lit(0), col("n_channels") - 1), lit(0.0),
+            (acc, c) => acc + element_at(col("image"),
+              p * col("n_channels") + c + 1)) / col("n_channels")))
+      .withColumn("n_channels", lit(1))
+
+  /** ref: PixelScaler — x/255 rescale. */
+  def pixelScale(df: DataFrame): DataFrame =
+    df.withColumn("image", transform(col("image"), x => x / 255.0))
+
+  /** ref: ImageVectorizer — image to flat feature vector (drop metadata). */
+  def vectorize(df: DataFrame, out: String = "features"): DataFrame =
+    df.withColumn(out, col("image"))
+      .drop("image", "x_dim", "y_dim", "n_channels")
+
+  /** ref: Cropper — sub-rectangle [x0, x0+w) × [y0, y0+h), all channels. */
+  def crop(df: DataFrame, x0: Int, y0: Int, w: Int, h: Int): DataFrame =
+    df.withColumn("image",
+        flatten(transform(sequence(lit(y0), lit(y0 + h - 1)), yy =>
+          slice(col("image"),
+            (yy * col("x_dim") + x0) * col("n_channels") + 1,
+            lit(w) * col("n_channels")))))
+      .withColumn("x_dim", lit(w))
+      .withColumn("y_dim", lit(h))
+
+  /** ref: SymmetricRectifier — [max(0, x−α) ; max(0, −x−α)]: doubles the
+    * channel count (positive half then negative half, per pixel). */
+  def symmetricRectify(df: DataFrame, alpha: Double = 0.0): DataFrame =
+    df.withColumn("image",
+        flatten(transform(sequence(lit(0), col("x_dim") * col("y_dim") - 1), p =>
+          concat(
+            transform(sequence(lit(0), col("n_channels") - 1), c =>
+              greatest(element_at(col("image"), p * col("n_channels") + c + 1)
+                - alpha, lit(0.0))),
+            transform(sequence(lit(0), col("n_channels") - 1), c =>
+              greatest(-element_at(col("image"), p * col("n_channels") + c + 1)
+                - alpha, lit(0.0)))))))
+      .withColumn("n_channels", col("n_channels") * 2)
+
+  /** ref: Pooler — non-overlapping `stride`×`stride` spatial pooling with
+    * max or sum, per channel. Output dims = floor(dim / stride). */
+  def pool(df: DataFrame, stride: Int, op: String = "max"): DataFrame = {
+    require(op == "max" || op == "sum")
+    val xo = floor(col("x_dim") / stride).cast("int")
+    val yo = floor(col("y_dim") / stride).cast("int")
+    val pooled =
+      flatten(transform(sequence(lit(0), yo - 1), py =>
+        flatten(transform(sequence(lit(0), xo - 1), px =>
+          transform(sequence(lit(0), col("n_channels") - 1), c => {
+            val window = flatten(transform(sequence(lit(0), lit(stride - 1)), dy =>
+              transform(sequence(lit(0), lit(stride - 1)), dx =>
+                element_at(col("image"),
+                  ((py * stride + dy) * col("x_dim") + px * stride + dx)
+                    * col("n_channels") + c + 1))))
+            if (op == "max") array_max(window)
+            else aggregate(window, lit(0.0), (a, x) => a + x)
+          })))))
+    df.withColumn("image", pooled)
+      .withColumn("x_dim", xo)
+      .withColumn("y_dim", yo)
+  }
+
+  /** ref: CenterCornerPatcher — deterministic 5-patch extraction (four
+    * corners + center), exploded to one row per patch with `patch_id`. */
+  def centerCornerPatches(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val positions = Seq(
+      (lit(0), lit(0)),                                          // top-left
+      (col("x_dim") - w, lit(0)),                                // top-right
+      (lit(0), col("y_dim") - h),                                // bottom-left
+      (col("x_dim") - w, col("y_dim") - h),                      // bottom-right
+      (((col("x_dim") - w) / 2).cast("int"),
+        ((col("y_dim") - h) / 2).cast("int")))                   // center
+    val patches = array(positions.zipWithIndex.map { case ((px, py), i) =>
+      struct(lit(i).as("patch_id"),
+        flatten(transform(sequence(py, py + h - 1), yy =>
+          slice(col("image"),
+            (yy * col("x_dim") + px) * col("n_channels") + 1,
+            lit(w) * col("n_channels")))).as("image"))
+    }: _*)
+    df.withColumn("p", explode(patches))
+      .withColumn("patch_id", col("p.patch_id"))
+      .withColumn("image", col("p.image"))
+      .withColumn("x_dim", lit(w))
+      .withColumn("y_dim", lit(h))
+      .drop("p")
+  }
+
+  /** ref: Convolver — valid 2-D convolution of a filter bank, computed the
+    * reference's way: per-image im2col then ONE level-3 BLAS gemm per image
+    * (Breeze DenseMatrix multiply), run inside mapPartitions so the JVM
+    * work is batched per partition and nothing touches the driver. Output:
+    * x' = x−fx+1, y' = y−fy+1, channels = filters.length.
+    *
+    * @param filters each filter is fx*fy*n_channels doubles in the same
+    *                row-major interleaved layout as the image. */
+  def convolve(ds: Dataset[Img], filters: Array[Array[Double]], fx: Int,
+      fy: Int): Dataset[Img] = {
+    import ds.sparkSession.implicits._
+    val bc = ds.sparkSession.sparkContext.broadcast(filters)
+    ds.mapPartitions { it =>
+      val fs = bc.value
+      val k = fs.length
+      val patchLen = fs.head.length
+      // filter matrix: patchLen × k, column per filter
+      val fMat = new DenseMatrix(patchLen, k,
+        Array.concat(fs: _*))
+      it.map { img =>
+        val xo = img.x_dim - fx + 1
+        val yo = img.y_dim - fy + 1
+        val nc = img.n_channels
+        require(patchLen == fx * fy * nc,
+          s"filter length $patchLen != $fx*$fy*$nc")
+        val nPatches = xo * yo
+        val im2col = new DenseMatrix[Double](nPatches, patchLen)
+        var p = 0
+        var py = 0
+        while (py < yo) {
+          var px = 0
+          while (px < xo) {
+            var q = 0
+            var dy = 0
+            while (dy < fy) {
+              val rowBase = ((py + dy) * img.x_dim + px) * nc
+              var dxc = 0
+              while (dxc < fx * nc) {
+                im2col(p, q) = img.image(rowBase + dxc)
+                q += 1; dxc += 1
+              }
+              dy += 1
+            }
+            p += 1; px += 1
+          }
+          py += 1
+        }
+        val out = im2col * fMat // nPatches × k gemm
+        // interleave channels back into row-major layout
+        val buf = new Array[Double](nPatches * k)
+        var i = 0
+        while (i < nPatches) {
+          var c = 0
+          while (c < k) { buf(i * k + c) = out(i, c); c += 1 }
+          i += 1
+        }
+        Img(img.id, xo, yo, k, buf)
+      }
+    }
+  }
+
+  /** Naive reference convolution (driver-side, tests only). */
+  private[graft] def convolveNaive(img: Img, filter: Array[Double], fx: Int,
+      fy: Int): Array[Double] = {
+    val xo = img.x_dim - fx + 1
+    val yo = img.y_dim - fy + 1
+    val nc = img.n_channels
+    val out = new Array[Double](xo * yo)
+    for (py <- 0 until yo; px <- 0 until xo) {
+      var s = 0.0
+      var q = 0
+      for (dy <- 0 until fy; dx <- 0 until fx; c <- 0 until nc) {
+        s += img.image(((py + dy) * img.x_dim + px + dx) * nc + c) * filter(q)
+        q += 1
+      }
+      out(py * xo + px) = s
+    }
+    out
+  }
+}

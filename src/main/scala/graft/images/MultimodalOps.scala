@@ -1,0 +1,101 @@
+package graft.images
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (north-star: treat image/audio/video
+  * as opaque `binary` columns with typed metadata, decode/extract at the
+  * edge).
+  *
+  * The container ships no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE (bytes → pseudo-pixels); everything
+  * around it — schema contract, per-partition batching, metadata
+  * propagation, frame sampling — is the real production shape: swap the
+  * stub body for javax.imageio / ffmpeg JNI and nothing else changes.
+  *
+  * Schema contract for a multimodal asset table:
+  * `(asset_id long, media_type string, x_dim int, y_dim int,
+  *   n_channels int, n_frames int, content binary)`.
+  */
+object MultimodalOps {
+
+  /** Deterministic synthetic binary assets for tests/demos. */
+  def syntheticAssets(spark: org.apache.spark.sql.SparkSession, n: Int,
+      x: Int, y: Int, c: Int, frames: Int): DataFrame = {
+    import spark.implicits._
+    (0L until n.toLong).map { id =>
+      val len = x * y * c * frames
+      val bytes = Array.tabulate[Byte](len)(i => ((id * 131 + i * 17) % 256).toByte)
+      (id, if (frames > 1) "video" else "image", x, y, c, frames, bytes)
+    }.toDF("asset_id", "media_type", "x_dim", "y_dim", "n_channels",
+      "n_frames", "content")
+  }
+
+  /** STUB DECODER (deterministic fake): interprets the binary content as
+    * raw unsigned bytes and scales to [0,1] pixels in the ImageOps layout.
+    * Runs per partition over an iterator — the exact seam where a real
+    * codec call sits. Frame 0 only; see [[frameSample]] for video. */
+  def decodeStub(df: DataFrame): Dataset[ImageOps.Img] = {
+    import df.sparkSession.implicits._
+    df.select(col("asset_id"), col("x_dim"), col("y_dim"),
+        col("n_channels"), col("content"))
+      .as[(Long, Int, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, x, y, c, bytes) =>
+          val n = x * y * c
+          val px = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            px(i) = (bytes(i % bytes.length) & 0xff) / 255.0
+            i += 1
+          }
+          ImageOps.Img(id, x, y, c, px)
+        }
+      }
+  }
+
+  /** Resize by integer-factor average pooling (the decode-free resize a
+    * data pipeline does before featurization). Pure array expressions on
+    * decoded images. */
+  def resizeAvgPool(df: DataFrame, factor: Int): DataFrame = {
+    val xo = floor(col("x_dim") / factor).cast("int")
+    val yo = floor(col("y_dim") / factor).cast("int")
+    val resized =
+      flatten(transform(sequence(lit(0), yo - 1), py =>
+        flatten(transform(sequence(lit(0), xo - 1), px =>
+          transform(sequence(lit(0), col("n_channels") - 1), c =>
+            aggregate(
+              flatten(transform(sequence(lit(0), lit(factor - 1)), dy =>
+                transform(sequence(lit(0), lit(factor - 1)), dx =>
+                  element_at(col("image"),
+                    ((py * factor + dy) * col("x_dim") + px * factor + dx)
+                      * col("n_channels") + c + 1)))),
+              lit(0.0), (a, v) => a + v) / (factor * factor))))))
+    df.withColumn("image", resized)
+      .withColumn("x_dim", xo)
+      .withColumn("y_dim", yo)
+  }
+
+  /** Frame sampling for video assets: emit every `step`-th frame as its own
+    * row (frame_id, content slice). Binary slicing via substring — no
+    * decode needed to partition work by frame. */
+  def frameSample(df: DataFrame, step: Int): DataFrame = {
+    val frameBytes = col("x_dim") * col("y_dim") * col("n_channels")
+    df.withColumn("frame_id",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))))
+      .withColumn("content",
+        expr("substring(content, cast(frame_id * x_dim * y_dim * n_channels as int) + 1, " +
+          "cast(x_dim * y_dim * n_channels as int))"))
+      .withColumn("frame_id", col("frame_id").cast("long"))
+      .withColumn("n_frames", lit(1))
+  }
+
+  /** Per-image feature extraction demo: decoded image → grayscale → 2×2
+    * max-pool → flat feature vector. The composition every multimodal
+    * training pipeline runs between storage and the feature store. */
+  def featurize(assets: DataFrame): DataFrame = {
+    val imgs = decodeStub(assets).toDF()
+      .withColumnRenamed("id", "asset_id")
+    ImageOps.vectorize(ImageOps.pool(ImageOps.grayScale(imgs), 2))
+  }
+}

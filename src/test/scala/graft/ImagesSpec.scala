@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.images.{ImageOps, MultimodalOps}
+import graft.images.ImageOps.Img
+
+/** Image operator family (ref: nodes.images) against hand-computed
+  * expectations on deterministic synthetic images. */
+class ImagesSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def imgs = ImageOps.syntheticImages(spark, n = 4, x = 6, y = 4, c = 3)
+
+  private def pix(id: Long, i: Int): Double = ((id * 31 + i * 7) % 256) / 255.0
+
+  test("syntheticImages are deterministic and correctly sized") {
+    val r = imgs.collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      val arr = dArr(row, "image")
+      assert(arr.size == 6 * 4 * 3)
+      val id = row.getAs[Long]("id")
+      assert(arr(5) == pix(id, 5))
+    }
+  }
+
+  test("grayScale averages channels per pixel and sets n_channels=1") {
+    val g = ImageOps.grayScale(imgs).collect()
+    g.foreach { row =>
+      val id = row.getAs[Long]("id")
+      val arr = dArr(row, "image")
+      assert(row.getAs[Int]("n_channels") == 1)
+      assert(arr.size == 6 * 4)
+      val expected0 = (pix(id, 0) + pix(id, 1) + pix(id, 2)) / 3.0
+      assert(math.abs(arr.head - expected0) < 1e-12)
+    }
+  }
+
+  test("crop extracts the right sub-rectangle") {
+    val c = ImageOps.crop(imgs, x0 = 1, y0 = 1, w = 3, h = 2).collect()
+    c.foreach { row =>
+      val id = row.getAs[Long]("id")
+      val arr = dArr(row, "image")
+      assert(arr.size == 3 * 2 * 3)
+      // out(0,0,c) = in(1,1,c); in-index = (1*6+1)*3 + c = 21 + c
+      (0 until 3).foreach { ch =>
+        assert(arr(ch) == pix(id, 21 + ch))
+      }
+    }
+  }
+
+  test("symmetricRectify doubles channels and splits signs") {
+    val centered = imgs.withColumn("image",
+      transform(col("image"), x => x - 0.5))
+    val r = ImageOps.symmetricRectify(centered, alpha = 0.1).collect()
+    r.foreach { row =>
+      val arr = dArr(row, "image")
+      assert(row.getAs[Int]("n_channels") == 6)
+      assert(arr.size == 6 * 4 * 6)
+      assert(arr.forall(_ >= 0.0), "rectified outputs are non-negative")
+    }
+    // positive and negative halves cannot both be nonzero for alpha >= 0
+    val both = r.flatMap { row =>
+      val arr = dArr(row, "image")
+      arr.grouped(6).flatMap { g =>
+        (0 until 3).map(c => g(c) > 0 && g(c + 3) > 0)
+      }
+    }
+    assert(!both.contains(true))
+  }
+
+  test("max-pool 2x2 halves dims and dominates its window") {
+    val p = ImageOps.pool(imgs, stride = 2, op = "max").collect()
+    p.foreach { row =>
+      val id = row.getAs[Long]("id")
+      assert(row.getAs[Int]("x_dim") == 3 && row.getAs[Int]("y_dim") == 2)
+      val arr = dArr(row, "image")
+      assert(arr.size == 3 * 2 * 3)
+      // out(0,0,0) = max of in{(0,0),(1,0),(0,1),(1,1)} channel 0
+      val expected = Seq(0, 3, 18, 21).map(i => pix(id, i)).max
+      assert(arr.head == expected)
+    }
+  }
+
+  test("sum-pool matches hand-computed window sum") {
+    val p = ImageOps.pool(imgs, stride = 2, op = "sum").collect()
+    p.foreach { row =>
+      val id = row.getAs[Long]("id")
+      val arr = dArr(row, "image")
+      val expected = Seq(0, 3, 18, 21).map(i => pix(id, i)).sum
+      assert(math.abs(arr.head - expected) < 1e-12)
+    }
+  }
+
+  test("centerCornerPatches emits 5 patches per image with correct content") {
+    val p = ImageOps.centerCornerPatches(imgs, w = 2, h = 2)
+    assert(p.count() == 4 * 5)
+    val tl = p.where(col("id") === 1 && col("patch_id") === 0).head()
+    val arr = dArr(tl, "image")
+    assert(arr.size == 2 * 2 * 3)
+    assert(arr.head == pix(1, 0))
+    val center = p.where(col("id") === 1 && col("patch_id") === 4).head()
+    // center patch origin: ((6-2)/2, (4-2)/2) = (2,1); idx = (1*6+2)*3 = 24
+    assert(dArr(center, "image").head == pix(1, 24))
+  }
+
+  test("convolve (im2col + BLAS gemm) equals the naive reference") {
+    val ds = imgs.select(col("id"), col("x_dim"), col("y_dim"),
+      col("n_channels"), col("image")).as[Img]
+    val f1 = Array.tabulate(2 * 2 * 3)(i => (i % 5) * 0.1 - 0.2)
+    val f2 = Array.tabulate(2 * 2 * 3)(i => math.sin(i.toDouble))
+    val out = ImageOps.convolve(ds, Array(f1, f2), fx = 2, fy = 2)
+      .collect().map(im => im.id -> im).toMap
+    assert(out(0L).x_dim == 5 && out(0L).y_dim == 3 && out(0L).n_channels == 2)
+    val local = ds.collect().map(im => im.id -> im).toMap
+    local.foreach { case (id, im) =>
+      val n1 = ImageOps.convolveNaive(im, f1, 2, 2)
+      val n2 = ImageOps.convolveNaive(im, f2, 2, 2)
+      val got = out(id)
+      n1.indices.foreach { p =>
+        assert(math.abs(got.image(p * 2) - n1(p)) < 1e-10,
+          s"img $id patch $p filter 0")
+        assert(math.abs(got.image(p * 2 + 1) - n2(p)) < 1e-10,
+          s"img $id patch $p filter 1")
+      }
+    }
+  }
+
+  test("keystone CIFAR shape: patches -> rectify -> pool -> vectorize composes") {
+    val feats = ImageOps.vectorize(
+      ImageOps.pool(
+        ImageOps.symmetricRectify(
+          ImageOps.grayScale(ImageOps.crop(imgs, 0, 0, 4, 4))), 2))
+    val r = feats.collect()
+    assert(r.length == 4)
+    r.foreach { row =>
+      // 4x4 gray (1ch) -> rectify (2ch) -> pool/2 (2x2) => 2*2*2 = 8 features
+      assert(dArr(row, "features").size == 8)
+    }
+  }
+
+  test("multimodal decodeStub -> featurize plumbing produces stable features") {
+    val assets = MultimodalOps.syntheticAssets(spark, n = 3, x = 4, y = 4,
+      c = 3, frames = 1)
+    val f1 = MultimodalOps.featurize(assets).collect()
+    val f2 = MultimodalOps.featurize(assets).collect()
+    assert(f1.length == 3)
+    f1.foreach(r => assert(dArr(r, "features").size == 2 * 2))
+    val a = f1.map(r => dArr(r, "features")).toSeq
+    val b = f2.map(r => dArr(r, "features")).toSeq
+    assert(a == b, "decode stub must be deterministic")
+  }
+
+  test("frameSample slices video bytes per frame") {
+    val assets = MultimodalOps.syntheticAssets(spark, n = 2, x = 2, y = 2,
+      c = 1, frames = 6)
+    val frames = MultimodalOps.frameSample(assets, step = 2)
+    assert(frames.count() == 2 * 3, "6 frames step 2 => frames 0,2,4")
+    val sizes = frames.select(length(col("content"))).distinct().collect()
+    assert(sizes.length == 1 && sizes.head.getInt(0) == 2 * 2 * 1)
+    val ids = frames.where(col("asset_id") === 0)
+      .select("frame_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 2L, 4L))
+  }
+
+  test("resizeAvgPool halves decoded image dims by averaging") {
+    val assets = MultimodalOps.syntheticAssets(spark, n = 1, x = 4, y = 4,
+      c = 1, frames = 1)
+    val img = MultimodalOps.decodeStub(assets).toDF()
+    val small = MultimodalOps.resizeAvgPool(img, 2).head()
+    assert(small.getAs[Int]("x_dim") == 2 && small.getAs[Int]("y_dim") == 2)
+    val orig = dArr(img.head(), "image")
+    val expected = (orig(0) + orig(1) + orig(4) + orig(5)) / 4.0
+    assert(math.abs(dArr(small, "image").head - expected) < 1e-12)
+  }
+}

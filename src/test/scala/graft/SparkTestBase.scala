@@ -30,6 +30,10 @@ abstract class GraftSuite extends AnyFunSuite {
 
   def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
 
+  /** Array-column accessor (Spark hands back mutable.ArraySeq). */
+  def dArr(row: Row, name: String): IndexedSeq[Double] =
+    row.getSeq[Double](row.fieldIndex(name)).toIndexedSeq
+
   /** Run a ScalaCheck property and fail the ScalaTest assertion if it does
     * not pass (no scalatestplus bridge in the offline cache — drive
     * scalacheck's own Test runner directly). */
