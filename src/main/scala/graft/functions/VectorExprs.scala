@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst vector expressions (SURVEY §2.B similarity rows; the
+  * "custom Expression beats UDF" rung of the builder ladder).
+  *
+  * The embedding queries spend their time in dot products and norms; the
+  * built-in spelling — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is a
+  * higher-order function, which Catalyst evaluates INTERPRETED (lambda
+  * variable binding per element, no whole-stage codegen). These
+  * expressions generate a tight primitive loop via doGenCode instead.
+  * Summation order is left-to-right — identical to the HOF spelling and to
+  * DuckDB's list_sum — so swapping them into a query changes NO result
+  * bits and the DuckDB oracles stay valid.
+  *
+  * Registered through the public SparkSessionExtensions hook
+  * ([[GraftExtensions]], `spark.sql.extensions=graft.functions.GraftExtensions`)
+  * and invoked with `functions.call_function("graft_dot", ...)`.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs MUST be array<double> (AbstractDataType is private[sql] in
+  // Spark 4, so no ExpectsInputTypes auto-cast — call sites cast)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ x_i²) of an array<double> — same loop-order contract as
+  * [[DotProduct]]. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Σ (x_i − y_i)² — the k-means/IVF distance kernel. */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SquaredL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public extension entry point: registers the vector kernels in the
+  * session's function registry
+  * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`).
+  * Call sites use `functions.call_function("graft_dot", a, b)` etc. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => binary(children, DotProduct.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (children: Seq[Expression]) => unary(children, L2Norm.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => binary(children, SquaredL2Distance.apply)))
+  }
+}
+
+object GraftExtensions {
+  private def binary(children: Seq[Expression],
+      f: (Expression, Expression) => Expression): Expression = {
+    require(children.length == 2, s"expected 2 arguments, got ${children.length}")
+    f(children(0), children(1))
+  }
+  private def unary(children: Seq[Expression],
+      f: Expression => Expression): Expression = {
+    require(children.length == 1, s"expected 1 argument, got ${children.length}")
+    f(children(0))
+  }
+}

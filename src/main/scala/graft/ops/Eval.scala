@@ -91,14 +91,14 @@ object Eval {
     val dblV = transform(col("embedding"), x => x.cast("double"))
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"label", dblV.as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", call_function("graft_norm", $"v"))
     val probes = e.where($"vec_id" < 10)
       .select($"vec_id".as("p_id"), $"label".as("p_label"), $"v".as("pv"), $"nrm".as("pn"))
     val wRank = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
     val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.join(broadcast(probes), $"vec_id" =!= $"p_id")
       .withColumn("cos",
-        aggregate(zip_with($"pv", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+        call_function("graft_dot", $"pv", $"v") /
           ($"pn" * $"nrm"))
       .withColumn("rel", when($"label" === $"p_label", 1L).otherwise(0L))
       .withColumn("rank", row_number().over(wRank))

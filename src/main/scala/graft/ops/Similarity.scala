@@ -31,10 +31,11 @@ import graft.tables.Tables
 object Similarity {
 
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  private def l2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  // Codegen'd native kernels (graft.functions.VectorExprs, registered via
+  // GraftExtensions): same left-to-right summation as the HOF spelling, so
+  // results and DuckDB oracles are bit-identical — just not interpreted.
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def l2(a: Column): Column = call_function("graft_norm", a)
 
   /** Exact deduplication by content hash, keeping the smallest doc_id per
     * group (ref capability: ABSENT; north-star). md5 hex is byte-identical
@@ -153,10 +154,13 @@ object Similarity {
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", dbl($"embedding").as("v"))
       .withColumn("nrm", l2($"v"))
-    def proj(j: Int): Column =
-      round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-        acc + element_at($"v", i) *
-          (((i * 13 + j * 7919) % 97).cast("double") / 97.0 - 0.5)), 6)
+    // hyperplane weights materialize as a literal array; the projection is
+    // one codegen'd dot product per bit instead of an interpreted aggregate
+    def proj(j: Int): Column = {
+      val w = array((1 to 64).map(i =>
+        lit(((i * 13 + j * 7919) % 97).toDouble / 97.0 - 0.5)): _*)
+      round(dot($"v", w), 6)
+    }
     val codes = (0 until LshBands).map { b =>
       (0 until LshBitsPerBand).map { k =>
         when(proj(b * LshBitsPerBand + k) >= 0, lit(1 << k)).otherwise(lit(0))

@@ -107,10 +107,13 @@ object Vectors {
   def qLinearMap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = dbl
-    val out = transform(sequence(lit(0), lit(3)), j =>
-      round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-        acc + element_at(d, i) *
-          (((i * 7 + j * 13) % 10).cast("double") / 10.0 - 0.45)), 4))
+    // W columns as literal arrays; each output = one codegen'd dot product
+    // (graft_dot, same left-to-right sum as the aggregate spelling)
+    val out = array((0 to 3).map { j =>
+      val w = array((1 to 64).map(i =>
+        lit(((i * 7 + j * 13) % 10).toDouble / 10.0 - 0.45)): _*)
+      round(call_function("graft_dot", d, w), 4)
+    }: _*)
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", posexplode(out).as(Seq("j", "projected")))
       .select($"vec_id", $"j".cast("long").as("j"), $"projected")
@@ -133,12 +136,11 @@ object Vectors {
   def qRandomFeaturesFixed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = dbl
-    val out = transform(sequence(lit(0), lit(7)), j =>
-      round(cos(
-        aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-          acc + element_at(d, i) *
-            (((i * 31 + j * 41) % 23).cast("double") / 23.0 - 0.5)) +
-          (j % 7).cast("double")), 4))
+    val out = array((0 to 7).map { j =>
+      val w = array((1 to 64).map(i =>
+        lit(((i * 31 + j * 41) % 23).toDouble / 23.0 - 0.5)): _*)
+      round(cos(call_function("graft_dot", d, w) + (j % 7).toDouble), 4)
+    }: _*)
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", posexplode(out).as(Seq("j", "feature")))
       .select($"vec_id", $"j".cast("long").as("j"), $"feature")
@@ -229,12 +231,18 @@ object Vectors {
   def qKmeansAssignFixed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = dbl
-    def centroid(k: Column, i: Column): Column =
-      (((k * 31 + i * 17) % 19).cast("double") / 19.0 - 0.5) * 0.2
-    val dists = transform(sequence(lit(0), lit(9)), k => struct(
-      round(aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
-        acc + pow(element_at(d, i) - centroid(k, i), 2)), 6).as("dist"),
-      k.cast("long").as("k")))
+    // centroids as literal arrays; distance = codegen'd graft_sqdist.
+    // (x−c)² accumulates in the same i=1..64 order as the aggregate+pow
+    // spelling — pow(y,2) and y*y are both correctly rounded, so the sums
+    // are bit-identical and the DuckDB oracle (which keeps pow) still
+    // hash-matches.
+    val dists = array((0 to 9).map { k =>
+      val c = array((1 to 64).map(i =>
+        lit((((k * 31 + i * 17) % 19).toDouble / 19.0 - 0.5) * 0.2)): _*)
+      struct(
+        round(call_function("graft_sqdist", d, c), 6).as("dist"),
+        lit(k.toLong).as("k"))
+    }: _*)
     val best = array_min(dists)
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", best.getField("k").as("cluster"),

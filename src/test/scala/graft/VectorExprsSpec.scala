@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd vector kernels (graft.functions.VectorExprs) vs the
+  * interpreted higher-order-function spellings: must agree bit-for-bit
+  * (same left-to-right summation), and must survive codegen compilation. */
+class VectorExprsSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private lazy val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+
+  test("graft_dot is bit-identical to aggregate(zip_with(...)) self-dot") {
+    val cmp = vecs.select(
+      call_function("graft_dot", $"v", $"v").as("native"),
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0),
+        (a, x) => a + x).as("hof"))
+    assert(cmp.where($"native" =!= $"hof").count() == 0)
+  }
+
+  test("graft_norm is bit-identical to sqrt(aggregate(transform(...)))") {
+    val cmp = vecs.select(
+      call_function("graft_norm", $"v").as("native"),
+      sqrt(aggregate(transform($"v", x => x * x), lit(0.0),
+        (a, x) => a + x)).as("hof"))
+    assert(cmp.where($"native" =!= $"hof").count() == 0)
+  }
+
+  test("graft_sqdist is bit-identical to the aggregate+pow spelling") {
+    val w = array((1 to 64).map(i => lit(i * 0.01 - 0.32)): _*)
+    val cmp = vecs.select(
+      call_function("graft_sqdist", $"v", w).as("native"),
+      aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+        acc + pow(element_at($"v", i) - (i.cast("double") * 0.01 - 0.32), 2))
+        .as("hof"))
+    assert(cmp.where($"native" =!= $"hof").count() == 0)
+  }
+
+  test("kernels compute correct values on known vectors") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      call_function("graft_dot", $"a", $"b").as("d"),
+      call_function("graft_norm", $"a").as("n"),
+      call_function("graft_sqdist", $"a", $"b").as("s")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-15)
+    assert(r.getDouble(2) == 27.0)
+  }
+
+  test("kernels handle nulls and stay inside whole-stage codegen") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None, Some(Array(1.0, 1.0)))).toDF("a", "b")
+    val out = df.select(call_function("graft_dot", $"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0), "null input => null output")
+    // the projection containing graft_dot must carry the whole-stage
+    // codegen marker (`*(stage) Project [graft_dot(...)`)
+    val plan = vecs.select(call_function("graft_dot", $"v", $"v"))
+      .queryExecution.executedPlan.toString
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
+    assert(dotLine.trim.startsWith("*("), s"expected codegen'd Project in:\n$plan")
+  }
+}
