@@ -133,6 +133,45 @@ object ImageOps {
       .drop("p")
   }
 
+  /** ref: Windower/FastWindower — ALL strided sliding patches of size
+    * w×h, exploded to one row per patch with (win_x, win_y) origin. Patch
+    * count per image is ((x−w)/stride+1)·((y−h)/stride+1). */
+  def windower(df: DataFrame, w: Int, h: Int, stride: Int): DataFrame = {
+    val nx = ((col("x_dim") - w) / stride).cast("int") + 1
+    val ny = ((col("y_dim") - h) / stride).cast("int") + 1
+    df.withColumn("win", explode(flatten(
+        transform(sequence(lit(0), ny - 1), wy =>
+          transform(sequence(lit(0), nx - 1), wx =>
+            struct((wx * stride).as("x"), (wy * stride).as("y"),
+              flatten(transform(sequence(wy * stride, wy * stride + h - 1), yy =>
+                slice(col("image"),
+                  (yy * col("x_dim") + wx * stride) * col("n_channels") + 1,
+                  lit(w) * col("n_channels")))).as("image")))))))
+      .withColumn("win_x", col("win.x"))
+      .withColumn("win_y", col("win.y"))
+      .withColumn("image", col("win.image"))
+      .withColumn("x_dim", lit(w))
+      .withColumn("y_dim", lit(h))
+      .drop("win")
+  }
+
+  /** ref: RandomPatcher — n patches at pseudo-random origins, deterministic
+    * from (image id, patch index) via integer hashing so runs and engines
+    * agree (the reference seeds an RNG; a keyed hash is the
+    * partitioning-stable equivalent). */
+  def randomPatches(df: DataFrame, n: Int, w: Int, h: Int): DataFrame = {
+    val px = (abs(hash(col("id"), col("patch_id"), lit(17))) % (col("x_dim") - w + 1))
+    val py = (abs(hash(col("id"), col("patch_id"), lit(31))) % (col("y_dim") - h + 1))
+    df.withColumn("patch_id", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("image",
+        flatten(transform(sequence(py, py + h - 1), yy =>
+          slice(col("image"),
+            (yy * col("x_dim") + px) * col("n_channels") + 1,
+            lit(w) * col("n_channels")))))
+      .withColumn("x_dim", lit(w))
+      .withColumn("y_dim", lit(h))
+  }
+
   /** ref: Convolver — valid 2-D convolution of a filter bank, computed the
     * reference's way: per-image im2col then ONE level-3 BLAS gemm per image
     * (Breeze DenseMatrix multiply), run inside mapPartitions so the JVM

@@ -1,0 +1,208 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector, eigSym, inv}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+import graft.ml.workflow.{Estimator, Transformer}
+
+/** Second wave of reference learning/stats nodes (SURVEY §2.A
+  * nodes.learning / nodes.stats) that need dense math beyond column
+  * expressions: GMM, ZCA whitening, block least squares, hashing TF,
+  * random signs, FFT features, vector splitting.
+  *
+  * Dense-math strategy (the reference's own, SURVEY §4): distributed
+  * passes aggregate small fixed-size statistics (grams, covariances —
+  * d² doubles, never data-sized) via treeAggregate with Breeze inside the
+  * executors; the driver solves the d×d problem; the resulting model
+  * broadcasts back as literal weights applied per row.
+  */
+object LearningOps {
+
+  private def withVec(df: DataFrame, in: String): DataFrame =
+    df.withColumn("__features", array_to_vector(transform(col(in), _.cast("double"))))
+
+  /** ref: nodes.stats.RandomSignNode — multiply by a fixed Rademacher ±1
+    * vector drawn from `seed` (deterministic across runs/executors). */
+  case class RandomSignNode(in: String, out: String, dim: Int, seed: Long = 42L)
+      extends Transformer {
+    private val signs: Array[Double] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+    }
+    def apply(df: DataFrame): DataFrame = {
+      val s = array(signs.map(lit): _*)
+      df.withColumn(out, zip_with(col(in), s, (x, sg) => x * sg))
+    }
+  }
+
+  /** ref: nodes.util.VectorSplitter — split into `numBlocks` equal slices,
+    * emitted as columns `{out}_0 .. {out}_{n-1}`. */
+  case class VectorSplitter(in: String, out: String, numBlocks: Int)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame = {
+      val blockLen = ceil(size(col(in)) / numBlocks.toDouble).cast("int")
+      (0 until numBlocks).foldLeft(df) { (acc, b) =>
+        acc.withColumn(s"${out}_$b", slice(col(in), blockLen * b + 1, blockLen))
+      }
+    }
+  }
+
+  /** ref: HashingTF (nodes.misc / MLlib) — hashed term frequencies into a
+    * fixed-width dense array (engine-specific hash => non-oracle;
+    * SURVEY §2.B). */
+  case class HashingTFNode(in: String, out: String, numFeatures: Int = 1024)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame = {
+      val tf = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol(in).setOutputCol("__tf").setNumFeatures(numFeatures)
+      tf.transform(df).withColumn(out, vector_to_array(col("__tf"))).drop("__tf")
+    }
+  }
+
+  /** ref: nodes.stats.PaddedFFT — zero-pad to the next power of two, FFT
+    * (Breeze/JTransforms), keep the magnitude of the first half+1 bins.
+    * Per-row dense math in a Scala closure, like the reference's Breeze
+    * node; batched per partition by Spark's evaluator. */
+  case class PaddedFFTNode(in: String, out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame = {
+      val fftUdf = udf { (xs: Seq[Double]) =>
+        val n = xs.length
+        var p = 1
+        while (p < n) p <<= 1
+        val padded = DenseVector(xs.toArray ++ Array.fill(p - n)(0.0))
+        val freq = breeze.signal.fourierTr(padded)
+        (0 to p / 2).map(i => breeze.numerics.abs(freq(i))).toArray
+      }
+      df.withColumn(out, fftUdf(col(in)))
+    }
+  }
+
+  /** ref: nodes.learning.GaussianMixtureModelEstimator — MLlib GMM
+    * (diagonal EM in the reference; full-cov EM here). Emits the component
+    * assignment and per-component responsibilities. */
+  case class GaussianMixtureEst(featuresCol: String, out: String, k: Int,
+      seed: Long = 42L) extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.clustering.GaussianMixture()
+        .setK(k).setSeed(seed)
+        .setFeaturesCol("__features").setPredictionCol(out)
+        .setProbabilityCol("__prob")
+        .fit(withVec(train, featuresCol))
+      Transformer { df =>
+        model.transform(withVec(df, featuresCol))
+          .withColumn(s"${out}_resp", vector_to_array(col("__prob")))
+          .drop("__features", "__prob")
+      }
+    }
+  }
+
+  /** ref: nodes.learning.ZCAWhitener(+Estimator) — whiten with
+    * W = V (Λ + εI)^{-1/2} Vᵀ from the covariance eigendecomposition.
+    * fit: one distributed treeAggregate of (Σx, ΣxxᵀT) — d + d² doubles per
+    * partition, never data-sized — then a d×d eigSym on the driver.
+    * transform: per-row (x−μ)ᵀW in a closure with the broadcast matrix. */
+  case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5)
+      extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val data = train.select(transform(col(in), _.cast("double")).as("v"))
+        .rdd.map(r => r.getSeq[Double](0).toArray)
+      val d = data.first().length
+      val (n, sum, outer) = data.treeAggregate(
+        (0L, DenseVector.zeros[Double](d), DenseMatrix.zeros[Double](d, d)))(
+        seqOp = { case ((c, s, m), x) =>
+          val xv = DenseVector(x)
+          (c + 1, s + xv, m + xv * xv.t)
+        },
+        combOp = { case ((c1, s1, m1), (c2, s2, m2)) => (c1 + c2, s1 + s2, m1 + m2) })
+      val mu = sum / n.toDouble
+      val cov = (outer / n.toDouble) - mu * mu.t
+      val es = eigSym(cov)
+      val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+      val w = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
+      val muArr = mu.toArray
+      val wArr = w.toArray // column-major d*d
+      val dd = d
+      val whitenUdf = udf { (xs: Seq[Double]) =>
+        val centered = new Array[Double](dd)
+        var i = 0
+        while (i < dd) { centered(i) = xs(i) - muArr(i); i += 1 }
+        val res = new Array[Double](dd)
+        var j = 0
+        while (j < dd) {
+          var s = 0.0
+          var i2 = 0
+          while (i2 < dd) { s += centered(i2) * wArr(j * dd + i2); i2 += 1 }
+          res(j) = s
+          j += 1
+        }
+        res
+      }
+      Transformer { df => df.withColumn(out, whitenUdf(col(in))) }
+    }
+  }
+
+  /** ref: nodes.learning.BlockLeastSquaresEstimator — block coordinate
+    * descent for wide ridge regression: features split into blocks of
+    * `blockSize`; each epoch solves every block's normal equations
+    * (XᵦᵀXᵦ + λI) wᵦ = Xᵦᵀ(r + Xᵦwᵦ) against the current residual.
+    * Per-block distributed work is ONE treeAggregate of (gram, Xᵀr) —
+    * blockSize² + blockSize doubles — and the residual column updates with
+    * the broadcast block weights. Nothing data-sized ever reaches the
+    * driver, and memory is bounded by blockSize², not d². */
+  case class BlockLeastSquaresEst(featuresCol: String, labelCol: String,
+      out: String, blockSize: Int = 32, numIter: Int = 3,
+      lambda: Double = 1e-6) extends Estimator {
+
+    def fit(train: DataFrame): Transformer = {
+      val d = train.select(size(col(featuresCol))).head().getInt(0)
+      val blocks = (0 until d).grouped(blockSize).toArray
+      val data = train.select(
+        transform(col(featuresCol), _.cast("double")).as("x"),
+        col(labelCol).cast("double").as("y"))
+        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val weights = new Array[Double](d)
+        // residual r = y - Xw maintained implicitly via current weights
+        for (_ <- 0 until numIter; block <- blocks) {
+          val bIdx = block.toArray
+          val bLen = bIdx.length
+          val bc = data.context.broadcast((weights.clone(), bIdx))
+          val (gram, xtr) = data.treeAggregate(
+            (DenseMatrix.zeros[Double](bLen, bLen), DenseVector.zeros[Double](bLen)))(
+            seqOp = { case ((g, v), (x, y)) =>
+              val (wCur, idx) = bc.value
+              var r = y
+              var i = 0
+              while (i < x.length) { r -= x(i) * wCur(i); i += 1 }
+              // r excludes nothing; add back this block's contribution
+              var bi = 0
+              while (bi < idx.length) { r += x(idx(bi)) * wCur(idx(bi)); bi += 1 }
+              var p = 0
+              while (p < idx.length) {
+                val xp = x(idx(p))
+                v(p) += xp * r
+                var q = 0
+                while (q < idx.length) { g(p, q) += xp * x(idx(q)); q += 1 }
+                p += 1
+              }
+              (g, v)
+            },
+            combOp = { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) })
+          bc.destroy()
+          val reg = DenseMatrix.eye[Double](bLen) * lambda
+          val sol = inv(gram + reg) * xtr
+          var p = 0
+          while (p < bLen) { weights(bIdx(p)) = sol(p); p += 1 }
+        }
+        val wLit = array(weights.map(lit): _*)
+        Transformer { df =>
+          df.withColumn(out, call_function("graft_dot",
+            transform(col(featuresCol), _.cast("double")), wLit))
+        }
+      } finally data.unpersist()
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.LearningOps._
+import graft.ml.workflow.LeastSquaresEst
+import graft.images.ImageOps
+
+/** Second-wave learning/stats nodes (GMM, ZCA, block least squares, FFT,
+  * hashing TF, random signs) + image windower/random patches. */
+class LearningOpsSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private lazy val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+
+  test("RandomSignNode flips signs deterministically and is self-inverse") {
+    val once = RandomSignNode("v", "s", 64)(vecs)
+    val twice = RandomSignNode("s", "s2", 64)(once)
+    val diff = twice.where(
+      exists(zip_with($"v", $"s2", (a, b) => abs(a - b) > 1e-15), x => x)).count()
+    assert(diff == 0, "applying the same sign vector twice must be identity")
+    val changed = once.where(
+      exists(zip_with($"v", $"s", (a, b) => a =!= b && a =!= -b), x => x)).count()
+    assert(changed == 0, "every element is either kept or negated")
+  }
+
+  test("VectorSplitter splits 64 dims into 4 x 16 blocks") {
+    val out = VectorSplitter("v", "blk", 4)(vecs)
+    (0 until 4).foreach { b =>
+      assert(out.select(size(col(s"blk_$b"))).distinct().head().getInt(0) == 16)
+    }
+    val recon = out.where(
+      exists(zip_with(concat($"blk_0", $"blk_1", $"blk_2", $"blk_3"), $"v",
+        (a, b) => a =!= b), x => x)).count()
+    assert(recon == 0, "concatenated blocks must reconstruct the vector")
+  }
+
+  test("HashingTFNode emits fixed-width non-negative counts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(filter(split($"text", " "), t => t =!= "").as("tokens"))
+    val out = HashingTFNode("tokens", "tf", numFeatures = 64)(docs)
+    assert(out.select(size($"tf")).distinct().head().getInt(0) == 64)
+    assert(out.where(exists($"tf", x => x < 0)).count() == 0)
+    val mass = out.select((aggregate($"tf", lit(0.0), (a, x) => a + x) -
+      size($"tokens")).as("d")).where(abs($"d") > 1e-9).count()
+    assert(mass == 0, "hashed counts must conserve token mass")
+  }
+
+  test("PaddedFFTNode pads to power of two and keeps half+1 magnitude bins") {
+    val df = Seq(Tuple1(Seq.tabulate(6)(i => math.sin(i)))).toDF("v")
+    val out = PaddedFFTNode("v", "fft")(df)
+    // 6 pads to 8 => 5 bins
+    assert(out.select(size($"fft")).head().getInt(0) == 5)
+    assert(out.where(exists($"fft", x => x < 0)).count() == 0,
+      "magnitudes are non-negative")
+    // constant signal concentrates all energy in bin 0
+    val const = PaddedFFTNode("v", "fft")(Seq(Tuple1(Seq.fill(8)(1.0))).toDF("v"))
+      .select($"fft").head().getSeq[Double](0)
+    assert(math.abs(const.head - 8.0) < 1e-9)
+    assert(const.tail.forall(_ < 1e-9))
+  }
+
+  test("GaussianMixtureEst yields k components with responsibilities summing to 1") {
+    val out = GaussianMixtureEst("v", "comp", k = 3).fit(vecs)(vecs)
+    assert(out.select("comp").distinct().count() <= 3)
+    val badResp = out.where(
+      abs(aggregate($"comp_resp", lit(0.0), (a, x) => a + x) - 1.0) > 1e-6).count()
+    assert(badResp == 0)
+  }
+
+  test("ZCAWhitenerEst whitens: output covariance ~ identity") {
+    val white = ZCAWhitenerEst("v", "w", eps = 1e-8).fit(vecs)(vecs)
+    val ex = white.select(posexplode($"w").as(Seq("pos", "x")))
+    // diagonal: per-dim variance ~ 1; mean ~ 0
+    val stats = ex.groupBy("pos")
+      .agg(avg($"x").as("mu"), variance($"x").as("vr"))
+      .agg(max(abs($"mu")).as("worst_mu"),
+        max(abs($"vr" - 1.0)).as("worst_vr")).head()
+    assert(stats.getAs[Double]("worst_mu") < 1e-6)
+    assert(stats.getAs[Double]("worst_vr") < 0.05,
+      s"whitened variance off identity: ${stats.getAs[Double]("worst_vr")}")
+  }
+
+  test("BlockLeastSquaresEst approaches the exact least-squares fit") {
+    // well-posed target: y = v . w_true + small structure
+    val target = vecs.withColumn("y",
+      call_function("graft_dot", $"v",
+        array((1 to 64).map(i => lit(math.sin(i.toDouble))): _*)))
+    val block = BlockLeastSquaresEst("v", "y", "pred_b",
+      blockSize = 16, numIter = 8).fit(target)(target)
+    val exact = LeastSquaresEst("v", "y", "pred_e").fit(target)(target)
+    val rmseB = math.sqrt(block.select(avg(pow($"pred_b" - $"y", 2))).head().getDouble(0))
+    val rmseE = math.sqrt(exact.select(avg(pow($"pred_e" - $"y", 2))).head().getDouble(0))
+    assert(rmseB < 1e-3, s"block CD must fit a noiseless linear target, rmse=$rmseB")
+    assert(rmseB < rmseE + 1e-3, "block solution should match the exact solver here")
+  }
+
+  test("windower tiles strided patches with correct origins and content") {
+    val imgs = ImageOps.syntheticImages(spark, n = 2, x = 6, y = 4, c = 1)
+    val w = ImageOps.windower(imgs, w = 2, h = 2, stride = 2)
+    // nx = (6-2)/2+1 = 3, ny = (4-2)/2+1 = 2 => 6 patches per image
+    assert(w.count() == 2 * 6)
+    val p = w.where($"id" === 0 && $"win_x" === 2 && $"win_y" === 2).head()
+    val arr = dArr(p, "image")
+    // origin (2,2): first pixel = in-index (2*6+2) = 14
+    assert(arr.head == ((0 * 31 + 14 * 7) % 256) / 255.0)
+  }
+
+  test("randomPatches are deterministic and in-bounds") {
+    val imgs = ImageOps.syntheticImages(spark, n = 3, x = 8, y = 8, c = 1)
+    val a = ImageOps.randomPatches(imgs, n = 4, w = 3, h = 3)
+    assert(a.count() == 12)
+    assert(a.where(size($"image") =!= 9).count() == 0)
+    val r1 = a.orderBy($"id", $"patch_id").collect().map(r => dArr(r, "image")).toSeq
+    val r2 = ImageOps.randomPatches(imgs, n = 4, w = 3, h = 3)
+      .orderBy($"id", $"patch_id").collect().map(r => dArr(r, "image")).toSeq
+    assert(r1 == r2, "patch positions must be deterministic")
+  }
+}
