@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming wiring for the event surface (SURVEY §2.B streaming
@@ -63,4 +63,32 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Running (event_count, total_value) per user. */
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful streaming op (SURVEY §2.B "stateful streaming" row):
+    * per-user running counters via
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` — arbitrary state
+    * (count + exact cents) carried across micro-batches, emitted in Update
+    * mode each time a user's group receives events. The value accumulates
+    * as integer cents so state is exact regardless of arrival order. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; cents += r._2 }
+          state.update((n, cents))
+          Iterator(UserTotals(uid, n, cents / 100.0))
+      }
+  }
 }

@@ -5,6 +5,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
 
+/** Event row for MemoryStream (top-level so the encoder generates static
+  * accessors — a nested case class forces interpreted fallback). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 /** Drives StreamingOps through a real incremental MemoryStream execution
   * (not batch mode): proves the window/session/watermark plans run under
   * the streaming engine with state. */
@@ -14,9 +19,6 @@ class StreamingSpec extends GraftSuite {
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double, props: String)
 
   private def runToCompletion(stream: MemoryStream[Ev],
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
@@ -88,6 +90,26 @@ class StreamingSpec extends GraftSuite {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dedup").count() == 2)
+  }
+
+  test("runningUserTotals carries flatMapGroupsWithState state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.runningUserTotals(stream.toDF())
+      .writeStream.format("memory").queryName("usertotals").outputMode("update").start()
+    stream.addData(
+      Ev(1, ts(0), 1, "click", 1.50, "{}"),
+      Ev(2, ts(1), 1, "click", 2.25, "{}"))
+    q.processAllAvailable()
+    // second micro-batch: state must accumulate, not reset
+    stream.addData(Ev(3, ts(2), 1, "click", 0.25, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("usertotals").where($"user_id" === 1)
+      .orderBy($"n_events").collect()
+    assert(updates.last.getAs[Long]("n_events") == 3,
+      "state must survive across micro-batches")
+    assert(updates.last.getAs[Double]("total_value") == 4.0)
   }
 
   test("slidingCounts places each closed event in 4 overlapping windows") {
