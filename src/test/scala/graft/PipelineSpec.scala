@@ -28,6 +28,16 @@ class PipelineSpec extends GraftSuite {
     assert(scored.columns.contains("pred_scores"))
   }
 
+  test("single-item serving: a fitted pipeline scores a 1-row frame (ref EP3)") {
+    val featurize = Tokenize("text", "tokens")
+      .andThen(CommonSparseFeatures("tokens", "features", 50), docs)
+    val fitted = featurize.andThen(NaiveBayesEst("features", "label_id", "pred"), docs)
+    val one = docs.limit(1)
+    val served = fitted(one).select("doc_id", "pred").collect()
+    assert(served.length == 1)
+    assert(served.head.getDouble(1) >= 0.0 && served.head.getDouble(1) <= 4.0)
+  }
+
   test("andThen composition preserves laziness until an action") {
     var applied = false
     val probe = Transformer { df => applied = true; df }
