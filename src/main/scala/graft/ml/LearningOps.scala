@@ -143,6 +143,70 @@ object LearningOps {
     }
   }
 
+  /** ref: nodes.learning.LinearDiscriminantAnalysis — project onto the
+    * top-k generalized eigenvectors of (S_within⁻¹ S_between). fit is two
+    * distributed passes of d²-bounded statistics (per-class mean/count,
+    * then within-class scatter) and a d×d driver eig; transform is a
+    * per-row matrix product with the broadcast projection. */
+  case class LDAEst(featuresCol: String, labelCol: String, out: String, k: Int)
+      extends Estimator {
+    def fit(train: DataFrame): Transformer = {
+      val rows = train.select(
+        transform(col(featuresCol), _.cast("double")).as("v"),
+        col(labelCol).cast("long").as("y"))
+        .rdd.map(r => (r.getLong(1), r.getSeq[Double](0).toArray))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val d = rows.first()._2.length
+        // pass 1: per-class sums/counts + global mean (class-count-bounded)
+        val classStats = rows.map { case (y, x) => (y, (1L, DenseVector(x))) }
+          .reduceByKey((a: (Long, DenseVector[Double]), b: (Long, DenseVector[Double])) =>
+            (a._1 + b._1, a._2 + b._2))
+          .collectAsMap()
+        val total = classStats.values.map(_._1).sum.toDouble
+        val globalMean = classStats.values.map(_._2).reduce(_ + _) / total
+        val classMeans = classStats.map { case (y, (c, s)) => y -> (s / c.toDouble, c) }
+        // pass 2: within-class scatter (one treeAggregate of a d×d matrix)
+        val bcMeans = rows.context.broadcast(classMeans.map { case (y, (m, _)) =>
+          y -> m.toArray }.toMap)
+        val sw = rows.treeAggregate(DenseMatrix.zeros[Double](d, d))(
+          seqOp = { case (m, (y, x)) =>
+            val c = DenseVector(x) - DenseVector(bcMeans.value(y))
+            m + c * c.t
+          },
+          combOp = _ + _)
+        bcMeans.destroy()
+        val sb = classMeans.values.map { case (m, c) =>
+          val diff = m - globalMean
+          (diff * diff.t) * c.toDouble
+        }.reduce(_ + _)
+        // generalized eig via S_w^-1 S_b (regularized); top-k eigenvectors
+        val reg = DenseMatrix.eye[Double](d) * 1e-6
+        val m = inv(sw + reg) * sb
+        val es = breeze.linalg.eig(m)
+        val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+        val proj = DenseMatrix.horzcat(order.map(i =>
+          es.eigenvectors(::, i).toDenseMatrix.t): _*) // d × k
+        val projArr = proj.toArray // column-major d*k
+        val dd = d
+        val kk = k
+        val projectUdf = udf { (xs: Seq[Double]) =>
+          val res = new Array[Double](kk)
+          var j = 0
+          while (j < kk) {
+            var s = 0.0
+            var i = 0
+            while (i < dd) { s += xs(i) * projArr(j * dd + i); i += 1 }
+            res(j) = s
+            j += 1
+          }
+          res
+        }
+        Transformer { df => df.withColumn(out, projectUdf(col(featuresCol))) }
+      } finally rows.unpersist()
+    }
+  }
+
   /** ref: nodes.learning.BlockLeastSquaresEstimator — block coordinate
     * descent for wide ridge regression: features split into blocks of
     * `blockSize`; each epoch solves every block's normal equations

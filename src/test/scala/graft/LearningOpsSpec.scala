@@ -96,6 +96,25 @@ class LearningOpsSpec extends GraftSuite {
     assert(rmseB < rmseE + 1e-3, "block solution should match the exact solver here")
   }
 
+  test("LDAEst improves class separability (Fisher ratio) in k-1 dims") {
+    val labeled = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform($"embedding", x => x.cast("double")).as("v"),
+        ($"label" % 3).cast("long").as("y")) // 3 classes
+    val projected = LDAEst("v", "y", "p", k = 2).fit(labeled)(labeled)
+    assert(projected.select(size($"p")).distinct().head().getInt(0) == 2)
+    // Fisher criterion on the first projected dim: between-class variance
+    // of class means should be non-trivial relative to within-class var
+    val stats = projected.select($"y", element_at($"p", 1).as("x"))
+      .groupBy($"y").agg(avg($"x").as("mu"), variance($"x").as("vr"))
+      .collect()
+    val mus = stats.map(_.getAs[Double]("mu"))
+    val within = stats.map(_.getAs[Double]("vr")).sum / stats.length
+    val grand = mus.sum / mus.length
+    val between = mus.map(m => (m - grand) * (m - grand)).sum / mus.length
+    assert(between > 0, "projected class means must differ")
+    assert(within > 0)
+  }
+
   test("windower tiles strided patches with correct origins and content") {
     val imgs = ImageOps.syntheticImages(spark, n = 2, x = 6, y = 4, c = 1)
     val w = ImageOps.windower(imgs, w = 2, h = 2, stride = 2)

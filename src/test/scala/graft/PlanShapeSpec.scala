@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Plan-shape regression tests: the physical plans the 100 TB story
+  * depends on, asserted so a refactor can't silently regress them
+  * (SURVEY §4 "free from Catalyst" claims, made checkable). */
+class PlanShapeSpec extends GraftSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // materialize AQE final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_filter_project pushes predicates into the parquet scan") {
+    val plan = planOf("q_scan_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual") || plan.contains("LessThan"),
+      s"range predicates must reach the reader:\n$plan")
+  }
+
+  test("scans read only the projected columns (column pruning)") {
+    val plan = planOf("q_scan_filter_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"unused columns must be pruned from the scan:\n$readSchema")
+  }
+
+  test("q_join_broadcast keeps the dimension tables on the build side") {
+    val plan = planOf("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_topk_orders compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_embed_neardup joins candidates with a hash join, never nested-loop") {
+    val plan = planOf("q_embed_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidates must equi-join:\n$plan")
+  }
+
+  test("no declared query plans a CartesianProduct") {
+    // cross-shaped queries must bound one side via broadcast; a cartesian
+    // product in any plan is a scale bug.
+    Seq("q_dedup_shingle_jaccard", "q_cosine_topk", "q_stupid_backoff_bigram",
+      "q_tfidf_top_terms", "q_naive_bayes_score").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("identical self-join sides reuse one exchange (EquivalentNodeMerge is free)") {
+    // broadcast off so both sides plan the SAME shuffle exchange (with it
+    // on, one side becomes a BroadcastExchange and reuse can't apply);
+    // collect() (not count(), which builds a different plan) finalizes the
+    // DataFrame's own adaptive plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val counts = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val joined = counts.as("a").join(counts.as("b"), "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+        || plan.contains("reuses operator id"),
+        s"Catalyst must dedupe the identical agg subtree:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("no unpartitioned window survives anywhere in the declared surface") {
+    // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
+    // assert none of the text/vocab queries produce an empty partition spec
+    Seq("q_common_terms_topk", "q_word_id_encode", "q_stupid_backoff_bigram",
+      "q_tfidf_top_terms").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val logical = df.queryExecution.optimizedPlan.toString
+      val bad = logical.linesIterator.exists { l =>
+        l.contains("Window [") && l.contains("windowspecdefinition()")
+      }
+      assert(!bad, s"$name has an unpartitioned window:\n$logical")
+    }
+  }
+}
