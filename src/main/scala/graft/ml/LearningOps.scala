@@ -143,6 +143,69 @@ object LearningOps {
     }
   }
 
+  /** ref: nodes.learning.KernelRidgeRegression + GaussianKernelGenerator +
+    * KernelMatrix — re-expressed as Nyström kernel ridge, the formulation
+    * that survives 100 TB: the reference materializes n×n kernel blocks;
+    * Nyström picks m landmark rows (m ≪ n), so the only distributed
+    * object is the n×m feature map k(x, landmark_j) = exp(−γ‖x−l_j‖²),
+    * computed row-wise with the codegen'd graft_sqdist kernel against the
+    * broadcast landmarks. fit solves the m×m system
+    * (K_nmᵀK_nm + λ K_mm) α = K_nmᵀ y  — one treeAggregate of m²+m
+    * doubles — on the driver; transform is the same feature map + a
+    * graft_dot with the broadcast α. */
+  case class KernelRidgeEst(featuresCol: String, labelCol: String, out: String,
+      gamma: Double, numLandmarks: Int = 64, lambda: Double = 1e-6,
+      seed: Long = 42L) extends Estimator {
+
+    private def featureMap(landmarks: Array[Array[Double]]): DataFrame => DataFrame = {
+      val g = gamma
+      df => {
+        val v = transform(col(featuresCol), _.cast("double"))
+        val ks = landmarks.map { l =>
+          exp(call_function("graft_sqdist", v, array(l.map(lit): _*)) * (-g))
+        }
+        df.withColumn("__k", array(ks: _*))
+      }
+    }
+
+    def fit(train: DataFrame): Transformer = {
+      val m = numLandmarks
+      val landmarks = train.select(transform(col(featuresCol), _.cast("double")))
+        .sample(withReplacement = false, fraction = 1.0, seed = seed)
+        .limit(m).collect().map(_.getSeq[Double](0).toArray)
+      require(landmarks.length > 0, "empty training set")
+      val mm = landmarks.length
+      // K_mm on the driver (m² doubles)
+      val kmm = DenseMatrix.tabulate(mm, mm) { (i, j) =>
+        var s = 0.0
+        var t = 0
+        while (t < landmarks(i).length) {
+          val d = landmarks(i)(t) - landmarks(j)(t); s += d * d; t += 1
+        }
+        math.exp(-gamma * s)
+      }
+      val mapK = featureMap(landmarks)
+      val rows = mapK(train)
+        .select(col("__k"), col(labelCol).cast("double").as("__y"))
+        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      val (ktk, kty) = rows.treeAggregate(
+        (DenseMatrix.zeros[Double](mm, mm), DenseVector.zeros[Double](mm)))(
+        seqOp = { case ((a, b), (k, y)) =>
+          val kv = DenseVector(k)
+          (a + kv * kv.t, b + kv * y)
+        },
+        combOp = { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) })
+      val alpha = inv(ktk + kmm * lambda +
+        DenseMatrix.eye[Double](mm) * 1e-12) * kty
+      val aLit = array(alpha.toArray.map(lit): _*)
+      Transformer { df =>
+        mapK(df)
+          .withColumn(out, call_function("graft_dot", col("__k"), aLit))
+          .drop("__k")
+      }
+    }
+  }
+
   /** ref: nodes.learning.LinearDiscriminantAnalysis — project onto the
     * top-k generalized eigenvectors of (S_within⁻¹ S_between). fit is two
     * distributed passes of d²-bounded statistics (per-class mean/count,

@@ -96,6 +96,26 @@ class LearningOpsSpec extends GraftSuite {
     assert(rmseB < rmseE + 1e-3, "block solution should match the exact solver here")
   }
 
+  test("KernelRidgeEst fits a nonlinear target a linear solver cannot") {
+    // target = mixture of RBF bumps centered on three data points, at the
+    // model's own length scale — smooth enough for 256 landmarks, and
+    // structurally out of reach for any linear model
+    val centers = vecs.orderBy($"vec_id").limit(3).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def bump(c: Array[Double], w: Double) =
+      exp(call_function("graft_sqdist", $"v", array(c.map(lit): _*)) * (-0.5)) * w
+    val target = vecs.withColumn("y",
+      bump(centers(0), 1.0) + bump(centers(1), -2.0) + bump(centers(2), 1.5))
+    val kr = KernelRidgeEst("v", "y", "pred_k", gamma = 0.5,
+      numLandmarks = 256, lambda = 1e-8).fit(target)(target)
+    val lin = graft.ml.workflow.LeastSquaresEst("v", "y", "pred_l")
+      .fit(target)(target)
+    val rmseK = math.sqrt(kr.select(avg(pow($"pred_k" - $"y", 2))).head().getDouble(0))
+    val rmseL = math.sqrt(lin.select(avg(pow($"pred_l" - $"y", 2))).head().getDouble(0))
+    assert(rmseK < rmseL * 0.5,
+      s"kernel ridge ($rmseK) must clearly beat linear ($rmseL) on an RBF target")
+  }
+
   test("LDAEst improves class separability (Fisher ratio) in k-1 dims") {
     val labeled = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(transform($"embedding", x => x.cast("double")).as("v"),
