@@ -1,0 +1,111 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.array_to_vector
+
+import graft.ml.workflow.{Estimator, Transformer}
+
+/** Fisher-vector encoding (ref: FisherVector + GMMFisherVectorEstimator —
+  * the EncEval C++ node behind the reference's ImageNet/VOC pipelines,
+  * re-expressed as pure Spark aggregation; SURVEY §2.A images table).
+  *
+  * fit: a GMM on the descriptor table (diagonal sigmas taken from the
+  * fitted covariances). transform: for a table of local descriptors
+  * `(groupCol, descriptor array<double>)`, one 2·K·D Fisher vector per
+  * group — the normalized gradients of the log-likelihood w.r.t. the
+  * component means and standard deviations:
+  *
+  *   FVμ(k) = 1/(T√wₖ)  Σₜ γₜ(k) (xₜ−μₖ)/σₖ
+  *   FVσ(k) = 1/(T√2wₖ) Σₜ γₜ(k) ((xₜ−μₖ)²/σₖ² − 1)
+  *
+  * Shape: posteriors γₜ(k) are scalar column math per descriptor row
+  * against broadcast literal parameters (log-sum-exp stabilized); ONE
+  * posexplode expands dimensions; sums aggregate by (group, dim) then
+  * regroup to ordered arrays — both shuffles key on the group id, state
+  * bounded by 2·K·D doubles per group. GMM parameters are model-sized.
+  */
+object FisherVector {
+
+  case class FisherVectorEst(groupCol: String, descCol: String, out: String,
+      k: Int, seed: Long = 42L) extends Estimator {
+
+    def fit(train: DataFrame): Transformer = {
+      val model = new org.apache.spark.ml.clustering.GaussianMixture()
+        .setK(k).setSeed(seed)
+        .setFeaturesCol("__features").setPredictionCol("__pred")
+        .setProbabilityCol("__prob")
+        .fit(train.withColumn("__features",
+          array_to_vector(transform(col(descCol), _.cast("double")))))
+      val d = model.gaussians.head.mean.size
+      fromParams(groupCol, descCol, out,
+        model.weights,
+        model.gaussians.map(_.mean.toArray),
+        model.gaussians.map { g =>
+          Array.tabulate(d)(i => math.sqrt(math.max(g.cov(i, i), 1e-12)))
+        })
+    }
+  }
+
+  /** Build the encoding transformer from explicit GMM parameters (exposed
+    * so tests can drive hand-built mixtures deterministically). */
+  def fromParams(groupCol: String, descCol: String, out: String,
+      weights: Array[Double], means: Array[Array[Double]],
+      sigmas: Array[Array[Double]]): Transformer = Transformer { df =>
+    val k = weights.length
+    val d = means.head.length
+    val v = transform(col(descCol), _.cast("double"))
+    // per-descriptor log-density per component (diagonal gaussian),
+    // posteriors via log-sum-exp
+    val logPs: Seq[Column] = (0 until k).map { c =>
+      val mu = array(means(c).map(lit): _*)
+      val sg = array(sigmas(c).map(lit): _*)
+      val logNorm = -0.5 * d * math.log(2 * math.Pi) -
+        sigmas(c).map(math.log).sum
+      val quad = aggregate(
+        zip_with(zip_with(v, mu, (x, m) => x - m), sg, (xm, s) => (xm / s) * (xm / s)),
+        lit(0.0), (acc, x) => acc + x)
+      lit(math.log(weights(c)) + logNorm) - quad * 0.5
+    }
+    val maxLog = greatest(logPs: _*)
+    val sumExp = logPs.map(lp => exp(lp - maxLog)).reduce(_ + _)
+    val gammas = logPs.map(lp => exp(lp - maxLog) / sumExp)
+    val scored = df
+      .withColumn("__v", v)
+      .withColumn("__g", array(gammas: _*))
+    // ONE dimension explode; contributions are scalars per (row, dim)
+    val perDim = scored.select(
+      col(groupCol),
+      col("__g"),
+      posexplode(col("__v")).as(Seq("pos", "x")))
+    val contribs = (0 until k).flatMap { c =>
+      val mu = element_at(array(means(c).map(lit): _*), col("pos") + 1)
+      val sg = element_at(array(sigmas(c).map(lit): _*), col("pos") + 1)
+      val g = element_at(col("__g"), c + 1)
+      val z = (col("x") - mu) / sg
+      Seq((g * z).as(s"c_mu_$c"), (g * (z * z - 1.0)).as(s"c_sg_$c"))
+    }
+    val perDimC = perDim.select(col(groupCol) +: col("pos") +: contribs: _*)
+    val sums = (0 until k).flatMap { c =>
+      Seq(sum(col(s"c_mu_$c")).as(s"s_mu_$c"), sum(col(s"c_sg_$c")).as(s"s_sg_$c"))
+    } :+ (count(lit(1)).as("n_contrib"))
+    val byDim = perDimC.groupBy(col(groupCol), col("pos"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("t", col("n_contrib").cast("double")) // descriptors per group
+    // regroup ordered arrays per component, normalize, concatenate
+    val collects = (0 until k).flatMap { c =>
+      Seq(
+        transform(array_sort(collect_list(struct(col("pos"),
+          (col(s"s_mu_$c") / (col("t") * math.sqrt(weights(c)))).as("v")))),
+          s => s.getField("v")).as(s"fv_mu_$c"),
+        transform(array_sort(collect_list(struct(col("pos"),
+          (col(s"s_sg_$c") / (col("t") * math.sqrt(2.0 * weights(c)))).as("v")))),
+          s => s.getField("v")).as(s"fv_sg_$c"))
+    }
+    val grouped = byDim.groupBy(col(groupCol)).agg(collects.head, collects.tail: _*)
+    val parts = (0 until k).flatMap(c => Seq(col(s"fv_mu_$c"), col(s"fv_sg_$c")))
+    grouped
+      .withColumn(out, concat(parts: _*))
+      .select(col(groupCol), col(out))
+  }
+}

@@ -201,6 +201,26 @@ object workflow {
     def apply(df: DataFrame): DataFrame = df.persist(level)
   }
 
+  /** ref: evaluation.AugmentedExamplesEvaluator — vote aggregation over
+    * augmented variants (patches/flips) of the same source example:
+    * element-wise mean of the score vectors per origin, then argmax. One
+    * groupBy keyed on the origin id; per-group state = one score vector. */
+  case class AugmentedVoter(groupCol: String, scoresCol: String, out: String)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame = {
+      val byDim = df.select(col(groupCol),
+        posexplode(col(scoresCol)).as(Seq("__pos", "__s")))
+        .groupBy(col(groupCol), col("__pos"))
+        .agg(avg(col("__s")).as("__avg"))
+      byDim.groupBy(col(groupCol))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__avg")))),
+          s => s.getField("__avg")).as(s"${out}_scores"))
+        .withColumn(out,
+          (array_position(col(s"${out}_scores"), array_max(col(s"${out}_scores"))) - 1)
+            .cast("long"))
+    }
+  }
+
   /** ref: nodes.stats.StandardScaler(+Model): fit = per-dimension
     * mean/stddev over the array column (posexplode + groupBy — one pass,
     * dimension-keyed shuffle); transform = per-element normalize with the

@@ -131,6 +131,17 @@ class PipelineSpec extends GraftSuite {
     assert(out.select(size(col("pc"))).distinct().head().getInt(0) == 8)
   }
 
+  test("AugmentedVoter averages patch scores per origin and argmaxes") {
+    import spark.implicits._
+    val patches = Seq(
+      (1L, Array(0.1, 0.8, 0.1)), (1L, Array(0.2, 0.6, 0.2)),
+      (1L, Array(0.5, 0.3, 0.2)), // votes average to class 1
+      (2L, Array(0.9, 0.05, 0.05))).toDF("img", "scores")
+    val voted = AugmentedVoter("img", "scores", "cls")(patches).collect()
+      .map(r => r.getAs[Long]("img") -> r.getAs[Long]("cls")).toMap
+    assert(voted == Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("AutoCache persists multi-use frames within budget, skips single-use") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey")
     val (cached, did) = AutoCache.cacheIfWorthIt(df, uses = 2)
