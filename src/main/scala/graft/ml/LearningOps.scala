@@ -280,15 +280,21 @@ object LearningOps {
     * driver, and memory is bounded by blockSize², not d². */
   case class BlockLeastSquaresEst(featuresCol: String, labelCol: String,
       out: String, blockSize: Int = 32, numIter: Int = 3,
-      lambda: Double = 1e-6) extends Estimator {
+      lambda: Double = 1e-6, weightCol: Option[String] = None)
+      extends Estimator {
 
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
       val blocks = (0 until d).grouped(blockSize).toArray
+      // weightCol => the reference's BlockWeightedLeastSquaresEstimator:
+      // per-row (usually per-class) weights scale each row's contribution
+      // to the gram and residual statistics.
+      val wc = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
       val data = train.select(
         transform(col(featuresCol), _.cast("double")).as("x"),
-        col(labelCol).cast("double").as("y"))
-        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        col(labelCol).cast("double").as("y"),
+        wc.as("w"))
+        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val weights = new Array[Double](d)
@@ -299,7 +305,7 @@ object LearningOps {
           val bc = data.context.broadcast((weights.clone(), bIdx))
           val (gram, xtr) = data.treeAggregate(
             (DenseMatrix.zeros[Double](bLen, bLen), DenseVector.zeros[Double](bLen)))(
-            seqOp = { case ((g, v), (x, y)) =>
+            seqOp = { case ((g, v), (x, y, rowW)) =>
               val (wCur, idx) = bc.value
               var r = y
               var i = 0
@@ -309,7 +315,7 @@ object LearningOps {
               while (bi < idx.length) { r += x(idx(bi)) * wCur(idx(bi)); bi += 1 }
               var p = 0
               while (p < idx.length) {
-                val xp = x(idx(p))
+                val xp = x(idx(p)) * rowW
                 v(p) += xp * r
                 var q = 0
                 while (q < idx.length) { g(p, q) += xp * x(idx(q)); q += 1 }

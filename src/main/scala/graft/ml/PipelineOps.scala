@@ -201,6 +201,14 @@ object workflow {
     def apply(df: DataFrame): DataFrame = df.persist(level)
   }
 
+  /** ref: workflow Checkpointer — truncate lineage so downstream passes
+    * (iterative solvers re-reading features) replan from materialized
+    * blocks instead of the full upstream DAG. `eager=false` defers the
+    * materialization to the first action. */
+  case class Checkpointer(eager: Boolean = true) extends Transformer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager)
+  }
+
   /** ref: evaluation.AugmentedExamplesEvaluator — vote aggregation over
     * augmented variants (patches/flips) of the same source example:
     * element-wise mean of the score vectors per origin, then argmax. One

@@ -135,6 +135,33 @@ class LearningOpsSpec extends GraftSuite {
     assert(within > 0)
   }
 
+  test("weighted block solver biases the fit toward upweighted rows") {
+    // two conflicting populations: y = +dot for even ids, y = -dot for odd
+    val signed = vecs.withColumn("s",
+        when($"vec_id" % 2 === 0, 1.0).otherwise(-1.0))
+      .withColumn("y", $"s" * call_function("graft_dot", $"v",
+        array((1 to 64).map(_ => lit(1.0)): _*)))
+      .withColumn("wgt", when($"vec_id" % 2 === 0, 100.0).otherwise(1.0))
+    val fitted = BlockLeastSquaresEst("v", "y", "pred", blockSize = 32,
+      numIter = 4, weightCol = Some("wgt")).fit(signed)(signed)
+    val evenRmse = math.sqrt(fitted.where($"vec_id" % 2 === 0)
+      .select(avg(pow($"pred" - $"y", 2))).head().getDouble(0))
+    val oddRmse = math.sqrt(fitted.where($"vec_id" % 2 === 1)
+      .select(avg(pow($"pred" - $"y", 2))).head().getDouble(0))
+    assert(evenRmse < oddRmse * 0.5,
+      s"upweighted population must fit better: even=$evenRmse odd=$oddRmse")
+  }
+
+  test("Checkpointer truncates lineage to a materialized RDD scan") {
+    import graft.ml.workflow.Checkpointer
+    val df = vecs.where($"vec_id" < 100)
+    val cp = Checkpointer()(df)
+    assert(cp.count() == 100)
+    val plan = cp.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"checkpoint must replace the upstream DAG:\n$plan")
+  }
+
   test("windower tiles strided patches with correct origins and content") {
     val imgs = ImageOps.syntheticImages(spark, n = 2, x = 6, y = 4, c = 1)
     val w = ImageOps.windower(imgs, w = 2, h = 2, stride = 2)
