@@ -23,6 +23,7 @@ object SparkEntry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
+      (Analytics.queries, Analytics.oracle),
       (Scalar.queries, Scalar.oracle),
       (Sessions.queries, Sessions.oracle),
       (Text.queries, Text.oracle),
