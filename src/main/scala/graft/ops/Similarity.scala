@@ -81,6 +81,10 @@ object Similarity {
     * the text per element access — O(n²) per doc). */
   def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // NOTE: measured A/B at sf0.1 — an explicit repartition before the
+    // explode (to spread the CPU-heavy expansion beyond the single file
+    // split) costs more than it buys at this scale (+0.6s); at real scale
+    // the source arrives in thousands of splits and the question vanishes.
     val toksDf = Tables.documents(spark, sfDir)
       .select($"doc_id", filter(split($"text", " "), x => x =!= "").as("t"))
     val shingles = when(size($"t") >= 3,
