@@ -1,0 +1,85 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.array_to_vector
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for similarity search (brief: "an IVF or LSH-bucketed
+  * variant as the scale path"; the SRP-LSH variant lives in [[Dedup]]).
+  *
+  * Index = a k-means coarse quantizer: every vector is assigned to its
+  * nearest of `nlist` centroids (one codegen'd graft_sqdist per centroid —
+  * centroids are model-sized literals). A query probes its `nprobe`
+  * nearest centroids and scans ONLY those inverted lists: the candidate
+  * equi-join keys on the centroid id, so a 100 TB corpus shards by
+  * centroid and a query touches nprobe/nlist of it. nprobe = nlist
+  * degrades gracefully to exact brute force.
+  */
+object Ann {
+
+  /** Fitted coarse quantizer: centroid matrix (nlist × dim). */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+  }
+
+  /** Fit the coarse quantizer with MLlib k-means (seeded). */
+  def fitIvf(data: DataFrame, vecCol: String, nlist: Int,
+      seed: Long = 42L): IvfIndex = {
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__c")
+      .fit(data.withColumn("__features",
+        array_to_vector(transform(col(vecCol), _.cast("double")))))
+    IvfIndex(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-centroid assignment expression (argmin of graft_sqdist). */
+  private def assignExpr(v: Column, index: IvfIndex): Column = {
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("graft_sqdist", v, array(c.map(lit): _*)).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(dists: _*)).getField("c")
+  }
+
+  /** Rank all centroids by distance for a probe vector (for nprobe > 1). */
+  private def probeClustersExpr(v: Column, index: IvfIndex, nprobe: Int): Column = {
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("graft_sqdist", v, array(c.map(lit): _*)).as("d"),
+        lit(i).as("c"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nprobe),
+      s => s.getField("c"))
+  }
+
+  /** Top-k cosine neighbors for each probe row, scanning only the nprobe
+    * nearest inverted lists per probe. `probes` must be a BOUNDED frame
+    * (it broadcasts). Returns (probe id, rank, candidate id, cos). */
+  def ivfCosineTopK(index: IvfIndex, data: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val dv = transform(col(vecCol), _.cast("double"))
+    val nrm = call_function("graft_norm", col("__v"))
+    val indexed = data
+      .withColumn("__v", dv)
+      .withColumn("cluster", assignExpr(col("__v"), index))
+      .select(col(idCol).as("cand_id"), col("__v").as("cv"),
+        nrm.as("cn"), col("cluster"))
+    val probed = probes
+      .withColumn("__v", dv)
+      .select(col(idCol).as("probe_id"), col("__v").as("pv"),
+        nrm.as("pn"),
+        explode(probeClustersExpr(col("__v"), index, nprobe)).as("cluster"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    indexed.join(broadcast(probed), "cluster")
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        call_function("graft_dot", col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Ann
+
+/** IVF coarse-quantizer ANN: exactness at full probe width, useful recall
+  * at partial width, candidate pruning actually happens. */
+class AnnSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private lazy val e = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val probes = e.where($"vec_id" < 10)
+  private lazy val index = Ann.fitIvf(e, "embedding", nlist = 16)
+
+  private def bruteTopK(k: Int): Map[(Long, Long), Int] = {
+    val v = transform($"embedding", x => x.cast("double"))
+    val n = e.select($"vec_id", v.as("v"))
+      .withColumn("nrm", call_function("graft_norm", $"v"))
+    val p = n.where($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("pn"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
+    n.join(broadcast(p), $"vec_id" =!= $"p_id")
+      .withColumn("cos", call_function("graft_dot", $"pv", $"v") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Int]("rank")).toMap
+  }
+
+  test("nprobe = nlist reproduces exact brute-force top-k") {
+    val ivf = Ann.ivfCosineTopK(index, e, probes, "vec_id", "embedding",
+      k = 5, nprobe = 16)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+      .toSet
+    val exact = bruteTopK(5).keySet
+    assert(ivf == exact, "full probe width must be exhaustive")
+  }
+
+  test("partial probe width keeps useful recall while pruning candidates") {
+    val ivf = Ann.ivfCosineTopK(index, e, probes, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val found = ivf.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = bruteTopK(5).keySet
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 with nprobe=4/16 too low: $recall")
+    // every probe still gets k results (from its probed lists)
+    val perProbe = ivf.groupBy("probe_id").count().collect()
+    assert(perProbe.forall(_.getLong(1) == 5))
+  }
+
+  test("assignment shards the corpus across inverted lists") {
+    val v = transform($"embedding", x => x.cast("double"))
+    // reuse the index to count cluster sizes via the public scan path
+    val sizes = Ann.ivfCosineTopK(index, e, e.limit(0), "vec_id", "embedding",
+      k = 1, nprobe = 1) // degenerate call only to type-check; real check below
+    val assigned = {
+      import graft.ml.Ann
+      // count candidates per cluster by probing with one vector at full width
+      val one = e.where($"vec_id" === 0)
+      Ann.ivfCosineTopK(index, e, one, "vec_id", "embedding",
+        k = 100000, nprobe = 16)
+        .count()
+    }
+    assert(assigned == 499, "full-width single probe sees the whole corpus minus itself")
+    assert(sizes.count() == 0)
+  }
+}
