@@ -130,17 +130,127 @@ object Analytics {
       |    FILTER (WHERE o_totalprice > 200000) AS DOUBLE), 4) AS big_revenue
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------- classic OLAP shapes
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-filtered orders ⋈ lineitem, revenue per order, global top-10 —
+    * the canonical join→agg→top-k pipeline. Date filters push to both
+    * scans; top-k compiles to TakeOrderedAndProject. */
+  def qShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1997-06-30").cast("timestamp")
+    Tables.customer(spark, sfDir).where($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, sfDir).where($"o_orderdate" < cutoff),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).where($"l_shipdate" > cutoff),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum(dec($"l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)")))
+        .cast("double"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_orderpriority")
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-30'
+      |  AND l_shipdate > TIMESTAMP '1997-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-way star join — region
+    * ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with the
+    * customer and supplier pinned to the same nation. Small dims
+    * broadcast; the fact-side joins shuffle on their keys. */
+  def qLocalSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, sfDir).where($"r_name" === "ASIA")
+      .join(Tables.nation(spark, sfDir), $"r_regionkey" === $"n_regionkey")
+      .join(Tables.customer(spark, sfDir), $"n_nationkey" === $"c_nationkey")
+      .join(Tables.orders(spark, sfDir)
+        .where(year($"o_orderdate") === 1996), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.supplier(spark, sfDir),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum(dec($"l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)")))
+        .cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+      |  count(*) AS n_lines
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue): disjunction of conjunctive
+    * brand/size/quantity ranges — the OR-of-ANDs predicate that tests
+    * whether complex filters still reach the scan and the join stays an
+    * equi-join with the residual as a post-filter. */
+  def qDiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val j = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+    j.where(
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 15)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 30) && $"l_quantity".between(10, 25)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 50) && $"l_quantity".between(20, 35)))
+      .agg(round(sum(dec($"l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)")))
+        .cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val discountedRevenueSql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_revenue" -> (qPivotRevenue _),
     "q_quantiles" -> (qQuantiles _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_string_agg" -> (qStringAgg _),
-    "q_conditional_agg" -> (qConditionalAgg _))
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_local_supplier_volume" -> (qLocalSupplierVolume _),
+    "q_discounted_revenue" -> (qDiscountedRevenue _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot_revenue" -> pivotRevenueSql,
     "q_quantiles" -> quantilesSql,
     "q_exists_subquery" -> existsSubquerySql,
     "q_string_agg" -> stringAggSql,
-    "q_conditional_agg" -> conditionalAggSql)
+    "q_conditional_agg" -> conditionalAggSql,
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_supplier_volume" -> localSupplierVolumeSql,
+    "q_discounted_revenue" -> discountedRevenueSql)
 }

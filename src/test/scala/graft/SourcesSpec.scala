@@ -54,6 +54,57 @@ class SourcesSpec extends GraftSuite {
     assert(df.where(col("label") === "rec_autos").count() == 2)
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    import graft.sources.Skew
+    // 10k rows, 95% on one hot key
+    val big = spark.range(10000)
+      .select((when(col("id") % 20 =!= 0, 1L).otherwise(col("id") % 7 + 2))
+        .as("k"), col("id").as("payload"))
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "tag")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    val diff = salted.select("k", "payload", "tag")
+      .exceptAll(plain.select("k", "payload", "tag")).count()
+    assert(diff == 0, "salting must not change join semantics")
+    // the shuffle must key on (k, __salt), not k alone
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt must appear in the join keys:\n$plan")
+  }
+
+  test("saltedSumCount matches the direct aggregation") {
+    import graft.sources.Skew
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val direct = events.groupBy(col("event_type"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedSumCount(events, "event_type", "value", salt = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("sum_value"), r.getAs[Long]("n_rows"))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, c)) =>
+      assert(c == direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("partitioned sink enables partition pruning at the scan") {
+    import graft.sources.Sinks
+    val out = tmpDir("partitioned")
+    Sinks.writePartitioned(spark.read.parquet(s"$sf/events.parquet"),
+      out, Seq("event_type"))
+    val pruned = spark.read.parquet(out).where(col("event_type") === "click")
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("event_type"),
+      s"partition filter must reach the scan:\n$scanLine")
+  }
+
   test("bucketed join on the bucket key runs with ZERO shuffles") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
