@@ -289,6 +289,51 @@ object ImageOps {
     }
   }
 
+  /** ref: LCSExtractor — Local Color Statistics descriptor: per grid cell
+    * and channel, the (mean, stddev) of the pixel values — 2·C·cells
+    * doubles per image. Pure per-row arithmetic in mapPartitions. */
+  def lcs(ds: Dataset[Img], cell: Int = 4): Dataset[Img] = {
+    import ds.sparkSession.implicits._
+    ds.map { img =>
+      val w = img.x_dim
+      val nc = img.n_channels
+      val cx = img.x_dim / cell
+      val cy = img.y_dim / cell
+      val out = new Array[Double](cx * cy * nc * 2)
+      var gy = 0
+      while (gy < cy) {
+        var gx = 0
+        while (gx < cx) {
+          var c = 0
+          while (c < nc) {
+            var s = 0.0
+            var s2 = 0.0
+            var dy = 0
+            while (dy < cell) {
+              var dx = 0
+              while (dx < cell) {
+                val v = img.image(((gy * cell + dy) * w + gx * cell + dx) * nc + c)
+                s += v; s2 += v * v
+                dx += 1
+              }
+              dy += 1
+            }
+            val n = (cell * cell).toDouble
+            val mu = s / n
+            val varr = math.max(s2 / n - mu * mu, 0.0)
+            val base = ((gy * cx + gx) * nc + c) * 2
+            out(base) = mu
+            out(base + 1) = math.sqrt(varr)
+            c += 1
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      Img(img.id, cx, cy, nc * 2, out)
+    }
+  }
+
   /** Naive reference convolution (driver-side, tests only). */
   private[graft] def convolveNaive(img: Img, filter: Array[Double], fx: Int,
       fy: Int): Array[Double] = {

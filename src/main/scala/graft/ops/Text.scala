@@ -284,7 +284,13 @@ object Text {
     * the argmax per doc wins, ties broken on lang. Every model table is
     * vocabulary- or class-sized; the only data-sized shuffles key on
     * token / (doc_id, lang) — even at 100 TB. The per-doc argmax window is
-    * partitioned by doc_id. */
+    * partitioned by doc_id.
+    *
+    * Determinism: each log term is quantized to integer MICRO-units
+    * (round(ln·1e6) as BIGINT) before summation, so the per-doc score is
+    * exact integer arithmetic — order-independent and bit-identical across
+    * engines. Summing raw doubles instead drifts past any output rounding
+    * once documents are long enough (observed at sf0.1). */
   def qNaiveBayesScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -294,28 +300,32 @@ object Text {
     val tokClass = tokens.groupBy($"token", $"lang").agg(count(lit(1)).as("tc"))
     val classTotals = tokens.groupBy($"lang").agg(count(lit(1)).as("tt")) // #classes rows
     val vocabSize = tokens.select($"token").distinct().agg(count(lit(1)).as("v"))
-    // Laplace-smoothed log-likelihood for every (token, class) pair: the
-    // grid is vocab × #classes — explicit left join supplies the tc=0 rows.
+    // Laplace-smoothed log-likelihood for every (token, class) pair in
+    // integer micro-units: the grid is vocab × #classes — the explicit
+    // left join supplies the tc=0 rows.
     val grid = tokens.select($"token").distinct()
       .crossJoin(broadcast(priors.select($"lang")))
       .join(tokClass, Seq("token", "lang"), "left")
       .join(broadcast(classTotals), "lang")
       .crossJoin(broadcast(vocabSize))
       .select($"token", $"lang".as("cand"),
-        log((coalesce($"tc", lit(0L)) + 1).cast("double") / ($"tt" + $"v"))
-          .as("loglik"))
-    val w = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"cand")
+        round(log((coalesce($"tc", lit(0L)) + 1).cast("double") / ($"tt" + $"v"))
+          * 1e6).cast("long").as("ll_micro"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_micro".desc, $"cand")
     tokens.select($"doc_id", $"token")
       .join(grid, "token")
       .groupBy($"doc_id", $"cand")
-      .agg(sum($"loglik").as("ll"))
+      .agg(sum($"ll_micro").as("ll"))
       .join(broadcast(priors), $"cand" === priors("lang"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("score6",
-        round($"ll" + log($"nc".cast("double") / $"n_docs"), 6))
+      .withColumn("score_micro",
+        $"ll" + round(log($"nc".cast("double") / $"n_docs") * 1e6).cast("long"))
       .withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
-      .select($"doc_id", $"cand".as("pred_lang"), round($"score6", 4).as("score"))
+      // emit the exact integer micro-score: converting back to a rounded
+      // double re-introduces decimal-vs-binary rounding skew (Spark rounds
+      // the shortest decimal repr, DuckDB the raw binary double)
+      .select($"doc_id", $"cand".as("pred_lang"), $"score_micro")
       .orderBy($"doc_id")
   }
 
@@ -329,7 +339,8 @@ object Text {
        |v AS (SELECT count(DISTINCT token) AS v FROM tok),
        |grid AS (
        |  SELECT d.token, c.lang AS cand,
-       |    ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) / (tt.tt + v.v)) AS loglik
+       |    CAST(round(ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) / (tt.tt + v.v))
+       |      * 1e6) AS BIGINT) AS ll_micro
        |  FROM (SELECT DISTINCT token FROM tok) d
        |  CROSS JOIN (SELECT lang FROM priors) c
        |  LEFT JOIN tc ON tc.token = d.token AND tc.lang = c.lang
@@ -337,17 +348,19 @@ object Text {
        |  CROSS JOIN v),
        |scored AS (
        |  SELECT t.doc_id, g.cand,
-       |    round(sum(g.loglik) + ln(CAST(p.nc AS DOUBLE) / n.n_docs), 6) AS score6
+       |    sum(g.ll_micro) +
+       |      CAST(round(ln(CAST(p.nc AS DOUBLE) / n.n_docs) * 1e6) AS BIGINT) AS score_micro
        |  FROM (SELECT doc_id, token FROM tok) t
        |  JOIN grid g ON g.token = t.token
        |  JOIN priors p ON p.lang = g.cand
        |  CROSS JOIN n
        |  GROUP BY t.doc_id, g.cand, p.nc, n.n_docs),
        |ranked AS (
-       |  SELECT doc_id, cand, score6,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, cand) AS rn
+       |  SELECT doc_id, cand, score_micro,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cand) AS rn
        |  FROM scored)
-       |SELECT doc_id, cand AS pred_lang, round(score6, 4) AS score
+       |SELECT doc_id, cand AS pred_lang,
+       |  CAST(score_micro AS BIGINT) AS score_micro
        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- north-star analysis

@@ -174,6 +174,32 @@ class ImagesSpec extends GraftSuite {
     assert(zeros.forall(_.image.forall(_ == 0.0)))
   }
 
+  test("lcs descriptor: per-cell channel mean/std match direct computation") {
+    val ds = imgs.select(col("id"), col("x_dim"), col("y_dim"),
+      col("n_channels"), col("image")).as[Img]
+    // use 2x2 cells on the 6x4 image => 3x2 grid, 3 channels, 2 stats
+    val out = ImageOps.lcs(ds, cell = 2).collect().map(im => im.id -> im).toMap
+    assert(out(1L).image.length == 3 * 2 * 3 * 2)
+    // cell (0,0) channel 0: pixels at (0,0),(1,0),(0,1),(1,1) ch0 =
+    // flat idx 0, 3, 18, 21
+    val vals = Seq(0, 3, 18, 21).map(i => pix(1L, i))
+    val mu = vals.sum / 4.0
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / 4.0)
+    assert(math.abs(out(1L).image(0) - mu) < 1e-12)
+    assert(math.abs(out(1L).image(1) - sd) < 1e-12)
+    // constant image => std exactly 0 everywhere
+    val const = imgs.withColumn("image",
+      transform(col("image"), _ => lit(0.25)))
+      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
+        col("image")).as[Img]
+    val cOut = ImageOps.lcs(const, cell = 2).collect()
+    cOut.foreach { im =>
+      im.image.grouped(2).foreach { case Array(m, s) =>
+        assert(m == 0.25 && s == 0.0)
+      }
+    }
+  }
+
   test("multimodal decodeStub -> featurize plumbing produces stable features") {
     val assets = MultimodalOps.syntheticAssets(spark, n = 3, x = 4, y = 4,
       c = 3, frames = 1)
