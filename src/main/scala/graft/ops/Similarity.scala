@@ -102,10 +102,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = lists.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = lists.select(explode(flatten(transform($"ds", (a, i) =>
-        transform(slice($"ds", i + 2, greatest(size($"ds") - i - 1, lit(0))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
+    // pair generation: posexplode the (persisted) posting lists and
+    // self-join on the shingle with a position inequality — fully
+    // codegen'd, reading the cache on both sides; the interpreted
+    // nested-transform alternative evaluates lambdas per emitted pair
+    val postings = lists.select($"sh", posexplode($"ds").as(Seq("i", "d")))
+    val pairs = postings.as("a").join(postings.as("b"), Seq("sh"))
+      .where($"a.i" < $"b.i")
+      .select($"a.d".as("doc_a"), $"b.d".as("doc_b"))
     pairs.groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
       .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
