@@ -253,6 +253,89 @@ object Text {
        |CROSS JOIN total
        |ORDER BY w1, w2""".stripMargin
 
+  /** Trigram Stupid-Backoff scores (ref: StupidBackoffEstimator's general
+    * n-gram recursion, here unrolled two levels):
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)                   if trigram seen
+    *              = 0.4 · c(w2w3)/c(w2)                 else if bigram seen
+    *              = 0.4 · 0.4 · c(w3)/total             otherwise.
+    * Scores every (w1,w2,w3) from the top-5 unigrams (125 rows). Pure
+    * count arithmetic — n-gram count tables joined on their prefixes; all
+    * shuffles key on token tuples. */
+  def qStupidBackoffTrigram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = Tables.documents(spark, sfDir).select(toks($"text").as("t"))
+    val uni = docsT.select(explode($"t").as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("uc"))
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = docsT.select(explode(bigrams).as("b")).select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
+    val trigrams = when(size($"t") >= 3,
+      transform(sequence(lit(1), size($"t") - 2),
+        i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"),
+          element_at($"t", i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    val tri = docsT.select(explode(trigrams).as("g"))
+      .select($"g.w1", $"g.w2", $"g.w3")
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("tc"))
+    val top = uni.orderBy($"uc".desc, $"token").limit(5).select($"token", $"uc")
+    val total = uni.agg(sum($"uc").as("total_tokens"))
+    val grid = top.select($"token".as("w1"))
+      .crossJoin(top.select($"token".as("w2"), $"uc".as("uc2")))
+      .crossJoin(top.select($"token".as("w3"), $"uc".as("uc3")))
+    grid
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select($"w1", $"w2", $"bc".as("bc12")), Seq("w1", "w2"), "left")
+      .join(bi.select($"w1".as("w2"), $"w2".as("w3"), $"bc".as("bc23")),
+        Seq("w2", "w3"), "left")
+      .crossJoin(broadcast(total))
+      .select($"w1", $"w2", $"w3",
+        round(
+          when($"tc".isNotNull && $"bc12".isNotNull,
+            $"tc".cast("double") / $"bc12")
+            .otherwise(when($"bc23".isNotNull,
+              lit(0.4) * $"bc23".cast("double") / $"uc2")
+              .otherwise(lit(0.16) * $"uc3".cast("double") / $"total_tokens")),
+          6).as("score"),
+        ($"tc".isNotNull).as("seen_trigram"),
+        ($"bc23".isNotNull).as("seen_bigram"))
+      .orderBy($"w1", $"w2", $"w3")
+  }
+
+  val stupidBackoffTrigramSql: String =
+    s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+       |uni AS (SELECT token, count(*) AS uc
+       |        FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |bi AS (SELECT w1, w2, count(*) AS bc FROM (
+       |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |         FROM t, UNNEST(range(1, len(toks))) AS u(i))
+       |       GROUP BY w1, w2),
+       |tri AS (SELECT w1, w2, w3, count(*) AS tc FROM (
+       |          SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |          FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i))
+       |        GROUP BY w1, w2, w3),
+       |top AS (SELECT token, uc FROM (
+       |          SELECT token, uc, row_number() OVER (ORDER BY uc DESC, token) AS r
+       |          FROM uni) WHERE r <= 5),
+       |total AS (SELECT CAST(sum(uc) AS BIGINT) AS total_tokens FROM uni)
+       |SELECT a.token AS w1, b.token AS w2, c.token AS w3,
+       |  round(CASE
+       |    WHEN tri.tc IS NOT NULL AND b12.bc IS NOT NULL
+       |      THEN CAST(tri.tc AS DOUBLE) / b12.bc
+       |    WHEN b23.bc IS NOT NULL
+       |      THEN 0.4 * CAST(b23.bc AS DOUBLE) / b.uc
+       |    ELSE 0.16 * CAST(c.uc AS DOUBLE) / total_tokens END, 6) AS score,
+       |  tri.tc IS NOT NULL AS seen_trigram,
+       |  b23.bc IS NOT NULL AS seen_bigram
+       |FROM top a CROSS JOIN top b CROSS JOIN top c
+       |LEFT JOIN tri ON tri.w1 = a.token AND tri.w2 = b.token AND tri.w3 = c.token
+       |LEFT JOIN bi b12 ON b12.w1 = a.token AND b12.w2 = b.token
+       |LEFT JOIN bi b23 ON b23.w1 = b.token AND b23.w2 = c.token
+       |CROSS JOIN total
+       |ORDER BY w1, w2, w3""".stripMargin
+
   /** Trim + LowerCase + whitespace-collapse composite (ref: Trim andThen
     * LowerCase — the head of the AmazonReviews/Newsgroups pipelines). Pure
     * per-row string expressions inside whole-stage codegen. */
@@ -494,6 +577,7 @@ object Text {
     "q_word_id_encode" -> (qWordIdEncode _),
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stupid_backoff_bigram" -> (qStupidBackoffBigram _),
+    "q_stupid_backoff_trigram" -> (qStupidBackoffTrigram _),
     "q_text_clean" -> (qTextClean _),
     "q_naive_bayes_score" -> (qNaiveBayesScore _),
     "q_lang_id" -> (qLangId _),
@@ -509,6 +593,7 @@ object Text {
     "q_word_id_encode" -> wordIdEncodeSql,
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_stupid_backoff_bigram" -> stupidBackoffBigramSql,
+    "q_stupid_backoff_trigram" -> stupidBackoffTrigramSql,
     "q_text_clean" -> textCleanSql,
     "q_naive_bayes_score" -> naiveBayesScoreSql,
     "q_lang_id" -> langIdSql,

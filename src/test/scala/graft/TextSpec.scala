@@ -85,6 +85,49 @@ class TextSpec extends GraftSuite {
     assert(mismatch == 0, "cleaning already-clean text must be a no-op on token counts")
   }
 
+  test("q_stupid_backoff_trigram backoff branches are consistent") {
+    val r = rows(Text.qStupidBackoffTrigram(spark, sf))
+    assert(r.size == 125)
+    assert(r.forall(_.getAs[Double]("score") > 0.0))
+    // a seen trigram implies its (w2,w3) continuation bigram was seen
+    val broken = r.filter(x =>
+      x.getAs[Boolean]("seen_trigram") && !x.getAs[Boolean]("seen_bigram"))
+    assert(broken.isEmpty, "trigram observed but its suffix bigram not")
+    assert(r.exists(_.getAs[Boolean]("seen_trigram")),
+      "top-5 tokens must produce at least one observed trigram")
+  }
+
+  test("NGramIndexer packs/unpacks trigram ids losslessly with sort order") {
+    import graft.functions.NGramIndexer._
+    import spark.implicits._
+    val ids = Seq((0L, 0L, 0L), (1L, 2L, 3L), (MaxId, MaxId, MaxId),
+      (5L, 0L, MaxId)).toDF("a", "b", "c")
+    val packed = ids.select(col("a"), col("b"), col("c"),
+      pack(col("a"), col("b"), col("c")).as("p"))
+    val bad = packed.where(
+      unpack(col("p"), 0) =!= col("a") ||
+        unpack(col("p"), 1) =!= col("b") ||
+        unpack(col("p"), 2) =!= col("c")).count()
+    assert(bad == 0, "pack/unpack must round-trip")
+    // bigram pack leaves slot 2 absent
+    val bi = ids.select(unpack(pack(col("a"), col("b")), 2).as("absent"))
+    assert(bi.where(col("absent") =!= -1L).count() == 0)
+    // prefix of a packed trigram equals the packed (w1, w2) bigram
+    val pre = ids.select(
+      (prefix(pack(col("a"), col("b"), col("c"))) ===
+        pack(col("a"), col("b"))).as("ok"))
+    assert(pre.where(!col("ok")).count() == 0)
+    // suffix of a packed trigram equals the packed (w2, w3) bigram
+    val suf = ids.select(
+      (suffix(pack(col("a"), col("b"), col("c"))) ===
+        pack(col("b"), col("c"))).as("ok"))
+    assert(suf.where(!col("ok")).count() == 0)
+    // packed ordering == lexicographic (w1, w2, w3) ordering
+    val seq = packed.orderBy(col("p")).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(seq == seq.sorted)
+  }
+
   test("q_stupid_backoff_bigram scores are positive and observed pairs dominate") {
     val r = rows(Text.qStupidBackoffBigram(spark, sf))
     assert(r.size == 100)
