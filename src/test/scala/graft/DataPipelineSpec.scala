@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Dedup, workflow}
+import graft.ml.workflow._
+
+/** Capstone: the end-to-end LLM training-data pipeline the engine exists
+  * for — dedup → near-dup removal → quality filter → language filter →
+  * tokenize → dense-id encode — composed from library pieces over the
+  * documents table, with row accounting asserted at every stage. */
+class DataPipelineSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  test("corpus curation pipeline composes and conserves rows at each stage") {
+    // corpus with injected exact duplicates and one near-duplicate
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val dup = base.where($"doc_id" < 20)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val near = base.where($"doc_id" === 0)
+      .withColumn("doc_id", lit(200000L))
+      .withColumn("text", concat($"text", lit(" extra trailing token")))
+    val corpus = base.unionByName(dup).unionByName(near)
+    val n0 = corpus.count()
+    assert(n0 == 521)
+
+    // stage 1: exact dedup — 20 injected copies collapse
+    val survivors = Dedup.exact(corpus, "doc_id", Seq("text"))
+    assert(survivors.count() == 501, "500 distinct texts + 1 near-dup variant")
+    assert(survivors.where($"n_copies" === 2).count() == 20)
+    val afterExact = corpus.join(
+      survivors.select($"keep_id".as("doc_id")), "doc_id")
+    assert(afterExact.count() == 501)
+
+    // stage 2: near-dup removal via MinHash (keep the smaller doc_id)
+    val nearPairs = Dedup.minhashNearDup(afterExact, "doc_id", "text",
+      threshold = 0.7)
+    val nearIds = nearPairs.select($"id_b".as("doc_id")).distinct()
+    val afterNear = afterExact.join(nearIds, Seq("doc_id"), "left_anti")
+    assert(nearPairs.where($"id_a" === 0 && $"id_b" === 200000L).count() == 1,
+      "the planted near-duplicate must be caught")
+    assert(afterNear.count() < 501)
+    assert(afterNear.where($"doc_id" === 200000L).count() == 0)
+
+    // stage 3: quality + language filter (expression-only, same metrics as
+    // q_text_quality)
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val scored = afterNear
+      .withColumn("n_tokens", size(toks))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks))
+    val curated = scored.where($"n_tokens" >= 40 && $"uniq_ratio" > 0.2)
+    assert(curated.count() > 100, "filter must keep a usable corpus")
+    assert(curated.count() < afterNear.count(), "filter must drop something")
+
+    // stage 4: tokenize + frequency-ordered dense ids (workflow nodes +
+    // the scalable zipWithIndex ranking)
+    val featurize = Tokenize("text", "tokens")
+      .andThen(CommonSparseFeatures("tokens", "features", 50), curated)
+    val encoded = featurize(curated)
+    assert(encoded.count() == curated.count(), "featurization is row-preserving")
+    val vocabSize = curated.select(explode(toks).as("t"))
+      .select("t").distinct().count().toInt
+    assert(encoded.select(size($"features")).distinct().head().getInt(0) ==
+      math.min(50, vocabSize),
+      "feature dim = min(K, |vocab|) — this corpus has a tiny vocabulary")
+    // every document has at least one in-vocabulary token
+    val empty = encoded.where(
+      aggregate($"features", lit(0.0), (a, x) => a + x) === 0.0).count()
+    assert(empty == 0, "top-50 vocab must cover every curated doc")
+  }
+}
