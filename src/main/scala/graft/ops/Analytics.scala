@@ -179,8 +179,14 @@ object Analytics {
     Tables.region(spark, sfDir).where($"r_name" === "ASIA")
       .join(Tables.nation(spark, sfDir), $"r_regionkey" === $"n_regionkey")
       .join(Tables.customer(spark, sfDir), $"n_nationkey" === $"c_nationkey")
+      // Half-open range instead of year(o_orderdate)===1996: a raw-column
+      // comparison reaches the parquet scan (PushedFilters + row-group
+      // min/max skipping); wrapping the column in year() would force a
+      // full scan of orders at 100 TB. Asserted in PlanShapeSpec.
       .join(Tables.orders(spark, sfDir)
-        .where(year($"o_orderdate") === 1996), $"c_custkey" === $"o_custkey")
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey")
       .join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
       .join(Tables.supplier(spark, sfDir),
         $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
@@ -203,7 +209,9 @@ object Analytics {
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-      |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
   /** TPC-H Q19 shape (discounted revenue): disjunction of conjunctive

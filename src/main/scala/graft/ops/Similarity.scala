@@ -78,7 +78,15 @@ object Similarity {
     *     aggregate-sized, not corpus-sized.
     * The token array is materialized once per row before element_at
     * indexing (inlining `filter(split(...))` into the lambda would re-split
-    * the text per element access — O(n²) per doc). */
+    * the text per element access — O(n²) per doc).
+    *
+    * Every shuffle in the query is keyed on a 60-bit DIGEST of the shingle,
+    * not the shingle string: `conv(substr(md5(sh),1,15),16,10)` is
+    * engine-portable (DuckDB: `CAST('0x'||substr(md5(sh),1,15) AS BIGINT)`)
+    * and shrinks shuffle rows to an 8-byte fixed-width key. Dedup of
+    * shingles within a doc happens at the STRING level on both engines
+    * before digesting, so even a (astronomically unlikely) digest collision
+    * behaves identically on both sides. */
   def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // NOTE: measured A/B at sf0.1 — an explicit repartition before the
@@ -92,14 +100,19 @@ object Similarity {
         concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
           element_at($"t", i + 2)))))
       .otherwise(array().cast("array<string>"))
-    // Per-shingle posting lists, capped; persisted because both the pair
-    // generation and the size table hang off it (the reference's AutoCache
-    // rule exists for exactly this diamond — SURVEY §4). Aggregate-sized:
-    // one row per distinct shingle, each list ≤ ShingleMaxDf ids.
-    val lists = toksDf.select($"doc_id", explode(shingles).as("sh"))
+    // Per-shingle posting lists, capped. The digest projection sits AFTER
+    // the explode so md5 runs codegen'd per row, not interpreted inside the
+    // HOF lambda. Aggregate-sized output: one row per distinct shingle,
+    // each list ≤ ShingleMaxDf ids. Both the pair generation and the size
+    // table hang off this frame (the reference's AutoCache rule exists for
+    // exactly this diamond — SURVEY §4); the persist decision is delegated
+    // to [[graft.ml.AutoCache]] rather than hand-rolled.
+    val lists0 = toksDf.select($"doc_id", explode(shingles).as("shs"))
+      .select($"doc_id",
+        conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
       .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
       .where(size($"ds") <= ShingleMaxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lists, _) = graft.ml.AutoCache.cacheIfWorthIt(lists0, uses = 3)
     val sizes = lists.select(explode($"ds").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // pair generation: posexplode the (persisted) posting lists and

@@ -28,6 +28,18 @@ class PlanShapeSpec extends GraftSuite {
       s"unused columns must be pruned from the scan:\n$readSchema")
   }
 
+  test("q_local_supplier_volume pushes the orderdate range into the orders scan") {
+    // the filter is written as a half-open raw-column range precisely so it
+    // reaches the reader; a year() wrapper here would full-scan orders
+    val plan = planOf("q_local_supplier_volume")
+    val ordersScan = plan.linesIterator
+      .filter(l => l.contains("orders.parquet") && l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate") &&
+      ordersScan.contains("LessThan(o_orderdate"),
+      s"orderdate range must reach the orders scan:\n$plan")
+  }
+
   test("q_join_broadcast keeps the dimension tables on the build side") {
     val plan = planOf("q_join_broadcast")
     assert(plan.contains("BroadcastHashJoin"), plan)
