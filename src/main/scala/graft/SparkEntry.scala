@@ -29,6 +29,7 @@ object SparkEntry {
       (Text.queries, Text.oracle),
       (Vectors.queries, Vectors.oracle),
       (Similarity.queries, Similarity.oracle),
+      (Images.queries, Images.oracle),
       (Eval.queries, Eval.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

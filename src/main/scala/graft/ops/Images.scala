@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.images.ImageOps
+
+/** Declared-query surface for the image operator family (ref: nodes.images —
+  * SURVEY §2.A images table), pulling GrayScaler / SymmetricRectifier /
+  * Pooler into the DuckDB correctness gate.
+  *
+  * Inputs are [[ImageOps.syntheticImages]]: pixel(i) of image `id` is the
+  * pure-integer formula ((id*31 + i*7) mod 256)/255 — generated with
+  * `sequence`/`transform` on the Spark side and mirrored with the same
+  * scalar arithmetic in the oracle SQL, so no image testdata is needed and
+  * both engines compute bit-identical doubles (same IEEE ops, same order).
+  * Outputs are exploded to one scalar row per (image, pixel, channel):
+  * array columns never cross the engine boundary.
+  */
+object Images {
+
+  /** Sum- and max-pooling (ref: Pooler), stride 2, over 20 synthetic
+    * 8×8×2 images → 4×4×2. Both pool ops run through [[ImageOps.pool]];
+    * the two outputs join on (id, flat index) and the index is decomposed
+    * to (py, px, ch) with the row-major interleaved addressing the family
+    * documents. Per-image work is bounded (128 doubles in, 32 out), so the
+    * operator scales embarrassingly: no shuffle until the final order-by. */
+  def qImagePool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 8, y = 8, c = 2)
+    val summed = ImageOps.pool(imgs, stride = 2, op = "sum")
+      .select($"id", posexplode($"image").as(Seq("i", "sum_raw")))
+    val maxed = ImageOps.pool(imgs, stride = 2, op = "max")
+      .select($"id", posexplode($"image").as(Seq("i", "max_raw")))
+    summed.join(maxed, Seq("id", "i"))
+      .select($"id",
+        floor($"i" / 8).cast("long").as("py"),
+        (floor($"i" / 2) % 4).cast("long").as("px"),
+        ($"i" % 2).cast("long").as("ch"),
+        round($"sum_raw", 6).as("sum_val"),
+        round($"max_raw", 6).as("max_val"))
+      .orderBy($"id", $"py", $"px", $"ch")
+  }
+
+  /** The oracle evaluates each 2×2 window term directly from the pixel
+    * formula, summed in the Pooler's (dy, dx) traversal order so the
+    * left-associated double addition matches Spark's `aggregate` fold. */
+  val imagePoolSql: String =
+    """WITH base AS (
+      |  SELECT t.id AS id, py.py AS py, px.px AS px, c.c AS ch,
+      |    CAST((t.id*31 + (((py.py*2  )*8 + px.px*2  )*2 + c.c)*7) % 256 AS DOUBLE)/255.0 AS v00,
+      |    CAST((t.id*31 + (((py.py*2  )*8 + px.px*2+1)*2 + c.c)*7) % 256 AS DOUBLE)/255.0 AS v01,
+      |    CAST((t.id*31 + (((py.py*2+1)*8 + px.px*2  )*2 + c.c)*7) % 256 AS DOUBLE)/255.0 AS v10,
+      |    CAST((t.id*31 + (((py.py*2+1)*8 + px.px*2+1)*2 + c.c)*7) % 256 AS DOUBLE)/255.0 AS v11
+      |  FROM range(0,20) t(id), range(0,4) py(py), range(0,4) px(px), range(0,2) c(c))
+      |SELECT id, py, px, ch,
+      |  round(v00 + v01 + v10 + v11, 6) AS sum_val,
+      |  round(greatest(v00, v01, v10, v11), 6) AS max_val
+      |FROM base ORDER BY id, py, px, ch""".stripMargin
+
+  /** Luminance + symmetric rectification (ref: GrayScaler andThen
+    * SymmetricRectifier), over 20 synthetic 4×4×3 images. The grayscale
+    * values are centered at 0 (−0.5) before rectifying so BOTH halves of
+    * the rectifier ([max(0, x−α); max(0, −x−α)], α = 0.1) produce nonzero
+    * outputs on this data. Output channel 0 is the positive half, channel
+    * 1 the negative half. */
+  def qImageGrayscaleRectify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 4, y = 4, c = 3)
+    val gray = ImageOps.grayScale(imgs)
+    val centered = gray.withColumn("image", transform($"image", x => x - 0.5))
+    val rect = ImageOps.symmetricRectify(centered, alpha = 0.1)
+    rect.select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 2).cast("long").as("pixel"),
+        ($"i" % 2).cast("long").as("ch"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"pixel", $"ch")
+  }
+
+  /** Oracle: the channel mean is summed in GrayScaler's fold order
+    * (left-associated over c = 0, 1, 2) before the /3, so the double math
+    * is bit-identical to Spark's `aggregate`. */
+  val imageGrayscaleRectifySql: String =
+    """WITH gray AS (
+      |  SELECT t.id AS id, p.p AS p,
+      |    ((CAST((t.id*31 + (p.p*3)*7) % 256 AS DOUBLE)/255.0
+      |    + CAST((t.id*31 + (p.p*3+1)*7) % 256 AS DOUBLE)/255.0
+      |    + CAST((t.id*31 + (p.p*3+2)*7) % 256 AS DOUBLE)/255.0) / 3.0 - 0.5) AS g
+      |  FROM range(0,20) t(id), range(0,16) p(p))
+      |SELECT id, p AS pixel, ch.ch AS ch,
+      |  round(CASE WHEN ch.ch = 0 THEN greatest(g - 0.1, 0.0)
+      |             ELSE greatest(-g - 0.1, 0.0) END, 6) AS val
+      |FROM gray, range(0,2) ch(ch)
+      |ORDER BY id, pixel, ch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_pool" -> (qImagePool _),
+    "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _))
+
+  val oracle: Map[String, String] = Map(
+    "q_image_pool" -> imagePoolSql,
+    "q_image_grayscale_rectify" -> imageGrayscaleRectifySql)
+}

@@ -234,4 +234,37 @@ class ImagesSpec extends GraftSuite {
     val expected = (orig(0) + orig(1) + orig(4) + orig(5)) / 4.0
     assert(math.abs(dArr(small, "image").head - expected) < 1e-12)
   }
+
+  test("q_image_pool matches the hand-computed pixel formula") {
+    val r = graft.ops.Images.qImagePool(spark, SparkTestBase.sf).collect()
+    assert(r.length == 20 * 4 * 4 * 2)
+    // spot-check every row of image 7 against the direct window formula
+    def p(id: Long, x: Long, y: Long, c: Long): Double =
+      ((id * 31 + ((y * 8 + x) * 2 + c) * 7) % 256) / 255.0
+    r.filter(_.getAs[Long]("id") == 7L).foreach { row =>
+      val (py, px, ch) = (row.getAs[Long]("py"), row.getAs[Long]("px"),
+        row.getAs[Long]("ch"))
+      val w = Seq(p(7, px * 2, py * 2, ch), p(7, px * 2 + 1, py * 2, ch),
+        p(7, px * 2, py * 2 + 1, ch), p(7, px * 2 + 1, py * 2 + 1, ch))
+      assert(math.abs(row.getAs[Double]("sum_val") - w.sum) < 1e-6)
+      assert(math.abs(row.getAs[Double]("max_val") - w.max) < 1e-6)
+    }
+  }
+
+  test("q_image_grayscale_rectify: both rectifier halves fire and match") {
+    val r = graft.ops.Images
+      .qImageGrayscaleRectify(spark, SparkTestBase.sf).collect()
+    assert(r.length == 20 * 16 * 2)
+    def g(id: Long, p: Long): Double =
+      (0 to 2).map(c => ((id * 31 + (p * 3 + c) * 7) % 256) / 255.0).sum / 3.0 - 0.5
+    r.filter(_.getAs[Long]("id") == 3L).foreach { row =>
+      val (pix, ch) = (row.getAs[Long]("pixel"), row.getAs[Long]("ch"))
+      val expected = if (ch == 0) math.max(g(3, pix) - 0.1, 0.0)
+                     else math.max(-g(3, pix) - 0.1, 0.0)
+      assert(math.abs(row.getAs[Double]("val") - expected) < 1e-6)
+    }
+    // the centering guarantees both halves produce nonzero output somewhere
+    assert(r.exists(x => x.getAs[Long]("ch") == 0 && x.getAs[Double]("val") > 0))
+    assert(r.exists(x => x.getAs[Long]("ch") == 1 && x.getAs[Double]("val") > 0))
+  }
 }
