@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text/blocking kernels for the dedup pipeline (same "custom
+  * Expression beats interpreted HOF" rung as [[VectorExprs]]).
+  *
+  * The shingle query's hot path used to be a chain of higher-order
+  * functions — `filter(split(text))` + `transform(sequence, concat_ws)` for
+  * shingling, and either a lambda-per-pair `transform` or a posexplode
+  * self-join for candidate-pair generation. HOF lambdas evaluate
+  * interpreted (per-element binding, no codegen), which at sf0.1 cost more
+  * than every shuffle in the query combined. These expressions do the same
+  * work as ONE compiled static call per row; codegen emits a plain static
+  * invoke, so the surrounding stage stays inside whole-stage codegen.
+  *
+  * Both are registered in [[GraftExtensions]] (`graft_shingles`,
+  * `graft_pairs`) and invoked via `functions.call_function`.
+  */
+object TextKernels {
+
+  /** Whitespace n-gram shingles of `text`: split on single spaces, drop
+    * empty tokens (exactly `filter(split(text, " "), _ =!= "")`), then join
+    * each run of `n` consecutive tokens with one space. Returns an empty
+    * array when the doc has fewer than `n` tokens. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // manual single-space tokenizer: same result as regex-split " " +
+    // drop-empties, without the regex or the empty-token garbage
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val t = toks.size
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](t - n + 1)
+    var j = 0
+    while (j <= t - n) {
+      val sb = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks.get(j + k)); k += 1 }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All ordered pairs (x, y) with x before y in `arr` (callers pass a
+    * sorted distinct array, so x < y), as structs — plus, when
+    * `withSingles`, one (x, -1) marker struct per element so one explode
+    * feeds both the pair-count and the set-size aggregations. -1 is safe:
+    * doc ids are non-negative by contract. */
+  def pairs(arr: ArrayData, withSingles: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val nPairs = n * (n - 1) / 2
+    val out = new Array[Any](if (withSingles) nPairs + n else nPairs)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(w) = InternalRow(x, arr.getLong(j))
+        w += 1; j += 1
+      }
+      i += 1
+    }
+    if (withSingles) {
+      var k = 0
+      while (k < n) {
+        out(w) = InternalRow(arr.getLong(k), -1L)
+        w += 1; k += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingles(text, n)` → array<string> of whitespace n-gram shingles.
+  * `n` must be a foldable positive integer. */
+case class ShingleArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextKernels.shingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($t, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleArray = copy(left = newLeft, right = newRight)
+}
+
+/** `graft_pairs(sortedArr, withSingles)` → array<struct<x:long, y:long>> of
+  * all in-order pairs of an array<long> (plus (x, -1) markers when
+  * `withSingles`). Replaces both the interpreted nested-transform pair
+  * lambda and the posexplode self-join: pair generation is a compiled loop
+  * and the posting-list table needs no second pass. */
+case class PairStructs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pairs"
+
+  override def nullSafeEval(arr: Any, withSingles: Any): Any =
+    TextKernels.pairs(arr.asInstanceOf[ArrayData], withSingles.asInstanceOf[Boolean])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, ws) =>
+      s"${ev.value} = graft.functions.TextKernels.pairs($a, $ws);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PairStructs = copy(left = newLeft, right = newRight)
+}

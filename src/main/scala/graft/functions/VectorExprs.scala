@@ -159,6 +159,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_sqdist"),
       (children: Seq[Expression]) => binary(children, SquaredL2Distance.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => binary(children, ShingleArray.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[PairStructs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => binary(children, PairStructs.apply)))
   }
 }
 

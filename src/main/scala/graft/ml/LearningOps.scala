@@ -168,11 +168,17 @@ object LearningOps {
       }
     }
 
-    def fit(train: DataFrame): Transformer = {
+    def fit(train: DataFrame): Transformer =
+      AutoCache.withCached(train, uses = 2) { train =>
       val m = numLandmarks
+      // Uniform landmark draw: top-m by a seeded random key. Executes as
+      // TakeOrderedAndProject (per-partition bounded heap + driver merge),
+      // NOT a full sort — and unlike `sample(...).limit(m)` it cannot
+      // collapse onto the first partitions of sorted/clustered input,
+      // which would put every landmark in one data region and gut the
+      // Nyström approximation.
       val landmarks = train.select(transform(col(featuresCol), _.cast("double")))
-        .sample(withReplacement = false, fraction = 1.0, seed = seed)
-        .limit(m).collect().map(_.getSeq[Double](0).toArray)
+        .orderBy(rand(seed)).limit(m).collect().map(_.getSeq[Double](0).toArray)
       require(landmarks.length > 0, "empty training set")
       val mm = landmarks.length
       // K_mm on the driver (m² doubles)

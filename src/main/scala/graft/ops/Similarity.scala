@@ -12,13 +12,15 @@ import graft.tables.Tables
   * Scale design (100 TB):
   *  - exact dedup: hash-partitioned groupBy on a content hash — never
   *    `dropDuplicates` on raw text, the 16-byte digest is the shuffle key.
-  *  - near-dup (text): shingle inverted index (explode + self-join on
-  *    shingle) with a document-frequency cap that prunes hot shingles
-  *    before the self-join — the candidate set is bounded by shared *rare*
-  *    shingles, never all-pairs and never quadratic in a boilerplate
-  *    phrase's df. The MinHash/LSH banded variant with the same output
-  *    contract lives in [[graft.ml.Dedup]] for the trillion-row path
-  *    (non-oracle: MinHashLSH hash functions are engine-specific).
+  *  - near-dup (text): shingle inverted index — digested posting lists
+  *    with a document-frequency cap that prunes hot shingles before any
+  *    pair is emitted; candidate pairs are generated inline from each
+  *    capped list by a codegen'd kernel ([[graft.functions.TextKernels]]),
+  *    so the candidate set is bounded by shared *rare* shingles, never
+  *    all-pairs and never quadratic in a boilerplate phrase's df. The
+  *    MinHash/LSH banded variant with the same output contract lives in
+  *    [[graft.ml.Dedup]] for the trillion-row path (non-oracle: MinHashLSH
+  *    hash functions are engine-specific).
   *  - near-dup (embeddings): sign-random-projection LSH bands computed with
   *    engine-portable integer arithmetic give every vector equi-join bucket
   *    keys; candidates = pairs sharing >= 1 band bucket; exact cosine
@@ -61,71 +63,56 @@ object Similarity {
   val ShingleMaxDf = 20
 
   /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.8 — the
-    * inverted-index formulation, shaped for scale:
-    *  1. ONE explode pass builds per-shingle posting lists
-    *     (`groupBy(sh).collect_list(doc_id)`), and the hot-shingle cap is a
-    *     size filter on the list — a shingle shared by more than
-    *     [[ShingleMaxDf]] docs is boilerplate carrying no discriminative
-    *     signal, and would otherwise emit df² candidate rows. The cap also
-    *     BOUNDS every collected list, so the aggregation is skew-free by
-    *     construction. The oracle mirrors the cap.
-    *  2. candidate pairs are generated inline from each posting list
-    *     (nested transform over the sorted list — ≤ C(cap, 2) structs per
-    *     shingle), then hash-aggregated by pair to count intersections. No
-    *     self-join, no second pass over the corpus.
-    *  3. pruned set sizes re-derive from the (tiny, persisted) posting-list
-    *     table and join onto the candidate pairs — both inputs are
-    *     aggregate-sized, not corpus-sized.
-    * The token array is materialized once per row before element_at
-    * indexing (inlining `filter(split(...))` into the lambda would re-split
-    * the text per element access — O(n²) per doc).
-    *
-    * Every shuffle in the query is keyed on a 60-bit DIGEST of the shingle,
-    * not the shingle string: `conv(substr(md5(sh),1,15),16,10)` is
-    * engine-portable (DuckDB: `CAST('0x'||substr(md5(sh),1,15) AS BIGINT)`)
-    * and shrinks shuffle rows to an 8-byte fixed-width key. Dedup of
-    * shingles within a doc happens at the STRING level on both engines
-    * before digesting, so even a (astronomically unlikely) digest collision
-    * behaves identically on both sides. */
+    * inverted-index formulation, shaped for scale as ONE pass over the
+    * corpus feeding ONE reusable aggregation:
+    *  1. [[graft.functions.TextKernels.shingles]] (`graft_shingles`, a
+    *     codegen'd Catalyst expression) shingles each doc in a single
+    *     compiled loop — no interpreted HOF lambdas anywhere in the query.
+    *     Each shingle is digested to a 60-bit key
+    *     (`conv(substr(md5(sh),1,15),16,10)`, mirrored EXACTLY in the
+    *     oracle as `CAST('0x'||substr(md5(sh),1,15) AS BIGINT)`), so every
+    *     shuffle carries an 8-byte fixed-width key instead of a string.
+    *     Per-doc shingle dedup happens AFTER digesting on both engines
+    *     (`collect_set` / `SELECT DISTINCT doc_id, digest`), so even a
+    *     digest collision behaves identically on both sides: colliding
+    *     shingles merge into one key everywhere, no self-pairs, no
+    *     double-counted intersections.
+    *  2. Posting lists: `groupBy(sh).collect_set(doc_id)`, capped at
+    *     [[ShingleMaxDf]] distinct docs — a hotter shingle is boilerplate
+    *     carrying no discriminative signal and would emit df² candidate
+    *     rows. The cap BOUNDS every list, so the aggregation is skew-free
+    *     by construction. The oracle mirrors the cap.
+    *  3. `graft_pairs(ds, withSingles = true)` emits all C(|ds|, 2)
+    *     in-order candidate pairs PLUS one (doc, -1) marker per member, so
+    *     a single hash aggregation keyed (a, b) yields both the pair
+    *     intersection counts (b >= 0) and the per-doc pruned set sizes
+    *     (b = -1). The sizes then join back onto the pairs: the counts
+    *     exchange is consumed by all three branches and AQE's exchange
+    *     reuse materializes it ONCE (asserted in PlanShapeSpec) — no
+    *     persist, no cache lifecycle, nothing to unpersist.
+    * The size joins carry no `broadcast()` hint on purpose: sizes is one
+    * row per surviving doc — AQE broadcasts it at this scale, but at 10⁹+
+    * docs it must grade out to a shuffle join, and a forced hint would OOM
+    * the driver instead. */
   def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // NOTE: measured A/B at sf0.1 — an explicit repartition before the
-    // explode (to spread the CPU-heavy expansion beyond the single file
-    // split) costs more than it buys at this scale (+0.6s); at real scale
-    // the source arrives in thousands of splits and the question vanishes.
-    val toksDf = Tables.documents(spark, sfDir)
-      .select($"doc_id", filter(split($"text", " "), x => x =!= "").as("t"))
-    val shingles = when(size($"t") >= 3,
-      array_distinct(transform(sequence(lit(1), size($"t") - 2), i =>
-        concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
-          element_at($"t", i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    // Per-shingle posting lists, capped. The digest projection sits AFTER
-    // the explode so md5 runs codegen'd per row, not interpreted inside the
-    // HOF lambda. Aggregate-sized output: one row per distinct shingle,
-    // each list ≤ ShingleMaxDf ids. Both the pair generation and the size
-    // table hang off this frame (the reference's AutoCache rule exists for
-    // exactly this diamond — SURVEY §4); the persist decision is delegated
-    // to [[graft.ml.AutoCache]] rather than hand-rolled.
-    val lists0 = toksDf.select($"doc_id", explode(shingles).as("shs"))
+    val lists = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
       .select($"doc_id",
         conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
-      .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .groupBy($"sh").agg(sort_array(collect_set($"doc_id")).as("ds"))
       .where(size($"ds") <= ShingleMaxDf)
-    val (lists, _) = graft.ml.AutoCache.cacheIfWorthIt(lists0, uses = 3)
-    val sizes = lists.select(explode($"ds").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // pair generation: posexplode the (persisted) posting lists and
-    // self-join on the shingle with a position inequality — fully
-    // codegen'd, reading the cache on both sides; the interpreted
-    // nested-transform alternative evaluates lambdas per emitted pair
-    val postings = lists.select($"sh", posexplode($"ds").as(Seq("i", "d")))
-    val pairs = postings.as("a").join(postings.as("b"), Seq("sh"))
-      .where($"a.i" < $"b.i")
-      .select($"a.d".as("doc_a"), $"b.d".as("doc_b"))
-    pairs.groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+    val counts = lists
+      .select(explode(call_function("graft_pairs", $"ds", lit(true))).as("e"))
+      .select($"e.x".as("a"), $"e.y".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    val sizes = counts.where($"b" === -1L)
+      .select($"a".as("doc"), $"c".as("n_sh"))
+    counts.where($"b" =!= -1L)
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"c".as("n_inter"))
+      .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
       .where($"jaccard" >= 0.8)
@@ -138,7 +125,8 @@ object Similarity {
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),
       |s0 AS (
-      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
       |s AS (
       |  SELECT s0.* FROM s0

@@ -98,8 +98,11 @@ class LearningOpsSpec extends GraftSuite {
 
   test("KernelRidgeEst fits a nonlinear target a linear solver cannot") {
     // target = mixture of RBF bumps centered on three data points, at the
-    // model's own length scale — smooth enough for 256 landmarks, and
-    // structurally out of reach for any linear model
+    // model's own length scale — structurally out of reach for any linear
+    // model. numLandmarks >= n makes this EXACT kernel ridge (every point a
+    // landmark), so the assertion is independent of which subset the
+    // uniform landmark sampler would draw; the sampler itself is covered
+    // by the determinism test below.
     val centers = vecs.orderBy($"vec_id").limit(3).collect()
       .map(r => r.getSeq[Double](1).toArray)
     def bump(c: Array[Double], w: Double) =
@@ -107,13 +110,28 @@ class LearningOpsSpec extends GraftSuite {
     val target = vecs.withColumn("y",
       bump(centers(0), 1.0) + bump(centers(1), -2.0) + bump(centers(2), 1.5))
     val kr = KernelRidgeEst("v", "y", "pred_k", gamma = 0.5,
-      numLandmarks = 256, lambda = 1e-8).fit(target)(target)
+      numLandmarks = 600, lambda = 1e-8).fit(target)(target)
     val lin = graft.ml.workflow.LeastSquaresEst("v", "y", "pred_l")
       .fit(target)(target)
     val rmseK = math.sqrt(kr.select(avg(pow($"pred_k" - $"y", 2))).head().getDouble(0))
     val rmseL = math.sqrt(lin.select(avg(pow($"pred_l" - $"y", 2))).head().getDouble(0))
     assert(rmseK < rmseL * 0.5,
       s"kernel ridge ($rmseK) must clearly beat linear ($rmseL) on an RBF target")
+  }
+
+  test("KernelRidgeEst landmark draw is seeded and spreads beyond row order") {
+    val target = vecs.withColumn("y", lit(1.0))
+    // same seed -> identical model -> identical predictions
+    def preds(seed: Long) =
+      KernelRidgeEst("v", "y", "p", gamma = 0.5, numLandmarks = 16,
+        seed = seed).fit(target)(target)
+        .orderBy($"vec_id").select("p").collect().map(_.getDouble(0)).toSeq
+    assert(preds(7L) == preds(7L), "same seed must reproduce the fit exactly")
+    // different seeds -> different landmark subsets -> different models;
+    // the defective sample(fraction=1.0).limit(m) selection ignored the
+    // seed and always took the first m rows in partition order
+    assert(preds(7L) != preds(8L),
+      "landmark selection must actually respond to the seed")
   }
 
   test("LDAEst improves class separability (Fisher ratio) in k-1 dims") {

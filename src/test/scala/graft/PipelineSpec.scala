@@ -144,13 +144,26 @@ class PipelineSpec extends GraftSuite {
 
   test("AutoCache persists multi-use frames within budget, skips single-use") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey")
-    val (cached, did) = AutoCache.cacheIfWorthIt(df, uses = 2)
-    assert(did, "small multi-use frame should cache")
-    assert(cached.storageLevel.useMemory)
-    cached.unpersist()
-    val (_, single) = AutoCache.cacheIfWorthIt(df, uses = 1)
-    assert(!single, "single-use frame must not cache")
-    val (_, huge) = AutoCache.cacheIfWorthIt(df, uses = 2, memBudgetBytes = 1L)
-    assert(!huge, "over-budget frame must not cache")
+    val h = AutoCache.cacheIfWorthIt(df, uses = 2)
+    assert(h.cached, "small multi-use frame should cache")
+    assert(h.df.storageLevel.useMemory)
+    h.release()
+    assert(h.df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release() must unpersist what the planner cached")
+    val single = AutoCache.cacheIfWorthIt(df, uses = 1)
+    assert(!single.cached, "single-use frame must not cache")
+    single.release() // no-op on a declined handle
+    val huge = AutoCache.cacheIfWorthIt(df, uses = 2, memBudgetBytes = 1L)
+    assert(!huge.cached, "over-budget frame must not cache")
+  }
+
+  test("AutoCache.withCached brackets the persist around the body") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").select("l_partkey")
+    val levelInside = AutoCache.withCached(df, uses = 3) { d =>
+      d.count(); d.storageLevel
+    }
+    assert(levelInside.useMemory, "frame should be cached while body runs")
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "frame must be released after the body returns")
   }
 }

@@ -86,6 +86,19 @@ class PlanShapeSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_dedup_shingle_jaccard materializes the corpus aggregation once") {
+    // the pair-count exchange feeds three branches (pairs + both size
+    // joins); AQE must reuse the materialized stage instead of re-running
+    // the corpus-wide shingle explode per branch. This is the query's
+    // no-cache design: exchange reuse, not persist, carries the diamond.
+    val df = SparkEntry.queries("q_dedup_shingle_jaccard")(spark, sf)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("reuses operator id"),
+      s"shared counts exchange must be reused, not recomputed:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec
