@@ -18,10 +18,18 @@ object NGramIndexer {
 
   /** Pack up to 3 word-id columns (each in [0, MaxId]) into one long.
     * Order of significance: w1 highest — so sorting packed keys sorts by
-    * (w1, w2, w3). */
+    * (w1, w2, w3). An id outside [0, MaxId] raises at evaluation time:
+    * silently overflowing the 21-bit slot would corrupt the NEIGHBORING
+    * word's slot and produce wrong counts with no error, so a >2M-token
+    * vocabulary must either pre-filter OOV ids or widen the encoding —
+    * never pass them through. */
   def pack(ids: Column*): Column = {
     require(ids.nonEmpty && ids.size <= 3, "pack takes 1..3 id columns")
-    val slots = ids.padTo(3, lit(-1L))
+    val checked = ids.map(id =>
+      when(id.between(0L, MaxId), id).otherwise(raise_error(concat(
+        lit(s"NGramIndexer.pack: id out of range [0, $MaxId]: "),
+        id.cast("string")))))
+    val slots = checked.padTo(3, lit(-1L))
     slots.zipWithIndex.map { case (id, i) =>
       shiftleft(id + 1L, BitsPerId * (2 - i))
     }.reduce((a, b) => a.bitwiseOR(b))

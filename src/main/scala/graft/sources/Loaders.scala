@@ -30,11 +30,14 @@ object Loaders {
         (col("overall") >= positiveAbove).cast("int").as("label"),
         col("reviewText").as("text"))
 
-  /** ref: NewsgroupsDataLoader — directory-per-class text corpus: label =
-    * parent directory name of each file. */
+  /** ref: NewsgroupsDataLoader — directory-per-class text corpus: ONE row
+    * per FILE (`wholetext`: a multi-line document stays a single document),
+    * label = parent directory name. Still the declarative text file source
+    * — each file is one unsplittable task, which is the right granularity
+    * for a corpus of many small documents. */
   def textDirPerClass(spark: SparkSession, root: String): DataFrame =
-    spark.read.textFile(s"$root/*/*").toDF("text")
+    spark.read.option("wholetext", "true").text(s"$root/*/*")
       .withColumn("path", input_file_name())
       .withColumn("label", element_at(split(col("path"), "/"), -2))
-      .drop("path")
+      .select(col("value").as("text"), col("label"))
 }

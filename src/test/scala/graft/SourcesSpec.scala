@@ -41,17 +41,21 @@ class SourcesSpec extends GraftSuite {
     assert(df.where(col("label") === 0).count() == 1)
   }
 
-  test("Loaders.textDirPerClass labels docs by directory") {
+  test("Loaders.textDirPerClass yields ONE row per file, labeled by directory") {
     val root = tmpDir("news")
     Files.createDirectories(Paths.get(root, "sci_space"))
     Files.createDirectories(Paths.get(root, "rec_autos"))
     Files.writeString(Paths.get(root, "sci_space", "a.txt"), "orbital mechanics\n")
     Files.writeString(Paths.get(root, "rec_autos", "b.txt"), "engine torque\ngearbox\n")
     val df = Loaders.textDirPerClass(spark, root)
-    assert(df.count() == 3)
+    // NewsgroupsDataLoader semantics: a multi-line document is ONE row
+    assert(df.count() == 2, "one row per FILE, not per line")
     val labels = df.select("label").distinct().collect().map(_.getString(0)).toSet
     assert(labels == Set("sci_space", "rec_autos"))
-    assert(df.where(col("label") === "rec_autos").count() == 2)
+    val autos = df.where(col("label") === "rec_autos").collect()
+    assert(autos.length == 1)
+    assert(autos.head.getAs[String]("text").contains("torque\ngearbox"),
+      "whole file content, newlines intact")
   }
 
   test("saltedJoin equals the plain join on a skewed key distribution") {

@@ -128,6 +128,24 @@ class TextSpec extends GraftSuite {
     assert(seq == seq.sorted)
   }
 
+  test("NGramIndexer.pack raises on ids past the 21-bit slot width") {
+    import graft.functions.NGramIndexer._
+    import spark.implicits._
+    // silent wraparound would corrupt the neighboring slot's word id and
+    // produce wrong LM counts with no error — it must raise instead
+    val oob = Seq((MaxId + 1, 0L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      oob.select(pack(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of range")), e.toString)
+    // MaxId itself is still fine
+    val ok = Seq((MaxId, 0L)).toDF("a", "b")
+      .select(unpack(pack(col("a"), col("b")), 0).as("r")).head().getAs[Long]("r")
+    assert(ok == MaxId)
+  }
+
   test("q_stupid_backoff_bigram scores are positive and observed pairs dominate") {
     val r = rows(Text.qStupidBackoffBigram(spark, sf))
     assert(r.size == 100)
