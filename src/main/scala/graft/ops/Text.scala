@@ -336,6 +336,98 @@ object Text {
        |CROSS JOIN total
        |ORDER BY w1, w2, w3""".stripMargin
 
+  /** 4-gram Stupid-Backoff scores via the PARAMETERIZED-n builder
+    * ([[graft.ml.StupidBackoff]], ref: StupidBackoffEstimator's general
+    * recursion — the bigram/trigram queries above are its hand-unrolled
+    * ancestors). The corpus is re-encoded to dense frequency-ordered word
+    * ids (the q_word_id_encode two-phase ranking), every n-gram count
+    * table keys on ONE packed long in the 4-slot layout
+    * ([[graft.functions.NGramIndexer.packN]]), and each backoff step is a
+    * shift/mask on the candidate's key. Scores every (w1..w4) from the
+    * top-4 unigrams (256 rows). */
+  def qStupidBackoff4gram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.NGramIndexer
+    import graft.ml.StupidBackoff
+    val docsT = Tables.documents(spark, sfDir).select($"doc_id", toks($"text").as("t"))
+    val tokens = docsT.select($"doc_id", posexplode($"t").as(Seq("pos", "token")))
+    // dense frequency-ordered vocab via the two-phase zipWithIndex ranking
+    // (id == frequency rank, so "top-4 unigrams" is just id < 4)
+    val sortedVocab = tokens.groupBy($"token").agg(count(lit(1)).as("uc"))
+      .orderBy($"uc".desc, $"token").select($"token")
+    val vocab = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) })
+      .toDF("token", "id")
+    // re-encode each doc as its dense-id array (order-preserving re-collect)
+    val docIds = tokens.join(vocab, "token")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"id"))),
+        s => s.getField("id")).as("ids"))
+    val (tables, total) = StupidBackoff.countTables(docIds, "ids", 4)
+    val top = vocab.where($"id" < 4)
+    val grid = top.select($"token".as("w1"), $"id".as("i1"))
+      .crossJoin(top.select($"token".as("w2"), $"id".as("i2")))
+      .crossJoin(top.select($"token".as("w3"), $"id".as("i3")))
+      .crossJoin(top.select($"token".as("w4"), $"id".as("i4")))
+      .withColumn("g", NGramIndexer.packN(Seq($"i1", $"i2", $"i3", $"i4"), 4))
+    StupidBackoff.score(grid, "g", tables, total, "score0")
+      .select($"w1", $"w2", $"w3", $"w4", round($"score0", 6).as("score"),
+        $"seen_4".as("seen_4gram"), $"seen_3".as("seen_trigram"),
+        $"seen_2".as("seen_bigram"))
+      .orderBy($"w1", $"w2", $"w3", $"w4")
+  }
+
+  /** Oracle: the same cascade over string n-gram keys. Alpha powers are
+    * spelled as left-associated 0.4 products, and each branch keeps the
+    * (count/denominator) division FIRST then the multiplier, matching the
+    * builder's IEEE evaluation order exactly. */
+  val stupidBackoff4gramSql: String =
+    s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+       |uni AS (SELECT token, count(*) AS uc
+       |        FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+       |bi AS (SELECT w1, w2, count(*) AS bc FROM (
+       |         SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |         FROM t, UNNEST(range(1, len(toks))) AS u(i))
+       |       GROUP BY w1, w2),
+       |tri AS (SELECT w1, w2, w3, count(*) AS tc FROM (
+       |          SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |          FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i))
+       |        GROUP BY w1, w2, w3),
+       |quad AS (SELECT w1, w2, w3, w4, count(*) AS qc FROM (
+       |           SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+       |                  toks[i + 3] AS w4
+       |           FROM t, UNNEST(range(1, len(toks) - 2)) AS u(i))
+       |         GROUP BY w1, w2, w3, w4),
+       |top AS (SELECT token, uc FROM (
+       |          SELECT token, uc, row_number() OVER (ORDER BY uc DESC, token) AS r
+       |          FROM uni) WHERE r <= 4),
+       |total AS (SELECT CAST(sum(uc) AS BIGINT) AS total_tokens FROM uni)
+       |SELECT a.token AS w1, b.token AS w2, c.token AS w3, d.token AS w4,
+       |  round(CASE
+       |    WHEN quad.qc IS NOT NULL AND t123.tc IS NOT NULL
+       |      THEN (CAST(quad.qc AS DOUBLE) / t123.tc) * 1.0
+       |    WHEN t234.tc IS NOT NULL AND b23.bc IS NOT NULL
+       |      THEN (CAST(t234.tc AS DOUBLE) / b23.bc) * (0.4)
+       |    WHEN b34.bc IS NOT NULL AND u3.uc IS NOT NULL
+       |      THEN (CAST(b34.bc AS DOUBLE) / u3.uc) * (0.4 * 0.4)
+       |    ELSE (CAST(coalesce(d.uc, 0) AS DOUBLE) / total_tokens) * (0.4 * 0.4 * 0.4)
+       |    END, 6) AS score,
+       |  quad.qc IS NOT NULL AS seen_4gram,
+       |  t234.tc IS NOT NULL AS seen_trigram,
+       |  b34.bc IS NOT NULL AS seen_bigram
+       |FROM top a CROSS JOIN top b CROSS JOIN top c CROSS JOIN top d
+       |LEFT JOIN quad ON quad.w1 = a.token AND quad.w2 = b.token
+       |              AND quad.w3 = c.token AND quad.w4 = d.token
+       |LEFT JOIN tri t123 ON t123.w1 = a.token AND t123.w2 = b.token
+       |                  AND t123.w3 = c.token
+       |LEFT JOIN tri t234 ON t234.w1 = b.token AND t234.w2 = c.token
+       |                  AND t234.w3 = d.token
+       |LEFT JOIN bi b23 ON b23.w1 = b.token AND b23.w2 = c.token
+       |LEFT JOIN bi b34 ON b34.w1 = c.token AND b34.w2 = d.token
+       |LEFT JOIN uni u3 ON u3.token = c.token
+       |CROSS JOIN total
+       |ORDER BY w1, w2, w3, w4""".stripMargin
+
   /** Trim + LowerCase + whitespace-collapse composite (ref: Trim andThen
     * LowerCase — the head of the AmazonReviews/Newsgroups pipelines). Pure
     * per-row string expressions inside whole-stage codegen. */
@@ -578,6 +670,7 @@ object Text {
     "q_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_stupid_backoff_bigram" -> (qStupidBackoffBigram _),
     "q_stupid_backoff_trigram" -> (qStupidBackoffTrigram _),
+    "q_stupid_backoff_4gram" -> (qStupidBackoff4gram _),
     "q_text_clean" -> (qTextClean _),
     "q_naive_bayes_score" -> (qNaiveBayesScore _),
     "q_lang_id" -> (qLangId _),
@@ -594,6 +687,7 @@ object Text {
     "q_tfidf_top_terms" -> tfidfTopTermsSql,
     "q_stupid_backoff_bigram" -> stupidBackoffBigramSql,
     "q_stupid_backoff_trigram" -> stupidBackoffTrigramSql,
+    "q_stupid_backoff_4gram" -> stupidBackoff4gramSql,
     "q_text_clean" -> textCleanSql,
     "q_naive_bayes_score" -> naiveBayesScoreSql,
     "q_lang_id" -> langIdSql,

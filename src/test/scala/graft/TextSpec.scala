@@ -128,6 +128,54 @@ class TextSpec extends GraftSuite {
     assert(seq == seq.sorted)
   }
 
+  test("StupidBackoff recursion matches hand-computed scores at n=4") {
+    import graft.functions.NGramIndexer
+    import graft.ml.StupidBackoff
+    import spark.implicits._
+    // corpus "a b c d a b c e a b" with ids a=0 b=1 c=2 d=3 e=4:
+    // uni a:3 b:3 c:2 d:1 e:1 (total 10); bi ab:3 bc:2 cd:1 da:1 ce:1 ea:1;
+    // tri abc:2 bcd:1 cda:1 dab:1 bce:1 cea:1 eab:1; every 4-gram count 1
+    val docIds = Seq(Tuple1(Seq(0L, 1L, 2L, 3L, 0L, 1L, 2L, 4L, 0L, 1L)))
+      .toDF("ids")
+    val (tables, total) = StupidBackoff.countTables(docIds, "ids", 4)
+    val cases = Seq(
+      // (w1 w2 w3 w4, expected, why)
+      (Seq(0L, 1L, 2L, 3L), 0.5, "abcd seen once / abc seen twice"),
+      (Seq(1L, 2L, 3L, 0L), 1.0, "bcda once / bcd once"),
+      (Seq(1L, 1L, 2L, 3L), 0.4 * (1.0 / 2.0), "4gram unseen -> bcd/bc"),
+      (Seq(0L, 0L, 2L, 3L), 0.4 * 0.4 * (1.0 / 2.0), "tri acd unseen -> cd/c"),
+      (Seq(0L, 0L, 0L, 3L), 0.4 * 0.4 * 0.4 * (1.0 / 10.0), "unigram base d/total"))
+    val cands = cases.zipWithIndex
+      .map { case ((ws, _, _), i) => (i, ws) }.toDF("case_id", "ws")
+      .withColumn("g", NGramIndexer.packN(
+        (1 to 4).map(j => element_at(col("ws"), j)), 4))
+    val scored = StupidBackoff.score(cands, "g", tables, total, "s")
+      .select("case_id", "s").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, expected, why), i) =>
+      assert(math.abs(scored(i) - expected) < 1e-12, s"case $i ($why): ${scored(i)}")
+    }
+  }
+
+  test("NGramIndexer lastN/prefixDropLast navigate the 4-slot layout") {
+    import graft.functions.NGramIndexer._
+    import spark.implicits._
+    val df = Seq((10L, 20L, 30L, 40L)).toDF("a", "b", "c", "d")
+      .withColumn("g", packN(Seq(col("a"), col("b"), col("c"), col("d")), 4))
+    def one(c: org.apache.spark.sql.Column): Long = df.select(c).head().getLong(0)
+    // last-3 re-anchors (b,c,d) at slot 0 == packing them directly
+    assert(one(lastN(col("g"), 4, 3, 4)) ==
+      one(packN(Seq(col("b"), col("c"), col("d")), 4)))
+    // prefix of the full 4-gram drops d
+    assert(one(prefixDropLast(col("g"), 4, 4)) ==
+      one(packN(Seq(col("a"), col("b"), col("c")), 4)))
+    // composing: context of the last-2 gram is the unigram c
+    assert(one(prefixDropLast(lastN(col("g"), 4, 2, 4), 2, 4)) ==
+      one(packN(Seq(col("c")), 4)))
+    // unpackN round-trips every slot
+    assert((0 to 3).map(p => one(unpackN(col("g"), p, 4))) == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("NGramIndexer.pack raises on ids past the 21-bit slot width") {
     import graft.functions.NGramIndexer._
     import spark.implicits._
