@@ -204,9 +204,24 @@ object workflow {
   /** ref: workflow Checkpointer — truncate lineage so downstream passes
     * (iterative solvers re-reading features) replan from materialized
     * blocks instead of the full upstream DAG. `eager=false` defers the
-    * materialization to the first action. */
-  case class Checkpointer(eager: Boolean = true) extends Transformer {
-    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager)
+    * materialization to the first action.
+    *
+    * Two durability grades:
+    *  - `dir = None`: `localCheckpoint` — blocks live on executors' local
+    *    storage; fast, but LOST on executor failure, so a 100 TB run
+    *    cannot rely on it across stage retries.
+    *  - `dir = Some(path)`: reliable `df.checkpoint()` against the
+    *    configured directory (HDFS/object store on a cluster) — survives
+    *    executor loss, the variant iterative solvers should use at scale. */
+  case class Checkpointer(eager: Boolean = true, dir: Option[String] = None)
+      extends Transformer {
+    def apply(df: DataFrame): DataFrame = dir match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
   }
 
   /** ref: evaluation.AugmentedExamplesEvaluator — vote aggregation over

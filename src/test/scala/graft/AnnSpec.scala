@@ -51,6 +51,25 @@ class AnnSpec extends GraftSuite {
     assert(perProbe.forall(_.getLong(1) == 5))
   }
 
+  test("recall@5 curve across nprobe: monotone, floored, exact at full width") {
+    // the accuracy/cost knob made checkable: recall vs brute force at each
+    // probe width, non-decreasing in nprobe, exhaustive at nprobe = nlist
+    val exact = bruteTopK(5).keySet
+    val recall = Seq(1, 4, 16).map { np =>
+      val found = Ann.ivfCosineTopK(index, e, probes, "vec_id", "embedding",
+        k = 5, nprobe = np)
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+        .toSet
+      np -> found.intersect(exact).size.toDouble / exact.size
+    }.toMap
+    info(s"recall@5 curve: $recall")
+    assert(recall(1) <= recall(4) && recall(4) <= recall(16),
+      s"recall must not decrease with probe width: $recall")
+    assert(recall(1) >= 0.2, s"nprobe=1 recall floor: ${recall(1)}")
+    assert(recall(4) >= 0.5, s"nprobe=4 recall floor: ${recall(4)}")
+    assert(recall(16) == 1.0, s"nprobe=nlist must be exact: ${recall(16)}")
+  }
+
   test("assignment shards the corpus across inverted lists") {
     val v = transform($"embedding", x => x.cast("double"))
     // reuse the index to count cluster sizes via the public scan path

@@ -180,6 +180,25 @@ class LearningOpsSpec extends GraftSuite {
       s"checkpoint must replace the upstream DAG:\n$plan")
   }
 
+  test("reliable Checkpointer writes durable blocks under the configured dir") {
+    import graft.ml.workflow.Checkpointer
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val df = vecs.where($"vec_id" < 50)
+    val cp = Checkpointer(dir = Some(dir))(df)
+    assert(cp.count() == 50)
+    val plan = cp.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"reliable checkpoint must also truncate lineage:\n$plan")
+    // durable evidence: checkpoint files exist on the shared dir (what
+    // survives an executor loss, unlike localCheckpoint's executor blocks)
+    def files(p: java.io.File): Seq[java.io.File] = {
+      val kids = Option(p.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(new java.io.File(dir)).nonEmpty,
+      s"no checkpoint data written under $dir")
+  }
+
   test("windower tiles strided patches with correct origins and content") {
     val imgs = ImageOps.syntheticImages(spark, n = 2, x = 6, y = 4, c = 1)
     val w = ImageOps.windower(imgs, w = 2, h = 2, stride = 2)
