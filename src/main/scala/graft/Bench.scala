@@ -27,10 +27,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver's log capture has head-truncated this line in past rounds
+    // (the first ~200 bytes were cut, losing the leading per-query keys).
+    // Contract fields stay first for parsers that anchor on the prefix; a
+    // sacrificial pad follows so a head cut lands in it instead of the
+    // query map; the headline fields repeat at the tail (valid JSON —
+    // duplicate keys, last wins) so regex recovery finds every number
+    // whichever end of the line survives.
+    val pad = "x" * 2048
+    val head = s""""metric":"total","value":$total,"unit":"sec""""
+    println(s"""{$head,"pad":"$pad","queries":$qs,$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
