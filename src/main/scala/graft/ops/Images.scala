@@ -94,11 +94,80 @@ object Images {
       |FROM gray, range(0,2) ch(ch)
       |ORDER BY id, pixel, ch""".stripMargin
 
+  /** Crop → PixelScaler → Windower composite (ref: Cropper, PixelScaler,
+    * Windower/FastWindower) over 20 synthetic 6×4×1 images: crop the inner
+    * 4×2 rectangle at (1,1), rescale, then tile 2×2 patches at stride 2
+    * (origins (0,0) and (2,0)). Each output row addresses one patch pixel;
+    * the oracle re-derives it straight from the pixel formula with the
+    * crop/window offsets composed. */
+  def qImageCropWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 6, y = 4, c = 1)
+    val prepped = ImageOps.pixelScale(ImageOps.crop(imgs, x0 = 1, y0 = 1, w = 4, h = 2))
+    ImageOps.windower(prepped, w = 2, h = 2, stride = 2)
+      .select($"id", $"win_x".cast("long").as("win_x"),
+        $"win_y".cast("long").as("win_y"),
+        posexplode($"image").as(Seq("pos", "raw")))
+      .select($"id", $"win_x", $"win_y", $"pos".cast("long").as("pos"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"win_y", $"win_x", $"pos")
+  }
+
+  val imageCropWindowSql: String =
+    """SELECT t.id AS id, CAST(wx.wx AS BIGINT) AS win_x, CAST(0 AS BIGINT) AS win_y,
+      |  p.p AS pos,
+      |  round(CAST((t.id*31 + (((p.p // 2) + 1)*6 + ((p.p % 2) + wx.wx + 1))*7) % 256 AS DOUBLE)
+      |        / 255.0 / 255.0, 6) AS val
+      |FROM range(0, 20) t(id)
+      |CROSS JOIN (VALUES (0), (2)) wx(wx)
+      |CROSS JOIN range(0, 4) p(p)
+      |ORDER BY id, win_y, win_x, pos""".stripMargin
+
+  /** Valid 2-D convolution of a 2-filter bank (ref: Convolver — the
+    * im2col + BLAS gemm mapPartitions path, the one operator family that
+    * escapes Catalyst) over 20 synthetic 5×4×1 images → 4×3×2 outputs.
+    * Integer filter coefficients keep the oracle a 4-term literal sum; the
+    * oracle accumulates in the gemm's K order (dy-major, dx-minor), which
+    * matches f2j dgemm's ascending-L loop. */
+  def qImageConvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 5, y = 4, c = 1)
+      .as[ImageOps.Img]
+    val filters = Array(Array(1.0, -1.0, 2.0, -2.0), Array(3.0, 1.0, -1.0, 2.0))
+    ImageOps.convolve(imgs, filters, fx = 2, fy = 2).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 8).cast("long").as("py"),
+        (floor($"i" / 2) % 4).cast("long").as("px"),
+        ($"i" % 2).cast("long").as("ch"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"py", $"px", $"ch")
+  }
+
+  val imageConvolveSql: String =
+    """WITH base AS (
+      |  SELECT t.id AS id, py.py AS py, px.px AS px,
+      |    CAST((t.id*31 + ((py.py    )*5 + px.px    )*7) % 256 AS DOUBLE)/255.0 AS v00,
+      |    CAST((t.id*31 + ((py.py    )*5 + px.px + 1)*7) % 256 AS DOUBLE)/255.0 AS v01,
+      |    CAST((t.id*31 + ((py.py + 1)*5 + px.px    )*7) % 256 AS DOUBLE)/255.0 AS v10,
+      |    CAST((t.id*31 + ((py.py + 1)*5 + px.px + 1)*7) % 256 AS DOUBLE)/255.0 AS v11
+      |  FROM range(0, 20) t(id), range(0, 3) py(py), range(0, 4) px(px))
+      |SELECT id, py, px, ch.ch AS ch,
+      |  round(CASE WHEN ch.ch = 0
+      |    THEN v00*1.0 + v01*(-1.0) + v10*2.0 + v11*(-2.0)
+      |    ELSE v00*3.0 + v01*1.0 + v10*(-1.0) + v11*2.0 END, 6) AS val
+      |FROM base, range(0, 2) ch(ch)
+      |ORDER BY id, py, px, ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_pool" -> (qImagePool _),
-    "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _))
+    "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
+    "q_image_crop_window" -> (qImageCropWindow _),
+    "q_image_convolve" -> (qImageConvolve _))
 
   val oracle: Map[String, String] = Map(
     "q_image_pool" -> imagePoolSql,
-    "q_image_grayscale_rectify" -> imageGrayscaleRectifySql)
+    "q_image_grayscale_rectify" -> imageGrayscaleRectifySql,
+    "q_image_crop_window" -> imageCropWindowSql,
+    "q_image_convolve" -> imageConvolveSql)
 }

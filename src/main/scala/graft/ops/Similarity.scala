@@ -142,6 +142,57 @@ object Similarity {
       |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SimHash fingerprint width (bits). 60 = what a 15-hex-digit md5 prefix
+    * yields with engine-portable integer arithmetic. */
+  val SimhashBits = 60
+
+  /** Per-document SimHash fingerprints (ref capability: ABSENT; north-star
+    * near-dup family — Charikar 2002). Near-identical docs differ in few
+    * fingerprint bits; the Hamming-pair machinery lives in
+    * [[graft.ml.Dedup.hammingDistance]] (with a 64-bit xxhash64 variant of
+    * this signature in [[graft.ml.Dedup.simhash]]).
+    *
+    * Shape: explode tokens once, digest each to a 60-bit md5-prefix long
+    * (same engine-portable digest as the shingle query), then ONE hash
+    * aggregation per doc computing all 60 bit votes as map-side-combinable
+    * sums — no interpreted per-bit lambdas, no second pass. The per-bit
+    * majority (vote > 0, ties to 0 on both engines) assembles the
+    * fingerprint in a post-agg projection. Token multiplicity weights the
+    * votes (standard term-frequency SimHash). */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toksH = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("tok"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until SimhashBits).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = toksH.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+    votes.select($"doc_id",
+        (0 until SimhashBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fingerprint"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _).as("n_bits"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM p),
+      |v AS (
+      |  SELECT doc_id, b.b AS b,
+      |    sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(0, $SimhashBits) b(b) GROUP BY doc_id, b.b)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS fingerprint,
+      |  CAST(sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** LSH geometry for embedding near-dup: 16 sign-random-projection bits,
     * banded 4 × 4. Hyperplane w(j)[i] = ((i*13 + j*7919) mod 97)/97 − 0.5 is
     * pure integer arithmetic, identical on both engines; projections are
@@ -275,6 +326,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_multimodal_join" -> (qMultimodalJoin _))
@@ -282,6 +334,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_multimodal_join" -> multimodalJoinSql)

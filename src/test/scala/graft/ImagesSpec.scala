@@ -267,4 +267,32 @@ class ImagesSpec extends GraftSuite {
     assert(r.exists(x => x.getAs[Long]("ch") == 0 && x.getAs[Double]("val") > 0))
     assert(r.exists(x => x.getAs[Long]("ch") == 1 && x.getAs[Double]("val") > 0))
   }
+
+  test("q_image_crop_window composes crop offsets into window pixels") {
+    val r = graft.ops.Images.qImageCropWindow(spark, SparkTestBase.sf).collect()
+    assert(r.length == 20 * 2 * 4, "20 images x 2 windows x 4 pixels")
+    r.filter(_.getAs[Long]("id") == 5L).foreach { row =>
+      val (wx, pos) = (row.getAs[Long]("win_x"), row.getAs[Long]("pos"))
+      val (px, py) = (pos % 2, pos / 2)
+      // crop origin (1,1) + window origin (wx,0) + local (px,py), x_dim=6
+      val idx = (py + 1) * 6 + (wx + px + 1)
+      val expected = ((5 * 31 + idx * 7) % 256) / 255.0 / 255.0
+      assert(math.abs(row.getAs[Double]("val") - expected) < 1e-6)
+    }
+  }
+
+  test("q_image_convolve matches the direct window-filter sum") {
+    val r = graft.ops.Images.qImageConvolve(spark, SparkTestBase.sf).collect()
+    assert(r.length == 20 * 4 * 3 * 2, "20 images x 4x3 outputs x 2 filters")
+    val filters = Seq(Seq(1.0, -1.0, 2.0, -2.0), Seq(3.0, 1.0, -1.0, 2.0))
+    def p(id: Long, x: Long, y: Long): Double = ((id * 31 + (y * 5 + x) * 7) % 256) / 255.0
+    r.filter(_.getAs[Long]("id") == 11L).foreach { row =>
+      val (py, px, ch) = (row.getAs[Long]("py"), row.getAs[Long]("px"),
+        row.getAs[Long]("ch"))
+      val w = Seq(p(11, px, py), p(11, px + 1, py), p(11, px, py + 1),
+        p(11, px + 1, py + 1))
+      val expected = w.zip(filters(ch.toInt)).map { case (v, f) => v * f }.sum
+      assert(math.abs(row.getAs[Double]("val") - expected) < 1e-6)
+    }
+  }
 }

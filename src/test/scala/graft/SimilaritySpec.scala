@@ -98,4 +98,23 @@ class SimilaritySpec extends GraftSuite {
     assert(r.count() == 500)
     assert(r.where(col("vec_norm") <= 0).count() == 0)
   }
+
+  test("q_dedup_simhash: identical docs identical, near-identical close") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simhash").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    Seq((0L, base), (1L, base), // exact duplicate pair
+        (2L, base + "extra token"), // near-duplicate
+        (3L, "совершенно другой текст не похожий ни на что прежнее вовсе"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val fp = Similarity.qDedupSimhash(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fp(0L) == fp(1L), "identical text must fingerprint identically")
+    assert(hamming(fp(0L), fp(2L)) <= 12,
+      s"near-duplicate should be close: ${hamming(fp(0L), fp(2L))}")
+    assert(hamming(fp(0L), fp(3L)) > hamming(fp(0L), fp(2L)),
+      "unrelated text must be farther than a near-duplicate")
+  }
 }
