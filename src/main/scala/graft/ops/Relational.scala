@@ -421,6 +421,33 @@ object Relational {
 
   // ------------------------------------------------------------- registry
 
+  /** The salted-join mechanism ([[graft.sources.Skew.saltedJoin]]) on a
+    * fact ⋈ dim shape, under the oracle gate: the salt must be
+    * semantically invisible, so the oracle is the PLAIN join + aggregation.
+    * This is the skew remedy for the cases AQE's skew-join can't re-plan
+    * (broadcast-ineligible dims, skewed agg keys): the big side scatters
+    * each hot key across `salt` reducers, the dim side replicates once per
+    * bucket, and the shuffle keys on (key, salt). */
+  def qJoinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".as("suppkey"), $"l_quantity")
+    val supp = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("suppkey"), $"s_name")
+    graft.sources.Skew.saltedJoin(li, supp, "suppkey", salt = 8)
+      .groupBy($"suppkey", $"s_name")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"suppkey")
+  }
+
+  val joinSkewSaltedSql: String =
+    """SELECT s_suppkey AS suppkey, s_name,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_join_hash" -> (qJoinHash _),
@@ -430,6 +457,7 @@ object Relational {
     "q_join_outer" -> (qJoinOuter _),
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_agg_pricing_summary" -> (qAggPricingSummary _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
@@ -449,6 +477,7 @@ object Relational {
     "q_join_outer" -> joinOuterSql,
     "q_join_range" -> joinRangeSql,
     "q_join_asof" -> joinAsofSql,
+    "q_join_skew_salted" -> joinSkewSaltedSql,
     "q_agg_pricing_summary" -> aggPricingSummarySql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_rollup" -> aggRollupSql,

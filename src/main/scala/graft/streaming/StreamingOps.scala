@@ -64,6 +64,32 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * clicks in the preceding `horizon` — the streaming face of the batch
+    * as-of/range joins (q_join_asof / q_join_range). Both sides carry
+    * watermarks and the join condition bounds click_ts to a closed interval
+    * before purchase_ts, so the state store evicts both sides' rows once
+    * the watermark passes the interval — bounded state at any scale, and
+    * the join itself is an equi-join on user_id with the time predicate
+    * applied post-match (hash-partitionable, never nested-loop). */
+  def clickPurchaseIntervalJoin(events: DataFrame,
+      horizon: String = "30 minutes", lateness: String = "10 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Running (event_count, total_value) per user. */
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

@@ -57,6 +57,33 @@ class StreamingSpec extends GraftSuite {
     assert(hour0click.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("clickPurchaseIntervalJoin matches clicks in the horizon, streams state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(0), 1, "click", 0.0, "{}"),    // 40 min before -> outside horizon
+      Ev(2, ts(25), 1, "click", 0.0, "{}"),   // 15 min before -> inside
+      Ev(3, ts(35), 1, "click", 0.0, "{}"),   // 5 min before  -> inside
+      Ev(4, ts(40), 1, "purchase", 9.0, "{}"),
+      Ev(5, ts(30), 2, "click", 0.0, "{}"),   // other user -> must not match
+      Ev(6, ts(90), 3, "click", 0.0, "{}"))   // advances both watermarks
+    val q = StreamingOps.clickPurchaseIntervalJoin(stream.toDF())
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Ev(7, ts(180), 3, "purchase", 1.0, "{}")) // close hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("interval_join").collect()
+    val forP4 = out.filter(_.getAs[Long]("purchase_id") == 4L)
+      .map(_.getAs[Long]("click_id")).sorted.toSeq
+    assert(forP4 == Seq(2L, 3L),
+      s"purchase 4 must join clicks 2,3 (in-horizon, same user): got $forP4")
+    assert(!out.exists(r => r.getAs[Long]("user_id") == 2L),
+      "cross-user rows must not appear")
+  }
+
   test("sessionAggregate merges events within the gap, splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
