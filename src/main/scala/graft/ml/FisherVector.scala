@@ -48,10 +48,21 @@ object FisherVector {
   }
 
   /** Build the encoding transformer from explicit GMM parameters (exposed
-    * so tests can drive hand-built mixtures deterministically). */
+    * so tests can drive hand-built mixtures deterministically).
+    *
+    * `quantizeUnits = Some(u)` turns on DETERMINISTIC aggregation: each
+    * per-descriptor contribution is rounded to an integer multiple of 1/u
+    * (`floor(x·u + 0.5)`, exact long sums) before the Σₜ, so the encoding
+    * is bit-identical under any partitioning / aggregation order — the
+    * same fixed-point discipline as the NB scorer. At 1e9 units the
+    * quantization error per term is 5e-10, far below any descriptor
+    * signal; without it a 10⁶-term double sum drifts in its last bits with
+    * partition order, which is unacceptable for a reproducibility-gated
+    * 100 TB pipeline. */
   def fromParams(groupCol: String, descCol: String, out: String,
       weights: Array[Double], means: Array[Array[Double]],
-      sigmas: Array[Array[Double]]): Transformer = Transformer { df =>
+      sigmas: Array[Array[Double]],
+      quantizeUnits: Option[Long] = None): Transformer = Transformer { df =>
     val k = weights.length
     val d = means.head.length
     val v = transform(col(descCol), _.cast("double"))
@@ -78,12 +89,16 @@ object FisherVector {
       col(groupCol),
       col("__g"),
       posexplode(col("__v")).as(Seq("pos", "x")))
+    def q(term: Column): Column = quantizeUnits match {
+      case Some(u) => floor(term * u.toDouble + 0.5).cast("long")
+      case None => term
+    }
     val contribs = (0 until k).flatMap { c =>
       val mu = element_at(array(means(c).map(lit): _*), col("pos") + 1)
       val sg = element_at(array(sigmas(c).map(lit): _*), col("pos") + 1)
       val g = element_at(col("__g"), c + 1)
       val z = (col("x") - mu) / sg
-      Seq((g * z).as(s"c_mu_$c"), (g * (z * z - 1.0)).as(s"c_sg_$c"))
+      Seq(q(g * z).as(s"c_mu_$c"), q(g * (z * z - 1.0)).as(s"c_sg_$c"))
     }
     val perDimC = perDim.select(col(groupCol) +: col("pos") +: contribs: _*)
     val sums = (0 until k).flatMap { c =>
@@ -93,13 +108,18 @@ object FisherVector {
       .agg(sums.head, sums.tail: _*)
       .withColumn("t", col("n_contrib").cast("double")) // descriptors per group
     // regroup ordered arrays per component, normalize, concatenate
+    // (quantized sums de-quantize back to doubles before the 1/(T√w) norm)
+    def deq(s: Column): Column = quantizeUnits match {
+      case Some(u) => s.cast("double") / u.toDouble
+      case None => s
+    }
     val collects = (0 until k).flatMap { c =>
       Seq(
         transform(array_sort(collect_list(struct(col("pos"),
-          (col(s"s_mu_$c") / (col("t") * math.sqrt(weights(c)))).as("v")))),
+          (deq(col(s"s_mu_$c")) / (col("t") * math.sqrt(weights(c)))).as("v")))),
           s => s.getField("v")).as(s"fv_mu_$c"),
         transform(array_sort(collect_list(struct(col("pos"),
-          (col(s"s_sg_$c") / (col("t") * math.sqrt(2.0 * weights(c)))).as("v")))),
+          (deq(col(s"s_sg_$c")) / (col("t") * math.sqrt(2.0 * weights(c)))).as("v")))),
           s => s.getField("v")).as(s"fv_sg_$c"))
     }
     val grouped = byDim.groupBy(col(groupCol)).agg(collects.head, collects.tail: _*)

@@ -159,15 +159,126 @@ object Images {
       |FROM base, range(0, 2) ch(ch)
       |ORDER BY id, py, px, ch""".stripMargin
 
+  /** Local color statistics (ref: LCSExtractor — per 4×4 cell mean and
+    * std, the second mapPartitions descriptor under the gate) over 20
+    * synthetic 8×8×1 images → 2×2 cells × (mu, sigma). The oracle
+    * recomputes each cell's Σv and Σv² from the pixel formula and applies
+    * the same mu/max(var,0)/sqrt arithmetic; 16-term double sums agree to
+    * well past the 6-dp round on both engines. */
+  def qImageLcs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 8, y = 8, c = 1)
+      .as[ImageOps.Img]
+    ImageOps.lcs(imgs, cell = 4).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 4).cast("long").as("gy"),   // 2 cells/row x 2 stats
+        (floor($"i" / 2) % 2).cast("long").as("gx"),
+        ($"i" % 2).cast("long").as("stat"),      // 0 = mean, 1 = std
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"gy", $"gx", $"stat")
+  }
+
+  val imageLcsSql: String =
+    """WITH px AS (
+      |  SELECT t.id AS id, gy.gy AS gy, gx.gx AS gx,
+      |    CAST((t.id*31 + ((gy.gy*4 + dy.dy)*8 + gx.gx*4 + dx.dx)*7) % 256 AS DOUBLE)/255.0 AS v
+      |  FROM range(0, 20) t(id), range(0, 2) gy(gy), range(0, 2) gx(gx),
+      |       range(0, 4) dy(dy), range(0, 4) dx(dx)),
+      |agg AS (
+      |  SELECT id, gy, gx, sum(v) AS s, sum(v*v) AS s2
+      |  FROM px GROUP BY id, gy, gx)
+      |SELECT id, gy, gx, st.st AS stat,
+      |  CASE WHEN st.st = 0 THEN round(s/16.0, 6)
+      |       ELSE round(sqrt(greatest(s2/16.0 - (s/16.0)*(s/16.0), 0.0)), 6)
+      |  END AS val
+      |FROM agg, range(0, 2) st(st)
+      |ORDER BY id, gy, gx, stat""".stripMargin
+
+  /** Fisher-vector encoding (ref: FisherVector/GMMFisherVectorEstimator —
+    * the aggregation heart of the reference's image pipelines) under the
+    * oracle gate: a FIXED 2-component diagonal GMM (integer-formula means,
+    * shared σ = 0.5 so the log-normalizer is common-mode and cancels in
+    * the softmax on both engines) encodes the 64-d embeddings grouped by
+    * label, in the transformer's DETERMINISTIC fixed-point mode
+    * (quantizeUnits = 1e9 — exact long sums, bit-stable under any
+    * partitioning; see [[graft.ml.FisherVector.fromParams]]). The oracle
+    * replays posterior → quantize → sum → normalize with the identical
+    * IEEE expression shapes. */
+  def qImageFisherVector(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = graft.ml.FisherVector.fromParams("label", "embedding", "fv",
+      weights = Array(0.4, 0.6),
+      means = Array(
+        Array.tabulate(64)(j => j / 128.0),
+        Array.tabulate(64)(j => 0.25 + j / 256.0)),
+      sigmas = Array(Array.fill(64)(0.5), Array.fill(64)(0.5)),
+      quantizeUnits = Some(1000000000L))
+    enc(graft.tables.Tables.embeddings(spark, sfDir).select($"label", $"embedding"))
+      .select($"label".cast("long").as("label"),
+        posexplode($"fv").as(Seq("pos", "raw")))
+      .select($"label", $"pos".cast("long").as("pos"),
+        round($"raw", 6).as("val"))
+      .orderBy($"label", $"pos")
+  }
+
+  val imageFisherVectorSql: String =
+    """WITH quads AS (
+      |  SELECT label, embedding,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      ((CAST(embedding[i] AS DOUBLE) - CAST(i - 1 AS DOUBLE)/128.0)/0.5)
+      |      * ((CAST(embedding[i] AS DOUBLE) - CAST(i - 1 AS DOUBLE)/128.0)/0.5))) AS quad0,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      ((CAST(embedding[i] AS DOUBLE) - (0.25 + CAST(i - 1 AS DOUBLE)/256.0))/0.5)
+      |      * ((CAST(embedding[i] AS DOUBLE) - (0.25 + CAST(i - 1 AS DOUBLE)/256.0))/0.5))) AS quad1
+      |  FROM embeddings),
+      |lp AS (
+      |  SELECT label, embedding,
+      |    (ln(0.4) + (-0.5*64*ln(2*pi()) - 64*ln(0.5))) - quad0*0.5 AS lp0,
+      |    (ln(0.6) + (-0.5*64*ln(2*pi()) - 64*ln(0.5))) - quad1*0.5 AS lp1
+      |  FROM quads),
+      |gam AS (
+      |  SELECT label, embedding,
+      |    exp(lp0 - greatest(lp0, lp1)) /
+      |      (exp(lp0 - greatest(lp0, lp1)) + exp(lp1 - greatest(lp0, lp1))) AS g0,
+      |    exp(lp1 - greatest(lp0, lp1)) /
+      |      (exp(lp0 - greatest(lp0, lp1)) + exp(lp1 - greatest(lp0, lp1))) AS g1
+      |  FROM lp),
+      |contrib AS (
+      |  SELECT label, p.i AS i,
+      |    CAST(floor((g0 * ((CAST(embedding[p.i] AS DOUBLE) - CAST(p.i - 1 AS DOUBLE)/128.0)/0.5)) * 1000000000.0 + 0.5) AS BIGINT) AS c_mu_0,
+      |    CAST(floor((g0 * (((CAST(embedding[p.i] AS DOUBLE) - CAST(p.i - 1 AS DOUBLE)/128.0)/0.5) * ((CAST(embedding[p.i] AS DOUBLE) - CAST(p.i - 1 AS DOUBLE)/128.0)/0.5) - 1.0)) * 1000000000.0 + 0.5) AS BIGINT) AS c_sg_0,
+      |    CAST(floor((g1 * ((CAST(embedding[p.i] AS DOUBLE) - (0.25 + CAST(p.i - 1 AS DOUBLE)/256.0))/0.5)) * 1000000000.0 + 0.5) AS BIGINT) AS c_mu_1,
+      |    CAST(floor((g1 * (((CAST(embedding[p.i] AS DOUBLE) - (0.25 + CAST(p.i - 1 AS DOUBLE)/256.0))/0.5) * ((CAST(embedding[p.i] AS DOUBLE) - (0.25 + CAST(p.i - 1 AS DOUBLE)/256.0))/0.5) - 1.0)) * 1000000000.0 + 0.5) AS BIGINT) AS c_sg_1
+      |  FROM gam, range(1, 65) p(i)),
+      |s AS (
+      |  SELECT label, i, sum(c_mu_0) AS s_mu_0, sum(c_sg_0) AS s_sg_0,
+      |         sum(c_mu_1) AS s_mu_1, sum(c_sg_1) AS s_sg_1, count(*) AS t
+      |  FROM contrib GROUP BY label, i)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(b.b*64 + i - 1 AS BIGINT) AS pos,
+      |  round(CASE b.b
+      |    WHEN 0 THEN (CAST(s_mu_0 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(0.4))
+      |    WHEN 1 THEN (CAST(s_sg_0 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(2.0*0.4))
+      |    WHEN 2 THEN (CAST(s_mu_1 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(0.6))
+      |    ELSE        (CAST(s_sg_1 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(2.0*0.6))
+      |  END, 6) AS val
+      |FROM s, range(0, 4) b(b)
+      |ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_pool" -> (qImagePool _),
     "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
     "q_image_crop_window" -> (qImageCropWindow _),
-    "q_image_convolve" -> (qImageConvolve _))
+    "q_image_convolve" -> (qImageConvolve _),
+    "q_image_lcs" -> (qImageLcs _),
+    "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
     "q_image_pool" -> imagePoolSql,
     "q_image_grayscale_rectify" -> imageGrayscaleRectifySql,
     "q_image_crop_window" -> imageCropWindowSql,
-    "q_image_convolve" -> imageConvolveSql)
+    "q_image_convolve" -> imageConvolveSql,
+    "q_image_lcs" -> imageLcsSql,
+    "q_image_fisher_vector" -> imageFisherVectorSql)
 }

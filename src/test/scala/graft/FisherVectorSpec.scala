@@ -66,4 +66,42 @@ class FisherVectorSpec extends GraftSuite {
     assert(norms.where($"n" <= 0 || $"n".isNull).count() == 0,
       "every Fisher vector must be finite and nonzero")
   }
+
+  test("quantized mode is bit-identical under different partitionings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label", $"embedding")
+    def encode(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Double] = {
+      val enc = FisherVector.fromParams("label", "embedding", "fv",
+        Array(0.4, 0.6),
+        Array(Array.tabulate(64)(j => j / 128.0),
+          Array.tabulate(64)(j => 0.25 + j / 256.0)),
+        Array(Array.fill(64)(0.5), Array.fill(64)(0.5)),
+        quantizeUnits = Some(1000000000L))
+      enc(df).collect().flatMap { r =>
+        dArr(r, "fv").zipWithIndex.map { case (v, i) =>
+          (r.getAs[Int]("label").toLong, i) -> v
+        }
+      }.toMap
+    }
+    val a = encode(e.repartition(1))
+    val b = encode(e.repartition(13))
+    // exact long sums: no partition-order drift at all, not even ulps
+    assert(a == b, "fixed-point aggregation must be partitioning-invariant")
+    // and quantization stays within its stated error of the float path
+    val exact = {
+      val enc = FisherVector.fromParams("label", "embedding", "fv",
+        Array(0.4, 0.6),
+        Array(Array.tabulate(64)(j => j / 128.0),
+          Array.tabulate(64)(j => 0.25 + j / 256.0)),
+        Array(Array.fill(64)(0.5), Array.fill(64)(0.5)))
+      enc(e).collect().flatMap { r =>
+        dArr(r, "fv").zipWithIndex.map { case (v, i) =>
+          (r.getAs[Int]("label").toLong, i) -> v
+        }
+      }.toMap
+    }
+    a.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) < 1e-7, s"$k: quantized $v vs exact ${exact(k)}")
+    }
+  }
 }
