@@ -242,8 +242,101 @@ object Analytics {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 25)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade revenue between two
+    * nations by ship year. Supplier-nation and customer-nation resolve via
+    * broadcast joins against the 25-row nation dim; lineitem⋈orders is the
+    * fact-fact shuffle join keyed on orderkey; the bidirectional nation
+    * pair filter sits on the joined row. Decimal revenue, exact. */
+  def qVolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .where(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("l_year"))
+      .agg(round(sum(dec($"l_extendedprice") *
+        (lit(1.0).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")))
+        .cast("double"), 4).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val volumeShippingSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    * schema: "late" = shipped more than 60 days after the order date. For
+    * each supplier: orders where it shipped late, at least one OTHER
+    * supplier participated (semi join), and NO other supplier was also
+    * late (anti join). Both subqueries are equi-joins on orderkey — the
+    * exists/not-exists pair compiles to LeftSemi + LeftAnti hash joins,
+    * never correlated per-row scans. */
+  def qWaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    val l1 = li.where($"late")
+      .select($"l_orderkey".as("okey"), $"l_suppkey".as("skey"))
+    val others = li.select($"l_orderkey".as("okey"), $"l_suppkey".as("o_skey"))
+    val othersLate = li.where($"late")
+      .select($"l_orderkey".as("okey"), $"l_suppkey".as("o_skey"))
+    val waiting = l1
+      .join(others, l1("okey") === others("okey") && $"skey" =!= $"o_skey",
+        "left_semi")
+      .join(othersLate,
+        l1("okey") === othersLate("okey") && $"skey" =!= $"o_skey",
+        "left_anti")
+    waiting
+      .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name"),
+        $"skey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name").limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_name, count(*) AS numwait
+      |FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM li l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM li l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_revenue" -> (qPivotRevenue _),
+    "q_volume_shipping" -> (qVolumeShipping _),
+    "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_quantiles" -> (qQuantiles _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_string_agg" -> (qStringAgg _),
@@ -254,6 +347,8 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_pivot_revenue" -> pivotRevenueSql,
+    "q_volume_shipping" -> volumeShippingSql,
+    "q_waiting_suppliers" -> waitingSuppliersSql,
     "q_quantiles" -> quantilesSql,
     "q_exists_subquery" -> existsSubquerySql,
     "q_string_agg" -> stringAggSql,

@@ -99,6 +99,14 @@ class PlanShapeSpec extends GraftSuite {
       s"shared counts exchange must be reused, not recomputed:\n$plan")
   }
 
+  test("q_waiting_suppliers compiles exists/not-exists to semi/anti hash joins") {
+    val plan = planOf("q_waiting_suppliers")
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the okey equi-key must carry both subqueries:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec
