@@ -93,6 +93,47 @@ object StreamingOps {
   /** Running (event_count, total_value) per user. */
   case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+  /** [[runningUserTotals]]'s state logic on the Spark 4 `transformWithState`
+    * v2 API: typed [[org.apache.spark.sql.streaming.ValueState]] from the
+    * StatefulProcessorHandle instead of the GroupState closure. The v2
+    * operator requires the RocksDB state store provider (changelog-
+    * checkpointable, the store a 100 TB stateful job runs on anyway). */
+  private class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+          .asInstanceOf[Encoder[(Long, Long)]],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += r._2 }
+      totals.update((n, cents))
+      Iterator(UserTotals(key, n, cents / 100.0))
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` (Spark 4 stateful v2).
+    * Same contract as [[runningUserTotals]]; callers must run with the
+    * RocksDB state store provider. */
+  def runningUserTotalsV2(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom stateful streaming op (SURVEY §2.B "stateful streaming" row):
     * per-user running counters via
     * `KeyValueGroupedDataset.flatMapGroupsWithState` — arbitrary state

@@ -139,6 +139,36 @@ class StreamingSpec extends GraftSuite {
     assert(updates.last.getAs[Double]("total_value") == 4.0)
   }
 
+  test("runningUserTotalsV2 (transformWithState) accumulates ValueState across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 stateful operator requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = StreamingOps.runningUserTotalsV2(stream.toDF())
+        .writeStream.format("memory").queryName("usertotals_v2")
+        .outputMode("update").start()
+      stream.addData(
+        Ev(1, ts(0), 1, "click", 1.50, "{}"),
+        Ev(2, ts(1), 1, "click", 2.25, "{}"))
+      q.processAllAvailable()
+      stream.addData(Ev(3, ts(2), 1, "click", 0.25, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val updates = spark.table("usertotals_v2").where($"user_id" === 1)
+        .orderBy($"n_events").collect()
+      assert(updates.last.getAs[Long]("n_events") == 3,
+        "ValueState must survive across micro-batches")
+      assert(updates.last.getAs[Double]("total_value") == 4.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("slidingCounts places each closed event in 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
