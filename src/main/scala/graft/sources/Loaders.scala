@@ -30,6 +30,12 @@ object Loaders {
         (col("overall") >= positiveAbove).cast("int").as("label"),
         col("reviewText").as("text"))
 
+  /** Columnar ORC source (capability row beyond the reference's CSV/text
+    * loaders): same pushdown/pruning contract as parquet — predicates and
+    * projections reach the ORC reader (asserted in SourcesSpec). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** ref: NewsgroupsDataLoader — directory-per-class text corpus: ONE row
     * per FILE (`wholetext`: a multi-line document stays a single document),
     * label = parent directory name. Still the declarative text file source

@@ -54,7 +54,16 @@ class DataPipelineSpec extends GraftSuite {
     assert(curated.count() > 100, "filter must keep a usable corpus")
     assert(curated.count() < afterNear.count(), "filter must drop something")
 
-    // stage 4: tokenize + frequency-ordered dense ids (workflow nodes +
+    // stage 4: SimHash fingerprints as a cheap audit trail — the planted
+    // near-dup (if it had survived) would sit within a few bits of doc 0;
+    // unrelated docs must not collide wholesale
+    val fps = curated.select($"doc_id",
+      Dedup.simhash($"text").as("fp"))
+    assert(fps.count() == curated.count())
+    assert(fps.select($"fp").distinct().count() > curated.count() / 2,
+      "fingerprints must separate a distinct-text corpus")
+
+    // stage 5: tokenize + frequency-ordered dense ids (workflow nodes +
     // the scalable zipWithIndex ranking)
     val featurize = Tokenize("text", "tokens")
       .andThen(CommonSparseFeatures("tokens", "features", 50), curated)
@@ -69,5 +78,29 @@ class DataPipelineSpec extends GraftSuite {
     val empty = encoded.where(
       aggregate($"features", lit(0.0), (a, x) => a + x) === 0.0).count()
     assert(empty == 0, "top-50 vocab must cover every curated doc")
+
+    // stage 6: n-gram LM over the curated corpus (parameterized
+    // Stupid-Backoff) — every scored trigram of in-corpus tokens must get
+    // a positive probability-like score
+    val tokens = curated.select($"doc_id", posexplode(toks).as(Seq("pos", "token")))
+    val vocab = spark.createDataFrame(
+      tokens.groupBy($"token").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"token").select($"token")
+        .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) })
+      .toDF("token", "id")
+    val docIds = tokens.join(vocab, "token")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"id"))),
+        s => s.getField("id")).as("ids"))
+    val (tables, total) = graft.ml.StupidBackoff.countTables(docIds, "ids", 3)
+    val cands = vocab.where($"id" < 3).select($"id".as("i1"))
+      .crossJoin(vocab.where($"id" < 3).select($"id".as("i2")))
+      .crossJoin(vocab.where($"id" < 3).select($"id".as("i3")))
+      .withColumn("g", graft.functions.NGramIndexer.packN(
+        Seq($"i1", $"i2", $"i3"), 3))
+    val scoredLm = graft.ml.StupidBackoff.score(cands, "g", tables, total, "s")
+    assert(scoredLm.where($"s" <= 0 || $"s".isNull).count() == 0,
+      "every candidate trigram must score positive")
+    assert(scoredLm.count() == 27)
   }
 }

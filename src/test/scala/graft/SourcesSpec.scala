@@ -58,6 +58,24 @@ class SourcesSpec extends GraftSuite {
       "whole file content, newlines intact")
   }
 
+  test("ORC round-trips with predicate pushdown and column pruning") {
+    import graft.sources.Loaders
+    val dir = tmpDir("orc") + "/nation"
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.mode("overwrite").orc(dir)
+    val back = Loaders.orc(spark, dir)
+    assert(back.count() == nation.count())
+    val q = back.where(col("n_nationkey") >= 10).select("n_name")
+    assert(q.count() == nation.where(col("n_nationkey") >= 10).count())
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThanOrEqual(n_nationkey,10)]")
+      || plan.contains("GreaterThanOrEqual(n_nationkey"),
+      s"predicate must reach the ORC reader:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_regionkey"),
+      s"unused columns must be pruned from the ORC scan:\n$readSchema")
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     import spark.implicits._
     import graft.sources.Skew
