@@ -99,6 +99,12 @@ class PlanShapeSpec extends GraftSuite {
       s"shared counts exchange must be reused, not recomputed:\n$plan")
   }
 
+  test("q_volume_shipping broadcasts the nation dims") {
+    val plan = planOf("q_volume_shipping")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_waiting_suppliers compiles exists/not-exists to semi/anti hash joins") {
     val plan = planOf("q_waiting_suppliers")
     assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
