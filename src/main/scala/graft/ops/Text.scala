@@ -473,12 +473,18 @@ object Text {
     val priors = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))        // #classes rows
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))                      // 1 row
     val tokClass = tokens.groupBy($"token", $"lang").agg(count(lit(1)).as("tc"))
-    val classTotals = tokens.groupBy($"lang").agg(count(lit(1)).as("tt")) // #classes rows
-    val vocabSize = tokens.select($"token").distinct().agg(count(lit(1)).as("v"))
+    // Every other model frame derives from tokClass (vocab × #classes rows)
+    // rather than re-exploding the corpus: the three tokClass references
+    // share one exchange (AQE ReuseExchange dedupes identical shuffle
+    // subtrees), so the whole query makes exactly TWO corpus passes — the
+    // count aggregation here and the per-doc scoring join below.
+    val classTotals = tokClass.groupBy($"lang").agg(sum($"tc").as("tt"))  // #classes rows
+    val vocabTokens = tokClass.select($"token").distinct()
+    val vocabSize = vocabTokens.agg(count(lit(1)).as("v"))
     // Laplace-smoothed log-likelihood for every (token, class) pair in
     // integer micro-units: the grid is vocab × #classes — the explicit
     // left join supplies the tc=0 rows.
-    val grid = tokens.select($"token").distinct()
+    val grid = vocabTokens
       .crossJoin(broadcast(priors.select($"lang")))
       .join(tokClass, Seq("token", "lang"), "left")
       .join(broadcast(classTotals), "lang")
