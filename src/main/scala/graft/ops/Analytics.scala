@@ -284,6 +284,73 @@ object Analytics {
       |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q8 shape (national market share): NATION_2's share of ECONOMY-
+    * part revenue sold into the ASIA-region market, by order year. All
+    * four dimension legs (part filtered to one type, supplier→nation,
+    * customer→nation→region, the 25-row nation table itself) broadcast;
+    * the only data-sized shuffle is lineitem⋈orders on orderkey, with the
+    * order-date range pushed into the orders scan. Market share is a
+    * ratio of two exact decimal sums, cast to double only for the final
+    * division — identical IEEE inputs on both engines. */
+  def qMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, sfDir)
+    val asiaNations = nation
+      .join(broadcast(Tables.region(spark, sfDir).where($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nation.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val econParts = Tables.part(spark, sfDir)
+      .where($"p_type" === "ECONOMY").select($"p_partkey")
+    val orders = Tables.orders(spark, sfDir)
+      .where($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1997-01-01")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val vol = dec($"l_extendedprice") *
+      (lit(1.0).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(econParts), $"l_partkey" === $"p_partkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        sum(when($"supp_nation" === "NATION_2", vol)
+          .otherwise(lit(0.0).cast("decimal(12,2)"))).as("nation_vol"),
+        sum(vol).as("total_vol"))
+      .select($"o_year",
+        round($"nation_vol".cast("double") / $"total_vol".cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val marketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(
+      |    CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |      ELSE CAST(0.0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+      |    6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
     * schema: "late" = shipped more than 60 days after the order date. For
     * each supplier: orders where it shipped late, at least one OTHER
@@ -336,6 +403,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_revenue" -> (qPivotRevenue _),
     "q_volume_shipping" -> (qVolumeShipping _),
+    "q_market_share" -> (qMarketShare _),
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_quantiles" -> (qQuantiles _),
     "q_exists_subquery" -> (qExistsSubquery _),
@@ -348,6 +416,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_pivot_revenue" -> pivotRevenueSql,
     "q_volume_shipping" -> volumeShippingSql,
+    "q_market_share" -> marketShareSql,
     "q_waiting_suppliers" -> waitingSuppliersSql,
     "q_quantiles" -> quantilesSql,
     "q_exists_subquery" -> existsSubquerySql,

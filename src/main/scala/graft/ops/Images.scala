@@ -266,12 +266,69 @@ object Images {
       |FROM s, range(0, 4) b(b)
       |ORDER BY label, pos""".stripMargin
 
+  /** Histogram-of-oriented-gradients (ref: HogExtractor — the remaining
+    * mapPartitions descriptor, now under the gate beside LCS) over 20
+    * synthetic 8×8×1 images, cell = 4, bins = 9 → 2×2 cells × 9 bins.
+    * The oracle replays the extractor's exact IEEE steps from the pixel
+    * formula: per-pixel /255.0 BEFORE the central difference (subtracting
+    * pre-rounded doubles, as the JVM does), clamped borders, unsigned
+    * atan2 orientation with the same fold-into-[0,π) branch order, and
+    * the per-cell L2 normalization with the +1e-12 guard. Bin boundaries
+    * are safe across engines: the smallest nonzero gradient is 1/255, so
+    * no orientation lands within an ulp of a π/9 multiple. */
+  def qImageHog(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 8, y = 8, c = 1)
+      .as[ImageOps.Img]
+    ImageOps.hog(imgs, cell = 4, bins = 9).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 18).cast("long").as("cy"),    // cellIdx = i / 9; 2 cells/row
+        (floor($"i" / 9) % 2).cast("long").as("cx"),
+        ($"i" % 9).cast("long").as("bin"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"cy", $"cx", $"bin")
+  }
+
+  val imageHogSql: String =
+    """WITH grad AS (
+      |  SELECT t.id AS id, y.y AS y, x.x AS x,
+      |    CAST((t.id*31 + (y.y*8 + CASE WHEN x.x = 7 THEN x.x ELSE x.x + 1 END)*7) % 256 AS DOUBLE)/255.0
+      |    - CAST((t.id*31 + (y.y*8 + CASE WHEN x.x = 0 THEN x.x ELSE x.x - 1 END)*7) % 256 AS DOUBLE)/255.0 AS gx,
+      |    CAST((t.id*31 + ((CASE WHEN y.y = 7 THEN y.y ELSE y.y + 1 END)*8 + x.x)*7) % 256 AS DOUBLE)/255.0
+      |    - CAST((t.id*31 + ((CASE WHEN y.y = 0 THEN y.y ELSE y.y - 1 END)*8 + x.x)*7) % 256 AS DOUBLE)/255.0 AS gy
+      |  FROM range(0, 20) t(id), range(0, 8) y(y), range(0, 8) x(x)),
+      |votes AS (
+      |  SELECT id, y//4 AS cy, x//4 AS cx,
+      |    least(CAST(floor(
+      |      (CASE WHEN atan2(gy, gx) < 0 THEN atan2(gy, gx) + pi()
+      |            WHEN atan2(gy, gx) >= pi() THEN atan2(gy, gx) - pi()
+      |            ELSE atan2(gy, gx) END) / pi() * 9) AS BIGINT), 8) AS bin,
+      |    sqrt(gx*gx + gy*gy) AS mag
+      |  FROM grad WHERE sqrt(gx*gx + gy*gy) > 0),
+      |acc AS (
+      |  SELECT id, cy, cx, bin, sum(mag) AS v
+      |  FROM votes GROUP BY id, cy, cx, bin),
+      |norm AS (
+      |  SELECT id, cy, cx, sum(v*v) AS s FROM acc GROUP BY id, cy, cx),
+      |grid AS (
+      |  SELECT t.id AS id, cy.cy AS cy, cx.cx AS cx, b.b AS bin
+      |  FROM range(0, 20) t(id), range(0, 2) cy(cy), range(0, 2) cx(cx),
+      |       range(0, 9) b(b))
+      |SELECT g.id AS id, g.cy AS cy, g.cx AS cx, g.bin AS bin,
+      |  round(coalesce(a.v, 0.0) / (sqrt(coalesce(n.s, 0.0)) + 1e-12), 6) AS val
+      |FROM grid g
+      |LEFT JOIN acc a ON a.id = g.id AND a.cy = g.cy AND a.cx = g.cx AND a.bin = g.bin
+      |LEFT JOIN norm n ON n.id = g.id AND n.cy = g.cy AND n.cx = g.cx
+      |ORDER BY id, cy, cx, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_pool" -> (qImagePool _),
     "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
     "q_image_crop_window" -> (qImageCropWindow _),
     "q_image_convolve" -> (qImageConvolve _),
     "q_image_lcs" -> (qImageLcs _),
+    "q_image_hog" -> (qImageHog _),
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +337,6 @@ object Images {
     "q_image_crop_window" -> imageCropWindowSql,
     "q_image_convolve" -> imageConvolveSql,
     "q_image_lcs" -> imageLcsSql,
+    "q_image_hog" -> imageHogSql,
     "q_image_fisher_vector" -> imageFisherVectorSql)
 }

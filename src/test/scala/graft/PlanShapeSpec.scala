@@ -99,6 +99,16 @@ class PlanShapeSpec extends GraftSuite {
       s"shared counts exchange must be reused, not recomputed:\n$plan")
   }
 
+  test("q_market_share pushes the order-date range into the orders scan") {
+    val plan = planOf("q_market_share")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") &&
+      plan.contains("LessThan(o_orderdate"),
+      s"order-date range must reach PushedFilters:\n$plan")
+    assert(plan.contains("EqualTo(p_type,ECONOMY)"),
+      s"part-type filter must reach the part scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q_volume_shipping broadcasts the nation dims") {
     val plan = planOf("q_volume_shipping")
     assert(plan.contains("BroadcastHashJoin"), plan)
