@@ -28,6 +28,37 @@ class SourcesSpec extends GraftSuite {
     assert(df.where(col("name") === "beta").head().getDouble(2) == 1.5)
   }
 
+  test("Loaders.cifar parses fixed-length binary records and feeds the image family") {
+    // 5 records of 2x2x3: label byte + 12 channel-planar pixel bytes, with
+    // pixel byte = (record * 50 + channel * 16 + pixel * 4) — distinct per
+    // slot so any interleave/offset bug shows as a wrong value.
+    val dir = tmpDir("cifar")
+    val bytes = (0 until 5).flatMap { r =>
+      (r % 10).toByte +: (for (ch <- 0 until 3; p <- 0 until 4)
+        yield (r * 50 + ch * 16 + p * 4).toByte)
+    }.toArray
+    Files.write(Paths.get(dir, "batch.bin"), bytes)
+    val df = Loaders.cifar(spark, dir, x = 2, y = 2, c = 3)
+    assert(df.count() == 5)
+    assert(df.columns.toSeq ==
+      Seq("id", "label", "x_dim", "y_dim", "n_channels", "image"))
+    assert(df.select("id").distinct().count() == 5, "ids must be unique")
+    val r2 = df.where(col("label") === 2)
+      .select(col("image")).head().getSeq[Double](0)
+    // record 2, planar byte for (ch, p) = 100 + ch*16 + p*4, interleaved at
+    // image(p*3 + ch), all /255
+    for (p <- 0 until 4; ch <- 0 until 3)
+      assert(math.abs(r2(p * 3 + ch) - (100 + ch * 16 + p * 4) / 255.0) < 1e-12,
+        s"pixel ($p, $ch)")
+    // integration: the loaded frame runs the image pipeline as-is
+    val gray = graft.images.ImageOps.grayScale(
+      df.select("id", "x_dim", "y_dim", "n_channels", "image"))
+    val g2 = gray.where(col("id") === df.where(col("label") === 2)
+      .select("id").head().getLong(0))
+      .select(col("image")).head().getSeq[Double](0)
+    assert(math.abs(g2(0) - (100 / 255.0 + 116 / 255.0 + 132 / 255.0) / 3) < 1e-12)
+  }
+
   test("Loaders.jsonReviews maps ratings to binary labels") {
     val dir = tmpDir("json")
     Files.writeString(Paths.get(dir, "reviews.json"),
