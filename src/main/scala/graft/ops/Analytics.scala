@@ -400,6 +400,263 @@ object Analytics {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
+    * query — every predicate (ship-year range, discount band, quantity
+    * cap) is a raw-column comparison that reaches the parquet scan as a
+    * pushed filter, and the aggregate has no grouping, so the whole plan
+    * is scan → partial agg → single-row final agg. At 100 TB this is the
+    * shape that proves the engine can answer a selective question without
+    * shuffling anything but 32 partial rows. */
+  def qForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(
+        round(sum(dec($"l_extendedprice") * $"l_discount".cast("decimal(3,2)"))
+          .cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val forecastRevenueSql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 4) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by the
+    * revenue they generated on returned lines in one quarter. The date
+    * range pushes into the orders scan and the returnflag equality into
+    * the lineitem scan; nation broadcasts; top-20 compiles to
+    * TakeOrderedAndProject so only 20 rows ever reach the driver. */
+  def qReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-04-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, sfDir).where($"l_returnflag" === "R"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum(dec($"l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)")))
+        .cast("double"), 4).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): the agg-of-agg —
+    * a left outer join whose join-side filter lives in the ON clause (so
+    * non-matching customers survive with count 0), a per-customer count,
+    * then a second aggregation over the counts. Two shuffles by
+    * construction; the second one is tiny (one row per distinct count). */
+  def qCustOrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).where($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val custOrderDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): promo share of one ship-month's
+    * revenue — a conditional-numerator ratio over a join, both sums exact
+    * decimal until the final double division. */
+  def qPromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vol = dec($"l_extendedprice") *
+      (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)"))
+    Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1996-09-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        round(lit(100.0) *
+          sum(when($"p_type" === "PROMO", vol).otherwise(lit(0).cast("decimal(12,2)")))
+            .cast("double") /
+          sum(vol).cast("double"), 6).as("promo_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT
+      |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+      |    6) AS promo_share,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): per-supplier quarterly revenue, then
+    * the supplier(s) equal to the global max — the "view + scalar
+    * aggregate of the view" pattern. The revenue stays decimal so the
+    * max-equality join is exact; the 1-row max frame broadcasts. */
+  def qTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(dec($"l_extendedprice") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)")))
+        .as("rev_dec"))
+    rev.join(broadcast(rev.agg(max($"rev_dec").as("mx"))), $"rev_dec" === $"mx")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        round($"rev_dec".cast("double"), 4).as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS rev_dec
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(CAST(rev_dec AS DOUBLE), 4) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated SCALAR
+    * subquery — each line compares against 20% of its part's average
+    * quantity. Catalyst decorrelates this into an aggregate + equi-join,
+    * never a per-row rescan (quantities are integer-valued doubles, so the
+    * average is exact in any summation order on both engines). */
+  def qSmallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("v_part")
+    spark.sql(
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM v_lineitem l1 JOIN v_part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem l1 JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity clears a threshold — the group-by-HAVING semi-join feeding a
+    * three-way join, top-20 by order value. The HAVING side aggregates
+    * lineitem once, keyed on orderkey, and the survivors (few) drive the
+    * rest of the join tree. */
+  def qLargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .where($"sum_qty" > 250)
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_totalprice", round($"sum_qty", 2).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val largeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_totalprice, round(sum_qty, 2) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+      |  ON o_orderkey = big.l_orderkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity), adapted to this schema
+    * (no phone column → nation is the grouping key; every sf0.01 customer
+    * has SOME order → "dormant" = no order since 1999): customers with an
+    * above-average positive balance and no recent orders, counted per
+    * nation. Scalar-subquery threshold (exact decimal average, rounded to
+    * cents on both engines) + anti join on the recent-orders set. */
+  def qSalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Tables.customer(spark, sfDir)
+      .where($"c_acctbal" > 0)
+      .agg(round(sum(dec($"c_acctbal")).cast("double") / count(lit(1)), 2).as("thr"))
+    val recent = Tables.orders(spark, sfDir)
+      .where($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .crossJoin(broadcast(thr))
+      .where($"c_acctbal" > $"thr")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec($"c_acctbal")).cast("double"), 2).as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  val salesOpportunitySql: String =
+    """WITH thr AS (
+      |  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS thr
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, count(*) AS numcust,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+      |FROM customer
+      |CROSS JOIN thr
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > thr
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot_revenue" -> (qPivotRevenue _),
     "q_volume_shipping" -> (qVolumeShipping _),
@@ -411,7 +668,15 @@ object Analytics {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_shipping_priority" -> (qShippingPriority _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
-    "q_discounted_revenue" -> (qDiscountedRevenue _))
+    "q_discounted_revenue" -> (qDiscountedRevenue _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
+    "q_returned_items" -> (qReturnedItems _),
+    "q_cust_order_distribution" -> (qCustOrderDistribution _),
+    "q_promo_revenue" -> (qPromoRevenue _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q_large_orders" -> (qLargeOrders _),
+    "q_sales_opportunity" -> (qSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
     "q_pivot_revenue" -> pivotRevenueSql,
@@ -424,5 +689,13 @@ object Analytics {
     "q_conditional_agg" -> conditionalAggSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,
-    "q_discounted_revenue" -> discountedRevenueSql)
+    "q_discounted_revenue" -> discountedRevenueSql,
+    "q_forecast_revenue" -> forecastRevenueSql,
+    "q_returned_items" -> returnedItemsSql,
+    "q_cust_order_distribution" -> custOrderDistributionSql,
+    "q_promo_revenue" -> promoRevenueSql,
+    "q_top_supplier" -> topSupplierSql,
+    "q_small_qty_revenue" -> smallQtyRevenueSql,
+    "q_large_orders" -> largeOrdersSql,
+    "q_sales_opportunity" -> salesOpportunitySql)
 }

@@ -142,6 +142,184 @@ object Similarity {
       |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash-LSH geometry for the oracle-gated banded near-dup: 16 hashes
+    * banded 4 × 4, buckets capped at [[MinhashMaxBucket]] docs. The hash
+    * family is h_j(x) = (x·A_j + B_j) mod P over the Mersenne prime
+    * P = 2³¹−1 with A_j = (2654435761·j mod P) + 1, B_j = 40503·j + 1 —
+    * pure 64-bit integer arithmetic (all products < 2⁶²), identical on any
+    * engine, unlike MinHashLSH's seeded murmur family. */
+  val MinhashP = 2147483647L
+  val MinhashHashes = 16
+  val MinhashBands = 4
+  val MinhashMaxBucket = 64
+
+  /** Banded-MinHash near-duplicate pairs with exact-Jaccard verification —
+    * the trillion-row near-dup path ([[graft.ml.Dedup.minhashNearDup]] is
+    * the parameterized library form) pulled into the DuckDB gate via
+    * engine-portable hashing:
+    *  1. shingle each doc with the codegen'd `graft_shingles` kernel,
+    *     digest each shingle to a 60-bit md5-prefix long reduced mod P —
+    *     distinct per doc, so the signature is over the shingle SET;
+    *  2. 16 affine min-hashes per doc in one projection (no shuffle);
+    *  3. band buckets: md5-digest of each 4-hash slice → the (band, bucket)
+    *     equi-key. Candidates = pairs sharing a bucket; posting lists are
+    *     `collect_set` per bucket, capped at [[MinhashMaxBucket]] (empty or
+    *     boilerplate docs collapse into one bucket and would pair
+    *     quadratically — the cap is the same safety valve as the library
+    *     path's `maxBucket`), pairs emitted by the compiled `graft_pairs`
+    *     kernel and band-counted by one hash aggregation;
+    *  4. the TRUE Jaccard (intersection of the digest sets) is computed for
+    *     candidates only — the LSH narrows, the verify decides. Recall vs
+    *     the unblocked exact query is < 1 by construction (P(candidate) =
+    *     1−(1−s⁴)⁴); identical arithmetic on both engines makes the blocked
+    *     result itself deterministic.
+    * Shape note: the signature is NOT computed with per-element HOF lambdas
+    * (those evaluate interpreted — measured 8 s at sf0.1); instead the
+    * digests explode once through a codegen'd projection and the 16 mins
+    * are plain MIN aggregates in ONE hash aggregation — map-side
+    * combinable, whole-stage codegen, and the digest set for the verify
+    * step rides the same shuffle as a collect_set. */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val P = MinhashP
+    val h = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"text", lit(3))).as("shx"))
+      .select($"doc_id",
+        (conv(substring(md5($"shx"), 1, 15), 16, 10).cast("long") % P).as("h"))
+    val minCols = (0 until MinhashHashes).map { j =>
+      val a = 2654435761L * j % P + 1
+      val b = 40503L * j + 1
+      min(($"h" * a + b) % P).as(s"s$j")
+    }
+    val sig = h.groupBy($"doc_id")
+      .agg(collect_set($"h").as("shs"), minCols: _*)
+    val rowsPerBand = MinhashHashes / MinhashBands
+    val buckets = (0 until MinhashBands).map { b =>
+      val slice = (0 until rowsPerBand).map(k => col(s"s${b * rowsPerBand + k}"))
+      conv(substring(md5(concat_ws(",", slice: _*)), 1, 15), 16, 10).cast("long")
+    }
+    val shs = sig.select($"doc_id", $"shs")
+    val banded = sig.select($"doc_id",
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val cand = banded
+      .groupBy($"band", $"bucket")
+      .agg(sort_array(collect_set($"doc_id")).as("ds"))
+      .where(size($"ds").between(2, MinhashMaxBucket))
+      .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
+      .groupBy($"e.x".as("doc_a"), $"e.y".as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    cand
+      .join(shs.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), "doc_a")
+      .join(shs.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("jaccard", $"n_inter".cast("double") /
+        (size($"sh_a") + size($"sh_b") - $"n_inter"))
+      .where($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", $"n_bands", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) % $MinhashP AS h
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+      |sig AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+      |    min((h * ((2654435761 * j) % $MinhashP + 1) + (40503 * j + 1)) % $MinhashP) AS s
+      |  FROM sh0, UNNEST(range(0, $MinhashHashes)) u(j) GROUP BY 1, 2),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band,
+      |    CAST('0x' || substr(md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY j)), 1, 15) AS BIGINT) AS bucket
+      |  FROM sig GROUP BY doc_id, j // 4),
+      |sized AS (
+      |  SELECT band, bucket FROM band GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MinhashMaxBucket),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      |  FROM band a JOIN sized USING (band, bucket)
+      |  JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS n_inter
+      |  FROM cand c JOIN sh0 a ON c.doc_a = a.doc_id
+      |  JOIN sh0 b ON c.doc_b = b.doc_id AND a.h = b.h
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_a, doc_b, n_bands,
+      |  round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 4) AS jaccard
+      |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** IVF geometry for the oracle-gated ANN query: 8 cells over the 64-dim
+    * embeddings, centroid k dim i = ((i·37 + k·1009) mod 83)/83 − 0.5 scaled
+    * by 0.1 to sit in the data's range — integer arithmetic, so the
+    * quantizer is identical on both engines (the k-means-fitted quantizer
+    * lives in [[graft.ml.Ann.fitIvf]]; fitting is engine-specific, the
+    * *search* is what this query gates). */
+  val IvfNlist = 8
+  val IvfNprobe = 2
+  val IvfK = 3
+
+  private def ivfFixedIndex: graft.ml.Ann.IvfIndex =
+    graft.ml.Ann.IvfIndex(Array.tabulate(IvfNlist, 64)((k, i0) => {
+      val i = i0 + 1
+      (((i * 37 + k * 1009) % 83).toDouble / 83.0 - 0.5) * 0.1
+    }))
+
+  /** IVF ANN cosine top-k through [[graft.ml.Ann.ivfCosineTopK]] — the
+    * coarse-quantizer similarity-search scale path in the DuckDB gate:
+    * every vector is assigned to its nearest cell (argmin of codegen'd
+    * graft_sqdist, ties to the lower cell id), each of the 10 probes scans
+    * only its [[IvfNprobe]] nearest cells, exact cosine ranks the
+    * candidates. At 100 TB the corpus shards by cell id and a probe touches
+    * nprobe/nlist of it; recall@k vs brute force is asserted in AnnSpec. */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    graft.ml.Ann.ivfCosineTopK(ivfFixedIndex, e, e.where($"vec_id" < 10),
+        "vec_id", "embedding", k = IvfK, nprobe = IvfNprobe)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (
+      |  SELECT CAST(k AS INT) AS k, list_transform(range(1, 65), i ->
+      |    (CAST((i * 37 + k * 1009) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS c
+      |  FROM range(0, $IvfNlist) t(k)),
+      |d AS (
+      |  SELECT vec_id, k,
+      |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM n, cent),
+      |assign AS (
+      |  SELECT vec_id, k AS cluster FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, k AS cluster FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d
+      |    WHERE vec_id < 10)
+      |  WHERE rn <= $IvfNprobe)
+      |SELECT probe_id, rank, cand_id, round(cos, 6) + 0.0 AS cos FROM (
+      |  SELECT p.probe_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(pn.v, n.v), x -> x[1] * x[2])) / (pn.nrm * n.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+      |      list_sum(list_transform(list_zip(pn.v, n.v), x -> x[1] * x[2])) / (pn.nrm * n.nrm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM probes p
+      |  JOIN assign c ON p.cluster = c.cluster AND c.vec_id <> p.probe_id
+      |  JOIN n pn ON pn.vec_id = p.probe_id
+      |  JOIN n ON n.vec_id = c.vec_id)
+      |WHERE rank <= $IvfK ORDER BY probe_id, rank""".stripMargin
+
   /** SimHash fingerprint width (bits). 60 = what a 15-hex-digit md5 prefix
     * yields with engine-portable integer arithmetic. */
   val SimhashBits = 60
@@ -326,6 +504,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_cosine_topk" -> (qCosineTopk _),
@@ -334,6 +514,8 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_cosine_topk" -> cosineTopkSql,

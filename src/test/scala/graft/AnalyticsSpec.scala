@@ -50,4 +50,91 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.where(col("n_urgent") > col("n_orders")).count() == 0)
     assert(r.where(col("n_big") > 0 && col("big_revenue") <= 0).count() == 0)
   }
+
+  test("q_forecast_revenue matches an independently-computed double sum") {
+    import spark.implicits._
+    val r = Analytics.qForecastRevenue(spark, sf).head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01" &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+    assert(r.getAs[Long]("n_lines") == li.count())
+    val approx = li.agg(sum($"l_extendedprice" * $"l_discount")).head.getDouble(0)
+    assert(math.abs(r.getAs[Double]("revenue") - approx) < 1.0,
+      s"decimal vs double revenue: ${r.getAs[Double]("revenue")} vs $approx")
+  }
+
+  test("q_cust_order_distribution partitions customers and orders exactly") {
+    import spark.implicits._
+    val r = Analytics.qCustOrderDistribution(spark, sf)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nUrgent = spark.read.parquet(s"$sf/orders.parquet")
+      .where($"o_orderpriority" === "1-URGENT").count()
+    assert(r.agg(sum("custdist")).head.getLong(0) == nCust,
+      "every customer lands in exactly one count bucket")
+    assert(r.agg(sum($"c_count" * $"custdist")).head.getLong(0) == nUrgent,
+      "count-weighted buckets must reproduce the urgent-order total")
+  }
+
+  test("q_promo_revenue share is a percentage of the month's revenue") {
+    val r = Analytics.qPromoRevenue(spark, sf).head()
+    val share = r.getAs[Double]("promo_share")
+    assert(share >= 0.0 && share <= 100.0, s"share=$share")
+    assert(r.getAs[Long]("n_lines") > 0)
+  }
+
+  test("q_top_supplier returns exactly the argmax of per-supplier revenue") {
+    import spark.implicits._
+    val r = rows(Analytics.qTopSupplier(spark, sf))
+    assert(r.nonEmpty)
+    val perSupp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - $"l_discount".cast("decimal(12,2)"))).as("rev"))
+    val mx = perSupp.agg(max($"rev")).head.getDecimal(0)
+    val winners = perSupp.where($"rev" === mx).select("l_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(r.map(_.getAs[Long]("s_suppkey")).toSet == winners)
+  }
+
+  test("q_small_qty_revenue equals the decorrelated aggregate-join spelling") {
+    import spark.implicits._
+    val r = Analytics.qSmallQtyRevenue(spark, sf).head()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partAvg = li.groupBy($"l_partkey".as("pk")).agg(avg($"l_quantity").as("avg_qty"))
+    val manual = li
+      .join(spark.read.parquet(s"$sf/part.parquet").where($"p_brand" === "Brand#3"),
+        $"l_partkey" === $"p_partkey")
+      .join(partAvg, $"l_partkey" === $"pk")
+      .where($"l_quantity" < lit(0.2) * $"avg_qty")
+    assert(r.getAs[Long]("n_lines") == manual.count(),
+      "correlated subquery must match the manual decorrelation")
+  }
+
+  test("q_large_orders rows all clear the quantity threshold, sorted by value") {
+    val r = rows(Analytics.qLargeOrders(spark, sf))
+    assert(r.nonEmpty && r.size <= 20)
+    r.foreach(x => assert(x.getAs[Double]("sum_qty") > 250))
+    val prices = r.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_sales_opportunity counts dormant above-average-balance customers") {
+    import spark.implicits._
+    val r = Analytics.qSalesOpportunity(spark, sf)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val thr = {
+      val row = cust.where($"c_acctbal" > 0)
+        .agg(sum($"c_acctbal".cast("decimal(12,2)")).as("s"), count(lit(1)).as("n")).head()
+      BigDecimal(row.getDecimal(0)).toDouble / row.getLong(1)
+    }
+    val expected = cust
+      .where($"c_acctbal" > math.rint(thr * 100) / 100)
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+          .where($"o_orderdate" >= "1999-01-01").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .count()
+    assert(r.agg(sum("numcust")).head.getLong(0) == expected)
+    rows(r).foreach(x => assert(x.getAs[Long]("numcust") > 0))
+  }
 }

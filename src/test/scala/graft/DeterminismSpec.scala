@@ -29,6 +29,8 @@ class DeterminismSpec extends GraftSuite {
     "q_tfidf_top_terms",
     "q_word_id_encode",
     "q_dedup_shingle_jaccard",
+    "q_dedup_minhash",
+    "q_ann_ivf",
     "q_embed_neardup",
     "q_naive_bayes_score",
     "q_sessionize").foreach { name =>

@@ -123,6 +123,54 @@ class PlanShapeSpec extends GraftSuite {
       s"the okey equi-key must carry both subqueries:\n$plan")
   }
 
+  test("q_forecast_revenue pushes every predicate into the lineitem scan") {
+    // the pure scan-side query: if any of the three predicates misses
+    // PushedFilters, 100 TB of lineitem is read instead of a slice
+    // the scan line truncates its metadata at 100 chars by default, which
+    // would hide the later filters in the pushed list
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      planOf("q_forecast_revenue")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    val scan = plan.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate") &&
+      scan.contains("LessThan(l_shipdate") &&
+      scan.contains("GreaterThanOrEqual(l_discount") &&
+      scan.contains("LessThan(l_quantity"),
+      s"all Q6 predicates must reach the reader:\n$plan")
+  }
+
+  test("q_small_qty_revenue decorrelates the scalar subquery (no per-row rescan)") {
+    val plan = planOf("q_small_qty_revenue")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q17's correlated avg must become an aggregate + equi-join:\n$plan")
+  }
+
+  test("q_returned_items and q_large_orders compile top-k to TakeOrderedAndProject") {
+    Seq("q_returned_items", "q_large_orders").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name must not globally sort for a LIMIT:\n$plan")
+    }
+  }
+
+  test("q_dedup_minhash and q_ann_ivf stay on equi-joins (no cartesian anywhere)") {
+    Seq("q_dedup_minhash", "q_ann_ivf").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must block via equi-keys:\n$plan")
+    }
+  }
+
+  test("q_ann_ivf broadcasts the probe side into the inverted-list join") {
+    val plan = planOf("q_ann_ivf")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded probe set is the broadcast side:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec

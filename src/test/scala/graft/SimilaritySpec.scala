@@ -99,6 +99,70 @@ class SimilaritySpec extends GraftSuite {
     assert(r.where(col("vec_norm") <= 0).count() == 0)
   }
 
+  test("q_dedup_minhash is a subset of brute-force Jaccard >= 0.8 over the same digests") {
+    import spark.implicits._
+    val P = Similarity.MinhashP
+    // same digest space as the query (md5-prefix mod P), uncapped all-pairs
+    val shs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        array_distinct(transform(call_function("graft_shingles", $"text", lit(3)),
+          sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % P)).as("shs"))
+    val brute = shs.as("a").join(shs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("n_inter", size(array_intersect($"a.shs", $"b.shs")))
+      .withColumn("j", $"n_inter".cast("double") /
+        (size($"a.shs") + size($"b.shs") - $"n_inter"))
+      .where($"j" >= 0.8)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"j")
+    val truth = rows(brute).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(Similarity.qDedupMinhash(spark, sf))
+    got.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val nb = r.getAs[Long]("n_bands")
+      assert(nb >= 1 && nb <= Similarity.MinhashBands)
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.subsetOf(truth),
+      s"verify step must kill false candidates: ${gotPairs -- truth}")
+    // identical shingle sets agree on every hash, hence on every band:
+    // jaccard-1.0 pairs can never be missed by the blocking
+    val identical = rows(brute.where($"j" >= 1.0)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(identical.subsetOf(gotPairs),
+      s"exact duplicates must always share all bands: ${identical -- gotPairs}")
+  }
+
+  test("q_ann_ivf: ranked per-probe lists with true cosines, no self-matches") {
+    import spark.implicits._
+    val r = rows(Similarity.qAnnIvf(spark, sf))
+    assert(r.nonEmpty)
+    val byProbe = r.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 10, s"10 probes expected, got ${byProbe.keySet}")
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.size <= Similarity.IvfK)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks == (1L to rs.size).toSeq, s"probe $p ranks: $ranks")
+      val coss = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b },
+        s"probe $p cosines must be rank-ordered: $coss")
+      assert(rs.forall(_.getAs[Long]("cand_id") != p), "no self-matches")
+    }
+    // every reported cosine is the TRUE cosine of that pair (the index
+    // narrows the candidate set; it must never distort scores)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", call_function("graft_norm", $"v"))
+    val expected = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        round(call_function("graft_dot", $"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
+      .collect()
+      .map(x => (Set(x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    r.foreach { x =>
+      val key = Set(x.getAs[Long]("probe_id"), x.getAs[Long]("cand_id"))
+      assert(math.abs(expected(key) - x.getAs[Double]("cos")) < 1e-9,
+        s"reported cosine must equal the exact cosine for $key")
+    }
+  }
+
   test("q_dedup_simhash: identical docs identical, near-identical close") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-simhash").toString
