@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.images.ImageOps
+import graft.images.{ImageOps, MultimodalOps}
 
 /** Declared-query surface for the image operator family (ref: nodes.images —
   * SURVEY §2.A images table), pulling GrayScaler / SymmetricRectifier /
@@ -322,7 +322,80 @@ object Images {
       |LEFT JOIN norm n ON n.id = g.id AND n.cy = g.cy AND n.cx = g.cx
       |ORDER BY id, cy, cx, bin""".stripMargin
 
+  // ------------------------------------------------- multimodal binary path
+
+  /** Multimodal resize in the gate: 8 synthetic binary image assets
+    * ([[MultimodalOps.syntheticAssets]]: byte(i) of asset `id` is
+    * (id·131 + i·17) mod 256) run the REAL binary pipeline — opaque
+    * `binary` column → [[MultimodalOps.decodeStub]] (the per-partition
+    * decode seam) → [[MultimodalOps.resizeAvgPool]] — and the oracle
+    * recomputes every output pixel from the byte formula alone. The gate
+    * therefore proves the binary plumbing (schema, byte addressing, decode
+    * batching, pooled resize) computes exactly what the math says. */
+  def qMultimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = MultimodalOps.syntheticAssets(spark, n = 8, x = 8, y = 8,
+      c = 1, frames = 1)
+    val rs = MultimodalOps.resizeAvgPool(MultimodalOps.decodeStub(assets).toDF(),
+      factor = 2)
+    rs.select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 4).cast("long").as("py"),
+        ($"i" % 4).cast("long").as("px"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"py", $"px")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH base AS (
+      |  SELECT t.id AS id, py.py AS py, px.px AS px,
+      |    CAST((t.id*131 + ((py.py*2  )*8 + px.px*2  )*17) % 256 AS DOUBLE)/255.0 AS v00,
+      |    CAST((t.id*131 + ((py.py*2  )*8 + px.px*2+1)*17) % 256 AS DOUBLE)/255.0 AS v01,
+      |    CAST((t.id*131 + ((py.py*2+1)*8 + px.px*2  )*17) % 256 AS DOUBLE)/255.0 AS v10,
+      |    CAST((t.id*131 + ((py.py*2+1)*8 + px.px*2+1)*17) % 256 AS DOUBLE)/255.0 AS v11
+      |  FROM range(0, 8) t(id), range(0, 4) py(py), range(0, 4) px(px))
+      |SELECT id, py, px, round((v00 + v01 + v10 + v11) / 4.0, 6) AS val
+      |FROM base ORDER BY id, py, px""".stripMargin
+
+  /** Multimodal video frame sampling in the gate: 8 synthetic 6-frame
+    * binary "videos" → [[MultimodalOps.frameSample]] (byte-slicing every
+    * 2nd frame out of the binary column — no decode needed to split work
+    * by frame) → decode → per-frame stats. The asset/frame composite key
+    * is packed into the decode id (asset·10 + frame) and unpacked after,
+    * exactly how a production pipeline threads frame identity through a
+    * codec that only sees one blob. */
+  def qMultimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = MultimodalOps.syntheticAssets(spark, n = 8, x = 4, y = 4,
+      c = 1, frames = 6)
+    val frames = MultimodalOps.frameSample(assets, step = 2)
+      .withColumn("asset_id", $"asset_id" * 10 + $"frame_id")
+    MultimodalOps.decodeStub(frames).toDF()
+      .select(
+        floor($"id" / 10).cast("long").as("asset_id"),
+        ($"id" % 10).cast("long").as("frame_id"),
+        round(aggregate($"image", lit(0.0), (a, v) => a + v) / 16.0, 6).as("mean_px"),
+        round(array_max($"image"), 6).as("max_px"))
+      .orderBy($"asset_id", $"frame_id")
+  }
+
+  val multimodalFramesSql: String =
+    """WITH f AS (
+      |  SELECT a.id AS asset_id, fr.f AS frame_id
+      |  FROM range(0, 8) a(id), (VALUES (0), (2), (4)) fr(f)),
+      |s AS (
+      |  SELECT asset_id, CAST(frame_id AS BIGINT) AS frame_id,
+      |    list_transform(range(0, 16), i ->
+      |      CAST((asset_id*131 + (frame_id*16 + i)*17) % 256 AS DOUBLE)/255.0) AS v
+      |  FROM f)
+      |SELECT asset_id, frame_id,
+      |  round(list_sum(v) / 16.0, 6) AS mean_px,
+      |  round(list_max(v), 6) AS max_px
+      |FROM s ORDER BY asset_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_pool" -> (qImagePool _),
     "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
     "q_image_crop_window" -> (qImageCropWindow _),
@@ -332,6 +405,8 @@ object Images {
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_resize" -> multimodalResizeSql,
+    "q_multimodal_frames" -> multimodalFramesSql,
     "q_image_pool" -> imagePoolSql,
     "q_image_grayscale_rectify" -> imageGrayscaleRectifySql,
     "q_image_crop_window" -> imageCropWindowSql,

@@ -309,6 +309,79 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Full CUBE over two independent dimensions (status × priority) with
+    * `grouping_id` disambiguating real NULLs from subtotal rows — the
+    * grouping-sets companion to [[qAggRollup]]'s hierarchy. Catalyst
+    * expands the cube into grouping sets inside ONE aggregation pass (no
+    * union of 4 scans). */
+  def qAggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec($"o_totalprice")).cast("double"), 4).as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** UNPIVOT (melt): the revenue matrix of [[graft.ops.Analytics.qPivotRevenue]]
+    * folded back to (returnflag, linestatus, revenue) rows — the inverse
+    * reshape every feature store needs when a wide table feeds a long-format
+    * consumer. Uses the native `unpivot` operator (Spark's melt), not a
+    * hand-built union of selects. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Analytics.qPivotRevenue(spark, sfDir)
+      .unpivot(Array($"l_returnflag"), Array($"rev_f", $"rev_o"),
+        "status_col", "revenue")
+      .select($"l_returnflag",
+        when($"status_col" === "rev_f", "F").otherwise("O").as("l_linestatus"),
+        $"revenue")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val unpivotSql: String =
+    s"""WITH wide AS (${Analytics.pivotRevenueSql.replace("ORDER BY l_returnflag", "")})
+      |SELECT l_returnflag, 'F' AS l_linestatus, rev_f AS revenue FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'O' AS l_linestatus, rev_o AS revenue FROM wide
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distribution windows: ntile quartiles + percent_rank + cume_dist per
+    * order-status partition, totally ordered by (totalprice, orderkey) so
+    * tie-carrying rows land in deterministic tiles on both engines. */
+  def qWindowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .where($"o_orderkey" <= 3000)
+      .orderBy($"o_orderstatus", $"o_orderkey")
+  }
+
+  val windowNtileSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cume
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+      |WHERE o_orderkey <= 3000 ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   // --------------------------------------------------------------- windows
 
   /** Ranking window: top-3 orders per customer by totalprice. */
@@ -462,6 +535,9 @@ object Relational {
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_window_ntile" -> (qWindowNtile _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag" -> (qWindowLag _),
@@ -481,6 +557,9 @@ object Relational {
     "q_agg_pricing_summary" -> aggPricingSummarySql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_rollup" -> aggRollupSql,
+    "q_agg_cube" -> aggCubeSql,
+    "q_unpivot" -> unpivotSql,
+    "q_window_ntile" -> windowNtileSql,
     "q_window_rank" -> windowRankSql,
     "q_window_running" -> windowRunningSql,
     "q_window_lag" -> windowLagSql,

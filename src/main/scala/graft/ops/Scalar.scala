@@ -182,12 +182,46 @@ object Scalar {
       |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Blocked fuzzy string matching via edit distance: part names pair up
+    * inside same-last-word blocks (an equi-join — the blocking key bounds
+    * the candidate set exactly like the dedup family's LSH buckets), then
+    * codegen'd `levenshtein` scores each candidate. The never-do-this
+    * alternative — levenshtein across an unblocked cross join — is
+    * quadratic in the table; this shape stays linear in block sizes at
+    * any scale. */
+  def qEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .where($"p_partkey" < 200)
+      .select($"p_partkey", $"p_name",
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("noun"))
+    p.as("a").join(p.as("b"),
+        $"a.noun" === $"b.noun" && $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        levenshtein($"a.p_name", $"b.p_name").cast("long").as("edit_dist"))
+      .where($"edit_dist".between(1, 4))
+      .orderBy($"key_a", $"key_b")
+  }
+
+  val editDistanceSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, regexp_extract(p_name, '([a-z]+)$', 1) AS noun
+      |  FROM part WHERE p_partkey < 200)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      |FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
+    "q_edit_distance" -> (qEditDistance _),
     "q_json_extract" -> (qJsonExtract _))
 
   val oracle: Map[String, String] = Map(
@@ -196,5 +230,6 @@ object Scalar {
     "q_math_funcs" -> mathFuncsSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_map_funcs" -> mapFuncsSql,
+    "q_edit_distance" -> editDistanceSql,
     "q_json_extract" -> jsonExtractSql)
 }

@@ -501,7 +501,60 @@ object Similarity {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus-curation pipeline as ONE declared query (the
+    * DataPipelineSpec capstone, pulled into the DuckDB gate): near-dup
+    * losers from the shingle-Jaccard blocking (higher doc_id of each pair
+    * drops) are anti-joined away, a token-count quality band filters the
+    * survivors, and the per-language row accounting — corpus in, kept,
+    * keep rate, average kept length — is what a 100 TB curation run
+    * reports after every stage. One extra shuffle beyond the dedup query
+    * itself (the per-lang aggregation); the anti join broadcasts the
+    * loser set, which is pair-bounded, not corpus-bounded. */
+  def qCurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("n_toks",
+        size(filter(split($"text", " "), x => x =!= "")).cast("long"))
+    val losers = qDedupShingleJaccard(spark, sfDir)
+      .select($"doc_b".as("drop_id")).distinct()
+    val kept = docs
+      .join(losers, $"doc_id" === $"drop_id", "left_anti")
+      .where($"n_toks".between(5, 1000))
+    val inAgg = docs.groupBy($"lang").agg(count(lit(1)).as("docs_in"))
+    val keptAgg = kept.groupBy($"lang").agg(
+      count(lit(1)).as("docs_kept"),
+      round(sum($"n_toks").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+    inAgg.join(keptAgg, Seq("lang"), "left")
+      .select($"lang", $"docs_in",
+        coalesce($"docs_kept", lit(0L)).as("docs_kept"),
+        round(coalesce($"docs_kept", lit(0L)).cast("double") / $"docs_in", 4)
+          .as("keep_rate"),
+        $"avg_tokens")
+      .orderBy($"lang")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH losers AS (
+      |  SELECT DISTINCT doc_b FROM ($dedupShingleJaccardSql)),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM d
+      |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+      |    AND n_toks BETWEEN 5 AND 1000),
+      |i AS (SELECT lang, count(*) AS docs_in FROM d GROUP BY 1),
+      |k AS (SELECT lang, count(*) AS docs_kept,
+      |        round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4) AS avg_tokens
+      |      FROM kept GROUP BY 1)
+      |SELECT i.lang, docs_in, coalesce(docs_kept, 0) AS docs_kept,
+      |  round(CAST(coalesce(docs_kept, 0) AS DOUBLE) / docs_in, 4) AS keep_rate,
+      |  avg_tokens
+      |FROM i LEFT JOIN k ON i.lang = k.lang ORDER BY i.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -512,6 +565,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

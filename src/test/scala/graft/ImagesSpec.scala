@@ -295,4 +295,37 @@ class ImagesSpec extends GraftSuite {
       assert(math.abs(row.getAs[Double]("val") - expected) < 1e-6)
     }
   }
+
+  test("q_multimodal_resize pools the decoded bytes to [0,1] pixels") {
+    val r = rows(graft.ops.Images.qMultimodalResize(spark, sf))
+    assert(r.size == 8 * 4 * 4)
+    r.foreach { x =>
+      val v = x.getAs[Double]("val")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // spot-check one output against the byte formula (asset 3, py 1, px 2)
+    def px(id: Long, i: Long): Double = ((id * 131 + i * 17) % 256) / 255.0
+    val expected = (px(3, 2 * 8 + 4) + px(3, 2 * 8 + 5) +
+      px(3, 3 * 8 + 4) + px(3, 3 * 8 + 5)) / 4.0
+    val got = r.find(x => x.getAs[Long]("id") == 3 &&
+      x.getAs[Long]("py") == 1 && x.getAs[Long]("px") == 2).get.getAs[Double]("val")
+    assert(math.abs(got - expected) < 1e-6)
+  }
+
+  test("q_multimodal_frames slices every 2nd frame with per-frame stats") {
+    val r = rows(graft.ops.Images.qMultimodalFrames(spark, sf))
+    assert(r.size == 8 * 3)
+    r.foreach { x =>
+      assert(Seq(0L, 2L, 4L).contains(x.getAs[Long]("frame_id")))
+      assert(x.getAs[Double]("mean_px") <= x.getAs[Double]("max_px"))
+    }
+    // spot-check a sampled frame's stats against the byte formula — proves
+    // the binary slice really advanced to frame 2's offset
+    def px(id: Long, off: Long): Double = ((id * 131 + off * 17) % 256) / 255.0
+    val vals = (0 until 16).map(i => px(5, 2 * 16 + i))
+    val got = r.find(x => x.getAs[Long]("asset_id") == 5 &&
+      x.getAs[Long]("frame_id") == 2).get
+    assert(math.abs(got.getAs[Double]("mean_px") - vals.sum / 16.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("max_px") - vals.max) < 1e-6)
+  }
 }

@@ -78,4 +78,46 @@ class RelationalSpec extends GraftSuite {
     assert(r("union") >= r("except"))
     assert(r("union") <= r("intersect") + r("except") + r("union"))
   }
+
+  test("q_agg_cube grouping sets reconcile with the grand total") {
+    val r = rows(Relational.qAggCube(spark, sf))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), "cube must emit all 4 grouping sets")
+    // each grouping set partitions the full order count
+    byGid.foreach { case (gid, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == nOrders,
+        s"grouping set $gid must cover every order")
+    }
+    assert(byGid(3L).size == 1, "exactly one grand-total row")
+  }
+
+  test("q_unpivot is the exact inverse reshape of the pivot") {
+    val long = rows(Relational.qUnpivot(spark, sf))
+    val wide = rows(graft.ops.Analytics.qPivotRevenue(spark, sf))
+    assert(long.size == wide.size * 2)
+    val cells = wide.flatMap(w => Seq(
+      (w.getString(0), "F") -> w.getAs[Double]("rev_f"),
+      (w.getString(0), "O") -> w.getAs[Double]("rev_o"))).toMap
+    long.foreach { l =>
+      val k = (l.getString(0), l.getString(1))
+      assert(cells(k) == l.getAs[Double]("revenue"), s"cell $k must round-trip")
+    }
+  }
+
+  test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
+    val r = rows(Relational.qWindowNtile(spark, sf))
+    r.foreach { x =>
+      val q = x.getAs[Long]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = x.getAs[Double]("pct_rank")
+      val cd = x.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // within a partition, ntile sizes differ by at most 1
+    r.groupBy(_.getString(0)).foreach { case (st, rs) =>
+      val sizes = rs.groupBy(_.getAs[Long]("quartile")).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$st quartiles unbalanced: $sizes")
+    }
+  }
 }

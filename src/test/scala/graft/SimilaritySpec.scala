@@ -163,6 +163,34 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("q_edit_distance pairs share a blocking noun and bounded distance") {
+    val r = rows(graft.ops.Scalar.qEditDistance(spark, sf))
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("key_a") < x.getAs[Long]("key_b"))
+      val d = x.getAs[Long]("edit_dist")
+      assert(d >= 1 && d <= 4)
+      val noun = (s: String) => s.split(' ').last
+      assert(noun(x.getAs[String]("name_a")) == noun(x.getAs[String]("name_b")),
+        "pairs must come from the same block")
+    }
+  }
+
+  test("q_curation_pipeline accounting is closed over the corpus") {
+    import spark.implicits._
+    val r = rows(Similarity.qCurationPipeline(spark, sf))
+    assert(r.map(_.getAs[String]("lang")).toSet ==
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select($"lang").distinct().collect().map(_.getString(0)).toSet,
+      "every language present in the corpus must be accounted for")
+    assert(r.map(_.getAs[Long]("docs_in")).sum == 500)
+    r.foreach { x =>
+      assert(x.getAs[Long]("docs_kept") <= x.getAs[Long]("docs_in"))
+      val rate = x.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q_dedup_simhash: identical docs identical, near-identical close") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-simhash").toString
