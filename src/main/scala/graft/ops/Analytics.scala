@@ -352,12 +352,20 @@ object Analytics {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
-    * schema: "late" = shipped more than 60 days after the order date. For
-    * each supplier: orders where it shipped late, at least one OTHER
-    * supplier participated (semi join), and NO other supplier was also
-    * late (anti join). Both subqueries are equi-joins on orderkey — the
-    * exists/not-exists pair compiles to LeftSemi + LeftAnti hash joins,
-    * never correlated per-row scans. */
+    * schema: "late" = shipped more than 60 days after the order date. A
+    * supplier's late lines count when at least one OTHER supplier
+    * participated in the order and NO other supplier was also late.
+    *
+    * Spelled as ONE pass over the lineitem⋈orders fact join (the naive
+    * exists/not-exists spelling consumes that join three times — at 100×
+    * the triple fact scan dominates): aggregate per (order, supplier)
+    * once, then derive each order's supplier count and late-supplier
+    * count with a window PARTITIONED BY orderkey over that
+    * (order-of-magnitude-smaller) relation. No self-join diamond, so no
+    * exchange-reuse gamble either: the fact table is scanned and shuffled
+    * exactly once by construction (single-scan is plan-asserted in
+    * PlanShapeSpec). The window partitions are bounded by the number of
+    * suppliers per order, never corpus-scale. */
   def qWaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
@@ -365,21 +373,17 @@ object Analytics {
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
-    val l1 = li.where($"late")
-      .select($"l_orderkey".as("okey"), $"l_suppkey".as("skey"))
-    val others = li.select($"l_orderkey".as("okey"), $"l_suppkey".as("o_skey"))
-    val othersLate = li.where($"late")
-      .select($"l_orderkey".as("okey"), $"l_suppkey".as("o_skey"))
-    val waiting = l1
-      .join(others, l1("okey") === others("okey") && $"skey" =!= $"o_skey",
-        "left_semi")
-      .join(othersLate,
-        l1("okey") === othersLate("okey") && $"skey" =!= $"o_skey",
-        "left_anti")
-    waiting
+    val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"late", 1L).otherwise(0L)).as("n_late_lines"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when($"n_late_lines" > 0, 1L).otherwise(0L)).over(w))
+      .where($"n_late_lines" > 0 && $"n_supp" >= 2 && $"n_late_supp" === 1)
       .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name"),
-        $"skey" === $"s_suppkey")
-      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(sum($"n_late_lines").as("numwait"))
       .orderBy($"numwait".desc, $"s_name").limit(20)
   }
 

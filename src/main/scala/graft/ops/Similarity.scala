@@ -168,17 +168,23 @@ object Similarity {
     *     quadratically — the cap is the same safety valve as the library
     *     path's `maxBucket`), pairs emitted by the compiled `graft_pairs`
     *     kernel and band-counted by one hash aggregation;
-    *  4. the TRUE Jaccard (intersection of the digest sets) is computed for
-    *     candidates only — the LSH narrows, the verify decides. Recall vs
+    *  4. the TRUE Jaccard is computed for candidates only — the LSH
+    *     narrows, the verify decides. Candidate pairs join BACK onto the
+    *     exploded (doc_id, digest) relation (the oracle's `inter` CTE
+    *     spelling): intersections are a hash aggregation over matched
+    *     digests, per-doc sizes a count over the same relation. Recall vs
     *     the unblocked exact query is < 1 by construction (P(candidate) =
     *     1−(1−s⁴)⁴); identical arithmetic on both engines makes the blocked
     *     result itself deterministic.
-    * Shape note: the signature is NOT computed with per-element HOF lambdas
-    * (those evaluate interpreted — measured 8 s at sf0.1); instead the
-    * digests explode once through a codegen'd projection and the 16 mins
-    * are plain MIN aggregates in ONE hash aggregation — map-side
-    * combinable, whole-stage codegen, and the digest set for the verify
-    * step rides the same shuffle as a collect_set. */
+    * Shape notes: the signature is NOT computed with per-element HOF
+    * lambdas (those evaluate interpreted — measured 8 s at sf0.1); instead
+    * the digests explode once through a codegen'd projection and the 16
+    * mins are plain MIN aggregates in ONE hash aggregation — map-side
+    * combinable, whole-stage codegen. The signature shuffle carries ONLY
+    * the 16 mins: at 100 TB a collect_set of each doc's full digest set
+    * riding that shuffle would inflate it by the corpus's token volume,
+    * so the verify step re-reads the digest relation and lets the
+    * (candidate-bounded) pair set broadcast against it instead. */
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val P = MinhashP
@@ -192,14 +198,12 @@ object Similarity {
       val b = 40503L * j + 1
       min(($"h" * a + b) % P).as(s"s$j")
     }
-    val sig = h.groupBy($"doc_id")
-      .agg(collect_set($"h").as("shs"), minCols: _*)
+    val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     val rowsPerBand = MinhashHashes / MinhashBands
     val buckets = (0 until MinhashBands).map { b =>
       val slice = (0 until rowsPerBand).map(k => col(s"s${b * rowsPerBand + k}"))
       conv(substring(md5(concat_ws(",", slice: _*)), 1, 15), 16, 10).cast("long")
     }
-    val shs = sig.select($"doc_id", $"shs")
     val banded = sig.select($"doc_id",
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
     val cand = banded
@@ -209,12 +213,20 @@ object Similarity {
       .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
       .groupBy($"e.x".as("doc_a"), $"e.y".as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+    // Verify: join back onto the distinct digest relation (oracle `inter`
+    // CTE). `hd` is min-over-dups-safe for the signature above, but the
+    // intersection count needs the per-doc DISTINCT digests.
+    val hd = h.distinct()
+    val sz = hd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     cand
-      .join(shs.select($"doc_id".as("doc_a"), $"shs".as("sh_a")), "doc_a")
-      .join(shs.select($"doc_id".as("doc_b"), $"shs".as("sh_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-      .withColumn("jaccard", $"n_inter".cast("double") /
-        (size($"sh_a") + size($"sh_b") - $"n_inter"))
+      .join(hd.toDF("doc_a", "h"), "doc_a")
+      .join(hd.toDF("doc_b", "h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b", $"n_bands")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sz.toDF("doc_a", "n_a"), "doc_a")
+      .join(sz.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
       .where($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", $"n_bands", round($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")

@@ -115,12 +115,22 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q_waiting_suppliers compiles exists/not-exists to semi/anti hash joins") {
-    val plan = planOf("q_waiting_suppliers")
-    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+  test("q_waiting_suppliers scans the fact table exactly once (one-pass Q21)") {
+    // the one-pass Q21 spelling: lineitem⋈orders feeds ONE (order, supplier)
+    // aggregation; order-level counts come from a window partitioned by
+    // orderkey over that relation — the exists/not-exists spelling this
+    // replaced consumed the fact join three times.
+    val df = SparkEntry.queries("q_waiting_suppliers")(spark, sf)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val whole = df.queryExecution.executedPlan.toString
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==" section;
+    // count scans only in the final physical plan.
+    val plan = whole.split("== Initial Plan ==")(0)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"the okey equi-key must carry both subqueries:\n$plan")
+      s"all joins stay on equi-keys:\n$plan")
+    val factScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem.parquet"))
+    assert(factScans == 1, s"lineitem must be scanned once, saw $factScans:\n$plan")
   }
 
   test("q_forecast_revenue pushes every predicate into the lineitem scan") {

@@ -58,8 +58,11 @@ class RelationalSpec extends GraftSuite {
       val flag = row.getString(0)
       val approx = row.getAs[Long]("approx_orders").toDouble
       val ex = exact(flag).toDouble
-      assert(math.abs(approx - ex) / ex < 0.1,
-        s"HLL estimate for $flag off by >10%: $approx vs $ex")
+      // the one rows-only query in the oracle gate (HLL sketches are
+      // engine-specific) — this ±5% bound vs the exact per-segment count
+      // is its quantitative correctness argument; rsd=0.02 leaves margin
+      assert(math.abs(approx - ex) / ex < 0.05,
+        s"HLL estimate for $flag off by >5%: $approx vs $ex")
     }
   }
 
