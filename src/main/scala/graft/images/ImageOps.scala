@@ -289,6 +289,122 @@ object ImageOps {
     }
   }
 
+  /** ref: DaisyExtractor — DAISY dense descriptor (Tola et al., PAMI 2010)
+    * in its engine-portable fixed-point configuration: Gaussian-smoothed
+    * oriented-gradient maps sampled on concentric rings around a center.
+    *
+    *  - The grayscale buffer is quantized back to integer levels
+    *    (`rint(v·levels)` — exact for 8-bit-derived pixels), the same
+    *    fixed-point trick as [[graft.ml.FisherVector]]'s quantizeUnits: it
+    *    makes every convolution sum EXACT integer arithmetic, so the
+    *    descriptor is bit-identical under any partitioning or engine.
+    *  - 4 half-rectified, axis-aligned orientation maps max(0, ±gx),
+    *    max(0, ±gy) from clamped central differences — DAISY's H=4
+    *    configuration, chosen because the orientation projections are pure
+    *    integer ops (no trig).
+    *  - Gaussian smoothing via the separable 3×3 binomial kernel
+    *    (1,2,1)⊗(1,2,1) (the standard discrete Gaussian approximation,
+    *    integer weights): ring i's layer is smoothed i+1 times, giving the
+    *    growing-σ pyramid of the paper.
+    *  - Sample geometry: the center plus `radii.length` rings of 4 points
+    *    at axis-aligned integer offsets (±r, 0), (0, ±r) — integer ring
+    *    geometry needs no bilinear interpolation. Center and ring 0 read
+    *    layer 0; ring i reads layer i.
+    *  - Each sample point's 4-orientation histogram is L2-normalized
+    *    (+1e-12 guard), as the paper normalizes each histogram
+    *    independently.
+    *
+    * Output layout: x_dim = 1+4·rings sample points, y_dim = 1,
+    * n_channels = 4; index = point·4 + orientation. Points: 0 = center,
+    * then per ring in (+x, +y, −x, −y) order. Pure per-row JVM math like
+    * [[hog]]/[[lcs]]: embarrassingly parallel, nothing on the driver. */
+  def daisy(ds: Dataset[Img], radii: Array[Int] = Array(2, 4),
+      levels: Int = 255): Dataset[Img] = {
+    import ds.sparkSession.implicits._
+    val rs = radii
+    ds.map { img =>
+      require(img.n_channels == 1, "daisy expects a grayscale image")
+      val w = img.x_dim
+      val h = img.y_dim
+      val q = new Array[Long](w * h)
+      var i = 0
+      while (i < w * h) { q(i) = math.rint(img.image(i) * levels).toLong; i += 1 }
+      val nOri = 4
+      val m = Array.ofDim[Long](nOri, w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val xm = if (x == 0) x else x - 1
+          val xp = if (x == w - 1) x else x + 1
+          val ym = if (y == 0) y else y - 1
+          val yp = if (y == h - 1) y else y + 1
+          val gx = q(y * w + xp) - q(y * w + xm)
+          val gy = q(yp * w + x) - q(ym * w + x)
+          val idx = y * w + x
+          m(0)(idx) = math.max(gx, 0L)
+          m(1)(idx) = math.max(gy, 0L)
+          m(2)(idx) = math.max(-gx, 0L)
+          m(3)(idx) = math.max(-gy, 0L)
+          x += 1
+        }
+        y += 1
+      }
+      val wgt = Array(1L, 2L, 1L)
+      def smooth(src: Array[Long]): Array[Long] = {
+        val out = new Array[Long](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var acc = 0L
+            var dy = -1
+            while (dy <= 1) {
+              val yy = math.min(math.max(y + dy, 0), h - 1)
+              var dx = -1
+              while (dx <= 1) {
+                val xx = math.min(math.max(x + dx, 0), w - 1)
+                acc += wgt(dy + 1) * wgt(dx + 1) * src(yy * w + xx)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(y * w + x) = acc
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      // layer k = orientation maps smoothed k+1 times (growing sigma)
+      val pyramid = new Array[Array[Array[Long]]](rs.length)
+      pyramid(0) = m.map(smooth)
+      var lvl = 1
+      while (lvl < rs.length) {
+        pyramid(lvl) = pyramid(lvl - 1).map(smooth)
+        lvl += 1
+      }
+      val cx = w / 2
+      val cy = h / 2
+      val points = (cx, cy, 0) +: rs.zipWithIndex.flatMap { case (r, ri) =>
+        Seq((cx + r, cy, ri), (cx, cy + r, ri), (cx - r, cy, ri), (cx, cy - r, ri))
+      }
+      val out = new Array[Double](points.length * nOri)
+      var p = 0
+      while (p < points.length) {
+        val (sx, sy, l) = points(p)
+        val v = Array.tabulate(nOri)(o => pyramid(l)(o)(sy * w + sx))
+        // 4-term integer sum of squares: exact, order-free
+        val ss = v(0) * v(0) + v(1) * v(1) + v(2) * v(2) + v(3) * v(3)
+        val nrm = math.sqrt(ss.toDouble) + 1e-12
+        var o = 0
+        while (o < nOri) { out(p * nOri + o) = v(o).toDouble / nrm; o += 1 }
+        p += 1
+      }
+      Img(img.id, points.length, 1, nOri, out)
+    }
+  }
+
   /** ref: LCSExtractor — Local Color Statistics descriptor: per grid cell
     * and channel, the (mean, stddev) of the pixel values — 2·C·cells
     * doubles per image. Pure per-row arithmetic in mapPartitions. */

@@ -322,6 +322,81 @@ object Images {
       |LEFT JOIN norm n ON n.id = g.id AND n.cy = g.cy AND n.cx = g.cx
       |ORDER BY id, cy, cx, bin""".stripMargin
 
+  /** DAISY descriptor (ref: DaisyExtractor — the last §2.A image operator,
+    * the HOG pattern applied to ring-sampled smoothed gradients) over 20
+    * synthetic 16×16×1 images: 4 half-rectified axis-aligned orientation
+    * maps → integer binomial smoothing pyramid (1 pass for the center +
+    * r=2 ring layer, 2 passes for the r=4 ring layer) → 9 sample points
+    * (center + 2 rings × 4) → per-point L2 normalization. Every value
+    * before the normalize is EXACT integer arithmetic on both engines
+    * (the 8-bit fixed-point trick documented on [[ImageOps.daisy]]), so
+    * the oracle can use plain integer SUM-joins with no summation-order
+    * caveats; the only IEEE ops are the final sqrt + divide, written with
+    * the identical expression shape on both sides. */
+  def qImageDaisy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 16, y = 16, c = 1)
+      .as[ImageOps.Img]
+    ImageOps.daisy(imgs, radii = Array(2, 4)).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 4).cast("long").as("point"),
+        ($"i" % 4).cast("long").as("orient"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"point", $"orient")
+  }
+
+  /** Oracle: replays the integer pipeline with SUM-joins (exact — all
+    * integer until the final normalize). Layers: s1 = one binomial pass
+    * (center + ring r=2), s2 = two passes (ring r=4); sample points are
+    * numbered center=0, then (+x,+y,−x,−y) per ring, matching
+    * [[ImageOps.daisy]]'s layout. */
+  val imageDaisySql: String =
+    """WITH g AS (
+      |  SELECT t.id AS id, y.y AS y, x.x AS x,
+      |    (t.id*31 + (y.y*16 + CASE WHEN x.x = 15 THEN x.x ELSE x.x + 1 END)*7) % 256
+      |  - (t.id*31 + (y.y*16 + CASE WHEN x.x = 0  THEN x.x ELSE x.x - 1 END)*7) % 256 AS gx,
+      |    (t.id*31 + ((CASE WHEN y.y = 15 THEN y.y ELSE y.y + 1 END)*16 + x.x)*7) % 256
+      |  - (t.id*31 + ((CASE WHEN y.y = 0  THEN y.y ELSE y.y - 1 END)*16 + x.x)*7) % 256 AS gy
+      |  FROM range(0, 20) t(id), range(0, 16) y(y), range(0, 16) x(x)),
+      |m AS (
+      |  SELECT id, y, x, o.o AS o,
+      |    CASE o.o WHEN 0 THEN greatest(gx, 0) WHEN 1 THEN greatest(gy, 0)
+      |             WHEN 2 THEN greatest(-gx, 0) ELSE greatest(-gy, 0) END AS v
+      |  FROM g, range(0, 4) o(o)),
+      |w(d, wt) AS (VALUES (-1, 1), (0, 2), (1, 1)),
+      |s1 AS (
+      |  SELECT c.id AS id, c.y AS y, c.x AS x, c.o AS o,
+      |    sum(wy.wt * wx.wt * n.v) AS v
+      |  FROM m c, w wy, w wx, m n
+      |  WHERE n.id = c.id AND n.o = c.o
+      |    AND n.y = greatest(least(c.y + wy.d, 15), 0)
+      |    AND n.x = greatest(least(c.x + wx.d, 15), 0)
+      |  GROUP BY 1, 2, 3, 4),
+      |s2 AS (
+      |  SELECT c.id AS id, c.y AS y, c.x AS x, c.o AS o,
+      |    sum(wy.wt * wx.wt * n.v) AS v
+      |  FROM s1 c, w wy, w wx, s1 n
+      |  WHERE n.id = c.id AND n.o = c.o
+      |    AND n.y = greatest(least(c.y + wy.d, 15), 0)
+      |    AND n.x = greatest(least(c.x + wx.d, 15), 0)
+      |  GROUP BY 1, 2, 3, 4),
+      |pts(pt, lvl, sx, sy) AS (VALUES
+      |  (0, 1, 8, 8),
+      |  (1, 1, 10, 8), (2, 1, 8, 10), (3, 1, 6, 8), (4, 1, 8, 6),
+      |  (5, 2, 12, 8), (6, 2, 8, 12), (7, 2, 4, 8), (8, 2, 8, 4)),
+      |vals AS (
+      |  SELECT s.id AS id, p.pt AS pt, s.o AS o, s.v AS v
+      |  FROM pts p, s1 s WHERE p.lvl = 1 AND s.y = p.sy AND s.x = p.sx
+      |  UNION ALL
+      |  SELECT s.id AS id, p.pt AS pt, s.o AS o, s.v AS v
+      |  FROM pts p, s2 s WHERE p.lvl = 2 AND s.y = p.sy AND s.x = p.sx),
+      |nrm AS (SELECT id, pt, sum(v*v) AS ss FROM vals GROUP BY 1, 2)
+      |SELECT v.id AS id, CAST(v.pt AS BIGINT) AS point, CAST(v.o AS BIGINT) AS orient,
+      |  round(CAST(v.v AS DOUBLE) / (sqrt(CAST(n.ss AS DOUBLE)) + 1e-12), 6) AS val
+      |FROM vals v JOIN nrm n ON v.id = n.id AND v.pt = n.pt
+      |ORDER BY id, point, orient""".stripMargin
+
   // ------------------------------------------------- multimodal binary path
 
   /** Multimodal resize in the gate: 8 synthetic binary image assets
@@ -402,6 +477,7 @@ object Images {
     "q_image_convolve" -> (qImageConvolve _),
     "q_image_lcs" -> (qImageLcs _),
     "q_image_hog" -> (qImageHog _),
+    "q_image_daisy" -> (qImageDaisy _),
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
@@ -413,5 +489,6 @@ object Images {
     "q_image_convolve" -> imageConvolveSql,
     "q_image_lcs" -> imageLcsSql,
     "q_image_hog" -> imageHogSql,
+    "q_image_daisy" -> imageDaisySql,
     "q_image_fisher_vector" -> imageFisherVectorSql)
 }

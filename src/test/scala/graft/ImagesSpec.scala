@@ -312,6 +312,46 @@ class ImagesSpec extends GraftSuite {
     assert(math.abs(got - expected) < 1e-6)
   }
 
+  test("daisy descriptor: ring geometry, per-point unit norm, hand-checked center") {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 3, x = 16, y = 16, c = 1)
+      .as[ImageOps.Img]
+    val d = ImageOps.daisy(imgs, radii = Array(2, 4)).collect()
+    assert(d.length == 3)
+    d.foreach { img =>
+      assert(img.x_dim == 9 && img.n_channels == 4 && img.image.length == 36)
+      assert(img.image.forall(_ >= 0.0))
+      (0 until 9).foreach { p =>
+        val ss = (0 until 4).map(o => math.pow(img.image(p * 4 + o), 2)).sum
+        assert(ss == 0.0 || math.abs(math.sqrt(ss) - 1.0) < 1e-9,
+          s"point $p histogram not unit-norm: $ss")
+      }
+    }
+    // independent naive recompute of image 1's center-point histogram
+    def pix(id: Long, x: Int, y: Int): Long = (id * 31 + (y * 16 + x) * 7) % 256
+    def cl(v: Int): Int = math.min(math.max(v, 0), 15)
+    def ori(id: Long, o: Int, x: Int, y: Int): Long = {
+      val gx = pix(id, cl(x + 1), y) - pix(id, cl(x - 1), y)
+      val gy = pix(id, x, cl(y + 1)) - pix(id, x, cl(y - 1))
+      o match {
+        case 0 => math.max(gx, 0L)
+        case 1 => math.max(gy, 0L)
+        case 2 => math.max(-gx, 0L)
+        case _ => math.max(-gy, 0L)
+      }
+    }
+    val wts = Map(-1 -> 1L, 0 -> 2L, 1 -> 1L)
+    def s1(id: Long, o: Int, x: Int, y: Int): Long =
+      (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield wts(dy) * wts(dx) * ori(id, o, cl(x + dx), cl(y + dy))).sum
+    val v = (0 until 4).map(o => s1(1, o, 8, 8))
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum) + 1e-12
+    val got = d.find(_.id == 1).get.image
+    (0 until 4).foreach(o =>
+      assert(math.abs(got(o) - v(o) / nrm) < 1e-9,
+        s"center orient $o: ${got(o)} vs ${v(o) / nrm}"))
+  }
+
   test("q_multimodal_frames slices every 2nd frame with per-frame stats") {
     val r = rows(graft.ops.Images.qMultimodalFrames(spark, sf))
     assert(r.size == 8 * 3)
