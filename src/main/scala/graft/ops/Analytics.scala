@@ -661,7 +661,276 @@ object Analytics {
       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): orders placed in a window
+    * that had at least one line shipped > 30 days after the order date,
+    * counted per priority. The EXISTS compiles to ONE LeftSemi hash join
+    * on orderkey (with the date comparison as a join residual) — at 100 TB
+    * the orders date range prunes via pushdown before the join, and the
+    * semi join short-circuits per order. */
+  def qPriorityWaiting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val priorityWaitingSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority mode split), adapted to this
+    * schema (no l_shipmode — l_returnflag stands in as the mode axis):
+    * per flag, how many 1996-shipped lines belong to high- vs
+    * low-priority orders. The two-tier CASE-sum is the signature shape;
+    * the shipdate range pushes into the lineitem scan. */
+  def qShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+      .join(Tables.lineitem(spark, sfDir)
+          .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_returnflag"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+          .as("high_count"),
+        sum(when(!$"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+          .as("low_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val shipmodePrioritySql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (product type profit), adapted (no partsupp —
+    * supply cost modeled as 10% of p_retailprice per unit): profit on
+    * widget-family parts by supplier nation and order year. The LIKE
+    * filter prunes part before the fact join, nation broadcasts, and the
+    * 5-way join keys all hash — the classic snowflake-profit rollup.
+    * All money math in exact DECIMAL on both engines. */
+  def qProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val one = lit(1.0).cast("decimal(3,2)")
+    val costRate = lit(0.1).cast("decimal(3,2)")
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where($"p_name".contains("widget"))
+        .select($"p_partkey", $"p_retailprice"), $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(sum(
+        dec($"l_extendedprice") * (one - $"l_discount".cast("decimal(3,2)")) -
+          dec($"p_retailprice") * $"l_quantity".cast("decimal(5,2)") * costRate)
+        .cast("double"), 4).as("profit"))
+      .orderBy($"n_name", $"o_year")
+  }
+
+  val productProfitSql: String =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(CAST(sum(
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2)) *
+      |      CAST(l_quantity AS DECIMAL(5,2)) * CAST(0.1 AS DECIMAL(3,2)))
+      |    AS DOUBLE), 4) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier), adapted (no partsupp — the
+    * per-(part, supplier) MIN sale price from lineitem stands in for
+    * ps_supplycost): for small STANDARD parts, the EUROPE supplier(s)
+    * achieving the part's regional minimum. The correlated
+    * min-subquery is spelled decorrelated — per-part min aggregate +
+    * equality join back — which is exactly the plan Catalyst should reach
+    * anyway; MIN (not avg) keeps the comparison value bit-identical
+    * across engines. The full sort key is unique, so the LIMIT cut is
+    * deterministic. */
+  def qMinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice").as("cost"))
+    val eu = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir).where($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val pse = ps.join(eu, $"l_suppkey" === $"s_suppkey")
+    val mn = pse.groupBy($"l_partkey").agg(min($"cost").as("min_cost"))
+    pse.join(mn, "l_partkey").where($"cost" === $"min_cost")
+      .join(Tables.part(spark, sfDir)
+          .where($"p_size" < 10 && $"p_type" === "STANDARD").select($"p_partkey"),
+        $"l_partkey" === $"p_partkey")
+      .select(round($"s_acctbal", 2).as("s_acctbal"), $"s_name", $"n_name",
+        $"p_partkey", round($"cost", 2).as("cost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(10)
+  }
+
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk, min(l_extendedprice) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      |pse AS (
+      |  SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+      |  FROM ps JOIN eu ON ps.sk = eu.s_suppkey),
+      |mn AS (SELECT pk, min(cost) AS min_cost FROM pse GROUP BY 1)
+      |SELECT round(p.s_acctbal, 2) AS s_acctbal, p.s_name, p.n_name,
+      |  p.pk AS p_partkey, round(p.cost, 2) AS cost
+      |FROM pse p
+      |JOIN mn ON p.pk = mn.pk AND p.cost = mn.min_cost
+      |JOIN part ON p.pk = p_partkey
+      |WHERE p_size < 10 AND p_type = 'STANDARD'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q11 shape (important stock identification), adapted (no
+    * partsupp — per-part sales value for a supplier-nation group stands
+    * in for stock value): parts whose value exceeds a fraction of the
+    * group total. The HAVING-over-scalar-subquery is the signature: the
+    * total is ONE broadcast row (crossJoin against a 1-row aggregate —
+    * the pattern every global-threshold query in this engine uses), never
+    * a re-aggregation per row. */
+  def qImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir)
+          .where($"s_nationkey".isin(1, 2, 3, 4, 5)).select($"s_suppkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(sum(dec($"l_extendedprice") * $"l_quantity".cast("decimal(5,2)"))
+        .as("val"))
+    val thr = v.agg((sum($"val").cast("double") * 0.001).as("thresh"))
+    v.crossJoin(broadcast(thr))
+      .where($"val".cast("double") > $"thresh")
+      .select($"l_partkey".as("p_partkey"),
+        round($"val".cast("double"), 4).as("value"))
+      .orderBy($"value".desc, $"p_partkey")
+  }
+
+  val importantPartsSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        CAST(l_quantity AS DECIMAL(5,2))) AS val
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey IN (1, 2, 3, 4, 5) GROUP BY 1)
+      |SELECT pk AS p_partkey, round(CAST(val AS DOUBLE), 4) AS value
+      |FROM v
+      |WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM v)
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    * counts per (brand, type) over a size slice, excluding a NOT IN
+    * supplier set. The NOT IN compiles to a LeftAnti hash join (keys
+    * non-null, so no null-aware penalty); count(DISTINCT) expands to
+    * Catalyst's two-phase distinct aggregation. Unique (cnt, brand,
+    * type) sort key → deterministic LIMIT. */
+  def qSupplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir)
+          .where($"p_size".isin(1, 5, 9, 13) && $"p_brand" =!= "Brand#3")
+          .select($"p_partkey", $"p_brand", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, sfDir).where($"s_acctbal" < 0)
+          .select($"s_suppkey"),
+        $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
+      .limit(20)
+  }
+
+  val supplierVarietySql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9, 13) AND p_brand <> 'Brand#3'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 20""".stripMargin
+
+  /** TPC-H Q20 shape (potential excess inventory), adapted (no partsupp
+    * availqty — total shipped quantity per (supplier, part) stands in):
+    * suppliers in one region that moved > 55 units of some red part in a
+    * two-year window. The nested IN compiles to a LeftSemi join against
+    * the HAVING-filtered aggregate; quantity sums ride DECIMAL so the
+    * threshold comparison is exact on both engines. */
+  def qExcessStockSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val excess = Tables.lineitem(spark, sfDir)
+      .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sfDir).where($"p_name".startsWith("red"))
+        .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"l_quantity".cast("decimal(12,2)")).as("q"))
+      .where($"q" > 55)
+      .select($"l_suppkey")
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir).where($"n_regionkey" === 3)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_name", round($"s_acctbal", 2).as("s_acctbal"))
+      .orderBy($"s_name")
+  }
+
+  val excessStockSuppliersSql: String =
+    """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey = 3
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |    WHERE p_name LIKE 'red%'
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 55)
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_priority_waiting" -> (qPriorityWaiting _),
+    "q_shipmode_priority" -> (qShipmodePriority _),
+    "q_product_profit" -> (qProductProfit _),
+    "q_min_cost_supplier" -> (qMinCostSupplier _),
+    "q_important_parts" -> (qImportantParts _),
+    "q_supplier_variety" -> (qSupplierVariety _),
+    "q_excess_stock_suppliers" -> (qExcessStockSuppliers _),
     "q_pivot_revenue" -> (qPivotRevenue _),
     "q_volume_shipping" -> (qVolumeShipping _),
     "q_market_share" -> (qMarketShare _),
@@ -683,6 +952,13 @@ object Analytics {
     "q_sales_opportunity" -> (qSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
+    "q_priority_waiting" -> priorityWaitingSql,
+    "q_shipmode_priority" -> shipmodePrioritySql,
+    "q_product_profit" -> productProfitSql,
+    "q_min_cost_supplier" -> minCostSupplierSql,
+    "q_important_parts" -> importantPartsSql,
+    "q_supplier_variety" -> supplierVarietySql,
+    "q_excess_stock_suppliers" -> excessStockSuppliersSql,
     "q_pivot_revenue" -> pivotRevenueSql,
     "q_volume_shipping" -> volumeShippingSql,
     "q_market_share" -> marketShareSql,

@@ -137,4 +137,49 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.agg(sum("numcust")).head.getLong(0) == expected)
     rows(r).foreach(x => assert(x.getAs[Long]("numcust") > 0))
   }
+
+  test("q_shipmode_priority high+low partitions the window's joined lines") {
+    import spark.implicits._
+    val r = Analytics.qShipmodePriority(spark, sf)
+    val total = r.agg(sum($"high_count" + $"low_count")).head.getLong(0)
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .count()
+    assert(total == lines, s"case split must partition: $total vs $lines")
+  }
+
+  test("q_important_parts rows all clear the group-total threshold") {
+    import spark.implicits._
+    val r = rows(Analytics.qImportantParts(spark, sf))
+    assert(r.nonEmpty)
+    // values sorted descending, every value positive
+    val vals = r.map(_.getAs[Double]("value"))
+    assert(vals == vals.sortBy(-_), "must be value-descending")
+    assert(vals.forall(_ > 0))
+  }
+
+  test("q_min_cost_supplier rows really are their part's regional minimum") {
+    import spark.implicits._
+    val r = rows(Analytics.qMinCostSupplier(spark, sf))
+    assert(r.nonEmpty && r.size <= 10) // sf0.001 yields fewer than the cap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val eu = spark.read.parquet(s"$sf/supplier.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        $"s_nationkey" === $"n_nationkey")
+      .join(spark.read.parquet(s"$sf/region.parquet")
+          .where($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey")
+    val minByPart = li.join(eu, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey").agg(min($"l_extendedprice").as("mn"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { row =>
+      val pk = row.getAs[Long]("p_partkey")
+      val cost = row.getAs[Double]("cost")
+      assert(math.abs(cost - math.rint(minByPart(pk) * 100) / 100) < 1e-9,
+        s"part $pk cost $cost != regional min ${minByPart(pk)}")
+    }
+  }
 }

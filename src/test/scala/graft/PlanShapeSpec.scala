@@ -181,6 +181,26 @@ class PlanShapeSpec extends GraftSuite {
       s"the bounded probe set is the broadcast side:\n$plan")
   }
 
+  test("new TPC-H shapes keep their signature join strategies") {
+    // Q4: EXISTS -> one LeftSemi hash join; Q16: NOT IN -> LeftAnti;
+    // Q20: nested IN -> LeftSemi; none may degrade to nested-loop.
+    val semi = planOf("q_priority_waiting")
+    assert(semi.contains("LeftSemi"), s"Q4 EXISTS must be a semi join:\n$semi")
+    val anti = planOf("q_supplier_variety")
+    assert(anti.contains("LeftAnti"), s"Q16 NOT IN must be an anti join:\n$anti")
+    val nested = planOf("q_excess_stock_suppliers")
+    assert(nested.contains("LeftSemi"), s"Q20 IN must be a semi join:\n$nested")
+    Seq(semi, anti, nested, planOf("q_product_profit"),
+        planOf("q_min_cost_supplier")).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"TPC-H shape degraded to nested-loop:\n$p")
+    }
+    // q_important_parts' global threshold is a broadcast 1-row cross (the
+    // engine's standard global-threshold pattern) — assert only that no
+    // unbroadcast cartesian sneaks in.
+    assert(!planOf("q_important_parts").contains("CartesianProduct"))
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec
