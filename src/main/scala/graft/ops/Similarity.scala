@@ -565,7 +565,67 @@ object Similarity {
       |  avg_tokens
       |FROM i LEFT JOIN k ON i.lang = k.lang ORDER BY i.lang""".stripMargin
 
+  /** Minimum document frequency for a shingle to count as corpus
+    * boilerplate. Mirrored in the oracle. */
+  val BoilerplateMinDf = 5
+
+  /** Corpus-level boilerplate detection (north-star curation operator —
+    * the shingle-granularity analog of the line-dedup filters in public
+    * web-corpus pipelines): a 3-token shingle appearing in ≥
+    * [[BoilerplateMinDf]] distinct docs is boilerplate; each doc reports
+    * what fraction of its distinct shingles are boilerplate. Shape: ONE
+    * digested shingle explode + distinct (the same md5-prefix digest as
+    * the near-dup family, so every shuffle carries an 8-byte key), a
+    * document-frequency aggregation over it, and a semi-join back — the
+    * exchange under the distinct is shared by all three consumers via AQE
+    * reuse. All counts are integers; the only double op is the final
+    * per-doc division. */
+  def qBoilerplateFrac(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      .select($"doc_id",
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val bp = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+      .where($"df" >= BoilerplateMinDf).select($"h")
+    val tot = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val boil = sh.join(bp, "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+    Tables.documents(spark, sfDir).select($"doc_id")
+      .join(tot, Seq("doc_id"), "left")
+      .join(boil, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+        round(when(coalesce($"n_shingles", lit(0L)) === 0, 0.0)
+          .otherwise(coalesce($"n_boiler", lit(0L)).cast("double") / $"n_shingles"),
+          6).as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val boilerplateFracSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) u(i)),
+      |bpset AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= $BoilerplateMinDf),
+      |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      |boil AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN bpset USING (h) GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(boil.n_boiler, 0) AS BIGINT) AS n_boiler,
+      |  round(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0.0
+      |    ELSE CAST(coalesce(boil.n_boiler, 0) AS DOUBLE) / tot.n_shingles END, 6) AS boiler_frac
+      |FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+      |LEFT JOIN boil ON d.doc_id = boil.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_frac" -> (qBoilerplateFrac _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
@@ -577,6 +637,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate_frac" -> boilerplateFracSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,

@@ -667,7 +667,84 @@ object Text {
        |     ascii(substring(tok, CAST(length(tok) AS INT), 1)))), 0) % 2147483647 AS BIGINT) AS fingerprint
        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document repetition scoring (north-star quality heuristic — the
+    * duplicate-n-gram family of corpus-curation filters from the public
+    * large-LM data literature): duplicate-bigram fraction, most-frequent-
+    * bigram share, duplicate-trigram fraction, and unigram Gini-Simpson
+    * diversity. Simpson (1 − Σc²/N²) replaces Shannon entropy on purpose:
+    * it is EXACT integer arithmetic until one final division, so the score
+    * is bit-identical across engines — a ln()-based entropy would hang the
+    * hash-match on libm ulp agreement. Shape: one `graft_shingles` explode
+    * per n + two-level hash aggregation, all keyed (doc_id, gram) — even
+    * at 100 TB the keys are high-cardinality and skew-free, and the
+    * per-doc second phase is map-side combinable. */
+  def qRepetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def gramStats(n: Int) = docs
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"text", lit(n))).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("d"), max($"c").as("m"))
+    val bi = gramStats(2)
+      .select($"doc_id", $"n".as("n_bi"), $"d".as("d_bi"), $"m".as("m_bi"))
+    val tri = gramStats(3)
+      .select($"doc_id", $"n".as("n_tri"), $"d".as("d_tri"))
+    val uni = docs.select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("n_u"), sum($"c" * $"c").as("ss_u"))
+    docs.select($"doc_id")
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .join(uni, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bi", lit(0L)).as("n_bigrams"),
+        round(when(coalesce($"n_bi", lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - $"d_bi".cast("double") / $"n_bi".cast("double")),
+          6).as("dup_bigram_frac"),
+        round(when(coalesce($"n_bi", lit(0L)) === 0, 0.0)
+          .otherwise($"m_bi".cast("double") / $"n_bi".cast("double")),
+          6).as("top_bigram_frac"),
+        round(when(coalesce($"n_tri", lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - $"d_tri".cast("double") / $"n_tri".cast("double")),
+          6).as("dup_trigram_frac"),
+        round(when(coalesce($"n_u", lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - $"ss_u".cast("double") /
+            ($"n_u".cast("double") * $"n_u".cast("double"))),
+          6).as("simpson_diversity"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |bi1 AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g, count(*) AS c
+       |  FROM t, UNNEST(range(1, len(toks))) u(i) GROUP BY 1, 2),
+       |bi AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM bi1 GROUP BY 1),
+       |tri1 AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g, count(*) AS c
+       |  FROM t, UNNEST(range(1, len(toks) - 1)) u(i) GROUP BY 1, 2),
+       |tri AS (SELECT doc_id, sum(c) AS n, count(*) AS d FROM tri1 GROUP BY 1),
+       |uni1 AS (
+       |  SELECT doc_id, u.tok AS tok, count(*) AS c
+       |  FROM t, UNNEST(toks) u(tok) GROUP BY 1, 2),
+       |uni AS (SELECT doc_id, sum(c) AS n, sum(c*c) AS ss FROM uni1 GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(bi.n, 0) AS BIGINT) AS n_bigrams,
+       |  round(CASE WHEN coalesce(bi.n, 0) = 0 THEN 0.0
+       |    ELSE 1.0 - CAST(bi.d AS DOUBLE) / CAST(bi.n AS DOUBLE) END, 6) AS dup_bigram_frac,
+       |  round(CASE WHEN coalesce(bi.n, 0) = 0 THEN 0.0
+       |    ELSE CAST(bi.m AS DOUBLE) / CAST(bi.n AS DOUBLE) END, 6) AS top_bigram_frac,
+       |  round(CASE WHEN coalesce(tri.n, 0) = 0 THEN 0.0
+       |    ELSE 1.0 - CAST(tri.d AS DOUBLE) / CAST(tri.n AS DOUBLE) END, 6) AS dup_trigram_frac,
+       |  round(CASE WHEN coalesce(uni.n, 0) = 0 THEN 0.0
+       |    ELSE 1.0 - CAST(uni.ss AS DOUBLE) / (CAST(uni.n AS DOUBLE) * CAST(uni.n AS DOUBLE)) END, 6) AS simpson_diversity
+       |FROM t LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id) LEFT JOIN uni USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition_score" -> (qRepetitionScore _),
     "q_tokenize_wordcount" -> (qTokenizeWordcount _),
     "q_bigram_counts" -> (qBigramCounts _),
     "q_lang_stats" -> (qLangStats _),
@@ -685,6 +762,7 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_repetition_score" -> repetitionScoreSql,
     "q_tokenize_wordcount" -> tokenizeWordcountSql,
     "q_bigram_counts" -> bigramCountsSql,
     "q_lang_stats" -> langStatsSql,

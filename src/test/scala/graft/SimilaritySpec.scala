@@ -209,4 +209,33 @@ class SimilaritySpec extends GraftSuite {
     assert(hamming(fp(0L), fp(3L)) > hamming(fp(0L), fp(2L)),
       "unrelated text must be farther than a near-duplicate")
   }
+
+  test("q_boilerplate_frac: row-complete, bounded, and df-threshold-consistent") {
+    import spark.implicits._
+    val r = rows(Similarity.qBoilerplateFrac(spark, sf))
+    assert(r.size == spark.read.parquet(s"$sf/documents.parquet").count())
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_shingles")
+      val b = row.getAs[Long]("n_boiler")
+      val f = row.getAs[Double]("boiler_frac")
+      assert(b >= 0 && b <= n, s"boiler count $b out of [0, $n]")
+      assert(f >= 0.0 && f <= 1.0)
+      if (n > 0) assert(math.abs(f - math.rint(b.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+    // hand-built corpus: a shingle shared by 5 docs IS boilerplate, one
+    // shared by 4 is NOT (threshold = 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    val common = "click here to subscribe"        // in 5 docs
+    val nearCommon = "all rights reserved now"    // in 4 docs
+    val docs = (0 until 5).map(i => (i.toLong, s"$common unique$i token$i extra$i")) ++
+      (5 until 9).map(i => (i.toLong, s"$nearCommon unique$i token$i extra$i"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val m = Similarity.qBoilerplateFrac(spark, tmp).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_boiler")).toMap
+    assert((0L until 5L).forall(m(_) >= 2),
+      "the 5-doc shared phrase's shingles must be flagged")
+    assert((5L until 9L).forall(m(_) == 0),
+      "a 4-doc phrase is below the df threshold")
+  }
 }

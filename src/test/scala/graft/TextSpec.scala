@@ -201,4 +201,30 @@ class TextSpec extends GraftSuite {
     val obs = r.filter(_.getAs[Boolean]("observed"))
     assert(obs.nonEmpty, "top-10 x top-10 token pairs must include observed bigrams")
   }
+
+  test("q_repetition_score bounds and a hand-built repeated doc") {
+    import spark.implicits._
+    val r = rows(Text.qRepetitionScore(spark, sf))
+    assert(r.size == spark.read.parquet(s"$sf/documents.parquet").count())
+    r.foreach { row =>
+      val dupBi = row.getAs[Double]("dup_bigram_frac")
+      val topBi = row.getAs[Double]("top_bigram_frac")
+      val simp = row.getAs[Double]("simpson_diversity")
+      assert(dupBi >= 0.0 && dupBi < 1.0)
+      assert(topBi >= 0.0 && topBi <= 1.0)
+      assert(simp >= 0.0 && simp < 1.0)
+      if (row.getAs[Long]("n_bigrams") > 0)
+        assert(topBi > 0.0, "a nonempty doc has a most-frequent bigram")
+    }
+    // hand-built: "a b a b a b" -> 5 bigrams, 2 distinct ("a b" x3, "b a" x2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val h = Text.qRepetitionScore(spark, tmp).head()
+    assert(h.getAs[Long]("n_bigrams") == 5)
+    assert(math.abs(h.getAs[Double]("dup_bigram_frac") - (1.0 - 2.0 / 5)) < 1e-9)
+    assert(math.abs(h.getAs[Double]("top_bigram_frac") - 3.0 / 5) < 1e-9)
+    // unigrams: a x3, b x3, N=6 -> simpson = 1 - 18/36 = 0.5
+    assert(math.abs(h.getAs[Double]("simpson_diversity") - 0.5) < 1e-9)
+  }
 }
