@@ -624,7 +624,85 @@ object Similarity {
       |LEFT JOIN boil ON d.doc_id = boil.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Deterministic stratified train/val/test split (north-star curation
+    * operator): every doc's assignment is a pure function of its id —
+    * 60-bit md5-prefix digest mod 100, bucket < 80 → train, < 90 → val,
+    * else test — so the split is reproducible on any engine, any
+    * partitioning, any rerun, with NO sampling state. Reports per
+    * (lang, split) counts and each split's share within its language.
+    * At 100 TB this is the only split that works: a seeded random sample
+    * would need coordinated RNG state across 1000 executors; a hash of
+    * the primary key needs nothing. */
+  def qStratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    Tables.documents(spark, sfDir)
+      .select($"lang", split.as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("docs"))
+      .withColumn("lang_share",
+        round($"docs".cast("double") /
+          sum($"docs").over(Window.partitionBy($"lang")), 4))
+      .orderBy($"lang", $"split")
+  }
+
+  val stratifiedSplitSql: String =
+    """WITH a AS (
+      |  SELECT lang,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |g AS (SELECT lang, split, count(*) AS docs FROM a GROUP BY 1, 2)
+      |SELECT lang, split, docs,
+      |  round(CAST(docs AS DOUBLE) / sum(docs) OVER (PARTITION BY lang), 4) AS lang_share
+      |FROM g ORDER BY lang, split""".stripMargin
+
+  /** Source-weighted corpus mixing (north-star): each source gets a target
+    * sampling rate (here derived from the source id — 25/50/75/100% — the
+    * shape, not the numbers, is the operator) and docs are kept by a
+    * salted hash threshold, again stateless and engine-reproducible. The
+    * report per source: docs in/kept, target vs realized rate, and kept
+    * token volume — what a mixing run publishes after every pass. One
+    * scan, one aggregation; the keep decision is a pure projection. */
+  def qSourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ratePct = (lit(25) + regexp_extract($"source", "\\d+", 0).cast("int") % 4 * 25)
+      .cast("long")
+    val bucket = conv(substring(md5(concat(lit("mix"), $"doc_id".cast("string"))),
+      1, 15), 16, 10).cast("long") % 100
+    val nToks = size(filter(split($"text", " "), x => x =!= "")).cast("long")
+    Tables.documents(spark, sfDir)
+      .select($"source", ratePct.as("target_pct"), (bucket < ratePct).as("keep"),
+        nToks.as("n_toks"))
+      .groupBy($"source", $"target_pct")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when($"keep", 1L).otherwise(0L)).as("docs_kept"),
+        sum(when($"keep", $"n_toks").otherwise(0L)).as("tokens_kept"))
+      .withColumn("realized_rate",
+        round($"docs_kept".cast("double") / $"docs_in", 4))
+      .select($"source", $"target_pct", $"docs_in", $"docs_kept",
+        $"realized_rate", $"tokens_kept")
+      .orderBy($"source")
+  }
+
+  val sourceMixSql: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    CAST(25 + CAST(regexp_extract(source, '\d+') AS INT) % 4 * 25 AS BIGINT) AS target_pct,
+      |    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT source, target_pct, count(*) AS docs_in,
+      |  CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+      |  round(CAST(sum(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS realized_rate,
+      |  CAST(sum(CASE WHEN bucket < target_pct THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM a GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_split" -> (qStratifiedSplit _),
+    "q_source_mix" -> (qSourceMix _),
     "q_boilerplate_frac" -> (qBoilerplateFrac _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -637,6 +715,8 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_stratified_split" -> stratifiedSplitSql,
+    "q_source_mix" -> sourceMixSql,
     "q_boilerplate_frac" -> boilerplateFracSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -103,4 +103,40 @@ class DataPipelineSpec extends GraftSuite {
       "every candidate trigram must score positive")
     assert(scoredLm.count() == 27)
   }
+
+  test("stratified split is deterministic, complete, and near the 80/10/10 target") {
+    import spark.implicits._
+    val r1 = rows(graft.ops.Similarity.qStratifiedSplit(spark, sf))
+    val r2 = rows(graft.ops.Similarity.qStratifiedSplit(spark, sf))
+    assert(r1 == r2, "hash split must be run-to-run identical")
+    val total = r1.map(_.getAs[Long]("docs")).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count(),
+      "every doc lands in exactly one split")
+    // per-lang shares sum to ~1
+    r1.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val s = rows.map(_.getAs[Double]("lang_share")).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$lang shares sum to $s")
+    }
+    val trainFrac = r1.filter(_.getString(1) == "train")
+      .map(_.getAs[Long]("docs")).sum.toDouble / total
+    assert(math.abs(trainFrac - 0.8) < 0.1,
+      s"train fraction $trainFrac should be near 0.8")
+  }
+
+  test("source mix keeps within bounds and realizes the target rate") {
+    import spark.implicits._
+    val r = rows(graft.ops.Similarity.qSourceMix(spark, sf))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val in = row.getAs[Long]("docs_in")
+      val kept = row.getAs[Long]("docs_kept")
+      val target = row.getAs[Long]("target_pct").toDouble / 100
+      val realized = row.getAs[Double]("realized_rate")
+      assert(kept >= 0 && kept <= in)
+      assert(target == 1.0 && realized == 1.0 ||
+        math.abs(realized - target) < 0.35,
+        s"${row.getString(0)}: realized $realized vs target $target")
+      if (target == 1.0) assert(kept == in, "100% sources keep everything")
+    }
+  }
 }
