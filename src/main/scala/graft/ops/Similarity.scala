@@ -700,7 +700,72 @@ object Similarity {
       |  CAST(sum(CASE WHEN bucket < target_pct THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
       |FROM a GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** Train-df cap for contamination candidates (a shingle in more train
+    * docs than this is boilerplate, not leakage — same safety valve as
+    * [[ShingleMaxDf]]) and the minimum shared-shingle count to report. */
+  val ContaminationMaxDf = 20
+  val ContaminationMinShared = 3
+
+  /** Test-set contamination check (north-star eval-hygiene operator):
+    * composes [[qStratifiedSplit]]'s hash split with the dedup machinery —
+    * for every test-split doc, which train-split docs share ≥
+    * [[ContaminationMinShared]] rare 3-token shingles, and what fraction
+    * of the test doc that overlap covers. Rare = train-df ≤
+    * [[ContaminationMaxDf]]: hot shingles are boilerplate and would
+    * explode the join while carrying no leakage signal (the identical cap
+    * discipline as the near-dup family). Shape: digested shingle explode →
+    * split by the id hash → df-capped equi-join on 8-byte keys → pair
+    * count + join back for the size — no all-pairs anywhere, and the join
+    * fans out only on RARE keys, bounded by the cap. */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      .select($"doc_id", $"bucket",
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val tr = sh.where($"bucket" < 80).select($"doc_id".as("train_doc"), $"h")
+    val te = sh.where($"bucket" >= 90).select($"doc_id".as("test_doc"), $"h")
+    val rare = tr.groupBy($"h").agg(count(lit(1)).as("df"))
+      .where($"df" <= ContaminationMaxDf).select($"h")
+    val shared = te.join(rare, "h").join(tr, "h")
+      .groupBy($"test_doc", $"train_doc").agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= ContaminationMinShared)
+    val tsz = te.groupBy($"test_doc").agg(count(lit(1)).as("n_sh"))
+    shared.join(tsz, "test_doc")
+      .select($"test_doc", $"train_doc", $"n_shared",
+        round($"n_shared".cast("double") / $"n_sh", 4).as("overlap_frac"))
+      .orderBy($"test_doc", $"train_doc")
+  }
+
+  val contaminationSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) u(i)),
+      |tr AS (SELECT doc_id, h FROM sh WHERE bucket < 80),
+      |te AS (SELECT doc_id, h FROM sh WHERE bucket >= 90),
+      |rare AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= $ContaminationMaxDf),
+      |shared AS (
+      |  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS n_shared
+      |  FROM te JOIN rare USING (h) JOIN tr USING (h)
+      |  GROUP BY 1, 2),
+      |tsz AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1)
+      |SELECT s.test_doc, s.train_doc, s.n_shared,
+      |  round(CAST(s.n_shared AS DOUBLE) / t.n_sh, 4) AS overlap_frac
+      |FROM shared s JOIN tsz t ON s.test_doc = t.doc_id
+      |WHERE s.n_shared >= $ContaminationMinShared
+      |ORDER BY test_doc, train_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> (qContamination _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
     "q_boilerplate_frac" -> (qBoilerplateFrac _),
@@ -715,6 +780,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_contamination" -> contaminationSql,
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,
     "q_boilerplate_frac" -> boilerplateFracSql,

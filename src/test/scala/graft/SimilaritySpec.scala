@@ -238,4 +238,29 @@ class SimilaritySpec extends GraftSuite {
     assert((5L until 9L).forall(m(_) == 0),
       "a 4-doc phrase is below the df threshold")
   }
+
+  test("q_contamination flags a planted train->test copy") {
+    import spark.implicits._
+    // find one id in the train bucket (< 80) and one in test (>= 90)
+    // using the query's own hash spelling
+    val buckets = spark.range(200)
+      .select($"id", (conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val testId = buckets.collectFirst { case (id, b) if b >= 90 => id }.get
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    (Seq((trainId, leaked), (testId, leaked)) ++
+      buckets.keys.filterNot(Set(trainId, testId)).take(20)
+        .map(i => (i, s"unrelated$i filler$i text$i goes$i here$i now$i")))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val r = rows(Similarity.qContamination(spark, tmp))
+    val hit = r.find(x => x.getAs[Long]("test_doc") == testId &&
+      x.getAs[Long]("train_doc") == trainId)
+    assert(hit.isDefined, s"planted copy $trainId->$testId not flagged: $r")
+    assert(hit.get.getAs[Double]("overlap_frac") == 1.0,
+      "an exact copy is fully covered")
+  }
 }
