@@ -158,4 +158,52 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Connected components over a near-dup pair set by iterative min-label
+    * propagation — the production FINAL step of a dedup pipeline: pairs
+    * alone over- or under-delete (drop-the-higher-id-of-each-pair removes
+    * both b and c of a chain a–b, b–c when only two deletions of three
+    * docs are wanted, and keeps nothing canonical); resolving pairs to
+    * components and keeping min-id per component is the correct rule.
+    *
+    * Algorithm: every node starts labeled with itself; each round, every
+    * node takes the min of its own label and its neighbors' labels; stop
+    * when a round changes nothing. Rounds needed = max component DIAMETER
+    * (near-dup clusters are near-cliques, so 2–3 in practice); `maxIter`
+    * bounds the loop and the method throws if not converged — silent
+    * wrong answers are worse than a loud bound. Each round is one
+    * edge⋈label hash join + a min aggregation, `localCheckpoint`ed to cut
+    * the iterative lineage (the same discipline as the KMeans/GMM loops
+    * in [[LearningOps]]). At 100 TB the edge set (pair output) is orders
+    * smaller than the corpus, and every round shuffles only on node id.
+    *
+    * Returns (node, component) with component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
+      val next = labels
+        .join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("node"), col("label").as("component"))
+  }
 }

@@ -764,7 +764,45 @@ object Similarity {
       |WHERE s.n_shared >= $ContaminationMinShared
       |ORDER BY test_doc, train_doc""".stripMargin
 
+  /** Near-dup cluster resolution (north-star — the dedup pipeline's FINAL
+    * step): the shingle-Jaccard pair set resolved to connected components
+    * via [[graft.ml.Dedup.connectedComponents]] (iterative min-label
+    * propagation; see its scale notes), reporting every clustered doc
+    * with its canonical representative (component = min doc id) and the
+    * cluster size. Pairs alone over-delete on chains (a–b, b–c drops both
+    * b and c under the naive higher-id rule); components give the correct
+    * one-survivor-per-cluster answer. The oracle computes the identical
+    * transitive closure with a recursive CTE — set-deterministic, so the
+    * iterative and recursive spellings hash-match. */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = qDedupShingleJaccard(spark, sfDir).select($"doc_a", $"doc_b")
+    val comp = graft.ml.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select($"component", $"node".as("doc_id"), $"cluster_size")
+      .orderBy($"component", $"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+      |p AS (SELECT doc_a, doc_b FROM ($dedupShingleJaccardSql)),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION SELECT doc_b AS u, doc_a AS v FROM p),
+      |n AS (SELECT DISTINCT u AS node FROM e),
+      |r AS (
+      |  SELECT node, node AS reach FROM n
+      |  UNION
+      |  SELECT e.u AS node, r.reach FROM e JOIN r ON r.node = e.v),
+      |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node)
+      |SELECT c.component, c.node AS doc_id, cs.cluster_size
+      |FROM comp c
+      |JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1) cs
+      |  USING (component)
+      |ORDER BY component, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_contamination" -> (qContamination _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
@@ -780,6 +818,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,

@@ -71,4 +71,24 @@ class DedupLibSpec extends GraftSuite {
     assert(moreBands >= lsh.size,
       "more, shorter bands can only increase candidate recall")
   }
+
+  test("connectedComponents resolves chains, cycles, and disjoint pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4, cycle 10-11-12-10, isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L),
+      s"chain must collapse to min id: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 9)
+    // a long path stresses the diameter bound: 0-1-2-...-9
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val pc = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(pc(_) == 0L), s"path must collapse: $pc")
+  }
 }
