@@ -177,33 +177,84 @@ object Dedup {
     * in [[LearningOps]]). At 100 TB the edge set (pair output) is orders
     * smaller than the corpus, and every round shuffles only on node id.
     *
-    * Returns (node, component) with component = min node id reachable. */
+    * Returns (node, component) with component = min node id reachable.
+    *
+    * Size-aware dispatch: the symmetrized edge set is checkpointed first,
+    * so its count is already materialized; when it fits comfortably on
+    * the driver (`localThreshold` edges — bounded by construction, NOT
+    * corpus-sized) the components are solved with driver union-find in
+    * O(E·α) and zero further Spark jobs, because label propagation's
+    * per-round scheduling overhead dwarfs the actual work on a small
+    * graph. Above the threshold the distributed iterative path runs —
+    * both paths produce the identical min-id labeling. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
+    // checkpoint the RAW pair set first: the (possibly expensive) pair
+    // producer materializes exactly once; symmetrization below reads the
+    // checkpoint twice instead of recomputing the upstream twice
+    val p = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    if (p.count() <= localThreshold) return ccLocal(p)
+    val edges = p
+      .union(p.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // round 1 fused into initialization: label = min(self, direct
+    // neighbors) via one aggregation — cheaper than the loop's join+agg,
+    // and every node appears as a u (edges are symmetrized), so the
+    // label table is complete from the start.
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
+      // carry the previous label alongside the new one so convergence is
+      // a LOCAL scan of the checkpointed frame, not another join
       val next = labels
-        .join(nbrMin, col("node") === col("u"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .join(nbrMin, col("node") === col("u"))
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), col("nlabel")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.select(col("node"), col("label").as("old")), "node")
-        .where(col("label") < col("old")).isEmpty
-      labels = next
+      converged = next.where(col("label") < col("old")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Driver union-find (union-by-min + path compression) for edge sets
+    * under the dispatch threshold; takes the RAW (unsymmetrized) pairs —
+    * union-find needs neither direction nor dedup. Roots are always the
+    * component's min id, so find(x) after full compression IS the
+    * canonical label. */
+  private def ccLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = scala.collection.mutable.HashSet.empty[Long]
+    edges.select($"u", $"v").collect().foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      nodes += u += v
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    nodes.toSeq.sorted.map(n => (n, find(n)))
+      .toDF("node", "component")
   }
 }

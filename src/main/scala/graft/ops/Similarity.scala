@@ -94,7 +94,11 @@ object Similarity {
     * row per surviving doc — AQE broadcasts it at this scale, but at 10⁹+
     * docs it must grade out to a shuffle join, and a forced hint would OOM
     * the driver instead. */
-  def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unsorted pair core shared by [[qDedupShingleJaccard]] (which adds
+    * the presentation sort) and the cluster/curation consumers (which
+    * would only throw a global sort away). */
+  private[graft] def shingleJaccardPairs(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
@@ -116,6 +120,11 @@ object Similarity {
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
       .where($"jaccard" >= 0.8)
+  }
+
+  def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shingleJaccardPairs(spark, sfDir)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -527,7 +536,7 @@ object Similarity {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("n_toks",
         size(filter(split($"text", " "), x => x =!= "")).cast("long"))
-    val losers = qDedupShingleJaccard(spark, sfDir)
+    val losers = shingleJaccardPairs(spark, sfDir)
       .select($"doc_b".as("drop_id")).distinct()
     val kept = docs
       .join(losers, $"doc_id" === $"drop_id", "left_anti")
@@ -776,7 +785,7 @@ object Similarity {
     * iterative and recursive spellings hash-match. */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = qDedupShingleJaccard(spark, sfDir).select($"doc_a", $"doc_b")
+    val pairs = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
     val comp = graft.ml.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
