@@ -923,7 +923,78 @@ object Analytics {
       |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 55)
       |ORDER BY s_name""".stripMargin
 
+  /** Join-key skew diagnostic (engine-ops tool, not a TPC-H shape): the
+    * hottest join keys with their row share and skew factor (share ×
+    * distinct-key count — 1.0 = perfectly uniform). This is the report a
+    * 100 TB operator runs BEFORE choosing between a plain shuffle join,
+    * AQE skew handling, and explicit salting ([[graft.sources.Skew]]);
+    * the top-k cut itself is TakeOrderedAndProject, and the global totals
+    * are one broadcast row. */
+  def qSkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+    val tot = k.agg(sum($"cnt").as("n"), count(lit(1)).as("distinct_keys"))
+    k.crossJoin(broadcast(tot))
+      .select($"l_orderkey".as("key"), $"cnt",
+        round($"cnt".cast("double") / $"n", 6).as("share"),
+        round($"cnt".cast("double") * $"distinct_keys" / $"n", 4).as("skew_factor"))
+      .orderBy($"cnt".desc, $"key").limit(20)
+  }
+
+  val skewReportSql: String =
+    """WITH k AS (SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS n, count(*) AS distinct_keys FROM k)
+      |SELECT k.key, k.cnt,
+      |  round(CAST(k.cnt AS DOUBLE) / tot.n, 6) AS share,
+      |  round(CAST(k.cnt AS DOUBLE) * tot.distinct_keys / tot.n, 4) AS skew_factor
+      |FROM k, tot ORDER BY k.cnt DESC, k.key LIMIT 20""".stripMargin
+
+  /** Robust outlier detection via median absolute deviation: lines whose
+    * price sits more than 2 MADs from their returnflag's median,
+    * summarized per flag. All quantile math runs on integer CENTS
+    * (`round(price*100)`) — percentile interpolation over integer-valued
+    * doubles is exact IEEE on both engines (midpoints land on .0/.5),
+    * so the threshold comparison can never flip on a ulp. Median/MAD are
+    * 3-row side tables that broadcast into the final scan. */
+  def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).as("price_c"))
+    val med = li.groupBy($"flag")
+      .agg(expr("percentile(price_c, 0.5)").as("med"))
+    val mad = li.join(broadcast(med), "flag")
+      .groupBy($"flag")
+      .agg(expr("percentile(abs(price_c - med), 0.5)").as("mad"))
+    li.join(broadcast(med), "flag").join(broadcast(mad), "flag")
+      .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min($"price_c") / 100.0, 2).as("min_out"),
+        round(max($"price_c") / 100.0, 2).as("max_out"))
+      .select($"flag".as("l_returnflag"), $"n_outliers", $"min_out", $"max_out")
+      .orderBy($"l_returnflag")
+  }
+
+  val outlierFilterSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag, round(l_extendedprice * 100) AS price_c
+      |  FROM lineitem),
+      |med AS (SELECT flag, quantile_cont(price_c, 0.5) AS med FROM li GROUP BY 1),
+      |mad AS (
+      |  SELECT li.flag, quantile_cont(abs(price_c - med), 0.5) AS mad
+      |  FROM li JOIN med ON li.flag = med.flag GROUP BY 1)
+      |SELECT li.flag AS l_returnflag, count(*) AS n_outliers,
+      |  round(min(price_c) / 100.0, 2) AS min_out,
+      |  round(max(price_c) / 100.0, 2) AS max_out
+      |FROM li JOIN med ON li.flag = med.flag JOIN mad ON li.flag = mad.flag
+      |WHERE abs(price_c - med.med) > 2 * mad.mad
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (qSkewReport _),
+    "q_outlier_filter" -> (qOutlierFilter _),
     "q_priority_waiting" -> (qPriorityWaiting _),
     "q_shipmode_priority" -> (qShipmodePriority _),
     "q_product_profit" -> (qProductProfit _),
@@ -952,6 +1023,8 @@ object Analytics {
     "q_sales_opportunity" -> (qSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
+    "q_skew_report" -> skewReportSql,
+    "q_outlier_filter" -> outlierFilterSql,
     "q_priority_waiting" -> priorityWaitingSql,
     "q_shipmode_priority" -> shipmodePrioritySql,
     "q_product_profit" -> productProfitSql,

@@ -427,6 +427,37 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 4) AS running_rev
       |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
+  /** RANGE-frame window — the frame type [[qWindowRunning]]'s ROWS frame
+    * doesn't cover: per customer, trailing-30-day revenue at each order.
+    * The frame is defined over epoch SECONDS (timestamp cast to long on
+    * the Spark side, `epoch()` in the oracle) so both engines evaluate
+    * the identical inclusive value range; revenue accumulates exact
+    * integer cents like the running-frame query. Peers (same customer,
+    * same timestamp) get identical frames by RANGE semantics, so the
+    * result is set-deterministic. */
+  def qWindowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .where($"o_custkey" < 50)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"),
+        round(sum($"cents").over(w).cast("double") / 100.0, 2).as("rev_30d"))
+      .orderBy($"o_custkey", $"order_date", $"o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2) AS rev_30d
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
   /** Analytic window with lag: days since the customer's previous order. */
   def qWindowLag(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -540,6 +571,7 @@ object Relational {
     "q_window_ntile" -> (qWindowNtile _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_range_frame" -> (qWindowRangeFrame _),
     "q_window_lag" -> (qWindowLag _),
     "q_topk_orders" -> (qTopkOrders _),
     "q_set_ops" -> (qSetOps _))
@@ -562,6 +594,7 @@ object Relational {
     "q_window_ntile" -> windowNtileSql,
     "q_window_rank" -> windowRankSql,
     "q_window_running" -> windowRunningSql,
+    "q_window_range_frame" -> windowRangeFrameSql,
     "q_window_lag" -> windowLagSql,
     "q_topk_orders" -> topkOrdersSql,
     "q_set_ops" -> setOpsSql)

@@ -810,7 +810,50 @@ object Similarity {
       |  USING (component)
       |ORDER BY component, doc_id""".stripMargin
 
+  /** Token capacity per training chunk for [[qSequencePack]]. */
+  val PackCapacity = 2000L
+
+  /** Sequence packing (north-star training-prep operator): assign docs to
+    * fixed-token-budget training chunks — the step that turns a curated
+    * corpus into trainer-shaped work units. Docs pack per language in
+    * doc_id order by the STREAMING rule chunk = floor(preceding-tokens /
+    * capacity): deterministic, one window pass, and the window partitions
+    * by language so no unpartitioned global sort exists. (True bin
+    * packing is NP-hard and order-sensitive; the streaming rule is the
+    * standard scalable approximation — chunks can overflow by at most one
+    * doc.) Reports per-chunk doc and token counts. */
+  def qSequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum($"n_toks").over(w))
+      .select($"lang",
+        floor(($"cum" - $"n_toks") / PackCapacity).cast("long").as("chunk"),
+        $"n_toks")
+      .groupBy($"lang", $"chunk")
+      .agg(count(lit(1)).as("docs"), sum($"n_toks").as("tokens"))
+      .orderBy($"lang", $"chunk")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, CAST((cum - n_toks) // $PackCapacity AS BIGINT) AS chunk,
+      |  count(*) AS docs, CAST(sum(n_toks) AS BIGINT) AS tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sequence_pack" -> (qSequencePack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_contamination" -> (qContamination _),
     "q_stratified_split" -> (qStratifiedSplit _),
@@ -827,6 +870,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_sequence_pack" -> sequencePackSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,
     "q_stratified_split" -> stratifiedSplitSql,

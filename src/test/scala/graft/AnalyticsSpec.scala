@@ -138,6 +138,39 @@ class AnalyticsSpec extends GraftSuite {
     rows(r).foreach(x => assert(x.getAs[Long]("numcust") > 0))
   }
 
+  test("q_skew_report shares are a sane distribution summary") {
+    import spark.implicits._
+    val r = rows(Analytics.qSkewReport(spark, sf))
+    assert(r.size <= 20 && r.nonEmpty)
+    val cnts = r.map(_.getAs[Long]("cnt"))
+    assert(cnts == cnts.sortBy(-_), "hottest keys first")
+    r.foreach { row =>
+      assert(row.getAs[Double]("share") > 0 && row.getAs[Double]("share") < 1)
+      assert(row.getAs[Double]("skew_factor") >= 1.0 - 1e-9,
+        "a top-20 key is at least as hot as uniform")
+    }
+  }
+
+  test("q_outlier_filter outliers really sit beyond 2 MADs of their median") {
+    import spark.implicits._
+    val r = rows(Analytics.qOutlierFilter(spark, sf))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    r.foreach { row =>
+      val flag = row.getAs[String]("l_returnflag")
+      val prices = li.where($"l_returnflag" === flag)
+        .select(round($"l_extendedprice" * 100))
+        .collect().map(_.getDouble(0)).sorted
+      def med(xs: Array[Double]): Double =
+        if (xs.length % 2 == 1) xs(xs.length / 2)
+        else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2
+      val m = med(prices)
+      val madV = med(prices.map(p => math.abs(p - m)).sorted)
+      val expected = prices.count(p => math.abs(p - m) > 2 * madV)
+      assert(row.getAs[Long]("n_outliers") == expected,
+        s"$flag: ${row.getAs[Long]("n_outliers")} vs independent $expected")
+    }
+  }
+
   test("q_shipmode_priority high+low partitions the window's joined lines") {
     import spark.implicits._
     val r = Analytics.qShipmodePriority(spark, sf)

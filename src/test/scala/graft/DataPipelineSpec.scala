@@ -123,6 +123,31 @@ class DataPipelineSpec extends GraftSuite {
       s"train fraction $trainFrac should be near 0.8")
   }
 
+  test("sequence packing fills chunks to capacity without big overflow") {
+    import spark.implicits._
+    val r = rows(graft.ops.Similarity.qSequencePack(spark, sf))
+    val cap = graft.ops.Similarity.PackCapacity
+    val maxDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(max(size(filter(split($"text", " "), x => x =!= ""))))
+      .head.getInt(0)
+    r.groupBy(_.getString(0)).foreach { case (lang, chunks) =>
+      val ids = chunks.map(_.getAs[Long]("chunk")).sorted
+      assert(ids == (0L until ids.size), s"$lang chunks must be contiguous: $ids")
+      // streaming rule: every chunk except the last is filled past
+      // capacity only by its final doc
+      chunks.sortBy(_.getAs[Long]("chunk")).dropRight(1).foreach { c =>
+        val t = c.getAs[Long]("tokens")
+        assert(t >= cap - maxDoc && t <= cap + maxDoc,
+          s"$lang chunk ${c.getAs[Long]("chunk")}: $t tokens vs capacity $cap")
+      }
+    }
+    val total = r.map(_.getAs[Long]("tokens")).sum
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(filter(split($"text", " "), x => x =!= "")).cast("long")))
+      .head.getLong(0)
+    assert(total == expected, "packing must conserve every token")
+  }
+
   test("source mix keeps within bounds and realizes the target rate") {
     import spark.implicits._
     val r = rows(graft.ops.Similarity.qSourceMix(spark, sf))
