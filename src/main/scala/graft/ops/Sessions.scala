@@ -99,13 +99,109 @@ object Sessions {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Funnel analysis over (user, day) sessions: ordered event sequences
+    * matched against the view → click → purchase subsequence, with
+    * per-stage counts and conversion rates. The per-session sequence is
+    * built by sorting collected (tsec, event_id, event_type) structs —
+    * whole-second time plus the unique event id gives a total order both
+    * engines agree on (sub-second precision differs between the ns
+    * parquet and Spark's µs read, so it never participates in ordering —
+    * the same rule as [[qSessionize]]). Event-type names are not
+    * substrings of each other, so the subsequence check is a plain regex
+    * over the comma-joined sequence. Per-session state is bounded by a
+    * user's daily activity; the final rollup is one row. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seqs = Tables.events(spark, sfDir)
+      .withColumn("tsec", floor($"ts".cast("double")).cast("long"))
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(concat_ws(",",
+        transform(
+          array_sort(collect_list(struct($"tsec", $"event_id", $"event_type"))),
+          s => s.getField("event_type"))).as("seq"))
+    seqs.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when($"seq".rlike("view"), 1L).otherwise(0L)).as("stage_view"),
+        sum(when($"seq".rlike("view.*click"), 1L).otherwise(0L)).as("stage_click"),
+        sum(when($"seq".rlike("view.*click.*purchase"), 1L).otherwise(0L))
+          .as("stage_purchase"))
+      .select($"n_sessions", $"stage_view", $"stage_click", $"stage_purchase",
+        round($"stage_click".cast("double") / $"stage_view", 4)
+          .as("conv_view_click"),
+        round($"stage_purchase".cast("double") / $"stage_click", 4)
+          .as("conv_click_purchase"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |seqs AS (
+      |  SELECT user_id, day,
+      |    string_agg(event_type, ',' ORDER BY tsec, event_id) AS seq
+      |  FROM e GROUP BY 1, 2)
+      |SELECT count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'view') THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'view.*click') THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+      |  CAST(sum(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase,
+      |  round(CAST(sum(CASE WHEN regexp_matches(seq, 'view.*click') THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        sum(CASE WHEN regexp_matches(seq, 'view') THEN 1 ELSE 0 END), 4) AS conv_view_click,
+      |  round(CAST(sum(CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        sum(CASE WHEN regexp_matches(seq, 'view.*click') THEN 1 ELSE 0 END), 4) AS conv_click_purchase
+      |FROM seqs""".stripMargin
+
+  /** Cohort retention on purchase activity: users cohorted by their FIRST
+    * purchase day, counted by distinct active purchase days at each offset
+    * (≤ 7 days, cohorts from the first week of data — the window bound is
+    * derived from the data's own min day via one broadcast row, never a
+    * hard-coded date). The classic product-analytics retention matrix:
+    * every step is a hash aggregation or a broadcast-bounded join. */
+  def qCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("day"))
+    val c = p.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val m = p.agg(min($"day").as("d0"))
+    p.join(c, "user_id")
+      .select($"user_id", $"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("offset_d"))
+      .distinct()
+      .crossJoin(broadcast(m))
+      .where($"offset_d" <= 7 && $"cohort_day" <= date_add($"d0", 7))
+      .groupBy($"cohort_day", $"offset_d")
+      .agg(count(lit(1)).as("users"))
+      .orderBy($"cohort_day", $"offset_d")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+      |m AS (SELECT min(day) AS d0 FROM p),
+      |a AS (
+      |  SELECT DISTINCT p.user_id, c.cohort_day,
+      |    date_diff('day', c.cohort_day, p.day) AS offset_d
+      |  FROM p JOIN c ON p.user_id = c.user_id)
+      |SELECT cohort_day, offset_d, count(*) AS users
+      |FROM a, m
+      |WHERE offset_d <= 7 AND cohort_day <= d0 + 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_sessionize" -> sessionizeSql)
 }

@@ -55,6 +55,32 @@ class SessionsEvalSpec extends GraftSuite {
     assert(r.where(col("ap") < 0 || col("ap") > 1).count() == 0)
   }
 
+  test("q_funnel stages are monotone and conversions in (0, 1]") {
+    val r = graft.ops.Sessions.qFunnel(spark, sf).head()
+    val (n, v, c, p) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("stage_view"),
+      r.getAs[Long]("stage_click"), r.getAs[Long]("stage_purchase"))
+    assert(n >= v && v >= c && c >= p && p >= 0,
+      s"funnel must narrow: $n >= $v >= $c >= $p")
+    assert(v > 0 && c > 0, "the synthetic events reach at least two stages")
+    val cv = r.getAs[Double]("conv_view_click")
+    assert(cv > 0 && cv <= 1.0)
+  }
+
+  test("q_cohort_retention offset 0 equals the cohort's size") {
+    import spark.implicits._
+    val r = rows(graft.ops.Sessions.qCohortRetention(spark, sf))
+    assert(r.nonEmpty)
+    val byCohort = r.groupBy(_.get(0))
+    byCohort.foreach { case (day, rs) =>
+      val m = rs.map(x => x.getAs[Long]("offset_d") -> x.getAs[Long]("users")).toMap
+      assert(m.contains(0L), s"cohort $day missing offset 0")
+      // day-0 actives = everyone whose FIRST purchase was that day; no
+      // later offset can exceed the cohort size
+      assert(m.values.forall(_ <= m(0L)),
+        s"cohort $day retention cannot exceed its size: $m")
+    }
+  }
+
   test("q_udaf_geomean equals exp(avg(ln x)) computed directly") {
     val r = Eval.qUdafGeomean(spark, sf)
     val direct = spark.read.parquet(s"$sf/lineitem.parquet")
