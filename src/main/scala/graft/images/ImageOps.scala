@@ -326,6 +326,10 @@ object ImageOps {
       require(img.n_channels == 1, "daisy expects a grayscale image")
       val w = img.x_dim
       val h = img.y_dim
+      val rMax = rs.max
+      require(w / 2 + rMax < w && h / 2 + rMax < h &&
+        w / 2 - rMax >= 0 && h / 2 - rMax >= 0,
+        s"daisy ring radius $rMax does not fit a ${w}x$h image")
       val q = new Array[Long](w * h)
       var i = 0
       while (i < w * h) { q(i) = math.rint(img.image(i) * levels).toLong; i += 1 }

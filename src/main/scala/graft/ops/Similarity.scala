@@ -93,10 +93,11 @@ object Similarity {
     * The size joins carry no `broadcast()` hint on purpose: sizes is one
     * row per surviving doc — AQE broadcasts it at this scale, but at 10⁹+
     * docs it must grade out to a shuffle join, and a forced hint would OOM
-    * the driver instead. */
-  /** Unsorted pair core shared by [[qDedupShingleJaccard]] (which adds
-    * the presentation sort) and the cluster/curation consumers (which
-    * would only throw a global sort away). */
+    * the driver instead.
+    *
+    * This is the unsorted pair core shared by [[qDedupShingleJaccard]]
+    * (which adds the presentation sort) and the cluster/curation
+    * consumers (which would only throw a global sort away). */
   private[graft] def shingleJaccardPairs(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
@@ -122,6 +123,9 @@ object Similarity {
       .where($"jaccard" >= 0.8)
   }
 
+  /** The declared near-dup query: [[shingleJaccardPairs]] (see its doc
+    * for the full algorithm) plus the rounded output projection and the
+    * total presentation order. */
   def qDedupShingleJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     shingleJaccardPairs(spark, sfDir)
@@ -677,7 +681,10 @@ object Similarity {
     * scan, one aggregation; the keep decision is a pure projection. */
   def qSourceMix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ratePct = (lit(25) + regexp_extract($"source", "\\d+", 0).cast("int") % 4 * 25)
+    // digit-free source names fall back to id 0 on BOTH engines (Spark's
+    // regexp_extract yields '' -> null cast; the oracle nullif+coalesce)
+    val ratePct = (lit(25) +
+      coalesce(regexp_extract($"source", "\\d+", 0).cast("int"), lit(0)) % 4 * 25)
       .cast("long")
     val bucket = conv(substring(md5(concat(lit("mix"), $"doc_id".cast("string"))),
       1, 15), 16, 10).cast("long") % 100
@@ -699,7 +706,7 @@ object Similarity {
   val sourceMixSql: String =
     """WITH a AS (
       |  SELECT source,
-      |    CAST(25 + CAST(regexp_extract(source, '\d+') AS INT) % 4 * 25 AS BIGINT) AS target_pct,
+      |    CAST(25 + CAST(coalesce(nullif(regexp_extract(source, '\d+'), ''), '0') AS INT) % 4 * 25 AS BIGINT) AS target_pct,
       |    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
       |  FROM documents)
