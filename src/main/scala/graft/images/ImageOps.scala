@@ -1,7 +1,7 @@
 package graft.images
 
 import breeze.linalg.{DenseMatrix, DenseVector}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Image operator family (ref: nodes.images — GrayScaler, PixelScaler,
@@ -170,6 +170,39 @@ object ImageOps {
             lit(w) * col("n_channels")))))
       .withColumn("x_dim", lit(w))
       .withColumn("y_dim", lit(h))
+  }
+
+  /** The horizontally-mirrored image as a column expression: pixel
+    * (x, y, c) reads from (x_dim−1−x, y, c). */
+  private def flippedImageCol: Column =
+    flatten(transform(sequence(lit(0), col("y_dim") - 1), yy =>
+      flatten(transform(sequence(lit(0), col("x_dim") - 1), xx =>
+        transform(sequence(lit(0), col("n_channels") - 1), c =>
+          element_at(col("image"),
+            (yy * col("x_dim") + (col("x_dim") - 1 - xx)) * col("n_channels")
+              + c + 1))))))
+
+  /** Horizontal mirror of every image — pure Catalyst array re-indexing
+    * like [[crop]]. */
+  def flipHorizontal(df: DataFrame): DataFrame =
+    df.withColumn("image", flippedImageCol)
+
+  /** ref: RandomImageTransformer — random flip + brightness perturbation,
+    * in the deterministic keyed form every "random" op in this engine
+    * uses (the reference seeds an RNG; a pure function of the image id is
+    * the partitioning-stable, engine-portable equivalent — here the same
+    * md5-digest family as the stratified split, NOT murmur, so a DuckDB
+    * oracle can replay it): images with an even digest flip horizontally,
+    * and every image's brightness scales by 1 + (digest mod
+    * `jitterSteps` − jitterSteps/2)/100. */
+  def randomTransform(df: DataFrame, jitterSteps: Int = 11): DataFrame = {
+    val digest = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val factor = lit(1.0) +
+      (digest % jitterSteps - lit(jitterSteps / 2)).cast("double") / 100.0
+    df.withColumn("image",
+        when(digest % 2 === 0, flippedImageCol).otherwise(col("image")))
+      .withColumn("image", transform(col("image"), x => x * factor))
   }
 
   /** ref: Convolver — valid 2-D convolution of a filter bank, computed the

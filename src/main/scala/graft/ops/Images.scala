@@ -397,6 +397,40 @@ object Images {
       |FROM vals v JOIN nrm n ON v.id = n.id AND v.pt = n.pt
       |ORDER BY id, point, orient""".stripMargin
 
+  /** Random flip + brightness jitter (ref: RandomImageTransformer — the
+    * last §2.A image row outside the gate) over 20 synthetic 4×4×2
+    * images. The "randomness" is [[ImageOps.randomTransform]]'s keyed
+    * md5 digest, so the oracle replays the exact flip decision and
+    * brightness factor per image id: even digest → horizontal mirror;
+    * factor = 1 + (digest mod 11 − 5)/100. */
+  def qImageFlipJitter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 4, y = 4, c = 2)
+    ImageOps.randomTransform(imgs)
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 8).cast("long").as("py"),
+        (floor($"i" / 2) % 4).cast("long").as("px"),
+        ($"i" % 2).cast("long").as("ch"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"py", $"px", $"ch")
+  }
+
+  val imageFlipJitterSql: String =
+    """WITH d AS (
+      |  SELECT t.id AS id,
+      |    CAST('0x' || substr(md5(CAST(t.id AS VARCHAR)), 1, 15) AS BIGINT) AS dg
+      |  FROM range(0, 20) t(id)),
+      |px AS (
+      |  SELECT d.id AS id, py.py AS py, px.px AS px, c.c AS ch,
+      |    CASE WHEN dg % 2 = 0
+      |      THEN CAST((d.id*31 + ((py.py*4 + (3 - px.px))*2 + c.c)*7) % 256 AS DOUBLE)/255.0
+      |      ELSE CAST((d.id*31 + ((py.py*4 + px.px)*2 + c.c)*7) % 256 AS DOUBLE)/255.0
+      |    END * (1.0 + CAST(dg % 11 - 5 AS DOUBLE)/100.0) AS v
+      |  FROM d, range(0, 4) py(py), range(0, 4) px(px), range(0, 2) c(c))
+      |SELECT id, py, px, ch, round(v, 6) AS val
+      |FROM px ORDER BY id, py, px, ch""".stripMargin
+
   // ------------------------------------------------- multimodal binary path
 
   /** Multimodal resize in the gate: 8 synthetic binary image assets
@@ -478,6 +512,7 @@ object Images {
     "q_image_lcs" -> (qImageLcs _),
     "q_image_hog" -> (qImageHog _),
     "q_image_daisy" -> (qImageDaisy _),
+    "q_image_flip_jitter" -> (qImageFlipJitter _),
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
@@ -490,5 +525,6 @@ object Images {
     "q_image_lcs" -> imageLcsSql,
     "q_image_hog" -> imageHogSql,
     "q_image_daisy" -> imageDaisySql,
+    "q_image_flip_jitter" -> imageFlipJitterSql,
     "q_image_fisher_vector" -> imageFisherVectorSql)
 }

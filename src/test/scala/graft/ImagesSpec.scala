@@ -312,6 +312,26 @@ class ImagesSpec extends GraftSuite {
     assert(math.abs(got - expected) < 1e-6)
   }
 
+  test("flipHorizontal mirrors pixels; randomTransform is keyed-deterministic") {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 4, x = 3, y = 2, c = 1)
+    def px(id: Long, i: Long): Double = ((id * 31 + i * 7) % 256) / 255.0
+    val f = ImageOps.flipHorizontal(imgs).where($"id" === 1)
+      .select($"image").head.getSeq[Double](0)
+    // row-major 3x2: flipped (x, y) reads original (2-x, y)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(math.abs(f(y * 3 + x) - px(1, y * 3 + (2 - x))) < 1e-12,
+        s"flip mismatch at ($x, $y)")
+    // transform twice -> identical (pure function of id), and brightness
+    // factor bounded by the jitter band
+    val a = ImageOps.randomTransform(imgs).select($"id", $"image").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = ImageOps.randomTransform(imgs).select($"id", $"image").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "keyed transform must be run-to-run identical")
+    a.values.flatten.foreach(v => assert(v >= 0.0 && v <= 1.06))
+  }
+
   test("daisy descriptor: ring geometry, per-point unit norm, hand-checked center") {
     import spark.implicits._
     val imgs = ImageOps.syntheticImages(spark, n = 3, x = 16, y = 16, c = 1)
