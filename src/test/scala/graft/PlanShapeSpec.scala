@@ -201,6 +201,26 @@ class PlanShapeSpec extends GraftSuite {
     assert(!planOf("q_important_parts").contains("CartesianProduct"))
   }
 
+  test("event analytics prune the fat props column and push the purchase filter") {
+    // events.props is the widest column of the table — a funnel that reads
+    // it drags the whole JSON payload through the shuffle for nothing
+    val funnel = planOf("q_funnel")
+    val funnelScan = funnel.linesIterator
+      .filter(l => l.contains("events.parquet") && l.contains("ReadSchema"))
+      .mkString("\n")
+    assert(!funnelScan.contains("props") && !funnelScan.contains("value"),
+      s"funnel must not read props/value:\n$funnelScan")
+    val cohort = planOf("q_cohort_retention")
+    assert(cohort.contains("EqualTo(event_type,purchase)"),
+      s"the purchase filter must reach the events scan:\n$cohort")
+    val skew = planOf("q_skew_report")
+    val skewScan = skew.linesIterator
+      .filter(l => l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+      .mkString("\n")
+    assert(skewScan.contains("struct<l_orderkey:bigint>"),
+      s"the skew report reads exactly its key column:\n$skewScan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec
