@@ -191,7 +191,47 @@ object Sessions {
       |WHERE offset_d <= 7 AND cohort_day <= d0 + 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-user activity streaks — the gap-and-islands shape: distinct active
+    * days per user, islands found by the classic day-number-minus-row-number
+    * trick, then per-user longest streak / streak count / active-day total.
+    * Every window is partitioned by `user_id` (no global sort anywhere), and
+    * the distinct + both aggregations all shuffle on user_id, so AQE
+    * coalesces them into user-partitioned stages that scale with the user
+    * population, not the event volume. */
+  def qActivityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wDay = Window.partitionBy($"user_id").orderBy($"day")
+    val days = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    days
+      .withColumn("grp",
+        datediff($"day", to_date(lit("1970-01-01"))) - row_number().over(wDay))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
+  val activityStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_activity_streaks" -> (qActivityStreaks _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_funnel" -> (qFunnel _),
@@ -199,6 +239,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_activity_streaks" -> activityStreaksSql,
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,
     "q_funnel" -> funnelSql,

@@ -743,7 +743,129 @@ object Text {
        |FROM t LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id) LEFT JOIN uni USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- corpus profiling
+
+  /** Per-language document-length histogram in fixed 50-char buckets, each
+    * bucket carrying its share of the language's docs (corpus-profiling
+    * staple before setting curation length cutoffs). Integer bucket math +
+    * one final division; the share window is partitioned by `lang` so no
+    * stage funnels the corpus through a single task. */
+  def qLengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wLang = Window.partitionBy($"lang")
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang", (floor($"n_chars" / 50) * 50).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round($"n_docs".cast("double") / sum($"n_docs").over(wLang), 6))
+      .orderBy($"lang", $"bucket_lo")
+  }
+
+  val lengthHistogramSql: String =
+    """WITH b AS (
+      |  SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, bucket_lo, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+      |FROM b ORDER BY lang, bucket_lo""".stripMargin
+
+  /** Lexical diversity per (lang, source): type-token ratio = distinct
+    * tokens / total tokens. Exact integers until one final division. The
+    * count-distinct expands to Spark's standard two-phase distinct
+    * aggregation keyed on (lang, source, tok) — high-cardinality,
+    * skew-free at scale. */
+  def qTypeTokenRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", $"source", explode(toks($"text")).as("tok"))
+      .groupBy($"lang", $"source")
+      .agg(countDistinct($"tok").as("distinct_tokens"),
+        count(lit(1)).as("total_tokens"))
+      .withColumn("ttr",
+        round($"distinct_tokens".cast("double") / $"total_tokens", 6))
+      .orderBy($"lang", $"source")
+  }
+
+  val typeTokenRatioSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, source, unnest($duckToks) AS tok FROM documents)
+       |SELECT lang, source, count(DISTINCT tok) AS distinct_tokens,
+       |  count(*) AS total_tokens,
+       |  round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS ttr
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Pairwise source-vocabulary Jaccard overlap: for every source pair,
+    * |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token sets. The intersection
+    * comes from a token-keyed equi-join of the per-source vocabulary
+    * relation with itself (never an all-pairs cross join): at 100 TB the
+    * join fans out by tokens' source lists, which is bounded by the number
+    * of sources, and the pair aggregation keys on (source_a, source_b) —
+    * quadratic only in the source count, not the corpus. Integer set sizes
+    * until one final division keep the score bit-identical across engines. */
+  def qVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sfDir)
+      .select($"source", explode(toks($"text")).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("v"))
+    val inter = vocab.join(
+        vocab.select($"source".as("source_b"), $"tok"), Seq("tok"))
+      .where($"source" < $"source_b")
+      .groupBy($"source".as("source_a"), $"source_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).withColumnsRenamed(Map("source" -> "source_a", "v" -> "va")), Seq("source_a"))
+      .join(broadcast(sizes).withColumnsRenamed(Map("source" -> "source_b", "v" -> "vb")), Seq("source_b"))
+      .select($"source_a", $"source_b", $"inter",
+        ($"va" + $"vb" - $"inter").as("uni"),
+        round($"inter".cast("double") / ($"va" + $"vb" - $"inter"), 6).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val vocabOverlapSql: String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT source, tok
+       |  FROM (SELECT source, unnest($duckToks) AS tok FROM documents)),
+       |s AS (SELECT source, count(*) AS v FROM v GROUP BY 1),
+       |i AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+       |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, inter,
+       |  CAST(sa.v + sb.v - inter AS BIGINT) AS uni,
+       |  round(CAST(inter AS DOUBLE) / (sa.v + sb.v - inter), 6) AS jaccard
+       |FROM i JOIN s sa ON i.source_a = sa.source
+       |       JOIN s sb ON i.source_b = sb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Token spread: how widely each token travels across sources and
+    * languages, plus its corpus count — the cheap signal behind
+    * boilerplate/stopword lists. Multiple count-distincts over one
+    * token-keyed aggregation (Spark plans the standard Expand). */
+  def qTokenSpread(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", $"source", explode(toks($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"n_sources".desc, $"cnt".desc, $"tok")
+  }
+
+  val tokenSpreadSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, source, unnest($duckToks) AS tok FROM documents)
+       |SELECT tok, count(DISTINCT source) AS n_sources,
+       |  count(DISTINCT lang) AS n_langs, count(*) AS cnt
+       |FROM t GROUP BY tok ORDER BY n_sources DESC, cnt DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_histogram" -> (qLengthHistogram _),
+    "q_type_token_ratio" -> (qTypeTokenRatio _),
+    "q_vocab_overlap" -> (qVocabOverlap _),
+    "q_token_spread" -> (qTokenSpread _),
     "q_repetition_score" -> (qRepetitionScore _),
     "q_tokenize_wordcount" -> (qTokenizeWordcount _),
     "q_bigram_counts" -> (qBigramCounts _),
@@ -762,6 +884,10 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_length_histogram" -> lengthHistogramSql,
+    "q_type_token_ratio" -> typeTokenRatioSql,
+    "q_vocab_overlap" -> vocabOverlapSql,
+    "q_token_spread" -> tokenSpreadSql,
     "q_repetition_score" -> repetitionScoreSql,
     "q_tokenize_wordcount" -> tokenizeWordcountSql,
     "q_bigram_counts" -> bigramCountsSql,

@@ -31,6 +31,22 @@ class SessionsEvalSpec extends GraftSuite {
     assert(bad == 0)
   }
 
+  test("q_activity_streaks: islands partition each user's active days") {
+    val s = Sessions.qActivityStreaks(spark, sf)
+    // streak totals reconcile with the distinct (user, day) relation
+    val activeSum = s.agg(sum("active_days")).head.getLong(0)
+    val userDays = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").as("day"))
+      .distinct().count()
+    assert(activeSum == userDays, "streak lengths must partition active days")
+    // per-user invariants: longest <= active_days, n_streaks <= active_days,
+    // and longest * n_streaks >= active_days (pigeonhole)
+    val bad = s.where(col("longest_streak") > col("active_days") ||
+      col("n_streaks") > col("active_days") ||
+      col("longest_streak") * col("n_streaks") < col("active_days")).count()
+    assert(bad == 0)
+  }
+
   test("q_eval_binary metrics are internally consistent") {
     val m = Eval.qEvalBinary(spark, sf).head()
     val tp = m.getAs[Long]("tp").toDouble

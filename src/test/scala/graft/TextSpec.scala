@@ -202,6 +202,46 @@ class TextSpec extends GraftSuite {
     assert(obs.nonEmpty, "top-10 x top-10 token pairs must include observed bigrams")
   }
 
+  test("q_length_histogram shares sum to 1 per lang and buckets cover all docs") {
+    val h = Text.qLengthHistogram(spark, sf)
+    val total = h.agg(sum("n_docs")).head.getLong(0)
+    assert(total == 500, "every doc lands in exactly one bucket")
+    val shareSums = h.groupBy("lang").agg(sum("share").as("s")).collect()
+    shareSums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4,
+        s"lang ${r.getString(0)} shares sum to ${r.getAs[Double]("s")}")
+    }
+  }
+
+  test("q_type_token_ratio is bounded and consistent with token totals") {
+    val t = Text.qTypeTokenRatio(spark, sf)
+    assert(t.where(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
+    assert(t.where(col("distinct_tokens") > col("total_tokens")).count() == 0)
+    val totalToks = t.agg(sum("total_tokens")).head.getLong(0)
+    val fromCounts = Text.qTokenizeWordcount(spark, sf).agg(sum("cnt")).head.getLong(0)
+    assert(totalToks == fromCounts, "group totals must partition the corpus tokens")
+  }
+
+  test("q_vocab_overlap emits each unordered source pair once with sane Jaccard") {
+    val v = Text.qVocabOverlap(spark, sf)
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(v.count() == nSources * (nSources - 1) / 2, "one row per unordered pair")
+    assert(v.where(col("source_a") >= col("source_b")).count() == 0)
+    assert(v.where(col("inter") > col("uni") || col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("q_token_spread counts reconcile with the global word counts") {
+    val sp = Text.qTokenSpread(spark, sf).collect()
+    val wc = rows(Text.qTokenizeWordcount(spark, sf))
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(sp.length == wc.size, "one row per vocabulary token")
+    sp.foreach { r =>
+      assert(r.getAs[Long]("cnt") == wc(r.getAs[String]("tok")))
+      assert(r.getAs[Long]("n_sources") >= 1 && r.getAs[Long]("n_langs") >= 1)
+    }
+  }
+
   test("q_repetition_score bounds and a hand-built repeated doc") {
     import spark.implicits._
     val r = rows(Text.qRepetitionScore(spark, sf))
