@@ -201,17 +201,24 @@ object Similarity {
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val P = MinhashP
-    val h = Tables.documents(spark, sfDir)
+    // One explode+digest pass, de-dupped immediately: every downstream
+    // consumer (signature, intersection joins, per-doc sizes) hangs off this
+    // single distinct relation, so the corpus is shingled exactly once and
+    // ReuseExchange shares the (doc_id, h) aggregate. MIN over the distinct
+    // set equals MIN over the multiset, and the oracle's sh0 CTE is DISTINCT
+    // too, so the signature is unchanged.
+    val hd = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shx"))
       .select($"doc_id",
         (conv(substring(md5($"shx"), 1, 15), 16, 10).cast("long") % P).as("h"))
+      .distinct()
     val minCols = (0 until MinhashHashes).map { j =>
       val a = 2654435761L * j % P + 1
       val b = 40503L * j + 1
       min(($"h" * a + b) % P).as(s"s$j")
     }
-    val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = hd.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     val rowsPerBand = MinhashHashes / MinhashBands
     val buckets = (0 until MinhashBands).map { b =>
       val slice = (0 until rowsPerBand).map(k => col(s"s${b * rowsPerBand + k}"))
@@ -226,10 +233,8 @@ object Similarity {
       .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
       .groupBy($"e.x".as("doc_a"), $"e.y".as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-    // Verify: join back onto the distinct digest relation (oracle `inter`
-    // CTE). `hd` is min-over-dups-safe for the signature above, but the
-    // intersection count needs the per-doc DISTINCT digests.
-    val hd = h.distinct()
+    // Verify: join back onto the same distinct digest relation (oracle
+    // `inter` CTE spelling).
     val sz = hd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     cand
       .join(hd.toDF("doc_a", "h"), "doc_a")
