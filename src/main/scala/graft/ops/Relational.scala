@@ -333,6 +333,32 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Arbitrary GROUPING SETS — the mixed set list ((status, priority),
+    * (status), ()) that neither ROLLUP nor CUBE spells (it skips the
+    * (priority) set). Uses Spark 4's `Dataset.groupingSets` API; planned as
+    * one Expand + hash aggregation exactly like rollup/cube, so scaling is
+    * |sets| × input rows into a map-side-combinable aggregate. */
+  def qAggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec($"o_totalprice")).cast("double"), 4).as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** UNPIVOT (melt): the revenue matrix of [[graft.ops.Analytics.qPivotRevenue]]
     * folded back to (returnflag, linestatus, revenue) rows — the inverse
     * reshape every feature store needs when a wide table feeds a long-format
@@ -567,6 +593,7 @@ object Relational {
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_unpivot" -> (qUnpivot _),
     "q_window_ntile" -> (qWindowNtile _),
     "q_window_rank" -> (qWindowRank _),
@@ -590,6 +617,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
+    "q_agg_grouping_sets" -> aggGroupingSetsSql,
     "q_unpivot" -> unpivotSql,
     "q_window_ntile" -> windowNtileSql,
     "q_window_rank" -> windowRankSql,

@@ -743,6 +743,60 @@ object Text {
        |FROM t LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id) LEFT JOIN uni USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document language-model quality score — the LM-filter stage of
+    * public LLM-data curation pipelines: train a bigram LM on the corpus,
+    * score each document by its mean per-bigram conditional probability
+    * c(w1 w2)/c(w1). Trained on the scored corpus itself, every doc bigram
+    * is observed by construction, so the Stupid-Backoff unseen branch (see
+    * [[qStupidBackoffBigram]]) cannot fire and the inner join is exact.
+    * Determinism: scores live in floored parts-per-million — per-bigram
+    * `bc·10⁶ DIV uc`, per-doc mean `sum DIV n` — ALL integer arithmetic
+    * until one final exact long→double conversion, because a round(double)
+    * spelling measurably diverges between engines at the half-way ulp on
+    * this corpus (observed at sf0.1: 4 docs off by 1e-6). Scale shape: the
+    * doc-bigram relation feeds both the count aggregation and the scoring
+    * join (token-keyed, high-cardinality, skew-free); the per-doc rollup
+    * shuffles on doc_id. */
+  def qLmDocScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docsT = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docBi = docsT.select($"doc_id", explode(bigrams).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val uni = docsT.select(explode($"t").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("uc"))
+    val bi = docBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
+    docBi
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("bc * 1000000L DIV uc")).as("s"))
+      .select($"doc_id", $"n_bigrams",
+        expr("s DIV n_bigrams").as("avg_score_ppm"),
+        (expr("s DIV n_bigrams").cast("double") / 1e6).as("avg_score"))
+      .orderBy($"doc_id")
+  }
+
+  val lmDocScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |db AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |uni AS (SELECT w1, count(*) AS uc
+       |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+       |bi AS (SELECT w1, w2, count(*) AS bc FROM db GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(bc * 1000000 // uc) AS s
+       |  FROM db JOIN bi USING (w1, w2) JOIN uni USING (w1)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, CAST(s // n_bigrams AS BIGINT) AS avg_score_ppm,
+       |  CAST(s // n_bigrams AS DOUBLE) / 1000000 AS avg_score
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- corpus profiling
 
   /** Per-language document-length histogram in fixed 50-char buckets, each
@@ -862,6 +916,7 @@ object Text {
        |FROM t GROUP BY tok ORDER BY n_sources DESC, cnt DESC, tok""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_doc_score" -> (qLmDocScore _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_type_token_ratio" -> (qTypeTokenRatio _),
     "q_vocab_overlap" -> (qVocabOverlap _),
@@ -884,6 +939,7 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_lm_doc_score" -> lmDocScoreSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_type_token_ratio" -> typeTokenRatioSql,
     "q_vocab_overlap" -> vocabOverlapSql,

@@ -95,6 +95,20 @@ class RelationalSpec extends GraftSuite {
     assert(byGid(3L).size == 1, "exactly one grand-total row")
   }
 
+  test("q_agg_grouping_sets emits exactly the three declared sets") {
+    val r = rows(Relational.qAggGroupingSets(spark, sf))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val byGid = r.groupBy(_.getAs[Long]("gid"))
+    // (status, priority) -> gid 0, (status) -> gid 1, () -> gid 3;
+    // the skipped (priority)-only set (gid 2) must NOT appear
+    assert(byGid.keySet == Set(0L, 1L, 3L), "mixed set list skips gid 2")
+    byGid.foreach { case (gid, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum == nOrders,
+        s"grouping set $gid must cover every order")
+    }
+    assert(byGid(3L).size == 1, "exactly one grand-total row")
+  }
+
   test("q_unpivot is the exact inverse reshape of the pivot") {
     val long = rows(Relational.qUnpivot(spark, sf))
     val wide = rows(graft.ops.Analytics.qPivotRevenue(spark, sf))

@@ -242,6 +242,16 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("q_lm_doc_score is bounded and consistent in ppm space") {
+    val r = Text.qLmDocScore(spark, sf)
+    assert(r.count() == 500, "every doc has >= 2 tokens in this corpus")
+    // a mean of conditional probabilities lives in (0, 1]
+    assert(r.where(col("avg_score_ppm") <= 0 || col("avg_score_ppm") > 1000000).count() == 0)
+    // the double column is exactly the ppm column scaled
+    val bad = r.where(col("avg_score") =!= col("avg_score_ppm").cast("double") / 1e6).count()
+    assert(bad == 0)
+  }
+
   test("q_repetition_score bounds and a hand-built repeated doc") {
     import spark.implicits._
     val r = rows(Text.qRepetitionScore(spark, sf))
