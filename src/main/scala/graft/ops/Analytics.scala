@@ -1026,7 +1026,72 @@ object Analytics {
       |WHERE abs(price_c - med.med) > 2 * mad.mad
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Fixed-iteration PageRank over the supplier co-purchase graph —
+    * iterative graph analytics beyond [[Similarity]]'s connected
+    * components. Nodes are suppliers; a directed edge joins two suppliers
+    * that ship within the same order (simple graph: DISTINCT pairs from a
+    * per-order self-join whose fan-out is bounded by the lineitems per
+    * order, never all-pairs). Three synchronous iterations of
+    *   r' = 0.15 + 0.85 · Σ_in r/outdeg
+    * in parts-per-million INTEGER arithmetic — each contribution is
+    * `r·85 DIV (100·outdeg)`, so per-node sums are order-independent long
+    * adds and the final ranks are bit-identical on any engine (the oracle
+    * unrolls the same three steps as CTEs). Scale shape: every iteration
+    * is one src-keyed equi-join plus one dst-keyed aggregation — the
+    * standard distributed PageRank step; the edge/degree subplans repeat
+    * per iteration so AQE's exchange reuse materializes them once; the
+    * iteration count is a fixed constant, not data-dependent. */
+  def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val edges = li
+      .join(li.select($"l_orderkey", $"l_suppkey".as("dst")), "l_orderkey")
+      .where($"l_suppkey" =!= $"dst")
+      .select($"l_suppkey".as("src"), $"dst").distinct()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
+    var ranks = nodes.select($"node", lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("cs"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
+    }
+    ranks.select($"node".as("suppkey"), $"r".as("rank_ppm"))
+      .orderBy($"rank_ppm".desc, $"suppkey")
+  }
+
+  val pagerankSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+      |n AS (SELECT s_suppkey AS node FROM supplier),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      |c1 AS (SELECT e.dst, sum(r0.r * 85 // (100 * deg.od)) AS cs
+      |       FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+      |r1 AS (SELECT n.node, CAST(150000 + coalesce(c1.cs, 0) AS BIGINT) AS r
+      |       FROM n LEFT JOIN c1 ON c1.dst = n.node),
+      |c2 AS (SELECT e.dst, sum(r1.r * 85 // (100 * deg.od)) AS cs
+      |       FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+      |r2 AS (SELECT n.node, CAST(150000 + coalesce(c2.cs, 0) AS BIGINT) AS r
+      |       FROM n LEFT JOIN c2 ON c2.dst = n.node),
+      |c3 AS (SELECT e.dst, sum(r2.r * 85 // (100 * deg.od)) AS cs
+      |       FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+      |r3 AS (SELECT n.node, CAST(150000 + coalesce(c3.cs, 0) AS BIGINT) AS r
+      |       FROM n LEFT JOIN c3 ON c3.dst = n.node)
+      |SELECT node AS suppkey, r AS rank_ppm
+      |FROM r3 ORDER BY rank_ppm DESC, suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
     "q_priority_waiting" -> (qPriorityWaiting _),
@@ -1057,6 +1122,7 @@ object Analytics {
     "q_sales_opportunity" -> (qSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_priority_waiting" -> priorityWaitingSql,

@@ -230,7 +230,61 @@ object Sessions {
       |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Calendar gap-fill + last-observation-carried-forward — the time-series
+    * resampling shape: per user, daily purchase revenue densified over the
+    * user's own [first, last] purchase-day span via `sequence(... interval
+    * 1 day)`, missing days zero-filled, plus an LOCF column carrying the
+    * last observed day's revenue across gaps (`last(..., ignoreNulls)` over
+    * a user-partitioned running frame). Revenue is summed in exact integer
+    * cents (DECIMAL-widened before the ×100) so no engine's summation
+    * order can flip a bit. Scale shape: the span explode fans out by
+    * calendar days per user (bounded), the fill join is (user, day)-keyed,
+    * and the LOCF window is partitioned by user — no global sort, no
+    * unbounded state. */
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+    val span = daily.groupBy($"user_id")
+      .agg(min($"day").as("d_min"), max($"day").as("d_max"))
+      .select($"user_id",
+        explode(sequence($"d_min", $"d_max", expr("interval 1 day"))).as("day"))
+    val wLocf = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"cents", lit(0L)).as("cents"),
+        $"cents".isNotNull.as("observed"),
+        last($"cents", ignoreNulls = true).over(wLocf).as("locf_cents"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT s.user_id, s.day,
+      |  coalesce(d.n_events, 0) AS n_events,
+      |  coalesce(d.cents, 0) AS cents,
+      |  d.cents IS NOT NULL AS observed,
+      |  last_value(d.cents IGNORE NULLS)
+      |    OVER (PARTITION BY s.user_id ORDER BY s.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+      |FROM span s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
     "q_activity_streaks" -> (qActivityStreaks _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
@@ -239,6 +293,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" -> gapFillSql,
     "q_activity_streaks" -> activityStreaksSql,
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,

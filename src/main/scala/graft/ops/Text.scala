@@ -915,7 +915,134 @@ object Text {
        |  count(DISTINCT lang) AS n_langs, count(*) AS cnt
        |FROM t GROUP BY tok ORDER BY n_sources DESC, cnt DESC, tok""".stripMargin
 
+  // ------------------------------------------------------------ retrieval
+
+  /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
+    * rank documents against a fixed 4-term query, top-50 with doc_id
+    * tie-break. The classic IR ranking function one notch beyond
+    * [[qTfidfTopTerms]]'s tf·idf.
+    *
+    * Determinism across engines: the tf-saturation ratio is rearranged to
+    * clear every fraction — with avgdl = SL/N (SL = corpus token count,
+    * N = doc count),
+    *   tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) = 22·tf·SL / (10·tf·SL + 3·SL + 9·dl·N)
+    * so both operands are exact BIGINTs and the one double division is
+    * bit-identical on both engines; idf = ln(1 + (N-df+0.5)/(df+0.5)) is a
+    * single libm call on identical input bits (same argument as tf-idf),
+    * always positive, and each per-term score is quantized to integer
+    * micro-units before the per-doc sum (order-independent long adds).
+    *
+    * Scale shape: the token explode is pre-filtered to the 4 query terms
+    * (predicate inside the generator input, so the shuffle carries only
+    * matching postings); df and the (N, SL) totals are 1-to-4-row
+    * broadcasts; the final cut is orderBy.limit → TakeOrderedAndProject. */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("spark", "table", "hash", "window")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sl"))
+    val tf = docs
+      .select($"doc_id", $"dl",
+        explode(filter($"t", tok => tok.isin(terms.map(lit): _*))).as("term"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs".cast("double") - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("num", lit(22L) * $"tf" * $"sl")
+      .withColumn("den", lit(10L) * $"tf" * $"sl" + lit(3L) * $"sl" + lit(9L) * $"dl" * $"n_docs")
+      .withColumn("term_micro",
+        round($"idf" * ($"num".cast("double") / $"den".cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_micro").as("score_micro"))
+      .select($"doc_id", $"n_terms", $"score_micro",
+        ($"score_micro".cast("double") / 1e6).as("score"))
+      .orderBy($"score_micro".desc, $"doc_id")
+      .limit(50)
+  }
+
+  val bm25Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl,
+       |          unnest(list_filter(toks, x -> list_contains(['spark','table','hash','window'], x))) AS term
+       |        FROM d)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+       |      (CAST(22 * tf * sl AS DOUBLE) / CAST(10 * tf * sl + 3 * sl + 9 * dl * n_docs AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS term_micro
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |  CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE) / 1e6 AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Overlapping fixed-window chunking — the sequence-windowing stage of an
+    * LLM training-data pipeline (window 32 tokens, stride 24, so adjacent
+    * chunks share 8 tokens; complements [[q_sequence_pack]]'s greedy
+    * budget packer). Chunk starts are pure integer arithmetic
+    * (1 + ⌈max(0, n-32)/24⌉ chunks per doc), the window slice is
+    * positional (`slice` on the materialized token array — no re-split per
+    * chunk), and every output column is an integer or a token string, so
+    * the row set is bit-exact on any engine. Scale shape: one generator
+    * explode per doc (fan-out n/24 — linear in corpus size), no shuffle at
+    * all until the final presentation sort. */
+  def qDocChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 32
+    val stride = 24
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("n"))
+      .where($"n" > 0)
+    docs
+      .select($"doc_id", $"t", $"n",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $win, 0L) + ${stride - 1}) div $stride"))).as("ci"))
+      .select($"doc_id", $"ci".as("chunk_idx"), ($"ci" * stride + 1).as("start_pos"),
+        least(lit(win.toLong), $"n" - $"ci" * stride).as("n_tokens"),
+        slice($"t", ($"ci" * stride + 1).cast("int"), lit(win)).as("c"))
+      .select($"doc_id", $"chunk_idx", $"start_pos", $"n_tokens",
+        aggregate(transform($"c", x => length(x).cast("long")), lit(0L), _ + _)
+          .as("chunk_chars"),
+        element_at($"c", 1).as("head_tok"),
+        element_at($"c", -1).as("tail_tok"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val docChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, n, unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS ci,
+       |    toks
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, ci AS chunk_idx, ci * 24 + 1 AS start_pos,
+       |    least(32, n - ci * 24) AS n_tokens,
+       |    toks[ci * 24 + 1 : least(ci * 24 + 32, n)] AS c
+       |  FROM c)
+       |SELECT doc_id, chunk_idx, start_pos, n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(c, x -> length(x))), 0) AS BIGINT) AS chunk_chars,
+       |  c[1] AS head_tok, c[len(c)] AS tail_tok
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_doc_chunk" -> (qDocChunk _),
     "q_lm_doc_score" -> (qLmDocScore _),
     "q_length_histogram" -> (qLengthHistogram _),
     "q_type_token_ratio" -> (qTypeTokenRatio _),
@@ -939,6 +1066,8 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
+    "q_doc_chunk" -> docChunkSql,
     "q_lm_doc_score" -> lmDocScoreSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_type_token_ratio" -> typeTokenRatioSql,

@@ -215,4 +215,20 @@ class AnalyticsSpec extends GraftSuite {
         s"part $pk cost $cost != regional min ${minByPart(pk)}")
     }
   }
+
+  test("q_pagerank: one row per supplier, ranks bounded, mass conserved") {
+    import spark.implicits._
+    val r = Analytics.qPagerank(spark, sf)
+    val nSupp = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(r.count() == nSupp, "every supplier node is ranked")
+    // every rank >= the base 0.15; no rank can exceed total mass
+    assert(r.where($"rank_ppm" < 150000L).count() == 0)
+    // total rank stays within [0.15 N, N] ppm-mass: integer floor only
+    // loses mass, never creates it
+    val total = r.agg(sum($"rank_ppm")).head.getLong(0)
+    assert(total >= 150000L * nSupp && total <= 1000000L * nSupp,
+      s"rank mass $total outside [0.15N, N] for N=$nSupp")
+    // a connected co-purchase graph must rank someone above the base
+    assert(r.agg(max($"rank_ppm")).head.getLong(0) > 150000L)
+  }
 }

@@ -97,6 +97,31 @@ class SessionsEvalSpec extends GraftSuite {
     }
   }
 
+  test("q_gap_fill densifies each user's span and carries LOCF across gaps") {
+    val r = Sessions.qGapFill(spark, sf)
+    // per-user row count == calendar span length (dense, no holes)
+    val spanBad = r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"))
+      .where(col("rows") =!= col("span")).count()
+    assert(spanBad == 0, "every user's calendar span is fully densified")
+    // gap rows are zero-revenue; observed rows keep their cents
+    assert(r.where(!col("observed") && col("cents") =!= 0).count() == 0)
+    // LOCF is defined everywhere (spans start at an observed day) and
+    // equals cents on observed days
+    assert(r.where(col("locf_cents").isNull).count() == 0)
+    assert(r.where(col("observed") && col("locf_cents") =!= col("cents"))
+      .count() == 0)
+    // observed day count reconciles with the raw purchase relation
+    val observedDays = r.where(col("observed")).count()
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").as("day"))
+      .distinct().count()
+    assert(observedDays == direct)
+  }
+
   test("q_udaf_geomean equals exp(avg(ln x)) computed directly") {
     val r = Eval.qUdafGeomean(spark, sf)
     val direct = spark.read.parquet(s"$sf/lineitem.parquet")

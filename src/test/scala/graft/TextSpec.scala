@@ -277,4 +277,38 @@ class TextSpec extends GraftSuite {
     // unigrams: a x3, b x3, N=6 -> simpson = 1 - 18/36 = 0.5
     assert(math.abs(h.getAs[Double]("simpson_diversity") - 0.5) < 1e-9)
   }
+
+  test("q_bm25: scores positive, sorted, and dominated by tf saturation") {
+    val r = rows(Text.qBm25(spark, sf))
+    assert(r.nonEmpty && r.size <= 50)
+    val scores = r.map(_.getAs[Long]("score_micro"))
+    assert(scores == scores.sorted.reverse, "descending by score")
+    r.foreach { row =>
+      assert(row.getAs[Long]("score_micro") > 0L)
+      val nt = row.getAs[Long]("n_terms")
+      assert(nt >= 1L && nt <= 4L, "at most the 4 query terms")
+      // k1=1.2 saturates each term's tf factor below k1+1; idf here is
+      // ln(1 + ...) <= ln(1 + 2N) — loose cap catches unit blowups
+      assert(row.getAs[Double]("score") < 4 * 2.2 * 12.0)
+    }
+  }
+
+  test("q_doc_chunk windows tile every doc with stride 24 / width 32") {
+    val r = Text.qDocChunk(spark, sf)
+    import spark.implicits._
+    // start positions follow the stride exactly
+    assert(r.where($"start_pos" =!= $"chunk_idx" * 24 + 1).count() == 0)
+    assert(r.where($"n_tokens" < 1 || $"n_tokens" > 32).count() == 0)
+    // the last chunk of each doc ends exactly at the doc's token count
+    val last = r.groupBy($"doc_id")
+      .agg(max($"start_pos" + $"n_tokens" - 1).as("covered"))
+    val n = Text.qTokenCount(spark, sf).select($"doc_id", $"ws_tokens")
+    val bad = last.join(n, "doc_id")
+      .where($"covered" =!= $"ws_tokens").count()
+    assert(bad == 0, "chunks cover each doc to its final token")
+    // overlap: any non-final chunk spans the full 32-token window
+    val short = r.join(last.withColumnRenamed("covered", "cv"), "doc_id")
+      .where($"start_pos" + $"n_tokens" - 1 =!= $"cv" && $"n_tokens" =!= 32)
+    assert(short.count() == 0)
+  }
 }
