@@ -963,11 +963,19 @@ object Analytics {
     * by key over DISTINCT values, so its size is value-cardinality-
     * bounded, not row-bounded. */
   private def medianByCounts(df: DataFrame, key: String, v: String,
+      out: String): DataFrame =
+    medianOfCounts(
+      df.groupBy(col(key), col(v)).agg(count(lit(1)).as("__c")), key, v, out)
+
+  /** [[medianByCounts]] over an ALREADY value-counted (key, v, __c)
+    * relation — lets a caller build the count table once and reuse it for
+    * several quantile passes without re-scanning the fact table. */
+  private def medianOfCounts(vc: DataFrame, key: String, v: String,
       out: String): DataFrame = {
     val wOrd = Window.partitionBy(col(key)).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(key))
-    val ranked = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("__c"))
+    val ranked = vc
       .withColumn("__cum", sum(col("__c")).over(wOrd))
       .withColumn("__n", sum(col("__c")).over(wAll))
     // 1-based interpolation ranks for p=0.5: lo = floor((n+1)/2),
@@ -986,25 +994,29 @@ object Analytics {
     * (`round(price*100)`) — median interpolation over integer-valued
     * doubles is exact IEEE on both engines (midpoints land on .0/.5),
     * so the threshold comparison can never flip on a ulp. Medians come
-    * from [[medianByCounts]]; the 3-row med/mad frames are eagerly
-    * checkpointed so the final filter scan doesn't recompute either
-    * median pipeline, then broadcast into the scan. */
+    * from [[medianOfCounts]] over ONE (flag, price) value-count relation:
+    * the fact table is scanned exactly once, the checkpointed count table
+    * (value-cardinality-bounded, not row-bounded) then feeds the median,
+    * the deviation median (counts re-keyed by |v−med| and summed — no
+    * second fact scan), and the final outlier rollup whose counts/extrema
+    * come from the same table. */
   def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
+    val vc = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).as("price_c"))
-    val med = medianByCounts(li, "flag", "price_c", "med")
+      .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    val mad = medianByCounts(
-      li.join(broadcast(med), "flag")
-        .select($"flag", abs($"price_c" - $"med").as("dev")),
-      "flag", "dev", "mad")
+    val med = medianOfCounts(vc, "flag", "price_c", "med")
       .localCheckpoint(true)
-    li.join(broadcast(med), "flag").join(broadcast(mad), "flag")
+    val devCounts = vc.join(broadcast(med), "flag")
+      .groupBy($"flag", abs($"price_c" - $"med").as("dev"))
+      .agg(sum($"__c").as("__c"))
+    val mad = medianOfCounts(devCounts, "flag", "dev", "mad")
+    vc.join(broadcast(med.join(mad, "flag")), "flag")
       .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")
       .groupBy($"flag")
-      .agg(count(lit(1)).as("n_outliers"),
+      .agg(sum($"__c").as("n_outliers"),
         round(min($"price_c") / 100.0, 2).as("min_out"),
         round(max($"price_c") / 100.0, 2).as("max_out"))
       .select($"flag".as("l_returnflag"), $"n_outliers", $"min_out", $"max_out")
@@ -1038,28 +1050,48 @@ object Analytics {
     * adds and the final ranks are bit-identical on any engine (the oracle
     * unrolls the same three steps as CTEs). Scale shape: every iteration
     * is one src-keyed equi-join plus one dst-keyed aggregation — the
-    * standard distributed PageRank step; the edge/degree subplans repeat
-    * per iteration so AQE's exchange reuse materializes them once; the
-    * iteration count is a fixed constant, not data-dependent. */
+    * standard distributed PageRank step. The ONLY diamond in the lineage
+    * is the O(lineitem) pair self-join (consumed by all three
+    * iterations), so the fused (src, dst, outdeg) relation is
+    * `localCheckpoint`ed once (same discipline as
+    * [[graft.ml.Dedup.connectedComponents]]); the rank chain itself is
+    * linear — each iteration's table appears exactly once in the next —
+    * so the three steps compile into ONE job of small keyed joins over the
+    * checkpointed edges, not a job per iteration. The iteration count is a
+    * fixed constant, not data-dependent. */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey").distinct()
-    val edges = li
-      .join(li.select($"l_orderkey", $"l_suppkey".as("dst")), "l_orderkey")
-      .where($"l_suppkey" =!= $"dst")
-      .select($"l_suppkey".as("src"), $"dst").distinct()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    // per-order supplier sets → compiled pair kernel (no self-join): one
+    // orderkey shuffle, bounded per-order fan-out, then the simple-graph
+    // distinct; both edge directions come from one explode
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .select($"e.x", $"e.y").distinct() // dedup the (x < y) half first…
+      .select(explode(array(               // …then mirror both directions
+        struct($"x".as("src"), $"y".as("dst")),
+        struct($"y".as("src"), $"x".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
+    // outdeg rides each edge row via a src-partitioned window (one
+    // shuffle, no pairs⋈degree diamond; partition size is bounded by a
+    // node's degree ≤ |V|, never by the corpus)
+    val edges = pairs
+      .withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
+      .localCheckpoint(true)
     val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
+    // the rank/contribution tables are node-cardinality (a dimension, like
+    // every broadcast side in this file) — broadcasting them keeps each
+    // iteration a map-side join over the checkpointed edges plus one
+    // dst-keyed aggregation; corpus-scale relations are never broadcast
     var ranks = nodes.select($"node", lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
+        .join(broadcast(ranks), edges("src") === ranks("node"))
         .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("cs"))
       ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
         .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
     }
     ranks.select($"node".as("suppkey"), $"r".as("rank_ppm"))
