@@ -864,7 +864,92 @@ object Similarity {
       |  count(*) AS docs, CAST(sum(n_toks) AS BIGINT) AS tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** IDF-weighted shingle cosine between near-duplicate candidates — the
+    * weighted-resemblance scorer beside [[qDedupShingleJaccard]]'s set
+    * Jaccard (a shared rare shingle now counts for more than a shared
+    * common one). Same scale skeleton as the Jaccard path: 60-bit digested
+    * 3-shingles, df-capped ([[ShingleMaxDf]]) posting lists,
+    * `graft_pairs` candidates, then the dot product via a join BACK onto
+    * the (doc, shingle, weight) relation keyed (doc, sh) — pair-bounded,
+    * never all-pairs.
+    *
+    * Determinism: idf is quantized per shingle (`round(ln(N/df)·10⁴)` as
+    * BIGINT — one libm call on identical bits), weights `tf·idfq` and both
+    * the dot product and the squared norms are then exact integer sums in
+    * any order; the final cosine performs the ONLY floating-point steps
+    * (two correctly-rounded sqrts, one multiply, one divide) on identical
+    * integer inputs, so it is bit-identical across engines. */
+  def qShingleCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
+      .select($"doc_id",
+        conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
+    val tf = s.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"sh",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e4)
+          .cast("long")).as("w"))
+    val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+    val pairs = tf
+      .groupBy($"sh").agg(sort_array(collect_set($"doc_id")).as("ds"))
+      .where(size($"ds") <= ShingleMaxDf)
+      .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
+      .select($"e.x".as("a"), $"e.y".as("b")).distinct()
+    pairs
+      .join(w.select($"doc_id".as("a"), $"sh", $"w".as("wa")), "a")
+      .join(w.select($"doc_id".as("b"), $"sh", $"w".as("wb")), Seq("b", "sh"))
+      .groupBy($"a", $"b")
+      .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_common"))
+      .join(norms.select($"doc_id".as("a"), $"n2".as("na2")), "a")
+      .join(norms.select($"doc_id".as("b"), $"n2".as("nb2")), "b")
+      .withColumn("cosine",
+        $"dot".cast("double") / (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+      .where($"cosine" >= 0.6)
+      .select($"a".as("doc_a"), $"b".as("doc_b"), $"n_common",
+        round($"cosine", 6).as("cosine"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val shingleCosineSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+       |tf AS (SELECT doc_id, sh, count(*) AS tf FROM s GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT doc_id, sh,
+       |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) /
+       |      (count(*) OVER (PARTITION BY sh))) * 1e4) AS BIGINT) AS w
+       |  FROM tf CROSS JOIN n),
+       |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+       |rare AS (SELECT sh FROM tf GROUP BY sh HAVING count(*) <= $ShingleMaxDf),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM tf a JOIN tf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN rare r ON r.sh = a.sh),
+       |d AS (
+       |  SELECT p.a, p.b, sum(wa.w * wb.w) AS dot, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN w wa ON wa.doc_id = p.a
+       |  JOIN w wb ON wb.doc_id = p.b AND wb.sh = wa.sh
+       |  GROUP BY 1, 2)
+       |SELECT a AS doc_a, b AS doc_b, n_common,
+       |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+       |FROM d JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shingle_cosine" -> (qShingleCosine _),
     "q_sequence_pack" -> (qSequencePack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_contamination" -> (qContamination _),
@@ -882,6 +967,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_shingle_cosine" -> shingleCosineSql,
     "q_sequence_pack" -> sequencePackSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_contamination" -> contaminationSql,

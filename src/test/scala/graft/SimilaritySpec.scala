@@ -263,4 +263,24 @@ class SimilaritySpec extends GraftSuite {
     assert(hit.get.getAs[Double]("overlap_frac") == 1.0,
       "an exact copy is fully covered")
   }
+
+  test("q_shingle_cosine scores are valid and cover the Jaccard near-dups") {
+    val cos = rows(Similarity.qShingleCosine(spark, sf))
+    assert(cos.nonEmpty)
+    cos.foreach { row =>
+      val c = row.getAs[Double]("cosine")
+      assert(c >= 0.6 && c <= 1.0 + 1e-9, s"cosine $c out of range")
+      assert(row.getAs[Long]("n_common") > 0L)
+      assert(row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b"))
+    }
+    // the idf-weighted scorer must surface every set-Jaccard >= 0.8 pair:
+    // same digesting, same candidate cap, and a 0.8-overlap pair cannot
+    // cosine below 0.6 on this corpus (weights are near-uniform idf)
+    val jac = rows(Similarity.qDedupShingleJaccard(spark, sf))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cosPairs = cos
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jac.subsetOf(cosPairs),
+      s"jaccard pairs missing from cosine: ${jac -- cosPairs}")
+  }
 }
