@@ -721,6 +721,53 @@ object Similarity {
       |  CAST(sum(CASE WHEN bucket < target_pct THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
       |FROM a GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** Temperature-weighted source mixing (α = 0.7) — the up/down-sampling
+    * weights a multi-source LLM pipeline derives before training: sampling
+    * probability ∝ tokens^α, which upweights small sources relative to
+    * their raw share. Per source: token counts (exact longs), the
+    * α-power quantized to milli-units (`round(pow(tokens, 0.7)·10³)` — one
+    * libm pow on identical input bits), then integer-ratio shares and the
+    * resulting epoch multiplier. One aggregation plus one broadcast
+    * totals row; output is source-cardinality-bounded. */
+  def qSourceTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = Tables.documents(spark, sfDir)
+      .select($"source",
+        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      .withColumn("pw_milli",
+        round(pow($"n_tokens".cast("double"), 0.7) * 1e3).cast("long"))
+    val totals = perSource.agg(sum($"n_tokens").as("tot_tokens"),
+      sum($"pw_milli").as("tot_pw"))
+    perSource.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"n_tokens".cast("double") / $"tot_tokens", 6).as("raw_share"),
+        round($"pw_milli".cast("double") / $"tot_pw", 6).as("temp_share"),
+        round(($"pw_milli".cast("double") / $"tot_pw") /
+          ($"n_tokens".cast("double") / $"tot_tokens"), 4).as("epoch_mult"))
+      .orderBy($"source")
+  }
+
+  val sourceTemperatureSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    CAST(round(pow(CAST(sum(n_toks) AS DOUBLE), 0.7) * 1e3) AS BIGINT) AS pw_milli
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      |             CAST(sum(pw_milli) AS BIGINT) AS tot_pw FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+      |  round(CAST(pw_milli AS DOUBLE) / tot_pw, 6) AS temp_share,
+      |  round((CAST(pw_milli AS DOUBLE) / tot_pw) /
+      |        (CAST(n_tokens AS DOUBLE) / tot_tokens), 4) AS epoch_mult
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
   /** Train-df cap for contamination candidates (a shingle in more train
     * docs than this is boilerplate, not leakage — same safety valve as
     * [[ShingleMaxDf]]) and the minimum shared-shingle count to report. */
@@ -955,6 +1002,7 @@ object Similarity {
     "q_contamination" -> (qContamination _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
+    "q_source_temperature" -> (qSourceTemperature _),
     "q_boilerplate_frac" -> (qBoilerplateFrac _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -973,6 +1021,7 @@ object Similarity {
     "q_contamination" -> contaminationSql,
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,
+    "q_source_temperature" -> sourceTemperatureSql,
     "q_boilerplate_frac" -> boilerplateFracSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,

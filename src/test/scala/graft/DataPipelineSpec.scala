@@ -164,4 +164,24 @@ class DataPipelineSpec extends GraftSuite {
       if (target == 1.0) assert(kept == in, "100% sources keep everything")
     }
   }
+
+  test("temperature mixing normalizes and flattens the source distribution") {
+    val r = rows(graft.ops.Similarity.qSourceTemperature(spark, sf))
+    assert(r.nonEmpty)
+    val rawSum = r.map(_.getAs[Double]("raw_share")).sum
+    val tempSum = r.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(rawSum - 1.0) < 1e-3 && math.abs(tempSum - 1.0) < 1e-3)
+    // α < 1 flattens: the smallest source gains sampling mass, the
+    // largest loses it (strictly, unless the corpus is perfectly uniform)
+    val bySize = r.sortBy(_.getAs[Long]("n_tokens"))
+    if (bySize.head.getAs[Long]("n_tokens") < bySize.last.getAs[Long]("n_tokens")) {
+      assert(bySize.head.getAs[Double]("epoch_mult") > 1.0)
+      assert(bySize.last.getAs[Double]("epoch_mult") < 1.0)
+    }
+    // epoch multiplier is internally consistent with the two shares
+    r.foreach { row =>
+      val m = row.getAs[Double]("temp_share") / row.getAs[Double]("raw_share")
+      assert(math.abs(m - row.getAs[Double]("epoch_mult")) < 1e-3)
+    }
+  }
 }

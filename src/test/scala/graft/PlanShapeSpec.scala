@@ -57,6 +57,28 @@ class PlanShapeSpec extends GraftSuite {
       s"LSH candidates must equi-join:\n$plan")
   }
 
+  test("q_bm25 cuts its top-50 with TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_shingle_cosine equi-joins its candidates (no nested-loop fan-out)") {
+    val plan = planOf("q_shingle_cosine")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the dot-product join-back must key on (doc, sh) hash joins; the only
+    // nested-loop allowed anywhere is the broadcast 1-row totals frame
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_pagerank broadcasts the rank table into every iteration") {
+    val plan = planOf("q_pagerank")
+    // iterations must be map-side joins over the checkpointed edges plus
+    // keyed aggregations — a sort-merge join would mean the node-sized
+    // rank table got shuffle-planned
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"rank joins must broadcast:\n$plan")
+  }
+
   test("no declared query plans a CartesianProduct") {
     // cross-shaped queries must bound one side via broadcast; a cartesian
     // product in any plan is a scale bug.
