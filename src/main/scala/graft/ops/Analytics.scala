@@ -988,6 +988,108 @@ object Analytics {
       .select(col(key), ((col("__vlo") + col("__vhi")) / 2.0).as(out))
   }
 
+  /** General p-quantile over an ALREADY value-counted (key, v, __c)
+    * relation — [[medianOfCounts]] at arbitrary p with the standard
+    * linear interpolation (0-based rank h = (n−1)·p, value =
+    * v_lo + frac·(v_hi − v_lo)). The oracle mirrors this EXACT spelling
+    * as a count-based CTE rather than calling `quantile_cont`, so the
+    * one interpolation multiply-add runs in the same operand order on
+    * both engines. */
+  private def quantileOfCounts(vc: DataFrame, key: String, v: String,
+      p: Double, out: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(key))
+    val ranked = vc
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val h = (col("__n") - 1).cast("double") * p
+    val lo = floor(h).cast("long") + 1
+    val frac = h - floor(h)
+    ranked.groupBy(col(key))
+      .agg(min(when(col("__cum") >= lo, col(v))).as("__vlo"),
+        min(when(col("__cum") >= lo + 1, col(v))).as("__vhi"),
+        max(frac).as("__frac"))
+      .select(col(key),
+        (col("__vlo") + col("__frac") *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))).as(out))
+  }
+
+  /** Winsorized statistics per return flag — the clamp-don't-drop robust
+    * mean beside [[qOutlierFilter]]'s MAD filter: prices clamped to their
+    * flag's [p05, p95] band, both quantiles from [[quantileOfCounts]]
+    * over ONE value-count relation (single fact scan, same architecture
+    * as the outlier filter). Determinism: quantiles interpolate in
+    * mirrored operand order; each clamped value is quantized to
+    * MILLI-CENTS (`round(clamped·10³)` as BIGINT) before the weighted
+    * sum, so the mean is exact-integer until two final divisions. */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vc = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).as("price_c"))
+      .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val bands = quantileOfCounts(vc, "flag", "price_c", 0.05, "p05")
+      .join(quantileOfCounts(vc, "flag", "price_c", 0.95, "p95"), "flag")
+    val clamped = vc.join(broadcast(bands), "flag")
+      .select($"flag", $"__c", $"p05", $"p95",
+        round(greatest($"p05", least($"p95", $"price_c")) * 1e3)
+          .cast("long").as("w_mc"),
+        ($"price_c" < $"p05" || $"price_c" > $"p95").as("clipped"))
+    clamped.groupBy($"flag")
+      .agg(sum($"__c").as("n"),
+        sum($"w_mc" * $"__c").as("s_mc"),
+        sum(when($"clipped", $"__c").otherwise(0L)).as("n_clipped"),
+        min($"p05").as("p05_c"), min($"p95").as("p95_c"))
+      .select($"flag".as("l_returnflag"), $"n",
+        round($"p05_c" / 100.0, 4).as("p05"),
+        round($"p95_c" / 100.0, 4).as("p95"),
+        round($"s_mc".cast("double") / $"n" / 1e5, 4).as("mean_winsorized"),
+        $"n_clipped")
+      .orderBy($"l_returnflag")
+  }
+
+  val winsorizeSql: String =
+    """WITH vc AS (
+      |  SELECT l_returnflag AS flag, round(l_extendedprice * 100) AS price_c,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT flag, price_c, c,
+      |    sum(c) OVER (PARTITION BY flag ORDER BY price_c
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY flag) AS n
+      |  FROM vc),
+      |q05 AS (
+      |  SELECT flag,
+      |    min(CASE WHEN cum >= floor((n - 1) * 0.05) + 1 THEN price_c END) AS vlo,
+      |    min(CASE WHEN cum >= floor((n - 1) * 0.05) + 2 THEN price_c END) AS vhi,
+      |    max((n - 1) * 0.05 - floor((n - 1) * 0.05)) AS frac
+      |  FROM r GROUP BY 1),
+      |q95 AS (
+      |  SELECT flag,
+      |    min(CASE WHEN cum >= floor((n - 1) * 0.95) + 1 THEN price_c END) AS vlo,
+      |    min(CASE WHEN cum >= floor((n - 1) * 0.95) + 2 THEN price_c END) AS vhi,
+      |    max((n - 1) * 0.95 - floor((n - 1) * 0.95)) AS frac
+      |  FROM r GROUP BY 1),
+      |b AS (
+      |  SELECT q05.flag,
+      |    q05.vlo + q05.frac * (coalesce(q05.vhi, q05.vlo) - q05.vlo) AS p05,
+      |    q95.vlo + q95.frac * (coalesce(q95.vhi, q95.vlo) - q95.vlo) AS p95
+      |  FROM q05 JOIN q95 ON q05.flag = q95.flag),
+      |cl AS (
+      |  SELECT vc.flag, vc.c, b.p05, b.p95,
+      |    CAST(round(greatest(b.p05, least(b.p95, vc.price_c)) * 1e3) AS BIGINT) AS w_mc,
+      |    (vc.price_c < b.p05 OR vc.price_c > b.p95) AS clipped
+      |  FROM vc JOIN b ON vc.flag = b.flag)
+      |SELECT flag AS l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+      |  round(min(p05) / 100.0, 4) AS p05,
+      |  round(min(p95) / 100.0, 4) AS p95,
+      |  round(CAST(sum(w_mc * c) AS DOUBLE) / sum(c) / 1e5, 4) AS mean_winsorized,
+      |  CAST(sum(CASE WHEN clipped THEN c ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Robust outlier detection via median absolute deviation: lines whose
     * price sits more than 2 MADs from their returnflag's median,
     * summarized per flag. All quantile math runs on integer CENTS
@@ -1126,6 +1228,7 @@ object Analytics {
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
+    "q_winsorize" -> (qWinsorize _),
     "q_priority_waiting" -> (qPriorityWaiting _),
     "q_shipmode_priority" -> (qShipmodePriority _),
     "q_product_profit" -> (qProductProfit _),
@@ -1157,6 +1260,7 @@ object Analytics {
     "q_pagerank" -> pagerankSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
+    "q_winsorize" -> winsorizeSql,
     "q_priority_waiting" -> priorityWaitingSql,
     "q_shipmode_priority" -> shipmodePrioritySql,
     "q_product_profit" -> productProfitSql,

@@ -216,6 +216,22 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("q_winsorize clamps into the band and clips ~10% by construction") {
+    val r = rows(Analytics.qWinsorize(spark, sf))
+    assert(r.size == 3)
+    r.foreach { row =>
+      val p05 = row.getAs[Double]("p05")
+      val p95 = row.getAs[Double]("p95")
+      val m = row.getAs[Double]("mean_winsorized")
+      assert(p05 < p95)
+      assert(m >= p05 && m <= p95, s"winsorized mean $m outside [$p05, $p95]")
+      // p05/p95 clamping clips at most ~10% of rows (interpolation can
+      // leave it slightly under, ties slightly over)
+      val frac = row.getAs[Long]("n_clipped").toDouble / row.getAs[Long]("n")
+      assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac")
+    }
+  }
+
   test("q_pagerank: one row per supplier, ranks bounded, mass conserved") {
     import spark.implicits._
     val r = Analytics.qPagerank(spark, sf)
