@@ -914,46 +914,63 @@ object Similarity {
   /** IDF-weighted shingle cosine between near-duplicate candidates — the
     * weighted-resemblance scorer beside [[qDedupShingleJaccard]]'s set
     * Jaccard (a shared rare shingle now counts for more than a shared
-    * common one). Same scale skeleton as the Jaccard path: 60-bit digested
-    * 3-shingles, df-capped ([[ShingleMaxDf]]) posting lists,
-    * `graft_pairs` candidates, then the dot product via a join BACK onto
-    * the (doc, shingle, weight) relation keyed (doc, sh) — pair-bounded,
-    * never all-pairs.
+    * common one). The vector space is the PRUNED shingle space — shingles
+    * with df ≤ [[ShingleMaxDf]] — the same boilerplate-pruning rule the
+    * Jaccard path applies, and what makes the single-aggregation shape
+    * below possible.
+    *
+    * Scale shape (mirrors the Jaccard query's one-aggregation design): tf
+    * packs into the posting-list longs (`doc_id·256 + least(tf, 255)`, so
+    * the list sorts by doc and unpacks in a projection), ONE sh-keyed
+    * aggregation yields df + the capped packed posting list, and BOTH
+    * consumers — per-doc norms (explode members) and per-pair dot
+    * products (`graft_pairs`, contribution tf_a·tf_b·idfq² per shared
+    * shingle) — read that aggregation's exchange, which AQE materializes
+    * once. No join-back, no checkpoint, no cache lifecycle. (A join-back
+    * spelling that re-scanned a (doc, sh, weight) relation from both
+    * sides of the dot product benched 8–10 s at sf0.1; this one ~2 s.)
     *
     * Determinism: idf is quantized per shingle (`round(ln(N/df)·10⁴)` as
-    * BIGINT — one libm call on identical bits), weights `tf·idfq` and both
-    * the dot product and the squared norms are then exact integer sums in
-    * any order; the final cosine performs the ONLY floating-point steps
-    * (two correctly-rounded sqrts, one multiply, one divide) on identical
-    * integer inputs, so it is bit-identical across engines. */
+    * BIGINT — one libm call on identical bits); the dot product and the
+    * squared norms are then exact integer sums in any order; the final
+    * cosine performs the ONLY floating-point steps (two correctly-rounded
+    * sqrts, one multiply, one divide) on identical integer inputs, so it
+    * is bit-identical across engines. */
   def qShingleCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val s = Tables.documents(spark, sfDir)
+    val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
       .select($"doc_id",
         conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
-    val tf = s.groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+      .groupBy($"sh")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_set($"doc_id" * 256 + least($"tf", lit(255L))))
+          .as("ds"))
+      .where($"df" <= ShingleMaxDf)
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val w = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
-      .crossJoin(broadcast(n))
-      .select($"doc_id", $"sh",
-        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 1e4)
-          .cast("long")).as("w"))
-    val norms = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
-    val pairs = tf
-      .groupBy($"sh").agg(sort_array(collect_set($"doc_id")).as("ds"))
-      .where(size($"ds") <= ShingleMaxDf)
-      .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
-      .select($"e.x".as("a"), $"e.y".as("b")).distinct()
-    pairs
-      .join(w.select($"doc_id".as("a"), $"sh", $"w".as("wa")), "a")
-      .join(w.select($"doc_id".as("b"), $"sh", $"w".as("wb")), Seq("b", "sh"))
+    val idfq = round(log($"n_docs".cast("double") / $"df") * 1e4).cast("long")
+    // `withSingles = true` emits one (member, -1) marker per list member
+    // beside the C(df, 2) pairs — exactly the Jaccard query's trick — so
+    // ONE hash aggregation keyed (a, b) accumulates BOTH the per-pair dot
+    // products (b >= 0: tf_a·tf_b·idfq²) and the per-doc squared norms
+    // (b = -1: (tf·idfq)²); the norm frames then join back onto the pairs
+    // from the same exchange, which AQE materializes once
+    val counts = lists.crossJoin(broadcast(n))
+      .select(idfq.as("idfq"),
+        explode(call_function("graft_pairs", $"ds", lit(true))).as("e"))
+      .select(expr("e.x DIV 256").as("a"),
+        when($"e.y" === -1L, -1L).otherwise(expr("e.y DIV 256")).as("b"),
+        when($"e.y" === -1L, ($"e.x" % 256) * $"idfq" * ($"e.x" % 256) * $"idfq")
+          .otherwise(($"e.x" % 256) * ($"e.y" % 256) * $"idfq" * $"idfq").as("c"))
       .groupBy($"a", $"b")
-      .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_common"))
-      .join(norms.select($"doc_id".as("a"), $"n2".as("na2")), "a")
-      .join(norms.select($"doc_id".as("b"), $"n2".as("nb2")), "b")
+      .agg(sum($"c").as("v"), count(lit(1)).as("m"))
+    val norms = counts.where($"b" === -1L).select($"a".as("doc"), $"v".as("n2"))
+    counts.where($"b" =!= -1L)
+      .select($"a", $"b", $"v".as("dot"), $"m".as("n_common"))
+      .join(norms.select($"doc".as("a"), $"n2".as("na2")), "a")
+      .join(norms.select($"doc".as("b"), $"n2".as("nb2")), "b")
       .withColumn("cosine",
         $"dot".cast("double") / (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
       .where($"cosine" >= 0.6)
@@ -970,24 +987,21 @@ object Similarity {
        |  SELECT doc_id,
        |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
-       |tf AS (SELECT doc_id, sh, count(*) AS tf FROM s GROUP BY 1, 2),
+       |tf0 AS (SELECT doc_id, sh, count(*) AS tf FROM s GROUP BY 1, 2),
        |n AS (SELECT count(*) AS n_docs FROM documents),
+       |rare AS (SELECT sh, count(*) AS df FROM tf0 GROUP BY 1 HAVING count(*) <= $ShingleMaxDf),
        |w AS (
-       |  SELECT doc_id, sh,
-       |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) /
-       |      (count(*) OVER (PARTITION BY sh))) * 1e4) AS BIGINT) AS w
-       |  FROM tf CROSS JOIN n),
-       |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
-       |rare AS (SELECT sh FROM tf GROUP BY sh HAVING count(*) <= $ShingleMaxDf),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM tf a JOIN tf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  JOIN rare r ON r.sh = a.sh),
+       |  SELECT tf0.doc_id, tf0.sh, least(tf0.tf, 255) AS tfc,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / rare.df) * 1e4) AS BIGINT) AS idfq
+       |  FROM tf0 JOIN rare ON tf0.sh = rare.sh CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, CAST(sum(tfc * idfq * tfc * idfq) AS BIGINT) AS n2
+       |  FROM w GROUP BY 1),
        |d AS (
-       |  SELECT p.a, p.b, sum(wa.w * wb.w) AS dot, count(*) AS n_common
-       |  FROM pairs p
-       |  JOIN w wa ON wa.doc_id = p.a
-       |  JOIN w wb ON wb.doc_id = p.b AND wb.sh = wa.sh
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(sum(a.tfc * b.tfc * a.idfq * a.idfq) AS BIGINT) AS dot,
+       |    count(*) AS n_common
+       |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT a AS doc_a, b AS doc_b, n_common,
        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
