@@ -1040,7 +1040,105 @@ object Text {
        |  c[1] AS head_tok, c[len(c)] AS tail_tok
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Language-ID with classifier confidence — the abstain/threshold stage
+    * of a curation pipeline: rank all candidate languages per doc, report
+    * the top-2 and their hit margin, and keep only docs whose margin
+    * clears the threshold (≥ 2 stopword hits). The candidate array sorts
+    * as (−hits, lang) structs — the same single-pass, shuffle-free shape
+    * as [[qLangId]] — so the margin is exact integer arithmetic and the
+    * keep decision can never flip on a ulp. */
+  def qLangConfidence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = langWords.map { case (lang, words) =>
+      struct(
+        (-size(filter($"t", tok => tok.isin(words.map(lit): _*)))).cast("long").as("neg"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", toks($"text").as("t"))
+      .withColumn("ranked", array_sort(array(scored: _*)))
+      .select($"doc_id", $"lang",
+        $"ranked"(0).getField("lang").as("pred_lang"),
+        (-$"ranked"(0).getField("neg")).cast("long").as("hits_top1"),
+        (-$"ranked"(1).getField("neg")).cast("long").as("hits_top2"))
+      .withColumn("margin", $"hits_top1" - $"hits_top2")
+      .withColumn("keep", $"margin" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  val langConfidenceSql: String = {
+    val scores = langWords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"SELECT doc_id, '$lang' AS cand, len(list_filter($duckToks, x -> list_contains([$lst], x))) AS hits FROM documents"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH scores AS (
+       |  $scores),
+       |ranked AS (
+       |  SELECT doc_id, cand, CAST(hits AS BIGINT) AS hits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+       |  FROM scores)
+       |SELECT d.doc_id, d.lang, r1.cand AS pred_lang,
+       |  r1.hits AS hits_top1, r2.hits AS hits_top2,
+       |  r1.hits - r2.hits AS margin,
+       |  r1.hits - r2.hits >= 2 AS keep
+       |FROM documents d
+       |JOIN ranked r1 ON r1.doc_id = d.doc_id AND r1.rn = 1
+       |JOIN ranked r2 ON r2.doc_id = d.doc_id AND r2.rn = 2
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Cross-document chunk dedup — repeated 32-token windows (stride 24,
+    * [[qDocChunk]]'s grid) appearing in ≥ 2 distinct docs: the
+    * chunk-granularity boilerplate/copy detector between exact-doc dedup
+    * and shingle near-dup. Chunks digest to 60-bit keys
+    * (md5-prefix, the [[Similarity]] digesting convention) so the shuffle
+    * carries 8-byte keys; the aggregation is (digest)-keyed and the
+    * output is repeat-bounded. */
+  def qChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 32
+    val stride = 24
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("n"))
+      .where($"n" > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $win, 0L) + ${stride - 1}) div $stride"))).as("ci"),
+        $"t")
+      .select($"doc_id",
+        conv(substring(md5(array_join(
+          slice($"t", ($"ci" * stride + 1).cast("int"), lit(win)), " ")), 1, 15),
+          16, 10).cast("long").as("chunk_key"))
+      .groupBy($"chunk_key")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min($"doc_id").as("first_doc"))
+      .where($"n_docs" >= 2)
+      .orderBy($"chunk_key")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (
+       |  SELECT doc_id, n, toks,
+       |    unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS ci
+       |  FROM d),
+       |k AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(array_to_string(
+       |      toks[ci * 24 + 1 : least(ci * 24 + 32, n)], ' ')), 1, 15) AS BIGINT) AS chunk_key
+       |  FROM c)
+       |SELECT chunk_key, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+       |FROM k GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_confidence" -> (qLangConfidence _),
+    "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
     "q_lm_doc_score" -> (qLmDocScore _),
@@ -1066,6 +1164,8 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_lang_confidence" -> langConfidenceSql,
+    "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,
     "q_lm_doc_score" -> lmDocScoreSql,

@@ -33,7 +33,13 @@ class DeterminismSpec extends GraftSuite {
     "q_ann_ivf",
     "q_embed_neardup",
     "q_naive_bayes_score",
-    "q_sessionize").foreach { name =>
+    "q_sessionize",
+    "q_bm25",
+    "q_shingle_cosine",
+    "q_source_temperature",
+    "q_pagerank",
+    "q_winsorize",
+    "q_gap_fill").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

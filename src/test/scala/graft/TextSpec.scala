@@ -293,6 +293,35 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("q_lang_confidence margins agree with the argmax lang-id") {
+    val conf = rows(Text.qLangConfidence(spark, sf))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Long]("hits_top1"),
+          r.getAs[Long]("margin"), r.getAs[Boolean]("keep"))).toMap
+    val argmax = rows(Text.qLangId(spark, sf))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Long]("hits"))).toMap
+    assert(conf.keySet == argmax.keySet)
+    conf.foreach { case (id, (pred, top1, margin, keep)) =>
+      assert((pred, top1) == argmax(id), s"doc $id disagrees with q_lang_id")
+      assert(margin >= 0L)
+      assert(keep == (margin >= 2L))
+    }
+    // the threshold must actually split the corpus (both sides non-empty)
+    assert(conf.values.exists(_._4) && conf.values.exists(!_._4))
+  }
+
+  test("q_chunk_dedup repeats span >= 2 docs and cover the exact duplicates") {
+    val r = rows(Text.qChunkDedup(spark, sf))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") >= 2L)
+      assert(row.getAs[Long]("n_occurrences") >= row.getAs[Long]("n_docs"))
+    }
+    // exact duplicate docs exist in this corpus (SimilaritySpec pins
+    // them), and two identical docs share their every chunk
+    assert(r.nonEmpty, "exact dup docs must surface repeated chunks")
+  }
+
   test("q_doc_chunk windows tile every doc with stride 24 / width 32") {
     val r = Text.qDocChunk(spark, sf)
     import spark.implicits._
