@@ -721,6 +721,63 @@ object Similarity {
       |  CAST(sum(CASE WHEN bucket < target_pct THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
       |FROM a GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** Cross-source duplication matrix — which sources copy from which: the
+    * near-dup pairs from [[shingleJaccardPairs]] joined back to each
+    * doc's `source`, aggregated per (source_a, source_b) with each cell's
+    * share of all near-dup pairs. The provenance report a curation run
+    * publishes next to its dedup counts. Scale shape: the pair core is
+    * pair-bounded (df-capped posting lists); the two metadata joins key
+    * on doc id against a projection of `documents`; the final rollup is
+    * source²-bounded. */
+  def qDupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val pairs = shingleJaccardPairs(spark, sfDir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
+      // canonical unordered cell: (min, max) so A→B and B→A accumulate once
+      .select(least($"source_a", $"source_b").as("src_lo"),
+        greatest($"source_a", $"source_b").as("src_hi"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs.groupBy($"src_lo", $"src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select($"src_lo", $"src_hi", $"n_pairs",
+        round($"n_pairs".cast("double") / $"n_total", 4).as("pair_share"))
+      .orderBy($"src_lo", $"src_hi")
+  }
+
+  val dupRateBySourceSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+      |s AS (
+      |  SELECT s0.* FROM s0
+      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8),
+      |cells AS (
+      |  SELECT least(da.source, db.source) AS src_lo,
+      |    greatest(da.source, db.source) AS src_hi
+      |  FROM nd JOIN documents da ON nd.doc_a = da.doc_id
+      |          JOIN documents db ON nd.doc_b = db.doc_id),
+      |tot AS (SELECT count(*) AS n_total FROM cells)
+      |SELECT src_lo, src_hi, count(*) AS n_pairs,
+      |  round(CAST(count(*) AS DOUBLE) / n_total, 4) AS pair_share
+      |FROM cells CROSS JOIN tot
+      |GROUP BY src_lo, src_hi, n_total ORDER BY src_lo, src_hi""".stripMargin
+
   /** Temperature-weighted source mixing (α = 0.7) — the up/down-sampling
     * weights a multi-source LLM pipeline derives before training: sampling
     * probability ∝ tokens^α, which upweights small sources relative to
@@ -1017,6 +1074,7 @@ object Similarity {
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
     "q_source_temperature" -> (qSourceTemperature _),
+    "q_dup_rate_by_source" -> (qDupRateBySource _),
     "q_boilerplate_frac" -> (qBoilerplateFrac _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1036,6 +1094,7 @@ object Similarity {
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,
     "q_source_temperature" -> sourceTemperatureSql,
+    "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_boilerplate_frac" -> boilerplateFracSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,

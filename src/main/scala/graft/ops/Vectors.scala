@@ -263,7 +263,55 @@ object Vectors {
       |  FROM d)
       |SELECT vec_id, cluster, dist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension embedding statistics — the embedding-QA profile
+    * (collapsed dims, scale drift, outlier ranges) run before trusting a
+    * vector column at scale. Each element is quantized to integer
+    * MICRO-units (`round(v·10⁶)` — float→double widening is exact, one
+    * deterministic multiply+round), so count/sum/sum-of-squares/min/max
+    * are order-independent long arithmetic; mean/std come from those
+    * exact longs by the same final-division spelling on both engines.
+    * Scale shape: one posexplode (rows × dims, linear) into a 64-key hash
+    * aggregation — map-side combinable, skew-free. */
+  def qEmbeddingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"dim".cast("long").as("dim"),
+        round($"v".cast("double") * 1e6).cast("long").as("m"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"m").as("s"),
+        sum($"m" * $"m").as("ss"),
+        min($"m").as("mn"), max($"m").as("mx"))
+      .select($"dim", $"n",
+        round($"s".cast("double") / $"n" / 1e6, 6).as("mean"),
+        round(sqrt(($"ss".cast("double") / $"n" -
+          ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")) / 1e12),
+          6).as("std"),
+        round($"mn" / 1e6, 6).as("min_v"),
+        round($"mx" / 1e6, 6).as("max_v"))
+      .orderBy($"dim")
+  }
+
+  val embeddingStatsSql: String =
+    """WITH e AS (
+      |  SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS m
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |a AS (
+      |  SELECT dim, count(*) AS n, CAST(sum(m) AS BIGINT) AS s,
+      |    CAST(sum(m * m) AS BIGINT) AS ss,
+      |    min(m) AS mn, max(m) AS mx
+      |  FROM e GROUP BY 1)
+      |SELECT dim, n,
+      |  round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+      |  round(sqrt((CAST(ss AS DOUBLE) / n -
+      |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e12), 6) AS std,
+      |  round(mn / 1e6, 6) AS min_v,
+      |  round(mx / 1e6, 6) AS max_v
+      |FROM a ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_stats" -> (qEmbeddingStats _),
     "q_vector_relu" -> (qVectorRelu _),
     "q_vector_hellinger" -> (qVectorHellinger _),
     "q_standard_scale" -> (qStandardScale _),
@@ -275,6 +323,7 @@ object Vectors {
     "q_kmeans_assign_fixed" -> (qKmeansAssignFixed _))
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_stats" -> embeddingStatsSql,
     "q_vector_relu" -> vectorReluSql,
     "q_vector_hellinger" -> vectorHellingerSql,
     "q_standard_scale" -> standardScaleSql,

@@ -264,6 +264,19 @@ class SimilaritySpec extends GraftSuite {
       "an exact copy is fully covered")
   }
 
+  test("q_dup_rate_by_source accounts for every near-dup pair exactly once") {
+    val cells = rows(Similarity.qDupRateBySource(spark, sf))
+    val nPairs = Similarity.qDedupShingleJaccard(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "matrix cells partition the pair set")
+    val shareSum = cells.map(_.getAs[Double]("pair_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2)
+    cells.foreach { row =>
+      assert(row.getAs[String]("src_lo") <= row.getAs[String]("src_hi"),
+        "cells are canonical (unordered)")
+    }
+  }
+
   test("q_shingle_cosine scores are valid and cover the Jaccard near-dups") {
     val cos = rows(Similarity.qShingleCosine(spark, sf))
     assert(cos.nonEmpty)

@@ -84,4 +84,18 @@ class VectorsSpec extends GraftSuite {
       math.signum(h) == math.signum(x) && math.abs(h * h - math.abs(x)) < 1e-9
     }, "hellinger sign/inverse")
   }
+
+  test("q_embedding_stats profiles every dimension with coherent moments") {
+    val r = rows(graft.ops.Vectors.qEmbeddingStats(spark, sf))
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(r.size == 64, "one row per embedding dimension")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n") == nVec)
+      val (mn, mean, mx) = (row.getAs[Double]("min_v"),
+        row.getAs[Double]("mean"), row.getAs[Double]("max_v"))
+      assert(mn <= mean && mean <= mx)
+      assert(row.getAs[Double]("std") >= 0.0)
+      assert(row.getAs[Double]("std") <= (mx - mn), "std bounded by range")
+    }
+  }
 }
