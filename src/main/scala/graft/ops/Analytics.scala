@@ -1109,6 +1109,9 @@ object Analytics {
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
+    // med IS checkpointed: its 3-task ranking window over the 580k-value
+    // count table costs ~2 s per evaluation, and two consumers would
+    // re-run it twice inside one job — one extra small job is cheaper
     val med = medianOfCounts(vc, "flag", "price_c", "med")
       .localCheckpoint(true)
     val devCounts = vc.join(broadcast(med), "flag")
