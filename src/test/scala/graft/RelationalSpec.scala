@@ -7,6 +7,23 @@ import graft.ops.Relational
   * pinned with DuckDB on the same parquet (tools/parity.py idioms). */
 class RelationalSpec extends GraftSuite {
 
+  test("driver contract: every declared query has an oracle (except the HLL)") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+    // the ONLY rows-only query is the engine-specific HLL estimate
+    // (its ±5% bound vs exact is unit-tested below)
+    assert(qs -- os == Set("q_agg_approx_distinct"),
+      s"queries missing an oracle: ${qs -- os - "q_agg_approx_distinct"}")
+    // a registry collision (two families declaring one key) would silently
+    // drop a query from the gate — sizes must add up
+    val familyTotal = Seq(graft.ops.Relational.queries, graft.ops.Analytics.queries,
+      graft.ops.Scalar.queries, graft.ops.Sessions.queries, graft.ops.Text.queries,
+      graft.ops.Vectors.queries, graft.ops.Similarity.queries,
+      graft.ops.Images.queries, graft.ops.Eval.queries).map(_.size).sum
+    assert(familyTotal == qs.size, "duplicate query key across families")
+  }
+
   test("q_agg_pricing_summary matches pinned Q1-shape goldens") {
     val r = rows(Relational.qAggPricingSummary(spark, sf))
     assert(r.size == 6)
