@@ -1227,7 +1227,81 @@ object Analytics {
       |SELECT node AS suppkey, r AS rank_ppm
       |FROM r3 ORDER BY rank_ppm DESC, suppkey""".stripMargin
 
+  /** Triangle counting over the supplier co-purchase graph (same graph as
+    * [[qPagerank]], thresholded to pairs sharing ≥ 6 orders so the
+    * quasi-complete co-purchase graph sparsifies to real affinity edges).
+    * Returns per-node triangle counts keyed at each triangle's
+    * orientation-lowest vertex.
+    *
+    * Scale shape — the textbook distributed triangle count: edges are
+    * ORIENTED from the lower-(degree, id) endpoint to the higher, which
+    * bounds every node's out-degree by O(√m) on any graph, so the wedge
+    * self-join fans out by outdeg², not deg². Wedges close against the
+    * *undirected* pair set (each triangle counted exactly once at its
+    * lowest vertex, whatever the orientation of the far edge). Degrees are
+    * node-cardinality (broadcast); the thresholded edge set is broadcast
+    * here, and at larger |E| the closure join degrades gracefully to a
+    * shuffle equi-join on (x, y). All arithmetic is integer-exact. */
+  def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // one orderkey shuffle → compiled pair kernel → co-occurrence counts;
+    // x < y by construction (sorted set), one row per unordered pair
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .groupBy($"e.x".as("x"), $"e.y".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= 6).select($"x", $"y")
+      .localCheckpoint(true) // one diamond: deg, ori ×2, closure all read it
+    val deg = pairs.select($"x".as("n")).unionAll(pairs.select($"y".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val ori = pairs
+      .join(broadcast(deg).withColumnsRenamed(Map("n" -> "nx", "d" -> "dx")),
+        $"x" === $"nx")
+      .join(broadcast(deg).withColumnsRenamed(Map("n" -> "ny", "d" -> "dy")),
+        $"y" === $"ny")
+      .select(
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"x")
+          .otherwise($"y").as("u"),
+        when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
+          .otherwise($"x").as("v"))
+    val wedges = ori.alias("e1")
+      .join(ori.alias("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .select($"e1.u".as("apex"), $"e1.v".as("b"), $"e2.v".as("cc"))
+    wedges
+      .join(broadcast(pairs), $"b" === $"x" && $"cc" === $"y")
+      .groupBy($"apex".as("suppkey"))
+      .agg(count(lit(1)).as("triangles"))
+      .orderBy($"suppkey")
+  }
+
+  val triangleCountSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 6),
+      |deg AS (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT x AS n FROM p UNION ALL SELECT y AS n FROM p) GROUP BY 1),
+      |ori AS (
+      |  SELECT
+      |    CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND p.x < p.y)
+      |         THEN p.x ELSE p.y END AS u,
+      |    CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND p.x < p.y)
+      |         THEN p.y ELSE p.x END AS v
+      |  FROM p JOIN deg dx ON p.x = dx.n JOIN deg dy ON p.y = dy.n),
+      |w AS (
+      |  SELECT e1.u AS apex, e1.v AS b, e2.v AS c
+      |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v)
+      |SELECT apex AS suppkey, count(*) AS triangles
+      |FROM w JOIN p ON w.b = p.x AND w.c = p.y
+      |GROUP BY 1 ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangle_count" -> (qTriangleCount _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -1261,6 +1335,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_triangle_count" -> triangleCountSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

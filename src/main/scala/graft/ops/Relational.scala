@@ -578,7 +578,39 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_suppkey, s_name ORDER BY suppkey""".stripMargin
 
+  /** The Bloom-prefiltered semi-join ([[graft.sources.Bloom.semiJoin]])
+    * under the oracle gate: the bitmap must be semantically invisible (no
+    * false negatives; the exact semi-join behind it removes false
+    * positives), so the oracle is the PLAIN `IN`-subquery spelling. The
+    * scale story: at 100 TB the probe fact table is pruned by a 2 KB
+    * bitmap inside whole-stage codegen BEFORE any shuffle/join sees it —
+    * the explicit version of the runtime filters AQE injects for SMJ,
+    * applicable to any plan shape. */
+  def qBloomSemijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val build = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 9000)
+      .select($"c_custkey")
+    graft.sources.Bloom.semiJoin(
+        Tables.orders(spark, sfDir), "o_custkey", build, "c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bloomSemijoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_join_hash" -> (qJoinHash _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -604,6 +636,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_semijoin" -> bloomSemijoinSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_join_hash" -> joinHashSql,
     "q_join_broadcast" -> joinBroadcastSql,

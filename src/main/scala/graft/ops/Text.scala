@@ -915,6 +915,82 @@ object Text {
        |  count(DISTINCT lang) AS n_langs, count(*) AS cnt
        |FROM t GROUP BY tok ORDER BY n_sources DESC, cnt DESC, tok""".stripMargin
 
+  /** Per-document Shannon entropy of the unigram token distribution —
+    * low-entropy docs are repetitive boilerplate, a standard curation
+    * filter signal next to [[qRepetitionScore]].
+    *
+    * Determinism: each term's contribution (c/n)·ln(n/c) is computed in
+    * the same IEEE op order on both engines and quantized to integer
+    * micro-nats before the per-doc sum (order-independent long adds).
+    * Scale shape: one token-keyed aggregation; the doc-total window is
+    * partitioned by doc_id, so partition size is bounded by a document's
+    * vocabulary, never the corpus. */
+  def qTokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"n",
+        round($"c".cast("double") / $"n" * log($"n".cast("double") / $"c") * 1e6)
+          .cast("long").as("h_micro"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        (sum($"h_micro").cast("double") / 1e6).as("entropy_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenEntropySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       |w AS (
+       |  SELECT doc_id, c,
+       |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM c),
+       |h AS (
+       |  SELECT doc_id, n,
+       |    CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / c) * 1e6)
+       |      AS BIGINT) AS h_micro
+       |  FROM w)
+       |SELECT doc_id, max(n) AS n_tokens,
+       |  CAST(CAST(sum(h_micro) AS BIGINT) AS DOUBLE) / 1e6 AS entropy_nats
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Term-blocklist scrubbing: redact a fixed blocklist from every
+    * document and account for the damage per source — the shape of a PII /
+    * banned-term scrub pass (the real PII regexes live in
+    * [[graft.ml.Scrub]]; this gate exercises the identical machinery on
+    * terms that actually occur in the synthetic corpus).
+    *
+    * Scale shape: embarrassingly parallel map over docs (two codegen'd
+    * regexp ops), then a tiny per-source aggregation. No shuffle carries
+    * document text. */
+  def qBlocklistScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.ml.Scrub.redact(
+        Tables.documents(spark, sfDir), $"text", graft.ml.Scrub.BlockPattern)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_matches" > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum($"n_matches").as("redactions"),
+        sum((length($"text") - length($"redacted")).cast("long")).as("chars_delta"))
+      .orderBy($"source")
+  }
+
+  val blocklistScrubSql: String =
+    s"""WITH s AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '${graft.ml.Scrub.BlockPattern}')) AS n_matches,
+       |    length(text) - length(regexp_replace(text, '${graft.ml.Scrub.BlockPattern}',
+       |      '${graft.ml.Scrub.Redacted}', 'g')) AS delta
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       |  CAST(sum(n_matches) AS BIGINT) AS redactions,
+       |  CAST(sum(delta) AS BIGINT) AS chars_delta
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1138,6 +1214,8 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_confidence" -> (qLangConfidence _),
+    "q_token_entropy" -> (qTokenEntropy _),
+    "q_blocklist_scrub" -> (qBlocklistScrub _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1165,6 +1243,8 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "q_lang_confidence" -> langConfidenceSql,
+    "q_token_entropy" -> tokenEntropySql,
+    "q_blocklist_scrub" -> blocklistScrubSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -247,4 +247,25 @@ class AnalyticsSpec extends GraftSuite {
     // a connected co-purchase graph must rank someone above the base
     assert(r.agg(max($"rank_ppm")).head.getLong(0) > 150000L)
   }
+
+  test("q_triangle_count total equals the naive id-ordered 3-join count") {
+    import spark.implicits._
+    val got = Analytics.qTriangleCount(spark, sf)
+    val total = got.agg(sum($"triangles")).head.getLong(0)
+    // naive reference: same thresholded pair relation, closed by three
+    // id-ordered edges x<y<z — no degree orientation involved, so an
+    // orientation/closure bug in the query cannot also hide here
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val p = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+      .groupBy($"a.l_suppkey".as("x"), $"b.l_suppkey".as("y"))
+      .agg(count(lit(1)).as("c")).where($"c" >= 6).select($"x", $"y")
+    val naive = p.as("e1")
+      .join(p.as("e2"), $"e1.y" === $"e2.x")
+      .join(p.as("e3"), $"e3.x" === $"e1.x" && $"e3.y" === $"e2.y")
+      .count()
+    assert(total == naive, s"oriented count $total != naive $naive")
+    assert(got.where($"triangles" <= 0).count() == 0)
+  }
 }

@@ -190,4 +190,31 @@ class SourcesSpec extends GraftSuite {
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
     }
   }
+
+  test("Bloom filter: zero false negatives, strong pruning of non-members") {
+    import spark.implicits._
+    import graft.sources.Bloom
+    val keys = (0L until 500L).map(_ * 7919L + 13L)
+    val build = keys.toDF("k")
+    val bitmap = Bloom.buildBitmap(build, col("k"), words = 64)
+    // every inserted key MUST pass — the exact-join correctness hinges on it
+    assert(build.where(Bloom.mightContain(col("k"), bitmap)).count() == 500)
+    // non-members: 500 keys × 3 hashes in 4096 bits → fp ≈ (1500/4096)^3 ≈ 5%
+    val probe = (0L until 20000L).map(_ + 1000000000L).toDF("k")
+    val kept = probe.where(Bloom.mightContain(col("k"), bitmap)).count()
+    assert(kept < 2500, s"expected ~5% false positives, kept $kept of 20000")
+  }
+
+  test("Bloom.semiJoin equals the plain semi-join") {
+    import graft.sources.Bloom
+    val orders = tables.Tables.orders(spark, sf)
+    val build = tables.Tables.customer(spark, sf)
+      .where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val fast = Bloom.semiJoin(orders, "o_custkey", build, "c_custkey")
+    val plain = orders.join(
+      build.withColumnRenamed("c_custkey", "o_custkey").distinct(),
+      Seq("o_custkey"), "left_semi")
+    assert(fast.count() == plain.count())
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+  }
 }

@@ -340,4 +340,53 @@ class TextSpec extends GraftSuite {
       .where($"start_pos" + $"n_tokens" - 1 =!= $"cv" && $"n_tokens" =!= 32)
     assert(short.count() == 0)
   }
+
+  test("Scrub PII patterns redact emails, phones, IPs, SSNs — and only those") {
+    import spark.implicits._
+    import graft.ml.Scrub
+    val df = Seq(
+      ("contact john.doe+x@example.com today", 1),
+      ("call +1 (415) 555-2671 or 415.555.2671", 2),
+      ("host 192.168.0.1 answered", 1),
+      ("ssn 123-45-6789 leaked", 1),
+      ("clean text, no pii at all", 0)).toDF("text", "expected")
+    val out = Scrub.redact(df, $"text", Scrub.PiiPattern).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_matches") == r.getAs[Int]("expected"),
+        s"wrong match count for: ${r.getAs[String]("text")}")
+      val red = r.getAs[String]("redacted")
+      if (r.getAs[Int]("expected") > 0) {
+        assert(red.contains(Scrub.Redacted))
+        assert(!red.contains("@") && !red.contains("555") &&
+          !red.contains("192.168") && !red.contains("123-45"))
+      } else assert(red == r.getAs[String]("text"))
+    }
+  }
+
+  test("q_token_entropy: zero for one-token docs, <= ln(n), exact on a uniform doc") {
+    import spark.implicits._
+    val r = Text.qTokenEntropy(spark, sf)
+    // entropy is bounded by ln(n_tokens) (+ micro-rounding slack)
+    assert(r.where($"entropy_nats" < 0 ||
+      $"entropy_nats" > log($"n_tokens".cast("double")) + lit(1e-4)).count() == 0)
+    assert(r.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("q_blocklist_scrub reconciles with a direct recount") {
+    import spark.implicits._
+    val r = Text.qBlocklistScrub(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = docs.select($"source",
+        regexp_count($"text", lit(graft.ml.Scrub.BlockPattern)).as("m"))
+      .groupBy($"source").agg(sum($"m").as("redactions"))
+    val bad = r.join(direct.withColumnRenamed("redactions", "expected"), "source")
+      .where($"redactions" =!= $"expected").count()
+    assert(bad == 0)
+    // the blocklist terms do occur in the synthetic corpus — the gate is
+    // exercising real matches, not vacuous zeros
+    assert(r.agg(sum($"redactions")).head.getLong(0) > 0)
+    // chars_delta: each redaction replaces a >=5-char term with 1 char
+    assert(r.where($"chars_delta" < $"redactions" * 4).count() == 0)
+  }
 }
