@@ -609,7 +609,40 @@ object Relational {
       |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order layout audit ([[graft.sources.Layout.zValue]]) under the
+    * oracle gate: Morton-interleave (l_partkey, l_suppkey), coarsen each
+    * z-value to its 128×128 key-quad (z >> 14), and report each occupied
+    * quad's row count and 2-d min-max envelope. On a z-clustered table
+    * those envelopes are tight quads — exactly what makes a 2-d box
+    * predicate prune blocks at a 100 TB scan — and the whole audit is
+    * integer bit-arithmetic, identical in any engine. Occupied-quad count
+    * is bounded by the key-space density, not the row count. */
+  def qZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val z = graft.sources.Layout.zValue($"l_partkey", $"l_suppkey", bits = 15)
+    Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_suppkey",
+        call_function("shiftright", z, lit(14)).as("z_bucket"))
+      .groupBy($"z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+        min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+      .orderBy($"z_bucket")
+  }
+
+  val zorderLayoutSql: String = {
+    val z = graft.sources.Layout.zValueSql("l_partkey", "l_suppkey", bits = 15)
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey, ($z) >> 14 AS z_bucket
+       |  FROM lineitem)
+       |SELECT z_bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+       |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_scan_filter_project" -> (qScanFilterProject _),
     "q_join_hash" -> (qJoinHash _),
@@ -636,6 +669,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderLayoutSql,
     "q_bloom_semijoin" -> bloomSemijoinSql,
     "q_scan_filter_project" -> scanFilterProjectSql,
     "q_join_hash" -> joinHashSql,

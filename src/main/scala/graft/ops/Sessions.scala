@@ -283,7 +283,57 @@ object Sessions {
       |FROM span s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
       |ORDER BY s.user_id, s.day""".stripMargin
 
+  /** Rolling anomaly detection: flag purchase events whose value sits more
+    * than 3σ from the mean of the user's previous 4–7 purchases — the
+    * standard streaming-QA shape (spend-spike / sensor-glitch detection),
+    * here in its batch spelling.
+    *
+    * Determinism: values are exact centi-units (`value` is 2-decimal
+    * money), and the 3σ test is cleared of divisions and square roots —
+    *   (x − μ)² > 9σ²  ⟺  (n·x − s)² > 9·(n·Σx² − s²)
+    * — so both sides are BIGINTs (bounded: n ≤ 7, x ≤ ~10⁵ centi-units →
+    * every product < 2^45) and the flag is bit-identical on any engine.
+    * Scale shape: one user-partitioned window sorted by (ts, event_id);
+    * partition size is a user's event history, never the corpus. */
+  def qRollingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-7, -1)
+    Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .select($"event_id", $"user_id", $"x",
+        count($"x").over(w).as("n"),
+        sum($"x").over(w).as("s"),
+        sum($"x" * $"x").over(w).as("ss"))
+      .where($"n" >= 4 &&
+        ($"n" * $"x" - $"s") * ($"n" * $"x" - $"s") >
+          lit(9L) * ($"n" * $"ss" - $"s" * $"s"))
+      .select($"event_id", $"user_id", $"x".as("cents"), $"n".as("n_prev"))
+      .orderBy($"event_id")
+  }
+
+  val rollingAnomalySql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT event_id, user_id, x,
+      |    count(x) OVER win AS n,
+      |    CAST(sum(x) OVER win AS BIGINT) AS s,
+      |    CAST(sum(x * x) OVER win AS BIGINT) AS ss
+      |  FROM p
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, x AS cents, n AS n_prev
+      |FROM w
+      |WHERE n >= 4 AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_gap_fill" -> (qGapFill _),
     "q_activity_streaks" -> (qActivityStreaks _),
     "q_stream_tumbling" -> (qStreamTumbling _),
@@ -293,6 +343,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_anomaly" -> rollingAnomalySql,
     "q_gap_fill" -> gapFillSql,
     "q_activity_streaks" -> activityStreaksSql,
     "q_stream_tumbling" -> streamTumblingSql,

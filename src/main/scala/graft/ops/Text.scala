@@ -991,6 +991,104 @@ object Text {
        |  CAST(sum(delta) AS BIGINT) AS chars_delta
        |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source language-mix drift: KL(source's lang distribution ‖ corpus
+    * lang distribution) — the curation dashboard number that flags a
+    * source whose language mix wandered from the corpus profile.
+    *
+    * Determinism: with c_sl = docs in (source, lang), c_s = source total,
+    * c_l = lang total, C = corpus total, each term
+    *   (c_sl/c_s) · ln((c_sl·C)/(c_s·c_l))
+    * is two double ops on exact BIGINT products (all ≤ |docs|² < 2^46),
+    * quantized to micro-nats before the per-source sum. Scale shape: one
+    * (source, lang) aggregation; the three total relations are
+    * source/lang-cardinality broadcasts. */
+  def qSourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+    val total = cells.agg(sum($"c_sl").as("ct"))
+    cells
+      .join(broadcast(bySource), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .select($"source",
+        round($"c_sl".cast("double") / $"c_s"
+          * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
+          * 1e6).cast("long").as("kl_micro"))
+      .groupBy($"source")
+      .agg((sum($"kl_micro").cast("double") / 1e6).as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  val sourceKlSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_sl) AS BIGINT) AS ct FROM cells),
+      |k AS (
+      |  SELECT cells.source,
+      |    CAST(round(CAST(c_sl AS DOUBLE) / c_s
+      |      * ln(CAST(c_sl * ct AS DOUBLE) / CAST(c_s * c_l AS DOUBLE))
+      |      * 1e6) AS BIGINT) AS kl_micro
+      |  FROM cells JOIN s ON cells.source = s.source
+      |             JOIN l ON cells.lang = l.lang, t)
+      |SELECT source, CAST(CAST(sum(kl_micro) AS BIGINT) AS DOUBLE) / 1e6 AS kl_nats
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** Vocabulary-growth (Heaps' law) curve over the BIGRAM vocabulary:
+    * distinct bigrams seen after ingesting each 1%-of-corpus prefix in
+    * doc_id order — the curve that sizes tokenizer vocabularies and
+    * estimates how much new text still grows the vocab (bigrams, because
+    * the synthetic corpus's unigram vocabulary saturates in the first few
+    * documents — the n-gram space is what actually keeps growing).
+    *
+    * Scale shape: "first doc that introduced each bigram" is one
+    * bigram-keyed MIN aggregation (map-side combinable); checkpoints are
+    * percentile buckets (`first_doc·100 DIV n_docs`), so the curve
+    * relation is AT MOST 100 rows at any corpus size and the running sum's
+    * unpartitioned window is constant-bounded — it never scales with the
+    * data. */
+  def qVocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val wCum = Window.orderBy($"prefix_pct")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Tables.documents(spark, sfDir)
+      .agg((max($"doc_id") + 1).as("n_docs"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", explode(bigrams).as("bg"))
+      .groupBy($"bg").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(n))
+      .groupBy((expr("first_doc * 100 DIV n_docs") + 1).as("prefix_pct"))
+      .agg(count(lit(1)).as("new_bigrams"))
+      .select($"prefix_pct", $"new_bigrams",
+        sum($"new_bigrams").over(wCum).as("vocab_size"))
+      .orderBy($"prefix_pct")
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |f AS (SELECT bg, min(doc_id) AS first_doc FROM g GROUP BY 1),
+       |n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+       |b AS (
+       |  SELECT first_doc * 100 // n_docs + 1 AS prefix_pct,
+       |    count(*) AS new_bigrams
+       |  FROM f, n GROUP BY 1)
+       |SELECT prefix_pct, new_bigrams,
+       |  CAST(sum(new_bigrams) OVER (ORDER BY prefix_pct
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+       |FROM b ORDER BY prefix_pct""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1216,6 +1314,8 @@ object Text {
     "q_lang_confidence" -> (qLangConfidence _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_blocklist_scrub" -> (qBlocklistScrub _),
+    "q_source_kl" -> (qSourceKl _),
+    "q_vocab_growth" -> (qVocabGrowth _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1245,6 +1345,8 @@ object Text {
     "q_lang_confidence" -> langConfidenceSql,
     "q_token_entropy" -> tokenEntropySql,
     "q_blocklist_scrub" -> blocklistScrubSql,
+    "q_source_kl" -> sourceKlSql,
+    "q_vocab_growth" -> vocabGrowthSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -131,4 +131,30 @@ class SessionsEvalSpec extends GraftSuite {
     val bad = joined.where(abs(col("geomean_price") - col("expected")) > 0.01).count()
     assert(bad == 0)
   }
+
+  test("q_rolling_anomaly: every flag clears 3 trailing sigmas, recomputed in doubles") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val flagged = ops.Sessions.qRollingAnomaly(spark, sf)
+    assert(flagged.where($"n_prev" < 4).count() == 0)
+    assert(flagged.count() > 0, "the sf fixture must produce some anomalies")
+    // recompute the trailing mean/variance in plain double arithmetic and
+    // confirm each flagged event sits strictly outside 3 sigma
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-7, -1)
+    val stats = tables.Tables.events(spark, sf)
+      .where($"event_type" === "purchase")
+      .select($"event_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("x"),
+        $"user_id", $"ts")
+      .select($"event_id", $"x",
+        count($"x").over(w).as("n"),
+        avg($"x".cast("double")).over(w).as("mu"),
+        var_pop($"x".cast("double")).over(w).as("v"))
+    val joined = flagged.join(stats, "event_id")
+    val notOutlier = joined.where(
+      pow($"cents".cast("double") - $"mu", 2) <= lit(9.0) * $"v" + lit(1e-6))
+    assert(notOutlier.count() == 0,
+      "every flagged event must exceed 3 trailing sigmas")
+  }
 }

@@ -191,6 +191,48 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("Layout.zValue interleaves bits exactly; SQL spelling agrees") {
+    import spark.implicits._
+    import graft.sources.Layout
+    // (x=3, y=1, bits=2): x bits land at positions 0/2, y at 1 → z = 7
+    // (x=5, y=6, bits=3): x=101 → 1+16, y=110 → 8+32 → z = 57
+    val df = Seq((3L, 1L), (5L, 6L), (0L, 0L)).toDF("x", "y")
+    val got = df.select(Layout.zValue($"x", $"y", 3).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(7L, 57L, 0L))
+    val viaSql = df.selectExpr(Layout.zValueSql("x", "y", 3) + " AS z")
+      .as[Long].collect().toSeq
+    assert(viaSql == got, "Column and SQL spellings must agree bit-for-bit")
+  }
+
+  test("clusterByZ: a 2-d box touches fewer blocks than a 1-d sorted layout") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey")
+    // per-partition (x, y) envelopes for a given layout
+    def envelopes(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"pid")
+      .agg(min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
+      .collect()
+    // box wide in partkey, narrow in suppkey (sf0.001 keys: p 0–199,
+    // s 0–9) — the case a table sorted only by partkey can't serve
+    val (pLo, pHi, sLo, sHi) = (0L, 199L, 2L, 3L)
+    def touched(env: Array[org.apache.spark.sql.Row]): Int = env.count { r =>
+      r.getAs[Long]("pmax") >= pLo && r.getAs[Long]("pmin") <= pHi &&
+        r.getAs[Long]("smax") >= sLo && r.getAs[Long]("smin") <= sHi
+    }
+    val zLayout = envelopes(Layout.clusterByZ(li, "l_partkey", "l_suppkey",
+      bits = 8, numRanges = 16))
+    val oneDim = envelopes(li.repartitionByRange(16, $"l_partkey"))
+    assert(zLayout.length == 16 && oneDim.length == 16)
+    val (zt, ot) = (touched(zLayout), touched(oneDim))
+    assert(zt < ot,
+      s"z-order must prune better on a 2-d box: z touches $zt, 1-d sort $ot")
+  }
+
   test("Bloom filter: zero false negatives, strong pruning of non-members") {
     import spark.implicits._
     import graft.sources.Bloom

@@ -389,4 +389,26 @@ class TextSpec extends GraftSuite {
     // chars_delta: each redaction replaces a >=5-char term with 1 char
     assert(r.where($"chars_delta" < $"redactions" * 4).count() == 0)
   }
+
+  test("q_source_kl is non-negative (up to micro-rounding) with one row per source") {
+    import spark.implicits._
+    val r = Text.qSourceKl(spark, sf)
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source").distinct().count()
+    assert(r.count() == nSources)
+    // Gibbs: KL >= 0; micro-nat quantization can dip a hair below zero
+    assert(r.where($"kl_nats" < -1e-4).count() == 0)
+  }
+
+  test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
+    import spark.implicits._
+    val r = Text.qVocabGrowth(spark, sf).collect()
+    assert(r.length >= 2, "curve needs multiple checkpoints")
+    val sizes = r.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b },
+      "vocab size must strictly grow at every emitted checkpoint")
+    assert(sizes.last == Text.qBigramCounts(spark, sf).count(),
+      "final checkpoint equals the full distinct-bigram vocabulary")
+    assert(r.map(_.getAs[Long]("new_bigrams")).sum == sizes.last)
+  }
 }
