@@ -243,6 +243,29 @@ class PlanShapeSpec extends GraftSuite {
       s"the skew report reads exactly its key column:\n$skewScan")
   }
 
+  test("q_triangle_count: equi-join wedges, broadcast closure, no cartesian") {
+    val plan = planOf("q_triangle_count")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle wedges/closure must stay on equi-joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the thresholded edge set should broadcast into the closure:\n$plan")
+  }
+
+  test("q_bloom_semijoin: bitmap filter prunes the probe BEFORE the semi-join") {
+    val df = SparkEntry.queries("q_bloom_semijoin")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"exact semi-join must remain:\n$plan")
+    // the membership test (shiftright over the literal bitmap) must sit in
+    // a Filter on the probe side, not after the join
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("shiftright"))
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"bloom filter must be below (after in plan text) the semi-join:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec

@@ -28,13 +28,16 @@ class ScalingSpec extends GraftSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
-  // q_pagerank is deliberately absent: its supplier co-purchase graph is
-  // near-complete on this synthetic data, so the EDGE count grows ~|V|²
-  // with SF by data shape (100 → 1000 suppliers ⇒ ~100× edges at 10×
-  // rows) — a slope gate would measure the generator, not the plan.
+  // q_pagerank and q_triangle_count are deliberately absent: the supplier
+  // co-purchase graph is near-complete on this synthetic data, so the
+  // EDGE count grows ~|V|² with SF by data shape (100 → 1000 suppliers ⇒
+  // ~100× edges at 10× rows; the sf0.01 graph is complete and has MORE
+  // triangles than sf0.1's thresholded one) — a slope gate would measure
+  // the generator, not the plan.
   Seq("q_dedup_shingle_jaccard", "q_dedup_minhash", "q_ann_ivf",
       "q_embed_neardup", "q_image_fisher_vector", "q_shingle_cosine",
-      "q_bm25").foreach { name =>
+      "q_bm25", "q_token_entropy", "q_rolling_anomaly",
+      "q_bloom_semijoin").foreach { name =>
     test(s"$name: 10x data costs < ${MaxSlope.toInt}x wall time") {
       time(name, sfSmall) // warm-up: codegen + JIT out of both timings
       val tSmall = math.max(time(name, sfSmall), FloorSec)
