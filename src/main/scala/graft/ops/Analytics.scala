@@ -1300,7 +1300,86 @@ object Analytics {
       |FROM w JOIN p ON w.b = p.x AND w.c = p.y
       |GROUP BY 1 ORDER BY suppkey""".stripMargin
 
+  /** Community detection by synchronous label propagation on the
+    * thresholded co-purchase graph ([[qTriangleCount]]'s edge set): two
+    * fixed iterations of "adopt the most frequent neighbor label, ties to
+    * the smallest" — the deterministic spelling of LPA (vanilla LPA's
+    * random tie-breaks make it irreproducible; (count DESC, label ASC) is
+    * a total order, so any engine agrees).
+    *
+    * Scale shape: per iteration, one src-keyed broadcast join of the
+    * node-cardinality label table into the checkpointed edges, one
+    * (dst, label) aggregation, and one dst-partitioned top-1 window
+    * (partition size = a node's degree). Iteration count is a fixed
+    * constant. Nodes outside the thresholded graph keep their own id as a
+    * singleton community. */
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .groupBy($"e.x".as("x"), $"e.y".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= 6)
+    val edges = pairs
+      .select(explode(array(
+        struct($"x".as("src"), $"y".as("dst")),
+        struct($"y".as("src"), $"x".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
+      .localCheckpoint(true)
+    val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
+    val wTop = Window.partitionBy($"dst").orderBy($"cnt".desc, $"label")
+    var labels = nodes.select($"node", $"node".as("label"))
+    for (_ <- 1 to 2) {
+      val adopted = edges
+        .join(broadcast(labels), edges("src") === labels("node"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop))
+        .where($"rn" === 1)
+        .select($"dst", $"label".as("new_label"))
+      labels = nodes
+        .join(broadcast(adopted), nodes("node") === adopted("dst"), "left")
+        .select($"node", coalesce($"new_label", $"node").as("label"))
+    }
+    labels.select($"node".as("suppkey"), $"label".as("community"))
+      .orderBy($"suppkey")
+  }
+
+  val labelPropSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 6),
+      |e AS (SELECT x AS src, y AS dst FROM p
+      |      UNION ALL SELECT y AS src, x AS dst FROM p),
+      |n AS (SELECT s_suppkey AS node FROM supplier),
+      |l0 AS (SELECT node, node AS label FROM n),
+      |c1 AS (
+      |  SELECT e.dst, l0.label, count(*) AS cnt
+      |  FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT dst, label AS new_label FROM c1
+      |  QUALIFY row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1),
+      |l1 AS (
+      |  SELECT n.node, coalesce(a1.new_label, n.node) AS label
+      |  FROM n LEFT JOIN a1 ON a1.dst = n.node),
+      |c2 AS (
+      |  SELECT e.dst, l1.label, count(*) AS cnt
+      |  FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT dst, label AS new_label FROM c2
+      |  QUALIFY row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1),
+      |l2 AS (
+      |  SELECT n.node, coalesce(a2.new_label, n.node) AS label
+      |  FROM n LEFT JOIN a2 ON a2.dst = n.node)
+      |SELECT node AS suppkey, label AS community
+      |FROM l2 ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> (qLabelProp _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
@@ -1336,6 +1415,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
+    "q_label_prop" -> labelPropSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

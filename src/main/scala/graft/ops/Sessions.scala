@@ -332,7 +332,68 @@ object Sessions {
       |WHERE n >= 4 AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
       |ORDER BY event_id""".stripMargin
 
+  /** RFM segmentation: recency / frequency / monetary banding of the
+    * purchase population — the classic behavioral-cohort cube. Bands are
+    * fixed integer thresholds (not ntile), so no corpus-wide window is
+    * needed and the result is partitioning-independent: recency vs the
+    * corpus's last purchase date (≤2 d → 3, ≤7 d → 2, else 1), frequency
+    * (≥16 → 3, ≥10 → 2, else 1), monetary exact cents (≥80 000 → 3,
+    * ≥40 000 → 2, else 1).
+    *
+    * Scale shape: one user-keyed aggregation, one broadcast of the 1-row
+    * corpus max date, one band-keyed rollup — 27 output cells max. */
+  def qRfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+    val refDay = purchases.agg(max(to_date($"ts")).as("ref_day"))
+    purchases
+      .groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("n_purchases"),
+        sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .crossJoin(broadcast(refDay))
+      .select(
+        when(datediff($"ref_day", $"last_day") <= 2, 3)
+          .when(datediff($"ref_day", $"last_day") <= 7, 2).otherwise(1)
+          .as("r_band"),
+        when($"n_purchases" >= 16, 3).when($"n_purchases" >= 10, 2)
+          .otherwise(1).as("f_band"),
+        when($"cents" >= 80000L, 3).when($"cents" >= 40000L, 2)
+          .otherwise(1).as("m_band"),
+        $"cents")
+      .groupBy($"r_band", $"f_band", $"m_band")
+      .agg(count(lit(1)).as("n_users"), sum($"cents").as("sum_cents"))
+      .orderBy($"r_band", $"f_band", $"m_band")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT max(day) AS ref_day FROM p),
+      |u AS (
+      |  SELECT user_id, max(day) AS last_day, count(*) AS n_purchases,
+      |    CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM p GROUP BY 1),
+      |b AS (
+      |  SELECT
+      |    CASE WHEN date_diff('day', last_day, ref_day) <= 2 THEN 3
+      |         WHEN date_diff('day', last_day, ref_day) <= 7 THEN 2
+      |         ELSE 1 END AS r_band,
+      |    CASE WHEN n_purchases >= 16 THEN 3 WHEN n_purchases >= 10 THEN 2
+      |         ELSE 1 END AS f_band,
+      |    CASE WHEN cents >= 80000 THEN 3 WHEN cents >= 40000 THEN 2
+      |         ELSE 1 END AS m_band,
+      |    cents
+      |  FROM u, r)
+      |SELECT r_band, f_band, m_band, count(*) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM b GROUP BY 1, 2, 3 ORDER BY r_band, f_band, m_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_gap_fill" -> (qGapFill _),
     "q_activity_streaks" -> (qActivityStreaks _),
@@ -343,6 +404,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segments" -> rfmSegmentsSql,
     "q_rolling_anomaly" -> rollingAnomalySql,
     "q_gap_fill" -> gapFillSql,
     "q_activity_streaks" -> activityStreaksSql,

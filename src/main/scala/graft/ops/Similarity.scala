@@ -98,7 +98,10 @@ object Similarity {
     * This is the unsorted pair core shared by [[qDedupShingleJaccard]]
     * (which adds the presentation sort) and the cluster/curation
     * consumers (which would only throw a global sort away). */
-  private[graft] def shingleJaccardPairs(spark: SparkSession,
+  /** Unfiltered per-pair shingle-overlap stats (doc_a, doc_b, n_inter,
+    * n_a, n_b) — the shared core behind the Jaccard near-dup and the
+    * directional containment detector. */
+  private[graft] def shinglePairStats(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val lists = Tables.documents(spark, sfDir)
@@ -118,6 +121,12 @@ object Similarity {
       .select($"a".as("doc_a"), $"b".as("doc_b"), $"c".as("n_inter"))
       .join(sizes.select($"doc".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
       .join(sizes.select($"doc".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+  }
+
+  private[graft] def shingleJaccardPairs(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    shinglePairStats(spark, sfDir)
       .withColumn("jaccard",
         $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
       .where($"jaccard" >= 0.8)
@@ -154,6 +163,62 @@ object Similarity {
       |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Directional shingle containment (|A∩B| / |A| ≥ 0.9): the
+    * quote/subset detector — a short doc wholly embedded in a longer one
+    * has LOW Jaccard (the union is dominated by the long doc) but HIGH
+    * containment, so the near-dup query above structurally cannot find
+    * it. Emits one row per qualifying direction: `doc_sub` is ≥ 90%
+    * contained in `doc_super` (near-identical docs legitimately emit both
+    * directions).
+    *
+    * Scale shape: identical to the Jaccard path — same single
+    * df-capped posting-list aggregation, same compiled pair kernel; the
+    * only change is the final per-direction ratio, so everything proven
+    * about [[shinglePairStats]] at 100 TB carries over. */
+  def qShingleContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shinglePairStats(spark, sfDir)
+      .select(explode(array(
+        struct($"doc_a".as("doc_sub"), $"doc_b".as("doc_super"),
+          $"n_inter", $"n_a".as("n_sub")),
+        struct($"doc_b".as("doc_sub"), $"doc_a".as("doc_super"),
+          $"n_inter", $"n_b".as("n_sub")))).as("d"))
+      .select($"d.doc_sub", $"d.doc_super",
+        ($"d.n_inter".cast("double") / $"d.n_sub").as("containment"))
+      .where($"containment" >= 0.9)
+      .select($"doc_sub", $"doc_super", round($"containment", 4).as("containment"))
+      .orderBy($"doc_sub", $"doc_super")
+  }
+
+  val shingleContainmentSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+      |s AS (
+      |  SELECT s0.* FROM s0
+      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_a, doc_b, n_inter, x.n_sh AS n_a, y.n_sh AS n_b
+      |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id),
+      |d AS (
+      |  SELECT doc_a AS doc_sub, doc_b AS doc_super,
+      |    CAST(n_inter AS DOUBLE) / n_a AS containment FROM st
+      |  UNION ALL
+      |  SELECT doc_b AS doc_sub, doc_a AS doc_super,
+      |    CAST(n_inter AS DOUBLE) / n_b AS containment FROM st)
+      |SELECT doc_sub, doc_super, round(containment, 4) AS containment
+      |FROM d WHERE containment >= 0.9
+      |ORDER BY doc_sub, doc_super""".stripMargin
 
   /** MinHash-LSH geometry for the oracle-gated banded near-dup: 16 hashes
     * banded 4 × 4, buckets capped at [[MinhashMaxBucket]] docs. The hash
@@ -1079,6 +1144,7 @@ object Similarity {
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
+    "q_shingle_containment" -> (qShingleContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1099,6 +1165,7 @@ object Similarity {
     "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
+    "q_shingle_containment" -> shingleContainmentSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,
     "q_dedup_simhash" -> dedupSimhashSql,

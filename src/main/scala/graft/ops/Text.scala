@@ -1089,6 +1089,34 @@ object Text {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
        |FROM b ORDER BY prefix_pct""".stripMargin
 
+  /** Deterministic hash sampling: the stable ~10% corpus sample every
+    * pipeline needs for eval splits and quick iteration — membership
+    * depends only on the doc_id's md5 digest, so the same doc lands in
+    * the same split on any engine, any partitioning, any day. Emits
+    * per-language accounting so sampling skew is visible.
+    *
+    * Scale shape: embarrassingly parallel predicate + one tiny
+    * aggregation; no shuffle carries text. */
+  def qHashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10 === 0
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate", round($"n_sampled".cast("double") / $"n_docs", 4))
+      .orderBy($"lang")
+  }
+
+  val hashSampleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  round(CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1316,6 +1344,7 @@ object Text {
     "q_blocklist_scrub" -> (qBlocklistScrub _),
     "q_source_kl" -> (qSourceKl _),
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_hash_sample" -> (qHashSample _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1347,6 +1376,7 @@ object Text {
     "q_blocklist_scrub" -> blocklistScrubSql,
     "q_source_kl" -> sourceKlSql,
     "q_vocab_growth" -> vocabGrowthSql,
+    "q_hash_sample" -> hashSampleSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -268,4 +268,19 @@ class AnalyticsSpec extends GraftSuite {
     assert(total == naive, s"oriented count $total != naive $naive")
     assert(got.where($"triangles" <= 0).count() == 0)
   }
+
+  test("q_label_prop: total cover, labels are node ids, communities form") {
+    import spark.implicits._
+    val r = Analytics.qLabelProp(spark, sf)
+    val nodes = spark.read.parquet(s"$sf/supplier.parquet")
+      .select($"s_suppkey".as("community"))
+    assert(r.count() == nodes.count(), "every supplier gets a label")
+    // every community label is an existing node id
+    assert(r.join(nodes, Seq("community"), "left_anti").count() == 0)
+    // the thresholded graph has edges at this sf — propagation must have
+    // merged some nodes into shared communities
+    val distinctCommunities = r.select($"community").distinct().count()
+    assert(distinctCommunities < nodes.count(),
+      "at least one multi-node community must form")
+  }
 }

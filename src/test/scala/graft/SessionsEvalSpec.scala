@@ -157,4 +157,20 @@ class SessionsEvalSpec extends GraftSuite {
     assert(notOutlier.count() == 0,
       "every flagged event must exceed 3 trailing sigmas")
   }
+
+  test("q_rfm_segments: cells partition the purchase population exactly") {
+    import spark.implicits._
+    val r = ops.Sessions.qRfmSegments(spark, sf)
+    assert(r.where($"r_band" < 1 || $"r_band" > 3 || $"f_band" < 1 ||
+      $"f_band" > 3 || $"m_band" < 1 || $"m_band" > 3).count() == 0)
+    val p = tables.Tables.events(spark, sf)
+      .where($"event_type" === "purchase")
+    val users = p.select($"user_id").distinct().count()
+    assert(r.agg(sum($"n_users")).head.getLong(0) == users,
+      "every purchasing user lands in exactly one RFM cell")
+    val cents = p.agg(
+      sum(($"value".cast("decimal(18,2)") * 100).cast("long"))).head.getLong(0)
+    assert(r.agg(sum($"sum_cents")).head.getLong(0) == cents,
+      "cell monetary totals must cover all purchase cents")
+  }
 }

@@ -296,4 +296,30 @@ class SimilaritySpec extends GraftSuite {
     assert(jac.subsetOf(cosPairs),
       s"jaccard pairs missing from cosine: ${jac -- cosPairs}")
   }
+
+  test("q_shingle_containment: directions match the pair stats exactly") {
+    import spark.implicits._
+    val r = Similarity.qShingleContainment(spark, sf)
+    assert(r.count() > 0, "fixture corpus contains containment pairs")
+    assert(r.where($"containment" < 0.9 || $"containment" > 1.0).count() == 0)
+    val got = r.select($"doc_sub", $"doc_super").as[(Long, Long)].collect().toSet
+    // independent direction-by-direction expansion of the shared pair
+    // stats: the query's explode/role assignment must reproduce it exactly
+    val expected = Similarity.shinglePairStats(spark, sf)
+      .select($"doc_a", $"doc_b", $"n_inter", $"n_a", $"n_b")
+      .collect().flatMap { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (inter, na, nb) =
+          (row.getLong(2).toDouble, row.getLong(3), row.getLong(4))
+        Seq.concat(
+          if (inter / na >= 0.9) Some((a, b)) else None,
+          if (inter / nb >= 0.9) Some((b, a)) else None)
+      }.toSet
+    assert(got == expected,
+      s"direction sets differ: missing=${expected -- got} extra=${got -- expected}")
+    // a high-jaccard pair with comparable sizes is contained both ways —
+    // near-identical docs must appear twice
+    val both = got.filter { case (a, b) => got.contains((b, a)) }
+    assert(both.nonEmpty, "near-identical docs must emit both directions")
+  }
 }

@@ -411,4 +411,20 @@ class TextSpec extends GraftSuite {
       "final checkpoint equals the full distinct-bigram vocabulary")
     assert(r.map(_.getAs[Long]("new_bigrams")).sum == sizes.last)
   }
+
+  test("q_hash_sample: ~10% rate, recount matches the digest predicate") {
+    import spark.implicits._
+    val r = Text.qHashSample(spark, sf)
+    assert(r.where($"n_sampled" > $"n_docs").count() == 0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val sampled = r.agg(sum($"n_sampled")).head.getLong(0)
+    // binomial(500, 0.1): far outside [0.04, 0.18] would flag digest drift
+    val rate = sampled.toDouble / total
+    assert(rate > 0.04 && rate < 0.18, s"sample rate $rate off 10%")
+    val direct = docs.where(
+      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10 === 0).count()
+    assert(sampled == direct)
+  }
 }
