@@ -1378,7 +1378,63 @@ object Analytics {
       |SELECT node AS suppkey, label AS community
       |FROM l2 ORDER BY suppkey""".stripMargin
 
+  /** Market-basket affinity: lift = P(a,b) / (P(a)·P(b)) for every brand
+    * pair over the order baskets — association mining at the brand grain,
+    * where the pair space is dimension-bounded (≤ brands², never
+    * rows²).
+    *
+    * Determinism: lift = (c_ab·N) / (c_a·c_b) is ONE double division of
+    * two exact BIGINT products (counts ≤ |orders|, brands ≤ 25 → products
+    * < 2^52), rounded to 6 dp. Scale shape: brands ride a broadcast dim
+    * join onto the fact table; the basket self-join keys on l_orderkey
+    * with per-order fan-out bounded by the brand count; per-brand counts
+    * and the 1-row order total are broadcast back onto the
+    * dimension-bounded pair relation. */
+  def qPartAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+      .distinct()
+    val pairCounts = ob.as("a")
+      .join(ob.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val brandCounts = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
+    val total = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
+    pairCounts
+      .join(broadcast(brandCounts)
+        .withColumnsRenamed(Map("p_brand" -> "brand_a", "c" -> "c_a")), "brand_a")
+      .join(broadcast(brandCounts)
+        .withColumnsRenamed(Map("p_brand" -> "brand_b", "c" -> "c_b")), "brand_b")
+      .crossJoin(broadcast(total))
+      .select($"brand_a", $"brand_b", $"c_ab",
+        round(($"c_ab" * $"n_orders").cast("double")
+          / ($"c_a" * $"c_b").cast("double"), 6).as("lift"))
+      .orderBy($"lift".desc, $"brand_a", $"brand_b")
+  }
+
+  val partAffinitySql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pc AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS c_ab
+      |  FROM ob a JOIN ob b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2),
+      |bc AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
+      |SELECT brand_a, brand_b, c_ab,
+      |  round(CAST(c_ab * n_orders AS DOUBLE) / CAST(x.c * y.c AS DOUBLE), 6) AS lift
+      |FROM pc JOIN bc x ON brand_a = x.p_brand
+      |        JOIN bc y ON brand_b = y.p_brand, n
+      |ORDER BY lift DESC, brand_a, brand_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_pagerank" -> (qPagerank _),
@@ -1416,6 +1472,7 @@ object Analytics {
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,
+    "q_part_affinity" -> partAffinitySql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

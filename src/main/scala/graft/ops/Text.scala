@@ -1117,6 +1117,119 @@ object Text {
       |    AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Curation-funnel accounting: how many documents survive each
+    * successive quality gate — the observability table every filtering
+    * pipeline publishes before a training run. Stages (cumulative ANDs):
+    * all → length band [100, 450] chars → ≥ 30 tokens → type-token
+    * diversity ≥ 0.45 → exact-dup survivor (min-doc_id keep rule, same as
+    * [[graft.ops.Similarity.qDedupExact]]).
+    *
+    * Determinism: every gate is integer arithmetic (the diversity test is
+    * cleared of division: 100·distinct ≥ 45·total). Scale shape: one pass
+    * computes all flags; the dup-keep flag rides a text-hash-partitioned
+    * MIN window (partition = a duplicate group); the funnel itself is one
+    * 5-condition aggregation unpivoted to stage rows. */
+  def qQualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wDup = Window.partitionBy($"h")
+    val flags = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars", md5($"text").as("h"),
+        size(toks($"text")).as("nt"),
+        size(array_distinct(toks($"text"))).as("nd"))
+      .withColumn("keep", $"doc_id" === min($"doc_id").over(wDup))
+      .select(
+        ($"n_chars" >= 100 && $"n_chars" <= 450).as("f_len"),
+        ($"nt" >= 30).as("f_tok"),
+        ($"nd" * 100 >= $"nt" * 45).as("f_ttr"),
+        $"keep".as("f_dup"))
+    val agg = flags.agg(
+      count(lit(1)).as("s1"),
+      sum(when($"f_len", 1L).otherwise(0L)).as("s2"),
+      sum(when($"f_len" && $"f_tok", 1L).otherwise(0L)).as("s3"),
+      sum(when($"f_len" && $"f_tok" && $"f_ttr", 1L).otherwise(0L)).as("s4"),
+      sum(when($"f_len" && $"f_tok" && $"f_ttr" && $"f_dup", 1L).otherwise(0L))
+        .as("s5"))
+    agg.select(explode(array(
+        struct(lit("1_all").as("stage"), $"s1".as("n_surviving")),
+        struct(lit("2_length").as("stage"), $"s2".as("n_surviving")),
+        struct(lit("3_tokens").as("stage"), $"s3".as("n_surviving")),
+        struct(lit("4_diversity").as("stage"), $"s4".as("n_surviving")),
+        struct(lit("5_unique").as("stage"), $"s5".as("n_surviving")))).as("r"))
+      .select($"r.stage", $"r.n_surviving")
+      .orderBy($"stage")
+  }
+
+  val qualityFunnelSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, md5(text) AS h,
+       |    len($duckToks) AS nt,
+       |    len(list_distinct($duckToks)) AS nd
+       |  FROM documents),
+       |k AS (
+       |  SELECT d.*, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep
+       |  FROM d),
+       |f AS (
+       |  SELECT n_chars BETWEEN 100 AND 450 AS f_len, nt >= 30 AS f_tok,
+       |    nd * 100 >= nt * 45 AS f_ttr, keep AS f_dup
+       |  FROM k),
+       |a AS (
+       |  SELECT count(*) AS s1,
+       |    CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN f_len AND f_tok THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(sum(CASE WHEN f_len AND f_tok AND f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+       |    CAST(sum(CASE WHEN f_len AND f_tok AND f_ttr AND f_dup THEN 1 ELSE 0 END) AS BIGINT) AS s5
+       |  FROM f)
+       |SELECT '1_all' AS stage, s1 AS n_surviving FROM a
+       |UNION ALL SELECT '2_length', s2 FROM a
+       |UNION ALL SELECT '3_tokens', s3 FROM a
+       |UNION ALL SELECT '4_diversity', s4 FROM a
+       |UNION ALL SELECT '5_unique', s5 FROM a
+       |ORDER BY stage""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * bigrams it introduced to the corpus (first_doc == doc_id in the
+    * ingestion order) — high-novelty docs genuinely grow the model's
+    * phrase inventory; near-zero novelty marks recycled text. The
+    * doc-granular companion of [[qVocabGrowth]].
+    *
+    * Scale shape: per-doc-distinct bigram explode, one bigram-keyed MIN
+    * aggregation joined back on the bigram key (groupBy+join, not a
+    * posting-list window — a boilerplate bigram's posting list can be
+    * corpus-sized and would skew a window partition), then a doc-keyed
+    * aggregation. Docs with < 2 tokens have no bigrams and no row. */
+  def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bigrams = when(size($"t") >= 2,
+      transform(sequence(lit(1), size($"t") - 1),
+        i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docBg = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", explode(bigrams).as("bg"))
+      .distinct()
+    val first = docBg.groupBy($"bg").agg(min($"doc_id").as("first_doc"))
+    docBg.join(first, "bg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty",
+        round($"n_new".cast("double") / $"n_bigrams", 4))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |f AS (SELECT bg, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS novelty
+       |FROM g JOIN f USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1345,6 +1458,8 @@ object Text {
     "q_source_kl" -> (qSourceKl _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_hash_sample" -> (qHashSample _),
+    "q_quality_funnel" -> (qQualityFunnel _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1377,6 +1492,8 @@ object Text {
     "q_source_kl" -> sourceKlSql,
     "q_vocab_growth" -> vocabGrowthSql,
     "q_hash_sample" -> hashSampleSql,
+    "q_quality_funnel" -> qualityFunnelSql,
+    "q_ngram_novelty" -> ngramNoveltySql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

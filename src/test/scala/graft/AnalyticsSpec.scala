@@ -283,4 +283,22 @@ class AnalyticsSpec extends GraftSuite {
     assert(distinctCommunities < nodes.count(),
       "at least one multi-node community must form")
   }
+
+  test("q_part_affinity: symmetric-support lift reconciles with raw counts") {
+    import spark.implicits._
+    val r = Analytics.qPartAffinity(spark, sf)
+    assert(r.count() > 0)
+    assert(r.where($"lift" <= 0).count() == 0)
+    // spot-reconcile one pair against directly-computed basket counts
+    val row = r.orderBy($"brand_a", $"brand_b").head()
+    val (ba, bb) = (row.getAs[String]("brand_a"), row.getAs[String]("brand_b"))
+    val ob = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val cab = ob.where($"p_brand" === ba).select($"l_orderkey")
+      .intersect(ob.where($"p_brand" === bb).select($"l_orderkey")).count()
+    assert(row.getAs[Long]("c_ab") == cab,
+      s"pair count for ($ba, $bb): got ${row.getAs[Long]("c_ab")}, expected $cab")
+  }
 }

@@ -427,4 +427,29 @@ class TextSpec extends GraftSuite {
         .cast("long") % 10 === 0).count()
     assert(sampled == direct)
   }
+
+  test("q_quality_funnel: stages monotone non-increasing from the full corpus") {
+    import spark.implicits._
+    val r = Text.qQualityFunnel(spark, sf).collect()
+    assert(r.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_all", "2_length", "3_tokens", "4_diversity", "5_unique"))
+    val counts = r.map(_.getAs[Long]("n_surviving"))
+    assert(counts.head == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel must shrink monotonically: ${counts.mkString(",")}")
+    assert(counts.last > 0, "some documents survive the whole funnel")
+    assert(counts.last < counts.head, "the funnel must actually filter")
+  }
+
+  test("q_ngram_novelty: first doc is fully novel, fractions consistent") {
+    import spark.implicits._
+    val r = Text.qNgramNovelty(spark, sf)
+    assert(r.where($"n_new" > $"n_bigrams").count() == 0)
+    // the earliest doc with bigrams introduces everything it contains
+    val first = r.orderBy($"doc_id").limit(1).head()
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_bigrams"))
+    // total novelty mass equals the distinct bigram vocabulary
+    assert(r.agg(sum($"n_new")).head.getLong(0) ==
+      Text.qBigramCounts(spark, sf).count())
+  }
 }
