@@ -392,7 +392,47 @@ object Sessions {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM b GROUP BY 1, 2, 3 ORDER BY r_band, f_band, m_band""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event stream:
+    * counts and row-normalized probabilities of (prev_type → next_type) —
+    * the session-modeling staple behind next-action prediction and
+    * funnel-shape drift alerts.
+    *
+    * Determinism: transitions are integer counts; each probability is one
+    * double division rounded to 6 dp. Scale shape: the lag rides a
+    * user-partitioned window (partition = a user's history); the
+    * transition relation is types²-bounded, so its row-total window is
+    * constant-sized. */
+  def qEventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wPrev = Window.partitionBy($"prev_type")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(wUser))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("prob",
+        round($"c".cast("double") / sum($"c").over(wPrev), 6))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS c
+      |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, c,
+      |  round(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY prev_type), 6)
+      |    AS prob
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qEventTransitions _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_gap_fill" -> (qGapFill _),
@@ -404,6 +444,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" -> eventTransitionsSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_rolling_anomaly" -> rollingAnomalySql,
     "q_gap_fill" -> gapFillSql,

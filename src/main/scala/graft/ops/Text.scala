@@ -1230,6 +1230,66 @@ object Text {
        |FROM g JOIN f USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Most language-indicative tokens by pointwise mutual information:
+    * PMI(t, l) = ln(c_tl·C / (c_t·c_l)) over token occurrences, top-5 per
+    * language (support ≥ 5) — the classic feature-selection signal behind
+    * dictionary-based language ID.
+    *
+    * Determinism: the PMI argument is a ratio of two exact BIGINT
+    * products (≤ corpus-token-count², far below 2^53 so the doubles are
+    * exact), one libm `ln` on identical bits, quantized to micro-nats;
+    * ranking orders by the INTEGER micro value with a token tie-break, so
+    * the top-5 cut is total-ordered on any engine. Scale shape: one
+    * (token, lang) aggregation; token and language totals are broadcast;
+    * the rank window partitions by language over the vocab-sized
+    * relation. */
+  def qLangPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tl = Tables.documents(spark, sfDir)
+      .select($"lang", explode(toks($"text")).as("tok"))
+      .groupBy($"tok", $"lang").agg(count(lit(1)).as("c_tl"))
+    val byTok = tl.groupBy($"tok").agg(sum($"c_tl").as("c_t"))
+    val byLang = tl.groupBy($"lang").agg(sum($"c_tl").as("c_l"))
+    val total = tl.agg(sum($"c_tl").as("ct"))
+    val wRank = Window.partitionBy($"lang")
+      .orderBy($"pmi_micro".desc, $"tok")
+    tl.where($"c_tl" >= 5)
+      .join(broadcast(byTok), "tok")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .select($"lang", $"tok", $"c_tl",
+        round(log(($"c_tl" * $"ct").cast("double")
+          / ($"c_t" * $"c_l").cast("double")) * 1e6).cast("long")
+          .as("pmi_micro"))
+      .withColumn("rank", row_number().over(wRank))
+      .where($"rank" <= 5)
+      .select($"lang", $"rank", $"tok", $"c_tl",
+        ($"pmi_micro".cast("double") / 1e6).as("pmi_nats"))
+      .orderBy($"lang", $"rank")
+  }
+
+  val langPmiSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, unnest($duckToks) AS tok FROM documents),
+       |tl AS (SELECT tok, lang, count(*) AS c_tl FROM t GROUP BY 1, 2),
+       |tt AS (SELECT tok, CAST(sum(c_tl) AS BIGINT) AS c_t FROM tl GROUP BY 1),
+       |ll AS (SELECT lang, CAST(sum(c_tl) AS BIGINT) AS c_l FROM tl GROUP BY 1),
+       |n AS (SELECT CAST(sum(c_tl) AS BIGINT) AS ct FROM tl),
+       |p AS (
+       |  SELECT tl.lang, tl.tok, c_tl,
+       |    CAST(round(ln(CAST(c_tl * ct AS DOUBLE) / CAST(c_t * c_l AS DOUBLE))
+       |      * 1e6) AS BIGINT) AS pmi_micro
+       |  FROM tl JOIN tt USING (tok) JOIN ll USING (lang), n
+       |  WHERE c_tl >= 5),
+       |r AS (
+       |  SELECT lang, tok, c_tl, pmi_micro,
+       |    row_number() OVER (PARTITION BY lang ORDER BY pmi_micro DESC, tok)
+       |      AS rank
+       |  FROM p)
+       |SELECT lang, rank, tok, c_tl,
+       |  CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi_nats
+       |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1460,6 +1520,7 @@ object Text {
     "q_hash_sample" -> (qHashSample _),
     "q_quality_funnel" -> (qQualityFunnel _),
     "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_lang_pmi" -> (qLangPmi _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1494,6 +1555,7 @@ object Text {
     "q_hash_sample" -> hashSampleSql,
     "q_quality_funnel" -> qualityFunnelSql,
     "q_ngram_novelty" -> ngramNoveltySql,
+    "q_lang_pmi" -> langPmiSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -173,4 +173,17 @@ class SessionsEvalSpec extends GraftSuite {
     assert(r.agg(sum($"sum_cents")).head.getLong(0) == cents,
       "cell monetary totals must cover all purchase cents")
   }
+
+  test("q_event_transitions: rows sum to 1, transitions cover all events minus firsts") {
+    import spark.implicits._
+    val r = ops.Sessions.qEventTransitions(spark, sf)
+    // each prev_type's probabilities sum to ~1 (6 dp rounding slack)
+    val rowSums = r.groupBy($"prev_type").agg(sum($"prob").as("p")).collect()
+    rowSums.foreach(row => assert(math.abs(row.getAs[Double]("p") - 1.0) < 1e-4,
+      s"row ${row.getString(0)} sums to ${row.getAs[Double]("p")}"))
+    // transition count = events - one unlagged first event per user
+    val ev = tables.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(r.agg(sum($"c")).head.getLong(0) == expected)
+  }
 }

@@ -452,4 +452,19 @@ class TextSpec extends GraftSuite {
     assert(r.agg(sum($"n_new")).head.getLong(0) ==
       Text.qBigramCounts(spark, sf).count())
   }
+
+  test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
+    import spark.implicits._
+    val r = Text.qLangPmi(spark, sf).collect()
+    val byLang = r.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 5, s"$lang has ${rows.length} rows")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length), s"$lang ranks not contiguous")
+      val pmis = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("pmi_nats"))
+      assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+        s"$lang PMI not descending: ${pmis.mkString(",")}")
+    }
+    assert(r.forall(_.getAs[Long]("c_tl") >= 5), "support floor")
+  }
 }
