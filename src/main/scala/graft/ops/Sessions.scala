@@ -431,7 +431,51 @@ object Sessions {
       |    AS prob
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Volume-burst detection: hourly event-type buckets whose count
+    * exceeds 2× the mean of the 24 PRECEDING observed buckets — the
+    * traffic-spike counterpart of [[qRollingAnomaly]]'s value spikes.
+    *
+    * Determinism: the 2× test is division-free (c·n > 2·s over exact
+    * BIGINTs); the trailing frame is ROWS-based (24 preceding OBSERVED
+    * buckets — engine-identical whatever the gaps). Scale shape: one
+    * (type, hour) aggregation, then a type-partitioned window whose
+    * partition is a type's hourly history — never the corpus. */
+  def qVolumeBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+      .rowsBetween(-24, -1)
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        (unix_timestamp($"ts") / 3600).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .select($"event_type", $"hr", $"c",
+        count($"c").over(w).as("n_prev"),
+        sum($"c").over(w).as("s"))
+      .where($"n_prev" >= 12 && $"c" * $"n_prev" > lit(2L) * $"s")
+      .select($"event_type", ($"hr" * 3600).as("hour_start"), $"c",
+        $"n_prev", $"s".as("trailing_sum"))
+      .orderBy($"event_type", $"hour_start")
+  }
+
+  val volumeBurstsSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hr, c,
+      |    count(c) OVER win AS n_prev,
+      |    CAST(sum(c) OVER win AS BIGINT) AS s
+      |  FROM b
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hr
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hr * 3600 AS hour_start, c, n_prev,
+      |  s AS trailing_sum
+      |FROM w WHERE n_prev >= 12 AND c * n_prev > 2 * s
+      |ORDER BY event_type, hour_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_volume_bursts" -> (qVolumeBursts _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
@@ -444,6 +488,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_volume_bursts" -> volumeBurstsSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_rolling_anomaly" -> rollingAnomalySql,

@@ -263,7 +263,12 @@ object Similarity {
     * riding that shuffle would inflate it by the corpus's token volume,
     * so the verify step re-reads the digest relation and lets the
     * (candidate-bounded) pair set broadcast against it instead. */
-  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The banded-MinHash core shared by the gated near-dup and the LSH
+    * quality audit: returns (digests, candidates) — the single distinct
+    * (doc_id, h) relation every consumer hangs off, and the pre-verify
+    * candidate pairs with their band counts. */
+  private[graft] def minhashCore(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val P = MinhashP
     // One explode+digest pass, de-dupped immediately: every downstream
@@ -298,6 +303,12 @@ object Similarity {
       .select(explode(call_function("graft_pairs", $"ds", lit(false))).as("e"))
       .groupBy($"e.x".as("doc_a"), $"e.y".as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+    (hd, cand)
+  }
+
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (hd, cand) = minhashCore(spark, sfDir)
     // Verify: join back onto the same distinct digest relation (oracle
     // `inter` CTE spelling).
     val sz = hd.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -349,6 +360,67 @@ object Similarity {
       |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
       |WHERE CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The minhash candidate CTE chain (through pre-verify pairs) as SQL —
+    * shared by [[lshQualitySql]]. */
+  private val minhashCandSql: String =
+    s"""SELECT doc_a, doc_b FROM (
+      |WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) % $MinhashP AS h
+      |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+      |sig AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+      |    min((h * ((2654435761 * j) % $MinhashP + 1) + (40503 * j + 1)) % $MinhashP) AS s
+      |  FROM sh0, UNNEST(range(0, $MinhashHashes)) u(j) GROUP BY 1, 2),
+      |band AS (
+      |  SELECT doc_id, j // 4 AS band,
+      |    CAST('0x' || substr(md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY j)), 1, 15) AS BIGINT) AS bucket
+      |  FROM sig GROUP BY doc_id, j // 4),
+      |sized AS (
+      |  SELECT band, bucket FROM band GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $MinhashMaxBucket)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM band a JOIN sized USING (band, bucket)
+      |JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2)""".stripMargin
+
+  /** LSH quality audit: precision/recall of the banded-MinHash CANDIDATE
+    * set against the exact shingle-Jaccard ≥ 0.8 truth set — the one-row
+    * dashboard number that says whether the sketch's banding geometry
+    * (16 hashes × 4 bands) is tuned for the corpus, published alongside
+    * every production dedup run.
+    *
+    * Scale shape: both pair sets are the already-proven near-dup plans;
+    * the audit adds one pair-keyed join and three 1-row aggregates. */
+  def qLshQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cand = minhashCore(spark, sfDir)._2.select($"doc_a", $"doc_b")
+    val truth = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select($"n_candidates", $"n_truth", $"n_hits",
+        round($"n_hits".cast("double") / $"n_candidates", 6).as("precision"),
+        round($"n_hits".cast("double") / $"n_truth", 6).as("recall"))
+  }
+
+  val lshQualitySql: String =
+    s"""WITH c AS ($minhashCandSql),
+      |tr AS (SELECT doc_a, doc_b FROM ($dedupShingleJaccardSql)),
+      |h AS (SELECT c.doc_a, c.doc_b FROM c JOIN tr USING (doc_a, doc_b))
+      |SELECT
+      |  (SELECT count(*) FROM c) AS n_candidates,
+      |  (SELECT count(*) FROM tr) AS n_truth,
+      |  (SELECT count(*) FROM h) AS n_hits,
+      |  round(CAST((SELECT count(*) FROM h) AS DOUBLE)
+      |    / (SELECT count(*) FROM c), 6) AS precision,
+      |  round(CAST((SELECT count(*) FROM h) AS DOUBLE)
+      |    / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin
+
 
   /** IVF geometry for the oracle-gated ANN query: 8 cells over the 64-dim
     * embeddings, centroid k dim i = ((i·37 + k·1009) mod 83)/83 − 0.5 scaled
@@ -538,6 +610,43 @@ object Similarity {
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
       |      (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding-space dedup clusters: the SRP-LSH near-dup pairs
+    * ([[qEmbedNeardup]]) resolved into connected components with the same
+    * size-aware union-find as the text-side [[qDedupClusters]] — semantic
+    * dedup's final keep/drop unit, where one representative survives per
+    * cluster.
+    *
+    * Scale shape: pair generation is the proven LSH equi-join; component
+    * resolution is [[graft.ml.Dedup.connectedComponents]] (pair-bounded,
+    * not corpus-bounded). */
+  def qSemanticClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = qEmbedNeardup(spark, sfDir).select($"id_a", $"id_b")
+    val comp = graft.ml.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select($"component", $"node".as("vec_id"), $"cluster_size")
+      .orderBy($"component", $"vec_id")
+  }
+
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE
+      |sc_p AS (SELECT id_a, id_b FROM ($embedNeardupSql)),
+      |sc_e AS (SELECT id_a AS u, id_b AS v FROM sc_p
+      |         UNION SELECT id_b AS u, id_a AS v FROM sc_p),
+      |sc_n AS (SELECT DISTINCT u AS node FROM sc_e),
+      |sc_r AS (
+      |  SELECT node, node AS reach FROM sc_n
+      |  UNION
+      |  SELECT sc_e.u AS node, sc_r.reach
+      |  FROM sc_e JOIN sc_r ON sc_r.node = sc_e.v),
+      |sc_comp AS (SELECT node, min(reach) AS component FROM sc_r GROUP BY node)
+      |SELECT c.component, c.node AS vec_id, cs.cluster_size
+      |FROM sc_comp c
+      |JOIN (SELECT component, count(*) AS cluster_size FROM sc_comp GROUP BY 1) cs
+      |  USING (component)
+      |ORDER BY component, vec_id""".stripMargin
 
   /** Brute-force cosine top-k similarity search: 10 fixed probes (vec_id<10),
     * top-5 neighbors each. The probe side is the broadcast side of the join;
@@ -1145,6 +1254,8 @@ object Similarity {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
     "q_shingle_containment" -> (qShingleContainment _),
+    "q_lsh_quality" -> (qLshQuality _),
+    "q_semantic_clusters" -> (qSemanticClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1166,6 +1277,8 @@ object Similarity {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
     "q_shingle_containment" -> shingleContainmentSql,
+    "q_lsh_quality" -> lshQualitySql,
+    "q_semantic_clusters" -> semanticClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,
     "q_dedup_simhash" -> dedupSimhashSql,

@@ -186,4 +186,17 @@ class SessionsEvalSpec extends GraftSuite {
     val expected = ev.count() - ev.select($"user_id").distinct().count()
     assert(r.agg(sum($"c")).head.getLong(0) == expected)
   }
+
+  test("q_volume_bursts: every burst bucket really doubles its trailing mean") {
+    import spark.implicits._
+    val r = ops.Sessions.qVolumeBursts(spark, sf)
+    assert(r.count() > 0, "sf fixture must contain bursts")
+    assert(r.where($"n_prev" < 12).count() == 0)
+    // division-free gate re-checked in doubles
+    val bad = r.where($"c".cast("double") <=
+      lit(2.0) * $"trailing_sum" / $"n_prev").count()
+    assert(bad == 0, "burst rows must exceed 2x the trailing mean")
+    // hour alignment: bucket starts sit on whole hours
+    assert(r.where($"hour_start" % 3600 =!= 0).count() == 0)
+  }
 }

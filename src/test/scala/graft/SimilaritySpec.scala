@@ -322,4 +322,37 @@ class SimilaritySpec extends GraftSuite {
     val both = got.filter { case (a, b) => got.contains((b, a)) }
     assert(both.nonEmpty, "near-identical docs must emit both directions")
   }
+
+  test("q_lsh_quality: counts reconcile with the two pair sets; recall is high") {
+    import spark.implicits._
+    val r = Similarity.qLshQuality(spark, sf).head()
+    val nCand = r.getAs[Long]("n_candidates")
+    val nTruth = r.getAs[Long]("n_truth")
+    val nHits = r.getAs[Long]("n_hits")
+    assert(nHits <= math.min(nCand, nTruth))
+    assert(nTruth == Similarity.qDedupShingleJaccard(spark, sf).count())
+    assert(nCand > 0 && nTruth > 0)
+    // 16x4 banding at jaccard >= 0.8: P(candidate) = 1-(1-j^4)^4 >= 0.87 —
+    // on the small truth set anything below 0.5 means banding is broken
+    assert(r.getAs[Double]("recall") >= 0.5,
+      s"LSH recall ${r.getAs[Double]("recall")} collapsed")
+  }
+
+  test("q_semantic_clusters: components cover exactly the paired vectors") {
+    import spark.implicits._
+    val r = Similarity.qSemanticClusters(spark, sf)
+    val pairs = Similarity.qEmbedNeardup(spark, sf)
+    val nodes = pairs.select($"id_a".as("v")).union(pairs.select($"id_b".as("v")))
+      .distinct().count()
+    assert(r.count() == nodes, "every paired vector lands in one cluster")
+    assert(r.where($"cluster_size" < 2).count() == 0,
+      "clusters come from pairs, so min size is 2")
+    // both endpoints of every pair share a component
+    val comp = r.select($"vec_id", $"component")
+    val bad = pairs
+      .join(comp.withColumnsRenamed(Map("vec_id" -> "id_a", "component" -> "ca")), "id_a")
+      .join(comp.withColumnsRenamed(Map("vec_id" -> "id_b", "component" -> "cb")), "id_b")
+      .where($"ca" =!= $"cb").count()
+    assert(bad == 0, "near-dup pairs must never straddle two components")
+  }
 }
