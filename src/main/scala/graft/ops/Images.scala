@@ -502,7 +502,38 @@ object Images {
       |  round(list_max(v), 6) AS max_px
       |FROM s ORDER BY asset_id, frame_id""".stripMargin
 
+  /** Binary-asset exact dedup: group multimodal assets by the md5 of the
+    * raw `binary` content column — the first pass of any multimodal
+    * curation pipeline (identical images/videos re-crawled under
+    * different ids). The Spark side digests REAL bytes; the oracle derives
+    * the same truth from the generator's period ([[MultimodalOps
+    * .syntheticAssets]] content is `(id·131 + i·17) mod 256` per byte and
+    * 131 is invertible mod 256, so assets collide exactly when
+    * `id ≡ id' (mod 256)`). n = 640 assets → 256 groups of 2–3 copies.
+    *
+    * Scale shape: digest is the shuffle key (binary payloads never
+    * shuffle whole — only the 16-byte digest plus ids), min-id keep rule,
+    * same discipline as the text-side exact dedup. */
+  def qAssetDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = MultimodalOps.syntheticAssets(spark, n = 640, x = 4, y = 4,
+      c = 1, frames = 1)
+    assets
+      .groupBy(md5($"content").as("h"))
+      .agg(min($"asset_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  val assetDedupSql: String =
+    """WITH a AS (SELECT unnest(range(0, 640)) AS asset_id),
+      |g AS (SELECT asset_id, (asset_id * 131) % 256 AS grp FROM a)
+      |SELECT CAST(min(asset_id) AS BIGINT) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM g GROUP BY grp ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asset_dedup" -> (qAssetDedup _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_pool" -> (qImagePool _),
@@ -516,6 +547,7 @@ object Images {
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
   val oracle: Map[String, String] = Map(
+    "q_asset_dedup" -> assetDedupSql,
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_image_pool" -> imagePoolSql,

@@ -641,7 +641,49 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** Interval join WITHOUT an equi-key, spelled scale-safe: events within
+    * 60 s of each other across ALL users. The naive predicate join is a
+    * quadratic nested-loop; the binned spelling hashes both sides on a
+    * 60-s bucket (the left side exploded into its bucket ± 1, the right
+    * kept single so each qualifying pair matches EXACTLY once), then
+    * applies the exact |Δt| ≤ 60 filter after the equi-join — the
+    * standard interval-bin trick that turns any band join into a hash
+    * join at 100 TB. Plan-asserted: no BNLJ/cartesian survives. */
+  def qJoinIntervalBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type",
+        floor($"ts".cast("double")).cast("long").as("tsec"))
+    val a = e
+      .select($"event_id".as("a_id"), $"event_type".as("type_a"),
+        $"tsec".as("ta"), expr("tsec DIV 60").as("ba"))
+      .select($"a_id", $"type_a", $"ta",
+        explode(array($"ba" - 1, $"ba", $"ba" + 1)).as("bucket"))
+    val b = e
+      .select($"event_id".as("b_id"), $"event_type".as("type_b"),
+        $"tsec".as("tb"), expr("tsec DIV 60").as("bucket"))
+    a.join(b, Seq("bucket"))
+      .where($"a_id" < $"b_id" &&
+        $"tb" >= $"ta" - 60 && $"tb" <= $"ta" + 60)
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val joinIntervalBinnedSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_pairs
+      |FROM e a JOIN e b
+      |  ON b.tsec BETWEEN a.tsec - 60 AND a.tsec + 60
+      | AND a.event_id < b.event_id
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval_binned" -> (qJoinIntervalBinned _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
     "q_scan_filter_project" -> (qScanFilterProject _),
@@ -669,6 +711,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval_binned" -> joinIntervalBinnedSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_bloom_semijoin" -> bloomSemijoinSql,
     "q_scan_filter_project" -> scanFilterProjectSql,

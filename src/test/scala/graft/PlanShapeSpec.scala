@@ -266,6 +266,16 @@ class PlanShapeSpec extends GraftSuite {
       s"bloom filter must be below (after in plan text) the semi-join:\n$plan")
   }
 
+  test("q_join_interval_binned: the band join compiles to a hash join on the bucket") {
+    val plan = planOf("q_join_interval_binned")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the binned interval join must never nested-loop:\n$plan")
+    assert(plan.contains("hashjoin") || plan.contains("HashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"bucket equi-key must drive a hash/SMJ join:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec

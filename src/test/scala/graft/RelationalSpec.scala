@@ -154,4 +154,38 @@ class RelationalSpec extends GraftSuite {
       assert(sizes.max - sizes.min <= 1, s"$st quartiles unbalanced: $sizes")
     }
   }
+
+  test("q_join_interval_binned equals the direct predicate join") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val r = Relational.qJoinIntervalBinned(spark, sf)
+    // naive spelling on the small fixture: same pair population
+    val e = tables.Tables.events(spark, sf)
+      .select($"event_id", $"event_type",
+        floor($"ts".cast("double")).cast("long").as("tsec"))
+    val direct = e.as("a").join(e.as("b"),
+        $"a.event_id" < $"b.event_id" &&
+          $"b.tsec" >= $"a.tsec" - 60 && $"b.tsec" <= $"a.tsec" + 60)
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_direct"))
+    val bad = r.join(direct, Seq("type_a", "type_b"), "full_outer")
+      .where($"n_pairs".isNull || $"n_direct".isNull ||
+        $"n_pairs" =!= $"n_direct").count()
+    assert(bad == 0, "binned join must reproduce the naive band join exactly")
+  }
+
+  test("q_asset_dedup groups assets exactly by the generator period") {
+    import spark.implicits._
+    import graft.ops.Images
+    val r = Images.qAssetDedup(spark, sf).collect()
+    assert(r.length == 256, "640 assets collide into 256 content groups")
+    assert(r.map(_.getAs[Long]("n_copies")).sum == 640)
+    // keep ids are the first occurrence of each residue class: 0..255
+    assert(r.map(_.getAs[Long]("keep_id")).sorted.toSeq == (0L until 256L))
+    // copies: ids 0..127 appear 3x (640 = 2*256 + 128), 128..255 appear 2x
+    r.foreach { row =>
+      val expected = if (row.getAs[Long]("keep_id") < 128) 3L else 2L
+      assert(row.getAs[Long]("n_copies") == expected)
+    }
+  }
 }
