@@ -474,7 +474,94 @@ object Sessions {
       |FROM w WHERE n_prev >= 12 AND c * n_prev > 2 * s
       |ORDER BY event_type, hour_start""".stripMargin
 
+  /** Rolling 7-day active users (WAU) beside same-day actives (DAU) per
+    * calendar day — THE engagement metric pair. Sliding distinct-count
+    * has no algebraic combine, so it is spelled exactly: each distinct
+    * (user, day) row replicates into the 7 windows it supports
+    * (day..day+6), then one day-keyed COUNT DISTINCT — a 7× map-side
+    * fan-out instead of a per-window rescan, and the standard exact
+    * spelling at any scale.
+    *
+    * Scale shape: distinct (user, day) first (collapses the raw event
+    * volume), ×7 explode, one aggregation; the max-day bound is a 1-row
+    * broadcast. */
+  def qRollingActives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("oday")).distinct()
+    val mx = ud.agg(max($"oday").as("mxd"))
+    ud.select($"user_id", $"oday",
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select($"user_id", $"oday", date_add($"oday", $"off").as("day"))
+      .crossJoin(broadcast(mx))
+      .where($"day" <= $"mxd")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"),
+        countDistinct(when($"oday" === $"day", $"user_id")).as("dau"))
+      .orderBy($"day")
+  }
+
+  val rollingActivesSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS oday
+      |  FROM events),
+      |mx AS (SELECT max(oday) AS mxd FROM ud),
+      |x AS (
+      |  SELECT user_id, oday, oday + CAST(u.i AS INTEGER) AS day
+      |  FROM ud, UNNEST(range(0, 7)) AS u(i))
+      |SELECT day, count(DISTINCT user_id) AS wau,
+      |  count(DISTINCT CASE WHEN oday = day THEN user_id END) AS dau
+      |FROM x, mx WHERE day <= mxd
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  /** Windowed first-event-wins dedup: one survivor per (user, type,
+    * 10-minute tumbling window), earliest (ts, event_id) kept — the batch
+    * oracle of streaming `dropDuplicates` within a watermark
+    * ([[graft.streaming.StreamingOps]] runs the same semantics under
+    * MemoryStream). Both engines spell the survivor via the identical
+    * row_number window, so tie-breaks agree bit-for-bit.
+    *
+    * Scale shape: the window partitions on (user, type, bucket) — state
+    * bounded by one key's activity inside 10 minutes, exactly the
+    * streaming state-store bound. */
+  def qWindowDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type", $"wstart")
+      .orderBy($"tsec", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id",
+        floor($"ts".cast("double")).cast("long").as("tsec"))
+      .withColumn("wstart", $"tsec" - $"tsec" % 600)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_in_window",
+        count(lit(1)).over(Window.partitionBy($"user_id", $"event_type", $"wstart")))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type", $"wstart",
+        $"event_id".as("first_event_id"), $"n_in_window")
+      .orderBy($"user_id", $"event_type", $"wstart")
+  }
+
+  val windowDedupSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |b AS (SELECT *, tsec - tsec % 600 AS wstart FROM e),
+      |r AS (
+      |  SELECT user_id, event_type, wstart, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type, wstart
+      |                       ORDER BY tsec, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type, wstart)
+      |      AS n_in_window
+      |  FROM b)
+      |SELECT user_id, event_type, wstart, event_id AS first_event_id,
+      |  n_in_window
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type, wstart""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_actives" -> (qRollingActives _),
+    "q_window_dedup" -> (qWindowDedup _),
     "q_volume_bursts" -> (qVolumeBursts _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -488,6 +575,8 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_actives" -> rollingActivesSql,
+    "q_window_dedup" -> windowDedupSql,
     "q_volume_bursts" -> volumeBurstsSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_rfm_segments" -> rfmSegmentsSql,

@@ -199,4 +199,36 @@ class SessionsEvalSpec extends GraftSuite {
     // hour alignment: bucket starts sit on whole hours
     assert(r.where($"hour_start" % 3600 =!= 0).count() == 0)
   }
+
+  test("q_rolling_actives: WAU >= DAU, both bounded by the user population") {
+    import spark.implicits._
+    val r = ops.Sessions.qRollingActives(spark, sf)
+    assert(r.where($"dau" > $"wau").count() == 0)
+    val users = tables.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(r.where($"wau" > users).count() == 0)
+    // every calendar day with activity appears
+    val days = tables.Tables.events(spark, sf)
+      .select(to_date($"ts")).distinct().count()
+    assert(r.count() >= days, "window ends cover at least every active day")
+    // day-level DAU reconciles with a direct distinct count
+    val direct = tables.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .groupBy($"day").agg(countDistinct($"user_id").as("expected"))
+    val bad = r.join(direct, "day")
+      .where($"dau" =!= $"expected").count()
+    assert(bad == 0)
+  }
+
+  test("q_window_dedup: survivors partition the events, one per key-window") {
+    import spark.implicits._
+    val r = ops.Sessions.qWindowDedup(spark, sf)
+    val events = tables.Tables.events(spark, sf).count()
+    assert(r.agg(sum($"n_in_window")).head.getLong(0) == events,
+      "window populations must cover every event exactly once")
+    assert(r.where($"wstart" % 600 =!= 0).count() == 0, "10-min alignment")
+    // survivor really is the window's earliest event id at the min second
+    assert(r.groupBy($"user_id", $"event_type", $"wstart").count()
+      .where($"count" > 1).count() == 0, "one survivor per key-window")
+  }
 }
