@@ -559,7 +559,150 @@ object Sessions {
       |FROM r WHERE rn = 1
       |ORDER BY user_id, event_type, wstart""".stripMargin
 
+  /** Cohort lifetime value: cumulative purchase revenue per first-purchase
+    * cohort across day offsets 0–7, with per-user LTV — the money
+    * companion of [[qCohortRetention]] (same cohort/offset frame, same
+    * first-week bounds).
+    *
+    * Determinism: revenue is exact cents end-to-end; per-user LTV is
+    * integer division of cents by the cohort's day-0 size. The cumulative
+    * window partitions by cohort over ≤ 8 offset rows. */
+  def qCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", to_date($"ts").as("day"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val c = p.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val m = p.agg(min($"day").as("d0"))
+    val sizes = c.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_users"))
+    val wCum = Window.partitionBy($"cohort_day").orderBy($"offset_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.join(c, "user_id")
+      .select($"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("offset_d"), $"cents")
+      .crossJoin(broadcast(m))
+      .where($"offset_d" <= 7 && $"cohort_day" <= date_add($"d0", 7))
+      .groupBy($"cohort_day", $"offset_d")
+      .agg(sum($"cents").as("cents"))
+      .withColumn("cum_cents", sum($"cents").over(wCum))
+      .join(broadcast(sizes), "cohort_day")
+      .select($"cohort_day", $"offset_d", $"cents", $"cum_cents",
+        expr("cum_cents DIV cohort_users").as("ltv_cents_per_user"))
+      .orderBy($"cohort_day", $"offset_d")
+  }
+
+  val cohortLtvSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY 1),
+      |m AS (SELECT min(day) AS d0 FROM p),
+      |sz AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY 1),
+      |o AS (
+      |  SELECT c.cohort_day,
+      |    CAST(date_diff('day', c.cohort_day, p.day) AS BIGINT) AS offset_d,
+      |    CAST(sum(p.cents) AS BIGINT) AS cents
+      |  FROM p JOIN c ON p.user_id = c.user_id, m
+      |  WHERE date_diff('day', c.cohort_day, p.day) <= 7
+      |    AND c.cohort_day <= m.d0 + 7
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT cohort_day, offset_d, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY offset_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_cents
+      |  FROM o)
+      |SELECT w.cohort_day AS cohort_day, offset_d, cents, cum_cents,
+      |  cum_cents // cohort_users AS ltv_cents_per_user
+      |FROM w JOIN sz ON w.cohort_day = sz.cohort_day
+      |ORDER BY cohort_day, offset_d""".stripMargin
+
+  /** Day-of-week seasonality profile per event type: each dow's share of
+    * the type's events × 7 (1 000 000 ppm = perfectly uniform week).
+    * The dow is computed portably as days-since-epoch mod 7 (0 =
+    * Thursday) — engine date functions disagree on week origin, integer
+    * arithmetic does not. One aggregation, types×7 output. */
+  def qDowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wType = Window.partitionBy($"event_type")
+    Tables.events(spark, sfDir)
+      .select($"event_type",
+        (datediff(to_date($"ts"), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("dow"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("index_ppm",
+        expr("c * 7000000 DIV (CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT))"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val dowProfileSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') % 7
+      |      AS BIGINT) AS dow
+      |  FROM events),
+      |c AS (SELECT event_type, dow, count(*) AS c FROM e GROUP BY 1, 2)
+      |SELECT event_type, dow, c,
+      |  c * 7000000 // CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS index_ppm
+      |FROM c ORDER BY event_type, dow""".stripMargin
+
+  /** Lag-24 h autocorrelation of hourly event volume per type — the
+    * one-number daily-seasonality detector. Hourly counts pair with their
+    * 24-hours-earlier bucket by an equi-join on the shifted hour key (no
+    * dense series needed); all five Pearson sums are exact BIGINTs and
+    * the final r is the same four double ops on both engines. */
+  def qHourlyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hc = Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        (unix_timestamp($"ts") / 3600).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val x = hc.select($"event_type", $"hr", $"c".as("x"))
+    val y = hc.select($"event_type", ($"hr" + 24).as("hr"), $"c".as("y"))
+    x.join(y, Seq("event_type", "hr"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"event_type", $"n".as("n_pairs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+            * sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6)
+          .as("r_lag24"))
+      .orderBy($"event_type")
+  }
+
+  val hourlyAutocorrSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT x.event_type, x.c AS x, y.c AS y
+      |  FROM b x JOIN b y
+      |    ON x.event_type = y.event_type AND x.hr = y.hr + 24),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM j GROUP BY 1)
+      |SELECT event_type, n AS n_pairs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_lag24
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_dow_profile" -> (qDowProfile _),
+    "q_hourly_autocorr" -> (qHourlyAutocorr _),
     "q_rolling_actives" -> (qRollingActives _),
     "q_window_dedup" -> (qWindowDedup _),
     "q_volume_bursts" -> (qVolumeBursts _),
@@ -575,6 +718,9 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_ltv" -> cohortLtvSql,
+    "q_dow_profile" -> dowProfileSql,
+    "q_hourly_autocorr" -> hourlyAutocorrSql,
     "q_rolling_actives" -> rollingActivesSql,
     "q_window_dedup" -> windowDedupSql,
     "q_volume_bursts" -> volumeBurstsSql,

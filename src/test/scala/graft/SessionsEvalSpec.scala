@@ -220,6 +220,41 @@ class SessionsEvalSpec extends GraftSuite {
     assert(bad == 0)
   }
 
+  test("q_cohort_ltv: cumulative money is monotone and covers offset revenue") {
+    import spark.implicits._
+    val r = ops.Sessions.qCohortLtv(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.get(0)).foreach { case (cohort, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("offset_d"))
+      val cums = sorted.map(_.getAs[Long]("cum_cents"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        s"cohort $cohort cumulative revenue must be monotone")
+      assert(cums.head == sorted.head.getAs[Long]("cents"),
+        "first offset's cumulative equals its own revenue")
+      assert(sorted.map(_.getAs[Long]("cents")).sum == cums.last)
+    }
+  }
+
+  test("q_dow_profile: ppm indexes average to ~uniform across the week") {
+    import spark.implicits._
+    val r = ops.Sessions.qDowProfile(spark, sf)
+    assert(r.where($"dow" < 0 || $"dow" > 6).count() == 0)
+    // per type: sum of shares = 1 week → sum(index) ≈ 7e6 ppm (floor slack)
+    val sums = r.groupBy($"event_type").agg(sum($"index_ppm").as("s")).collect()
+    sums.foreach { row =>
+      val s = row.getAs[Long]("s")
+      assert(s > 6999900 && s <= 7000000, s"${row.getString(0)} index sum $s")
+    }
+  }
+
+  test("q_hourly_autocorr: r in [-1, 1] with enough pairs") {
+    import spark.implicits._
+    val r = ops.Sessions.qHourlyAutocorr(spark, sf)
+    assert(r.where($"r_lag24" < -1.0 || $"r_lag24" > 1.0).count() == 0)
+    assert(r.where($"n_pairs" < 24).count() == 0,
+      "a month of hourly buckets must yield many lag-24 pairs")
+  }
+
   test("q_window_dedup: survivors partition the events, one per key-window") {
     import spark.implicits._
     val r = ops.Sessions.qWindowDedup(spark, sf)
