@@ -1290,6 +1290,40 @@ object Text {
        |  CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi_nats
        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  /** Heavy hitters via Count-Min prefilter + exact verify: tokens holding
+    * ≥ 2% of the token stream. The sketch ([[graft.ml.CountMin]], 4×512
+    * cells, a few KB at ANY corpus size) over-estimates only, so
+    * filtering candidates by the sketch can never drop a true heavy
+    * hitter; the exact recount behind it removes the false positives —
+    * the same sketch-narrows/exact-decides contract as the Bloom
+    * semi-join, which is why the oracle is the PLAIN `HAVING` query. The
+    * stream total is read off the sketch itself (every occurrence
+    * increments each row once), so no extra pass.
+    *
+    * Scale shape: one distributed sketch aggregation, then the exact
+    * count runs only over candidate tokens (broadcast candidate set). */
+  def qCmHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stream = Tables.documents(spark, sfDir)
+      .select(explode(toks($"text")).as("tok"))
+    val sketch = graft.ml.CountMin.build(stream, $"tok", width = 512)
+    val total = sketch(0).sum
+    val cand = stream.distinct()
+      .where(graft.ml.CountMin.estimate($"tok", sketch) * 50 >= lit(total))
+    stream.join(broadcast(cand), "tok")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" * 50 >= lit(total))
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  val cmHeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest($duckToks) AS tok FROM documents),
+       |n AS (SELECT count(*) AS total FROM t)
+       |SELECT tok, count(*) AS cnt
+       |FROM t, n GROUP BY tok, total
+       |HAVING count(*) * 50 >= total
+       |ORDER BY cnt DESC, tok""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1521,6 +1555,7 @@ object Text {
     "q_quality_funnel" -> (qQualityFunnel _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lang_pmi" -> (qLangPmi _),
+    "q_cm_heavy_hitters" -> (qCmHeavyHitters _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1556,6 +1591,7 @@ object Text {
     "q_quality_funnel" -> qualityFunnelSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_lang_pmi" -> langPmiSql,
+    "q_cm_heavy_hitters" -> cmHeavyHittersSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -453,6 +453,38 @@ class TextSpec extends GraftSuite {
       Text.qBigramCounts(spark, sf).count())
   }
 
+  test("CountMin: estimates never under-count and bound the error") {
+    import spark.implicits._
+    import graft.ml.CountMin
+    val stream = Text.qTokenizeWordcount(spark, sf)
+      .select($"token".as("tok"), $"cnt")
+    val occurrences = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
+    val sketch = CountMin.build(occurrences, $"tok", width = 512)
+    val total = sketch(0).sum
+    assert(total == occurrences.count(), "each occurrence increments each row once")
+    val est = stream.withColumn("e", CountMin.estimate($"tok", sketch)).collect()
+    est.foreach { r =>
+      val (t, c, e) = (r.getAs[String]("tok"), r.getAs[Long]("cnt"), r.getAs[Long]("e"))
+      assert(e >= c, s"CM must never under-count: $t est $e < true $c")
+      // ε = e/w ≈ 0.0053 → slack bound with the 4-row min is far below εN
+      assert(e <= c + (3 * total) / 512, s"$t est $e too far above true $c")
+    }
+  }
+
+  test("q_cm_heavy_hitters equals the exact 2% threshold query") {
+    import spark.implicits._
+    val r = Text.qCmHeavyHitters(spark, sf)
+    assert(r.count() > 0)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
+    val total = direct.count()
+    val expected = direct.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" * 50 >= total)
+    assert(r.count() == expected.count())
+    assert(r.join(expected, Seq("tok", "cnt"), "left_anti").count() == 0)
+  }
+
   test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
     import spark.implicits._
     val r = Text.qLangPmi(spark, sf).collect()
