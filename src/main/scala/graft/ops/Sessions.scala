@@ -699,7 +699,48 @@ object Sessions {
       |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_lag24
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** Conversion latency: seconds from a user's first view to their first
+    * purchase (users who purchased at or after their first view), with
+    * exact interpolated median/p90 — the product-analytics number behind
+    * "how long does conversion take".
+    *
+    * Determinism: latencies are whole-second BIGINTs; `percentile` and
+    * DuckDB's `quantile_cont` share the same linear-interpolation
+    * definition (the proven [[graft.ops.Analytics.qQuantiles]] mapping).
+    * Scale shape: one user-keyed aggregation, one 1-row summary. */
+  def qConversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type",
+        floor($"ts".cast("double")).cast("long").as("tsec"))
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"tsec")).as("fv"),
+        min(when($"event_type" === "purchase", $"tsec")).as("fp"))
+      .where($"fv".isNotNull && $"fp".isNotNull && $"fp" >= $"fv")
+      .select(($"fp" - $"fv").as("lat"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat, 0.5)"), 4).as("median_s"),
+        round(expr("percentile(lat, 0.9)"), 4).as("p90_s"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fv,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT fp - fv AS lat FROM u
+      |  WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+      |SELECT count(*) AS n_converted,
+      |  round(quantile_cont(lat, 0.5), 4) AS median_s,
+      |  round(quantile_cont(lat, 0.9), 4) AS p90_s
+      |FROM l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_latency" -> (qConversionLatency _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_dow_profile" -> (qDowProfile _),
     "q_hourly_autocorr" -> (qHourlyAutocorr _),
@@ -718,6 +759,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_conversion_latency" -> conversionLatencySql,
     "q_cohort_ltv" -> cohortLtvSql,
     "q_dow_profile" -> dowProfileSql,
     "q_hourly_autocorr" -> hourlyAutocorrSql,

@@ -1324,6 +1324,40 @@ object Text {
        |HAVING count(*) * 50 >= total
        |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Bottom-k stratified sampling: per language, the 2 docs with the
+    * smallest md5(doc_id) digests — the mergeable exact-size counterpart
+    * of [[qHashSample]]'s fixed-rate split. Bottom-k by a uniform hash is
+    * a uniform sample, and "k smallest" merges associatively across
+    * partitions (each keeps a local bottom-k), so the sample costs a
+    * TakeOrdered-style pass at any scale — no shuffle of the corpus.
+    * The per-lang rank window partitions by language over (digest, id)
+    * keys; partition state is a language's doc count. */
+  def qBottomkSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"d", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 2)
+      .select($"lang", $"rn", $"doc_id")
+      .orderBy($"lang", $"rn")
+  }
+
+  val bottomkSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      AS d
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY d, doc_id) AS rn
+      |  FROM d)
+      |SELECT lang, rn, doc_id FROM r WHERE rn <= 2
+      |ORDER BY lang, rn""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1556,6 +1590,7 @@ object Text {
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lang_pmi" -> (qLangPmi _),
     "q_cm_heavy_hitters" -> (qCmHeavyHitters _),
+    "q_bottomk_sample" -> (qBottomkSample _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1592,6 +1627,7 @@ object Text {
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_lang_pmi" -> langPmiSql,
     "q_cm_heavy_hitters" -> cmHeavyHittersSql,
+    "q_bottomk_sample" -> bottomkSampleSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

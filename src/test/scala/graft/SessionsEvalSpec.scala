@@ -255,6 +255,18 @@ class SessionsEvalSpec extends GraftSuite {
       "a month of hourly buckets must yield many lag-24 pairs")
   }
 
+  test("q_conversion_latency: population and percentile ordering are sane") {
+    import spark.implicits._
+    val r = ops.Sessions.qConversionLatency(spark, sf).head()
+    val n = r.getAs[Long]("n_converted")
+    assert(n > 0, "fixture has converting users")
+    assert(r.getAs[Double]("median_s") >= 0)
+    assert(r.getAs[Double]("p90_s") >= r.getAs[Double]("median_s"))
+    val users = tables.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(n <= users)
+  }
+
   test("q_window_dedup: survivors partition the events, one per key-window") {
     import spark.implicits._
     val r = ops.Sessions.qWindowDedup(spark, sf)

@@ -485,6 +485,20 @@ class TextSpec extends GraftSuite {
     assert(r.join(expected, Seq("tok", "cnt"), "left_anti").count() == 0)
   }
 
+  test("q_bottomk_sample: 2 per language, stable under recomputation") {
+    import spark.implicits._
+    val r = Text.qBottomkSample(spark, sf).collect()
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang").distinct().count()
+    assert(r.length == 2 * langs)
+    r.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == Seq(1, 2))
+    }
+    // deterministic: a second run picks the identical sample
+    val again = Text.qBottomkSample(spark, sf).collect()
+    assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
     import spark.implicits._
     val r = Text.qLangPmi(spark, sf).collect()
