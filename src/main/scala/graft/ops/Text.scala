@@ -1308,9 +1308,12 @@ object Text {
       .select(explode(toks($"text")).as("tok"))
     val sketch = graft.ml.CountMin.build(stream, $"tok", width = 512)
     val total = sketch(0).sum
-    val cand = stream.distinct()
+    // the estimate filter runs per-occurrence inside codegen BEFORE the
+    // count shuffle — at scale only heavy-hitter occurrences reach the
+    // aggregation; the exact HAVING then drops the sketch's false
+    // positives
+    stream
       .where(graft.ml.CountMin.estimate($"tok", sketch) * 50 >= lit(total))
-    stream.join(broadcast(cand), "tok")
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       .where($"cnt" * 50 >= lit(total))
       .orderBy($"cnt".desc, $"tok")
