@@ -222,7 +222,7 @@ object Text {
       .select($"token", $"uc")
     val total = uni.agg(sum($"uc").as("total_tokens"))
     top.select($"token".as("w1"), $"uc".as("uc1"))
-      .crossJoin(top.select($"token".as("w2"), $"uc".as("uc2")))
+      .crossJoin(broadcast(top.select($"token".as("w2"), $"uc".as("uc2"))))
       .join(bi, Seq("w1", "w2"), "left")
       .crossJoin(broadcast(total))
       .select($"w1", $"w2",
@@ -283,8 +283,8 @@ object Text {
     val top = uni.orderBy($"uc".desc, $"token").limit(5).select($"token", $"uc")
     val total = uni.agg(sum($"uc").as("total_tokens"))
     val grid = top.select($"token".as("w1"))
-      .crossJoin(top.select($"token".as("w2"), $"uc".as("uc2")))
-      .crossJoin(top.select($"token".as("w3"), $"uc".as("uc3")))
+      .crossJoin(broadcast(top.select($"token".as("w2"), $"uc".as("uc2"))))
+      .crossJoin(broadcast(top.select($"token".as("w3"), $"uc".as("uc3"))))
     grid
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi.select($"w1", $"w2", $"bc".as("bc12")), Seq("w1", "w2"), "left")
@@ -366,9 +366,9 @@ object Text {
     val (tables, total) = StupidBackoff.countTables(docIds, "ids", 4)
     val top = vocab.where($"id" < 4)
     val grid = top.select($"token".as("w1"), $"id".as("i1"))
-      .crossJoin(top.select($"token".as("w2"), $"id".as("i2")))
-      .crossJoin(top.select($"token".as("w3"), $"id".as("i3")))
-      .crossJoin(top.select($"token".as("w4"), $"id".as("i4")))
+      .crossJoin(broadcast(top.select($"token".as("w2"), $"id".as("i2"))))
+      .crossJoin(broadcast(top.select($"token".as("w3"), $"id".as("i3"))))
+      .crossJoin(broadcast(top.select($"token".as("w4"), $"id".as("i4"))))
       .withColumn("g", NGramIndexer.packN(Seq($"i1", $"i2", $"i3", $"i4"), 4))
     StupidBackoff.score(grid, "g", tables, total, "score0")
       .select($"w1", $"w2", $"w3", $"w4", round($"score0", 6).as("score"),

@@ -79,14 +79,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("SortMergeJoin"), s"rank joins must broadcast:\n$plan")
   }
 
-  test("no declared query plans a CartesianProduct") {
+  test("no declared query plans a CartesianProduct — the WHOLE surface") {
     // cross-shaped queries must bound one side via broadcast; a cartesian
-    // product in any plan is a scale bug.
-    Seq("q_dedup_shingle_jaccard", "q_cosine_topk", "q_stupid_backoff_bigram",
-      "q_tfidf_top_terms", "q_naive_bayes_score").foreach { name =>
-      val plan = planOf(name)
-      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    // product in any plan is a scale bug. Iterates every registered query:
+    // planning only (no execution), so the sweep stays cheap.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
     }
+    assert(offenders.isEmpty,
+      s"these queries plan a CartesianProduct: ${offenders.mkString(", ")}")
   }
 
   test("identical self-join sides reuse one exchange (EquivalentNodeMerge is free)") {

@@ -37,7 +37,8 @@ class ScalingSpec extends GraftSuite {
   Seq("q_dedup_shingle_jaccard", "q_dedup_minhash", "q_ann_ivf",
       "q_embed_neardup", "q_image_fisher_vector", "q_shingle_cosine",
       "q_bm25", "q_token_entropy", "q_rolling_anomaly",
-      "q_bloom_semijoin").foreach { name =>
+      "q_bloom_semijoin", "q_cm_heavy_hitters", "q_lsh_quality",
+      "q_part_affinity", "q_join_interval_binned").foreach { name =>
     test(s"$name: 10x data costs < ${MaxSlope.toInt}x wall time") {
       time(name, sfSmall) // warm-up: codegen + JIT out of both timings
       val tSmall = math.max(time(name, sfSmall), FloorSec)
