@@ -220,6 +220,36 @@ object Similarity {
       |FROM d WHERE containment >= 0.9
       |ORDER BY doc_sub, doc_super""".stripMargin
 
+  /** Incremental dedup: the last 20% of doc_ids play "today's crawl
+    * increment", the first 80% the standing corpus — every incoming doc
+    * that near-duplicates (Jaccard ≥ 0.8) an EXISTING doc is reported
+    * with its match. The daily-ingest shape of dedup: the increment is
+    * checked against the corpus, not against itself (new-vs-new pairs are
+    * next round's corpus-vs-corpus problem).
+    *
+    * Scale shape: identical to [[shingleJaccardPairs]] (pairs already
+    * come out id-ordered, so the straddle test is two comparisons against
+    * a broadcast 1-row split point); at real scale the standing corpus's
+    * shingle index is the persisted half of this join. */
+  def qIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val split = Tables.documents(spark, sfDir)
+      .agg(expr("(max(doc_id) + 1) * 4 DIV 5").as("split_id"))
+    shingleJaccardPairs(spark, sfDir)
+      .crossJoin(broadcast(split))
+      .where($"doc_a" < $"split_id" && $"doc_b" >= $"split_id")
+      .select($"doc_b".as("new_doc"), $"doc_a".as("dup_of"),
+        round($"jaccard", 4).as("jaccard"))
+      .orderBy($"new_doc", $"dup_of")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH s AS (SELECT (max(doc_id) + 1) * 4 // 5 AS split_id FROM documents),
+      |p AS (SELECT doc_a, doc_b, jaccard FROM ($dedupShingleJaccardSql))
+      |SELECT doc_b AS new_doc, doc_a AS dup_of, jaccard
+      |FROM p, s WHERE doc_a < split_id AND doc_b >= split_id
+      |ORDER BY new_doc, dup_of""".stripMargin
+
   /** MinHash-LSH geometry for the oracle-gated banded near-dup: 16 hashes
     * banded 4 × 4, buckets capped at [[MinhashMaxBucket]] docs. The hash
     * family is h_j(x) = (x·A_j + B_j) mod P over the Mersenne prime
@@ -1255,6 +1285,7 @@ object Similarity {
     "q_dedup_shingle_jaccard" -> (qDedupShingleJaccard _),
     "q_shingle_containment" -> (qShingleContainment _),
     "q_lsh_quality" -> (qLshQuality _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1278,6 +1309,7 @@ object Similarity {
     "q_dedup_shingle_jaccard" -> dedupShingleJaccardSql,
     "q_shingle_containment" -> shingleContainmentSql,
     "q_lsh_quality" -> lshQualitySql,
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_semantic_clusters" -> semanticClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,

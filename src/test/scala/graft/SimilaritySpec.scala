@@ -323,6 +323,20 @@ class SimilaritySpec extends GraftSuite {
     assert(both.nonEmpty, "near-identical docs must emit both directions")
   }
 
+  test("q_incremental_dedup is exactly the straddling slice of the pair set") {
+    import spark.implicits._
+    val r = Similarity.qIncrementalDedup(spark, sf)
+    val maxId = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max($"doc_id")).head.getLong(0)
+    val split = (maxId + 1) * 4 / 5
+    assert(r.where($"new_doc" < split || $"dup_of" >= split).count() == 0,
+      "every row pairs an increment doc with a standing-corpus doc")
+    val all = Similarity.qDedupShingleJaccard(spark, sf)
+    val expected = all
+      .where($"doc_a" < split && $"doc_b" >= split).count()
+    assert(r.count() == expected)
+  }
+
   test("q_lsh_quality: counts reconcile with the two pair sets; recall is high") {
     import spark.implicits._
     val r = Similarity.qLshQuality(spark, sf).head()
