@@ -1433,7 +1433,54 @@ object Analytics {
       |        JOIN bc y ON brand_b = y.p_brand, n
       |ORDER BY lift DESC, brand_a, brand_b""".stripMargin
 
+  /** Revenue concentration: the Gini coefficient of per-supplier revenue —
+    * the one-number inequality/skew summary behind "do a few suppliers
+    * own the volume".
+    *
+    * Determinism: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with x ascending
+    * cents and i the 1-based rank. Every sum is an exact BIGINT (all
+    * < 2^48); numerator and denominator are each exact in a double, so
+    * the single division is bit-identical. Ranking uses the two-phase
+    * sorted `zipWithIndex` (the [[graft.ops.Text.qWordIdEncode]]
+    * discipline) — never an unpartitioned corpus window. */
+  def qRevenueGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long"))
+        .as("cents"))
+    val ranked = spark.createDataFrame(
+      rev.orderBy($"cents", $"l_suppkey").rdd.zipWithIndex.map {
+        case (r, i) => (i + 1, r.getLong(1))
+      }).toDF("rank", "cents")
+    ranked.agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"rank" * $"cents").as("s1"))
+      .select($"n".as("n_suppliers"), $"s".as("total_cents"),
+        round((lit(2L) * $"s1" - ($"n" + 1) * $"s").cast("double")
+          / ($"n" * $"s").cast("double"), 6).as("gini"))
+  }
+
+  val revenueGiniSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT cents,
+      |    row_number() OVER (ORDER BY cents, l_suppkey) AS rank
+      |  FROM rev),
+      |a AS (
+      |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(rank * cents) AS BIGINT) AS s1
+      |  FROM r)
+      |SELECT n AS n_suppliers, s AS total_cents,
+      |  round(CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+      |    / CAST(n * s AS DOUBLE), 6) AS gini
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_gini" -> (qRevenueGini _),
     "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
     "q_triangle_count" -> (qTriangleCount _),
@@ -1473,6 +1520,7 @@ object Analytics {
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,
     "q_part_affinity" -> partAffinitySql,
+    "q_revenue_gini" -> revenueGiniSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

@@ -1361,6 +1361,74 @@ object Text {
       |SELECT lang, rn, doc_id FROM r WHERE rn <= 2
       |ORDER BY lang, rn""".stripMargin
 
+  /** Length-distribution drift per source: a Kolmogorov–Smirnov-style
+    * statistic — the max gap between a source's doc-length CDF and the
+    * corpus CDF, evaluated on 50-char buckets — the drift alarm that
+    * catches a source whose crawl changed shape.
+    *
+    * Determinism: the CDF gap is cleared of divisions —
+    *   |cum_s/n_s − cum_c/n| = |cum_s·n − cum_c·n_s| / (n_s·n)
+    * so the max runs over exact BIGINTs and only the final ppm value
+    * divides. Scale shape: the (source × bucket) grid is
+    * dimension-bounded (buckets ≤ max-doc-length/50); CDFs are
+    * constant-bounded windows over that grid, never over rows. */
+  def qLengthDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source", (floor($"n_chars" / 50) * 50).cast("long").as("bucket"))
+    val sb = docs.groupBy($"source", $"bucket").agg(count(lit(1)).as("c_sb"))
+    val grid = sb.select($"source").distinct()
+      .crossJoin(broadcast(sb.select($"bucket").distinct()))
+    val wS = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = grid.join(sb, Seq("source", "bucket"), "left")
+      .select($"source", $"bucket", coalesce($"c_sb", lit(0L)).as("c_sb"))
+      .withColumn("cum_s", sum($"c_sb").over(wS))
+    val corpus = docs.groupBy($"bucket").agg(count(lit(1)).as("c_b"))
+      .withColumn("cum_c", sum($"c_b").over(Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"bucket", $"cum_c")
+    val nS = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    cums.join(corpus, "bucket")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(n))
+      .groupBy($"source")
+      .agg(max(abs($"cum_s" * $"n" - $"cum_c" * $"n_s")).as("d"),
+        max($"n_s" * $"n").as("den"))
+      .select($"source", expr("d * 1000000 DIV den").as("ks_ppm"))
+      .orderBy($"source")
+  }
+
+  val lengthDriftSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket
+      |  FROM documents),
+      |sb AS (SELECT source, bucket, count(*) AS c_sb FROM d GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, b.bucket
+      |  FROM (SELECT DISTINCT source FROM sb) s,
+      |       (SELECT DISTINCT bucket FROM sb) b),
+      |cums AS (
+      |  SELECT g.source, g.bucket,
+      |    CAST(sum(coalesce(sb.c_sb, 0)) OVER (PARTITION BY g.source
+      |      ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_s
+      |  FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.bucket = sb.bucket),
+      |corpus AS (
+      |  SELECT bucket,
+      |    CAST(sum(c_b) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+      |  FROM (SELECT bucket, count(*) AS c_b FROM d GROUP BY 1)),
+      |ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM d)
+      |SELECT c.source,
+      |  max(abs(c.cum_s * n.n - co.cum_c * ns.n_s)) * 1000000
+      |    // max(ns.n_s * n.n) AS ks_ppm
+      |FROM cums c JOIN corpus co ON c.bucket = co.bucket
+      |JOIN ns ON c.source = ns.source, n
+      |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1594,6 +1662,7 @@ object Text {
     "q_lang_pmi" -> (qLangPmi _),
     "q_cm_heavy_hitters" -> (qCmHeavyHitters _),
     "q_bottomk_sample" -> (qBottomkSample _),
+    "q_length_drift" -> (qLengthDrift _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1631,6 +1700,7 @@ object Text {
     "q_lang_pmi" -> langPmiSql,
     "q_cm_heavy_hitters" -> cmHeavyHittersSql,
     "q_bottomk_sample" -> bottomkSampleSql,
+    "q_length_drift" -> lengthDriftSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -284,6 +284,26 @@ class AnalyticsSpec extends GraftSuite {
       "at least one multi-node community must form")
   }
 
+  test("q_revenue_gini: bounded in [0, 1) and matches a direct computation") {
+    import spark.implicits._
+    val r = Analytics.qRevenueGini(spark, sf).head()
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+    // direct recomputation on the driver from sorted cents
+    val cents = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long"))
+        .as("cents"), min($"l_suppkey"))
+      .orderBy($"cents", $"l_suppkey")
+      .select($"cents").as[Long].collect()
+    val n = cents.length.toLong
+    val s = cents.sum
+    val s1 = cents.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expected = (2.0 * s1 - (n + 1) * s) / (n.toDouble * s)
+    assert(math.abs(g - expected) < 1e-6, s"gini $g != direct $expected")
+    assert(r.getAs[Long]("n_suppliers") == n)
+  }
+
   test("q_part_affinity: symmetric-support lift reconciles with raw counts") {
     import spark.implicits._
     val r = Analytics.qPartAffinity(spark, sf)

@@ -499,6 +499,19 @@ class TextSpec extends GraftSuite {
     assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_length_drift: ppm gaps bounded, zero only for a mirror-image source") {
+    import spark.implicits._
+    val r = Text.qLengthDrift(spark, sf)
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source").distinct().count()
+    assert(r.count() == nSources)
+    assert(r.where($"ks_ppm" < 0 || $"ks_ppm" > 1000000).count() == 0)
+    // KS of a source against a corpus INCLUDING it shrinks with source
+    // share but stays positive unless the CDFs coincide on every bucket —
+    // at least one source must show measurable drift on the fixture
+    assert(r.agg(max($"ks_ppm")).head.getLong(0) > 0)
+  }
+
   test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
     import spark.implicits._
     val r = Text.qLangPmi(spark, sf).collect()
