@@ -739,7 +739,46 @@ object Sessions {
       |  round(quantile_cont(lat, 0.9), 4) AS p90_s
       |FROM l""".stripMargin
 
+  /** Week-over-week volume growth per event type, in exact ppm: weeks are
+    * whole 7-day blocks from the corpus's first day (calendar-agnostic,
+    * engine-agnostic), growth = (c_w − c_prev)·10⁶ DIV c_prev via a
+    * lag over the types×weeks-bounded relation. */
+  def qWowGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d0 = Tables.events(spark, sfDir).agg(min(to_date($"ts")).as("d0"))
+    val weekly = Tables.events(spark, sfDir)
+      .crossJoin(broadcast(d0))
+      .groupBy($"event_type",
+        (datediff(to_date($"ts"), $"d0") / 7).cast("long").as("week"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    weekly
+      .withColumn("prev", lag($"c", 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"event_type", $"week", $"c",
+        expr("(c - prev) * 1000000 DIV prev").as("growth_ppm"))
+      .orderBy($"event_type", $"week")
+  }
+
+  val wowGrowthSql: String =
+    """WITH d0 AS (
+      |  SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0 FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', d0, CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+      |      AS BIGINT) AS week,
+      |    count(*) AS c
+      |  FROM events, d0 GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, week, c,
+      |    lag(c) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      |  FROM w)
+      |SELECT event_type, week, c, (c - prev) * 1000000 // prev AS growth_ppm
+      |FROM l WHERE prev IS NOT NULL
+      |ORDER BY event_type, week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wow_growth" -> (qWowGrowth _),
     "q_conversion_latency" -> (qConversionLatency _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_dow_profile" -> (qDowProfile _),
@@ -759,6 +798,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_wow_growth" -> wowGrowthSql,
     "q_conversion_latency" -> conversionLatencySql,
     "q_cohort_ltv" -> cohortLtvSql,
     "q_dow_profile" -> dowProfileSql,

@@ -1429,6 +1429,37 @@ object Text {
       |JOIN ns ON c.source = ns.source, n
       |GROUP BY c.source ORDER BY c.source""".stripMargin
 
+  /** Target-mix rebalancing plan: the per-language downsampling rate that
+    * moves the corpus toward a uniform language mix — rate_ppm =
+    * min(1, N / (n_langs · c_l)) — plus the resulting kept-doc counts.
+    * The planning half of [[qSourceMix]]'s realized-rate report: all
+    * integer ppm arithmetic, one aggregation plus a 1-row broadcast. */
+  def qMixRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val byLang = Tables.documents(spark, sfDir)
+      .groupBy($"lang").agg(count(lit(1)).as("c_l"))
+    val tot = byLang.agg(sum($"c_l").as("n"), count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(tot))
+      .select($"lang", $"c_l",
+        expr("c_l * 1000000 DIV n").as("share_ppm"),
+        least(lit(1000000L), expr("n * 1000000 DIV (n_langs * c_l)"))
+          .as("rate_ppm"))
+      .withColumn("docs_kept", expr("c_l * rate_ppm DIV 1000000"))
+      .orderBy($"lang")
+  }
+
+  val mixRebalanceSql: String =
+    """WITH l AS (SELECT lang, count(*) AS c_l FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_l) AS BIGINT) AS n, count(*) AS n_langs FROM l),
+      |r AS (
+      |  SELECT lang, c_l,
+      |    c_l * 1000000 // n AS share_ppm,
+      |    least(1000000, n * 1000000 // (n_langs * c_l)) AS rate_ppm
+      |  FROM l, t)
+      |SELECT lang, c_l, share_ppm, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+      |  CAST(c_l * rate_ppm // 1000000 AS BIGINT) AS docs_kept
+      |FROM r ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1663,6 +1694,7 @@ object Text {
     "q_cm_heavy_hitters" -> (qCmHeavyHitters _),
     "q_bottomk_sample" -> (qBottomkSample _),
     "q_length_drift" -> (qLengthDrift _),
+    "q_mix_rebalance" -> (qMixRebalance _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1701,6 +1733,7 @@ object Text {
     "q_cm_heavy_hitters" -> cmHeavyHittersSql,
     "q_bottomk_sample" -> bottomkSampleSql,
     "q_length_drift" -> lengthDriftSql,
+    "q_mix_rebalance" -> mixRebalanceSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

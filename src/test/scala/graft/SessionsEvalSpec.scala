@@ -267,6 +267,21 @@ class SessionsEvalSpec extends GraftSuite {
     assert(n <= users)
   }
 
+  test("q_wow_growth: growth reconciles with the weekly counts") {
+    import spark.implicits._
+    val r = ops.Sessions.qWowGrowth(spark, sf)
+    assert(r.count() > 0)
+    // growth_ppm recomputed from the emitted counts must match: we carry
+    // c but not prev, so rebuild prev via lag over the output itself
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    val chk = r.withColumn("prev_c", lag($"c", 1).over(w))
+    val bad = chk.where($"prev_c".isNotNull &&
+      $"growth_ppm" =!= expr("(c - prev_c) * 1000000 DIV prev_c")).count()
+    assert(bad == 0)
+    assert(r.where($"week" <= 0).count() == 0, "week 0 has no predecessor")
+  }
+
   test("q_window_dedup: survivors partition the events, one per key-window") {
     import spark.implicits._
     val r = ops.Sessions.qWindowDedup(spark, sf)

@@ -512,6 +512,23 @@ class TextSpec extends GraftSuite {
     assert(r.agg(max($"ks_ppm")).head.getLong(0) > 0)
   }
 
+  test("q_mix_rebalance: rates move every language toward the uniform target") {
+    import spark.implicits._
+    val r = Text.qMixRebalance(spark, sf).collect()
+    val total = r.map(_.getAs[Long]("c_l")).sum
+    val target = total / r.length
+    r.foreach { row =>
+      val (cl, rate, kept) = (row.getAs[Long]("c_l"),
+        row.getAs[Long]("rate_ppm"), row.getAs[Long]("docs_kept"))
+      assert(rate > 0 && rate <= 1000000)
+      assert(kept <= cl)
+      // over-represented langs are cut to ~target; under-represented kept whole
+      if (cl > target) assert(math.abs(kept - target) <= target / 100 + 1,
+        s"${row.getString(0)}: kept $kept vs target $target")
+      else assert(rate == 1000000, "under-target languages are never downsampled")
+    }
+  }
+
   test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
     import spark.implicits._
     val r = Text.qLangPmi(spark, sf).collect()
