@@ -1479,7 +1479,80 @@ object Analytics {
       |    / CAST(n * s AS DOUBLE), 6) AS gini
       |FROM a""".stripMargin
 
+  /** Association significance: the χ² statistic for each brand pair's
+    * 2×2 basket contingency table — [[qPartAffinity]]'s lift says how
+    * strong, χ² says how SURE (a lift of 2 on 5 baskets is noise; on
+    * 5 000 it's signal). Top-20 pairs by χ².
+    *
+    * Determinism: a/b/c/d and every marginal are exact BIGINTs; the
+    * statistic N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed in the SAME
+    * left-associated double op order on both engines (inputs ≤ 2^45 are
+    * exactly representable, so identical input bits → identical IEEE
+    * results), and the top-20 cut orders by the statistic with a pair
+    * tie-break. */
+  def qPairChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ob = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+      .distinct()
+    val pairCounts = ob.as("a")
+      .join(ob.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+      .agg(count(lit(1)).as("ca"))
+    val brandCounts = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
+    val total = ob.agg(countDistinct($"l_orderkey").as("n"))
+    pairCounts
+      .join(broadcast(brandCounts)
+        .withColumnsRenamed(Map("p_brand" -> "brand_a", "c" -> "c_a")), "brand_a")
+      .join(broadcast(brandCounts)
+        .withColumnsRenamed(Map("p_brand" -> "brand_b", "c" -> "c_b")), "brand_b")
+      .crossJoin(broadcast(total))
+      .select($"brand_a", $"brand_b", $"ca".as("c_ab"),
+        ($"ca").as("a"), ($"c_a" - $"ca").as("b"),
+        ($"c_b" - $"ca").as("cc"),
+        ($"n" - $"c_a" - $"c_b" + $"ca").as("d"), $"n")
+      .select($"brand_a", $"brand_b", $"c_ab",
+        round($"n".cast("double")
+          * ($"a" * $"d" - $"b" * $"cc").cast("double")
+          * ($"a" * $"d" - $"b" * $"cc").cast("double")
+          / (($"a" + $"b").cast("double") * ($"cc" + $"d").cast("double")
+            * ($"a" + $"cc").cast("double") * ($"b" + $"d").cast("double")),
+          4).as("chisq"))
+      .orderBy($"chisq".desc, $"brand_a", $"brand_b")
+      .limit(20)
+  }
+
+  val pairChisqSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pc AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS ca
+      |  FROM ob a JOIN ob b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2),
+      |bc AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1),
+      |nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+      |t AS (
+      |  SELECT brand_a, brand_b, ca AS c_ab,
+      |    ca AS a, x.c - ca AS b, y.c - ca AS cc,
+      |    n - x.c - y.c + ca AS d, n
+      |  FROM pc JOIN bc x ON brand_a = x.p_brand
+      |          JOIN bc y ON brand_b = y.p_brand, nn)
+      |SELECT brand_a, brand_b, c_ab,
+      |  round(CAST(n AS DOUBLE)
+      |    * CAST(a * d - b * cc AS DOUBLE)
+      |    * CAST(a * d - b * cc AS DOUBLE)
+      |    / (CAST(a + b AS DOUBLE) * CAST(cc + d AS DOUBLE)
+      |      * CAST(a + cc AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) AS chisq
+      |FROM t
+      |ORDER BY chisq DESC, brand_a, brand_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pair_chisq" -> (qPairChisq _),
     "q_revenue_gini" -> (qRevenueGini _),
     "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
@@ -1521,6 +1594,7 @@ object Analytics {
     "q_label_prop" -> labelPropSql,
     "q_part_affinity" -> partAffinitySql,
     "q_revenue_gini" -> revenueGiniSql,
+    "q_pair_chisq" -> pairChisqSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

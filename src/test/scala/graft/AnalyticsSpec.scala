@@ -304,6 +304,17 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_suppliers") == n)
   }
 
+  test("q_pair_chisq: top-20 descending, non-negative, support-consistent") {
+    import spark.implicits._
+    val r = Analytics.qPairChisq(spark, sf).collect()
+    assert(r.length <= 20 && r.nonEmpty)
+    assert(r.forall(_.getAs[Double]("chisq") >= 0))
+    val stats = r.map(_.getAs[Double]("chisq"))
+    assert(stats.zip(stats.tail).forall { case (a, b) => a >= b },
+      "rows must descend by significance")
+    assert(r.forall(_.getAs[Long]("c_ab") > 0))
+  }
+
   test("q_part_affinity: symmetric-support lift reconciles with raw counts") {
     import spark.implicits._
     val r = Analytics.qPartAffinity(spark, sf)

@@ -39,7 +39,16 @@ class DeterminismSpec extends GraftSuite {
     "q_source_temperature",
     "q_pagerank",
     "q_winsorize",
-    "q_gap_fill").foreach { name =>
+    "q_gap_fill",
+    // round-6 additions: the ranking (zipWithIndex), sketch, graph, and
+    // sliding-distinct families are the most partitioning-sensitive shapes
+    "q_revenue_gini",
+    "q_cm_heavy_hitters",
+    "q_lsh_quality",
+    "q_triangle_count",
+    "q_label_prop",
+    "q_rolling_actives",
+    "q_semantic_clusters").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }
