@@ -1551,7 +1551,57 @@ object Analytics {
       |FROM t
       |ORDER BY chisq DESC, brand_a, brand_b LIMIT 20""".stripMargin
 
+  /** Benford's-law audit of order prices: observed first-significant-digit
+    * shares vs the Benford expectation log₁₀(1+1/d) — the classic
+    * fabricated-numbers / data-quality alarm (and on THIS corpus it fires
+    * loudly: synthetic uniform prices are nothing like Benford, which is
+    * exactly what the audit is for).
+    *
+    * Determinism: the first digit comes from floor(cents/10^⌊log₁₀ cents⌋)
+    * — one libm log10 on identical integer-cent bits; shares are integer
+    * ppm; the expectation is one more libm log10 on identical constants.
+    * One aggregation, 9 output rows. */
+  def qBenfordPrices(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy(lit(1))
+    Tables.orders(spark, sfDir)
+      .select(($"o_totalprice".cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+      .where($"cents" > 0)
+      .select(floor($"cents" / pow(lit(10.0), floor(log10($"cents"))))
+        .cast("int").as("first_digit"))
+      .groupBy($"first_digit").agg(count(lit(1)).as("n"))
+      .select($"first_digit", $"n",
+        expr("n * 1000000 DIV (CAST(sum(n) OVER (PARTITION BY 1) AS BIGINT))")
+          .as("share_ppm"),
+        round(log10(lit(1.0) + lit(1.0) / $"first_digit".cast("double")) * 1e6)
+          .cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", $"share_ppm" - $"benford_ppm")
+      .orderBy($"first_digit")
+  }
+
+  val benfordPricesSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS cents
+      |  FROM orders WHERE o_totalprice > 0),
+      |d AS (
+      |  SELECT CAST(floor(cents / pow(10, floor(log10(cents)))) AS INTEGER)
+      |    AS first_digit
+      |  FROM c),
+      |g AS (SELECT first_digit, count(*) AS n FROM d GROUP BY 1),
+      |s AS (
+      |  SELECT first_digit, n,
+      |    n * 1000000 // CAST(sum(n) OVER () AS BIGINT) AS share_ppm,
+      |    CAST(round(log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) * 1e6)
+      |      AS BIGINT) AS benford_ppm
+      |  FROM g)
+      |SELECT first_digit, n, share_ppm, benford_ppm,
+      |  share_ppm - benford_ppm AS dev_ppm
+      |FROM s ORDER BY first_digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford_prices" -> (qBenfordPrices _),
     "q_pair_chisq" -> (qPairChisq _),
     "q_revenue_gini" -> (qRevenueGini _),
     "q_part_affinity" -> (qPartAffinity _),
@@ -1595,6 +1645,7 @@ object Analytics {
     "q_part_affinity" -> partAffinitySql,
     "q_revenue_gini" -> revenueGiniSql,
     "q_pair_chisq" -> pairChisqSql,
+    "q_benford_prices" -> benfordPricesSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

@@ -304,6 +304,20 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_suppliers") == n)
   }
 
+  test("q_benford_prices: digits 1-9, shares partition the orders, law sums to 1") {
+    import spark.implicits._
+    val r = Analytics.qBenfordPrices(spark, sf).collect()
+    assert(r.map(_.getAs[Int]("first_digit")).sorted.toSeq == (1 to 9))
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.map(_.getAs[Long]("n")).sum == orders)
+    // Benford expectations themselves must sum to ~1e6 ppm
+    val law = r.map(_.getAs[Long]("benford_ppm")).sum
+    assert(math.abs(law - 1000000L) <= 9, s"Benford ppm sum $law")
+    // share ppm sums to <= 1e6 with floor slack
+    val share = r.map(_.getAs[Long]("share_ppm")).sum
+    assert(share > 999900 && share <= 1000000)
+  }
+
   test("q_pair_chisq: top-20 descending, non-negative, support-consistent") {
     import spark.implicits._
     val r = Analytics.qPairChisq(spark, sf).collect()
