@@ -697,6 +697,62 @@ object Similarity {
       .orderBy($"p_id", $"rank")
   }
 
+  /** k-NN classification over the embedding table: the 10 fixed probes'
+    * labels predicted by a majority vote of their 5 nearest cosine
+    * neighbors ([[qCosineTopk]]'s machinery) — deterministic tie-break
+    * (votes DESC, label ASC), scored against each probe's own label. The
+    * composed "similarity search powers classification" capstone at query
+    * level; probe side broadcast as in every probe-shaped query here. */
+  def qKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", dbl($"embedding").as("v"), $"label")
+      .withColumn("nrm", l2($"v"))
+    val probes = e.where($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("pn"),
+        $"label".as("own_label"))
+    val wRank = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
+    val wVote = Window.partitionBy($"p_id").orderBy($"votes".desc, $"label")
+    e.join(broadcast(probes), $"vec_id" =!= $"p_id")
+      .withColumn("cos", dot($"pv", $"v") / ($"pn" * $"nrm"))
+      .withColumn("rank", row_number().over(wRank))
+      .where($"rank" <= 5)
+      .groupBy($"p_id", $"own_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .where($"vr" === 1)
+      .select($"p_id", $"own_label", $"label".as("predicted"), $"votes",
+        ($"own_label" === $"label").as("correct"))
+      .orderBy($"p_id")
+  }
+
+  val knnClassifySql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    label
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, label,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |scored AS (
+      |  SELECT p.vec_id AS p_id, p.label AS own_label, c.vec_id, c.label,
+      |    list_sum(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2])) / (p.nrm * c.nrm) AS cos
+      |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 10),
+      |r AS (
+      |  SELECT p_id, own_label, vec_id, label,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored),
+      |v AS (
+      |  SELECT p_id, own_label, label, count(*) AS votes
+      |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+      |t AS (
+      |  SELECT p_id, own_label, label AS predicted, votes,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY votes DESC, label) AS vr
+      |  FROM v)
+      |SELECT p_id, own_label, predicted, votes, own_label = predicted AS correct
+      |FROM t WHERE vr = 1 ORDER BY p_id""".stripMargin
+
   val cosineTopkSql: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1286,6 +1342,7 @@ object Similarity {
     "q_shingle_containment" -> (qShingleContainment _),
     "q_lsh_quality" -> (qLshQuality _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_knn_classify" -> (qKnnClassify _),
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1310,6 +1367,7 @@ object Similarity {
     "q_shingle_containment" -> shingleContainmentSql,
     "q_lsh_quality" -> lshQualitySql,
     "q_incremental_dedup" -> incrementalDedupSql,
+    "q_knn_classify" -> knnClassifySql,
     "q_semantic_clusters" -> semanticClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,

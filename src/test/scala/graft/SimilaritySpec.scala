@@ -323,6 +323,22 @@ class SimilaritySpec extends GraftSuite {
     assert(both.nonEmpty, "near-identical docs must emit both directions")
   }
 
+  test("q_knn_classify: votes bounded by k, prediction among neighbor labels") {
+    import spark.implicits._
+    val r = Similarity.qKnnClassify(spark, sf)
+    assert(r.count() == 10, "one row per probe")
+    assert(r.where($"votes" < 1 || $"votes" > 5).count() == 0)
+    // the predicted label must appear among the probe's top-5 neighbors
+    val top = Similarity.qCosineTopk(spark, sf)
+      .join(tables.Tables.embeddings(spark, sf)
+        .select($"vec_id", $"label".as("nbr_label")), "vec_id")
+      .select($"p_id", $"nbr_label").distinct()
+    val bad = r.join(top,
+      r("p_id") === top("p_id") && r("predicted") === top("nbr_label"),
+      "left_anti").count()
+    assert(bad == 0, "every prediction is a neighbor's label")
+  }
+
   test("q_incremental_dedup is exactly the straddling slice of the pair set") {
     import spark.implicits._
     val r = Similarity.qIncrementalDedup(spark, sf)
