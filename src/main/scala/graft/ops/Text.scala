@@ -1460,6 +1460,66 @@ object Text {
       |  CAST(c_l * rate_ppm // 1000000 AS BIGINT) AS docs_kept
       |FROM r ORDER BY lang""".stripMargin
 
+  /** Entropy outliers: documents whose token entropy sits ≥ 2σ BELOW
+    * their source's mean — the composed anomaly pass over a derived
+    * curation metric ([[qTokenEntropy]] feeding the one-sided σ-test),
+    * flagging repetitive/degenerate docs relative to their own source.
+    *
+    * Determinism: per-doc entropy is the micro-nat BIGINT; per-source
+    * Σx/Σx² are exact BIGINTs; the 2σ test runs in doubles CAST FROM
+    * those identical integers in the same op order on both engines
+    * ((s−n·x)² > 4·(n·Σx²−s²), one-sided), so the flag set is
+    * bit-identical. Scale shape: one token aggregation, one
+    * source-keyed stats aggregation broadcast back. */
+  def qEntropyOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ent = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"source", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"source",
+        round($"c".cast("double") / $"n" * log($"n".cast("double") / $"c") * 1e6)
+          .cast("long").as("h_micro"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"h_micro").as("x"))
+    val stats = ent.groupBy($"source")
+      .agg(count(lit(1)).as("ns"), sum($"x").as("s"),
+        sum($"x" * $"x").as("ss"))
+    ent.join(broadcast(stats), "source")
+      .where($"s" > $"ns" * $"x" &&
+        ($"s" - $"ns" * $"x").cast("double")
+          * ($"s" - $"ns" * $"x").cast("double")
+          > lit(4.0) * ($"ns".cast("double") * $"ss".cast("double")
+            - $"s".cast("double") * $"s".cast("double")))
+      .select($"doc_id", $"source", ($"x".cast("double") / 1e6).as("entropy_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val entropyOutliersSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, unnest($duckToks) AS tok FROM documents),
+       |c AS (SELECT doc_id, source, tok, count(*) AS c FROM t GROUP BY 1, 2, 3),
+       |w AS (
+       |  SELECT doc_id, source, c,
+       |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |  FROM c),
+       |e AS (
+       |  SELECT doc_id, source,
+       |    CAST(sum(CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / c)
+       |      * 1e6) AS BIGINT)) AS BIGINT) AS x
+       |  FROM w GROUP BY 1, 2),
+       |st AS (
+       |  SELECT source, count(*) AS ns, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(sum(x * x) AS BIGINT) AS ss
+       |  FROM e GROUP BY 1)
+       |SELECT doc_id, e.source, CAST(x AS DOUBLE) / 1e6 AS entropy_nats
+       |FROM e JOIN st ON e.source = st.source
+       |WHERE s > ns * x
+       |  AND CAST(s - ns * x AS DOUBLE) * CAST(s - ns * x AS DOUBLE)
+       |    > 4.0 * (CAST(ns AS DOUBLE) * CAST(ss AS DOUBLE)
+       |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ retrieval
 
   /** BM25 ad-hoc retrieval (k1 = 1.2, b = 0.75, Lucene's +1 idf floor):
@@ -1695,6 +1755,7 @@ object Text {
     "q_bottomk_sample" -> (qBottomkSample _),
     "q_length_drift" -> (qLengthDrift _),
     "q_mix_rebalance" -> (qMixRebalance _),
+    "q_entropy_outliers" -> (qEntropyOutliers _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_bm25" -> (qBm25 _),
     "q_doc_chunk" -> (qDocChunk _),
@@ -1734,6 +1795,7 @@ object Text {
     "q_bottomk_sample" -> bottomkSampleSql,
     "q_length_drift" -> lengthDriftSql,
     "q_mix_rebalance" -> mixRebalanceSql,
+    "q_entropy_outliers" -> entropyOutliersSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_bm25" -> bm25Sql,
     "q_doc_chunk" -> docChunkSql,

@@ -529,6 +529,22 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("q_entropy_outliers really sit 2 sigma below their source mean") {
+    import spark.implicits._
+    val flagged = Text.qEntropyOutliers(spark, sf)
+    assert(flagged.count() > 0, "fixture has low-entropy outliers")
+    // recompute per-source mean/std from the entropy query in doubles
+    val ent = Text.qTokenEntropy(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"source"), "doc_id")
+    val stats = ent.groupBy($"source")
+      .agg(avg($"entropy_nats").as("mu"), stddev_pop($"entropy_nats").as("sd"))
+    val joined = flagged.join(ent.select($"doc_id", $"entropy_nats".as("e2")),
+      "doc_id").join(stats, "source")
+    val bad = joined.where($"e2" > $"mu" - lit(2.0) * $"sd" + lit(1e-6)).count()
+    assert(bad == 0, "every flagged doc is at least 2 sigma below the mean")
+  }
+
   test("q_lang_pmi: exactly top-5 per language, ranked by descending PMI") {
     import spark.implicits._
     val r = Text.qLangPmi(spark, sf).collect()
