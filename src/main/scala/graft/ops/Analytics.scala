@@ -1600,7 +1600,45 @@ object Analytics {
       |  share_ppm - benford_ppm AS dev_ppm
       |FROM s ORDER BY first_digit""".stripMargin
 
+  /** Month-of-year revenue seasonality over the multi-year order history:
+    * each calendar month's share of total revenue × 12 (1 000 000 ppm =
+    * perfectly flat year) — the month-grain sibling of the events-side
+    * day-of-week profile. `month()` agrees across engines (unlike
+    * week-of-year origins); money stays exact cents; one aggregation,
+    * 12 output rows with a constant-bounded total window. */
+  def qMonthlySeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select(month(to_date($"o_orderdate")).cast("long").as("month"),
+        ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"))
+      .withColumn("index_ppm",
+        // double spelling, not cents*12e6 DIV total: the integer product
+        // overflows 2^63 once monthly cents pass ~7.6e11; both operands
+        // stay exactly representable doubles far beyond that
+        round($"cents".cast("double")
+          / sum($"cents").over(Window.partitionBy(lit(1))).cast("double")
+          * 12000000).cast("long"))
+      .orderBy($"month")
+  }
+
+  val monthlySeasonalitySql: String =
+    """WITH m AS (
+      |  SELECT CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS month,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |g AS (
+      |  SELECT month, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM m GROUP BY 1)
+      |SELECT month, n_orders, cents,
+      |  CAST(round(CAST(cents AS DOUBLE)
+      |    / CAST(CAST(sum(cents) OVER () AS BIGINT) AS DOUBLE)
+      |    * 12000000) AS BIGINT) AS index_ppm
+      |FROM g ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_monthly_seasonality" -> (qMonthlySeasonality _),
     "q_benford_prices" -> (qBenfordPrices _),
     "q_pair_chisq" -> (qPairChisq _),
     "q_revenue_gini" -> (qRevenueGini _),
@@ -1646,6 +1684,7 @@ object Analytics {
     "q_revenue_gini" -> revenueGiniSql,
     "q_pair_chisq" -> pairChisqSql,
     "q_benford_prices" -> benfordPricesSql,
+    "q_monthly_seasonality" -> monthlySeasonalitySql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

@@ -753,6 +753,41 @@ object Similarity {
       |SELECT p_id, own_label, predicted, votes, own_label = predicted AS correct
       |FROM t WHERE vr = 1 ORDER BY p_id""".stripMargin
 
+  /** ANN recall audit: recall@5 of the IVF index ([[qAnnIvf]]) against
+    * the exact brute-force top-5 ([[qCosineTopk]]) — the one-row
+    * dashboard number that says whether nprobe/nlist are tuned for the
+    * corpus, the IVF twin of [[qLshQuality]]. Both sides are the
+    * already-gated plans; the audit adds one pair-keyed join and integer
+    * ppm arithmetic. */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ivf = qAnnIvf(spark, sfDir)
+      .select($"probe_id", $"cand_id")
+    val exact = qCosineTopk(spark, sfDir)
+      .select($"p_id".as("probe_id"), $"vec_id".as("cand_id"))
+    val hits = ivf.join(exact, Seq("probe_id", "cand_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select($"n_exact", $"n_hits",
+        expr("n_hits * 1000000 DIV n_exact").as("recall_ppm"))
+  }
+
+  // lazy: interpolates cosineTopkSql, which initializes later in the
+  // object; the oracle map at the bottom forces it after everything is set
+  lazy val annRecallSql: String =
+    s"""WITH ar_ivf AS (
+      |  SELECT probe_id, cand_id FROM ($annIvfSql)),
+      |ar_bf AS (
+      |  SELECT p_id AS probe_id, vec_id AS cand_id FROM ($cosineTopkSql)),
+      |ar_hits AS (
+      |  SELECT i.probe_id, i.cand_id
+      |  FROM ar_ivf i JOIN ar_bf b USING (probe_id, cand_id))
+      |SELECT
+      |  (SELECT count(*) FROM ar_bf) AS n_exact,
+      |  (SELECT count(*) FROM ar_hits) AS n_hits,
+      |  (SELECT count(*) FROM ar_hits) * 1000000
+      |    // (SELECT count(*) FROM ar_bf) AS recall_ppm""".stripMargin
+
   val cosineTopkSql: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1343,6 +1378,7 @@ object Similarity {
     "q_lsh_quality" -> (qLshQuality _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_knn_classify" -> (qKnnClassify _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1368,6 +1404,7 @@ object Similarity {
     "q_lsh_quality" -> lshQualitySql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_knn_classify" -> knnClassifySql,
+    "q_ann_recall" -> annRecallSql,
     "q_semantic_clusters" -> semanticClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,

@@ -304,6 +304,16 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_suppliers") == n)
   }
 
+  test("q_monthly_seasonality: 12 months, ppm indexes average to flat") {
+    import spark.implicits._
+    val r = Analytics.qMonthlySeasonality(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("month")).sorted.toSeq == (1L to 12L))
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(r.map(_.getAs[Long]("n_orders")).sum == orders)
+    val s = r.map(_.getAs[Long]("index_ppm")).sum
+    assert(math.abs(s - 12000000L) <= 12, s"index ppm sum $s")
+  }
+
   test("q_benford_prices: digits 1-9, shares partition the orders, law sums to 1") {
     import spark.implicits._
     val r = Analytics.qBenfordPrices(spark, sf).collect()

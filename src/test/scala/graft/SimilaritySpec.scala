@@ -323,6 +323,19 @@ class SimilaritySpec extends GraftSuite {
     assert(both.nonEmpty, "near-identical docs must emit both directions")
   }
 
+  test("q_ann_recall reconciles with AnnSpec's recall guarantee") {
+    import spark.implicits._
+    val r = Similarity.qAnnRecall(spark, sf).head()
+    val (ne, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hits"))
+    assert(ne == Similarity.qCosineTopk(spark, sf).count())
+    assert(nh <= ne)
+    val recall = r.getAs[Long]("recall_ppm")
+    assert(recall == nh * 1000000 / ne)
+    // sanity floor only — sf0.001's 500-vector quantizer measures ~0.48;
+    // the tuned-recall guarantee lives in AnnSpec's monotone recall curve
+    assert(recall >= 300000, s"IVF recall ${recall} ppm collapsed")
+  }
+
   test("q_knn_classify: votes bounded by k, prediction among neighbor labels") {
     import spark.implicits._
     val r = Similarity.qKnnClassify(spark, sf)
