@@ -1637,7 +1637,60 @@ object Analytics {
       |    * 12000000) AS BIGINT) AS index_ppm
       |FROM g ORDER BY month""".stripMargin
 
+  /** Column-pair profiling: Pearson correlation of quantity vs
+    * whole-dollar price per return flag — the feature-correlation staple
+    * of any dataset profile, spelled engine-exact: the five sums are
+    * exact BIGINTs (qty ≤ 50, dollars ≤ 10⁵ keep every Σ far below 2^63),
+    * then the r formula runs entirely in doubles CAST from those
+    * identical integers (each ≤ 2^53, exactly representable) in the same
+    * op order on both engines. One aggregation, 3 rows. */
+  def qQtyPriceCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        // explicit floor: DuckDB ROUNDS on decimal→int casts, Spark
+        // truncates — floor-then-cast agrees everywhere
+        expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT)")
+          .as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(($"n".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double"))
+          / (sqrt($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+            * sqrt($"n".cast("double") * $"syy".cast("double")
+              - $"sy".cast("double") * $"sy".cast("double"))), 6).as("r"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qtyPriceCorrSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM t GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qty_price_corr" -> (qQtyPriceCorr _),
     "q_monthly_seasonality" -> (qMonthlySeasonality _),
     "q_benford_prices" -> (qBenfordPrices _),
     "q_pair_chisq" -> (qPairChisq _),
@@ -1685,6 +1738,7 @@ object Analytics {
     "q_pair_chisq" -> pairChisqSql,
     "q_benford_prices" -> benfordPricesSql,
     "q_monthly_seasonality" -> monthlySeasonalitySql,
+    "q_qty_price_corr" -> qtyPriceCorrSql,
     "q_skew_report" -> skewReportSql,
     "q_outlier_filter" -> outlierFilterSql,
     "q_winsorize" -> winsorizeSql,

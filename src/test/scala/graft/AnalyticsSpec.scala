@@ -304,6 +304,20 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.getAs[Long]("n_suppliers") == n)
   }
 
+  test("q_qty_price_corr matches Spark's own corr() within rounding") {
+    import spark.implicits._
+    val r = Analytics.qQtyPriceCorr(spark, sf)
+    assert(r.count() == 3)
+    assert(r.where($"r" < -1.0 || $"r" > 1.0).count() == 0)
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_quantity".cast("double").as("x"),
+        floor($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("y"))
+      .groupBy($"l_returnflag").agg(corr($"x", $"y").as("expected"))
+    val bad = r.join(direct, "l_returnflag")
+      .where(abs($"r" - $"expected") > 1e-4).count()
+    assert(bad == 0, "integer-sum r must agree with corr()")
+  }
+
   test("q_monthly_seasonality: 12 months, ppm indexes average to flat") {
     import spark.implicits._
     val r = Analytics.qMonthlySeasonality(spark, sf).collect()
