@@ -23,11 +23,14 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) df.explain("formatted")
+      // time construction + count together: several queries do eager work
+      // (localCheckpoint, sketch collects) at construction, which Bench
+      // pays — excluding it here made probe times lie vs BENCH.json
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       val n = df.count()
       println(f"[probe] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (explain) df.explain("formatted")
     }
     spark.stop()
   }

@@ -1239,10 +1239,29 @@ object Analytics {
     * self-join fans out by outdeg², not deg². Wedges close against the
     * *undirected* pair set (each triangle counted exactly once at its
     * lowest vertex, whatever the orientation of the far edge). Degrees are
-    * node-cardinality (broadcast); the thresholded edge set is broadcast
-    * here, and at larger |E| the closure join degrades gracefully to a
-    * shuffle equi-join on (x, y). All arithmetic is integer-exact. */
-  def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    * node-cardinality (broadcast); the thresholded edge set is
+    * data-derived, so the closure join is SIZE-DISPATCHED: the edge count
+    * is read off the already-materialized checkpoint (a cheap local job),
+    * and the broadcast hint is applied only under
+    * [[TriangleBroadcastMaxEdges]] — above it the closure runs as a plain
+    * shuffle equi-join on (x, y), so a dense graph degrades to a shuffle
+    * instead of OOMing the driver. The oriented wedge relation is
+    * hash-partitioned on its apex and checkpointed, so the wedge
+    * self-join reuses one exchange instead of shuffling both sides.
+    * All arithmetic is integer-exact. */
+  def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCount(spark, sfDir, TriangleBroadcastMaxEdges)
+
+  /** Edge-count ceiling for broadcasting the closure side of the triangle
+    * join: 2M edges × 16 B/row ≈ 32 MB — comfortably inside a default
+    * driver/broadcast budget, far below where a hard hint would OOM. */
+  private val TriangleBroadcastMaxEdges = 2000000L
+
+  /** [[qTriangleCount]] with the broadcast dispatch threshold exposed so
+    * tests can force the shuffle path (threshold 0) and assert both plans
+    * agree and neither carries an unconditional broadcast hint. */
+  private[graft] def triangleCount(spark: SparkSession, sfDir: String,
+      broadcastMaxEdges: Long): DataFrame = {
     import spark.implicits._
     // one orderkey shuffle → compiled pair kernel → co-occurrence counts;
     // x < y by construction (sorted set), one row per unordered pair
@@ -1253,9 +1272,17 @@ object Analytics {
       .groupBy($"e.x".as("x"), $"e.y".as("y"))
       .agg(count(lit(1)).as("c"))
       .where($"c" >= 6).select($"x", $"y")
-      .localCheckpoint(true) // one diamond: deg, ori ×2, closure all read it
+      .localCheckpoint(true) // one diamond: deg, ori, closure all read it
+    // the checkpoint is already materialized, so this count is a cheap
+    // local job — it drives the closure join's broadcast-vs-shuffle
+    // dispatch (a hard broadcast hint on a data-derived edge set would
+    // override Spark's size checks and OOM the driver at real scale)
+    val nEdges = pairs.count()
     val deg = pairs.select($"x".as("n")).unionAll(pairs.select($"y".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
+    // pre-partition the oriented edges on the wedge apex and checkpoint:
+    // LogicalRDD keeps the hash partitioning, so the self-join below
+    // reuses ONE exchange instead of shuffling both recomputed sides
     val ori = pairs
       .join(broadcast(deg).withColumnsRenamed(Map("n" -> "nx", "d" -> "dx")),
         $"x" === $"nx")
@@ -1266,11 +1293,14 @@ object Analytics {
           .otherwise($"y").as("u"),
         when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
           .otherwise($"x").as("v"))
+      .repartition($"u")
+      .localCheckpoint(true)
     val wedges = ori.alias("e1")
       .join(ori.alias("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
       .select($"e1.u".as("apex"), $"e1.v".as("b"), $"e2.v".as("cc"))
+    val closure = if (nEdges <= broadcastMaxEdges) broadcast(pairs) else pairs
     wedges
-      .join(broadcast(pairs), $"b" === $"x" && $"cc" === $"y")
+      .join(closure, $"b" === $"x" && $"cc" === $"y")
       .groupBy($"apex".as("suppkey"))
       .agg(count(lit(1)).as("triangles"))
       .orderBy($"suppkey")

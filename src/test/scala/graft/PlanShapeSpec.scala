@@ -81,8 +81,10 @@ class PlanShapeSpec extends GraftSuite {
 
   test("no declared query plans a CartesianProduct — the WHOLE surface") {
     // cross-shaped queries must bound one side via broadcast; a cartesian
-    // product in any plan is a scale bug. Iterates every registered query:
-    // planning only (no execution), so the sweep stays cheap.
+    // product in any plan is a scale bug. Iterates every registered query.
+    // NOT free: constructing a handful of these DataFrames runs real jobs
+    // (zipWithIndex, sketch collects, eager localCheckpoints) — the sweep
+    // costs tens of seconds, paid once here for whole-surface coverage.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -246,13 +248,33 @@ class PlanShapeSpec extends GraftSuite {
       s"the skew report reads exactly its key column:\n$skewScan")
   }
 
-  test("q_triangle_count: equi-join wedges, broadcast closure, no cartesian") {
-    val plan = planOf("q_triangle_count")
+  test("q_triangle_count: equi-joins only, closure broadcast is size-dispatched") {
+    val dflt = SparkEntry.queries("q_triangle_count")(spark, sf)
+    dflt.count()
+    val plan = dflt.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"triangle wedges/closure must stay on equi-joins:\n$plan")
+    // the test-sf edge set sits under the dispatch threshold, so the
+    // closure join broadcasts here
     assert(plan.contains("BroadcastHashJoin"),
-      s"the thresholded edge set should broadcast into the closure:\n$plan")
+      s"under-threshold edge set should broadcast into the closure:\n$plan")
+    // force the over-threshold branch (threshold 0): the closure must
+    // drop its broadcast hint — only the two node-cardinality degree
+    // joins keep one — and the shuffle plan must agree exactly with the
+    // broadcast plan's results. No hard broadcast of a data-derived edge
+    // set survives at scale.
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int = {
+      val s = df.queryExecution.optimizedPlan.toString
+      s.sliding("broadcast".length).count(_ == "broadcast")
+    }
+    val shuffled = graft.ops.Analytics.triangleCount(spark, sf, 0L)
+    assert(hintCount(shuffled) < hintCount(dflt),
+      "the over-threshold plan must carry strictly fewer broadcast hints")
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(shuffled.collect().map(_.toString).sorted
+      .sameElements(dflt.collect().map(_.toString).sorted),
+      "broadcast and shuffle closure paths must produce identical triangles")
   }
 
   test("q_bloom_semijoin: bitmap filter prunes the probe BEFORE the semi-join") {
