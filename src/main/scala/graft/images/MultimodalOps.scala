@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, decode/extract at the
   * edge).
   *
-  * The container ships no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE (bytes → pseudo-pixels); everything
-  * around it — schema contract, per-partition batching, metadata
-  * propagation, frame sampling — is the real production shape: swap the
-  * stub body for javax.imageio / ffmpeg JNI and nothing else changes.
+  * Two decoders share one seam: [[decodeImage]] is the REAL codec path
+  * (JDK `javax.imageio` — PNG/JPEG/GIF/BMP, no native deps), and
+  * [[decodeStub]] is a clearly-marked DETERMINISTIC FAKE (bytes →
+  * pseudo-pixels) kept for raw-byte formula assets and as the seam demo
+  * for codecs the JDK lacks (video/audio → ffmpeg JNI). Everything around
+  * them — schema contract, per-partition batching, metadata propagation,
+  * frame sampling — is identical, so swapping stub↔real is one call.
   *
   * Schema contract for a multimodal asset table:
   * `(asset_id long, media_type string, x_dim int, y_dim int,
@@ -50,6 +52,79 @@ object MultimodalOps {
             i += 1
           }
           ImageOps.Img(id, x, y, c, px)
+        }
+      }
+  }
+
+  /** Deterministic PNG-ENCODED synthetic assets: byte (r,g,b interleaved,
+    * row-major) `i` of image `id` is the image family's pixel formula
+    * ((id*31 + i*7) mod 256), actually pushed through the JDK's
+    * `javax.imageio` PNG encoder on EXECUTORS (mapPartitions), so the
+    * decode path below exercises a real codec on real compressed bytes.
+    * PNG is lossless: the round trip reproduces the formula exactly,
+    * which is what lets a codec-free SQL oracle verify the pixels. */
+  def encodedAssets(spark: org.apache.spark.sql.SparkSession, n: Int,
+      x: Int, y: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, math.min(n, 8)).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          x, y, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var py = 0
+        while (py < y) {
+          var px = 0
+          while (px < x) {
+            val base = (py * x + px) * 3
+            def v(k: Int): Int = ((id * 31 + (base + k) * 7) % 256).toInt
+            img.setRGB(px, py, (v(0) << 16) | (v(1) << 8) | v(2))
+            px += 1
+          }
+          py += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", x, y, 3, 1, bos.toByteArray)
+      }
+    }.toDF("asset_id", "media_type", "x_dim", "y_dim", "n_channels",
+      "n_frames", "content")
+  }
+
+  /** REAL image decode (ref: loaders/ImageNetLoader + ImageLoaderUtils):
+    * `javax.imageio` reads PNG/JPEG/GIF/BMP from the binary content column
+    * — JDK-only, no native deps. Same signature and output layout as
+    * [[decodeStub]] (row-major interleaved [0,1] doubles), so swapping
+    * stub↔real in a pipeline is a one-call change. Dimensions come from
+    * the DECODED image, not the metadata columns — the codec is the truth.
+    * Per-partition iterator seam: one codec init per partition, streaming
+    * over assets, never materializing a partition's images at once. */
+  def decodeImage(df: DataFrame): Dataset[ImageOps.Img] = {
+    import df.sparkSession.implicits._
+    df.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"asset $id: bytes are not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = new Array[Double](w * h * 3)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              val rgb = img.getRGB(xx, yy)
+              val base = (yy * w + xx) * 3
+              px(base) = ((rgb >> 16) & 0xff) / 255.0
+              px(base + 1) = ((rgb >> 8) & 0xff) / 255.0
+              px(base + 2) = (rgb & 0xff) / 255.0
+              xx += 1
+            }
+            yy += 1
+          }
+          ImageOps.Img(id, w, h, 3, px)
         }
       }
   }

@@ -502,6 +502,32 @@ object Images {
       |  round(list_max(v), 6) AS max_px
       |FROM s ORDER BY asset_id, frame_id""".stripMargin
 
+  /** REAL codec decode in the gate (ref: loaders/ImageNetLoader +
+    * ImageLoaderUtils): 20 formula images are PNG-encoded with
+    * `javax.imageio` on executors ([[MultimodalOps.encodedAssets]]), then
+    * decoded back through the real codec ([[MultimodalOps.decodeImage]]).
+    * PNG is lossless, so the decoded bytes reproduce the formula exactly
+    * and the oracle verifies every pixel with pure arithmetic — what's
+    * under test is the encode→compress→decode round trip plus the decoded
+    * row-major interleaved-RGB layout contract. */
+  def qImageDecodeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = MultimodalOps.encodedAssets(spark, n = 20, x = 8, y = 8)
+    MultimodalOps.decodeImage(assets).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 3).cast("long").as("pixel"),
+        ($"i" % 3).cast("long").as("ch"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"pixel", $"ch")
+  }
+
+  val imageDecodeRealSql: String =
+    """SELECT t.id AS id, p.p AS pixel, c.c AS ch,
+      |  round(CAST((t.id*31 + (p.p*3 + c.c)*7) % 256 AS DOUBLE)/255.0, 6) AS val
+      |FROM range(0, 20) t(id), range(0, 64) p(p), range(0, 3) c(c)
+      |ORDER BY id, pixel, ch""".stripMargin
+
   /** Binary-asset exact dedup: group multimodal assets by the md5 of the
     * raw `binary` content column — the first pass of any multimodal
     * curation pipeline (identical images/videos re-crawled under
@@ -536,6 +562,7 @@ object Images {
     "q_asset_dedup" -> (qAssetDedup _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_image_decode_real" -> (qImageDecodeReal _),
     "q_image_pool" -> (qImagePool _),
     "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
     "q_image_crop_window" -> (qImageCropWindow _),
@@ -550,6 +577,7 @@ object Images {
     "q_asset_dedup" -> assetDedupSql,
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_image_decode_real" -> imageDecodeRealSql,
     "q_image_pool" -> imagePoolSql,
     "q_image_grayscale_rectify" -> imageGrayscaleRectifySql,
     "q_image_crop_window" -> imageCropWindowSql,

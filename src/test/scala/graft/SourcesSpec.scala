@@ -247,6 +247,42 @@ class SourcesSpec extends GraftSuite {
     assert(kept < 2500, s"expected ~5% false positives, kept $kept of 20000")
   }
 
+  test("decodeImage decodes REAL PNG and JPEG bytes through javax.imageio") {
+    import graft.images.MultimodalOps
+    // PNG: lossless — every decoded byte must equal the generator formula
+    val assets = MultimodalOps.encodedAssets(spark, n = 4, x = 8, y = 8)
+    // the content column is genuinely compressed PNG, not raw pixels
+    val first = assets.orderBy(col("asset_id")).head()
+    val bytes = first.getAs[Array[Byte]]("content")
+    assert(bytes.take(4).sameElements(Array(0x89.toByte, 'P'.toByte,
+      'N'.toByte, 'G'.toByte)), "content must carry a PNG signature")
+    val decoded = MultimodalOps.decodeImage(assets).collect()
+    assert(decoded.length == 4)
+    decoded.foreach { img =>
+      assert(img.x_dim == 8 && img.y_dim == 8 && img.n_channels == 3)
+      img.image.zipWithIndex.foreach { case (v, i) =>
+        val expect = ((img.id * 31 + i * 7) % 256) / 255.0
+        assert(v == expect, s"asset ${img.id} pixel $i: $v != $expect")
+      }
+    }
+    // JPEG: lossy — assert the codec path works end-to-end (decodes to the
+    // right shape with plausibly-close values), not bit equality
+    import spark.implicits._
+    val jpeg = spark.range(0, 2).map { id =>
+      val buf = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) buf.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(buf, "jpg", bos)
+      (id, "image", 8, 8, 3, 1, bos.toByteArray)
+    }.toDF("asset_id", "media_type", "x_dim", "y_dim", "n_channels",
+      "n_frames", "content")
+    val jdec = MultimodalOps.decodeImage(jpeg).collect()
+    assert(jdec.length == 2 && jdec.forall(_.image.length == 8 * 8 * 3))
+    assert(jdec.forall(_.image.forall(v => math.abs(v - 128.0 / 255) < 0.05)),
+      "uniform gray must survive JPEG within tolerance")
+  }
+
   test("Bloom.semiJoin equals the plain semi-join") {
     import graft.sources.Bloom
     val orders = tables.Tables.orders(spark, sf)
