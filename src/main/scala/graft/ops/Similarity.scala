@@ -33,6 +33,26 @@ import graft.tables.Tables
 object Similarity {
 
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** 120-bit engine-portable identity digest: TWO 60-bit md5-prefix longs
+    * (hex chars [1,15] and [17,31]) carried as two FLAT columns — the key
+    * every near-dup/boilerplate/contamination shuffle groups and joins on.
+    * A single 60-bit digest hits the birthday bound around 10⁹ distinct
+    * shingles (expected collisions on a 100 TB corpus, silently merging
+    * unrelated posting lists); 120 bits pushes the bound past 10¹⁷.
+    * Mirrored EXACTLY in the oracles as two BIGINT columns, so collision
+    * behavior — now negligible — is still identical on both engines.
+    * Flat longs, not a struct: struct grouping keys fall off the
+    * UnsafeRow fast path and measured 3× slower on the posting-list
+    * aggregation. Apply to a PRE-COMPUTED md5 column so the digest is
+    * hashed once per shingle. Used where the digest IS the identity;
+    * mod-N bucketing/sampling digests (splits, band buckets, Count-Min
+    * rows) keep a single long, where collisions are part of the
+    * operator's contract. */
+  private[ops] def digestLo(m: Column): Column =
+    conv(substring(m, 1, 15), 16, 10).cast("long")
+  private[ops] def digestHi(m: Column): Column =
+    conv(substring(m, 17, 15), 16, 10).cast("long")
   // Codegen'd native kernels (graft.functions.VectorExprs, registered via
   // GraftExtensions): same left-to-right summation as the HOF spelling, so
   // results and DuckDB oracles are bit-identical — just not interpreted.
@@ -68,10 +88,10 @@ object Similarity {
     *  1. [[graft.functions.TextKernels.shingles]] (`graft_shingles`, a
     *     codegen'd Catalyst expression) shingles each doc in a single
     *     compiled loop — no interpreted HOF lambdas anywhere in the query.
-    *     Each shingle is digested to a 60-bit key
-    *     (`conv(substr(md5(sh),1,15),16,10)`, mirrored EXACTLY in the
-    *     oracle as `CAST('0x'||substr(md5(sh),1,15) AS BIGINT)`), so every
-    *     shuffle carries an 8-byte fixed-width key instead of a string.
+    *     Each shingle is digested to a 120-bit key ([[digestLo]]/[[digestHi]]: two
+    *     md5-prefix longs, mirrored EXACTLY in the oracle as (sh1, sh2)
+    *     BIGINT columns), so every shuffle carries a 16-byte fixed-width
+    *     key instead of a string, collision-safe past 10¹⁷ shingles.
     *     Per-doc shingle dedup happens AFTER digesting on both engines
     *     (`collect_set` / `SELECT DISTINCT doc_id, digest`), so even a
     *     digest collision behaves identically on both sides: colliding
@@ -107,9 +127,10 @@ object Similarity {
     val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
-      .select($"doc_id",
-        conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
-      .groupBy($"sh").agg(sort_array(collect_set($"doc_id")).as("ds"))
+      .select($"doc_id", md5($"shs").as("m"))
+      .select($"doc_id", digestLo($"m").as("sh1"), digestHi($"m").as("sh2"))
+      .groupBy($"sh1", $"sh2")
+      .agg(sort_array(collect_set($"doc_id")).as("ds"))
       .where(size($"ds") <= ShingleMaxDf)
     val counts = lists
       .select(explode(call_function("graft_pairs", $"ds", lit(true))).as("e"))
@@ -148,15 +169,16 @@ object Similarity {
       |  FROM documents),
       |s0 AS (
       |  SELECT DISTINCT doc_id,
-      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh1,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 17, 15) AS BIGINT) AS sh2
       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
       |s AS (
       |  SELECT s0.* FROM s0
-      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
+      |  JOIN (SELECT sh1, sh2 FROM s0 GROUP BY 1, 2 HAVING count(*) <= $ShingleMaxDf) r USING (sh1, sh2)),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM s a JOIN s b ON a.sh1 = b.sh1 AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 4) AS jaccard
@@ -197,15 +219,16 @@ object Similarity {
       |  FROM documents),
       |s0 AS (
       |  SELECT DISTINCT doc_id,
-      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh1,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 17, 15) AS BIGINT) AS sh2
       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
       |s AS (
       |  SELECT s0.* FROM s0
-      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
+      |  JOIN (SELECT sh1, sh2 FROM s0 GROUP BY 1, 2 HAVING count(*) <= $ShingleMaxDf) r USING (sh1, sh2)),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM s a JOIN s b ON a.sh1 = b.sh1 AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |st AS (
       |  SELECT doc_a, doc_b, n_inter, x.n_sh AS n_a, y.n_sh AS n_b
@@ -887,8 +910,8 @@ object Similarity {
     * web-corpus pipelines): a 3-token shingle appearing in ≥
     * [[BoilerplateMinDf]] distinct docs is boilerplate; each doc reports
     * what fraction of its distinct shingles are boilerplate. Shape: ONE
-    * digested shingle explode + distinct (the same md5-prefix digest as
-    * the near-dup family, so every shuffle carries an 8-byte key), a
+    * digested shingle explode + distinct (the same 120-bit [[digestLo]]/[[digestHi]] digest as
+    * the near-dup family, so every shuffle carries a 16-byte key), a
     * document-frequency aggregation over it, and a semi-join back — the
     * exchange under the distinct is shared by all three consumers via AQE
     * reuse. All counts are integers; the only double op is the final
@@ -898,13 +921,13 @@ object Similarity {
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
-      .select($"doc_id",
-        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id", md5($"s").as("m"))
+      .select($"doc_id", digestLo($"m").as("h1"), digestHi($"m").as("h2"))
       .distinct()
-    val bp = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-      .where($"df" >= BoilerplateMinDf).select($"h")
+    val bp = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
+      .where($"df" >= BoilerplateMinDf).select($"h1", $"h2")
     val tot = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val boil = sh.join(bp, "h")
+    val boil = sh.join(bp, Seq("h1", "h2"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
     Tables.documents(spark, sfDir).select($"doc_id")
       .join(tot, Seq("doc_id"), "left")
@@ -924,11 +947,12 @@ object Similarity {
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
-      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 17, 15) AS BIGINT) AS h2
       |  FROM t, UNNEST(range(1, len(toks) - 1)) u(i)),
-      |bpset AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= $BoilerplateMinDf),
+      |bpset AS (SELECT h1, h2 FROM sh GROUP BY 1, 2 HAVING count(*) >= $BoilerplateMinDf),
       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
-      |boil AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN bpset USING (h) GROUP BY 1)
+      |boil AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN bpset USING (h1, h2) GROUP BY 1)
       |SELECT d.doc_id, CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
       |  CAST(coalesce(boil.n_boiler, 0) AS BIGINT) AS n_boiler,
       |  round(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0.0
@@ -1048,15 +1072,16 @@ object Similarity {
       |  FROM documents),
       |s0 AS (
       |  SELECT DISTINCT doc_id,
-      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh1,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 17, 15) AS BIGINT) AS sh2
       |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
       |s AS (
       |  SELECT s0.* FROM s0
-      |  JOIN (SELECT sh FROM s0 GROUP BY sh HAVING count(*) <= $ShingleMaxDf) r USING (sh)),
+      |  JOIN (SELECT sh1, sh2 FROM s0 GROUP BY 1, 2 HAVING count(*) <= $ShingleMaxDf) r USING (sh1, sh2)),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  FROM s a JOIN s b ON a.sh1 = b.sh1 AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |nd AS (
       |  SELECT doc_a, doc_b
@@ -1134,7 +1159,7 @@ object Similarity {
     * [[ContaminationMaxDf]]: hot shingles are boilerplate and would
     * explode the join while carrying no leakage signal (the identical cap
     * discipline as the near-dup family). Shape: digested shingle explode →
-    * split by the id hash → df-capped equi-join on 8-byte keys → pair
+    * split by the id hash → df-capped equi-join on 16-byte keys → pair
     * count + join back for the size — no all-pairs anywhere, and the join
     * fans out only on RARE keys, bounded by the cap. */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1144,14 +1169,17 @@ object Similarity {
         (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
+      .select($"doc_id", $"bucket", md5($"s").as("m"))
       .select($"doc_id", $"bucket",
-        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
       .distinct()
-    val tr = sh.where($"bucket" < 80).select($"doc_id".as("train_doc"), $"h")
-    val te = sh.where($"bucket" >= 90).select($"doc_id".as("test_doc"), $"h")
-    val rare = tr.groupBy($"h").agg(count(lit(1)).as("df"))
-      .where($"df" <= ContaminationMaxDf).select($"h")
-    val shared = te.join(rare, "h").join(tr, "h")
+    val tr = sh.where($"bucket" < 80)
+      .select($"doc_id".as("train_doc"), $"h1", $"h2")
+    val te = sh.where($"bucket" >= 90)
+      .select($"doc_id".as("test_doc"), $"h1", $"h2")
+    val rare = tr.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
+      .where($"df" <= ContaminationMaxDf).select($"h1", $"h2")
+    val shared = te.join(rare, Seq("h1", "h2")).join(tr, Seq("h1", "h2"))
       .groupBy($"test_doc", $"train_doc").agg(count(lit(1)).as("n_shared"))
       .where($"n_shared" >= ContaminationMinShared)
     val tsz = te.groupBy($"test_doc").agg(count(lit(1)).as("n_sh"))
@@ -1168,14 +1196,15 @@ object Similarity {
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, bucket,
-      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 17, 15) AS BIGINT) AS h2
       |  FROM t, UNNEST(range(1, len(toks) - 1)) u(i)),
-      |tr AS (SELECT doc_id, h FROM sh WHERE bucket < 80),
-      |te AS (SELECT doc_id, h FROM sh WHERE bucket >= 90),
-      |rare AS (SELECT h FROM tr GROUP BY h HAVING count(*) <= $ContaminationMaxDf),
+      |tr AS (SELECT doc_id, h1, h2 FROM sh WHERE bucket < 80),
+      |te AS (SELECT doc_id, h1, h2 FROM sh WHERE bucket >= 90),
+      |rare AS (SELECT h1, h2 FROM tr GROUP BY 1, 2 HAVING count(*) <= $ContaminationMaxDf),
       |shared AS (
       |  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS n_shared
-      |  FROM te JOIN rare USING (h) JOIN tr USING (h)
+      |  FROM te JOIN rare USING (h1, h2) JOIN tr USING (h1, h2)
       |  GROUP BY 1, 2),
       |tsz AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1)
       |SELECT s.test_doc, s.train_doc, s.n_shared,
@@ -1293,10 +1322,10 @@ object Similarity {
     val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
-      .select($"doc_id",
-        conv(substring(md5($"shs"), 1, 15), 16, 10).cast("long").as("sh"))
-      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
-      .groupBy($"sh")
+      .select($"doc_id", md5($"shs").as("m"))
+      .select($"doc_id", digestLo($"m").as("sh1"), digestHi($"m").as("sh2"))
+      .groupBy($"doc_id", $"sh1", $"sh2").agg(count(lit(1)).as("tf"))
+      .groupBy($"sh1", $"sh2")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_set($"doc_id" * 256 + least($"tf", lit(255L))))
           .as("ds"))
@@ -1337,15 +1366,16 @@ object Similarity {
        |  FROM documents),
        |s AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh
+       |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 15) AS BIGINT) AS sh1,
+       |    CAST('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 17, 15) AS BIGINT) AS sh2
        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
-       |tf0 AS (SELECT doc_id, sh, count(*) AS tf FROM s GROUP BY 1, 2),
+       |tf0 AS (SELECT doc_id, sh1, sh2, count(*) AS tf FROM s GROUP BY 1, 2, 3),
        |n AS (SELECT count(*) AS n_docs FROM documents),
-       |rare AS (SELECT sh, count(*) AS df FROM tf0 GROUP BY 1 HAVING count(*) <= $ShingleMaxDf),
+       |rare AS (SELECT sh1, sh2, count(*) AS df FROM tf0 GROUP BY 1, 2 HAVING count(*) <= $ShingleMaxDf),
        |w AS (
-       |  SELECT tf0.doc_id, tf0.sh, least(tf0.tf, 255) AS tfc,
+       |  SELECT tf0.doc_id, tf0.sh1, tf0.sh2, least(tf0.tf, 255) AS tfc,
        |    CAST(round(ln(CAST(n_docs AS DOUBLE) / rare.df) * 1e4) AS BIGINT) AS idfq
-       |  FROM tf0 JOIN rare ON tf0.sh = rare.sh CROSS JOIN n),
+       |  FROM tf0 JOIN rare ON tf0.sh1 = rare.sh1 AND tf0.sh2 = rare.sh2 CROSS JOIN n),
        |norms AS (
        |  SELECT doc_id, CAST(sum(tfc * idfq * tfc * idfq) AS BIGINT) AS n2
        |  FROM w GROUP BY 1),
@@ -1353,7 +1383,7 @@ object Similarity {
        |  SELECT a.doc_id AS a, b.doc_id AS b,
        |    CAST(sum(a.tfc * b.tfc * a.idfq * a.idfq) AS BIGINT) AS dot,
        |    count(*) AS n_common
-       |  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM w a JOIN w b ON a.sh1 = b.sh1 AND a.sh2 = b.sh2 AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT a AS doc_a, b AS doc_b, n_common,
        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine

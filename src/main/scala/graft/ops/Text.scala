@@ -1695,10 +1695,11 @@ object Text {
   /** Cross-document chunk dedup — repeated 32-token windows (stride 24,
     * [[qDocChunk]]'s grid) appearing in ≥ 2 distinct docs: the
     * chunk-granularity boilerplate/copy detector between exact-doc dedup
-    * and shingle near-dup. Chunks digest to 60-bit keys
-    * (md5-prefix, the [[Similarity]] digesting convention) so the shuffle
-    * carries 8-byte keys; the aggregation is (digest)-keyed and the
-    * output is repeat-bounded. */
+    * and shingle near-dup. Chunks digest to 120-bit keys (two md5-prefix
+    * longs — the [[Similarity.digestLo]]/[[Similarity.digestHi]] convention, collision-safe past
+    * 10¹⁷ distinct chunks) so the shuffle carries 16-byte fixed-width
+    * keys; the aggregation is digest-keyed and the output is
+    * repeat-bounded. */
   def qChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val win = 32
@@ -1712,15 +1713,17 @@ object Text {
           expr(s"(greatest(n - $win, 0L) + ${stride - 1}) div $stride"))).as("ci"),
         $"t")
       .select($"doc_id",
-        conv(substring(md5(array_join(
-          slice($"t", ($"ci" * stride + 1).cast("int"), lit(win)), " ")), 1, 15),
-          16, 10).cast("long").as("chunk_key"))
-      .groupBy($"chunk_key")
+        md5(array_join(
+          slice($"t", ($"ci" * stride + 1).cast("int"), lit(win)), " ")).as("ck"))
+      .select($"doc_id",
+        conv(substring($"ck", 1, 15), 16, 10).cast("long").as("chunk_key1"),
+        conv(substring($"ck", 17, 15), 16, 10).cast("long").as("chunk_key2"))
+      .groupBy($"chunk_key1", $"chunk_key2")
       .agg(countDistinct($"doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min($"doc_id").as("first_doc"))
       .where($"n_docs" >= 2)
-      .orderBy($"chunk_key")
+      .orderBy($"chunk_key1", $"chunk_key2")
   }
 
   val chunkDedupSql: String =
@@ -1731,15 +1734,19 @@ object Text {
        |  SELECT doc_id, n, toks,
        |    unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS ci
        |  FROM d),
+       |k0 AS (
+       |  SELECT doc_id, md5(array_to_string(
+       |      toks[ci * 24 + 1 : least(ci * 24 + 32, n)], ' ')) AS ck
+       |  FROM c),
        |k AS (
        |  SELECT doc_id,
-       |    CAST('0x' || substr(md5(array_to_string(
-       |      toks[ci * 24 + 1 : least(ci * 24 + 32, n)], ' ')), 1, 15) AS BIGINT) AS chunk_key
-       |  FROM c)
-       |SELECT chunk_key, count(DISTINCT doc_id) AS n_docs,
+       |    CAST('0x' || substr(ck, 1, 15) AS BIGINT) AS chunk_key1,
+       |    CAST('0x' || substr(ck, 17, 15) AS BIGINT) AS chunk_key2
+       |  FROM k0)
+       |SELECT chunk_key1, chunk_key2, count(DISTINCT doc_id) AS n_docs,
        |  count(*) AS n_occurrences, min(doc_id) AS first_doc
-       |FROM k GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
-       |ORDER BY chunk_key""".stripMargin
+       |FROM k GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_key1, chunk_key2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_confidence" -> (qLangConfidence _),
