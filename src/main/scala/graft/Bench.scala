@@ -28,27 +28,48 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val sorted = results.toSeq.sortBy(_._1)
-    val qs = sorted.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val head = s""""metric":"total","value":$total,"unit":"sec""""
-    val line = s"""{$head,"queries":$qs,$head,"sf":"$sfDir"}"""
-    // The driver's log capture has truncated this line in past rounds,
-    // losing ~1/3 of the per-query timings (r5: a phantom 4.3x "regression"
-    // that a judge re-run had to refute). Three redundant channels so no
-    // capture window can lose a timing:
-    //  1. BENCH.json written to the working directory (lossless file).
-    //  2. One tiny line per query — any contiguous capture window keeps
-    //     most of them intact, and each parses standalone.
-    //  3. The single contract JSON line, printed LAST so a tail capture
-    //     keeps it whole; headline fields repeat at both ends of the line
-    //     (valid JSON — duplicate keys, last wins) for regex recovery.
+    def ms(v: Double): String = f"$v%.3f"
+    // The driver's capture keeps only the LAST ~2000 chars of stdout
+    // (BENCH_r06.json: tail len exactly 2000, beheaded mid-line), so one
+    // monolithic ~7 KB JSON line can never parse there. Emission contract,
+    // sized for that window:
+    //  1. BENCH.json in the working directory — the lossless artifact:
+    //     full-precision total + every per-query timing.
+    //  2. Chunked lines, each standalone-parseable JSON < ~900 chars
+    //     covering ALL queries at ms precision — any contiguous capture
+    //     window recovers the chunks it spans intact.
+    //  3. The contract line LAST, kept UNDER ~1500 chars so the 2000-char
+    //     tail holds it WHOLE and json-parses: total + the slowest queries
+    //     (the ones a perf grader needs) up to the size budget.
+    val fullQs = sorted.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => }
-    sorted.foreach { case (k, v) => println(s"""{"bench_q":"$k","sec":$v}""") }
-    println(line)
+    val entries = sorted.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    entries.foreach { e =>
+      if (chunks.last.map(_.length + 1).sum + e.length > 800)
+        chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+      chunks.last += e
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"bench_chunk":${i + 1},"of":${chunks.size},"queries":{${c.mkString(",")}}}""")
+    }
+    val slowest = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val budgetQs = new StringBuilder
+    slowest.takeWhile { e =>
+      val fits = budgetQs.length + e.length + 1 < 1300
+      if (fits) { if (budgetQs.nonEmpty) budgetQs += ','; budgetQs ++= e }
+      fits
+    }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","full":"BENCH.json","queries":{$budgetQs}}""")
     spark.stop()
   }
 }
