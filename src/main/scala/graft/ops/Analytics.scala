@@ -1180,15 +1180,28 @@ object Analytics {
       .select($"p.src", $"p.dst")
     // outdeg rides each edge row via a src-partitioned window (one
     // shuffle, no pairs⋈degree diamond; partition size is bounded by a
-    // node's degree ≤ |V|, never by the corpus)
+    // node's degree ≤ |V|, never by the corpus); pagerank3 checkpoints it
     val edges = pairs
       .withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
-      .localCheckpoint(true)
     val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
-    // the rank/contribution tables are node-cardinality (a dimension, like
-    // every broadcast side in this file) — broadcasting them keeps each
-    // iteration a map-side join over the checkpointed edges plus one
-    // dst-keyed aggregation; corpus-scale relations are never broadcast
+    pagerank3(nodes, edges)
+      .select($"node".as("suppkey"), $"rank_ppm")
+      .orderBy($"rank_ppm".desc, $"suppkey")
+  }
+
+  /** Three synchronous ppm-integer PageRank iterations over a prepared
+    * node table ("node") and (src, dst, od) edge relation — the algorithm
+    * core of [[qPagerank]], extracted so the ScalingSpec slope canary can
+    * drive it with a fixed-density synthetic graph (the co-purchase graph
+    * densifies with SF, which would measure the generator, not the plan).
+    * Checkpoints the edge diamond once; the rank/contribution tables are
+    * node-cardinality (dimension-sized) — broadcasting them keeps each
+    * iteration a map-side join over the checkpointed edges plus one
+    * dst-keyed aggregation; corpus-scale relations are never broadcast. */
+  private[graft] def pagerank3(nodes: DataFrame, edgesIn: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges = edgesIn.localCheckpoint(true)
     var ranks = nodes.select($"node", lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = edges
@@ -1199,8 +1212,7 @@ object Analytics {
         .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
         .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
     }
-    ranks.select($"node".as("suppkey"), $"r".as("rank_ppm"))
-      .orderBy($"rank_ppm".desc, $"suppkey")
+    ranks.select($"node", $"r".as("rank_ppm"))
   }
 
   val pagerankSql: String =
@@ -1272,6 +1284,19 @@ object Analytics {
       .groupBy($"e.x".as("x"), $"e.y".as("y"))
       .agg(count(lit(1)).as("c"))
       .where($"c" >= 6).select($"x", $"y")
+    trianglesOfPairs(pairs, broadcastMaxEdges)
+  }
+
+  /** Degree-oriented triangle count over a prepared undirected pair set
+    * (x, y with x < y, one row per edge) — the algorithm core of
+    * [[qTriangleCount]], extracted so the ScalingSpec slope canary can
+    * drive it with a fixed-density synthetic graph. Returns per-apex
+    * triangle counts ordered by node id. */
+  private[graft] def trianglesOfPairs(pairsIn: DataFrame,
+      broadcastMaxEdges: Long): DataFrame = {
+    val spark = pairsIn.sparkSession
+    import spark.implicits._
+    val pairs = pairsIn
       .localCheckpoint(true) // one diamond: deg, ori, closure all read it
     // the checkpoint is already materialized, so this count is a cheap
     // local job — it drives the closure join's broadcast-vs-shuffle

@@ -28,12 +28,12 @@ class ScalingSpec extends GraftSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
-  // q_pagerank and q_triangle_count are deliberately absent: the supplier
-  // co-purchase graph is near-complete on this synthetic data, so the
-  // EDGE count grows ~|V|² with SF by data shape (100 → 1000 suppliers ⇒
-  // ~100× edges at 10× rows; the sf0.01 graph is complete and has MORE
-  // triangles than sf0.1's thresholded one) — a slope gate would measure
-  // the generator, not the plan.
+  // q_pagerank and q_triangle_count are absent from the SF-driven sweep:
+  // the supplier co-purchase graph is near-complete on this synthetic
+  // data, so the EDGE count grows ~|V|² with SF by data shape (100 → 1000
+  // suppliers ⇒ ~100× edges at 10× rows) — an SF slope gate would measure
+  // the generator, not the plan. Their plans get a REAL canary below via
+  // a fixed-density circulant graph (degree constant, edges ∝ nodes).
   Seq("q_dedup_shingle_jaccard", "q_dedup_minhash", "q_ann_ivf",
       "q_embed_neardup", "q_image_fisher_vector", "q_shingle_cosine",
       "q_bm25", "q_token_entropy", "q_rolling_anomaly",
@@ -52,5 +52,70 @@ class ScalingSpec extends GraftSuite {
           "should never cost this much; check for an unblocked join or " +
           "uncapped candidate set")
     }
+  }
+
+  // ---- graph plans: fixed-density canaries (circulant graph C_n(1..d):
+  // node i joins i±1..i±d mod n, so degree is CONSTANT and edges/wedges/
+  // triangles all grow linearly in n — a true plan-slope measurement)
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Undirected circulant edge set as (x, y), x < y, one row per edge. */
+  private def ringPairs(n: Long, d: Int): DataFrame = {
+    spark.range(n)
+      .select(col("id"), explode(sequence(lit(1), lit(d))).as("k"))
+      .select(least(col("id"), (col("id") + col("k")) % n).as("x"),
+        greatest(col("id"), (col("id") + col("k")) % n).as("y"))
+      .distinct() // wrap edges can duplicate when n <= 2d; harmless otherwise
+  }
+
+  private def slopeOf(run: Long => Double, small: Long, big: Long): Double = {
+    run(small) // warm-up: codegen + JIT out of both timings
+    val tSmall = math.max(run(small), FloorSec)
+    val tBig = math.min(run(big), run(big))
+    tBig / tSmall
+  }
+
+  test("trianglesOfPairs: 10x fixed-density edges cost < 15x wall time") {
+    val d = 4
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      // threshold 0 forces the shuffle closure path — the branch that runs
+      // at real scale is the one whose slope matters
+      val out = graft.ops.Analytics.trianglesOfPairs(ringPairs(n, d), 0L)
+      // circulant triangle count: d(d-1)/2 per apex × n (wrap-exact for
+      // n > 3d) — asserts the algorithm, not just the slope
+      val total = out.agg(sum(col("triangles"))).head().getLong(0)
+      assert(total == n * d * (d - 1) / 2,
+        s"C_$n(1..$d) must have ${n * d * (d - 1) / 2} triangles, got $total")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val slope = slopeOf(run, 3000, 30000)
+    info(f"trianglesOfPairs: slope=$slope%.1fx on 10x fixed-density edges")
+    assert(slope < MaxSlope)
+  }
+
+  test("pagerank3: 10x fixed-density edges cost < 15x wall time") {
+    val d = 4
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val nodes = spark.range(n).select(col("id").as("node"))
+      val edges = spark.range(n)
+        .select(col("id").as("src"),
+          explode(sequence(lit(1), lit(2 * d))).as("k"))
+        .select(col("src"),
+          ((col("src") + when(col("k") <= d, col("k"))
+            .otherwise(lit(n) - (col("k") - d))) % n).as("dst"))
+        .withColumn("od", lit(2L * d))
+      val ranks = graft.ops.Analytics.pagerank3(nodes, edges)
+      // a 2d-regular graph is rank-uniform: every node ends at the same
+      // ppm value — asserts the algorithm, not just the slope
+      assert(ranks.select(col("rank_ppm")).distinct().count() == 1)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val slope = slopeOf(run, 3000, 30000)
+    info(f"pagerank3: slope=$slope%.1fx on 10x fixed-density edges")
+    assert(slope < MaxSlope)
   }
 }
