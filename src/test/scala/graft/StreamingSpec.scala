@@ -169,6 +169,56 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("stateful v2 state survives checkpoint stop/restart (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the one streaming property the MemoryStream suites above don't
+    // exercise: kill the query, start a NEW one on the same checkpoint,
+    // and prove the RocksDB ValueState comes back — the recovery path a
+    // production stateful job lives on.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    try {
+      val stream = MemoryStream[Ev]
+      // the memory sink refuses checkpoint recovery; foreachBatch is the
+      // recoverable sink, collecting updates into a driver-side queue
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      def start() =
+        StreamingOps.runningUserTotalsV2(stream.toDF())
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[StreamingOps.UserTotals], _: Long) =>
+              df.collect().foreach(u =>
+                got.add((u.user_id, u.n_events, u.total_value)))
+          }
+          .start()
+      val q1 = start()
+      stream.addData(
+        Ev(1, ts(0), 1, "click", 1.50, "{}"),
+        Ev(2, ts(1), 1, "click", 2.25, "{}"))
+      q1.processAllAvailable()
+      q1.stop()
+      // new query, same checkpoint: committed offsets are not replayed, so
+      // the only way the next update can emit (3, 4.0) is recovered state
+      val q2 = start()
+      stream.addData(Ev(3, ts(2), 1, "click", 0.25, "{}"))
+      q2.processAllAvailable()
+      q2.stop()
+      val forUser1 = got.toArray(Array.empty[(Long, Long, Double)])
+        .filter(_._1 == 1L).sortBy(_._2)
+      assert(forUser1.last._2 == 3,
+        "RocksDB ValueState must survive the stop/restart")
+      assert(forUser1.last._3 == 4.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("slidingCounts places each closed event in 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
