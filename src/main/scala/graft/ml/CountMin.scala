@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * (row, col)-keyed sum); only the finished d·w cells return to the
   * driver — bounded sketch state, like every collect in this codebase.
   * Hashes mirror [[graft.sources.Bloom]]'s discipline: md5-prefix digest
-  * folded to 31 bits, then small-constant affine rows — every
-  * intermediate far below 2^62, ANSI-overflow-safe, engine-portable.
+  * folded to 31 bits, then small-constant affine rows. Worst-case
+  * intermediate is digest31 (< 2³¹) × max(A) ≈ 7.0e18 — under the signed
+  * 2⁶³−1 ≈ 9.2e18 ceiling with ~24% headroom, so ANSI-overflow-safe and
+  * engine-portable, but enlarging the affine constants past 32 bits
+  * WOULD overflow: keep A/B at 31-32 bits.
   */
 object CountMin {
 

@@ -22,7 +22,13 @@ object Scrub {
   /** Email addresses (pragmatic RFC-lite shape). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** North-American phone numbers: optional +1, separators -/./space. */
+  /** North-American phone numbers in SEPARATED forms only: optional +1,
+    * then area code / exchange / line separated by -, . or space (the
+    * area-code separator is mandatory). Unseparated 10-digit runs like
+    * 5551234567 are deliberately OUT OF SCOPE: \d{10} is
+    * indistinguishable from order ids / timestamps and would redact them
+    * wholesale — the standard precision-over-recall call for a corpus
+    * scrubber. */
   val PhonePattern = "\\+?1?[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 
   /** Dotted-quad IPv4 (coarse: does not range-check octets). */

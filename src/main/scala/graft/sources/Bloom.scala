@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * keep the exact join afterwards for correctness; the bitmap only cuts
   * the probe volume. Hashes are `xxhash64` folded to 31 bits, then a
   * small-constant affine family (same discipline as [[graft.ml.Dedup]]'s
-  * MinHash) — every intermediate stays far below 2^62, so the arithmetic
-  * is ANSI-overflow-safe and deterministic on any partitioning.
+  * MinHash) — worst-case intermediate is (2³¹−1) × max(A) ≈ 5.7e18, under
+  * the signed 2⁶³−1 ≈ 9.2e18 ceiling with ~38% headroom, so the
+  * arithmetic is ANSI-overflow-safe and deterministic on any
+  * partitioning; enlarging the affine constants past 32 bits WOULD
+  * overflow — keep A/B at 31-32 bits.
   */
 object Bloom {
 

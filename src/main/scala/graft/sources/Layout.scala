@@ -43,15 +43,37 @@ object Layout {
     * bits and the layout degenerates to a 1-d sort on it (the reason
     * production z-order implementations interleave per-column range-ids,
     * not raw values). */
+  /** Accepted input range: each column's span (max − min) must fit in a
+    * signed 64-bit long (always true unless the column mixes values near
+    * both Long.MinValue and Long.MaxValue). The range-id arithmetic is
+    * EXACT INTEGER on both branches: narrow spans (≤ 2^bits) scale UP with
+    * a product bounded by span·scale < 2⁶² before an integer DIV; wide
+    * spans (e.g. epoch-millis) DIVIDE by a bucket width FIRST and never
+    * multiply — the former `(col−lo)·scale/span` spelling both overflowed
+    * the multiply past span > 2⁶³/scale and lost exactness to the
+    * double-promoting `/` past 2⁵³. */
   def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int,
       numRanges: Int): DataFrame = {
+    require(bits <= 31, s"bits=$bits: z-interleave supports at most 31 bits/dim")
     val r = df.agg(min(col(xCol)), max(col(xCol)),
       min(col(yCol)), max(col(yCol))).head()
     val scale = (1L << bits) - 1
-    def norm(c: String, lo: Long, hi: Long): Column =
-      (col(c) - lit(lo)) * lit(scale) / lit(math.max(1L, hi - lo))
-    val zx = norm(xCol, r.getLong(0), r.getLong(1)).cast("long")
-    val zy = norm(yCol, r.getLong(2), r.getLong(3)).cast("long")
+    def norm(c: String, lo: Long, hi: Long): Column = {
+      val span = hi - lo
+      if (span <= 0L) lit(0L)
+      else if (span <= scale)
+        // spread the narrow range over the full id space so this column
+        // still owns its share of interleave bits
+        expr(s"(`$c` - CAST($lo AS BIGINT)) * CAST($scale AS BIGINT)" +
+          s" DIV CAST($span AS BIGINT)")
+      else {
+        // wide range: bucket width first, no multiply anywhere
+        val w = span / scale + 1
+        expr(s"(`$c` - CAST($lo AS BIGINT)) DIV CAST($w AS BIGINT)")
+      }
+    }
+    val zx = norm(xCol, r.getLong(0), r.getLong(1))
+    val zy = norm(yCol, r.getLong(2), r.getLong(3))
     df.withColumn("__z", zValue(zx, zy, bits))
       .repartitionByRange(numRanges, col("__z"))
       .sortWithinPartitions("__z")

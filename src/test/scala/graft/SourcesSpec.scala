@@ -233,6 +233,29 @@ class SourcesSpec extends GraftSuite {
       s"z-order must prune better on a 2-d box: z touches $zt, 1-d sort $ot")
   }
 
+  test("clusterByZ: wide long ranges (epoch millis) stay exact, no overflow") {
+    import spark.implicits._
+    import graft.sources.Layout
+    // spans far past 2^53: the old (col-lo)*scale/span spelling overflowed
+    // the multiply and lost exactness in the double-promoting divide
+    val base = 1700000000000L // epoch millis
+    val rows = (0 until 1000).map { i =>
+      (base + i.toLong * 86400000L, (i % 50).toLong)
+    }.toDF("ts", "key")
+    val clustered = Layout.clusterByZ(rows, "ts", "key", bits = 8, numRanges = 8)
+    assert(clustered.count() == 1000) // all rows survive, no overflow error
+    // block envelopes in ts must be disjoint-ish: the layout is genuinely
+    // range-clustered, which only happens if the wide-branch bucket ids
+    // are monotone in ts
+    val env = clustered.withColumn("pid", spark_partition_id())
+      .groupBy($"pid").agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .orderBy($"lo").collect()
+    val spans = env.map(r => r.getAs[Long]("hi") - r.getAs[Long]("lo"))
+    val full = 999L * 86400000L
+    assert(spans.forall(_ < full),
+      "every z-clustered block must cover a strict sub-range of ts")
+  }
+
   test("Bloom filter: zero false negatives, strong pruning of non-members") {
     import spark.implicits._
     import graft.sources.Bloom
