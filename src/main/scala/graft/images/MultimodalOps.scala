@@ -129,6 +129,79 @@ object MultimodalOps {
       }
   }
 
+  /** Decoded audio row: id, rate, and the PCM samples as exact ints. */
+  case class Wav(id: Long, sample_rate: Int, n_samples: Int,
+      samples: Array[Int])
+
+  /** Deterministic WAV-ENCODED synthetic audio assets: PCM16 sample `s`
+    * of asset `id` is ((id·31 + s·7) mod 65536) − 32768 — integer-exact —
+    * pushed through the JDK's `javax.sound.sampled` WAV writer on
+    * EXECUTORS. WAV is containerized raw PCM (lossless), so the decode
+    * below reproduces the formula exactly and a codec-free SQL oracle can
+    * verify every sample. Mono 16-bit little-endian at `rate` Hz. */
+  def encodedWavAssets(spark: org.apache.spark.sql.SparkSession, n: Int,
+      nSamples: Int, rate: Int = 16000): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, math.min(n, 8)).mapPartitions { it =>
+      it.map { id =>
+        val pcm = new Array[Byte](nSamples * 2)
+        var s = 0
+        while (s < nSamples) {
+          val v = (((id * 31 + s * 7) % 65536) - 32768).toInt
+          pcm(2 * s) = (v & 0xff).toByte // little-endian
+          pcm(2 * s + 1) = ((v >> 8) & 0xff).toByte
+          s += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, "audio", nSamples, 1, 1, 1, bos.toByteArray)
+      }
+    }.toDF("asset_id", "media_type", "x_dim", "y_dim", "n_channels",
+      "n_frames", "content")
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF/AU, no
+    * native deps): parses the container, returns the PCM16 samples as
+    * EXACT ints (no float conversion — sample values are the portable
+    * truth the oracle checks). Same per-partition iterator seam as
+    * [[decodeImage]]; dimensions come from the DECODED header, not the
+    * metadata columns. Mono 16-bit signed; little- or big-endian per the
+    * container's declared format. */
+  def decodeWav(df: DataFrame): Dataset[Wav] = {
+    import df.sparkSession.implicits._
+    df.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"asset $id: expected mono PCM16, got $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var s = 0
+          if (fmt.isBigEndian)
+            while (s < n) {
+              out(s) = ((raw(2 * s) << 8) | (raw(2 * s + 1) & 0xff)).toShort.toInt
+              s += 1
+            }
+          else
+            while (s < n) {
+              out(s) = (((raw(2 * s + 1) & 0xff) << 8) | (raw(2 * s) & 0xff)).toShort.toInt
+              s += 1
+            }
+          Wav(id, fmt.getSampleRate.toInt, n, out)
+        }
+      }
+  }
+
   /** Resize by integer-factor average pooling (the decode-free resize a
     * data pipeline does before featurization). Pure array expressions on
     * decoded images. */

@@ -528,6 +528,27 @@ object Images {
       |FROM range(0, 20) t(id), range(0, 64) p(p), range(0, 3) c(c)
       |ORDER BY id, pixel, ch""".stripMargin
 
+  /** REAL audio-codec decode in the gate: 10 formula PCM16 clips are
+    * WAV-encoded with `javax.sound.sampled` on executors
+    * ([[MultimodalOps.encodedWavAssets]]), then decoded back through the
+    * real codec ([[MultimodalOps.decodeWav]]). WAV is containerized raw
+    * PCM (lossless), so the oracle verifies every decoded sample with
+    * pure integer arithmetic — the audio twin of [[qImageDecodeReal]],
+    * closing the audio modality with a real JDK codec. */
+  def qAudioDecodeReal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = MultimodalOps.encodedWavAssets(spark, n = 10, nSamples = 64)
+    MultimodalOps.decodeWav(assets).toDF()
+      .select($"id", posexplode($"samples").as(Seq("i", "sample")))
+      .orderBy($"id", $"i")
+  }
+
+  val audioDecodeRealSql: String =
+    """SELECT t.id AS id, CAST(s.s AS INT) AS i,
+      |  CAST((t.id*31 + s.s*7) % 65536 - 32768 AS INT) AS sample
+      |FROM range(0, 10) t(id), range(0, 64) s(s)
+      |ORDER BY id, i""".stripMargin
+
   /** Binary-asset exact dedup: group multimodal assets by the md5 of the
     * raw `binary` content column — the first pass of any multimodal
     * curation pipeline (identical images/videos re-crawled under
@@ -563,6 +584,7 @@ object Images {
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_image_decode_real" -> (qImageDecodeReal _),
+    "q_audio_decode_real" -> (qAudioDecodeReal _),
     "q_image_pool" -> (qImagePool _),
     "q_image_grayscale_rectify" -> (qImageGrayscaleRectify _),
     "q_image_crop_window" -> (qImageCropWindow _),
@@ -578,6 +600,7 @@ object Images {
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_image_decode_real" -> imageDecodeRealSql,
+    "q_audio_decode_real" -> audioDecodeRealSql,
     "q_image_pool" -> imagePoolSql,
     "q_image_grayscale_rectify" -> imageGrayscaleRectifySql,
     "q_image_crop_window" -> imageCropWindowSql,

@@ -306,6 +306,25 @@ class SourcesSpec extends GraftSuite {
       "uniform gray must survive JPEG within tolerance")
   }
 
+  test("decodeWav decodes REAL WAV bytes through javax.sound (lossless PCM16)") {
+    import graft.images.MultimodalOps
+    val assets = MultimodalOps.encodedWavAssets(spark, n = 3, nSamples = 32)
+    // the content column is a genuine RIFF/WAVE container, not raw PCM
+    val bytes = assets.orderBy(col("asset_id")).head().getAs[Array[Byte]]("content")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+      "content must carry a RIFF/WAVE header")
+    val decoded = MultimodalOps.decodeWav(assets).collect()
+    assert(decoded.length == 3)
+    decoded.foreach { w =>
+      assert(w.sample_rate == 16000 && w.n_samples == 32)
+      w.samples.zipWithIndex.foreach { case (v, s) =>
+        val expect = ((w.id * 31 + s * 7) % 65536 - 32768).toInt
+        assert(v == expect, s"asset ${w.id} sample $s: $v != $expect")
+      }
+    }
+  }
+
   test("Bloom.semiJoin equals the plain semi-join") {
     import graft.sources.Bloom
     val orders = tables.Tables.orders(spark, sf)
