@@ -54,6 +54,88 @@ object Ann {
       s => s.getField("c"))
   }
 
+  /** Product-quantization index: per-subspace codebooks (m × ksub × dsub).
+    * PQ is the COMPRESSION path of similarity search: each corpus vector
+    * stores M small code ids (M bytes at ksub ≤ 256) instead of dim
+    * floats, and a query ranks candidates with M table lookups instead of
+    * a dim-wide dot product. Composes with the IVF coarse quantizer
+    * (shard by cell, PQ within the cell = IVF-PQ, the standard
+    * billion-scale layout). */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  /** Fit per-subspace codebooks with MLlib k-means (seeded): one small
+    * k-means per subspace over the sliced corpus. */
+  def fitPq(data: DataFrame, vecCol: String, m: Int, ksub: Int,
+      seed: Long = 42L): PqIndex = {
+    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { mi =>
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(seed + mi)
+        .setFeaturesCol("__features").setPredictionCol("__c")
+        .fit(data.withColumn("__features", array_to_vector(
+          transform(slice(col(vecCol), mi * dsub + 1, dsub), _.cast("double")))))
+      model.clusterCenters.map(_.toArray)
+    }.toArray
+    PqIndex(books)
+  }
+
+  /** PQ encode expression: array of the M nearest sub-codeword ids
+    * (argmin of codegen'd graft_sqdist per subspace, ties to lower id). */
+  private def pqEncodeExpr(v: Column, index: PqIndex): Column =
+    array((0 until index.m).map { mi =>
+      val sub = slice(v, mi * index.dsub + 1, index.dsub)
+      val dists = index.codebooks(mi).zipWithIndex.map { case (c, ci) =>
+        struct(call_function("graft_sqdist", sub, array(c.map(lit): _*)).as("d"),
+          lit(ci).as("c"))
+      }
+      array_min(array(dists: _*)).getField("c")
+    }: _*)
+
+  /** Asymmetric-distance (ADC) top-k: each probe precomputes its M × ksub
+    * subspace-distance lookup table (micro-quantized to BIGINT so the
+    * per-candidate sum is an ORDER-INDEPENDENT integer add — the same
+    * determinism discipline as the idf/BM25 quantizations), then every
+    * candidate's approximate L2² is M `element_at` lookups — unrolled
+    * integer adds, no dim-wide arithmetic, no interpreted lambdas.
+    * `probes` must be a BOUNDED frame (it broadcasts); the corpus side
+    * streams its (id, M-byte code) rows. Returns
+    * (probe_id, rank, cand_id, adist) with adist in micro-units. */
+  def pqAdcTopK(index: PqIndex, data: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dv = transform(col(vecCol), _.cast("double"))
+    val coded = data
+      .withColumn("__v", dv)
+      .select(col(idCol).as("cand_id"), pqEncodeExpr(col("__v"), index).as("codes"))
+    val lutExpr = array((0 until index.m).map { mi =>
+      val sub = slice(col("__v"), mi * index.dsub + 1, index.dsub)
+      array(index.codebooks(mi).map { c =>
+        round(call_function("graft_sqdist", sub, array(c.map(lit): _*)) * 1e6)
+          .cast("long")
+      }: _*)
+    }: _*)
+    val probed = probes
+      .withColumn("__v", dv)
+      .select(col(idCol).as("probe_id"), lutExpr.as("lut"))
+    val adist = (0 until index.m).map { mi =>
+      element_at(element_at(col("lut"), mi + 1),
+        (element_at(col("codes"), mi + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    coded.crossJoin(broadcast(probed))
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("adist"))
+  }
+
   /** Top-k cosine neighbors for each probe row, scanning only the nprobe
     * nearest inverted lists per probe. `probes` must be a BOUNDED frame
     * (it broadcasts). Returns (probe id, rank, candidate id, cos). */

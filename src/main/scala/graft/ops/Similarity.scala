@@ -540,6 +540,73 @@ object Similarity {
       |  JOIN n ON n.vec_id = c.vec_id)
       |WHERE rank <= $IvfK ORDER BY probe_id, rank""".stripMargin
 
+  /** PQ geometry for the oracle-gated ADC query: 8 subspaces × 8 dims,
+    * 16 codewords per subspace. Codeword c of subspace m, global dim
+    * i = m·8+j (1-based): w = ((i·37 + c·1009 + m·7919) mod 83 / 83 − 0.5)
+    * · 0.1 — integer arithmetic, identical on both engines (the
+    * k-means-fitted codebooks live in [[graft.ml.Ann.fitPq]]; fitting is
+    * engine-specific, the *encode + ADC search* is what this query
+    * gates). */
+  val PqM = 8
+  val PqKsub = 16
+  val PqK = 3
+
+  private def pqFixedIndex: graft.ml.Ann.PqIndex =
+    graft.ml.Ann.PqIndex(Array.tabulate(PqM, PqKsub, 8) { (m, c, j0) =>
+      val i = m * 8 + j0 + 1
+      (((i * 37 + c * 1009 + m * 7919) % 83).toDouble / 83.0 - 0.5) * 0.1
+    })
+
+  /** Product-quantization ADC top-k through [[graft.ml.Ann.pqAdcTopK]] —
+    * the COMPRESSION scale path of similarity search in the DuckDB gate:
+    * the corpus is encoded to 8 code ids per vector (argmin per subspace,
+    * ties to the lower id), each of the 10 probes builds its 8×16
+    * micro-quantized lookup table, and candidates rank by the integer sum
+    * of 8 table lookups — no dim-wide arithmetic per pair, and the
+    * order-independent integer sum is what makes the ranking
+    * hash-identical across engines. At 100 TB this composes with the IVF
+    * coarse quantizer (IVF-PQ): shard by cell, ADC within; recall vs
+    * exact brute force is asserted in AnnSpec. */
+  def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    graft.ml.Ann.pqAdcTopK(pqFixedIndex, e, e.where($"vec_id" < 10),
+        "vec_id", "embedding", k = PqK)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val annPqSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cb AS (
+      |  SELECT CAST(m AS INT) AS m, CAST(c AS INT) AS c,
+      |    list_transform(range(1, 9), j ->
+      |      (CAST(((m*8 + j)*37 + c*1009 + m*7919) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS w
+      |  FROM range(0, $PqM) mm(m), range(0, $PqKsub) cc(c)),
+      |subd AS (
+      |  SELECT e.vec_id, cb.m, cb.c,
+      |    list_sum(list_transform(list_zip(v[cb.m*8+1 : cb.m*8+8], cb.w),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM e, cb),
+      |enc AS (
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+      |    FROM subd)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS probe_id, m, c, CAST(round(d * 1e6) AS BIGINT) AS dq
+      |  FROM subd WHERE vec_id < 10),
+      |pair AS (
+      |  SELECT l.probe_id, enc.vec_id AS cand_id, CAST(sum(l.dq) AS BIGINT) AS adist
+      |  FROM lut l JOIN enc ON l.m = enc.m AND l.c = enc.code
+      |  WHERE enc.vec_id <> l.probe_id
+      |  GROUP BY 1, 2)
+      |SELECT probe_id, rank, cand_id, adist FROM (
+      |  SELECT probe_id, cand_id, adist,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rank
+      |  FROM pair)
+      |WHERE rank <= $PqK ORDER BY probe_id, rank""".stripMargin
+
   /** SimHash fingerprint width (bits). 60 = what a 15-hex-digit md5 prefix
     * yields with engine-portable integer arithmetic. */
   val SimhashBits = 60
@@ -1392,6 +1459,7 @@ object Similarity {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> (qAnnPq _),
     "q_shingle_cosine" -> (qShingleCosine _),
     "q_sequence_pack" -> (qSequencePack _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1438,6 +1506,7 @@ object Similarity {
     "q_semantic_clusters" -> semanticClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_pq" -> annPqSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_cosine_topk" -> cosineTopkSql,
