@@ -152,6 +152,52 @@ object Ann {
       .select(col("probe_id"), col("rank"), col("cand_id"), col("adist"))
   }
 
+  /** IVF-PQ: the billion-scale composition — the IVF coarse quantizer
+    * prunes WHICH vectors are scanned (a probe touches nprobe/nlist of
+    * the corpus, equi-joined on cell id), and PQ-ADC compresses HOW each
+    * survivor is scored (M lookup adds instead of a dim-wide dot
+    * product). Candidate set = union of the probe's nprobe cells, ranked
+    * by ADC distance; exact re-rank of the shortlist is the caller's
+    * (cheap, shortlist-bounded) step. Returns
+    * (probe_id, rank, cand_id, adist). */
+  def ivfPqTopK(coarse: IvfIndex, pq: PqIndex, data: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val dv = transform(col(vecCol), _.cast("double"))
+    // cell-tagged compressed index: (cell, cand_id, codes) — grouped by
+    // the coarse quantizer, compressed by PQ; both are literal-forest
+    // projections, so materialize once (same rationale as pqAdcTopK)
+    val coded = pqEncode(data, idCol, dv, pq)
+      .join(data.withColumn("__v", dv)
+        .select(col(idCol).as("cand_id"),
+          assignExpr(col("__v"), coarse).as("cell")), "cand_id")
+      .localCheckpoint(true)
+    val lutExpr = array((0 until pq.m).map { mi =>
+      val sub = slice(col("__v"), mi * pq.dsub + 1, pq.dsub)
+      array(pq.codebooks(mi).map { c =>
+        round(call_function("graft_sqdist", sub, array(c.map(lit): _*)) * 1e6)
+          .cast("long")
+      }: _*)
+    }: _*)
+    val probed = probes
+      .withColumn("__v", dv)
+      .select(col(idCol).as("probe_id"), lutExpr.as("lut"),
+        explode(probeClustersExpr(col("__v"), coarse, nprobe)).as("cell"))
+      .localCheckpoint(true)
+    val adist = (0 until pq.m).map { mi =>
+      element_at(element_at(col("lut"), mi + 1),
+        (element_at(col("codes"), mi + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist"), col("cand_id"))
+    coded.join(broadcast(probed), "cell") // equi-join on the coarse cell
+      .where(col("cand_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("adist"))
+  }
+
   /** Top-k cosine neighbors for each probe row, scanning only the nprobe
     * nearest inverted lists per probe. `probes` must be a BOUNDED frame
     * (it broadcasts). Returns (probe id, rank, candidate id, cos). */

@@ -106,6 +106,29 @@ class AnnSpec extends GraftSuite {
     assert(recall >= 0.5, s"PQ shortlist recall too low: $recall")
   }
 
+  test("IVF-PQ: full probe width equals plain PQ-ADC; partial width prunes") {
+    val pq = Ann.fitPq(e, "embedding", m = 16, ksub = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist"))).toSet
+    // probing every cell = scanning the whole corpus: the composition must
+    // reproduce the plain ADC ranking exactly
+    val full = rows(Ann.ivfPqTopK(index, pq, e, probes, "vec_id", "embedding",
+      k = 5, nprobe = 16))
+    val plain = rows(Ann.pqAdcTopK(pq, e, probes, "vec_id", "embedding", k = 5))
+    assert(full == plain, "nprobe = nlist IVF-PQ must equal plain PQ-ADC")
+    // partial width: every probe still fills k from its probed cells, and
+    // a pruned candidate set can only push ranked distances UP
+    val part = Ann.ivfPqTopK(index, pq, e, probes, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val perProbe = part.collect().groupBy(_.getAs[Long]("probe_id"))
+    assert(perProbe.size == 10 && perProbe.values.forall(_.length == 5))
+    val fullBest = full.groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val partBest = perProbe.view.mapValues(_.map(_.getAs[Long]("adist")).min).toMap
+    assert(partBest.forall { case (p, d) => d >= fullBest(p) },
+      "pruning cells can only raise the best ADC distance")
+  }
+
   test("assignment shards the corpus across inverted lists") {
     val v = transform($"embedding", x => x.cast("double"))
     // reuse the index to count cluster sizes via the public scan path
