@@ -143,6 +143,60 @@ object LearningOps {
     }
   }
 
+  /** ref: ml-matrix TSQR (the exact-decomposition dependency behind the
+    * reference's DistributedPCAEstimator): exact distributed PCA without
+    * ever forming the covariance matrix. Each partition stacks its
+    * centered rows and keeps only the R of a reduced QR; R factors
+    * tree-reduce pairwise (stack → QR → R), so the n×d matrix never
+    * leaves the executors and the driver sees ONE ≤d×d triangle —
+    * d²·log(partitions) doubles of communication. The principal axes are
+    * the right singular vectors of that R, identical to the SVD of the
+    * full centered matrix (and numerically sounder than the covariance
+    * route, which squares the condition number). Two passes total: mean,
+    * then QR tree. Axis signs are canonicalized (largest-|loading|
+    * component made positive) so the result is deterministic across
+    * partitionings.
+    *
+    * Returns (mean, top-k axes as rows, the k singular values of the
+    * centered matrix — sqrt((n−1)·variance) along each axis). */
+  def tsqrPca(df: DataFrame, in: String,
+      k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val data = df.select(transform(col(in), _.cast("double")).as("v"))
+      .rdd.map(r => r.getSeq[Double](0).toArray)
+    val d = data.first().length
+    require(k <= d, s"k=$k exceeds dim $d")
+    val (n, sum) = data.treeAggregate((0L, DenseVector.zeros[Double](d)))(
+      seqOp = { case ((c, s), x) => (c + 1, s + DenseVector(x)) },
+      combOp = { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) })
+    val mu = sum / n.toDouble
+    val bMu = data.sparkContext.broadcast(mu.toArray)
+    def rOf(m: DenseMatrix[Double]): DenseMatrix[Double] =
+      breeze.linalg.qr.reduced(m).r
+    val rFinal = data.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val muA = bMu.value
+        val m = DenseMatrix.zeros[Double](rows.length, muA.length)
+        var i = 0
+        while (i < rows.length) {
+          var j = 0
+          while (j < muA.length) { m(i, j) = rows(i)(j) - muA(j); j += 1 }
+          i += 1
+        }
+        Iterator.single(rOf(m))
+      }
+    }.treeReduce((r1, r2) => rOf(DenseMatrix.vertcat(r1, r2)))
+    val s = breeze.linalg.svd.reduced(rFinal)
+    val axes = (0 until k).map { a =>
+      val v = s.Vt(a, ::).t.toArray
+      // canonical sign: the largest-|loading| component is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(-_) else v
+    }.toArray
+    (mu.toArray, axes, s.singularValues.toArray.take(k))
+  }
+
   /** ref: nodes.learning.KernelRidgeRegression + GaussianKernelGenerator +
     * KernelMatrix — re-expressed as Nyström kernel ridge, the formulation
     * that survives 100 TB: the reference materializes n×n kernel blocks;

@@ -220,4 +220,47 @@ class LearningOpsSpec extends GraftSuite {
       .orderBy($"id", $"patch_id").collect().map(r => dArr(r, "image")).toSeq
     assert(r1 == r2, "patch positions must be deterministic")
   }
+
+  test("tsqrPca: exact axes (vs covariance eig), orthonormal, partition-invariant") {
+    import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (mu, axes, sv) = tsqrPca(e, "embedding", k = 5)
+    val d = mu.length
+    assert(axes.length == 5 && axes.forall(_.length == d))
+    // orthonormal axes
+    for (i <- axes.indices; j <- i until axes.length) {
+      val dot = axes(i).zip(axes(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"axes($i)·axes($j) = $dot")
+    }
+    // exactness: per-axis variance vᵀCv must equal the top eigenvalues of
+    // the exact covariance, in order (TSQR never forms C — this is the
+    // cross-check), and match the returned singular values
+    val rows = e.select(org.apache.spark.sql.functions.transform(
+        $"embedding", x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length
+    val muV = DenseVector(mu)
+    val c = DenseMatrix.zeros[Double](d, d)
+    rows.foreach { x =>
+      val xc = DenseVector(x) - muV
+      c += xc * xc.t
+    }
+    c :/= n.toDouble
+    val topEig = eigSym(c).eigenvalues.toArray.sorted.reverse.take(5)
+    axes.zip(topEig).zip(sv).foreach { case ((v, lambda), s) =>
+      val bv = DenseVector(v)
+      val captured = bv.t * (c * bv)
+      assert(math.abs(captured - lambda) / lambda < 1e-9,
+        s"axis variance $captured != eigenvalue $lambda")
+      // singular value of the centered matrix: s² = n·λ (covariance /n)
+      assert(math.abs(s * s / n - lambda) / lambda < 1e-9)
+    }
+    // partition invariance: the tree shape must not change the answer
+    val (_, axes13, _) = tsqrPca(e.repartition(13), "embedding", k = 5)
+    axes.zip(axes13).foreach { case (a, b) =>
+      val diff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      assert(diff < 1e-6, s"axes must be partition-invariant, max diff $diff")
+    }
+  }
 }
