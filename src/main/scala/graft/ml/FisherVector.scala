@@ -128,4 +128,139 @@ object FisherVector {
       .withColumn(out, concat(parts: _*))
       .select(col(groupCol), col(out))
   }
+
+  /** BLAS-batched Fisher encoding (ref: the EncEval C++ role — utils/
+    * external in the reference's build): the THROUGHPUT twin of
+    * [[fromParams]]. Per partition, each group's descriptors stack into a
+    * B×D matrix and everything becomes dense linear algebra:
+    *
+    *   quad  = X² Aᵀ − 2 X (μ/σ²)ᵀ + 1·constᵀ   (two gemms → B×K)
+    *   Γ     = row-softmax(logw + logNorm − quad/2)
+    *   ΣγX   = Γᵀ X,  ΣγX² = Γᵀ X²              (two gemms → K×D)
+    *
+    * and the mean/sigma gradient sums reassemble from those moments —
+    * O(B·K·D) flops all inside gemm instead of per-element Catalyst
+    * expressions, the shape a 100 TB descriptor table wants. Partials
+    * (2·K·D doubles + count per group) reduce by group key; nothing
+    * data-sized ever sits on the driver.
+    *
+    * Trade-off, stated plainly: the gemm regrouping sums moments BEFORE
+    * combining them, so the per-term fixed-point quantization that makes
+    * [[fromParams]] bit-reproducible cannot apply — this path is exact up
+    * to double addition order (partition-order ulps). Use [[fromParams]]
+    * (quantized) where bit-reproducibility gates; use this where
+    * throughput does. FisherVectorSpec asserts the two agree to 1e-8.
+    *
+    * `groupCol` must be castable to long (group ids). */
+  def fromParamsBatched(groupCol: String, descCol: String, out: String,
+      weights: Array[Double], means: Array[Array[Double]],
+      sigmas: Array[Array[Double]]): Transformer = Transformer { df =>
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = weights.length
+    val d = means.head.length
+    val logW = weights.map(math.log)
+    val logNorm = Array.tabulate(k)(c =>
+      -0.5 * d * math.log(2 * math.Pi) - sigmas(c).map(math.log).sum)
+    // K×D parameter matrices for the gemm forms
+    val muM = DenseMatrix.tabulate(k, d)((c, j) => means(c)(j))
+    val sgM = DenseMatrix.tabulate(k, d)((c, j) => sigmas(c)(j))
+    val invS2 = DenseMatrix.tabulate(k, d)((c, j) => 1.0 / (sigmas(c)(j) * sigmas(c)(j)))
+    val muOverS2 = DenseMatrix.tabulate(k, d)((c, j) => means(c)(j) * invS2(c, j))
+    val cst = Array.tabulate(k)(c =>
+      (0 until d).map(j => means(c)(j) * means(c)(j) * invS2(c, j)).sum)
+    val bc = spark.sparkContext.broadcast(
+      (logW, logNorm, muM, sgM, invS2, muOverS2, cst))
+    val partials = df
+      .select(col(groupCol).cast("long").as("g"),
+        transform(col(descCol), _.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .rdd.mapPartitions { it =>
+        val (lw, ln, mu, sg, a, ms2, c0) = bc.value
+        val kk = lw.length
+        val dd = mu.cols
+        it.toArray.groupBy(_._1).iterator.map { case (g, rows) =>
+          val b = rows.length
+          val x = DenseMatrix.tabulate(b, dd)((r, j) => rows(r)._2(j))
+          val x2 = x *:* x
+          // quad(b,c) = Σ_j (x−μ)²/σ² via two gemms + the constant row
+          val quad = x2 * a.t - (x * ms2.t) * 2.0
+          var r = 0
+          while (r < b) {
+            var c = 0
+            while (c < kk) { quad(r, c) += c0(c); c += 1 }
+            r += 1
+          }
+          // Γ = row-softmax of the log densities
+          val gam = DenseMatrix.zeros[Double](b, kk)
+          r = 0
+          while (r < b) {
+            var mx = Double.NegativeInfinity
+            var c = 0
+            while (c < kk) {
+              gam(r, c) = lw(c) + ln(c) - 0.5 * quad(r, c)
+              if (gam(r, c) > mx) mx = gam(r, c)
+              c += 1
+            }
+            var se = 0.0
+            c = 0
+            while (c < kk) { gam(r, c) = math.exp(gam(r, c) - mx); se += gam(r, c); c += 1 }
+            c = 0
+            while (c < kk) { gam(r, c) /= se; c += 1 }
+            r += 1
+          }
+          // moment gemms: Γᵀ·X, Γᵀ·X², column sums of Γ
+          val gx = gam.t * x // K×D
+          val gx2 = gam.t * x2 // K×D
+          val gs = DenseVector.zeros[Double](kk)
+          r = 0
+          while (r < b) {
+            var c = 0
+            while (c < kk) { gs(c) += gam(r, c); c += 1 }
+            r += 1
+          }
+          // reassemble gradient sums from moments
+          val sums = new Array[Double](2 * kk * dd)
+          var c = 0
+          while (c < kk) {
+            var j = 0
+            while (j < dd) {
+              val m = mu(c, j); val s = sg(c, j)
+              sums(c * dd + j) = (gx(c, j) - m * gs(c)) / s
+              sums(kk * dd + c * dd + j) =
+                (gx2(c, j) - 2.0 * m * gx(c, j) + m * m * gs(c)) / (s * s) - gs(c)
+              j += 1
+            }
+            c += 1
+          }
+          (g, (sums, b.toLong))
+        }
+      }
+      .reduceByKey { (p1: (Array[Double], Long), p2: (Array[Double], Long)) =>
+        val s = new Array[Double](p1._1.length)
+        var i = 0
+        while (i < s.length) { s(i) = p1._1(i) + p2._1(i); i += 1 }
+        (s, p1._2 + p2._2)
+      }
+    partials.map { case (g, (sums, n)) =>
+      val t = n.toDouble
+      val fv = new Array[Double](2 * k * d)
+      var c = 0
+      while (c < k) {
+        val nm = 1.0 / (t * math.sqrt(weights(c)))
+        val ns = 1.0 / (t * math.sqrt(2.0 * weights(c)))
+        var j = 0
+        while (j < d) {
+          // output layout matches fromParams: per component, μ-block then
+          // σ-block, components concatenated in order
+          fv(c * 2 * d + j) = sums(c * d + j) * nm
+          fv(c * 2 * d + d + j) = sums(k * d + c * d + j) * ns
+          j += 1
+        }
+        c += 1
+      }
+      (g, fv)
+    }.toDF(groupCol, out)
+  }
 }

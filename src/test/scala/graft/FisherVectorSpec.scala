@@ -53,6 +53,27 @@ class FisherVectorSpec extends GraftSuite {
     got(2L).zip(exp2).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
   }
 
+  test("fromParamsBatched (gemm path) agrees with the expression path to 1e-8") {
+    val descs = Seq(
+      (1L, Array(0.5, -0.5)), (1L, Array(1.0, 0.2)), (1L, Array(9.5, 10.5)),
+      (2L, Array(10.0, 9.0)), (2L, Array(0.1, 0.3)), (3L, Array(5.0, 5.0)))
+    val df = descs.toDF("img", "desc").repartition(4) // partials must merge
+    val expr = FisherVector.fromParams("img", "desc", "fv",
+      weights, means, sigmas)(df)
+      .collect().map(r => r.getLong(0) -> dArr(r, "fv")).toMap
+    val gemm = FisherVector.fromParamsBatched("img", "desc", "fv",
+      weights, means, sigmas)(df)
+      .collect().map(r => r.getLong(0) -> dArr(r, "fv")).toMap
+    assert(gemm.keySet == expr.keySet)
+    gemm.foreach { case (g, bfv) =>
+      val efv = expr(g)
+      assert(bfv.size == efv.size)
+      bfv.zip(efv).zipWithIndex.foreach { case ((b, x), i) =>
+        assert(math.abs(b - x) < 1e-8, s"group $g fv[$i]: gemm $b vs expr $x")
+      }
+    }
+  }
+
   test("FisherVectorEst fits a GMM and encodes 2KD-dim vectors end to end") {
     // descriptors: 8 per image from the embeddings table, sliced 8-dim
     val descs = spark.read.parquet(s"$sf/embeddings.parquet")
