@@ -575,7 +575,10 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
-  val annPqSql: String =
+  /** The PQ-ADC ranking as SQL, parameterized by the top-k cut —
+    * [[annPqSql]] is the gated k=[[PqK]] form; [[annPqRecallSql]] reuses
+    * the k=50 shortlist form. */
+  private def annPqSqlK(k: Int): String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |cb AS (
@@ -605,7 +608,65 @@ object Similarity {
       |  SELECT probe_id, cand_id, adist,
       |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rank
       |  FROM pair)
-      |WHERE rank <= $PqK ORDER BY probe_id, rank""".stripMargin
+      |WHERE rank <= $k ORDER BY probe_id, rank""".stripMargin
+
+  val annPqSql: String = annPqSqlK(PqK)
+
+  /** PQ shortlist recall audit: does the exact L2 top-5 land in the ADC
+    * top-50 shortlist? — the dashboard number for the shortlist+re-rank
+    * pattern PQ is deployed in (direct top-k agreement is the wrong
+    * metric for a compressed index), the PQ twin of [[qAnnRecall]]. Both
+    * sides are deterministic on both engines; output is one integer-ppm
+    * row. */
+  def qAnnPqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val short = graft.ml.Ann.pqAdcTopK(pqFixedIndex, e,
+        e.where($"vec_id" < 10), "vec_id", "embedding", k = 50)
+      .select($"probe_id", $"cand_id")
+    val n = e.select($"vec_id", dbl($"embedding").as("v"))
+    val p = n.where($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val w = Window.partitionBy($"probe_id").orderBy($"d", $"cand_id")
+    val exact = n.select($"vec_id".as("cand_id"), $"v")
+      .join(broadcast(p), $"cand_id" =!= $"probe_id")
+      .withColumn("d", call_function("graft_sqdist", $"pv", $"v"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5)
+      .select($"probe_id", $"cand_id")
+    val hits = short.join(exact, Seq("probe_id", "cand_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select($"n_exact", $"n_hits",
+        expr("n_hits * 1000000 DIV n_exact").as("recall_ppm"))
+  }
+
+  val annPqRecallSql: String =
+    s"""WITH pr_pq AS (
+      |  SELECT probe_id, cand_id FROM (${annPqSqlK(50)})),
+      |pr_e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pr_sc AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(p.v, c.v),
+      |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+      |  FROM pr_e p JOIN pr_e c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 10),
+      |pr_ex AS (
+      |  SELECT probe_id, cand_id FROM (
+      |    SELECT probe_id, cand_id,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rn
+      |    FROM pr_sc)
+      |  WHERE rn <= 5),
+      |pr_hits AS (
+      |  SELECT x.probe_id, x.cand_id
+      |  FROM pr_pq x JOIN pr_ex USING (probe_id, cand_id))
+      |SELECT
+      |  (SELECT count(*) FROM pr_ex) AS n_exact,
+      |  (SELECT count(*) FROM pr_hits) AS n_hits,
+      |  (SELECT count(*) FROM pr_hits) * 1000000
+      |    // (SELECT count(*) FROM pr_ex) AS recall_ppm""".stripMargin
 
   /** SimHash fingerprint width (bits). 60 = what a 15-hex-digit md5 prefix
     * yields with engine-portable integer arithmetic. */
@@ -1460,6 +1521,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_recall" -> (qAnnPqRecall _),
     "q_shingle_cosine" -> (qShingleCosine _),
     "q_sequence_pack" -> (qSequencePack _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1507,6 +1569,7 @@ object Similarity {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_pq_recall" -> annPqRecallSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_cosine_topk" -> cosineTopkSql,
