@@ -1748,7 +1748,145 @@ object Text {
        |FROM k GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY chunk_key1, chunk_key2""".stripMargin
 
+  /** HTML → text extraction (north-star curation operator — the first
+    * step of every web-corpus pipeline, trafilatura's job): strip
+    * script/style blocks, pull the title, drop all tags, collapse
+    * whitespace. The HTML is built deterministically AROUND the real
+    * documents (formula markup: head with title/script/style, body with
+    * h1 + the doc text + a nav div), so both engines run the identical
+    * RE2-safe regex chain on identical strings and the gate verifies the
+    * extraction rules themselves. Expression-only: no shuffle until the
+    * presentation sort, embarrassingly parallel at any scale. */
+  def qHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id", lit(" ("), $"lang",
+      lit(")</title><script>var id=\""), $"doc_id",
+      lit("\";</script><style>p{margin:0}</style></head><body><h1>Doc "),
+      $"doc_id", lit("</h1><p>"), $"text",
+      lit("</p><div class=\"nav\"><a href=\"/home\">home</a> <a href=\"/next\">next</a></div></body></html>"))
+    val noBlocks = regexp_replace(
+      regexp_replace(html, lit("(?s)<script[^>]*>.*?</script>"), lit("")),
+      lit("(?s)<style[^>]*>.*?</style>"), lit(""))
+    val title = regexp_extract(noBlocks, "<title>([^<]*)</title>", 1)
+    val body = trim(regexp_replace(
+      regexp_replace(noBlocks, lit("<[^>]+>"), lit(" ")),
+      lit("\\s+"), lit(" ")))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", title.as("title"),
+        size(toks(body)).cast("long").as("n_tokens_extracted"),
+        size(toks($"text")).cast("long").as("n_tokens_source"))
+      .orderBy($"doc_id")
+  }
+
+  val htmlExtractSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    '<html><head><title>Doc ' || doc_id || ' (' || lang ||
+      |    ')</title><script>var id="' || doc_id ||
+      |    '";</script><style>p{margin:0}</style></head><body><h1>Doc ' ||
+      |    doc_id || '</h1><p>' || text ||
+      |    '</p><div class="nav"><a href="/home">home</a> <a href="/next">next</a></div></body></html>'
+      |      AS html
+      |  FROM documents),
+      |nb AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(regexp_replace(html,
+      |      '(?s)<script[^>]*>.*?</script>', '', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', '', 'g') AS nob
+      |  FROM h),
+      |x AS (
+      |  SELECT doc_id,
+      |    regexp_extract(nob, '<title>([^<]*)</title>', 1) AS title,
+      |    trim(regexp_replace(regexp_replace(nob, '<[^>]+>', ' ', 'g'),
+      |      '\s+', ' ', 'g')) AS body,
+      |    text
+      |  FROM nb)
+      |SELECT doc_id, title,
+      |  CAST(len(list_filter(string_split(body, ' '), t -> t <> '')) AS BIGINT)
+      |    AS n_tokens_extracted,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+      |    AS n_tokens_source
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** URL normalization (north-star curation operator — the canonical-URL
+    * dedup key every crawl pipeline derives): lowercase scheme and host,
+    * drop the default port (http:80 / https:443, others kept), strip
+    * utm_* tracking params (rebuilding the query string by filtering
+    * split parts — no replacement backrefs, so the chain is RE2-portable),
+    * drop the fragment, keep path case. URLs are formula-generated per
+    * doc so every branch (ports, utm-only queries, fragments, mixed case)
+    * is exercised and both engines normalize identical inputs.
+    * Expression-only. */
+  def qUrlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val url = concat(
+      when($"doc_id" % 2 === 0, "http").otherwise("HTTPS"),
+      lit("://W"), $"doc_id" % 7, lit(".Example.COM"),
+      when($"doc_id" % 3 === 0, ":80")
+        .when($"doc_id" % 3 === 1, ":8080").otherwise(""),
+      lit("/P/"), $"doc_id",
+      when($"doc_id" % 2 === 0,
+        concat(lit("?utm_source=feed&q="), $"doc_id" % 5, lit("&utm_campaign=x")))
+        .otherwise(concat(lit("?q="), $"doc_id" % 5)),
+      lit("#sec"), $"doc_id" % 3)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]+)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val fq = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val norm = concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(fq =!= "", concat(lit("?"), fq)).otherwise(""))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", norm.as("url_norm"))
+      .orderBy($"doc_id")
+  }
+
+  val urlNormalizeSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) ||
+      |    '://W' || (doc_id % 7) || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN ':80'
+      |          WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/P/' || doc_id ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '?utm_source=feed&q=' || (doc_id % 5) || '&utm_campaign=x'
+      |          ELSE '?q=' || (doc_id % 5) END) ||
+      |    '#sec' || (doc_id % 3) AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      '^([^:]+)', 1)) AS host,
+      |    regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |    array_to_string(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      q -> NOT starts_with(q, 'utm_')), '&') AS fq
+      |  FROM u)
+      |SELECT doc_id,
+      |  scheme || '://' || host ||
+      |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |             AND NOT (scheme = 'https' AND port = '443')
+      |        THEN ':' || port ELSE '' END) ||
+      |  path ||
+      |  (CASE WHEN fq <> '' THEN '?' || fq ELSE '' END) AS url_norm
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_url_normalize" -> (qUrlNormalize _),
     "q_lang_confidence" -> (qLangConfidence _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_blocklist_scrub" -> (qBlocklistScrub _),
@@ -1789,6 +1927,8 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_html_extract" -> htmlExtractSql,
+    "q_url_normalize" -> urlNormalizeSql,
     "q_lang_confidence" -> langConfidenceSql,
     "q_token_entropy" -> tokenEntropySql,
     "q_blocklist_scrub" -> blocklistScrubSql,

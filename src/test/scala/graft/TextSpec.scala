@@ -559,4 +559,32 @@ class TextSpec extends GraftSuite {
     }
     assert(r.forall(_.getAs[Long]("c_tl") >= 5), "support floor")
   }
+
+  test("q_html_extract strips scripts/styles/tags and recovers the title") {
+    val rows = graft.ops.Text.qHtmlExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("title").startsWith(s"Doc $id ("))
+      // extracted = source tokens + title/h1/nav overhead, never script
+      // payload; overhead is bounded (title 3-4 + h1 2 + nav 2 ≈ 8-10)
+      val ext = r.getAs[Long]("n_tokens_extracted")
+      val src = r.getAs[Long]("n_tokens_source")
+      assert(ext > src && ext <= src + 12,
+        s"doc $id: extracted $ext vs source $src — markup must not leak")
+    }
+  }
+
+  test("q_url_normalize: ports, utm params, case and fragments normalize") {
+    val norm = graft.ops.Text.qUrlNormalize(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm")).toMap
+    // doc 0: http + :80 (default, dropped) + utm-wrapped query
+    assert(norm(0L) == "http://w0.example.com/P/0?q=0", norm(0L))
+    // doc 1: HTTPS lowercased, :8080 is non-default and KEPT, no utm
+    assert(norm(1L) == "https://w1.example.com:8080/P/1?q=1", norm(1L))
+    // doc 2: http, no port, utm params stripped from both ends
+    assert(norm(2L) == "http://w2.example.com/P/2?q=2", norm(2L))
+    // no fragment survives anywhere
+    assert(norm.values.forall(u => !u.contains("#")))
+  }
 }
