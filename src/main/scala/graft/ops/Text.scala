@@ -1884,9 +1884,138 @@ object Text {
       |  (CASE WHEN fq <> '' THEN '?' || fq ELSE '' END) AS url_norm
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** LM-based quality filtering (north-star curation operator — the CCNet
+    * recipe: a language model trained on trusted data scores the crawl,
+    * low-likelihood docs drop): a Stupid-Backoff bigram LM counted over
+    * the TRAIN hash-split (the same md5(doc_id) mod 100 < 80 split as
+    * [[Similarity.qStratifiedSplit]]) scores every HELD-OUT doc's mean
+    * bigram log-likelihood. Held-out docs genuinely exercise the backoff:
+    * unseen bigrams fall to α·unigram and OOV words to an add-one floor.
+    *
+    * Docs then split into CCNet's head/middle/tail TERCILES by the global
+    * order statistics of the score (t1 = max of the ⌈n/3⌉ lowest scores,
+    * t2 = max of the ⌈2n/3⌉ lowest — well-defined under ties, computed
+    * via orderBy.limit + max, never an unpartitioned window).
+    *
+    * Determinism discipline: each bigram's ln-score quantizes to integer
+    * micro-nats BEFORE the per-doc sum (order-independent long adds, same
+    * fixed-point pattern as the Fisher/BM25 queries); the per-doc mean is
+    * an integer DIV. Scale shape: count tables shuffle once on token
+    * keys; scoring is two string-keyed equi-joins plus a broadcast 1-row
+    * total; the per-doc score relation (4 narrow columns per held doc —
+    * what any production run persists anyway) checkpoints once and feeds
+    * the two order-statistic cuts and the final bucketing. */
+  def qLmQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        toks($"text").as("t"))
+    val train = docs.where($"bucket" < 80)
+    val held = docs.where($"bucket" >= 80)
+    val uni = train.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum($"cw").as("n_tok"))
+    val bi = train.where(size($"t") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"),
+          element_at($"t", i + 1).as("w2")))).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val cand = held.where(size($"t") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"),
+          element_at($"t", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val s = cand
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select($"w".as("w1"), $"cw".as("cw1")), Seq("w1"), "left")
+      .join(uni.select($"w".as("w2"), $"cw".as("cw2")), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      // observed: c2/c(w1); unseen bigram: α·c(w2)/N; OOV w2: add-one floor
+      .withColumn("p",
+        when($"c2".isNotNull && $"cw1".isNotNull,
+          $"c2".cast("double") / $"cw1")
+          .otherwise(lit(graft.ml.StupidBackoff.Alpha) *
+            (coalesce($"cw2", lit(0L)) + 1).cast("double") / ($"n_tok" + 1)))
+      .withColumn("lp_micro", round(log($"p") * 1e6).cast("long"))
+    val scored = s.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"lp_micro").as("sum_micro"))
+      .select($"doc_id", $"n_bigrams",
+        expr("sum_micro DIV n_bigrams").as("avg_logp_micro"))
+      .localCheckpoint(true)
+    val n = scored.count()
+    def cutAt(k: Long): DataFrame = scored
+      .orderBy($"avg_logp_micro").limit(k.toInt)
+      .agg(max($"avg_logp_micro"))
+    val cuts = cutAt((n + 2) / 3).toDF("t1")
+      .crossJoin(cutAt((2 * n + 2) / 3).toDF("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_bigrams", $"avg_logp_micro",
+        when($"avg_logp_micro" <= $"t1", "tail")
+          .when($"avg_logp_micro" <= $"t2", "middle")
+          .otherwise("head").as("lm_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val lmQualityFilterSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+      |    $duckToks AS t
+      |  FROM documents),
+      |tr AS (SELECT * FROM d WHERE bucket < 80),
+      |he AS (SELECT * FROM d WHERE bucket >= 80),
+      |uni AS (
+      |  SELECT w, count(*) AS cw
+      |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uni),
+      |bi AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+      |  FROM tr, UNNEST(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2 GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM he, UNNEST(range(1, len(t))) u(i)
+      |  WHERE len(t) >= 2),
+      |sc AS (
+      |  SELECT c.doc_id,
+      |    CAST(round(ln(
+      |      CASE WHEN bi.c2 IS NOT NULL AND u1.cw IS NOT NULL
+      |           THEN CAST(bi.c2 AS DOUBLE) / u1.cw
+      |           ELSE 0.4 * CAST(coalesce(u2.cw, 0) + 1 AS DOUBLE) / (tot.n_tok + 1)
+      |      END) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM cand c
+      |  LEFT JOIN bi ON c.w1 = bi.w1 AND c.w2 = bi.w2
+      |  LEFT JOIN uni u1 ON c.w1 = u1.w
+      |  LEFT JOIN uni u2 ON c.w2 = u2.w
+      |  CROSS JOIN tot),
+      |q AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(lp_micro) AS BIGINT) // count(*) AS avg_logp_micro
+      |  FROM sc GROUP BY doc_id),
+      |nn AS (SELECT count(*) AS n FROM q),
+      |r AS (
+      |  SELECT avg_logp_micro AS a,
+      |    row_number() OVER (ORDER BY avg_logp_micro, doc_id) AS rn
+      |  FROM q),
+      |cuts AS (
+      |  SELECT
+      |    max(CASE WHEN rn <= (SELECT (n + 2) // 3 FROM nn) THEN a END) AS t1,
+      |    max(CASE WHEN rn <= (SELECT (2 * n + 2) // 3 FROM nn) THEN a END) AS t2
+      |  FROM r)
+      |SELECT doc_id, n_bigrams, avg_logp_micro,
+      |  CASE WHEN avg_logp_micro <= t1 THEN 'tail'
+      |       WHEN avg_logp_micro <= t2 THEN 'middle'
+      |       ELSE 'head' END AS lm_bucket
+      |FROM q CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_lm_quality_filter" -> (qLmQualityFilter _),
     "q_lang_confidence" -> (qLangConfidence _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_blocklist_scrub" -> (qBlocklistScrub _),
@@ -1929,6 +2058,7 @@ object Text {
   val oracle: Map[String, String] = Map(
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,
+    "q_lm_quality_filter" -> lmQualityFilterSql,
     "q_lang_confidence" -> langConfidenceSql,
     "q_token_entropy" -> tokenEntropySql,
     "q_blocklist_scrub" -> blocklistScrubSql,

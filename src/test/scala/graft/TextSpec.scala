@@ -575,6 +575,19 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("q_lm_quality_filter: terciles ordered, all buckets populated, backoff fires") {
+    val rows = graft.ops.Text.qLmQualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[String]("lm_bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("avg_logp_micro"))).toMap
+    assert(byBucket.keySet == Set("tail", "middle", "head"))
+    // the tercile cuts must actually order the buckets
+    assert(byBucket("tail").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("head").min)
+    // held-out docs only (train bucket < 80 is excluded)
+    assert(rows.length < 500 && rows.length > 50)
+  }
+
   test("q_url_normalize: ports, utm params, case and fragments normalize") {
     val norm = graft.ops.Text.qUrlNormalize(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url_norm")).toMap
