@@ -30,7 +30,9 @@ object SparkEntry {
       (Vectors.queries, Vectors.oracle),
       (Similarity.queries, Similarity.oracle),
       (Images.queries, Images.oracle),
-      (Eval.queries, Eval.oracle))
+      (Eval.queries, Eval.oracle),
+      (Quality.queries, Quality.oracle),
+      (Formats.queries, Formats.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

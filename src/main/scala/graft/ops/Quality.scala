@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Data-quality operators: column profiling, constraint validation, and
+  * checksum-verified PII detection.
+  *
+  * This is the audit layer every large-scale ingest runs before (and after)
+  * the curation pipeline: profile what arrived, assert the invariants the
+  * downstream joins assume, and find high-precision sensitive spans. The
+  * reference's analogue is its loader-side sanity checking (SURVEY.md §2.A
+  * loaders validate record shape on read); here the checks are declarative
+  * aggregation plans so Catalyst fuses them into scans.
+  *
+  * Scale notes (100 TB):
+  *  - The profile is ONE pass over the table. Exact multi-column distinct
+  *    counts expand the aggregation buffer (Spark plans one Expand ×
+  *    #distinct-columns); at petabyte scale swap `countDistinct` for
+  *    `approx_count_distinct` (same plan shape, no Expand) — the gate uses
+  *    exact so DuckDB can verify values.
+  *  - Constraint checks are conditional aggregates fused into one scan per
+  *    table + one broadcast-able anti-join for referential integrity.
+  *  - Luhn validation is a fixed 16-term expression — pure codegen'd
+  *    per-row arithmetic, no shuffle touches the candidate strings.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------- profile
+
+  /** Per-column profile of `orders` — rows, nulls, distincts, min/max —
+    * in ONE scan (single aggregate, then `stack` unpivots to one row per
+    * column). Values are canonicalized per type before min/max so both
+    * engines compare identical representations: bigints as-is, doubles to
+    * floor-cents, timestamps to epoch seconds, strings lexically; the
+    * result columns are strings so heterogeneous columns share a schema. */
+  def qColumnProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val canon = Tables.orders(spark, sfDir).select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      floor($"o_totalprice" * 100).cast("long").as("price_c"),
+      unix_timestamp($"o_orderdate").as("date_s"),
+      $"o_orderpriority")
+    def m(c: String, i: Int) = Seq(
+      count(col(c)).as(s"nn$i"),
+      countDistinct(col(c)).as(s"nd$i"),
+      min(col(c)).cast("string").as(s"mn$i"),
+      max(col(c)).cast("string").as(s"mx$i"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "price_c",
+      "date_s", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) => m(c, i) }
+    val wide = canon.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', n_rows, n_rows - nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+      .orderBy($"col_name")
+  }
+
+  val columnProfileSql: String =
+    """WITH c AS (SELECT
+      |  o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS date_s,
+      |  o_orderpriority
+      |FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+      |    count(*) - count(o_orderkey) AS n_null,
+      |    count(DISTINCT o_orderkey) AS n_distinct,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS max_v FROM c
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+      |    count(DISTINCT o_custkey),
+      |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM c
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |    count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM c
+      |  UNION ALL
+      |  SELECT 'price_c', count(*), count(*) - count(price_c),
+      |    count(DISTINCT price_c),
+      |    CAST(min(price_c) AS VARCHAR), CAST(max(price_c) AS VARCHAR) FROM c
+      |  UNION ALL
+      |  SELECT 'date_s', count(*), count(*) - count(date_s),
+      |    count(DISTINCT date_s),
+      |    CAST(min(date_s) AS VARCHAR), CAST(max(date_s) AS VARCHAR) FROM c
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+      |    count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM c)
+      |ORDER BY col_name""".stripMargin
+
+  // ------------------------------------------------------------ constraints
+
+  /** Declarative constraint validation (the Deequ/dbt-test capability
+    * class): primary-key uniqueness, referential integrity, domain and
+    * range invariants, and two freshness checks designed to FIRE on this
+    * corpus (pending orders exist; orders newer than 2000-12-31 exist) so
+    * the gate proves the counters count. Plan: one conditional-aggregate
+    * scan of orders, one of lineitem, one anti-join for the FK — the two
+    * 1-row side relations attach via broadcast-able cross joins. */
+  def qDataConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val ord = Tables.orders(spark, sfDir).agg(
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("pk_dup"),
+      cnt(!$"o_orderstatus".isin("O", "F", "P")).as("bad_status"),
+      cnt($"o_totalprice" <= 0).as("bad_price"),
+      cnt($"o_orderdate" < to_timestamp(lit("1990-01-01")) ||
+        $"o_orderdate" > to_timestamp(lit("2005-01-01"))).as("bad_date"),
+      cnt($"o_orderstatus" === "P").as("pending"),
+      cnt($"o_orderdate" > to_timestamp(lit("2000-12-31"))).as("recent"))
+    val li = Tables.lineitem(spark, sfDir).agg(
+      cnt($"l_discount" < 0 || $"l_discount" > 0.1).as("bad_disc"))
+    val fk = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    ord.crossJoin(li).crossJoin(fk)
+      .selectExpr("""stack(8,
+        'pk_unique_orderkey', pk_dup,
+        'fk_orders_customer', fk_orphans,
+        'domain_orderstatus', bad_status,
+        'range_totalprice_pos', bad_price,
+        'range_date_bounds', bad_date,
+        'range_discount_01', bad_disc,
+        'freshness_pending', pending,
+        'freshness_recent', recent) AS (check_name, violations)""")
+      .orderBy($"check_name")
+  }
+
+  val dataConstraintsSql: String =
+    """SELECT check_name, violations FROM (
+      |  SELECT 'pk_unique_orderkey' AS check_name,
+      |    count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', count(*) FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'domain_orderstatus',
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'range_totalprice_pos',
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'range_date_bounds',
+      |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |             OR o_orderdate > TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'range_discount_01',
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'freshness_pending',
+      |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'freshness_recent',
+      |    CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |ORDER BY check_name""".stripMargin
+
+  // -------------------------------------------------------------- Luhn PII
+
+  /** Positions (1-based, left-to-right) of a 16-digit string that the Luhn
+    * algorithm doubles: every second digit from the right starting at the
+    * second — i.e. odd left-indices of a 16-char string. */
+  private val LuhnDoubled: Set[Int] = (1 to 16).filter(i => (17 - i) % 2 == 0).toSet
+
+  /** SQL expression (valid in BOTH Spark and DuckDB) for the Luhn checksum
+    * of a 16-digit string column `c`: Σ f(dᵢ) with f doubling the flagged
+    * positions and casting back from the >9 overflow. */
+  def luhnSumSql(c: String): String =
+    (1 to 16).map { i =>
+      val d = s"CAST(substring($c, $i, 1) AS INT)"
+      if (LuhnDoubled(i)) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString("(", " + ", ")")
+
+  /** Checksum-verified credit-card detection: candidates that merely LOOK
+    * like a 16-digit PAN are accepted only when the Luhn check digit
+    * verifies — the precision gate every PII scrubber needs before
+    * redacting digit runs ([[graft.ml.Scrub]] holds the regex layer; this
+    * is its arithmetic layer). The corpus is digit-free, so candidates are
+    * formula-generated from order keys exactly like the image queries
+    * generate pixels: even keys get a correct check digit, odd keys a
+    * corrupted one — the gate proves the validator splits them exactly. */
+  def qPiiLuhn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloadSql =
+      "lpad(CAST((o_orderkey * 2654435761) % 1000000000000000 AS STRING), 15, '0')"
+    // checksum of payload shifted one position left (digit i of the payload
+    // is digit i of the full PAN): doubled positions are the same odd
+    // left-indices, so reuse the 16-digit rule on payload || '0'.
+    val baseSum = luhnSumSql(s"concat($payloadSql, '0')")
+    val checkDigit = s"(10 - $baseSum % 10) % 10"
+    val wrongDigit = s"($checkDigit + 5) % 10"
+    Tables.orders(spark, sfDir)
+      .where($"o_orderkey" <= 500)
+      .selectExpr("o_orderkey",
+        s"concat($payloadSql, CAST(CASE WHEN o_orderkey % 2 = 0 THEN $checkDigit ELSE $wrongDigit END AS STRING)) AS candidate")
+      .selectExpr("o_orderkey", "candidate",
+        s"${luhnSumSql("candidate")} % 10 = 0 AS luhn_ok")
+      .orderBy($"o_orderkey")
+  }
+
+  val piiLuhnSql: String = {
+    val payloadSql =
+      "lpad(CAST((o_orderkey * 2654435761) % 1000000000000000 AS VARCHAR), 15, '0')"
+    val baseSum = luhnSumSql(s"concat($payloadSql, '0')")
+    val checkDigit = s"(10 - $baseSum % 10) % 10"
+    val wrongDigit = s"($checkDigit + 5) % 10"
+    s"""WITH cand AS (
+       |  SELECT o_orderkey,
+       |    concat($payloadSql, CAST(CASE WHEN o_orderkey % 2 = 0 THEN $checkDigit ELSE $wrongDigit END AS VARCHAR)) AS candidate
+       |  FROM orders WHERE o_orderkey <= 500)
+       |SELECT o_orderkey, candidate,
+       |  ${luhnSumSql("candidate")} % 10 = 0 AS luhn_ok
+       |FROM cand ORDER BY o_orderkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_profile" -> (qColumnProfile _),
+    "q_data_constraints" -> (qDataConstraints _),
+    "q_pii_luhn" -> (qPiiLuhn _))
+
+  val oracle: Map[String, String] = Map(
+    "q_column_profile" -> columnProfileSql,
+    "q_data_constraints" -> dataConstraintsSql,
+    "q_pii_luhn" -> piiLuhnSql)
+}

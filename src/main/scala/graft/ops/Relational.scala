@@ -286,6 +286,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate quantiles via `approx_percentile` (Greenwald-Khanna
+    * sketch): per-flag p50/p95/p99 of extended price. The sketch is
+    * mergeable — each partition summarizes locally, partial sketches
+    * merge at the reducer — so at 100 TB it replaces a full sort with a
+    * bounded-memory pass, the same accuracy/cost trade the HLL row makes
+    * for distinct counts. Engine-specific by design (GK internals differ
+    * per engine), so rows-only in the gate; the ±1% rank-error bound vs
+    * the exact sort-based quantile is unit-asserted in RelationalSpec. */
+  def qAggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** ROLLUP region→nation→grand-total of order revenue. */
   def qAggRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -682,7 +702,87 @@ object Relational {
       | AND a.event_id < b.event_id
       |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
 
+  /** Window value functions — first_value / last_value / nth_value over an
+    * explicit full frame (UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING): each
+    * order sees its customer's first, latest, and second order price.
+    * Determinism: the partition order (o_orderdate, o_orderkey) is total,
+    * and the frame is the whole partition, so every engine agrees on which
+    * row is "first"/"second"/"last". The frame is customer-bounded, so
+    * state per window is one customer's orders at any scale. */
+  def qWindowFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .where($"o_custkey" < 300)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        floor($"o_totalprice" * 100).cast("long").as("price_c"))
+      .select($"o_custkey", $"o_orderkey",
+        first($"price_c").over(w).as("first_price_c"),
+        last($"price_c").over(w).as("last_price_c"),
+        nth_value($"price_c", 2).over(w).as("second_price_c"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowFirstLastSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders WHERE o_custkey < 300)
+      |SELECT o_custkey, o_orderkey,
+      |  first_value(price_c) OVER w AS first_price_c,
+      |  last_value(price_c) OVER w AS last_price_c,
+      |  nth_value(price_c, 2) OVER w AS second_price_c
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL (bag semantics, the
+    * duplicate-preserving complement of [[qSetOps]]): order-priority
+    * multisets of two customer segments. Bag ops hash-partition on the
+    * full row like DISTINCT ops but keep per-row multiplicity counts —
+    * same shuffle shape, no dedup pass. */
+  def qSetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    def seg(s: String): DataFrame = o
+      .join(c.where($"c_mktsegment" === s), $"o_custkey" === $"c_custkey")
+      .select($"o_orderpriority")
+    val a = seg("BUILDING")
+    val b = seg("AUTOMOBILE")
+    def cnt(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+    cnt(a.intersectAll(b), "intersect_all")
+      .unionAll(cnt(a.exceptAll(b), "except_all"))
+      .unionAll(cnt(b.exceptAll(a), "except_all_rev"))
+      .orderBy($"op")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (
+      |  SELECT o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'),
+      |b AS (
+      |  SELECT o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'AUTOMOBILE')
+      |SELECT op, n FROM (
+      |  SELECT 'intersect_all' AS op, count(*) AS n FROM (
+      |    SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all', count(*) FROM (
+      |    SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'except_all_rev', count(*) FROM (
+      |    SELECT * FROM b EXCEPT ALL SELECT * FROM a))
+      |ORDER BY op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_first_last" -> (qWindowFirstLast _),
+    "q_set_ops_all" -> (qSetOpsAll _),
     "q_join_interval_binned" -> (qJoinIntervalBinned _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
@@ -698,6 +798,7 @@ object Relational {
     "q_agg_pricing_summary" -> (qAggPricingSummary _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
@@ -711,6 +812,8 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_window_first_last" -> windowFirstLastSql,
+    "q_set_ops_all" -> setOpsAllSql,
     "q_join_interval_binned" -> joinIntervalBinnedSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_bloom_semijoin" -> bloomSemijoinSql,

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Formats, Quality}
+import graft.tables.Tables
+
+/** Data-quality family (profile / constraints / Luhn) + format round trips. */
+class QualityFormatsSpec extends GraftSuite {
+
+  test("luhnSumSql validates the canonical test PANs") {
+    // 4111111111111111 is the classic Luhn-valid Visa test number; adding 1
+    // to the check digit must break it.
+    val df = spark.sql(
+      s"""SELECT ${Quality.luhnSumSql("'4111111111111111'")} % 10 = 0 AS ok_valid,
+         |       ${Quality.luhnSumSql("'4111111111111112'")} % 10 = 0 AS ok_broken""".stripMargin)
+    val r = df.head()
+    assert(r.getBoolean(0), "4111111111111111 must pass Luhn")
+    assert(!r.getBoolean(1), "4111111111111112 must fail Luhn")
+  }
+
+  test("q_pii_luhn: generated check digits split exactly on key parity") {
+    val out = Quality.qPiiLuhn(spark, sf).collect()
+    assert(out.length > 100)
+    out.foreach { r =>
+      val key = r.getLong(r.fieldIndex("o_orderkey"))
+      val ok = r.getBoolean(r.fieldIndex("luhn_ok"))
+      assert(ok == (key % 2 == 0), s"key $key: luhn_ok=$ok")
+      assert(r.getString(r.fieldIndex("candidate")).length == 16)
+    }
+  }
+
+  test("q_data_constraints: invariants hold, freshness checks fire") {
+    val m = Quality.qDataConstraints(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet.size == 8)
+    for (c <- Seq("pk_unique_orderkey", "fk_orders_customer",
+        "domain_orderstatus", "range_totalprice_pos", "range_date_bounds",
+        "range_discount_01"))
+      assert(m(c) == 0L, s"$c expected clean, got ${m(c)}")
+    assert(m("freshness_pending") > 0, "pending orders must exist")
+    assert(m("freshness_recent") > 0, "post-2000 orders must exist")
+  }
+
+  test("q_column_profile: one row per column, exact cardinalities") {
+    val prof = Quality.qColumnProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 6)
+    val nRows = Tables.orders(spark, sf).count()
+    prof.values.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rows")) == nRows)
+      assert(r.getLong(r.fieldIndex("n_null")) == 0L)
+    }
+    val key = prof("o_orderkey")
+    assert(key.getLong(key.fieldIndex("n_distinct")) == nRows,
+      "orderkey must be unique")
+    val st = prof("o_orderstatus")
+    assert(st.getLong(st.fieldIndex("n_distinct")) == 3L)
+    assert(st.getString(st.fieldIndex("min_v")) == "F")
+    assert(st.getString(st.fieldIndex("max_v")) == "P")
+  }
+
+  test("q_orc_roundtrip: ORC write/read preserves every aggregated value") {
+    import spark.implicits._
+    val viaOrc = Formats.qOrcRoundtrip(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .where($"l_orderkey" < 5000)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(floor($"l_extendedprice" * 100).cast("long")).as("sum_price_c"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+      .collect()
+    assert(viaOrc.toSeq == direct.toSeq)
+  }
+
+  test("q_schema_merge: absent columns surface as nulls, values survive") {
+    import spark.implicits._
+    val r = Formats.qSchemaMerge(spark, sf).head()
+    val nRows = r.getLong(r.fieldIndex("n_rows"))
+    val nQty = r.getLong(r.fieldIndex("n_qty"))
+    val nPrice = r.getLong(r.fieldIndex("n_price"))
+    assert(nRows == nQty + nPrice, "each fragment carries exactly one value column")
+    val li = Tables.lineitem(spark, sf)
+    assert(nQty == li.where($"l_orderkey" < 2500).count())
+    assert(nPrice ==
+      li.where($"l_orderkey" >= 2500 && $"l_orderkey" < 5000).count())
+    val sumQty = li.where($"l_orderkey" < 2500)
+      .agg(sum($"l_quantity").cast("long")).head().getLong(0)
+    assert(r.getLong(r.fieldIndex("sum_qty")) == sumQty)
+  }
+}

@@ -11,16 +11,18 @@ class RelationalSpec extends GraftSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
-    // the ONLY rows-only query is the engine-specific HLL estimate
-    // (its ±5% bound vs exact is unit-tested below)
-    assert(qs -- os == Set("q_agg_approx_distinct"),
-      s"queries missing an oracle: ${qs -- os - "q_agg_approx_distinct"}")
+    // the ONLY rows-only queries are the engine-specific sketch estimates
+    // (HLL distinct, GK quantile) — each carries a unit error bound below
+    val rowsOnly = Set("q_agg_approx_distinct", "q_agg_approx_quantile")
+    assert(qs -- os == rowsOnly,
+      s"queries missing an oracle: ${qs -- os -- rowsOnly}")
     // a registry collision (two families declaring one key) would silently
     // drop a query from the gate — sizes must add up
     val familyTotal = Seq(graft.ops.Relational.queries, graft.ops.Analytics.queries,
       graft.ops.Scalar.queries, graft.ops.Sessions.queries, graft.ops.Text.queries,
       graft.ops.Vectors.queries, graft.ops.Similarity.queries,
-      graft.ops.Images.queries, graft.ops.Eval.queries).map(_.size).sum
+      graft.ops.Images.queries, graft.ops.Eval.queries,
+      graft.ops.Quality.queries, graft.ops.Formats.queries).map(_.size).sum
     assert(familyTotal == qs.size, "duplicate query key across families")
   }
 
@@ -41,6 +43,36 @@ class RelationalSpec extends GraftSuite {
     assert(r.head.getAs[Double]("o_totalprice") == 499705.05)
     val prices = r.map(_.getAs[Double]("o_totalprice"))
     assert(prices == prices.sortBy(-_), "top-k must be sorted desc")
+  }
+
+  test("q_window_first_last: frame edges agree with a direct group walk") {
+    val r = rows(Relational.qWindowFirstLast(spark, sf))
+    assert(r.nonEmpty)
+    val byCust = r.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { grp =>
+      // every row of one customer reports the same first/last/second
+      assert(grp.map(_.getAs[Long]("first_price_c")).distinct.size == 1)
+      assert(grp.map(_.getAs[Long]("last_price_c")).distinct.size == 1)
+      val second = grp.map(x =>
+        Option(x.getAs[Any]("second_price_c"))).distinct
+      assert(second.size == 1)
+      // singleton partitions have no second row → null
+      if (grp.size == 1) assert(second.head.isEmpty)
+      else assert(second.head.isDefined)
+    }
+  }
+
+  test("q_set_ops_all: bag identities hold vs raw multiset sizes") {
+    val m = rows(Relational.qSetOpsAll(spark, sf))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    def segN(s: String): Long = o.join(
+      c.where(col("c_mktsegment") === s),
+      col("o_custkey") === col("c_custkey")).count()
+    // |A| = |A ∩all B| + |A \all B| — the defining bag identity
+    assert(m("intersect_all") + m("except_all") == segN("BUILDING"))
+    assert(m("intersect_all") + m("except_all_rev") == segN("AUTOMOBILE"))
   }
 
   test("semi and anti join partition the customer set") {
@@ -80,6 +112,26 @@ class RelationalSpec extends GraftSuite {
       // is its quantitative correctness argument; rsd=0.02 leaves margin
       assert(math.abs(approx - ex) / ex < 0.05,
         s"HLL estimate for $flag off by >5%: $approx vs $ex")
+    }
+  }
+
+  test("q_agg_approx_quantile is within rank-error bounds of exact") {
+    val r = rows(Relational.qAggApproxQuantile(spark, sf))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    r.foreach { row =>
+      val flag = row.getString(0)
+      val vals = li.where(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      for ((p, name) <- Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")) {
+        val approx = row.getAs[Double](name)
+        // GK with accuracy 10000 guarantees rank error <= n/10000; assert
+        // the looser value-neighborhood version: the approx value must sit
+        // between the exact quantiles at p ± 1% rank
+        val lo = vals(math.max(0, (vals.length * (p - 0.01)).toInt))
+        val hi = vals(math.min(vals.length - 1, (vals.length * (p + 0.01)).toInt))
+        assert(approx >= lo && approx <= hi,
+          s"$flag $name=$approx outside exact ±1%-rank band [$lo, $hi]")
+      }
     }
   }
 
