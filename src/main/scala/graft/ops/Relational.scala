@@ -780,7 +780,54 @@ object Relational {
       |    SELECT * FROM b EXCEPT ALL SELECT * FROM a))
       |ORDER BY op""".stripMargin
 
+  /** CDC upsert (the MERGE INTO capability class): apply a changeset to a
+    * base snapshot — updates override matching keys, unmatched changes
+    * insert, unmatched base rows carry over — and tag each row with the
+    * op that produced it. Spelled as ONE key-partitioned full-outer join +
+    * coalesce, the engine-agnostic core of every lakehouse MERGE: at
+    * 100 TB both sides hash on the key (bucket both tables on it and the
+    * merge is shuffle-free), and no driver state exists. The "changeset"
+    * is a deterministic slice of orders with a formula price bump so the
+    * gate can verify every branch (update / insert / keep). */
+  def qUpsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val base = o.where($"o_orderkey" < 8000)
+      .select($"o_orderkey", $"o_orderstatus".as("b_status"),
+        floor($"o_totalprice" * 100).cast("long").as("b_price"))
+    val changes = o.where($"o_orderkey" >= 4000 && $"o_orderkey" < 12000)
+      .select($"o_orderkey", lit("U").as("c_status"),
+        (floor($"o_totalprice" * 100).cast("long") + 500L).as("c_price"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"c_status", $"b_status").as("status"),
+        coalesce($"c_price", $"b_price").as("price_c"),
+        when($"c_status".isNotNull && $"b_status".isNotNull, "update")
+          .when($"c_status".isNotNull, "insert")
+          .otherwise("keep").as("op"))
+      .orderBy($"o_orderkey")
+  }
+
+  val upsertSnapshotSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS b_status,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS b_price
+      |  FROM orders WHERE o_orderkey < 8000),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS c_status,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) + 500 AS c_price
+      |  FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 12000)
+      |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  coalesce(c.c_status, b.b_status) AS status,
+      |  coalesce(c.c_price, b.b_price) AS price_c,
+      |  CASE WHEN c.c_status IS NOT NULL AND b.b_status IS NOT NULL THEN 'update'
+      |       WHEN c.c_status IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS op
+      |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_snapshot" -> (qUpsertSnapshot _),
     "q_window_first_last" -> (qWindowFirstLast _),
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_join_interval_binned" -> (qJoinIntervalBinned _),
@@ -812,6 +859,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_upsert_snapshot" -> upsertSnapshotSql,
     "q_window_first_last" -> windowFirstLastSql,
     "q_set_ops_all" -> setOpsAllSql,
     "q_join_interval_binned" -> joinIntervalBinnedSql,

@@ -263,6 +263,60 @@ object Sessions {
       .orderBy($"user_id", $"day")
   }
 
+  /** SCD-type-2 historization (the warehouse dimension-versioning class):
+    * each user's event-type change log becomes validity intervals
+    * [valid_from, valid_to) with consecutive same-type runs collapsed —
+    * the gaps-and-islands pattern (change flag via lag, run ids via
+    * running sum, one group-by, valid_to via lead). Every window is
+    * user-partitioned and the run relation is change-bounded, so state
+    * per key is one user's history at any scale. Determinism: (tsec,
+    * event_id) is a total order; the open interval of each user's last
+    * run is NULL on both engines. */
+  def qScd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .where($"user_id" < 100)
+      .select($"user_id", $"event_type", $"event_id",
+        floor($"ts".cast("double")).cast("long").as("tsec"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    val runs = e
+      .withColumn("chg",
+        when(!(lag($"event_type", 1).over(w) <=> $"event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run_id", $"event_type")
+      .agg(min($"tsec").as("valid_from"), count(lit(1)).as("n_events"))
+    runs
+      .select($"user_id", $"event_type", $"valid_from",
+        lead($"valid_from", 1)
+          .over(Window.partitionBy($"user_id").orderBy($"valid_from"))
+          .as("valid_to"),
+        $"n_events")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events WHERE user_id < 100),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |r AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, event_type, run_id,
+      |    min(tsec) AS valid_from, count(*) AS n_events
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  n_events
+      |FROM g ORDER BY user_id, valid_from""".stripMargin
+
   val gapFillSql: String =
     """WITH daily AS (
       |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -790,6 +844,7 @@ object Sessions {
     "q_rfm_segments" -> (qRfmSegments _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_gap_fill" -> (qGapFill _),
+    "q_scd2_intervals" -> (qScd2Intervals _),
     "q_activity_streaks" -> (qActivityStreaks _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
@@ -810,6 +865,7 @@ object Sessions {
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_rolling_anomaly" -> rollingAnomalySql,
     "q_gap_fill" -> gapFillSql,
+    "q_scd2_intervals" -> scd2IntervalsSql,
     "q_activity_streaks" -> activityStreaksSql,
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,

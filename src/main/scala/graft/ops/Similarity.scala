@@ -1301,6 +1301,13 @@ object Similarity {
       .select($"doc_id", $"bucket",
         digestLo($"m").as("h1"), digestHi($"m").as("h2"))
       .distinct()
+      // the shingle relation feeds FOUR subtrees (train side twice for the
+      // df cap and the pair join, test side twice for the join and the
+      // size relation): one eager localCheckpoint materializes it once and
+      // collapses four copies of the explode+md5 codegen out of the plan —
+      // the same shared-relation discipline as qPagerank/qOutlierFilter
+      // (cold-start planning+JIT measured ~7s -> ~3s on the full plan)
+      .localCheckpoint()
     val tr = sh.where($"bucket" < 80)
       .select($"doc_id".as("train_doc"), $"h1", $"h2")
     val te = sh.where($"bucket" >= 90)

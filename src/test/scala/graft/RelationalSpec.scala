@@ -62,6 +62,22 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q_upsert_snapshot: merge branches reconcile with the two inputs") {
+    val r = rows(Relational.qUpsertSnapshot(spark, sf))
+    val ops = r.groupBy(_.getAs[String]("op")).view.mapValues(_.size).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val nBase = o.where(col("o_orderkey") < 8000).count()
+    val nChg = o.where(col("o_orderkey") >= 4000 && col("o_orderkey") < 12000).count()
+    assert(ops.getOrElse("update", 0) + ops.getOrElse("insert", 0) == nChg)
+    assert(ops.getOrElse("update", 0) + ops.getOrElse("keep", 0) == nBase)
+    assert(r.size == nBase + ops.getOrElse("insert", 0))
+    // every updated/inserted row carries the changeset's status and bump
+    r.filter(_.getAs[String]("op") != "keep")
+      .foreach(x => assert(x.getAs[String]("status") == "U"))
+    assert(r.map(_.getAs[Long]("o_orderkey")).distinct.size == r.size,
+      "merge output must be key-unique")
+  }
+
   test("q_set_ops_all: bag identities hold vs raw multiset sizes") {
     val m = rows(Relational.qSetOpsAll(spark, sf))
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -47,6 +47,25 @@ class SessionsEvalSpec extends GraftSuite {
     assert(bad == 0)
   }
 
+  test("q_scd2_intervals: per-user intervals chain without overlap, runs collapsed") {
+    val r = rows(graft.ops.Sessions.qScd2Intervals(spark, sf))
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("user_id")).values.foreach { grp =>
+      val sorted = grp.sortBy(_.getAs[Long]("valid_from"))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          // interval chain: each valid_to is exactly the next valid_from
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+          // runs collapsed: adjacent intervals never share a type
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+      // only the last interval is open
+      assert(sorted.dropRight(1).forall(x => !x.isNullAt(x.fieldIndex("valid_to"))))
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+    }
+  }
+
   test("q_eval_binary metrics are internally consistent") {
     val m = Eval.qEvalBinary(spark, sf).head()
     val tp = m.getAs[Long]("tp").toDouble
