@@ -826,7 +826,57 @@ object Relational {
       |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CDC changeset generation (the inverse of [[qUpsertSnapshot]]): diff
+    * two snapshots of the same keyed table and emit the minimal change
+    * feed — inserts (key only in new), deletes (key only in old), updates
+    * (key in both, any value changed) — dropping unchanged rows. The two
+    * "snapshots" are deterministic slices of orders with a formula
+    * mutation on a key subset so every branch provably fires. Same
+    * key-partitioned full-outer-join core as the upsert; at scale the
+    * null-safe value comparison happens inside codegen after the join, so
+    * only changed rows survive into the output shuffle. */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    // old snapshot: keys < 10000 as-is; new snapshot: keys 2000..12000,
+    // with every key divisible by 3 getting a formula price bump
+    val old = o.where($"o_orderkey" < 10000)
+      .select($"o_orderkey", floor($"o_totalprice" * 100).cast("long").as("o_price"))
+    val neu = o.where($"o_orderkey" >= 2000 && $"o_orderkey" < 12000)
+      .select($"o_orderkey",
+        (floor($"o_totalprice" * 100).cast("long") +
+          when($"o_orderkey" % 3 === 0, 700L).otherwise(0L)).as("n_price"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        when($"o_price".isNull, "insert")
+          .when($"n_price".isNull, "delete")
+          .when(!($"o_price" <=> $"n_price"), "update").as("op"),
+        $"o_price", $"n_price")
+      .where($"op".isNotNull)
+      .orderBy($"o_orderkey")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS o_price
+      |  FROM orders WHERE o_orderkey < 10000),
+      |neu AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) +
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 700 ELSE 0 END AS n_price
+      |  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 12000)
+      |SELECT * FROM (
+      |  SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+      |    CASE WHEN old.o_price IS NULL THEN 'insert'
+      |         WHEN neu.n_price IS NULL THEN 'delete'
+      |         WHEN old.o_price IS DISTINCT FROM neu.n_price THEN 'update'
+      |         END AS op,
+      |    old.o_price, neu.n_price
+      |  FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey)
+      |WHERE op IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_upsert_snapshot" -> (qUpsertSnapshot _),
     "q_window_first_last" -> (qWindowFirstLast _),
     "q_set_ops_all" -> (qSetOpsAll _),
@@ -859,6 +909,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_upsert_snapshot" -> upsertSnapshotSql,
     "q_window_first_last" -> windowFirstLastSql,
     "q_set_ops_all" -> setOpsAllSql,

@@ -48,7 +48,13 @@ class DeterminismSpec extends GraftSuite {
     "q_triangle_count",
     "q_label_prop",
     "q_rolling_actives",
-    "q_semantic_clusters").foreach { name =>
+    "q_semantic_clusters",
+    // round-7 additions: the distinct-pair profile shuffle, the two CDC
+    // full-outer-join shapes, and the SCD2 run-id window chain
+    "q_column_profile",
+    "q_upsert_snapshot",
+    "q_snapshot_diff",
+    "q_scd2_intervals").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

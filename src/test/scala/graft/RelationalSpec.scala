@@ -78,6 +78,22 @@ class RelationalSpec extends GraftSuite {
       "merge output must be key-unique")
   }
 
+  test("q_snapshot_diff: emits exactly the changed keys with the right ops") {
+    val r = rows(Relational.qSnapshotDiff(spark, sf))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def keys(lo: Long, hi: Long) = o
+      .where(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+    val ops = r.groupBy(_.getAs[String]("op")).view.mapValues(_.size).toMap
+    assert(ops.getOrElse("insert", 0).toLong == keys(10000, 12000).count())
+    assert(ops.getOrElse("delete", 0).toLong == keys(0, 2000).count())
+    assert(ops.getOrElse("update", 0).toLong ==
+      keys(2000, 10000).where(col("o_orderkey") % 3 === 0).count())
+    // unchanged rows must NOT appear
+    r.filter(_.getAs[String]("op") == "update").foreach { x =>
+      assert(x.getAs[Long]("n_price") == x.getAs[Long]("o_price") + 700L)
+    }
+  }
+
   test("q_set_ops_all: bag identities hold vs raw multiset sizes") {
     val m = rows(Relational.qSetOpsAll(spark, sf))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
