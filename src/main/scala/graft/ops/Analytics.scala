@@ -1433,6 +1433,65 @@ object Analytics {
       |SELECT node AS suppkey, label AS community
       |FROM l2 ORDER BY suppkey""".stripMargin
 
+  /** 2-hop neighborhood reach over the thresholded co-purchase graph
+    * ([[qTriangleCount]]'s edge set): for every supplier in the graph, the
+    * count of distinct suppliers reachable in one or two hops (self
+    * excluded) — the "influence radius" primitive under k-hop feature
+    * engineering and graph sampling.
+    *
+    * Scale shape: the 2-hop expansion is ONE self-equi-join of the
+    * checkpointed symmetric edge list keyed on the mid node — per-node
+    * fan-out is bounded by degree², and the affinity threshold bounds
+    * degree, so no wedge explosion. The union+distinct shuffles on
+    * (src, reach) fixed-width long pairs. No broadcast hints: the edge
+    * relation is data-derived, so AQE must stay free to pick the join
+    * strategy at real scale. */
+  def qKhopReach(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .groupBy($"e.x".as("x"), $"e.y".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= 6)
+    val edges = pairs
+      .select(explode(array(
+        struct($"x".as("src"), $"y".as("dst")),
+        struct($"y".as("src"), $"x".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
+      .localCheckpoint(true)
+    val hop2 = edges.as("e1")
+      .join(edges.as("e2"), $"e1.dst" === $"e2.src")
+      .select($"e1.src".as("src"), $"e2.dst".as("reach"))
+      .where($"src" =!= $"reach")
+    edges.select($"src", $"dst".as("reach"))
+      .union(hop2)
+      .distinct()
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n_reach2"))
+      .select($"src".as("suppkey"), $"n_reach2")
+      .orderBy($"suppkey")
+  }
+
+  val khopReachSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 6),
+      |e AS (SELECT x AS src, y AS dst FROM p
+      |      UNION ALL SELECT y AS src, x AS dst FROM p),
+      |r AS (
+      |  SELECT src, dst AS reach FROM e
+      |  UNION
+      |  SELECT e1.src, e2.dst AS reach
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |  WHERE e1.src <> e2.dst)
+      |SELECT src AS suppkey, count(*) AS n_reach2
+      |FROM r GROUP BY 1 ORDER BY suppkey""".stripMargin
+
   /** Market-basket affinity: lift = P(a,b) / (P(a)·P(b)) for every brand
     * pair over the order baskets — association mining at the brand grain,
     * where the pair space is dimension-bounded (≤ brands², never
@@ -1752,6 +1811,7 @@ object Analytics {
     "q_revenue_gini" -> (qRevenueGini _),
     "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
+    "q_khop_reach" -> (qKhopReach _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
@@ -1788,6 +1848,7 @@ object Analytics {
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,
+    "q_khop_reach" -> khopReachSql,
     "q_part_affinity" -> partAffinitySql,
     "q_revenue_gini" -> revenueGiniSql,
     "q_pair_chisq" -> pairChisqSql,

@@ -661,6 +661,71 @@ object Relational {
        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   }
 
+  /** The salted two-phase aggregation ([[graft.sources.Skew.saltedSumCount]])
+    * under the oracle gate: l_returnflag has 3 values over the whole fact
+    * table — the textbook skewed-aggregation key, where a plain group-by
+    * funnels ~n/3 rows into each of 3 reducers no matter how many
+    * executors exist. Phase 1 keys on (flag, salt-of-row) so every
+    * reducer sees a bounded slice; phase 2 merges `salt` partials per
+    * flag. The salt must be semantically invisible, so the oracle is the
+    * PLAIN one-phase group-by. */
+  def qAggSkewTwophase(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("flag"),
+        $"l_quantity".cast("decimal(12,2)").as("qty"))
+    graft.sources.Skew.saltedSumCount(li, "flag", "qty", salt = 16)
+      .select($"flag",
+        round($"sum_qty".cast("double"), 2).as("sum_qty"), $"n_rows")
+      .orderBy($"flag")
+  }
+
+  val aggSkewTwophaseSql: String =
+    """SELECT l_returnflag AS flag,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
+
+  /** The bucketed co-located join ([[graft.sources.Layout.writeBucketed]])
+    * under the oracle gate: both sides are first written as parquet tables
+    * hash-bucketed AND sorted on the customer key (8 buckets, external
+    * path under the scratch dir), then joined on that key. Because bucket
+    * counts match and each bucket is pre-sorted, the SMJ plans with ZERO
+    * shuffle exchange and ZERO sort below the join (plan-asserted in
+    * PlanShapeSpec) — the at-rest layout that makes a repeated 100 TB
+    * fact-fact join cost IO only, which a broadcast can never do for two
+    * big sides. The `merge` hint pins SMJ so the demonstration doesn't
+    * silently degrade to a broadcast at toy scale; the bucket layout is
+    * semantically invisible, so the oracle is the plain join + rollup. */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(spark, sfDir)
+        .select($"o_custkey", $"o_totalprice".cast("decimal(12,2)").as("o_price")),
+      "graft_orders_by_cust", "o_custkey", 8, s"$base/orders_by_cust")
+    graft.sources.Layout.writeBucketed(
+      Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_mktsegment"),
+      "graft_customer_by_cust", "c_custkey", 8, s"$base/customer_by_cust")
+    spark.table("graft_orders_by_cust").hint("merge")
+      .join(spark.table("graft_customer_by_cust"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_price").cast("double"), 2).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   /** Interval join WITHOUT an equi-key, spelled scale-safe: events within
     * 60 s of each other across ALL users. The naive predicate join is a
     * quadratic nested-loop; the binned spelling hashes both sides on a
@@ -877,6 +942,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_agg_skew_twophase" -> (qAggSkewTwophase _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_upsert_snapshot" -> (qUpsertSnapshot _),
     "q_window_first_last" -> (qWindowFirstLast _),
     "q_set_ops_all" -> (qSetOpsAll _),
@@ -910,6 +977,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_agg_skew_twophase" -> aggSkewTwophaseSql,
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_upsert_snapshot" -> upsertSnapshotSql,
     "q_window_first_last" -> windowFirstLastSql,
     "q_set_ops_all" -> setOpsAllSql,

@@ -831,7 +831,129 @@ object Sessions {
       |FROM l WHERE prev IS NOT NULL
       |ORDER BY event_type, week""".stripMargin
 
+  /** Exponentially-weighted moving average of daily order revenue, reset
+    * monthly (α = 0.3, "adjusted" normalization: s_t = Σ x_i·(1−α)^(t−i) /
+    * Σ (1−α)^(t−i), the standard bias-corrected EWMA). The recursive
+    * definition is non-associative, so the distributed spelling is the
+    * closed form over two running window sums of (1−α)^(−i)-weighted
+    * terms — the (1−α)^t scale factor cancels in the ratio, so the weights
+    * stay bounded by (1−α)^(−31) ≈ 6·10⁴ within a month partition (the
+    * monthly reset is exactly what bounds the weight range; an unbounded
+    * series would overflow the trick).
+    *
+    * Determinism: daily revenue is an exact DECIMAL sum; the EWMA ratio is
+    * double arithmetic over ≤31 bounded-weight terms, rounded to 2 dp —
+    * fp divergence across engines is ~10⁻⁸, six orders under the rounding
+    * step. Scale shape: one date-keyed aggregation, then windows
+    * partitioned by month (≤31 rows each); nothing global. */
+  def qEwmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.3
+    val daily = Tables.orders(spark, sfDir)
+      .where(year($"o_orderdate") === 1996)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(12,2)")).as("revenue"))
+      .withColumn("mon", trunc($"day", "month"))
+    val w = Window.partitionBy($"mon").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"mon").orderBy($"day")))
+      .withColumn("wt", pow(lit(1 - alpha), -$"rn"))
+      .withColumn("ewma", round(
+        sum($"revenue".cast("double") * $"wt").over(w) /
+          sum($"wt").over(w), 2))
+      .select($"day",
+        round($"revenue".cast("double"), 2).as("revenue"), $"ewma")
+      .orderBy($"day")
+  }
+
+  val ewmaDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+      |    date_trunc('month', CAST(o_orderdate AS DATE)) AS mon
+      |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1, 3),
+      |rn AS (
+      |  SELECT day, revenue, mon,
+      |    power(0.7, -row_number() OVER (PARTITION BY mon ORDER BY day)) AS wt
+      |  FROM daily)
+      |SELECT day, round(CAST(revenue AS DOUBLE), 2) AS revenue,
+      |  round(sum(CAST(revenue AS DOUBLE) * wt)
+      |          OVER (PARTITION BY mon ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+      |        sum(wt)
+      |          OVER (PARTITION BY mon ORDER BY day
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS ewma
+      |FROM rn ORDER BY day""".stripMargin
+
+  /** Overlapping-interval merge (interval union) per supplier: each
+    * lineitem contributes a deterministic handling window
+    * [ship, ship + qty%7 + 1 days]; overlapping windows coalesce into
+    * maximal covered spans — the classic gaps-and-islands coverage
+    * problem (machine-utilization / SLA-coverage shape). A new island
+    * starts where the interval's start exceeds the running max end of all
+    * earlier intervals; island ids are a running sum of those flags.
+    *
+    * Scale shape: both windows partition by s (supplier) — partition size
+    * is a supplier's lineitem count, never corpus-global — and the final
+    * rollup is one hash aggregation on s. Date arithmetic is exact
+    * integer-day math end to end; no fp anywhere. */
+  def qIntervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey".as("s"), to_date($"l_shipdate").as("st"))
+      .withColumn("en", date_add($"st",
+        (pmod(datediff($"st", lit("1970-01-01").cast("date")), lit(7)) + 1)
+          .cast("int")))
+    val byStart = Window.partitionBy($"s").orderBy($"st", $"en")
+    val prevMax = Window.partitionBy($"s").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("pmax", max($"en").over(prevMax))
+      .withColumn("new_island",
+        when($"pmax".isNull || $"st" > $"pmax", 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"s", $"island")
+      .agg(min($"st").as("span_start"), max($"en").as("span_end"))
+      .groupBy($"s")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(datediff($"span_end", $"span_start") + 1).as("covered_days"))
+      .select($"s".as("suppkey"), $"n_spans", $"covered_days")
+      .orderBy($"suppkey")
+  }
+
+  val intervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS st,
+      |    CAST(l_shipdate AS DATE) +
+      |      CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') % 7 + 1
+      |        AS INTEGER) AS en
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT s, st, en,
+      |    max(en) OVER (PARTITION BY s ORDER BY st, en
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pmax
+      |  FROM iv),
+      |isl AS (
+      |  SELECT s, st, en,
+      |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY s ORDER BY st, en
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |spans AS (
+      |  SELECT s, island, min(st) AS span_start, max(en) AS span_end
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT s AS suppkey, count(*) AS n_spans,
+      |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS covered_days
+      |FROM spans GROUP BY 1 ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma_daily" -> (qEwmaDaily _),
+    "q_interval_merge" -> (qIntervalMerge _),
     "q_wow_growth" -> (qWowGrowth _),
     "q_conversion_latency" -> (qConversionLatency _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -853,6 +975,8 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_ewma_daily" -> ewmaDailySql,
+    "q_interval_merge" -> intervalMergeSql,
     "q_wow_growth" -> wowGrowthSql,
     "q_conversion_latency" -> conversionLatencySql,
     "q_cohort_ltv" -> cohortLtvSql,

@@ -1361,6 +1361,54 @@ object Text {
       |SELECT lang, rn, doc_id FROM r WHERE rn <= 2
       |ORDER BY lang, rn""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * a.k.a. weighted bottom-k): per language, the 3 docs drawn with
+    * probability proportional to text length — the "sample long documents
+    * preferentially" primitive behind quality-weighted corpus subsetting.
+    * Each doc gets the A-ES key u^(1/w) compared in log space,
+    * ln(u)/w, with u = (md5-digest + 1)/2^60 ∈ (0,1] and w = char length;
+    * the 3 LARGEST keys per language win (u^(1/w) → 1 as w grows, so
+    * heavy docs race exponentially faster — the classical result makes
+    * inclusion probability exactly proportional to w under top-k).
+    *
+    * Determinism: u is the same 60-bit md5 uniform both engines already
+    * share ([[qHashSample]]); w is exact integer length; ln/division are
+    * one double op each on identical inputs, and ties (impossible except
+    * by digest collision) break on doc_id. Scale shape: per-partition
+    * local top-k merges associatively — at 100 TB this is a
+    * TakeOrdered-per-group pass, no corpus shuffle; the rank window
+    * partitions by language. */
+  def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (d + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    val w = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        length($"text").cast("long").as("weight"),
+        (log(u) / length($"text").cast("double")).as("key"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"lang", $"rn", $"doc_id", $"weight")
+      .orderBy($"lang", $"rn")
+  }
+
+  val weightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, length(text) AS weight,
+      |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |          AS BIGINT) + 1) / power(2, 60)) /
+      |      CAST(length(text) AS DOUBLE) AS key
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, weight,
+      |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+      |      AS rn
+      |  FROM d)
+      |SELECT lang, rn, doc_id, weight FROM r WHERE rn <= 3
+      |ORDER BY lang, rn""".stripMargin
+
   /** Length-distribution drift per source: a Kolmogorov–Smirnov-style
     * statistic — the max gap between a source's doc-length CDF and the
     * corpus CDF, evaluated on 50-char buckets — the drift alarm that
@@ -2027,6 +2075,7 @@ object Text {
     "q_lang_pmi" -> (qLangPmi _),
     "q_cm_heavy_hitters" -> (qCmHeavyHitters _),
     "q_bottomk_sample" -> (qBottomkSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_length_drift" -> (qLengthDrift _),
     "q_mix_rebalance" -> (qMixRebalance _),
     "q_entropy_outliers" -> (qEntropyOutliers _),
@@ -2070,6 +2119,7 @@ object Text {
     "q_lang_pmi" -> langPmiSql,
     "q_cm_heavy_hitters" -> cmHeavyHittersSql,
     "q_bottomk_sample" -> bottomkSampleSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_length_drift" -> lengthDriftSql,
     "q_mix_rebalance" -> mixRebalanceSql,
     "q_entropy_outliers" -> entropyOutliersSql,

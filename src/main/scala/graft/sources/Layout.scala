@@ -79,4 +79,23 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Write `df` as a parquet-backed catalog table hash-bucketed AND
+    * sorted on `key` — the co-located layout that lets every downstream
+    * equi-join or aggregation on `key` between same-bucketed tables run
+    * with ZERO shuffle exchange and ZERO sort (Spark plans an SMJ straight
+    * over the bucketed scans). This is the at-rest complement to
+    * [[graft.sources.Skew.saltedJoin]]: salting fixes one skewed shuffle,
+    * bucketing removes the shuffle entirely for every future join on the
+    * key — at 100 TB the dominant cost of a repeated fact-fact join.
+    * The table is external (explicit `path`), so the layout is plain
+    * parquet on disk plus bucket metadata in the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

@@ -269,6 +269,29 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.where($"triangles" <= 0).count() == 0)
   }
 
+  test("q_khop_reach: reach dominates degree and matches a naive BFS-2") {
+    import spark.implicits._
+    val r = Analytics.qKhopReach(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.nonEmpty, "the thresholded graph has edges at this sf")
+    // naive reference: driver-side adjacency + 2-step BFS per node
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+      .groupBy($"a.l_suppkey".as("x"), $"b.l_suppkey".as("y"))
+      .agg(count(lit(1)).as("c")).where($"c" >= 6)
+      .select($"x", $"y").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = adj.map { case (u, n1) =>
+      u -> ((n1 ++ n1.flatMap(adj(_))) - u).size.toLong
+    }
+    assert(r == naive, "distributed 2-hop reach must equal driver BFS-2")
+    // reach can never be below direct degree
+    r.foreach { case (u, k) => assert(k >= adj(u).size.toLong) }
+  }
+
   test("q_label_prop: total cover, labels are node ids, communities form") {
     import spark.implicits._
     val r = Analytics.qLabelProp(spark, sf)

@@ -301,6 +301,21 @@ class PlanShapeSpec extends GraftSuite {
       s"bucket equi-key must drive a hash/SMJ join:\n$plan")
   }
 
+  test("q_bucketed_join: the co-located join plans with NO exchange on the key") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.count() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"the merge-hinted bucketed join must stay an SMJ:\n$plan")
+    // the whole point of the bucket layout: neither side may shuffle on
+    // the join key — the only exchange allowed is the post-join rollup's
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("o_custkey") || l.contains("c_custkey")))
+    assert(!badExchange,
+      s"bucketed sides must scan shuffle-free on the join key:\n$plan")
+  }
+
   test("no unpartitioned window survives anywhere in the declared surface") {
     // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
     // assert none of the text/vocab queries produce an empty partition spec

@@ -94,6 +94,35 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
+  test("q_agg_skew_twophase: salted two-phase agg equals the plain group-by") {
+    val salted = rows(Relational.qAggSkewTwophase(spark, sf))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity").cast("decimal(12,2)"))
+        .cast("double"), 2).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(salted == plain, "salt must be semantically invisible")
+  }
+
+  test("q_bucketed_join: result matches the plain unbucketed join") {
+    val bucketed = rows(Relational.qBucketedJoin(spark, sf))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double"), 2).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(bucketed == plain, "bucket layout must be semantically invisible")
+  }
+
   test("q_set_ops_all: bag identities hold vs raw multiset sizes") {
     val m = rows(Relational.qSetOpsAll(spark, sf))
       .map(r => r.getString(0) -> r.getLong(1)).toMap

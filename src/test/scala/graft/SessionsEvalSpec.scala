@@ -6,6 +6,55 @@ import graft.ops.{Eval, Sessions}
 /** Windowing/sessionization + evaluator checks on sf0.001. */
 class SessionsEvalSpec extends GraftSuite {
 
+  test("q_ewma_daily: month-start seeds equal raw revenue; ewma tracks the series") {
+    val r = rows(Sessions.qEwmaDaily(spark, sf))
+    assert(r.nonEmpty)
+    // on the first day of each month the weighted sum has one term, so
+    // ewma == revenue (to the 2dp rounding)
+    val firsts = r.filter(_.getDate(0).toLocalDate.getDayOfMonth == 1)
+    assert(firsts.nonEmpty)
+    firsts.foreach { x =>
+      assert(math.abs(x.getDouble(2) - x.getDouble(1)) < 0.011,
+        s"month-start ewma must equal that day's revenue: $x")
+    }
+    // every ewma lies within the month's [min, max] revenue envelope —
+    // a convex combination can't escape the data range
+    val byMonth = r.groupBy(x => (x.getDate(0).toLocalDate.getYear,
+      x.getDate(0).toLocalDate.getMonthValue))
+    byMonth.foreach { case (_, xs) =>
+      val revs = xs.map(_.getDouble(1))
+      val (lo, hi) = (revs.min - 0.011, revs.max + 0.011)
+      xs.foreach { x =>
+        assert(x.getDouble(2) >= lo && x.getDouble(2) <= hi,
+          s"ewma escaped the month's revenue envelope: $x")
+      }
+    }
+  }
+
+  test("q_interval_merge: coverage bounded by interval algebra") {
+    val r = rows(Sessions.qIntervalMerge(spark, sf))
+    assert(r.nonEmpty)
+    // per supplier: every merged span is at least the longest single
+    // interval (1..7 days + inclusive endpoints => >= 2 days), and covered
+    // days can never exceed the sum of raw interval lengths
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("s"), to_date(col("l_shipdate")).as("st"))
+      .withColumn("len",
+        pmod(datediff(col("st"), lit("1970-01-01").cast("date")), lit(7)) + 2)
+      .groupBy("s").agg(sum("len").as("raw_total"), count(lit(1)).as("n_iv"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r.foreach { x =>
+      val (rawTotal, nIv) = raw(x.getLong(0))
+      assert(x.getLong(1) >= 1L && x.getLong(1) <= nIv,
+        s"span count must be in [1, n_intervals]: $x")
+      assert(x.getLong(2) <= rawTotal,
+        s"merged coverage can't exceed the raw interval-length sum: $x")
+      assert(x.getLong(2) >= 2L, s"at least one 2-day span: $x")
+    }
+    assert(r.map(_.getLong(0)).toSet ==
+      raw.keySet, "every supplier with lineitems gets a coverage row")
+  }
+
   test("q_stream_tumbling buckets partition all events") {
     val total = Sessions.qStreamTumbling(spark, sf).agg(sum("n")).head.getLong(0)
     val events = spark.read.parquet(s"$sf/events.parquet").count()

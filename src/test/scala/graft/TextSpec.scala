@@ -499,6 +499,39 @@ class TextSpec extends GraftSuite {
     assert(r.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_weighted_sample: 3 per language, matches driver A-ES recomputation") {
+    import spark.implicits._
+    val r = Text.qWeightedSample(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("string").as("id"), $"lang", length($"text").as("len"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)))
+    val langs = docs.map(_._2).distinct.length
+    assert(r.length == 3 * langs)
+    // driver-side replay of the exact A-ES key
+    def key(id: String, len: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val d = java.lang.Long.parseLong(md.take(15), 16)
+      math.log((d + 1).toDouble / math.pow(2, 60)) / len
+    }
+    val expect = docs.groupBy(_._2).view.mapValues { xs =>
+      xs.sortBy { case (id, _, len) => (-key(id, len), id) }
+        .take(3).map(_._1).toSeq
+    }.toMap
+    r.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val got = rows.sortBy(_.getAs[Int]("rn")).map(_.getLong(2).toString).toSeq
+      assert(got == expect(lang), s"A-ES sample mismatch for $lang")
+    }
+    // the weighting is real: sampled docs skew long vs the corpus mean
+    val sampledIds = r.map(_.getLong(2).toString).toSet
+    val meanAll = docs.map(_._3.toDouble).sum / docs.length
+    val meanSampled = docs.filter(d => sampledIds(d._1))
+      .map(_._3.toDouble).sum / sampledIds.size
+    assert(meanSampled > meanAll,
+      s"length-weighted sample must skew long: $meanSampled <= $meanAll")
+  }
+
   test("q_length_drift: ppm gaps bounded, zero only for a mirror-image source") {
     import spark.implicits._
     val r = Text.qLengthDrift(spark, sf)
