@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -967,26 +967,130 @@ object Analytics {
     medianOfCounts(
       df.groupBy(col(key), col(v)).agg(count(lit(1)).as("__c")), key, v, out)
 
-  /** [[medianByCounts]] over an ALREADY value-counted (key, v, __c)
-    * relation — lets a caller build the count table once and reuse it for
-    * several quantile passes without re-scanning the fact table. */
-  private def medianOfCounts(vc: DataFrame, key: String, v: String,
-      out: String): DataFrame = {
+  /** Exact rank-selection over an ALREADY value-counted (key, v, __c)
+    * relation: each (name, rankOf) entry yields an output column `name`
+    * holding the per-key value at 1-based rank rankOf(n) counted in value
+    * order (NULL if the rank exceeds n — callers coalesce); `__n` (the
+    * per-key total count) is appended for callers that interpolate.
+    *
+    * SIZE-DISPATCHED (same discipline as
+    * [[graft.ml.Dedup.connectedComponents]]): below `windowMaxRows`
+    * distinct (key, v) rows the one-window spelling wins — a running
+    * count over each key's distinct values is one sort task per key, and
+    * at bounded cardinality (integer cents, dates, scores) that task
+    * stays small no matter how large the FACT table is. Above it — keys
+    * with genuinely unbounded value spaces (raw doubles, ns timestamps)
+    * — it dispatches to [[ranksOfCountsBucketed]], whose every window is
+    * bounded regardless of scale. The dispatch count() is a cheap pass
+    * over the count relation (callers checkpoint theirs). Both paths
+    * select the identical exact value (asserted against each other in
+    * AnalyticsSpec). */
+  private[graft] def ranksOfCounts(vc: DataFrame, key: String, v: String,
+      ranks: Seq[(String, Column => Column)],
+      windowMaxRows: Long = 4000000L): DataFrame =
+    if (vc.count() <= windowMaxRows) ranksOfCountsWindow(vc, key, v, ranks)
+    else ranksOfCountsBucketed(vc, key, v, ranks)
+
+  /** One-window rank selection: per-key running count over distinct
+    * values, conditional MIN picks each requested rank's value. One sort
+    * task per key, sized by the key's VALUE CARDINALITY (not row count) —
+    * the right plan when that cardinality is bounded. */
+  private def ranksOfCountsWindow(vc: DataFrame, key: String, v: String,
+      ranks: Seq[(String, Column => Column)]): DataFrame = {
     val wOrd = Window.partitionBy(col(key)).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(key))
     val ranked = vc
       .withColumn("__cum", sum(col("__c")).over(wOrd))
       .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggCols = ranks.map { case (nm, f) =>
+      min(when(col("__cum") >= f(col("__n")).cast("long"), col(v))).as(nm)
+    } :+ min(col("__n")).as("__n")
+    ranked.groupBy(col(key)).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Rank selection via TWO-PHASE BUCKET REFINEMENT — the 100 TB-safe
+    * spelling when per-key value cardinality is unbounded (the one-window
+    * plan would funnel billions of distinct values through one task).
+    *
+    *   Phase A: values are bucketed into ≤2048 per-key ranges (width from
+    *   the per-key min/max, a cheap parallel agg) and a cumulative count
+    *   over the BUCKET histogram (≤2048 rows per key) locates, for every
+    *   requested rank, the single bucket containing it plus the count
+    *   below that bucket.
+    *   Phase B: only the target buckets' values (≈ distinct/2048 of the
+    *   data) are ranked exactly; everything else is never sorted.
+    *
+    * Both windows are bounded — ≤2048 rows (histogram) and one bucket's
+    * values (probe) — regardless of data scale; all heavy operators are
+    * hash aggregations. Selection is EXACT: bucketing only narrows where
+    * the rank lives, the returned value is identical to a full sort's. */
+  private[graft] def ranksOfCountsBucketed(vc: DataFrame, key: String,
+      v: String, ranks: Seq[(String, Column => Column)]): DataFrame = {
+    // stats is consumed three times (rank rows, bucket exprs, final n);
+    // checkpointing the key-cardinality-bounded rows keeps each consumer
+    // from re-scanning vc — same discipline as the callers' checkpointed
+    // count tables
+    val stats = vc.groupBy(col(key)).agg(
+        min(col(v)).as("__vmin"), max(col(v)).as("__vmax"),
+        sum(col("__c")).as("__n"))
+      .withColumn("__w", greatest(lit(1.0),
+        ceil((col("__vmax") - col("__vmin") + 1) / 2048.0)))
+      .localCheckpoint(true)
+    // one (key, which, rank) row per requested rank
+    val rankRows = stats
+      .select(col(key), explode(array(ranks.zipWithIndex.map {
+        case ((_, f), i) =>
+          struct(lit(i).as("__which"), f(col("__n")).cast("long").as("__rank"))
+      }: _*)).as("__t"))
+      .select(col(key), col("__t.__which").as("__which"),
+        col("__t.__rank").as("__rank"))
+    val vb = vc
+      .join(broadcast(stats.select(col(key), col("__vmin"), col("__w"))),
+        Seq(key))
+      .withColumn("__b",
+        floor((col(v) - col("__vmin")) / col("__w")).cast("long"))
+    val wb = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vb.groupBy(col(key), col("__b"))
+      .agg(sum(col("__c")).as("__bc"))
+      .withColumn("__bcum", sum(col("__bc")).over(wb))
+    // the bucket containing rank r: first with bcum >= r, i.e. the one
+    // where r lands strictly inside (below, bcum]
+    val targets = cum.join(broadcast(rankRows), Seq(key))
+      .where(col("__bcum") >= col("__rank") &&
+        col("__bcum") - col("__bc") < col("__rank"))
+      .select(col(key), col("__b"),
+        (col("__bcum") - col("__bc")).as("__below"),
+        col("__which"), col("__rank"))
+    val wv = Window.partitionBy(col(key), col("__which")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = vb.select(col(key), col(v), col("__c"), col("__b"))
+      .join(broadcast(targets), Seq(key, "__b"))
+      .withColumn("__cum", col("__below") + sum(col("__c")).over(wv))
+      .where(col("__cum") >= col("__rank"))
+      .groupBy(col(key), col("__which"))
+      .agg(min(col(v)).as("__v"))
+    val pivoted = sel.groupBy(col(key)).agg(
+      min(when(col("__which") === 0, col("__v"))).as(ranks.head._1),
+      ranks.zipWithIndex.tail.map { case ((nm, _), i) =>
+        min(when(col("__which") === i, col("__v"))).as(nm) }: _*)
+    pivoted.join(broadcast(stats.select(col(key), col("__n"))), Seq(key))
+  }
+
+  /** Exact interpolated median over an ALREADY value-counted (key, v,
+    * __c) relation — lets a caller build the count table once and reuse
+    * it for several quantile passes without re-scanning the fact table.
+    * Rank selection rides [[ranksOfCounts]]' two-phase bucket refinement
+    * (no per-key full-value sort anywhere). */
+  private def medianOfCounts(vc: DataFrame, key: String, v: String,
+      out: String): DataFrame =
     // 1-based interpolation ranks for p=0.5: lo = floor((n+1)/2),
     // hi = floor(n/2)+1 — equal when n is odd
-    val lo = ((col("__n") + 1) / 2).cast("long")
-    val hi = (col("__n") / 2).cast("long") + 1
-    ranked.groupBy(col(key))
-      .agg(min(when(col("__cum") >= lo, col(v))).as("__vlo"),
-        min(when(col("__cum") >= hi, col(v))).as("__vhi"))
+    ranksOfCounts(vc, key, v, Seq(
+      "__vlo" -> (n => ((n + 1) / 2).cast("long")),
+      "__vhi" -> (n => (n / 2).cast("long") + 1)))
       .select(col(key), ((col("__vlo") + col("__vhi")) / 2.0).as(out))
-  }
 
   /** General p-quantile over an ALREADY value-counted (key, v, __c)
     * relation — [[medianOfCounts]] at arbitrary p with the standard
@@ -997,21 +1101,12 @@ object Analytics {
     * both engines. */
   private def quantileOfCounts(vc: DataFrame, key: String, v: String,
       p: Double, out: String): DataFrame = {
-    val wOrd = Window.partitionBy(col(key)).orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(key))
-    val ranked = vc
-      .withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-    val h = (col("__n") - 1).cast("double") * p
-    val lo = floor(h).cast("long") + 1
-    val frac = h - floor(h)
-    ranked.groupBy(col(key))
-      .agg(min(when(col("__cum") >= lo, col(v))).as("__vlo"),
-        min(when(col("__cum") >= lo + 1, col(v))).as("__vhi"),
-        max(frac).as("__frac"))
+    def h(n: Column) = (n - 1).cast("double") * p
+    ranksOfCounts(vc, key, v, Seq(
+      "__vlo" -> (n => floor(h(n)).cast("long") + 1),
+      "__vhi" -> (n => floor(h(n)).cast("long") + 2)))
       .select(col(key),
-        (col("__vlo") + col("__frac") *
+        (col("__vlo") + (h(col("__n")) - floor(h(col("__n")))) *
           (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))).as(out))
   }
 
@@ -1114,9 +1209,13 @@ object Analytics {
     // re-run it twice inside one job — one extra small job is cheaper
     val med = medianOfCounts(vc, "flag", "price_c", "med")
       .localCheckpoint(true)
+    // checkpointed: the two-phase mad selection reads its input relation
+    // more than once; without this the 580k-row deviation re-aggregation
+    // would run per consumer
     val devCounts = vc.join(broadcast(med), "flag")
       .groupBy($"flag", abs($"price_c" - $"med").as("dev"))
       .agg(sum($"__c").as("__c"))
+      .localCheckpoint(true)
     val mad = medianOfCounts(devCounts, "flag", "dev", "mad")
     vc.join(broadcast(med.join(mad, "flag")), "flag")
       .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")

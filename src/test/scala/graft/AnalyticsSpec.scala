@@ -269,6 +269,30 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.where($"triangles" <= 0).count() == 0)
   }
 
+  test("ranksOfCounts: bucketed refinement equals the one-window spelling") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val vc = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag".as("k"), round($"l_extendedprice" * 100).as("v"))
+      .groupBy($"k", $"v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ranks = Seq[(String, Column => Column)](
+      "lo" -> (n => ((n + 1) / 2).cast("long")),
+      "hi" -> (n => (n / 2).cast("long") + 1),
+      "p90" -> (n => floor((n - 1).cast("double") * 0.9).cast("long") + 1),
+      "last" -> (n => n),
+      "past_end" -> (n => n + 1)) // NULL on both paths
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lo", "hi", "p90", "last", "past_end", "__n")
+        .collect().map(_.toString).sorted.toSeq
+    val viaWindow = canon(Analytics.ranksOfCounts(vc, "k", "v", ranks))
+    val viaBuckets = canon(Analytics.ranksOfCountsBucketed(vc, "k", "v", ranks))
+    assert(viaWindow == viaBuckets,
+      "the two rank-selection plans must pick identical values")
+    assert(viaWindow.nonEmpty && viaWindow.head.contains("null"),
+      "rank n+1 must be NULL (coalesce contract)")
+  }
+
   test("q_khop_reach: reach dominates degree and matches a naive BFS-2") {
     import spark.implicits._
     val r = Analytics.qKhopReach(spark, sf)
