@@ -97,6 +97,36 @@ class ScalingSpec extends GraftSuite {
     assert(slope < MaxSlope)
   }
 
+  test("ranksOfCountsBucketed: 10x unbounded-cardinality values cost < 15x") {
+    import org.apache.spark.sql.Column
+    // every row a DISTINCT value — the regime the bucketed path exists
+    // for (the one-window spelling would sort each key's whole value set
+    // in one task); correctness asserted against the analytic median of
+    // the arithmetic progression k, k+5, ..., k+5(m-1)
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val vc = spark.range(n).select((col("id") % 5).as("k"),
+        col("id").cast("double").as("v"), lit(1L).as("__c"))
+      val r = graft.ops.Analytics.ranksOfCountsBucketed(vc, "k", "v",
+        Seq[(String, Column => Column)](
+          "lo" -> (c => ((c + 1) / 2).cast("long")),
+          "hi" -> (c => (c / 2).cast("long") + 1)))
+        .select(col("k"), ((col("lo") + col("hi")) / 2.0).as("med"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val m = n / 5
+      (0L until 5L).foreach { k =>
+        val med = if (m % 2 == 1) k + 5.0 * ((m - 1) / 2)
+                  else k + 5.0 * (m / 2 - 1) + 2.5
+        assert(math.abs(r(k) - med) < 1e-9,
+          s"median wrong for key $k: ${r(k)} vs $med")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val slope = slopeOf(run, 200000, 2000000)
+    info(f"ranksOfCountsBucketed: slope=$slope%.1fx on 10x distinct values")
+    assert(slope < MaxSlope)
+  }
+
   test("pagerank3: 10x fixed-density edges cost < 15x wall time") {
     val d = 4
     def run(n: Long): Double = {
