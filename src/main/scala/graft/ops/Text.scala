@@ -1374,21 +1374,29 @@ object Text {
     * Determinism: u is the same 60-bit md5 uniform both engines already
     * share ([[qHashSample]]); w is exact integer length; ln/division are
     * one double op each on identical inputs, and ties (impossible except
-    * by digest collision) break on doc_id. Scale shape: per-partition
-    * local top-k merges associatively — at 100 TB this is a
-    * TakeOrdered-per-group pass, no corpus shuffle; the rank window
-    * partitions by language. */
+    * by digest collision) break on doc_id. Scale shape: top-k by a
+    * pointwise key is associative, and the plan SPELLS that out — a
+    * salted local top-3 per (lang, salt-of-doc) first, then the global
+    * top-3 over the ≤ 32·3 salted survivors per language. No window ever
+    * sees more than one salt slice; the final rank runs on a
+    * salt-count-bounded relation however large the corpus (the same
+    * two-phase discipline as [[graft.sources.Skew.saltedSumCount]]). */
   def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
       .cast("long")
     val u = (d + lit(1L)).cast("double") / lit(math.pow(2, 60))
-    val w = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+    val wLocal = Window.partitionBy($"lang", $"salt")
+      .orderBy($"key".desc, $"doc_id")
+    val wGlobal = Window.partitionBy($"lang").orderBy($"key".desc, $"doc_id")
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
         length($"text").cast("long").as("weight"),
-        (log(u) / length($"text").cast("double")).as("key"))
-      .withColumn("rn", row_number().over(w))
+        (log(u) / length($"text").cast("double")).as("key"),
+        pmod(hash($"doc_id"), lit(32)).as("salt"))
+      .withColumn("lrn", row_number().over(wLocal))
+      .where($"lrn" <= 3) // global top-3 ⊆ union of per-salt top-3s
+      .withColumn("rn", row_number().over(wGlobal))
       .where($"rn" <= 3)
       .select($"lang", $"rn", $"doc_id", $"weight")
       .orderBy($"lang", $"rn")
