@@ -1331,18 +1331,23 @@ object Text {
     * smallest md5(doc_id) digests — the mergeable exact-size counterpart
     * of [[qHashSample]]'s fixed-rate split. Bottom-k by a uniform hash is
     * a uniform sample, and "k smallest" merges associatively across
-    * partitions (each keeps a local bottom-k), so the sample costs a
-    * TakeOrdered-style pass at any scale — no shuffle of the corpus.
-    * The per-lang rank window partitions by language over (digest, id)
-    * keys; partition state is a language's doc count. */
+    * partitions — and the plan SPELLS that out: a salted local bottom-2
+    * per (lang, salt-of-doc) first, then the global bottom-2 over the
+    * ≤ 32·2 salted survivors per language, so no window ever sorts a
+    * language's whole corpus slice in one task (same two-phase
+    * discipline as [[qWeightedSample]]). */
   def qBottomkSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"d", $"doc_id")
+    val wLocal = Window.partitionBy($"lang", $"salt").orderBy($"d", $"doc_id")
+    val wGlobal = Window.partitionBy($"lang").orderBy($"d", $"doc_id")
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
         conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long").as("d"))
-      .withColumn("rn", row_number().over(w))
+          .cast("long").as("d"),
+        pmod(hash($"doc_id"), lit(32)).as("salt"))
+      .withColumn("lrn", row_number().over(wLocal))
+      .where($"lrn" <= 2) // global bottom-2 ⊆ union of per-salt bottom-2s
+      .withColumn("rn", row_number().over(wGlobal))
       .where($"rn" <= 2)
       .select($"lang", $"rn", $"doc_id")
       .orderBy($"lang", $"rn")
