@@ -1591,6 +1591,80 @@ object Analytics {
       |SELECT src AS suppkey, count(*) AS n_reach2
       |FROM r GROUP BY 1 ORDER BY suppkey""".stripMargin
 
+  /** Single-source shortest path (BFS distance, horizon 4 hops) over the
+    * thresholded co-purchase graph ([[qTriangleCount]]'s edge set), from
+    * the smallest node in the edge set — the distance-bounded BFS
+    * primitive under graph feature engineering and reachability audits.
+    * The oracle is DuckDB's `WITH RECURSIVE` walk with the same horizon,
+    * so this row also gates the engine's answer to recursive-CTE-shaped
+    * queries (Spark has no recursive CTE; the idiomatic spelling is
+    * unrolled min-distance relaxation).
+    *
+    * Correctness: after k relaxation rounds, dist(v) is exact for every
+    * node whose true BFS distance ≤ k — so 4 rounds ≡ min(dist) of all
+    * recursive walks of length ≤ 4. Pure integer distances, node-id
+    * tie-breaks nowhere needed (min is total).
+    *
+    * Scale shape: the edge relation is localCheckpointed ONCE and reused
+    * by all rounds (same discipline as [[qPagerank]]); each round is one
+    * equi-join frontier expansion + a min aggregation, both shuffling
+    * node-cardinality fixed-width rows; the 1-row source anchor is the
+    * only broadcast. At a real 100 TB run the per-round relation would be
+    * checkpointed every few rounds to cut lineage — noted, not needed at
+    * a 4-hop horizon. */
+  def qShortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hops = 4
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .groupBy($"e.x".as("x"), $"e.y".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= 6)
+    val edges = pairs
+      .select(explode(array(
+        struct($"x".as("src"), $"y".as("dst")),
+        struct($"y".as("src"), $"x".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
+      .localCheckpoint(true)
+    val source = edges.agg(min($"src").as("s"))
+    var dist = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node")))
+      .distinct()
+      .crossJoin(broadcast(source))
+      .select($"node", when($"node" === $"s", 0L).as("dist"))
+    for (_ <- 1 to hops) {
+      val relaxed = dist.where($"dist".isNotNull).as("d")
+        .join(edges.as("e"), col("d.node") === col("e.src"))
+        .select($"e.dst".as("node"), (col("d.dist") + 1L).as("nd"))
+        .groupBy($"node").agg(min($"nd").as("nd"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select($"node", least($"dist", $"nd").as("dist"))
+    }
+    dist.where($"dist".isNotNull)
+      .select($"node".as("suppkey"), $"dist")
+      .orderBy($"suppkey")
+  }
+
+  val shortestPathSql: String =
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 6),
+      |e AS (SELECT x AS src, y AS dst FROM p
+      |      UNION ALL SELECT y AS src, x AS dst FROM p),
+      |walk(node, dist) AS (
+      |  SELECT (SELECT min(src) FROM e), 0
+      |  UNION ALL
+      |  SELECT e.dst, w.dist + 1
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.dist < 4)
+      |SELECT node AS suppkey, CAST(min(dist) AS BIGINT) AS dist
+      |FROM walk GROUP BY 1 ORDER BY suppkey""".stripMargin
+
   /** Market-basket affinity: lift = P(a,b) / (P(a)·P(b)) for every brand
     * pair over the order baskets — association mining at the brand grain,
     * where the pair space is dimension-bounded (≤ brands², never
@@ -1911,6 +1985,7 @@ object Analytics {
     "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
     "q_khop_reach" -> (qKhopReach _),
+    "q_shortest_path" -> (qShortestPath _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
@@ -1948,6 +2023,7 @@ object Analytics {
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,
     "q_khop_reach" -> khopReachSql,
+    "q_shortest_path" -> shortestPathSql,
     "q_part_affinity" -> partAffinitySql,
     "q_revenue_gini" -> revenueGiniSql,
     "q_pair_chisq" -> pairChisqSql,

@@ -951,7 +951,72 @@ object Sessions {
       |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS covered_days
       |FROM spans GROUP BY 1 ORDER BY suppkey""".stripMargin
 
+  /** Watermark late-data accounting — the batch twin of
+    * `withWatermark("ts", "10 minutes")` drop semantics, run as a replay
+    * harness: each event ARRIVES at its event time plus a deterministic
+    * per-event network delay (md5-prefix of the event id, mod 30 min —
+    * the generator emits events already time-ordered, so the delay
+    * injection is what makes the replay exercise out-of-orderness; a
+    * production run would use the real ingestion timestamp column).
+    * Within each stream partition (event_type, the Kafka-partition
+    * analog — Structured Streaming tracks per-partition watermarks and
+    * takes the min), a row is LATE when its event time lags the running
+    * max event time of previously-arrived rows by more than the
+    * 10-minute delay. Reports, per partition, the rows the streaming job
+    * would drop and the worst observed lateness — the dashboard that
+    * sizes a production watermark.
+    *
+    * Determinism: the delay is the same 120-bit-family md5-prefix
+    * arithmetic as the dedup digests (byte-identical on both engines);
+    * everything else is integer microseconds over a total order
+    * (arrival, event_id). Scale shape: ONE window sorted per partition
+    * key (no global sort — mirroring per-partition stream ingestion),
+    * then a hash aggregation down to |event_type| rows. */
+  def qStreamLateData(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"atu", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("tu"))
+      .withColumn("jit_s",
+        conv(substring(md5($"event_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1800)
+      .withColumn("atu", $"tu" + $"jit_s" * 1000000L)
+      .withColumn("pm", max($"tu").over(w))
+      .withColumn("late_us", when($"pm" - $"tu" > 600000000L, $"pm" - $"tu"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"late_us").as("n_late"),
+        coalesce(max($"late_us"), lit(0L)).as("max_late_us"))
+      .select($"event_type", $"n_events", $"n_late",
+        round($"n_late".cast("double") / $"n_events", 4).as("late_frac"),
+        expr("max_late_us DIV 1000000").as("max_late_sec"))
+      .orderBy($"event_type")
+  }
+
+  val streamLateDataSql: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS tu,
+      |    epoch_us(ts) + (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 1800) * 1000000 AS atu
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, tu,
+      |    max(tu) OVER (PARTITION BY event_type ORDER BY atu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM b),
+      |l AS (
+      |  SELECT event_type, tu,
+      |    CASE WHEN pm - tu > 600000000 THEN pm - tu END AS late_us
+      |  FROM w)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(count(late_us) AS BIGINT) AS n_late,
+      |  round(CAST(count(late_us) AS DOUBLE) / count(*), 4) AS late_frac,
+      |  CAST(coalesce(max(late_us), 0) // 1000000 AS BIGINT) AS max_late_sec
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_late_data" -> (qStreamLateData _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_wow_growth" -> (qWowGrowth _),
@@ -975,6 +1040,7 @@ object Sessions {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_stream_late_data" -> streamLateDataSql,
     "q_ewma_daily" -> ewmaDailySql,
     "q_interval_merge" -> intervalMergeSql,
     "q_wow_growth" -> wowGrowthSql,

@@ -939,6 +939,90 @@ object Similarity {
       |  (SELECT count(*) FROM ar_hits) * 1000000
       |    // (SELECT count(*) FROM ar_bf) AS recall_ppm""".stripMargin
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, k = 60): the
+    * lexical BM25 top-50 ([[Text.qBm25]]) and the dense cosine top-50
+    * for probe vector 0 fuse by score = Σ_lists 1/(60 + rank), the
+    * fusion rule modern RAG / search stacks use to combine keyword and
+    * embedding retrieval. Docs appearing in only one list contribute
+    * only that list's term (absent rank ⇒ 0 for the missing list, rank
+    * column reported as 0).
+    *
+    * Determinism: each 1/(60+r) is ONE IEEE double division on integer
+    * inputs, the fusion is ONE two-operand add in fixed written order,
+    * and the score is quantized to nano-units before the (score, doc_id)
+    * presentation sort — bit-identical on both engines.
+    *
+    * Scale shape: both arms end in TakeOrderedAndProject top-50s (the
+    * dense arm broadcasts the 1-row probe; no global window over the
+    * corpus — the rank window runs AFTER the 50-row cut, so it is
+    * constant-bounded); the fusion is a full-outer join of two 50-row
+    * relations. Nothing here grows with corpus size except the two
+    * already-gated retrieval arms. */
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wLex = Window.orderBy($"score_micro".desc, $"doc_id")
+    val lex = Text.qBm25(spark, sfDir)
+      .select($"doc_id", $"score_micro")
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .select($"doc_id", $"r_lex")
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", dbl($"embedding").as("v"))
+      .withColumn("nrm", l2($"v"))
+    val probe = e.where($"vec_id" === 0)
+      .select($"v".as("pv"), $"nrm".as("pn"))
+    val wSem = Window.orderBy($"cos".desc, $"doc_id")
+    val sem = e.where($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id".as("doc_id"),
+        (dot($"pv", $"v") / ($"pn" * $"nrm")).as("cos"))
+      .orderBy($"cos".desc, $"doc_id")
+      .limit(50)
+      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .select($"doc_id", $"r_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_lex", $"r_sem",
+        (coalesce(lit(1.0) / (lit(60.0) + $"r_lex"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + $"r_sem"), lit(0.0))).as("rrf"))
+      .select($"doc_id",
+        coalesce($"r_lex", lit(0L)).as("r_lex"),
+        coalesce($"r_sem", lit(0L)).as("r_sem"),
+        round($"rrf" * 1e9).cast("long").as("score_nano"))
+      .orderBy($"score_nano".desc, $"doc_id")
+      .limit(20)
+  }
+
+  // lazy: interpolates Text.bm25Sql, initialized in another object
+  lazy val hybridRrfSql: String =
+    s"""WITH hl AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex
+      |  FROM (${graft.ops.Text.bm25Sql})),
+      |he AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |hn AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM he),
+      |hp AS (SELECT v AS pv, nrm AS pn FROM hn WHERE vec_id = 0),
+      |hs AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    list_sum(list_transform(list_zip(pv, c.v), x -> x[1] * x[2])) / (pn * c.nrm) AS cos
+      |  FROM hn c CROSS JOIN hp WHERE c.vec_id <> 0),
+      |hr AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+      |  FROM hs QUALIFY r_sem <= 50),
+      |f AS (
+      |  SELECT coalesce(hl.doc_id, hr.doc_id) AS doc_id, r_lex, r_sem,
+      |    coalesce(1.0 / (60.0 + r_lex), 0.0)
+      |      + coalesce(1.0 / (60.0 + r_sem), 0.0) AS rrf
+      |  FROM hl FULL OUTER JOIN hr ON hl.doc_id = hr.doc_id)
+      |SELECT doc_id,
+      |  CAST(coalesce(r_lex, 0) AS BIGINT) AS r_lex,
+      |  CAST(coalesce(r_sem, 0) AS BIGINT) AS r_sem,
+      |  CAST(round(rrf * 1e9) AS BIGINT) AS score_nano
+      |FROM f ORDER BY score_nano DESC, doc_id LIMIT 20""".stripMargin
+
   val cosineTopkSql: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1552,6 +1636,7 @@ object Similarity {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_cosine_topk" -> (qCosineTopk _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
@@ -1580,5 +1665,6 @@ object Similarity {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_cosine_topk" -> cosineTopkSql,
+    "q_hybrid_rrf" -> hybridRrfSql,
     "q_multimodal_join" -> multimodalJoinSql)
 }

@@ -2073,7 +2073,80 @@ object Text {
       |       ELSE 'head' END AS lm_bucket
       |FROM q CROSS JOIN cuts ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span detector — substring-grain dedup signal (ref
+    * capability: ABSENT in keystone; the "dedup training data at the
+    * substring level" metric from the training-data-dedup literature):
+    * every 8-token span occurring in 2+ DISTINCT documents marks its 8
+    * token positions as duplicated, and each doc reports the fraction of
+    * its token positions covered by any such span. Complements
+    * [[Similarity.qDedupExact]] (whole-file copies) and shingle-Jaccard
+    * (near-identical pairs) by finding boilerplate/quotation SPANS inside
+    * otherwise-unique documents.
+    *
+    * Determinism: spans compare by the same 120-bit md5-prefix digest
+    * pair as the shingle family ([[Similarity.digestLo]]), byte-identical
+    * on both engines; coverage is a distinct-position count — pure
+    * integers.
+    *
+    * Scale shape: the gram explode is linear in corpus tokens; the dup
+    * set falls out of ONE hash aggregation on the digest pair (distinct
+    * doc count ≥ 2); the join-back carries NO broadcast hint — the
+    * dup-gram relation is data-derived, so AQE must stay free to grade
+    * from broadcast to shuffle at 100 TB. Position coverage explodes a
+    * constant 8 rows per duplicated occurrence, then distincts on
+    * fixed-width (doc, pos) long pairs; skew-free because df ≥ 2 is a
+    * property of grams, not docs. */
+  def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val win = 8
+    val d = Tables.documents(spark, sfDir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", $"t", size($"t").cast("long").as("n"))
+      .where($"n" >= win)
+    val grams = d
+      .select($"doc_id",
+        explode(transform(sequence(lit(1L), $"n" - (win - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice($"t", i.cast("int"), lit(win)))).as("m"))))
+          .as("g"))
+      .select($"doc_id", $"g.pos".as("pos"),
+        Similarity.digestLo($"g.m").as("g1"), Similarity.digestHi($"g.m").as("g2"))
+    val dup = grams.groupBy($"g1", $"g2")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2)
+      .select($"g1", $"g2")
+    val cov = grams.join(dup, Seq("g1", "g2"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (win - 1))).as("p"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    d.join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".as("n_tokens"),
+        coalesce($"n_dup_pos", lit(0L)).as("n_dup_pos"),
+        round(coalesce($"n_dup_pos", lit(0L)).cast("double") / $"n", 4)
+          .as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT) AS g1,
+       |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 17, 15) AS BIGINT) AS g2
+       |  FROM d, UNNEST(range(1, n - 6)) AS u(i)),
+       |dup AS (SELECT g1, g2 FROM g GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + off AS p
+       |  FROM g JOIN dup USING (g1, g2), UNNEST(range(0, 8)) AS o(off)),
+       |c AS (SELECT doc_id, count(*) AS n_dup_pos FROM cov GROUP BY 1)
+       |SELECT d.doc_id, n AS n_tokens,
+       |  CAST(coalesce(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / n, 4) AS dup_frac
+       |FROM d LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> (qSpanDedup _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_lm_quality_filter" -> (qLmQualityFilter _),
@@ -2118,6 +2191,7 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_span_dedup" -> spanDedupSql,
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,
     "q_lm_quality_filter" -> lmQualityFilterSql,

@@ -417,4 +417,37 @@ class AnalyticsSpec extends GraftSuite {
     assert(row.getAs[Long]("c_ab") == cab,
       s"pair count for ($ba, $bb): got ${row.getAs[Long]("c_ab")}, expected $cab")
   }
+
+  test("q_shortest_path matches a driver-side BFS truncated at 4 hops") {
+    import spark.implicits._
+    val r = Analytics.qShortestPath(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.nonEmpty, "the thresholded graph has edges at this sf")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val edges = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" < $"b.l_suppkey")
+      .groupBy($"a.l_suppkey".as("x"), $"b.l_suppkey".as("y"))
+      .agg(count(lit(1)).as("c")).where($"c" >= 6)
+      .select($"x", $"y").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val src = adj.keySet.min
+    // driver BFS, frontier by frontier, horizon 4
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (d <- 1L to 4L) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      dist ++= frontier.iterator.map(_ -> d)
+    }
+    assert(r == dist, "distributed relaxation must equal driver BFS")
+    assert(r(src) == 0L)
+    // every edge relaxes: |d(u) - d(v)| <= 1 when both ends are reached
+    edges.foreach { case (x, y) =>
+      (r.get(x), r.get(y)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1L, s"($x,$y)")
+        case _ =>
+      }
+    }
+  }
 }

@@ -361,4 +361,46 @@ class SessionsEvalSpec extends GraftSuite {
     assert(r.groupBy($"user_id", $"event_type", $"wstart").count()
       .where($"count" > 1).count() == 0, "one survivor per key-window")
   }
+
+  test("q_stream_late_data matches a driver-side watermark replay") {
+    val r = rows(Sessions.qStreamLateData(spark, sf))
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4)))).toMap
+    assert(r.nonEmpty)
+    // replay: arrival = event time + md5(event_id)-derived delay (< 30
+    // min); per event_type in arrival order, a row is late when it lags
+    // the running max event time by > 10 min
+    def jitterS(eventId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(eventId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1800L
+    }
+    val ev = rows(graft.tables.Tables.events(spark, sf)
+        .selectExpr("event_type", "event_id", "unix_micros(ts) AS tu"))
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val naive = ev.groupBy(_._1).map { case (et, xs) =>
+      val sorted = xs
+        .sortBy(e => (e._3 + jitterS(e._2) * 1000000L, e._2)).map(_._3)
+      var runMax = Long.MinValue
+      var nLate = 0L
+      var maxLate = 0L
+      sorted.foreach { tu =>
+        if (runMax != Long.MinValue && runMax - tu > 600000000L) {
+          nLate += 1; maxLate = maxLate.max(runMax - tu)
+        }
+        runMax = runMax.max(tu)
+      }
+      et -> ((sorted.size.toLong, nLate, maxLate / 1000000L))
+    }
+    assert(r.keySet == naive.keySet)
+    naive.foreach { case (et, (n, nLate, maxSec)) =>
+      val (rn, rLate, frac, rMaxSec) = r(et)
+      assert(rn == n && rLate == nLate && rMaxSec == maxSec, s"$et")
+      assert(math.abs(frac - nLate.toDouble / n) < 5e-5)
+    }
+    // the watermark would drop SOMETHING at this sf — the test is vacuous
+    // otherwise (the generator emits out-of-order events)
+    assert(naive.valuesIterator.map(_._2).sum > 0L)
+  }
 }

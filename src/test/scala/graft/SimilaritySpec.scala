@@ -398,4 +398,28 @@ class SimilaritySpec extends GraftSuite {
       .where($"ca" =!= $"cb").count()
     assert(bad == 0, "near-dup pairs must never straddle two components")
   }
+
+  test("q_hybrid_rrf: scores reconcile with the two arms' ranks") {
+    val r = rows(Similarity.qHybridRrf(spark, sf))
+    assert(r.size <= 20 && r.nonEmpty)
+    r.foreach { x =>
+      val (rLex, rSem, nano) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(rLex >= 0L && rLex <= 50L && rSem >= 0L && rSem <= 50L)
+      assert(rLex > 0L || rSem > 0L, "fused doc must appear in some arm")
+      val expect = (if (rLex > 0) 1.0 / (60.0 + rLex) else 0.0) +
+        (if (rSem > 0) 1.0 / (60.0 + rSem) else 0.0)
+      assert(math.abs(nano - expect * 1e9) <= 1.0,
+        s"score_nano must equal the RRF formula: $x")
+    }
+    // presentation order is (score desc, doc_id)
+    val key = r.map(x => (-x.getLong(3), x.getLong(0)))
+    assert(key == key.sorted, "top-20 must be sorted by (score desc, doc_id)")
+    // a doc ranked in BOTH arms outscores any doc seen by one arm at the
+    // same or worse ranks — the whole point of fusion
+    val both = r.filter(x => x.getLong(1) > 0 && x.getLong(2) > 0)
+    val solo = r.filter(x => x.getLong(1) == 0 || x.getLong(2) == 0)
+    for (b <- both; s <- solo
+         if s.getLong(1).max(s.getLong(2)) >= b.getLong(1).max(b.getLong(2)))
+      assert(b.getLong(3) > s.getLong(3))
+  }
 }

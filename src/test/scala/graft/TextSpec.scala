@@ -633,4 +633,42 @@ class TextSpec extends GraftSuite {
     // no fragment survives anywhere
     assert(norm.values.forall(u => !u.contains("#")))
   }
+
+  test("q_span_dedup matches a driver-side gram-coverage recompute") {
+    val r = rows(Text.qSpanDedup(spark, sf))
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.nonEmpty)
+    // naive reference: tokenize on the driver, hash 8-gram strings,
+    // cover positions of grams seen in >= 2 distinct docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1).split(" ").filter(_.nonEmpty))
+      .filter(_._2.length >= 8)
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, t) <- docs; i <- 0 to t.length - 8) {
+      val g = t.slice(i, i + 8).mkString(" ")
+      gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+    }
+    val dup = gramDocs.filter(_._2.size >= 2).keySet
+    val naive = docs.map { case (id, t) =>
+      val cov = (for (i <- 0 to t.length - 8
+        if dup(t.slice(i, i + 8).mkString(" ")); p <- i until i + 8) yield p).toSet
+      id -> ((t.length.toLong, cov.size.toLong))
+    }.toMap
+    assert(r.keySet == naive.keySet)
+    naive.foreach { case (id, (n, nCov)) =>
+      val (rn, rCov, frac) = r(id)
+      assert(rn == n && rCov == nCov, s"doc $id: got $rCov want $nCov")
+      assert(math.abs(frac - nCov.toDouble / n) < 5e-5)
+    }
+    // the signal is non-trivial at this sf: somebody shares a span
+    assert(naive.valuesIterator.exists(_._2 > 0L),
+      "sf0.001 corpus carries cross-doc duplicated spans")
+    // whole-file duplicates (when present) must be fully covered
+    docs.groupBy(_._2.mkString(" ")).filter(_._2.length >= 2)
+      .values.flatten.foreach { case (id, _) =>
+        assert(r(id)._3 == 1.0, s"exact-dup doc $id must have dup_frac 1.0")
+      }
+  }
 }
