@@ -1015,8 +1015,69 @@ object Sessions {
       |  CAST(coalesce(max(late_us), 0) // 1000000 AS BIGINT) AS max_late_sec
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Last-touch marketing attribution: every purchase is attributed to
+    * the user's most recent prior view/click within a 7-day lookback
+    * (the standard last-touch model); purchases with no touch in the
+    * window land in the 'none' bucket. Reports per-channel purchase
+    * counts and attributed revenue — the companion to [[qFunnel]]'s
+    * stage conversion.
+    *
+    * Determinism: the carried last-touch is selected by the total order
+    * (tsec, event_id) — whole seconds plus the unique id, the same rule
+    * as [[qSessionize]]; revenue sums in DECIMAL(18,2) before the one
+    * double cast. The Spark side carries ONE struct through
+    * `last(ignoreNulls)` where the oracle carries two IGNORE-NULLS
+    * last_value columns — identical row selection because both columns
+    * are null on exactly the same rows.
+    *
+    * Scale shape: one window sorted per user (the natural stream
+    * partitioning), then a hash aggregation down to ≤ 3 rows. No joins
+    * at all — attribution as a pure window carry. */
+  def qAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("tsec", floor($"ts".cast("double")).cast("long"))
+      .withColumn("touch",
+        when($"event_type".isin("view", "click"),
+          struct($"tsec".as("t_ts"), $"event_type".as("t_type"))))
+      .withColumn("last_touch", last($"touch", ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"last_touch".isNull
+          || $"tsec" - $"last_touch.t_ts" > 7L * 86400L, "none")
+          .otherwise($"last_touch.t_type"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy($"channel")
+  }
+
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('view', 'click') THEN tsec END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+      |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+      |  FROM e)
+      |SELECT CASE WHEN t_ts IS NULL OR tsec - t_ts > 604800 THEN 'none'
+      |            ELSE t_type END AS channel,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_late_data" -> (qStreamLateData _),
+    "q_attribution" -> (qAttribution _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_wow_growth" -> (qWowGrowth _),
@@ -1041,6 +1102,7 @@ object Sessions {
 
   val oracle: Map[String, String] = Map(
     "q_stream_late_data" -> streamLateDataSql,
+    "q_attribution" -> attributionSql,
     "q_ewma_daily" -> ewmaDailySql,
     "q_interval_merge" -> intervalMergeSql,
     "q_wow_growth" -> wowGrowthSql,

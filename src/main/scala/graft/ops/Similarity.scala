@@ -792,6 +792,80 @@ object Similarity {
       |      (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-style semantic dedup: block by nearest fixed k-means
+    * centroid ([[Vectors.fixedCentroidBest]], the same 10 synthetic
+    * centroids the assignment query gates), compute exact cosine only
+    * WITHIN each cluster, and drop the higher vec_id of every pair with
+    * cos ≥ 0.4 — keeper = the smallest partner id. This is the
+    * cluster-blocked embedding dedup of the SemDeDup recipe: recall
+    * trades against the all-pairs cost by construction (cross-cluster
+    * near-dups are invisible — [[qEmbedNeardup]]'s SRP-LSH is the
+    * recall-oriented sibling; the audit of that trade is the same shape
+    * as [[qLshQuality]]).
+    *
+    * Determinism: assignment + cosine reuse already-gated kernels;
+    * keeper selection is a row_number over (drop_id | keep_id asc) —
+    * pure integers after the threshold.
+    *
+    * Scale shape: the ONLY pairwise work is the per-cluster self-join —
+    * at 100 TB the centroid count scales with corpus (nlist ~ √N, the
+    * IVF discipline) so per-cluster population stays bounded; the join
+    * keys on (cluster) with vec_id inequality, no broadcast hint (both
+    * sides are the corpus — AQE picks the strategy), and the window
+    * partitions by drop_id (unique key, skew-free). */
+  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", dbl($"embedding").as("v"))
+      .withColumn("nrm", l2($"v"))
+      .withColumn("cluster", Vectors.fixedCentroidBest($"v").getField("k"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .where($"cos" >= 0.4)
+      .select($"a.cluster".as("cluster"), $"a.vec_id".as("x"),
+        $"b.vec_id".as("y"), $"cos")
+    val w = Window.partitionBy($"y").orderBy($"x")
+    pairs.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"cluster", $"x".as("keep_id"), $"y".as("drop_id"),
+        round($"cos", 4).as("cos"))
+      .orderBy($"drop_id")
+  }
+
+  val semdedupSql: String =
+    """WITH sd_d AS (
+      |  SELECT vec_id, unnest(range(0, 10)) AS k,
+      |    round(list_sum(list_transform(range(1, 65), i ->
+      |      pow(CAST(embedding[i] AS DOUBLE) -
+      |          (CAST((k * 31 + i * 17) % 19 AS DOUBLE) / 19.0 - 0.5) * 0.2, 2))), 6) AS dist
+      |  FROM embeddings),
+      |sd_r AS (
+      |  SELECT vec_id, CAST(k AS BIGINT) AS cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+      |  FROM sd_d),
+      |sd_a AS (SELECT vec_id, cluster FROM sd_r WHERE rn = 1),
+      |sd_e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sd_n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM sd_e),
+      |sd_p AS (
+      |  SELECT a1.cluster, n1.vec_id AS x, n2.vec_id AS y,
+      |    list_sum(list_transform(list_zip(n1.v, n2.v), z -> z[1] * z[2]))
+      |      / (n1.nrm * n2.nrm) AS cos
+      |  FROM sd_a a1 JOIN sd_a a2
+      |    ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      |  JOIN sd_n n1 ON n1.vec_id = a1.vec_id
+      |  JOIN sd_n n2 ON n2.vec_id = a2.vec_id),
+      |sd_k AS (
+      |  SELECT cluster, x, y, cos,
+      |    row_number() OVER (PARTITION BY y ORDER BY x) AS rn
+      |  FROM sd_p WHERE cos >= 0.4)
+      |SELECT cluster, x AS keep_id, y AS drop_id, round(cos, 4) + 0.0 AS cos
+      |FROM sd_k WHERE rn = 1 ORDER BY drop_id""".stripMargin
+
   /** Embedding-space dedup clusters: the SRP-LSH near-dup pairs
     * ([[qEmbedNeardup]]) resolved into connected components with the same
     * size-aware union-find as the text-side [[qDedupClusters]] — semantic
@@ -1635,6 +1709,7 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_semdedup" -> (qSemdedup _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_multimodal_join" -> (qMultimodalJoin _))
@@ -1664,6 +1739,7 @@ object Similarity {
     "q_ann_pq_recall" -> annPqRecallSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
+    "q_semdedup" -> semdedupSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_multimodal_join" -> multimodalJoinSql)

@@ -228,14 +228,15 @@ object Vectors {
     * centroids; training itself is covered by the MLlib-backed facade).
     * Distances are rounded to 6dp before the argmin so the comparison is
     * engine-stable; ties break on the lower cluster id. */
-  def qKmeansAssignFixed(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val d = dbl
-    // centroids as literal arrays; distance = codegen'd graft_sqdist.
-    // (x−c)² accumulates in the same i=1..64 order as the aggregate+pow
-    // spelling — pow(y,2) and y*y are both correctly rounded, so the sums
-    // are bit-identical and the DuckDB oracle (which keeps pow) still
-    // hash-matches.
+  /** Nearest fixed centroid (10 synthetic centroids over 64 dims) as a
+    * struct(dist, k) — [[qKmeansAssignFixed]]'s kernel, shared with the
+    * SemDeDup-style cluster blocking in `Similarity.qSemdedup`.
+    * Centroids are literal arrays; distance = codegen'd graft_sqdist.
+    * (x−c)² accumulates in the same i=1..64 order as the aggregate+pow
+    * spelling — pow(y,2) and y*y are both correctly rounded, so the sums
+    * are bit-identical and the DuckDB oracle (which keeps pow) still
+    * hash-matches. */
+  private[ops] def fixedCentroidBest(d: Column): Column = {
     val dists = array((0 to 9).map { k =>
       val c = array((1 to 64).map(i =>
         lit((((k * 31 + i * 17) % 19).toDouble / 19.0 - 0.5) * 0.2)): _*)
@@ -243,7 +244,12 @@ object Vectors {
         round(call_function("graft_sqdist", d, c), 6).as("dist"),
         lit(k.toLong).as("k"))
     }: _*)
-    val best = array_min(dists)
+    array_min(dists)
+  }
+
+  def qKmeansAssignFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val best = fixedCentroidBest(dbl)
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", best.getField("k").as("cluster"),
         best.getField("dist").as("dist"))

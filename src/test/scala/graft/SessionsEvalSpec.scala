@@ -403,4 +403,43 @@ class SessionsEvalSpec extends GraftSuite {
     // otherwise (the generator emits out-of-order events)
     assert(naive.valuesIterator.map(_._2).sum > 0L)
   }
+
+  test("q_attribution matches a driver-side last-touch replay") {
+    val r = rows(Sessions.qAttribution(spark, sf))
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r.nonEmpty)
+    val ev = rows(graft.tables.Tables.events(spark, sf)
+        .selectExpr("user_id", "event_id", "event_type",
+          "CAST(floor(CAST(ts AS DOUBLE)) AS LONG) AS tsec",
+          "CAST(value AS DECIMAL(18,2)) AS v"))
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3),
+        x.getDecimal(4)))
+    val attributed = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(e => (e._4, e._2))
+      var lastTouch: Option[(Long, String)] = None
+      sorted.flatMap { case (_, _, et, tsec, v) =>
+        val out = if (et == "purchase") {
+          val ch = lastTouch match {
+            case Some((t, ty)) if tsec - t <= 7L * 86400L => ty
+            case _ => "none"
+          }
+          Seq(ch -> v)
+        } else Seq.empty
+        if (et == "view" || et == "click") lastTouch = Some((tsec, et))
+        out
+      }
+    }
+    val naive = attributed.groupBy(_._1).map { case (ch, vs) =>
+      ch -> ((vs.size.toLong,
+        vs.map(v => BigDecimal(v._2)).sum.toDouble))
+    }
+    assert(r.keySet == naive.keySet)
+    naive.foreach { case (ch, (n, rev)) =>
+      assert(r(ch)._1 == n, s"$ch count")
+      assert(math.abs(r(ch)._2 - rev) < 1e-6, s"$ch revenue")
+    }
+    // every purchase is attributed to exactly one bucket
+    assert(r.valuesIterator.map(_._1).sum ==
+      ev.count(_._3 == "purchase").toLong)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Similarity, Vectors}
 
 /** Dedup + similarity operator checks on sf0.001 (no exact duplicates exist
   * at this sf — dedup semantics are exercised on constructed frames). */
@@ -397,6 +397,34 @@ class SimilaritySpec extends GraftSuite {
       .join(comp.withColumnsRenamed(Map("vec_id" -> "id_b", "component" -> "cb")), "id_b")
       .where($"ca" =!= $"cb").count()
     assert(bad == 0, "near-dup pairs must never straddle two components")
+  }
+
+  test("q_semdedup matches a driver-side cluster-blocked recompute") {
+    val r = rows(Similarity.qSemdedup(spark, sf))
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // driver reference: same centroids, same threshold, same keeper rule
+    val assign = rows(Vectors.qKmeansAssignFixed(spark, sf))
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) ->
+        x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val naive = (for {
+      x <- ids; y <- ids if x < y && assign(x) == assign(y)
+      c = cos(vecs(x), vecs(y)) if c >= 0.4
+    } yield (x, y, c))
+      .groupBy(_._2).map { case (y, ps) => ps.minBy(_._1) }
+      .toSeq.sortBy(_._2)
+      .map(p => (assign(p._1), p._1, p._2,
+        BigDecimal(p._3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(r == naive, s"got $r\nwant $naive")
+    assert(r.nonEmpty, "sf0.001 embeddings carry within-cluster near-dups")
   }
 
   test("q_hybrid_rrf: scores reconcile with the two arms' ranks") {
