@@ -386,6 +386,61 @@ object Sessions {
       |WHERE n >= 4 AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
       |ORDER BY event_id""".stripMargin
 
+  /** Rolling EXACT median (7-day frame) of per-supplier daily revenue —
+    * the robust-statistics twin of [[qRollingAnomaly]]'s mean/σ window:
+    * median smoothing is what a production metrics pipeline runs when
+    * spikes would poison a rolling mean.
+    *
+    * Determinism: daily revenue is summed exactly in DECIMAL then scaled
+    * to integer 10⁻⁴-dollar units; the frame is ≤ 7 integers, so the
+    * median is `sorted(k)` (odd) or `(sorted(k)+sorted(k+1))/2` (even) —
+    * an integer or exact half in 10⁻⁴-dollar units, reported in those
+    * units (a division back to dollars would hit 4-dp rounding ties on
+    * non-representable doubles), identical to DuckDB's interpolated
+    * `median()` over BIGINT. The frame sort key (day) is
+    * unique per supplier (daily grain), so frames are identical sets on
+    * both engines.
+    *
+    * Scale shape: Spark has no exact-median window aggregate — the
+    * idiomatic spelling is `collect_list` over the CONSTANT-BOUNDED
+    * 7-row frame + in-expression selection (never a corpus-wide sort);
+    * one supplier-partitioned window after one hash aggregation. */
+  def qRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey".as("suppkey"), to_date($"l_shipdate").as("day"))
+      .agg((sum($"l_extendedprice".cast("decimal(18,2)")
+          * (lit(1) - $"l_discount".cast("decimal(18,2)"))) * 10000)
+        .cast("long").as("u"))
+    val w = Window.partitionBy($"suppkey").orderBy($"day").rowsBetween(-6, 0)
+    daily
+      .withColumn("xs", array_sort(collect_list($"u").over(w)))
+      .withColumn("n_frame", size($"xs").cast("long"))
+      .withColumn("med_u",
+        when($"n_frame" % 2 === 1,
+          element_at($"xs", (($"n_frame" + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at($"xs", ($"n_frame" / 2).cast("int"))
+            + element_at($"xs", ($"n_frame" / 2 + 1).cast("int"))) / 2.0))
+      .select($"suppkey", $"day", $"n_frame", $"med_u".as("med_rev_u4"))
+      .orderBy($"suppkey", $"day")
+  }
+
+  val rollingMedianSql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS u
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT suppkey, day,
+      |    CAST(count(*) OVER win AS BIGINT) AS n_frame,
+      |    median(u) OVER win AS med_u
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY suppkey ORDER BY day
+      |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT suppkey, day, n_frame, med_u AS med_rev_u4
+      |FROM m ORDER BY suppkey, day""".stripMargin
+
   /** RFM segmentation: recency / frequency / monetary banding of the
     * purchase population — the classic behavioral-cohort cube. Bands are
     * fixed integer thresholds (not ntile), so no corpus-wide window is
@@ -1091,6 +1146,7 @@ object Sessions {
     "q_event_transitions" -> (qEventTransitions _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
+    "q_rolling_median" -> (qRollingMedian _),
     "q_gap_fill" -> (qGapFill _),
     "q_scd2_intervals" -> (qScd2Intervals _),
     "q_activity_streaks" -> (qActivityStreaks _),
@@ -1116,6 +1172,7 @@ object Sessions {
     "q_event_transitions" -> eventTransitionsSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_rolling_anomaly" -> rollingAnomalySql,
+    "q_rolling_median" -> rollingMedianSql,
     "q_gap_fill" -> gapFillSql,
     "q_scd2_intervals" -> scd2IntervalsSql,
     "q_activity_streaks" -> activityStreaksSql,

@@ -813,18 +813,26 @@ object Similarity {
     * keys on (cluster) with vec_id inequality, no broadcast hint (both
     * sides are the corpus — AQE picks the strategy), and the window
     * partitions by drop_id (unique key, skew-free). */
-  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The cluster-blocked pair core of [[qSemdedup]]: within-centroid
+    * pairs above the cosine threshold, pre-keeper-selection. Shared with
+    * the recall audit [[qSemdedupRecall]]. */
+  private def semdedupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", dbl($"embedding").as("v"))
       .withColumn("nrm", l2($"v"))
       .withColumn("cluster", Vectors.fixedCentroidBest($"v").getField("k"))
-    val pairs = e.as("a").join(e.as("b"),
+    e.as("a").join(e.as("b"),
         $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
       .where($"cos" >= 0.4)
       .select($"a.cluster".as("cluster"), $"a.vec_id".as("x"),
         $"b.vec_id".as("y"), $"cos")
+  }
+
+  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = semdedupPairs(spark, sfDir)
     val w = Window.partitionBy($"y").orderBy($"x")
     pairs.withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
@@ -865,6 +873,68 @@ object Similarity {
       |  FROM sd_p WHERE cos >= 0.4)
       |SELECT cluster, x AS keep_id, y AS drop_id, round(cos, 4) + 0.0 AS cos
       |FROM sd_k WHERE rn = 1 ORDER BY drop_id""".stripMargin
+
+  /** Recall audit of [[qSemdedup]]'s cluster blocking against the exact
+    * all-pairs cos ≥ 0.4 truth — the SemDeDup twin of [[qLshQuality]]
+    * (precision is 1.0 by construction: blocked pairs are verified with
+    * the exact cosine; what blocking costs is RECALL, the cross-cluster
+    * pairs it can't see). One dashboard row: exact pairs, blocked pairs,
+    * recall in ppm.
+    *
+    * Scale note: the exact-truth arm is quadratic and exists to AUDIT
+    * the index at sample scale — the same contract as [[qLshQuality]];
+    * at 100 TB the audit runs on a drawn sample, never the corpus. */
+  def qSemdedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", dbl($"embedding").as("v"))
+      .withColumn("nrm", l2($"v"))
+    val exact = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+      .where($"cos" >= 0.4)
+    val blocked = semdedupPairs(spark, sfDir)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_blocked"))))
+      .select($"n_exact", $"n_blocked",
+        expr("n_blocked * 1000000 DIV n_exact").as("recall_ppm"))
+  }
+
+  val semdedupRecallSql: String =
+    """WITH sr_e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sr_n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM sr_e),
+      |sr_x AS (
+      |  SELECT a.vec_id AS x, b.vec_id AS y
+      |  FROM sr_n a JOIN sr_n b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      |      / (a.nrm * b.nrm) >= 0.4),
+      |sr_d AS (
+      |  SELECT vec_id, unnest(range(0, 10)) AS k,
+      |    round(list_sum(list_transform(range(1, 65), i ->
+      |      pow(CAST(embedding[i] AS DOUBLE) -
+      |          (CAST((k * 31 + i * 17) % 19 AS DOUBLE) / 19.0 - 0.5) * 0.2, 2))), 6) AS dist
+      |  FROM embeddings),
+      |sr_r AS (
+      |  SELECT vec_id, CAST(k AS BIGINT) AS cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+      |  FROM sr_d),
+      |sr_a AS (SELECT vec_id, cluster FROM sr_r WHERE rn = 1),
+      |sr_b AS (
+      |  SELECT n1.vec_id AS x, n2.vec_id AS y
+      |  FROM sr_a a1 JOIN sr_a a2
+      |    ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      |  JOIN sr_n n1 ON n1.vec_id = a1.vec_id
+      |  JOIN sr_n n2 ON n2.vec_id = a2.vec_id
+      |  WHERE list_sum(list_transform(list_zip(n1.v, n2.v), z -> z[1] * z[2]))
+      |      / (n1.nrm * n2.nrm) >= 0.4)
+      |SELECT
+      |  (SELECT count(*) FROM sr_x) AS n_exact,
+      |  (SELECT count(*) FROM sr_b) AS n_blocked,
+      |  (SELECT count(*) FROM sr_b) * 1000000
+      |    // (SELECT count(*) FROM sr_x) AS recall_ppm""".stripMargin
 
   /** Embedding-space dedup clusters: the SRP-LSH near-dup pairs
     * ([[qEmbedNeardup]]) resolved into connected components with the same
@@ -1710,6 +1780,7 @@ object Similarity {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_recall" -> (qSemdedupRecall _),
     "q_cosine_topk" -> (qCosineTopk _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_multimodal_join" -> (qMultimodalJoin _))
@@ -1740,6 +1811,7 @@ object Similarity {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,
     "q_semdedup" -> semdedupSql,
+    "q_semdedup_recall" -> semdedupRecallSql,
     "q_cosine_topk" -> cosineTopkSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_multimodal_join" -> multimodalJoinSql)

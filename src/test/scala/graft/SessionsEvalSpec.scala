@@ -404,6 +404,32 @@ class SessionsEvalSpec extends GraftSuite {
     assert(naive.valuesIterator.map(_._2).sum > 0L)
   }
 
+  test("q_rolling_median matches a driver-side frame replay") {
+    import org.apache.spark.sql.functions.{col, lit, sum, to_date}
+    val r = rows(Sessions.qRollingMedian(spark, sf))
+      .map(x => (x.getLong(0), x.getDate(1).toString) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.nonEmpty)
+    val daily = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_suppkey").as("s"), to_date(col("l_shipdate")).as("d"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+        .cast("long").as("u"))
+      .collect().map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2)))
+    val naive = daily.groupBy(_._1).flatMap { case (s, xs) =>
+      val sorted = xs.sortBy(_._2)
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2).toDouble
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        (s, sorted(i)._2) -> ((n.toLong, med))
+      }
+    }
+    assert(r.keySet == naive.keySet)
+    naive.foreach { case (k, v) => assert(r(k) == v, s"$k: ${r(k)} != $v") }
+  }
+
   test("q_attribution matches a driver-side last-touch replay") {
     val r = rows(Sessions.qAttribution(spark, sf))
       .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap

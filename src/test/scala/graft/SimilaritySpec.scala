@@ -427,6 +427,31 @@ class SimilaritySpec extends GraftSuite {
     assert(r.nonEmpty, "sf0.001 embeddings carry within-cluster near-dups")
   }
 
+  test("q_semdedup_recall reconciles with exact truth and cluster blocking") {
+    val Seq(row) = rows(Similarity.qSemdedupRecall(spark, sf))
+    val (nExact, nBlocked, ppm) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nBlocked <= nExact, "blocking can only lose pairs, never invent")
+    assert(ppm == nBlocked * 1000000L / nExact)
+    // driver recompute of both counts
+    val assign = rows(Vectors.qKmeansAssignFixed(spark, sf))
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(x => x.getLong(0) ->
+        x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exactPairs = for (x <- ids; y <- ids
+      if x < y && cos(vecs(x), vecs(y)) >= 0.4) yield (x, y)
+    val blockedPairs = exactPairs.filter { case (x, y) => assign(x) == assign(y) }
+    assert(nExact == exactPairs.size.toLong, s"exact: $nExact vs ${exactPairs.size}")
+    assert(nBlocked == blockedPairs.size.toLong)
+  }
+
   test("q_hybrid_rrf: scores reconcile with the two arms' ranks") {
     val r = rows(Similarity.qHybridRrf(spark, sf))
     assert(r.size <= 20 && r.nonEmpty)
