@@ -1606,13 +1606,21 @@ object Analytics {
     * tie-breaks nowhere needed (min is total).
     *
     * Scale shape: the edge relation is localCheckpointed ONCE and reused
-    * by all rounds (same discipline as [[qPagerank]]); each round is one
-    * equi-join frontier expansion + a min aggregation, both shuffling
-    * node-cardinality fixed-width rows; the 1-row source anchor is the
-    * only broadcast. At a real 100 TB run the per-round relation would be
-    * checkpointed every few rounds to cut lineage — noted, not needed at
-    * a 4-hop horizon. */
-  def qShortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    * by all rounds (same discipline as [[qPagerank]]), then SIZE
+    * DISPATCHED like Dedup's connectedComponents — |E| ≤ 1M: exact
+    * driver BFS (hops rounds of micro-shuffles cost more than the whole
+    * answer); above: distributed min-relaxation, one equi-join frontier
+    * expansion + min aggregation per round over node-cardinality
+    * fixed-width rows, the 1-row source anchor the only broadcast, and a
+    * per-round localCheckpoint so lineage never compounds. */
+  def qShortestPath(spark: SparkSession, sfDir: String): DataFrame =
+    shortestPathImpl(spark, sfDir, driverMaxEdges = 1000000L)
+
+  /** [[qShortestPath]] with the dispatch threshold exposed: the test
+    * suite forces `driverMaxEdges = 0` to exercise the distributed
+    * relaxation arm at test scale. */
+  private[graft] def shortestPathImpl(spark: SparkSession, sfDir: String,
+      driverMaxEdges: Long): DataFrame = {
     import spark.implicits._
     val hops = 4
     val pairs = Tables.lineitem(spark, sfDir)
@@ -1628,23 +1636,47 @@ object Analytics {
         struct($"y".as("src"), $"x".as("dst")))).as("p"))
       .select($"p.src", $"p.dst")
       .localCheckpoint(true)
-    val source = edges.agg(min($"src").as("s"))
-    var dist = edges.select($"src".as("node"))
-      .union(edges.select($"dst".as("node")))
-      .distinct()
-      .crossJoin(broadcast(source))
-      .select($"node", when($"node" === $"s", 0L).as("dist"))
-    for (_ <- 1 to hops) {
-      val relaxed = dist.where($"dist".isNotNull).as("d")
-        .join(edges.as("e"), col("d.node") === col("e.src"))
-        .select($"e.dst".as("node"), (col("d.dist") + 1L).as("nd"))
-        .groupBy($"node").agg(min($"nd").as("nd"))
-      dist = dist.join(relaxed, Seq("node"), "left")
-        .select($"node", least($"dist", $"nd").as("dist"))
+    // Size-aware dispatch, the SAME discipline as Dedup's
+    // connectedComponents: a single-source BFS's working state is the
+    // edge set — under the threshold a driver BFS is exact, O(|E|·hops),
+    // and avoids `hops` rounds of micro-shuffles; above it, distributed
+    // iterative min-relaxation with a per-round localCheckpoint.
+    if (edges.count() <= driverMaxEdges) {
+      val adj = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val src = adj.keysIterator.min
+      var dist = Map(src -> 0L)
+      var frontier = Seq(src)
+      for (d <- 1L to hops.toLong) {
+        frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        dist ++= frontier.iterator.map(_ -> d)
+      }
+      dist.toSeq.sorted.toDF("suppkey", "dist").orderBy($"suppkey")
+    } else {
+      val source = edges.agg(min($"src").as("s"))
+      var dist = edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node")))
+        .distinct()
+        .crossJoin(broadcast(source))
+        .select($"node", when($"node" === $"s", 0L).as("dist"))
+      for (_ <- 1 to hops) {
+        val relaxed = dist.where($"dist".isNotNull).as("d")
+          .join(edges.as("e"), col("d.node") === col("e.src"))
+          .select($"e.dst".as("node"), (col("d.dist") + 1L).as("nd"))
+          .groupBy($"node").agg(min($"nd").as("nd"))
+        // per-round checkpoint: the distance relation is node-cardinality
+        // (tiny next to the edge set), and cutting the lineage keeps each
+        // round ONE short job instead of re-planning the whole chain —
+        // the iteration discipline every Spark BFS/PageRank needs
+        dist = dist.join(relaxed, Seq("node"), "left")
+          .select($"node", least($"dist", $"nd").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.where($"dist".isNotNull)
+        .select($"node".as("suppkey"), $"dist")
+        .orderBy($"suppkey")
     }
-    dist.where($"dist".isNotNull)
-      .select($"node".as("suppkey"), $"dist")
-      .orderBy($"suppkey")
   }
 
   val shortestPathSql: String =

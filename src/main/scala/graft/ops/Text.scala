@@ -2088,14 +2088,13 @@ object Text {
     * on both engines; coverage is a distinct-position count — pure
     * integers.
     *
-    * Scale shape: the gram explode is linear in corpus tokens; the dup
-    * set falls out of ONE hash aggregation on the digest pair (distinct
-    * doc count ≥ 2); the join-back carries NO broadcast hint — the
-    * dup-gram relation is data-derived, so AQE must stay free to grade
-    * from broadcast to shuffle at 100 TB. Position coverage explodes a
-    * constant 8 rows per duplicated occurrence, then distincts on
-    * fixed-width (doc, pos) long pairs; skew-free because df ≥ 2 is a
-    * property of grams, not docs. */
+    * Scale shape: the gram explode is linear in corpus tokens and is
+    * digested/shuffled exactly ONCE — the duplicated-gram test is a
+    * gram-keyed window `min(doc) != max(doc)` (⟺ distinct docs ≥ 2), so
+    * no aggregate-plus-join-back recomputing the explode. Position
+    * coverage explodes a constant 8 rows per duplicated occurrence, then
+    * distincts on fixed-width (doc, pos) long pairs; skew-free because
+    * df ≥ 2 is a property of grams, not docs. */
   def qSpanDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val win = 8
@@ -2111,14 +2110,31 @@ object Text {
           .as("g"))
       .select($"doc_id", $"g.pos".as("pos"),
         Similarity.digestLo($"g.m").as("g1"), Similarity.digestHi($"g.m").as("g2"))
-    val dup = grams.groupBy($"g1", $"g2")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .where($"nd" >= 2)
-      .select($"g1", $"g2")
-    val cov = grams.join(dup, Seq("g1", "g2"))
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (win - 1))).as("p"))
-      .distinct()
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    // distinct-doc-count >= 2 ⟺ min(doc) != max(doc): ONE gram-keyed
+    // window replaces the aggregate + join-back (which would digest and
+    // shuffle the 8-gram explode twice)
+    val wg = Window.partitionBy($"g1", $"g2")
+    val occ = grams
+      .withColumn("multi",
+        min($"doc_id").over(wg) =!= max($"doc_id").over(wg))
+      .where($"multi")
+      .select($"doc_id", $"pos")
+    // coverage by interval merging, NOT an 8x position explode+distinct:
+    // duplicated spans [pos, pos+7] chain into runs (next start within
+    // prev running-max end + 1), and each run covers max_end-min_start+1
+    // positions — the same run-length discipline as the interval-merge op
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val wPrev = wd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = occ
+      .withColumn("prev_end",
+        max($"pos" + (win - 1)).over(wPrev))
+      .withColumn("nr",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L))
+      .withColumn("run_id", sum($"nr").over(wCum))
+      .groupBy($"doc_id", $"run_id")
+      .agg((max($"pos") + (win - 1) - min($"pos") + 1).as("len"))
+      .groupBy($"doc_id").agg(sum($"len").as("n_dup_pos"))
     d.join(cov, Seq("doc_id"), "left")
       .select($"doc_id", $"n".as("n_tokens"),
         coalesce($"n_dup_pos", lit(0L)).as("n_dup_pos"),
@@ -2135,11 +2151,27 @@ object Text {
        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT) AS g1,
        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 17, 15) AS BIGINT) AS g2
        |  FROM d, UNNEST(range(1, n - 6)) AS u(i)),
-       |dup AS (SELECT g1, g2 FROM g GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
-       |cov AS (
-       |  SELECT DISTINCT doc_id, pos + off AS p
-       |  FROM g JOIN dup USING (g1, g2), UNNEST(range(0, 8)) AS o(off)),
-       |c AS (SELECT doc_id, count(*) AS n_dup_pos FROM cov GROUP BY 1)
+       |g2 AS (
+       |  SELECT doc_id, pos,
+       |    min(doc_id) OVER wg <> max(doc_id) OVER wg AS multi
+       |  FROM g WINDOW wg AS (PARTITION BY g1, g2)),
+       |o AS (SELECT doc_id, pos FROM g2 WHERE multi),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + 7) OVER
+       |        (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+       |      THEN 1 ELSE 0 END AS nr
+       |  FROM o),
+       |s AS (
+       |  SELECT doc_id, pos,
+       |    CAST(sum(nr) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+       |  FROM r),
+       |rl AS (
+       |  SELECT doc_id, run_id, max(pos) + 7 - min(pos) + 1 AS len
+       |  FROM s GROUP BY 1, 2),
+       |c AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_pos FROM rl GROUP BY 1)
        |SELECT d.doc_id, n AS n_tokens,
        |  CAST(coalesce(n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
        |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / n, 4) AS dup_frac

@@ -420,7 +420,10 @@ class AnalyticsSpec extends GraftSuite {
 
   test("q_shortest_path matches a driver-side BFS truncated at 4 hops") {
     import spark.implicits._
-    val r = Analytics.qShortestPath(spark, sf)
+    // force the DISTRIBUTED relaxation arm (threshold 0) — the public
+    // query's driver-BFS arm is the same algorithm as this test's
+    // reference, so testing it against itself would be vacuous
+    val r = Analytics.shortestPathImpl(spark, sf, driverMaxEdges = 0L)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.nonEmpty, "the thresholded graph has edges at this sf")
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -442,6 +445,10 @@ class AnalyticsSpec extends GraftSuite {
     }
     assert(r == dist, "distributed relaxation must equal driver BFS")
     assert(r(src) == 0L)
+    // the two dispatch arms agree (public query takes the driver arm here)
+    val pub = Analytics.qShortestPath(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pub == r, "driver-BFS arm must equal the distributed arm")
     // every edge relaxes: |d(u) - d(v)| <= 1 when both ends are reached
     edges.foreach { case (x, y) =>
       (r.get(x), r.get(y)) match {
