@@ -1242,6 +1242,65 @@ object Analytics {
       |WHERE abs(price_c - med.med) > 2 * mad.mad
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 2-D skyline (Pareto frontier) of parts: minimize retail price,
+    * maximize size — the preference-query operator (Börzsönyi et al.'s
+    * SKYLINE OF, ICDE 2001). A part is dominated if some other part is at
+    * least as good on both axes and strictly better on one; the skyline
+    * is the undominated set.
+    *
+    * Scale shape — the naive spelling is an all-pairs dominance anti-join
+    * (banned: quadratic BNLJ). Because one axis (p_size) is a SMALL
+    * DOMAIN (1..50), dominance collapses to suffix minima over the
+    * per-size min-price relation: part (p, s) is undominated iff
+    *   p == min price among sizes ≥ s   (nothing ≥-size is strictly
+    *                                     cheaper — covers same-size ties)
+    *   AND min price among sizes > s > p (nothing strictly-bigger is
+    *                                      cheap-or-equal).
+    * One corpus-linear hash aggregation to ≤ 50 (size, min-price) rows, a
+    * window over that DOMAIN-BOUNDED relation (never corpus-scale — the
+    * global orderBy is safe because the partition is ≤ |size domain|),
+    * and a broadcast join back. Generalizes to any skyline where one
+    * dimension is low-cardinality; for two continuous axes the same
+    * scheme runs on a quantile-bucketed axis with per-bucket refinement. */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        round($"p_retailprice" * 100).cast("long").as("cents"), $"p_size")
+    val bySize = p.groupBy($"p_size").agg(min($"cents").as("mn"))
+    // suffix minima over the ≤50-row size domain (size desc order):
+    // m1 = min price at size ≥ s (incl. own), m2 = min at size > s
+    val wDesc = Window.orderBy($"p_size".desc)
+    val m = bySize
+      .withColumn("m1", min($"mn").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m2", min($"mn").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"p_size", $"m1", $"m2")
+    p.join(broadcast(m), Seq("p_size"))
+      .where($"cents" === $"m1" && ($"m2".isNull || $"m2" > $"cents"))
+      .select($"p_partkey", round($"cents" / 100.0, 2).as("price"), $"p_size")
+      .orderBy($"p_size".desc, $"p_partkey")
+  }
+
+  val skylineSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+      |    p_size
+      |  FROM part),
+      |s AS (SELECT p_size, min(cents) AS mn FROM p GROUP BY 1),
+      |m AS (
+      |  SELECT p_size,
+      |    min(mn) OVER (ORDER BY p_size DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1,
+      |    min(mn) OVER (ORDER BY p_size DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+      |  FROM s)
+      |SELECT p_partkey, round(cents / 100.0, 2) AS price, p_size
+      |FROM p JOIN m USING (p_size)
+      |WHERE cents = m1 AND (m2 IS NULL OR m2 > cents)
+      |ORDER BY p_size DESC, p_partkey""".stripMargin
+
   /** Fixed-iteration PageRank over the supplier co-purchase graph —
     * iterative graph analytics beyond [[Similarity]]'s connected
     * components. Nodes are suppliers; a directed edge joins two suppliers
@@ -2009,6 +2068,7 @@ object Analytics {
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_qty_price_corr" -> (qQtyPriceCorr _),
     "q_monthly_seasonality" -> (qMonthlySeasonality _),
     "q_benford_prices" -> (qBenfordPrices _),
@@ -2051,6 +2111,7 @@ object Analytics {
     "q_sales_opportunity" -> (qSalesOpportunity _))
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" -> skylineSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

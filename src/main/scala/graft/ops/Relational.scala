@@ -538,6 +538,48 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  /** Distributed TOTAL-ORDER rank over the full fact table, reported at
+    * every-5000th-row milestones (the global "sorted export" primitive:
+    * training-order shuffles, percentile exports, ranked file layouts).
+    *
+    * Scale shape — a global row_number is the textbook single-partition
+    * trap: `Window.orderBy` without partitionBy funnels 100 TB through one
+    * task. The scale spelling is Spark's own total sort (`orderBy` =
+    * range-partitioned exchange with SAMPLED split points + per-partition
+    * sort — no single task ever holds more than one range) followed by
+    * `zipWithIndex`'s per-partition counts + offsets (one extra
+    * count-per-partition job, no data movement). The sort key
+    * (price, orderkey, linenumber) is a TOTAL order — the PK tiebreak is
+    * what makes the global rank, and therefore the milestone rows,
+    * engine-portable. Same discipline as [[graft.ops.Text]]'s
+    * `q_word_id_encode` vocabulary ranking, here on the raw fact table. */
+  def qGlobalSort(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .orderBy($"cents".desc, $"l_orderkey", $"l_linenumber")
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        (i + 1L, r.getLong(0), r.getInt(1), r.getLong(2)) })
+      .toDF("rank", "l_orderkey", "l_linenumber", "cents")
+      .where($"rank" % 5000 === 0)
+      .select($"rank", $"l_orderkey", $"l_linenumber",
+        round($"cents" / 100.0, 2).as("price"))
+      .orderBy($"rank")
+  }
+
+  val globalSortSql: String =
+    """WITH r AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (ORDER BY round(l_extendedprice * 100) DESC,
+      |      l_orderkey, l_linenumber) AS rank
+      |  FROM lineitem)
+      |SELECT CAST(rank AS BIGINT) AS rank, l_orderkey, l_linenumber,
+      |  round(cents / 100.0, 2) AS price
+      |FROM r WHERE rank % 5000 = 0 ORDER BY rank""".stripMargin
+
   /** UNION / INTERSECT / EXCEPT (all distinct semantics) of two custkey sets:
     * BUILDING-segment customers vs urgent-order customers. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
@@ -941,6 +983,7 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_sort" -> (qGlobalSort _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_agg_skew_twophase" -> (qAggSkewTwophase _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -976,6 +1019,7 @@ object Relational {
     "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
+    "q_global_sort" -> globalSortSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_agg_skew_twophase" -> aggSkewTwophaseSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -78,6 +78,49 @@ object Text {
        |FROM t, UNNEST(range(1, len(toks))) AS u(i)
        |GROUP BY bigram ORDER BY cnt DESC, bigram""".stripMargin
 
+  /** BPE tokenizer-training pair statistics: the frequency-weighted count
+    * of adjacent character pairs over the word-frequency table — the
+    * inner-loop aggregation of byte-pair-encoding training (Sennrich et
+    * al. 2016), the step that actually touches corpus-scale data when a
+    * tokenizer is trained on a 100 TB crawl (ref capability: ABSENT;
+    * north-star tokenizer support).
+    *
+    * Scale shape — the decisive move is aggregating the corpus to its
+    * WORD-FREQUENCY TABLE first: one corpus-linear tokenize + hash
+    * aggregation shrinks the working set from corpus tokens to vocabulary
+    * entries (sublinear in corpus size, Heaps' law), and the character
+    * -pair explode then runs over the vocab only, weighted by word
+    * frequency — exactly how production BPE trainers structure the scan.
+    * A merge ROUND would re-run the same vocab-sized aggregation after
+    * string surgery on the merged pair; the corpus is never re-read. */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(toks(lower($"text"))).as("w"))
+      .where($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    words.where(length($"w") >= 2)
+      .select($"freq", explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(30)
+  }
+
+  val bpeMergesSql: String =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |w AS (
+      |  SELECT w, count(*) AS freq FROM t
+      |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+      |p AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      |  FROM w, UNNEST(range(1, len(w))) AS u(i)
+      |  WHERE len(w) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+
   /** Per-language corpus stats (ref capability: grouped summary stats). */
   def qLangStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2208,6 +2251,7 @@ object Text {
     "q_repetition_score" -> (qRepetitionScore _),
     "q_tokenize_wordcount" -> (qTokenizeWordcount _),
     "q_bigram_counts" -> (qBigramCounts _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_lang_stats" -> (qLangStats _),
     "q_common_terms_topk" -> (qCommonTermsTopk _),
     "q_word_id_encode" -> (qWordIdEncode _),
@@ -2223,6 +2267,7 @@ object Text {
     "q_doc_fingerprint" -> (qDocFingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql,
     "q_span_dedup" -> spanDedupSql,
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,

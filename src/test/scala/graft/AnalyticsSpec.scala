@@ -457,4 +457,20 @@ class AnalyticsSpec extends GraftSuite {
       }
     }
   }
+
+  test("q_skyline is exactly the undominated set (naive O(n^2) check)") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getInt(2)))
+    def dominated(a: (Long, Long, Int)): Boolean = parts.exists { b =>
+      b._1 != a._1 && b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3)
+    }
+    val expect = parts.filterNot(dominated).map(_._1).toSet
+    val got = rows(Analytics.qSkyline(spark, sf)).map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"extra=${got -- expect} missing=${expect -- got}")
+    assert(got.nonEmpty && got.size < parts.length,
+      "skyline must be a proper non-empty subset at this sf")
+  }
 }

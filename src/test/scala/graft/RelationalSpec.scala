@@ -301,4 +301,24 @@ class RelationalSpec extends GraftSuite {
       assert(row.getAs[Long]("n_copies") == expected)
     }
   }
+
+  test("q_global_sort milestones equal a driver-side total sort") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .map(r => (math.round(r.getDouble(2) * 100), r.getLong(0), r.getInt(1)))
+    val sorted = li.sortBy { case (c, o, l) => (-c, o, l) }
+    val expect = sorted.iterator.zipWithIndex.collect {
+      case ((c, o, l), i) if (i + 1) % 5000 == 0 =>
+        (i + 1L, o, l, c / 100.0)
+    }.toSeq
+    val got = rows(Relational.qGlobalSort(spark, sf)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "sf0.001 has >= 5000 lineitems")
+    assert(got == expect, s"got $got want $expect")
+    // the plan must carry a range-partitioned sort, never a
+    // single-partition global window
+    val plan = Relational.qGlobalSort(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global sort must not window:\n$plan")
+  }
 }

@@ -671,4 +671,24 @@ class TextSpec extends GraftSuite {
         assert(r(id)._3 == 1.0, s"exact-dup doc $id must have dup_frac 1.0")
       }
   }
+
+  test("q_bpe_merges matches a driver-side pair-frequency recompute") {
+    val r = rows(Text.qBpeMerges(spark, sf))
+      .map(x => (x.getString(0), x.getLong(1)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    docs.iterator.flatMap(_.toLowerCase.split(" ").iterator)
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .foreach(w => freq(w) += 1L)
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    freq.foreach { case (w, f) =>
+      if (w.length >= 2) w.sliding(2).foreach(p => pc(p) += f)
+    }
+    val expect = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    assert(r == expect, s"got ${r.take(5)}… want ${expect.take(5)}…")
+    assert(r.size == 30 && r.head._2 >= r.last._2)
+  }
 }
