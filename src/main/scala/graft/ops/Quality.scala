@@ -241,15 +241,55 @@ object Quality {
        |FROM cand ORDER BY o_orderkey""".stripMargin
   }
 
+  // --------------------------------------------------------- k-anonymity
+
+  /** K-anonymity audit over quasi-identifiers — the re-identification-risk
+    * report a privacy review runs before a dataset release (Sweeney 2002;
+    * ref capability: ABSENT — loaders never audit privacy; north-star for
+    * a curation engine shipping derived corpora). Quasi-identifier tuple:
+    * (c_nationkey, c_mktsegment, account-balance band of width 1000).
+    * An equivalence class of size < k means its members are distinguishable
+    * down to fewer than k candidates; the report lists every risky class
+    * with its size so the release pipeline can suppress or generalize it.
+    *
+    * Scale shape: ONE hash aggregate over the quasi-id tuple (map-side
+    * partial counts make the shuffle |classes|-bounded, not |rows|), then
+    * a HAVING on the class size — output is bounded by the risky-class
+    * count, never the table. Generalizing a column (widening the band)
+    * to raise k is a re-run of the same one-shuffle plan. The band uses
+    * an explicit floor-divide on cents so negative balances band exactly
+    * the same way in both engines. */
+  def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    Tables.customer(spark, sfDir)
+      .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment",
+        floor(floor($"c_acctbal" * 100).cast("long") / 100000L).as("bal_band"))
+      .groupBy($"nation", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("class_size"))
+      .where($"class_size" < k)
+      .orderBy($"nation", $"c_mktsegment", $"bal_band")
+  }
+
+  val kAnonymitySql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+      |  CAST(floor(floor(c_acctbal * 100) / 100000) AS BIGINT) AS bal_band,
+      |  CAST(count(*) AS BIGINT) AS class_size
+      |FROM customer
+      |GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY nation, c_mktsegment, bal_band""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_column_profile" -> (qColumnProfile _),
     "q_data_constraints" -> (qDataConstraints _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_pii_luhn" -> (qPiiLuhn _))
 
   val oracle: Map[String, String] = Map(
     "q_column_profile" -> columnProfileSql,
     "q_data_constraints" -> dataConstraintsSql,
+    "q_k_anonymity" -> kAnonymitySql,
     "q_pii_luhn" -> piiLuhnSql)
 }

@@ -1160,6 +1160,78 @@ object Text {
       |    AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic per-group sampling: exactly min(n, |group|) documents
+    * from every (lang, source) cell, chosen by md5(doc_id) rank — the
+    * "show me 2 examples from every stratum" debugging/eval-set query
+    * (ref capability: nodes/util ColumnSampler samples GLOBALLY at a rate;
+    * per-stratum exact-count sampling is the curation upgrade). Unlike
+    * rate-based [[qHashSample]], the output size is exactly bounded
+    * (#groups × n) regardless of group skew, and unlike `ORDER BY random()`
+    * the choice is REPRODUCIBLE across engines, runs, and partitionings —
+    * the property an eval-set draw must have to be auditable.
+    *
+    * Scale shape: one shuffle on the group key into a rank window with the
+    * `rk <= n` filter fused right above it (Spark's WindowExec short-
+    * circuits nothing, but the filter bounds what survives to the output);
+    * group count is the only driver of result size. Skewed strata cost
+    * their sort — for pathological single-group skew the salted two-phase
+    * local/global spelling of [[qWeightedSample]] applies verbatim. */
+  def qGroupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy(md5($"doc_id".cast("string")))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 2)
+      .orderBy($"lang", $"source", $"rk")
+  }
+
+  val groupSampleSql: String =
+    """SELECT doc_id, lang, source, rk FROM (
+      |  SELECT doc_id, lang, source,
+      |    CAST(row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 2 ORDER BY lang, source, rk""".stripMargin
+
+  /** Quantile normalization of document lengths across sources — the
+    * distribution-alignment transform (Bolstad 2003, microarray lineage)
+    * that forces every source's length distribution onto a common shape
+    * before mixing, so no source's verbosity skews a length-balanced
+    * curriculum (ref capability: ABSENT; stats nodes scale per-COLUMN,
+    * not per-GROUP-distribution). Each document maps to the corpus-wide
+    * mean length of its own within-source percentile bucket: rank within
+    * source → ntile(100) → bucket mean across ALL sources → join back.
+    *
+    * Determinism: the ntile order key is (n_chars, doc_id) — unique — so
+    * bucket assignment is total-ordered and engine-portable. Scale shape:
+    * one window shuffle on source (rank), one 100-row aggregate, and a
+    * broadcast join-back of the bucket means; the bucket table is
+    * constant-size however large the corpus. */
+  def qQuantileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val bucketed = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("bucket", ntile(100).over(w))
+    val means = bucketed.groupBy($"bucket")
+      .agg(round(avg($"n_chars"), 4).as("qnorm_chars"))
+    bucketed.join(broadcast(means), Seq("bucket"))
+      .select($"doc_id", $"source", $"n_chars", $"qnorm_chars")
+      .orderBy($"doc_id")
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ntile(100) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bucket
+      |  FROM documents),
+      |m AS (SELECT bucket, round(avg(n_chars), 4) AS qnorm_chars
+      |      FROM b GROUP BY bucket)
+      |SELECT doc_id, source, n_chars, qnorm_chars
+      |FROM b JOIN m USING (bucket) ORDER BY doc_id""".stripMargin
+
   /** Curation-funnel accounting: how many documents survive each
     * successive quality gate — the observability table every filtering
     * pipeline publishes before a training run. Stages (cumulative ANDs):
@@ -2231,6 +2303,8 @@ object Text {
     "q_source_kl" -> (qSourceKl _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_hash_sample" -> (qHashSample _),
+    "q_group_sample" -> (qGroupSample _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_quality_funnel" -> (qQualityFunnel _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_lang_pmi" -> (qLangPmi _),
@@ -2278,6 +2352,8 @@ object Text {
     "q_source_kl" -> sourceKlSql,
     "q_vocab_growth" -> vocabGrowthSql,
     "q_hash_sample" -> hashSampleSql,
+    "q_group_sample" -> groupSampleSql,
+    "q_quantile_normalize" -> quantileNormalizeSql,
     "q_quality_funnel" -> qualityFunnelSql,
     "q_ngram_novelty" -> ngramNoveltySql,
     "q_lang_pmi" -> langPmiSql,

@@ -59,6 +59,22 @@ class QualityFormatsSpec extends GraftSuite {
     assert(st.getString(st.fieldIndex("max_v")) == "P")
   }
 
+  test("q_k_anonymity: risky classes match an exact local replay") {
+    // independent replay: band every customer in plain Scala, group, and
+    // keep classes under k=5 — the query must reproduce the set exactly.
+    val cust = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+    val expected = cust.groupBy { r =>
+      val band = math.floor(math.floor(r.getDouble(2) * 100) / 100000.0).toLong
+      (r.getInt(0).toLong, r.getString(1), band)
+    }.view.mapValues(_.length.toLong).filter(_._2 < 5).toMap
+    val got = Quality.qKAnonymity(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getLong(3)
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.forall(n => n >= 1 && n < 5))
+  }
+
   test("q_orc_roundtrip: ORC write/read preserves every aggregated value") {
     import spark.implicits._
     val viaOrc = Formats.qOrcRoundtrip(spark, sf).collect()

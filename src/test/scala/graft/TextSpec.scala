@@ -691,4 +691,56 @@ class TextSpec extends GraftSuite {
     assert(r == expect, s"got ${r.take(5)}… want ${expect.take(5)}…")
     assert(r.size == 30 && r.head._2 >= r.last._2)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q_group_sample matches a driver-side md5-rank replay") {
+    val got = rows(Text.qGroupSample(spark, sf))
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3), r.getLong(0)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(d => (d._2, d._3)).toSeq.flatMap {
+      case ((lang, src), ds) =>
+        ds.sortBy(d => md5hex(d._1.toString)).take(2).zipWithIndex
+          .map { case (d, i) => (lang, src, i + 1, d._1) }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got == expect)
+    // exact bound: every group contributes min(2, |group|) rows
+    val sizes = docs.groupBy(d => (d._2, d._3)).view.mapValues(_.length)
+    assert(got.size == sizes.values.map(n => math.min(2, n)).sum)
+  }
+
+  test("q_quantile_normalize matches an exact ntile replay") {
+    val got = rows(Text.qQuantileNormalize(spark, sf))
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // SQL-standard ntile(k): first (n mod k) buckets get ceil(n/k) rows
+    def ntileOf(rn: Int, n: Int, k: Int): Int = {
+      val q = n / k; val rem = n % k
+      if (rn <= (q + 1) * rem) (rn - 1) / (q + 1) + 1
+      else rem + (rn - (q + 1) * rem - 1) / math.max(q, 1) + 1
+    }
+    val bucketOf = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1))
+      ordered.zipWithIndex.map { case (d, i) =>
+        d._1 -> ntileOf(i + 1, ordered.length, 100)
+      }
+    }.toMap
+    // Spark's round(double, 4) is BigDecimal HALF_UP — replicate exactly
+    val means = docs.groupBy(d => bucketOf(d._1)).view.mapValues { ds =>
+      BigDecimal(ds.map(_._3).sum.toDouble / ds.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, _, nc) =>
+      val (gotChars, gotNorm) = got(id)
+      assert(gotChars == nc)
+      assert(gotNorm == means(bucketOf(id)), s"doc $id")
+    }
+  }
 }
