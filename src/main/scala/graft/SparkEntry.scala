@@ -32,7 +32,8 @@ object SparkEntry {
       (Images.queries, Images.oracle),
       (Eval.queries, Eval.oracle),
       (Quality.queries, Quality.oracle),
-      (Formats.queries, Formats.oracle))
+      (Formats.queries, Formats.oracle),
+      (Stats.queries, Stats.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1591,6 +1591,87 @@ object Analytics {
       |SELECT node AS suppkey, label AS community
       |FROM l2 ORDER BY suppkey""".stripMargin
 
+  /** Fixed-round peel count for [[qKcore]]: 12 covers convergence with
+    * margin at every tested SF (sf0.01 needs 10); rounds after the
+    * fixpoint are provable no-ops, and BOTH engines run exactly this many,
+    * so even a hypothetically unconverged graph yields identical results.
+    * The spec asserts true convergence on a synthetic pendant graph. */
+  private val KcorePeelRounds = 12
+
+  /** K-core decomposition (k = 3) of the part co-purchase graph: nodes
+    * are parts, edges join parts co-ordered in ≥ 2 orders, and the 3-core
+    * is what survives repeatedly peeling nodes of degree < 3 — the
+    * standard dense-substructure extractor (Seidman 1983) used to find
+    * the stable "always bought together" backbone and to seed community
+    * detection. Returns each surviving node with its within-core degree.
+    *
+    * Scale shape: the edge build is the same per-order compiled pair
+    * kernel as [[qTriangleCount]] (fan-out bounded by order width, never
+    * all-pairs). Each peel round is one degree aggregation over the
+    * current edge set plus two semi-joins back — all equi-joins with NO
+    * broadcast hints (the shrinking alive set is data-derived; AQE picks
+    * the strategy, so a dense graph degrades to shuffles instead of
+    * OOMing the driver). The loop `localCheckpoint`s each round to cut
+    * the 12-deep lineage and early-exits on edge-count fixpoint, so
+    * converged graphs stop paying immediately. */
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    var edges = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select(explode(call_function("graft_pairs", $"ps", lit(false))).as("e"))
+      .groupBy($"e.x".as("x"), $"e.y".as("y"))
+      .agg(count(lit(1)).as("c"))
+      .where($"c" >= 2).select($"x", $"y")
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var round = 0
+    var converged = false
+    while (round < KcorePeelRounds && !converged) {
+      val alive = edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+        .where($"d" >= k).select($"n")
+      edges = edges
+        .join(alive, edges("x") === alive("n"), "left_semi")
+        .join(alive, edges("y") === alive("n"), "left_semi")
+        .localCheckpoint(true)
+      val m = edges.count()
+      converged = m == nEdges
+      nEdges = m
+      round += 1
+    }
+    edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
+      .groupBy($"n".as("p_partkey")).agg(count(lit(1)).as("core_deg"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Unrolled [[KcorePeelRounds]]-round peel, mechanically generated so
+    * the oracle is round-for-round the same computation. */
+  val kcoreSql: String = {
+    val rounds = (1 to KcorePeelRounds).map { i =>
+      s""",d$i AS (
+         |  SELECT n, count(*) AS d
+         |  FROM (SELECT x AS n FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1})
+         |  GROUP BY 1),
+         |a$i AS (SELECT n FROM d$i WHERE d >= 3),
+         |e$i AS (
+         |  SELECT x, y FROM e${i - 1}
+         |  WHERE x IN (SELECT n FROM a$i) AND y IN (SELECT n FROM a$i))""".stripMargin
+    }.mkString("\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |$rounds
+       |SELECT n AS p_partkey, count(*) AS core_deg
+       |FROM (SELECT x AS n FROM e$KcorePeelRounds
+       |      UNION ALL SELECT y FROM e$KcorePeelRounds)
+       |GROUP BY 1 ORDER BY p_partkey""".stripMargin
+  }
+
   /** 2-hop neighborhood reach over the thresholded co-purchase graph
     * ([[qTriangleCount]]'s edge set): for every supplier in the graph, the
     * count of distinct suppliers reachable in one or two hops (self
@@ -2076,6 +2157,7 @@ object Analytics {
     "q_revenue_gini" -> (qRevenueGini _),
     "q_part_affinity" -> (qPartAffinity _),
     "q_label_prop" -> (qLabelProp _),
+    "q_kcore" -> (qKcore _),
     "q_khop_reach" -> (qKhopReach _),
     "q_shortest_path" -> (qShortestPath _),
     "q_triangle_count" -> (qTriangleCount _),
@@ -2115,6 +2197,7 @@ object Analytics {
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,
+    "q_kcore" -> kcoreSql,
     "q_khop_reach" -> khopReachSql,
     "q_shortest_path" -> shortestPathSql,
     "q_part_affinity" -> partAffinitySql,

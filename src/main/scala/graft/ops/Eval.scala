@@ -134,6 +134,58 @@ object Eval {
       |        sum(rel), 4) AS ap
       |FROM r GROUP BY p_id ORDER BY p_id""".stripMargin
 
+  /** Exact ROC AUC via the rank-sum identity (ref: BinaryClassifierEvaluator
+    * stops at threshold metrics; AUC is the threshold-free companion every
+    * model report needs). Labels: `label >= 5`; score: the first embedding
+    * dimension — a deterministic score column with real float ties handled
+    * exactly. AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the midrank sum of
+    * positives — the Mann–Whitney identity, so tied scores contribute the
+    * trapezoid 1/2 exactly rather than approximately.
+    *
+    * Exactness: scores are grouped (never averaged), so ranks come from
+    * integer counts; 2·R⁺ = Σ pos·(2·cum_before + cnt + 1) is an exact long
+    * and one double division ends it. Scale shape: one hash aggregate to
+    * the distinct-score relation, one window over it, one 1-row result —
+    * the same domain-bounded pattern as [[Stats.qMannWhitney]]. */
+  def qEvalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.embeddings(spark, sfDir)
+      .select(($"label" >= 5).as("pos"), element_at($"embedding", 1).as("s"))
+    val byScore = scored.groupBy($"s").agg(
+      sum(when($"pos", 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("cnt"))
+    val wb = Window.orderBy($"s").rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cumb", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .agg(
+        sum($"np").as("n_pos"),
+        sum($"cnt" - $"np").as("n_neg"),
+        sum($"np" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("r2p"))
+      .select($"n_pos", $"n_neg",
+        round(($"r2p" - $"n_pos" * ($"n_pos" + 1L)).cast("double")
+          / (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
+  }
+
+  val evalAucSql: String =
+    """WITH s AS (
+      |  SELECT label >= 5 AS pos, embedding[1] AS s FROM embeddings),
+      |bv AS (
+      |  SELECT s, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np, count(*) AS cnt
+      |  FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT np, cnt, coalesce(sum(cnt) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM bv),
+      |m AS (
+      |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+      |    CAST(sum(np * (2 * cumb + cnt + 1)) AS BIGINT) AS r2p
+      |  FROM c)
+      |SELECT n_pos, n_neg,
+      |  round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |    / (2.0 * n_pos * n_neg), 6) AS auc
+      |FROM m""".stripMargin
+
   /** Custom geometric-mean UDAF over lineitem prices (SURVEY.md §4: the one
     * custom aggregate; oracle identity exp(avg(ln x))). */
   def qUdafGeomean(spark: SparkSession, sfDir: String): DataFrame = {
@@ -156,11 +208,13 @@ object Eval {
     "q_eval_binary" -> (qEvalBinary _),
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_mean_avg_precision" -> (qMeanAvgPrecision _),
+    "q_eval_auc" -> (qEvalAuc _),
     "q_udaf_geomean" -> (qUdafGeomean _))
 
   val oracle: Map[String, String] = Map(
     "q_eval_binary" -> evalBinarySql,
     "q_confusion_matrix" -> confusionMatrixSql,
     "q_mean_avg_precision" -> meanAvgPrecisionSql,
+    "q_eval_auc" -> evalAucSql,
     "q_udaf_geomean" -> udafGeomeanSql)
 }

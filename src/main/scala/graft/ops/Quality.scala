@@ -279,17 +279,57 @@ object Quality {
       |GROUP BY 1, 2, 3 HAVING count(*) < 5
       |ORDER BY nation, c_mktsegment, bal_band""".stripMargin
 
+  // --------------------------------------------------------- l-diversity
+
+  /** L-diversity audit — the attribute-disclosure companion to
+    * [[qKAnonymity]] (Machanavajjhala 2006): a quasi-identifier class can
+    * be k-anonymous yet still leak if everyone in it shares the same
+    * SENSITIVE value. Quasi-identifiers here are (nation, balance band);
+    * the sensitive attribute is the market segment. Classes with fewer
+    * than l = 3 distinct segments are reported with their size and
+    * diversity so the release pipeline can generalize or suppress them.
+    *
+    * Scale shape: ONE hash aggregate over the quasi-id tuple with a
+    * count-distinct on the sensitive column (Spark rewrites it as a
+    * two-phase expand-aggregate; the shuffle stays |classes|·|segments|-
+    * bounded), then a HAVING on the diversity — identical to the
+    * k-anonymity plan, so the two audits can share a scan at 100 TB. */
+  def qLDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = 3
+    Tables.customer(spark, sfDir)
+      .select($"c_nationkey".cast("long").as("nation"),
+        floor(floor($"c_acctbal" * 100).cast("long") / 100000L).as("bal_band"),
+        $"c_mktsegment")
+      .groupBy($"nation", $"bal_band")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"c_mktsegment").as("diversity"))
+      .where($"diversity" < l)
+      .orderBy($"nation", $"bal_band")
+  }
+
+  val lDiversitySql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  CAST(floor(floor(c_acctbal * 100) / 100000) AS BIGINT) AS bal_band,
+      |  CAST(count(*) AS BIGINT) AS class_size,
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS diversity
+      |FROM customer
+      |GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
+      |ORDER BY nation, bal_band""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_column_profile" -> (qColumnProfile _),
     "q_data_constraints" -> (qDataConstraints _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
     "q_pii_luhn" -> (qPiiLuhn _))
 
   val oracle: Map[String, String] = Map(
     "q_column_profile" -> columnProfileSql,
     "q_data_constraints" -> dataConstraintsSql,
     "q_k_anonymity" -> kAnonymitySql,
+    "q_l_diversity" -> lDiversitySql,
     "q_pii_luhn" -> piiLuhnSql)
 }

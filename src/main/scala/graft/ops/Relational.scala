@@ -982,7 +982,53 @@ object Relational {
       |WHERE op IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Incremental view maintenance for a distributive aggregate: the
+    * pricing-summary view is kept up to date by MERGING the base
+    * snapshot's partial aggregates with the partial aggregates of a new
+    * batch — never rescanning the base. Base = shipments before
+    * 1997-01-01, delta = everything after; both sides reduce to
+    * per-(flag, status) partials (count / Σqty / Σprice-cents, all longs)
+    * and the merge is a second |groups|-bounded aggregation over their
+    * union. The DuckDB oracle recomputes the view from the FULL table in
+    * one pass — so a green row is the IVM correctness statement itself:
+    * merge(partials) ≡ recompute(whole).
+    *
+    * Scale shape: this is the pattern that turns a daily 100 TB rescan
+    * into an O(|delta| + |groups|) refresh — the base partials would be a
+    * stored constant-size table in production; both aggregations here are
+    * two-phase hash aggs with map-side combine, and the merge shuffle
+    * carries |groups| rows. */
+  def qIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_linestatus", $"l_shipdate",
+        $"l_quantity".cast("long").as("qty"),
+        expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT)")
+          .as("cents"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"qty").as("sq"), sum($"cents").as("sc"))
+    partials(li.where($"l_shipdate" < cut))
+      .unionAll(partials(li.where($"l_shipdate" >= cut)))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n").as("n_rows"), sum($"sq").as("sum_qty"),
+        sum($"sc").as("sc"))
+      .select($"l_returnflag", $"l_linestatus", $"n_rows", $"sum_qty",
+        round($"sc".cast("double") / 100.0, 2).as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  round(CAST(sum(CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+      |    AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_agg_skew_twophase" -> (qAggSkewTwophase _),
@@ -1020,6 +1066,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_global_sort" -> globalSortSql,
+    "q_incremental_agg" -> incrementalAggSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_agg_skew_twophase" -> aggSkewTwophaseSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Distribution-comparison statistics — the hypothesis-test toolkit a
+  * curation pipeline runs to detect DRIFT: "has this source's length
+  * distribution shifted?", "are these two slices drawn from the same
+  * population?", "where did the metric change?". The reference has no
+  * statistical-test nodes (its stats package is feature scaling —
+  * SURVEY.md §2.A); these are north-star additions in the same spirit as
+  * the KL/PMI family in [[Text]].
+  *
+  * Everything follows the family discipline: counts and rank sums are
+  * exact INTEGER aggregates (shuffles carry longs, not floats), and
+  * doubles appear only in the final projection, so results are
+  * bit-identical on any engine and partitioning. Rank statistics use the
+  * ×2 trick (twice the midrank is always an integer) to keep tied-rank
+  * arithmetic exact.
+  */
+object Stats {
+
+  // ------------------------------------------------------ two-sample KS
+
+  /** Per-source two-sample Kolmogorov–Smirnov statistic vs the whole
+    * corpus: D_s = sup_v |F_s(v) − F_corpus(v)| over document lengths —
+    * the standard drift report ranking sources by how far their length
+    * distribution sits from the corpus mix.
+    *
+    * Exactness: the sup is evaluated on the integer CROSS-MULTIPLIED
+    * numerator |cum_s·n_g − cum_g·n_s| (both CDFs share the global value
+    * grid, so the step functions are compared at every discontinuity);
+    * one double division at the end. Scale shape: two hash aggregates
+    * (per-(source,len) and per-len counts), then a grid join of two
+    * DOMAIN-bounded relations — #sources × #distinct-lengths, independent
+    * of corpus row count — and windows partitioned by source over that
+    * bounded grid. The broadcast side is the source-totals dimension.
+    * The integer numerator needs cum·n ≤ |docs|² < 2^63 — exact up to
+    * ~3e9 documents; past that, widen the two products to DECIMAL(38,0). */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir).select($"source", $"n_chars")
+    val perSrcVal = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val srcTot = d.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val wg = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global CDF numerator on the (domain-bounded) distinct-length grid
+    val globalCum = d.groupBy($"n_chars").agg(count(lit(1)).as("cg"))
+      .withColumn("cumg", sum($"cg").over(wg)).drop("cg")
+    val nTot = d.agg(count(lit(1)).as("ng"))
+    val ws = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    globalCum
+      .crossJoin(broadcast(srcTot))             // bounded grid: lens × sources
+      .join(perSrcVal, Seq("source", "n_chars"), "left")
+      .withColumn("cums", sum(coalesce($"c", lit(0L))).over(ws))
+      .crossJoin(broadcast(nTot))               // 1-row corpus total
+      .groupBy($"source", $"ns", $"ng")
+      .agg(max(abs($"cums" * $"ng" - $"cumg" * $"ns")).as("dnum"))
+      .select($"source", $"ns".as("n_docs"),
+        round($"dnum".cast("double") / ($"ns" * $"ng").cast("double"), 6)
+          .as("d_stat"))
+      .orderBy($"source")
+  }
+
+  val ksTestSql: String =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |sv AS (SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n_chars, sum(count(*)) OVER (ORDER BY n_chars
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+      |  FROM d GROUP BY n_chars),
+      |st AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS ng FROM d),
+      |cum AS (
+      |  SELECT st.source, g.n_chars, g.cumg, st.ns,
+      |    sum(coalesce(sv.c, 0)) OVER (PARTITION BY st.source ORDER BY g.n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums
+      |  FROM g CROSS JOIN st
+      |  LEFT JOIN sv ON sv.source = st.source AND sv.n_chars = g.n_chars)
+      |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+      |  round(CAST(max(abs(cums * ng - cumg * ns)) AS DOUBLE)
+      |    / (CAST(ns AS DOUBLE) * ng), 6) AS d_stat
+      |FROM cum CROSS JOIN tot
+      |GROUP BY source, ns, ng ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- Mann–Whitney U test
+
+  /** Mann–Whitney rank-sum test between two named sources' document
+    * lengths — the nonparametric "are these two slices the same
+    * population?" check (no normality assumption, robust to outliers),
+    * with exact midrank tie handling and the standard tie-corrected
+    * normal approximation for z.
+    *
+    * Exactness: ranks come from value-grouped counts — for each distinct
+    * length, twice the shared midrank is `2·cum_before + cnt + 1`, an
+    * integer — so the rank sum 2R_a, the U statistic 2U, and the tie term
+    * Σ(t³−t) are all exact long aggregates; z is assembled from them in
+    * one final double projection. Scale shape: one hash aggregate to the
+    * distinct-length relation (domain-bounded), one window over it, one
+    * 1-row result — corpus size only enters through the first aggregate's
+    * map-side combine. */
+  def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .where($"source".isin("src1", "src2"))
+      .select(($"source" === "src1").as("isa"), $"n_chars")
+    val byVal = d.groupBy($"n_chars").agg(
+      sum(when($"isa", 1L).otherwise(0L)).as("ca"),
+      count(lit(1)).as("cnt"))
+    val wb = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("cumb", coalesce(sum($"cnt").over(wb), lit(0L)))
+      .agg(
+        sum($"ca").as("na"),
+        sum($"cnt" - $"ca").as("nb"),
+        sum($"ca" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("r2a"),
+        sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("ties"))
+      .select($"na", $"nb",
+        // 2U = 2R_a − n_a(n_a+1); halve in double (U can be *.5 under ties)
+        (($"r2a" - $"na" * ($"na" + 1L)).cast("double") / 2.0).as("u"),
+        $"ties", ($"na" + $"nb").as("n"))
+      .select($"na", $"nb", round($"u", 1).as("u_stat"),
+        round(
+          ($"u" - $"na".cast("double") * $"nb" / 2.0) /
+            sqrt($"na".cast("double") * $"nb" / 12.0 *
+              (($"n" + 1L).cast("double") -
+                $"ties".cast("double") / ($"n" * ($"n" - 1L)).cast("double"))),
+          4).as("z_score"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH d AS (
+      |  SELECT source = 'src1' AS isa, n_chars FROM documents
+      |  WHERE source IN ('src1', 'src2')),
+      |bv AS (
+      |  SELECT n_chars, sum(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+      |    count(*) AS cnt
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT ca, cnt, coalesce(sum(cnt) OVER (ORDER BY n_chars
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM bv),
+      |s AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cnt - ca) AS BIGINT) AS nb,
+      |    CAST(sum(ca * (2 * cumb + cnt + 1)) AS BIGINT) AS r2a,
+      |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |  FROM c)
+      |SELECT na, nb,
+      |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
+      |  round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+      |      - CAST(na AS DOUBLE) * nb / 2.0)
+      |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+      |      * ((na + nb + 1) - CAST(ties AS DOUBLE)
+      |         / ((na + nb) * (na + nb - 1)))), 4) AS z_score
+      |FROM s""".stripMargin
+
+  // --------------------------------------------- Spearman rank correlation
+
+  /** Spearman rank correlation between quantity and price per return
+    * flag — the monotone-association measure (Pearson on midranks) that
+    * catches nonlinear but ordered relationships Pearson's r misses
+    * (companion to [[Analytics.qQtyPriceCorr]]'s Pearson).
+    *
+    * Exactness: midranks are doubled to integers (2·cum_before+cnt+1 per
+    * tied value group, partitioned by flag), joined back to rows, and the
+    * five Pearson moments are exact long sums — ρ is invariant under the
+    * ×2 scaling so one final double projection yields it. Scale shape:
+    * two domain-bounded rank relations (distinct quantities / distinct
+    * price cents per flag), two equi-joins back to the fact rows, one
+    * hash aggregate; moments stay < 2^63 through ~300M rows per flag,
+    * past that widen to DECIMAL(38,0). */
+  def qSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rowsDf = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("flag"),
+        $"l_quantity".cast("long").as("x"),
+        expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT)")
+          .as("y"))
+    def rank2(col: String): DataFrame = {
+      val wb = Window.partitionBy($"flag").orderBy(org.apache.spark.sql.functions.col(col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rowsDf.groupBy($"flag", org.apache.spark.sql.functions.col(col))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ar2",
+          lit(2L) * coalesce(sum($"cnt").over(wb), lit(0L)) + $"cnt" + 1L)
+        .select($"flag", org.apache.spark.sql.functions.col(col), $"ar2")
+    }
+    val rx = rank2("x").withColumnRenamed("ar2", "ax")
+    val ry = rank2("y").withColumnRenamed("ar2", "ay")
+    rowsDf.join(rx, Seq("flag", "x")).join(ry, Seq("flag", "y"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"ax").as("sx"), sum($"ay").as("sy"),
+        sum($"ax" * $"ax").as("sxx"), sum($"ay" * $"ay").as("syy"),
+        sum($"ax" * $"ay").as("sxy"))
+      .select($"flag".as("l_returnflag"), $"n",
+        round(($"n".cast("double") * $"sxy".cast("double")
+          - $"sx".cast("double") * $"sy".cast("double"))
+          / (sqrt($"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+            * sqrt($"n".cast("double") * $"syy".cast("double")
+              - $"sy".cast("double") * $"sy".cast("double"))), 6).as("rho"))
+      .orderBy($"l_returnflag")
+  }
+
+  val spearmanSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT) AS y
+      |  FROM lineitem),
+      |rx AS (
+      |  SELECT flag, x,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS ax
+      |  FROM (SELECT flag, x, count(*) AS cnt FROM t GROUP BY 1, 2)),
+      |ry AS (
+      |  SELECT flag, y,
+      |    2 * coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS ay
+      |  FROM (SELECT flag, y, count(*) AS cnt FROM t GROUP BY 1, 2)),
+      |m AS (
+      |  SELECT flag, count(*) AS n,
+      |    CAST(sum(ax) AS BIGINT) AS sx, CAST(sum(ay) AS BIGINT) AS sy,
+      |    CAST(sum(ax * ax) AS BIGINT) AS sxx,
+      |    CAST(sum(ay * ay) AS BIGINT) AS syy,
+      |    CAST(sum(ax * ay) AS BIGINT) AS sxy
+      |  FROM t JOIN rx USING (flag, x) JOIN ry USING (flag, y)
+      |  GROUP BY 1)
+      |SELECT flag AS l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+      |    6) AS rho
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- CUSUM changepoint
+
+  /** CUSUM changepoint detection over the daily revenue series: the day t
+    * maximizing |S_t| where S_t = Σ_{i≤t}(x_i − x̄) — the classic
+    * level-shift locator (Page 1954), complementing
+    * [[Analytics.qRollingAnomaly]]'s local z-spikes with a GLOBAL
+    * break-in-mean answer.
+    *
+    * Exactness: with revenue in integer cents, n·S_t = n·cum_t − t·total
+    * is an exact long (argmax is invariant under the ×n scaling); the
+    * reported statistic divides back out in one double step. Magnitudes:
+    * n_days·total-cents must stay < 2^63 — exact through ~2.6e6 daily
+    * totals of ~$10B each; widen to DECIMAL(38,0) beyond. Scale shape:
+    * one hash aggregate to the per-day relation (days are domain-bounded),
+    * one window cumsum over it, one top-1 — fact rows only touch the
+    * first aggregate. */
+  def qCusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(expr(
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"))
+        .as("cents"))
+    val wc = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum($"cents").as("total"), count(lit(1)).as("nd"))
+    daily
+      .withColumn("cum", sum($"cents").over(wc))
+      .withColumn("t", row_number().over(Window.orderBy($"day")))
+      .crossJoin(broadcast(tot))                 // 1-row totals
+      .select($"day", $"nd",
+        abs($"nd" * $"cum" - $"t" * $"total").as("ns_abs"))
+      .orderBy($"ns_abs".desc, $"day")
+      .limit(1)
+      .select($"day".as("changepoint"), $"nd".as("n_days"),
+        round($"ns_abs".cast("double") / ($"nd".cast("double") * 100.0), 2)
+          .as("cusum_stat"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+      |               count(*) AS nd FROM daily),
+      |c AS (
+      |  SELECT day, nd,
+      |    abs(nd * sum(cents) OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - (row_number() OVER (ORDER BY day)) * total) AS ns_abs
+      |  FROM daily CROSS JOIN tot)
+      |SELECT day AS changepoint, CAST(nd AS BIGINT) AS n_days,
+      |  round(CAST(ns_abs AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0), 2)
+      |    AS cusum_stat
+      |FROM c ORDER BY ns_abs DESC, day LIMIT 1""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_spearman" -> (qSpearman _),
+    "q_cusum_changepoint" -> (qCusumChangepoint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_ks_test" -> ksTestSql,
+    "q_mann_whitney" -> mannWhitneySql,
+    "q_spearman" -> spearmanSql,
+    "q_cusum_changepoint" -> cusumChangepointSql)
+}

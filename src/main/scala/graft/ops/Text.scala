@@ -1132,6 +1132,61 @@ object Text {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
        |FROM b ORDER BY prefix_pct""".stripMargin
 
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(freq) on ln(rank) over the top-500 terms — the one-number
+    * "does this corpus look like natural language?" check (natural text
+    * slopes ≈ −1; templated/synthetic corpora flatten, boilerplate-heavy
+    * ones steepen). Rank ties break on the token string so both engines
+    * order identically.
+    *
+    * Exactness: counts and ranks are integers; ln/OLS moments are doubles
+    * over a CONSTANT 500-row relation, so the summation-order wobble is
+    * bounded far below the rounded 4 decimals. Scale shape: one corpus
+    * hash aggregate to the term relation, a top-k window over it
+    * (domain-bounded vocabulary), and a 500-row OLS aggregate — corpus
+    * size only enters the first aggregate's map-side combine. */
+  def qZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wr = Window.orderBy($"cnt".desc, $"token")
+    Tables.documents(spark, sfDir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wr))
+      .where($"rank" <= 500)
+      .select(log($"rank".cast("double")).as("lx"),
+        log($"cnt".cast("double")).as("ly"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"lx").as("sx"), sum($"ly").as("sy"),
+        sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
+      .select($"n_terms",
+        round(($"n_terms" * $"sxy" - $"sx" * $"sy")
+          / ($"n_terms" * $"sxx" - $"sx" * $"sx"), 4).as("zipf_slope"),
+        round(($"sy" - ($"n_terms" * $"sxy" - $"sx" * $"sy")
+          / ($"n_terms" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_terms", 4)
+          .as("intercept"))
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest($duckToks) AS token FROM documents)
+       |  GROUP BY token),
+       |r AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+       |      AS DOUBLE)) AS lx,
+       |    ln(CAST(cnt AS DOUBLE)) AS ly
+       |  FROM tc QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 500),
+       |m AS (
+       |  SELECT count(*) AS n_terms, sum(lx) AS sx, sum(ly) AS sy,
+       |    sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+       |  FROM r)
+       |SELECT n_terms,
+       |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+       |    AS zipf_slope,
+       |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+       |    * sx) / n_terms, 4) AS intercept
+       |FROM m""".stripMargin
+
   /** Deterministic hash sampling: the stable ~10% corpus sample every
     * pipeline needs for eval splits and quick iteration — membership
     * depends only on the doc_id's md5 digest, so the same doc lands in
@@ -2302,6 +2357,7 @@ object Text {
     "q_blocklist_scrub" -> (qBlocklistScrub _),
     "q_source_kl" -> (qSourceKl _),
     "q_vocab_growth" -> (qVocabGrowth _),
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_hash_sample" -> (qHashSample _),
     "q_group_sample" -> (qGroupSample _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
@@ -2351,6 +2407,7 @@ object Text {
     "q_blocklist_scrub" -> blocklistScrubSql,
     "q_source_kl" -> sourceKlSql,
     "q_vocab_growth" -> vocabGrowthSql,
+    "q_zipf_slope" -> zipfSlopeSql,
     "q_hash_sample" -> hashSampleSql,
     "q_group_sample" -> groupSampleSql,
     "q_quantile_normalize" -> quantileNormalizeSql,

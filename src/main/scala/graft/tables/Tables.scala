@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-generated testdata tables.
   *
@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.LongType
   *    pruning all reach the file source (no opaque wrappers, no RDDs).
   *  - No canonicalization happens eagerly: casts are applied per-query so
   *    unused columns never enter the plan (ReadSchema stays minimal).
-  *  - `events.ts` is stored as ns in parquet; Spark truncates to µs on read.
-  *    Queries that bucket time always `date_trunc` to >= second so results
-  *    are stable across readers (SURVEY.md §7 determinism rules).
+  *  - `events.ts` arrives as ns-longs or µs-NTZ depending on generator
+  *    vintage; [[Tables.events]] canonicalizes both to session-local µs
+  *    TIMESTAMP. Queries that bucket time always `date_trunc` to >= second
+  *    so results are stable across readers (SURVEY.md §7 determinism rules).
   */
 object Tables {
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
@@ -34,18 +35,30 @@ object Tables {
     spark.read.parquet(path(sfDir, "orders"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "lineitem"))
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects by
-    * default. Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * at build time (Verify / Bench / the test fixture all do) so the column
-    * arrives as a raw long; this loader then truncates ns → µs — the exact
-    * same truncation DuckDB applies — so both engines see identical µs
-    * timestamps (FIXTURES.md ⚠ note). The loader itself is side-effect
-    * free: it never mutates session conf. */
+  /** `events.ts` normalization — the generator has shipped this column two
+    * ways across rounds, and this loader canonicalizes BOTH to the same
+    * session-local TIMESTAMP so every downstream query (epoch-second
+    * bucketing via `cast(ts AS double)`, windowing, sessionization) sees
+    * one type:
+    *  - TIMESTAMP(NANOS) parquet: Spark 4 rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` is set at session build
+    *    (Verify / Bench / the test fixture all do); the raw long is then
+    *    truncated ns → µs — the same truncation DuckDB applies.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (pyarrow default):
+    *    Spark reads TIMESTAMP_NTZ, which rejects numeric casts; with the
+    *    session timezone pinned to UTC (all builders do), casting to the
+    *    local-timezone TIMESTAMP is value-identical and restores the type
+    *    every tsec computation expects.
+    * The loader itself is side-effect free: it never mutates session conf. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(path(sfDir, "events"))
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "documents"))

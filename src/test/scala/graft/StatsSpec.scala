@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.Stats
+import graft.tables.Tables
+
+/** Independent driver-side replays of the [[Stats]] hypothesis-test
+  * family — each test recomputes the statistic from raw rows in plain
+  * Scala (no Spark ops) and demands exact agreement. */
+class StatsSpec extends GraftSuite {
+
+  private lazy val docs: Seq[(String, Long)] =
+    Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("q_ks_test matches an exact CDF replay per source") {
+    val got = rows(Stats.qKsTest(spark, sf))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ng = docs.size
+    val values = docs.map(_._2).distinct.sorted
+    val globalCum = values.map(v => v -> docs.count(_._2 <= v)).toMap
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ns = ds.size
+      val dnum = values.map { v =>
+        math.abs(ds.count(_._2 <= v).toLong * ng - globalCum(v).toLong * ns)
+      }.max
+      src -> (ns.toLong,
+        BigDecimal(dnum.toDouble / (ns.toLong * ng))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected)
+    // D is a probability distance: in (0, 1], and someone must drift
+    assert(got.values.forall { case (_, d) => d > 0.0 && d <= 1.0 })
+  }
+
+  /** Midrank of value v within sample `all` (1-based, ties averaged). */
+  private def midranks(all: Seq[Long]): Map[Long, Double] = {
+    val sorted = all.sorted
+    sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+  }
+
+  test("q_mann_whitney matches an exact midrank replay") {
+    val a = docs.filter(_._1 == "src1").map(_._2)
+    val b = docs.filter(_._1 == "src2").map(_._2)
+    assert(a.nonEmpty && b.nonEmpty)
+    val mr = midranks(a ++ b)
+    val ra = a.map(mr).sum
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val u = ra - na * (na + 1) / 2.0
+    val n = na + nb
+    val ties = (a ++ b).groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * t * t - t).sum
+    val z = (u - na.toDouble * nb / 2.0) /
+      math.sqrt(na.toDouble * nb / 12.0 *
+        ((n + 1).toDouble - ties.toDouble / (n * (n - 1))))
+    val r = rows(Stats.qMannWhitney(spark, sf)).head
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getDouble(2) == BigDecimal(u).setScale(1,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) == BigDecimal(z).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q_spearman matches an exact midrank Pearson replay") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS LONG)",
+        "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))) AS LONG)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = li.groupBy(_._1).map { case (flag, rs) =>
+      val rx = midranks(rs.map(_._2))
+      val ry = midranks(rs.map(_._3))
+      val pts = rs.map(t => (rx(t._2), ry(t._3)))
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val rho = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      flag -> (rs.size.toLong,
+        BigDecimal(rho).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = rows(Stats.qSpearman(spark, sf))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay ranks are exact halves, moments exact in double well below 2^53
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (flag, (n, rho)) =>
+      assert(n == expected(flag)._1)
+      assert(math.abs(rho - expected(flag)._2) <= 1e-6, s"flag $flag")
+    }
+    assert(got.values.forall { case (_, r) => r >= -1.0 && r <= 1.0 })
+  }
+
+  test("q_cusum_changepoint matches an exact argmax replay") {
+    val daily = Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderdate AS DATE) AS day",
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS LONG) AS c")
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toSeq
+    val byDay = daily.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1.toEpochDay)
+    val nd = byDay.size.toLong
+    val total = byDay.map(_._2).sum
+    var cum = 0L
+    val series = byDay.zipWithIndex.map { case ((day, c), i) =>
+      cum += c
+      (day, math.abs(nd * cum - (i + 1).toLong * total))
+    }
+    val best = series.maxBy(s => (s._2, -s._1.toEpochDay))
+    val r = rows(Stats.qCusumChangepoint(spark, sf)).head
+    assert(r.getDate(0).toLocalDate == best._1)
+    assert(r.getLong(1) == nd)
+    assert(r.getDouble(2) == BigDecimal(best._2.toDouble / (nd * 100.0))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a genuine interior changepoint, not a boundary artifact
+    assert(best._1 != byDay.head._1 && best._1 != byDay.last._1)
+  }
+}
