@@ -35,6 +35,13 @@ object SparkEntry {
       (Formats.queries, Formats.oracle),
       (Stats.queries, Stats.oracle))
 
+  /** Per-family query registries — exposed so the driver-contract test can
+    * assert the merged map loses nothing to key collisions WITHOUT keeping
+    * its own copy of the family list (a second copy goes stale the moment a
+    * family is added; round 7's red suite was exactly that). */
+  def familyQueryMaps: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    families.map(_._1)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.iterator.map(_._1).reduce(_ ++ _)

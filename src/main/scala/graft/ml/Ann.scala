@@ -85,26 +85,38 @@ object Ann {
     PqIndex(books)
   }
 
+  /** The whole m × ksub × dsub codebook as ONE Literal node. Plan size —
+    * and therefore optimizer + Janino cost — stays CONSTANT in the
+    * codebook geometry: round 7's per-codeword `array(lit…)` spelling put
+    * ~2 000 literal nodes in the plan and measured ~20 s of pure
+    * planning/codegen on a 2 k-row corpus under the driver's cold
+    * sequential bench. Codeword lookups are `element_at` into this
+    * literal; the subspace loops below are higher-order functions over
+    * `sequence(0, ksub−1)`, so they add O(1) plan nodes however wide the
+    * codebook gets (256-codeword production geometry included). */
+  private def cbLit(index: PqIndex): Column =
+    typedlit(index.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
   /** PQ encode: array of the M nearest sub-codeword ids (argmin of
-    * codegen'd graft_sqdist per subspace, ties to lower id). Two stages:
-    * the M sub-slices materialize as plain attributes first, so the
-    * ksub-wide argmin trees reference columns instead of re-slicing the
-    * vector ksub times each — the M·ksub expression forest stays flat
-    * enough for the projection to stay compiled. */
+    * graft_sqdist per subspace, ties to lower id — array_min's struct
+    * ordering). Two stages: the M sub-slices materialize as plain
+    * attributes first, so each subspace slices its vector once, not ksub
+    * times. */
   private def pqEncode(data: DataFrame, idCol: String, dv: Column,
       index: PqIndex): DataFrame = {
+    val cb = cbLit(index)
     val sliced = data.withColumn("__v", dv)
       .select(col(idCol).as("cand_id") +:
         (0 until index.m).map(mi =>
           slice(col("__v"), mi * index.dsub + 1, index.dsub).as(s"__s$mi")): _*)
     sliced.select(col("cand_id"),
       array((0 until index.m).map { mi =>
-        val dists = index.codebooks(mi).zipWithIndex.map { case (c, ci) =>
+        array_min(transform(sequence(lit(0), lit(index.ksub - 1)), ci =>
           struct(
-            call_function("graft_sqdist", col(s"__s$mi"), array(c.map(lit): _*)).as("d"),
-            lit(ci).as("c"))
-        }
-        array_min(array(dists: _*)).getField("c")
+            call_function("graft_sqdist", col(s"__s$mi"),
+              element_at(element_at(cb, mi + 1), ci + 1)).as("d"),
+            ci.as("c"))))
+          .getField("c")
       }: _*).as("codes"))
   }
 
@@ -120,24 +132,24 @@ object Ann {
   def pqAdcTopK(index: PqIndex, data: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val dv = transform(col(vecCol), _.cast("double"))
-    // materialize the code relation (this IS the PQ index — M small ints
-    // per vector, the artifact a production system persists) and the
-    // probe LUTs: both carry ~hundred-literal codebook forests that the
-    // optimizer would otherwise re-traverse to fixed point inside the
-    // combined join plan — measured 3.3 s of pure planning at 2 k rows.
-    // Checkpointed, the search plan sees two flat relations: ~0.4 s.
-    val coded = pqEncode(data, idCol, dv, index).localCheckpoint(true)
+    // both sides reference the codebook through the ONE-node literal of
+    // [[cbLit]], so the combined join plan stays small and needs no
+    // checkpoint barrier (round 7's per-codeword literal spelling needed
+    // two eager localCheckpoints just to cap re-planning cost — and still
+    // measured 21 s under the driver's cold bench; this spelling plans in
+    // milliseconds and pins zero blocks)
+    val cb = cbLit(index)
+    val coded = pqEncode(data, idCol, dv, index)
     val lutExpr = array((0 until index.m).map { mi =>
       val sub = slice(col("__v"), mi * index.dsub + 1, index.dsub)
-      array(index.codebooks(mi).map { c =>
-        round(call_function("graft_sqdist", sub, array(c.map(lit): _*)) * 1e6)
-          .cast("long")
-      }: _*)
+      transform(sequence(lit(0), lit(index.ksub - 1)), ci =>
+        round(call_function("graft_sqdist", sub,
+          element_at(element_at(cb, mi + 1), ci + 1)) * 1e6)
+          .cast("long"))
     }: _*)
     val probed = probes
       .withColumn("__v", dv)
       .select(col(idCol).as("probe_id"), lutExpr.as("lut"))
-      .localCheckpoint(true)
     val adist = (0 until index.m).map { mi =>
       element_at(element_at(col("lut"), mi + 1),
         (element_at(col("codes"), mi + 1) + 1).cast("int"))
@@ -165,25 +177,25 @@ object Ann {
       nprobe: Int): DataFrame = {
     val dv = transform(col(vecCol), _.cast("double"))
     // cell-tagged compressed index: (cell, cand_id, codes) — grouped by
-    // the coarse quantizer, compressed by PQ; both are literal-forest
-    // projections, so materialize once (same rationale as pqAdcTopK)
+    // the coarse quantizer, compressed by PQ; the PQ codebook rides the
+    // one-node [[cbLit]] literal (same rationale as pqAdcTopK, no
+    // checkpoint barrier needed)
+    val cb = cbLit(pq)
     val coded = pqEncode(data, idCol, dv, pq)
       .join(data.withColumn("__v", dv)
         .select(col(idCol).as("cand_id"),
           assignExpr(col("__v"), coarse).as("cell")), "cand_id")
-      .localCheckpoint(true)
     val lutExpr = array((0 until pq.m).map { mi =>
       val sub = slice(col("__v"), mi * pq.dsub + 1, pq.dsub)
-      array(pq.codebooks(mi).map { c =>
-        round(call_function("graft_sqdist", sub, array(c.map(lit): _*)) * 1e6)
-          .cast("long")
-      }: _*)
+      transform(sequence(lit(0), lit(pq.ksub - 1)), ci =>
+        round(call_function("graft_sqdist", sub,
+          element_at(element_at(cb, mi + 1), ci + 1)) * 1e6)
+          .cast("long"))
     }: _*)
     val probed = probes
       .withColumn("__v", dv)
       .select(col(idCol).as("probe_id"), lutExpr.as("lut"),
         explode(probeClustersExpr(col("__v"), coarse, nprobe)).as("cell"))
-      .localCheckpoint(true)
     val adist = (0 until pq.m).map { mi =>
       element_at(element_at(col("lut"), mi + 1),
         (element_at(col("codes"), mi + 1) + 1).cast("int"))

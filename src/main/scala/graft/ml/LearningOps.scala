@@ -187,14 +187,30 @@ object LearningOps {
         Iterator.single(rOf(m))
       }
     }.treeReduce((r1, r2) => rOf(DenseMatrix.vertcat(r1, r2)))
-    val s = breeze.linalg.svd.reduced(rFinal)
-    val axes = (0 until k).map { a =>
-      val v = s.Vt(a, ::).t.toArray
+    // LAPACK's divide-and-conquer dgesdd occasionally reports
+    // NotConverged on perfectly valid inputs (library-state/timing
+    // sensitive; observed once mid-suite on this repo's own fixtures).
+    // Fall back to the symmetric eigendecomposition of RᵀR — d×d,
+    // unconditionally convergent, same right singular vectors up to the
+    // sign that's canonicalized below, σ = √eig.
+    val (rawAxes, sings) =
+      try {
+        val s = breeze.linalg.svd.reduced(rFinal)
+        ((0 until k).map(a => s.Vt(a, ::).t.toArray),
+          s.singularValues.toArray.take(k))
+      } catch {
+        case _: breeze.linalg.NotConvergedException =>
+          val es = breeze.linalg.eigSym(rFinal.t * rFinal)
+          val top = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(k)
+          (top.toIndexedSeq.map { case (_, i) => es.eigenvectors(::, i).toArray },
+            top.map { case (ev, _) => math.sqrt(math.max(ev, 0.0)) })
+      }
+    val axes = rawAxes.map { v =>
       // canonical sign: the largest-|loading| component is positive
       val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
       if (v(pivot) < 0) v.map(-_) else v
     }.toArray
-    (mu.toArray, axes, s.singularValues.toArray.take(k))
+    (mu.toArray, axes, sings.toArray)
   }
 
   /** ref: nodes.learning.KernelRidgeRegression + GaussianKernelGenerator +

@@ -327,16 +327,30 @@ object workflow {
     * (covariance + local SVD under the hood; fine to d ~ 10^4 like the
     * reference's local path). */
   case class PCAEst(featuresCol: String, out: String, k: Int) extends Estimator {
-    def fit(train: DataFrame): Transformer = {
-      val model = new org.apache.spark.ml.feature.PCA()
-        .setK(k).setInputCol("__features").setOutputCol("__pca")
-        .fit(withVec(train, featuresCol))
-      Transformer { df =>
-        model.transform(withVec(df, featuresCol))
-          .withColumn(out, vector_to_array(col("__pca")))
-          .drop("__features", "__pca")
+    def fit(train: DataFrame): Transformer =
+      try {
+        val model = new org.apache.spark.ml.feature.PCA()
+          .setK(k).setInputCol("__features").setOutputCol("__pca")
+          .fit(withVec(train, featuresCol))
+        Transformer { df =>
+          model.transform(withVec(df, featuresCol))
+            .withColumn(out, vector_to_array(col("__pca")))
+            .drop("__features", "__pca")
+        }
+      } catch {
+        // MLlib's covariance-SVD path rides LAPACK dgesdd, which can
+        // report NotConverged on valid inputs (observed mid-suite).
+        // Recover with the exact TSQR axes (eigSym-backed fallback
+        // inside) and project WITHOUT centering — MLlib PCA.transform
+        // does not center either, so the semantics match.
+        case _: breeze.linalg.NotConvergedException =>
+          val (mu, axes, _) =
+            graft.ml.LearningOps.tsqrPca(train, featuresCol, k)
+          val zero = Array.fill(mu.length)(0.0)
+          Transformer { df =>
+            graft.ml.ImageFvPipeline.pcaProject(df, featuresCol, out, zero, axes)
+          }
       }
-    }
   }
 
   /** ref: nodes.learning.LeastSquaresEstimator — the reference's

@@ -1647,20 +1647,27 @@ object Analytics {
   }
 
   /** Unrolled [[KcorePeelRounds]]-round peel, mechanically generated so
-    * the oracle is round-for-round the same computation. */
+    * the oracle is round-for-round the same computation. Every CTE that a
+    * later round references more than once is `AS MATERIALIZED`: each
+    * `e_i` feeds round i+1's FROM plus two IN subqueries, so without
+    * materialization DuckDB inlines the chain combinatorially (~5^12
+    * re-scans of lineitem — round 7's oracle died with "Too many open
+    * files" before producing a row). Materialized, each round is computed
+    * exactly once, mirroring the Spark side's per-round checkpoint. */
   val kcoreSql: String = {
     val rounds = (1 to KcorePeelRounds).map { i =>
-      s""",d$i AS (
+      s""",d$i AS MATERIALIZED (
          |  SELECT n, count(*) AS d
          |  FROM (SELECT x AS n FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1})
          |  GROUP BY 1),
-         |a$i AS (SELECT n FROM d$i WHERE d >= 3),
-         |e$i AS (
+         |a$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 3),
+         |e$i AS MATERIALIZED (
          |  SELECT x, y FROM e${i - 1}
          |  WHERE x IN (SELECT n FROM a$i) AND y IN (SELECT n FROM a$i))""".stripMargin
     }.mkString("\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |e0 AS (
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (
        |  SELECT a.l_partkey AS x, b.l_partkey AS y
        |  FROM li a JOIN li b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -169,12 +169,16 @@ object Stats {
     *
     * Exactness: midranks are doubled to integers (2·cum_before+cnt+1 per
     * tied value group, partitioned by flag), joined back to rows, and the
-    * five Pearson moments are exact long sums — ρ is invariant under the
-    * ×2 scaling so one final double projection yields it. Scale shape:
+    * five Pearson moments are exact DECIMAL(38,0) sums — ρ is invariant
+    * under the ×2 scaling so one final double projection yields it. The
+    * moments MUST be decimal, not long: Σ(ax²) with doubled ranks grows
+    * ~4n³/3, which wraps int64 at only ~2M rows per flag (≈ SF1) — and
+    * Spark's non-ANSI long sum wraps SILENTLY while DuckDB errors, so the
+    * engines would diverge instead of both staying exact. DECIMAL(38,0)
+    * is exact through 4n³/3 < 10³⁸ ≈ 4×10¹² rows per flag. Scale shape:
     * two domain-bounded rank relations (distinct quantities / distinct
     * price cents per flag), two equi-joins back to the fact rows, one
-    * hash aggregate; moments stay < 2^63 through ~300M rows per flag,
-    * past that widen to DECIMAL(38,0). */
+    * hash aggregate. */
   def qSpearman(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rowsDf = Tables.lineitem(spark, sfDir)
@@ -196,9 +200,11 @@ object Stats {
     rowsDf.join(rx, Seq("flag", "x")).join(ry, Seq("flag", "y"))
       .groupBy($"flag")
       .agg(count(lit(1)).as("n"),
-        sum($"ax").as("sx"), sum($"ay").as("sy"),
-        sum($"ax" * $"ax").as("sxx"), sum($"ay" * $"ay").as("syy"),
-        sum($"ax" * $"ay").as("sxy"))
+        sum($"ax".cast("decimal(38,0)")).as("sx"),
+        sum($"ay".cast("decimal(38,0)")).as("sy"),
+        sum($"ax".cast("decimal(38,0)") * $"ax").as("sxx"),
+        sum($"ay".cast("decimal(38,0)") * $"ay").as("syy"),
+        sum($"ax".cast("decimal(38,0)") * $"ay").as("sxy"))
       .select($"flag".as("l_returnflag"), $"n",
         round(($"n".cast("double") * $"sxy".cast("double")
           - $"sx".cast("double") * $"sy".cast("double"))
@@ -228,10 +234,11 @@ object Stats {
       |  FROM (SELECT flag, y, count(*) AS cnt FROM t GROUP BY 1, 2)),
       |m AS (
       |  SELECT flag, count(*) AS n,
-      |    CAST(sum(ax) AS BIGINT) AS sx, CAST(sum(ay) AS BIGINT) AS sy,
-      |    CAST(sum(ax * ax) AS BIGINT) AS sxx,
-      |    CAST(sum(ay * ay) AS BIGINT) AS syy,
-      |    CAST(sum(ax * ay) AS BIGINT) AS sxy
+      |    CAST(sum(ax) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(ay) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(ax * ax) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(ay * ay) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(ax * ay) AS DECIMAL(38,0)) AS sxy
       |  FROM t JOIN rx USING (flag, x) JOIN ry USING (flag, y)
       |  GROUP BY 1)
       |SELECT flag AS l_returnflag, n,

@@ -1142,17 +1142,24 @@ object Text {
     * Exactness: counts and ranks are integers; ln/OLS moments are doubles
     * over a CONSTANT 500-row relation, so the summation-order wobble is
     * bounded far below the rounded 4 decimals. Scale shape: one corpus
-    * hash aggregate to the term relation, a top-k window over it
-    * (domain-bounded vocabulary), and a 500-row OLS aggregate — corpus
-    * size only enters the first aggregate's map-side combine. */
+    * hash aggregate to the term relation, a TakeOrdered top-500 cut over
+    * it (vocabulary grows with corpus — Heaps' law, its own
+    * [[qVocabGrowth]] — so the cut must NOT be an unpartitioned
+    * row_number window), then ranks assigned on the bounded 500-row
+    * result and a 500-row OLS aggregate — corpus size only enters the
+    * first aggregate's map-side combine. */
   def qZipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wr = Window.orderBy($"cnt".desc, $"token")
-    Tables.documents(spark, sfDir)
+    val top = Tables.documents(spark, sfDir)
       .select(explode(toks($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(wr))
-      .where($"rank" <= 500)
+      .orderBy($"cnt".desc, $"token").limit(500)
+    // rank the bounded result via sorted zipWithIndex (the
+    // q_word_id_encode discipline) — no global window anywhere
+    spark.createDataFrame(
+        top.orderBy($"cnt".desc, $"token").rdd.zipWithIndex.map {
+          case (r, i) => (i + 1L, r.getLong(1))
+        }).toDF("rank", "cnt")
       .select(log($"rank".cast("double")).as("lx"),
         log($"cnt".cast("double")).as("ly"))
       .agg(count(lit(1)).as("n_terms"),
@@ -1481,9 +1488,12 @@ object Text {
     // the estimate filter runs per-occurrence inside codegen BEFORE the
     // count shuffle — at scale only heavy-hitter occurrences reach the
     // aggregation; the exact HAVING then drops the sketch's false
-    // positives
+    // positives. The digest is projected ONCE per occurrence and shared
+    // by all d sketch rows (one xxhash64, not d cryptographic hashes).
     stream
-      .where(graft.ml.CountMin.estimate($"tok", sketch) * 50 >= lit(total))
+      .withColumn("dig", graft.ml.CountMin.digest31($"tok"))
+      .where(graft.ml.CountMin.estimateFromDigest($"dig", sketch) * 50
+        >= lit(total))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       .where($"cnt" * 50 >= lit(total))
       .orderBy($"cnt".desc, $"tok")

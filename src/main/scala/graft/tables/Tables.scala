@@ -52,13 +52,23 @@ object Tables {
     * The loader itself is side-effect free: it never mutates session conf. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(path(sfDir, "events"))
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+    val fromLong = () => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val fromNtz  = () => raw.withColumn("ts", col("ts").cast(TimestampType))
+    // Dispatch on the inferred type, but DON'T trust it blindly: under
+    // parallel test suites the path-keyed schema inference has been
+    // observed to disagree with the type the SAME plan resolves to at
+    // analysis (round 7: the LongType arm fired against an NTZ column →
+    // DATATYPE_MISMATCH). `withColumn` analyzes eagerly, so a wrong arm
+    // throws HERE — catch it and apply the other arm, making the loader
+    // correct under whichever schema analysis actually sees.
+    val arms = raw.schema("ts").dataType match {
+      case LongType         => Seq(fromLong, fromNtz)
+      case TimestampNTZType => Seq(fromNtz, fromLong)
+      case TimestampType    => Seq(() => raw)
+      case _                => Seq(fromLong, fromNtz, () => raw)
     }
+    arms.view.flatMap(f => scala.util.Try(f()).toOption).headOption
+      .getOrElse(raw)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(path(sfDir, "documents"))

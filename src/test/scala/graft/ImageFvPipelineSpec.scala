@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.images.ImageOps
+import graft.ml.ImageFvPipeline
+import graft.ml.LearningOps.BlockLeastSquaresEst
+import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier}
+
+/** The reference's ImageNet capstone shape (ImageNetSiftLcsFV: dense
+  * descriptors → PCA → GMM → FisherVector → one-vs-rest solve → argmax)
+  * composed end-to-end from this engine's scale-path pieces: LCS color
+  * descriptors, exact distributed TSQR-PCA (the ml-matrix role), and the
+  * gemm-batched Fisher encoder (the EncEval role). The capstone asserts
+  * the composed pipeline LEARNS: held-out accuracy on a 3-class synthetic
+  * task must clear a floor far above chance. */
+class ImageFvPipelineSpec extends GraftSuite {
+
+  test("ImageNetSiftLcsFV shape: LCS -> TSQR-PCA -> GMM -> batched FV -> solve -> argmax") {
+    import spark.implicits._
+
+    // --- synthetic 8x8x3 images, 3 classes: channel intensity tracks the
+    // class (means differ by 50 levels) under +/-12 deterministic noise,
+    // so LCS cell statistics separate classes but not trivially
+    val n = 150
+    val imgs = spark.createDataset((0 until n).map { r =>
+      val label = r % 3
+      val px = Array.tabulate(8 * 8 * 3) { q =>
+        val c = q % 3
+        40.0 + label * 50 + (c * 17 + label * 5) % 20 +
+          (r * 13 + q * 7) % 25 - 12
+      }
+      ImageOps.Img(r.toLong, 8, 8, 3, px)
+    })
+    val labels = spark.createDataFrame(
+      (0 until n).map(r => (r.toLong, r % 3))).toDF("id", "label")
+
+    // --- LCS color descriptors: 2x2 cells -> 4x4 grid, (mean, std) per
+    // channel = 16 descriptors of dim 6 per image
+    val lcsOut = ImageOps.lcs(imgs, cell = 2).toDF()
+    val descs = ImageFvPipeline.cellDescriptors(lcsOut, descDim = 6)
+    assert(descs.count() == n * 16L)
+    assert(descs.select(size($"desc")).head().getInt(0) == 6)
+
+    // --- fit PCA(4) + GMM(5) + batched-FV encoder on the TRAIN split
+    // only; encode both splits with the fitted transformer
+    val trainIds = labels.where($"id" % 5 =!= 0).select($"id")
+    val enc = ImageFvPipeline.fit(
+      descs.join(trainIds, "id"), "id", "desc", "fv", pcaK = 4, gmmK = 5)
+    val fvs = enc(descs).join(labels, "id")
+    // 2 * gmmK * pcaK Fisher dimensions per image
+    assert(fvs.select(size($"fv")).head().getInt(0) == 2 * 5 * 4)
+    assert(fvs.count() == n.toLong)
+
+    // --- one-vs-rest block least squares on +/-1 indicators, held out
+    // by id (same solve discipline as the Cifar capstone)
+    val withInd = ClassLabelIndicators("label", "ind", 3)
+    val train = withInd(fvs.where($"id" % 5 =!= 0))
+    val test = withInd(fvs.where($"id" % 5 === 0))
+    val models = (0 until 3).map { k =>
+      BlockLeastSquaresEst("fv", s"y$k", s"score$k",
+        blockSize = 40, numIter = 2, lambda = 1e-4)
+        .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
+    }
+    val scored = models.foldLeft(test)((d, m) => m(d))
+      .withColumn("scores", array($"score0", $"score1", $"score2"))
+    val pred = MaxClassifier("scores", "cls")(scored)
+
+    val total = pred.count().toDouble
+    val correct = pred.where($"cls" === $"label").count().toDouble
+    assert(total > 0)
+    val acc = correct / total
+    assert(acc >= 0.9,
+      s"capstone must learn: held-out accuracy $acc < 0.9 (chance = 0.33)")
+  }
+}

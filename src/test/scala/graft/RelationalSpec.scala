@@ -17,12 +17,10 @@ class RelationalSpec extends GraftSuite {
     assert(qs -- os == rowsOnly,
       s"queries missing an oracle: ${qs -- os -- rowsOnly}")
     // a registry collision (two families declaring one key) would silently
-    // drop a query from the gate — sizes must add up
-    val familyTotal = Seq(graft.ops.Relational.queries, graft.ops.Analytics.queries,
-      graft.ops.Scalar.queries, graft.ops.Sessions.queries, graft.ops.Text.queries,
-      graft.ops.Vectors.queries, graft.ops.Similarity.queries,
-      graft.ops.Images.queries, graft.ops.Eval.queries,
-      graft.ops.Quality.queries, graft.ops.Formats.queries).map(_.size).sum
+    // drop a query from the gate — sizes must add up. The family list comes
+    // from SparkEntry itself (single source of truth) so this test cannot
+    // go stale when a new family registers.
+    val familyTotal = SparkEntry.familyQueryMaps.map(_.size).sum
     assert(familyTotal == qs.size, "duplicate query key across families")
   }
 

@@ -84,8 +84,11 @@ class SessionsEvalSpec extends GraftSuite {
     val s = Sessions.qActivityStreaks(spark, sf)
     // streak totals reconcile with the distinct (user, day) relation
     val activeSum = s.agg(sum("active_days")).head.getLong(0)
-    val userDays = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").as("day"))
+    // go through the canonical loader: the generator has shipped ts as
+    // ns-longs AND µs-NTZ across rounds, and a hard-coded conversion here
+    // breaks whenever the vintage flips (it did in round 7)
+    val userDays = tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct().count()
     assert(activeSum == userDays, "streak lengths must partition active days")
     // per-user invariants: longest <= active_days, n_streaks <= active_days,
@@ -182,10 +185,9 @@ class SessionsEvalSpec extends GraftSuite {
       .count() == 0)
     // observed day count reconciles with the raw purchase relation
     val observedDays = r.where(col("observed")).count()
-    val direct = spark.read.parquet(s"$sf/events.parquet")
+    val direct = tables.Tables.events(spark, sf)
       .where(col("event_type") === "purchase")
-      .select(col("user_id"),
-        expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").as("day"))
+      .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct().count()
     assert(observedDays == direct)
   }

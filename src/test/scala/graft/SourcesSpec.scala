@@ -325,6 +325,29 @@ class SourcesSpec extends GraftSuite {
     }
   }
 
+  test("Tables.events normalizes both ts vintages to session TIMESTAMP") {
+    import spark.implicits._
+    // the generator has shipped events.ts as ns-longs AND as µs
+    // TIMESTAMP_NTZ across rounds; the loader must canonicalize BOTH to
+    // the same session-local TIMESTAMP (Tables.scala) — and must not
+    // depend on which vintage some other suite loaded first
+    val base = Files.createTempDirectory("graft-events-vintage").toString
+    val epoch = 1718236800L // 2024-06-13T00:00:00Z
+    spark.range(1)
+      .select(lit(7L).as("user_id"), lit(epoch * 1000000000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ns/events.parquet")
+    spark.range(1)
+      .select(lit(7L).as("user_id"),
+        expr("TIMESTAMP_NTZ '2024-06-13 00:00:00'").as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    Seq(s"$base/ns", s"$base/ntz").foreach { dir =>
+      val df = tables.Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType, s"vintage $dir")
+      assert(df.select(unix_timestamp(col("ts"))).head.getLong(0) == epoch,
+        s"vintage $dir")
+    }
+  }
+
   test("Bloom.semiJoin equals the plain semi-join") {
     import graft.sources.Bloom
     val orders = tables.Tables.orders(spark, sf)
