@@ -1268,15 +1268,12 @@ object Analytics {
       .select($"p_partkey",
         round($"p_retailprice" * 100).cast("long").as("cents"), $"p_size")
     val bySize = p.groupBy($"p_size").agg(min($"cents").as("mn"))
-    // suffix minima over the ≤50-row size domain (size desc order):
-    // m1 = min price at size ≥ s (incl. own), m2 = min at size > s
-    val wDesc = Window.orderBy($"p_size".desc)
-    val m = bySize
-      .withColumn("m1", min($"mn").over(
-        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("m2", min($"mn").over(
-        wDesc.rowsBetween(Window.unboundedPreceding, -1)))
-      .select($"p_size", $"m1", $"m2")
+    // suffix minima over the size domain (size desc order): m2 = min at
+    // size > s ([[Dist.withPrefixMin]]'s exclusive running min — null at
+    // the top), m1 = min at size ≥ s = min(m2, own); no unpartitioned
+    // window even if the size domain grows
+    val m = Dist.withPrefixMin(bySize, Seq($"p_size".desc), Seq("mn" -> "m2"))
+      .select($"p_size", least($"m2", $"mn").as("m1"), $"m2")
     p.join(broadcast(m), Seq("p_size"))
       .where($"cents" === $"m1" && ($"m2".isNull || $"m2" > $"cents"))
       .select($"p_partkey", round($"cents" / 100.0, 2).as("price"), $"p_size")

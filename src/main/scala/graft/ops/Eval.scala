@@ -145,10 +145,9 @@ object Eval {
     * Exactness: scores are grouped (never averaged), so ranks come from
     * integer counts; 2·R⁺ = Σ pos·(2·cum_before + cnt + 1) is an exact long
     * and one double division ends it. Scale shape: one hash aggregate to
-    * the distinct-score relation, then the prefix count over it runs as a
-    * DISTRIBUTED two-pass prefix sum (range-partitioned sort, per-partition
-    * subtotals to the driver — one long per partition, bounded — then a
-    * partition-local running sum with the offset), one 1-row result. The
+    * the distinct-score relation, then the prefix count over it runs as
+    * [[Dist.withPrefix]]'s DISTRIBUTED two-pass prefix sum, one 1-row
+    * result. The
     * distinct-score grid is ~corpus-cardinality for float scores, so an
     * unpartitioned running-sum window here would be a single-partition
     * funnel at scale — this spelling never materializes one. */
@@ -159,27 +158,7 @@ object Eval {
     val byScore = scored.groupBy($"s").agg(
       sum(when($"pos", 1L).otherwise(0L)).as("np"),
       count(lit(1)).as("cnt"))
-    // two-pass exact prefix sum of cnt in score order: pass 1 collects one
-    // subtotal per partition (driver state = numPartitions longs), pass 2
-    // streams each sorted partition with its scan-left offset
-    // (both passes hang off the SAME sort RDD, so the DAGScheduler reuses
-    // the materialized shuffle output — identical partition layout for the
-    // subtotal pass and the offset pass, no cache needed)
-    val sorted = byScore.orderBy($"s").select($"np", $"cnt").rdd
-    val partTotals = sorted
-      .mapPartitionsWithIndex { case (pi, it) =>
-        Iterator.single((pi, it.map(_.getLong(1)).sum))
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val withCum = sorted.mapPartitionsWithIndex { case (pi, it) =>
-      var run = offsets(pi)
-      it.map { r =>
-        val out = (r.getLong(0), r.getLong(1), run)
-        run += r.getLong(1)
-        out
-      }
-    }
-    spark.createDataFrame(withCum).toDF("np", "cnt", "cumb")
+    Dist.withPrefix(byScore, Seq($"s"), Seq("cnt" -> "cumb"))
       .agg(
         sum($"np").as("n_pos"),
         sum($"cnt" - $"np").as("n_neg"),

@@ -1104,24 +1104,23 @@ object Similarity {
     * already-gated retrieval arms. */
   def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val wLex = Window.orderBy($"score_micro".desc, $"doc_id")
-    val lex = Text.qBm25(spark, sfDir)
-      .select($"doc_id", $"score_micro")
-      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+    val lex = Dist.withPrefix(
+        Text.qBm25(spark, sfDir).select($"doc_id", $"score_micro"),
+        Seq($"score_micro".desc, $"doc_id"), Nil, Some("r_lex"))
       .select($"doc_id", $"r_lex")
     val e = Tables.embeddings(spark, sfDir)
       .select($"vec_id", dbl($"embedding").as("v"))
       .withColumn("nrm", l2($"v"))
     val probe = e.where($"vec_id" === 0)
       .select($"v".as("pv"), $"nrm".as("pn"))
-    val wSem = Window.orderBy($"cos".desc, $"doc_id")
-    val sem = e.where($"vec_id" =!= 0)
-      .crossJoin(broadcast(probe))
-      .select($"vec_id".as("doc_id"),
-        (dot($"pv", $"v") / ($"pn" * $"nrm")).as("cos"))
-      .orderBy($"cos".desc, $"doc_id")
-      .limit(50)
-      .withColumn("r_sem", row_number().over(wSem).cast("long"))
+    val sem = Dist.withPrefix(
+        e.where($"vec_id" =!= 0)
+          .crossJoin(broadcast(probe))
+          .select($"vec_id".as("doc_id"),
+            (dot($"pv", $"v") / ($"pn" * $"nrm")).as("cos"))
+          .orderBy($"cos".desc, $"doc_id")
+          .limit(50),
+        Seq($"cos".desc, $"doc_id"), Nil, Some("r_sem"))
       .select($"doc_id", $"r_sem")
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select($"doc_id", $"r_lex", $"r_sem",

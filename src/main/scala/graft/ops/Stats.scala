@@ -45,11 +45,13 @@ object Stats {
     val d = Tables.documents(spark, sfDir).select($"source", $"n_chars")
     val perSrcVal = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
     val srcTot = d.groupBy($"source").agg(count(lit(1)).as("ns"))
-    val wg = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // global CDF numerator on the (domain-bounded) distinct-length grid
-    val globalCum = d.groupBy($"n_chars").agg(count(lit(1)).as("cg"))
-      .withColumn("cumg", sum($"cg").over(wg)).drop("cg")
+    // global CDF numerator on the distinct-length grid — a distributed
+    // two-pass prefix sum, so nothing funnels one partition even if the
+    // length domain grows
+    val globalCum = Dist.withPrefix(
+        d.groupBy($"n_chars").agg(count(lit(1)).as("cg")),
+        Seq($"n_chars"), Seq("cg" -> "pre"))
+      .select($"n_chars", ($"pre" + $"cg").as("cumg"))
     val nTot = d.agg(count(lit(1)).as("ng"))
     val ws = Window.partitionBy($"source").orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -111,10 +113,9 @@ object Stats {
     val byVal = d.groupBy($"n_chars").agg(
       sum(when($"isa", 1L).otherwise(0L)).as("ca"),
       count(lit(1)).as("cnt"))
-    val wb = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("cumb", coalesce(sum($"cnt").over(wb), lit(0L)))
+    // exclusive prefix count in value order — [[Dist.withPrefix]], no
+    // unpartitioned window
+    Dist.withPrefix(byVal, Seq($"n_chars"), Seq("cnt" -> "cumb"))
       .agg(
         sum($"ca").as("na"),
         sum($"cnt" - $"ca").as("nb"),
@@ -271,12 +272,11 @@ object Stats {
       .agg(sum(expr(
         "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"))
         .as("cents"))
-    val wc = Window.orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum($"cents").as("total"), count(lit(1)).as("nd"))
-    daily
-      .withColumn("cum", sum($"cents").over(wc))
-      .withColumn("t", row_number().over(Window.orderBy($"day")))
+    // running revenue + day index via the distributed two-pass prefix
+    // sum — no unpartitioned window even if the day grid grows
+    Dist.withPrefix(daily, Seq($"day"), Seq("cents" -> "pre"), Some("t"))
+      .withColumn("cum", $"pre" + $"cents")
       .crossJoin(broadcast(tot))                 // 1-row totals
       .select($"day", $"nd",
         abs($"nd" * $"cum" - $"t" * $"total").as("ns_abs"))

@@ -1100,19 +1100,19 @@ object Text {
       transform(sequence(lit(1), size($"t") - 1),
         i => concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))))
       .otherwise(array().cast("array<string>"))
-    val wCum = Window.orderBy($"prefix_pct")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = Tables.documents(spark, sfDir)
       .agg((max($"doc_id") + 1).as("n_docs"))
-    Tables.documents(spark, sfDir)
+    val curve = Tables.documents(spark, sfDir)
       .select($"doc_id", toks($"text").as("t"))
       .select($"doc_id", explode(bigrams).as("bg"))
       .groupBy($"bg").agg(min($"doc_id").as("first_doc"))
       .crossJoin(broadcast(n))
       .groupBy((expr("first_doc * 100 DIV n_docs") + 1).as("prefix_pct"))
       .agg(count(lit(1)).as("new_bigrams"))
+    graft.ops.Dist.withPrefix(curve, Seq($"prefix_pct"),
+        Seq("new_bigrams" -> "pre"))
       .select($"prefix_pct", $"new_bigrams",
-        sum($"new_bigrams").over(wCum).as("vocab_size"))
+        ($"pre" + $"new_bigrams").as("vocab_size"))
       .orderBy($"prefix_pct")
   }
 
@@ -1625,10 +1625,10 @@ object Text {
     val cums = grid.join(sb, Seq("source", "bucket"), "left")
       .select($"source", $"bucket", coalesce($"c_sb", lit(0L)).as("c_sb"))
       .withColumn("cum_s", sum($"c_sb").over(wS))
-    val corpus = docs.groupBy($"bucket").agg(count(lit(1)).as("c_b"))
-      .withColumn("cum_c", sum($"c_b").over(Window.orderBy($"bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select($"bucket", $"cum_c")
+    val corpus = graft.ops.Dist.withPrefix(
+        docs.groupBy($"bucket").agg(count(lit(1)).as("c_b")),
+        Seq($"bucket"), Seq("c_b" -> "pre"))
+      .select($"bucket", ($"pre" + $"c_b").as("cum_c"))
     val nS = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
     val n = docs.agg(count(lit(1)).as("n"))
     cums.join(corpus, "bucket")

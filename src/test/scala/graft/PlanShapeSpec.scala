@@ -317,16 +317,23 @@ class PlanShapeSpec extends GraftSuite {
   }
 
   test("no unpartitioned window survives anywhere in the declared surface") {
-    // 'Window.orderBy with no partitionBy' renders as 'Window [...], []' —
-    // assert none of the text/vocab queries produce an empty partition spec
+    // every global running-sum/rank moved to orderBy.limit, zipWithIndex,
+    // or Dist.withPrefix/withPrefixMin — assert the optimized plans of
+    // every query that EVER carried a global window (plus the original
+    // text/vocab set) have no Window node with an empty partition spec
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("q_common_terms_topk", "q_word_id_encode", "q_stupid_backoff_bigram",
-      "q_tfidf_top_terms").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      val logical = df.queryExecution.optimizedPlan.toString
-      val bad = logical.linesIterator.exists { l =>
-        l.contains("Window [") && l.contains("windowspecdefinition()")
+      "q_tfidf_top_terms", "q_zipf_slope", "q_eval_auc", "q_ks_test",
+      "q_mann_whitney", "q_cusum_changepoint", "q_vocab_growth",
+      "q_length_drift", "q_hybrid_rrf", "q_skyline", "q_revenue_gini")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name has ${bad.size} unpartitioned window(s):\n" +
+            df.queryExecution.optimizedPlan)
       }
-      assert(!bad, s"$name has an unpartitioned window:\n$logical")
-    }
   }
 }
