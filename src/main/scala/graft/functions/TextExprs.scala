@@ -55,6 +55,47 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Canonical BPE application of `rules` (priority-ordered (a, b) merge
+    * pairs) to one word: symbols start as the word's characters plus a
+    * final `</w>` marker; each rule merges, leftmost-first, every
+    * adjacent (a, b) occurrence to `ab` before the next rule runs. One
+    * in-place scan per rule reaches the per-rule fixpoint: merging at
+    * position i can never create a NEW (a, b) adjacency at i-1 or i
+    * (that would need b == ab or a == ab, impossible for non-empty
+    * sides), so the scan never has to back up. Returns the subword
+    * symbols without the `</w>` marker. */
+  def bpe(word: UTF8String, rules: Array[Array[String]]): ArrayData = {
+    val w = word.toString
+    val syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    syms.add("</w>")
+    var r = 0
+    while (r < rules.length) {
+      val a = rules(r)(0); val b = rules(r)(1)
+      var j = 0
+      while (j < syms.size - 1) {
+        if (syms.get(j) == a && syms.get(j + 1) == b) {
+          syms.set(j, a + b); syms.remove(j + 1)
+        } else j += 1
+      }
+      r += 1
+    }
+    // drop bare `</w>` markers (a rule MAY legitimately merge the marker
+    // into a subword like "s</w>" — those survive)
+    val out = new java.util.ArrayList[Any](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      if (syms.get(k) != "</w>") out.add(UTF8String.fromString(syms.get(k)))
+      k += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Parse a `;`-separated "a b;th e;…" merge-rule literal. */
+  def parseBpeRules(rules: UTF8String): Array[Array[String]] =
+    rules.toString.split(";").map(_.split(" ", 2))
+
   /** All ordered pairs (x, y) with x before y in `arr` (callers pass a
     * sorted distinct array, so x < y), as structs — plus, when
     * `withSingles`, one (x, -1) marker struct per element so one explode
@@ -127,4 +168,33 @@ case class PairStructs(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PairStructs = copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe(word, rules)` → array<string> of BPE subword tokens under a
+  * `;`-separated "a b;th e;…" merge-rule literal (`rules` must be
+  * foldable — the table parses ONCE per plan, and codegen passes it as a
+  * referenced object). Exists because the expression-chain spelling of
+  * BPE (dozens of nested `replace` calls) generates pathological
+  * codegen/JIT load — one compiled kernel call keeps the stage inside
+  * whole-stage codegen at constant plan size. */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe"
+
+  private lazy val rules: Array[Array[String]] =
+    TextKernels.parseBpeRules(right.eval(null).asInstanceOf[UTF8String])
+
+  override def nullSafeEval(word: Any, rulesArg: Any): Any =
+    TextKernels.bpe(word.asInstanceOf[UTF8String], rules)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rulesRef = ctx.addReferenceObj("bpeRules", rules, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.TextKernels.bpe($w, $rulesRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BpeEncode = copy(left = newLeft, right = newRight)
 }

@@ -165,6 +165,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pairs"),
       new ExpressionInfo(classOf[PairStructs].getName, "graft_pairs"),
       (children: Seq[Expression]) => binary(children, PairStructs.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => binary(children, BpeEncode.apply)))
   }
 }
 

@@ -687,6 +687,15 @@ object Similarity {
     * votes (standard term-frequency SimHash). */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    simhashFingerprints(spark, sfDir).orderBy($"doc_id")
+  }
+
+  /** (doc_id, fingerprint, n_bits) SimHash relation — the shared core of
+    * [[qDedupSimhash]] (which just adds the presentation sort) and
+    * [[qSimhashNeardup]] (which blocks on fingerprint bands). */
+  private[graft] def simhashFingerprints(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
     val toksH = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("tok"))
       .select($"doc_id",
@@ -695,17 +704,18 @@ object Similarity {
       sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     val votes = toksH.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
     votes.select($"doc_id",
-        (0 until SimhashBits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fingerprint"),
-        (0 until SimhashBits).map(b =>
-          when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)))
-          .reduce(_ + _).as("n_bits"))
-      .orderBy($"doc_id")
+      (0 until SimhashBits).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("fingerprint"),
+      (0 until SimhashBits).map(b =>
+        when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _).as("n_bits"))
   }
 
-  val dedupSimhashSql: String =
-    s"""WITH p AS (
+  /** The fingerprint relation as a DuckDB CTE chain ending in
+    * `fp(doc_id, fingerprint, n_bits)` — shared by the simhash oracles. */
+  private val simhashFpCte: String =
+    s"""p AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
       |  FROM documents),
       |h AS (
@@ -713,11 +723,81 @@ object Similarity {
       |v AS (
       |  SELECT doc_id, b.b AS b,
       |    sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |  FROM h, range(0, $SimhashBits) b(b) GROUP BY doc_id, b.b)
-      |SELECT doc_id,
-      |  CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS fingerprint,
-      |  CAST(sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
-      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM h, range(0, $SimhashBits) b(b) GROUP BY doc_id, b.b),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS fingerprint,
+      |    CAST(sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+      |  FROM v GROUP BY doc_id)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashFpCte
+      |SELECT doc_id, fingerprint, n_bits FROM fp ORDER BY doc_id""".stripMargin
+
+  /** Band geometry for SimHash Hamming blocking: the 60-bit fingerprint
+    * splits into 4 disjoint 15-bit bands. By pigeonhole, any pair of
+    * fingerprints differing in at most [[SimhashMaxHamming]] = 3 bits has
+    * at least one band identical — so the band equi-join has PERFECT
+    * recall at the declared radius (unlike probabilistic LSH banding),
+    * while still never comparing all pairs. */
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val SimhashMaxHamming = 3
+
+  /** SimHash near-duplicate pairs at Hamming radius ≤ 3 (north-star
+    * near-dup family — the Google crawl-dedup shape, Manku et al. WWW'07):
+    * block on [[SimhashBands]] 15-bit fingerprint bands (an EQUI-join on
+    * (band, code), never an all-pairs scan), then the exact popcount of
+    * the fingerprint XOR decides. 4×15 banding guarantees every pair
+    * within radius 3 collides in ≥ 1 band (pigeonhole), so recall is 1.0
+    * by construction — the blocking only prunes TRUE negatives.
+    *
+    * Scale: each doc emits exactly 4 (band, code) rows; candidate fan-out
+    * is bounded by band-bucket occupancy (near-uniform for hash-derived
+    * fingerprints — hot buckets would indicate fingerprint skew, the
+    * diagnostic [[qDedupSimhash]] exposes); the verify is one codegen'd
+    * xor+popcount per candidate over 8-byte keys. */
+  def qSimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the fingerprint relation feeds three subtrees (band explode + both
+    // sides of the verify join): one eager localCheckpoint materializes
+    // the 60-column vote aggregation once — same shared-relation
+    // discipline as qContamination (Bench/Verify release the blocks
+    // between queries)
+    val fp = simhashFingerprints(spark, sfDir)
+      .select($"doc_id", $"fingerprint").localCheckpoint()
+    val bandMask = (1L << SimhashBandBits) - 1
+    val bands = fp.select($"doc_id", posexplode(array((0 until SimhashBands).map(b =>
+        shiftright($"fingerprint", b * SimhashBandBits).bitwiseAND(bandMask)): _*))
+        .as(Seq("band", "code")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "code"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    cand
+      .join(fp.select($"doc_id".as("id_a"), $"fingerprint".as("fa")), "id_a")
+      .join(fp.select($"doc_id".as("id_b"), $"fingerprint".as("fb")), "id_b")
+      .select($"id_a", $"id_b",
+        bit_count($"fa".bitwiseXOR($"fb")).cast("int").as("hamming"))
+      .where($"hamming" <= SimhashMaxHamming)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val simhashNeardupSql: String =
+    s"""WITH $simhashFpCte,
+      |bands AS (
+      |  SELECT doc_id, b.b AS band,
+      |    (fingerprint >> CAST($SimhashBandBits * b.b AS INT)) & ${(1L << SimhashBandBits) - 1} AS code
+      |  FROM fp, range(0, $SimhashBands) b(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.code = b.code
+      |                           AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(fa.fingerprint, fb.fingerprint)) AS INT) AS hamming
+      |FROM cand c JOIN fp fa ON c.id_a = fa.doc_id JOIN fp fb ON c.id_b = fb.doc_id
+      |WHERE bit_count(xor(fa.fingerprint, fb.fingerprint)) <= $SimhashMaxHamming
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** LSH geometry for embedding near-dup: 16 sign-random-projection bits,
     * banded 4 × 4. Hyperplane w(j)[i] = ((i*13 + j*7919) mod 97)/97 − 0.5 is
@@ -1575,6 +1655,80 @@ object Similarity {
       |WHERE s.n_shared >= $ContaminationMinShared
       |ORDER BY test_doc, train_doc""".stripMargin
 
+  /** N-gram order for eval-set decontamination — 13 is the canonical
+    * value from the GPT-3 appendix (Brown et al. 2020, §C): long enough
+    * that a shared n-gram is essentially never coincidence, short enough
+    * to catch partial quotes. */
+  val DecontamN = 13
+
+  /** Eval-set decontamination report (north-star eval-hygiene operator —
+    * the REMOVAL side of [[qContamination]]'s detection): a train-split
+    * doc is contaminated if it shares ANY exact [[DecontamN]]-gram with
+    * any eval-split doc, the standard GPT-3-style filter. Reports, per
+    * source, how many train docs there are and how many the filter would
+    * drop (ppm rate) — the per-source view is what a curation run reviews
+    * before deleting.
+    *
+    * Shape: one shingle pass over the corpus (codegen'd
+    * `graft_shingles(text, 13)`), 120-bit digests, split by the same
+    * md5-of-id hash as [[qStratifiedSplit]]; contaminated = train shingle
+    * rows semi-joined against the DISTINCT eval digest set on the
+    * two-long key. No broadcast hint on the eval side on purpose: a real
+    * eval set is small and AQE will broadcast it, but this query's eval
+    * slice is data-derived (10% of the corpus) and a forced hint would
+    * OOM the driver at scale. Docs shorter than 13 tokens emit no
+    * shingles and can never be flagged — they still count in n_train. */
+  def qDecontamNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"))
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
+      .select($"doc_id", $"bucket", md5($"s").as("m"))
+      .select($"doc_id", $"bucket",
+        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+    val ev = sh.where($"bucket" >= 90).select($"h1", $"h2").distinct()
+    val contaminated = sh.where($"bucket" < 80)
+      .join(ev, Seq("h1", "h2"), "left_semi")
+      .select($"doc_id").distinct()
+    val trainDocs = docs.where($"bucket" < 80)
+    trainDocs.join(contaminated.withColumn("__hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_train"),
+        count($"__hit").as("n_contaminated"))
+      .select($"source", $"n_train", $"n_contaminated",
+        expr("n_contaminated * 1000000 DIV n_train").as("drop_ppm"))
+      .orderBy($"source")
+  }
+
+  val decontamNgramSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket,
+      |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${DecontamN - 1}], ' ')), 1, 15) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${DecontamN - 1}], ' ')), 17, 15) AS BIGINT) AS h2
+      |  FROM t, UNNEST(range(1, len(toks) - ${DecontamN - 2})) u(i)
+      |  WHERE len(toks) >= $DecontamN),
+      |ev AS (SELECT DISTINCT h1, h2 FROM sh WHERE bucket >= 90),
+      |cont AS (
+      |  SELECT DISTINCT sh.doc_id
+      |  FROM sh JOIN ev USING (h1, h2) WHERE sh.bucket < 80)
+      |SELECT t.source, count(*) AS n_train,
+      |  count(cont.doc_id) AS n_contaminated,
+      |  count(cont.doc_id) * 1000000 // count(*) AS drop_ppm
+      |FROM t LEFT JOIN cont ON t.doc_id = cont.doc_id
+      |WHERE t.bucket < 80
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   /** Near-dup cluster resolution (north-star — the dedup pipeline's FINAL
     * step): the shingle-Jaccard pair set resolved to connected components
     * via [[graft.ml.Dedup.connectedComponents]] (iterative min-label
@@ -1611,6 +1765,65 @@ object Similarity {
       |JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1) cs
       |  USING (component)
       |ORDER BY component, doc_id""".stripMargin
+
+  /** Quality-policy cluster resolution (north-star — the KEEP side of the
+    * dedup pipeline): [[qDedupClusters]] answers "which docs co-cluster";
+    * this query answers "which one survives". Policy: keep the member
+    * with the most tokens (ties → smallest doc_id) — the "longest
+    * version wins" rule curation runs use so truncated/mirrored copies
+    * lose to the fullest original, rather than min-id-wins which keeps
+    * whichever copy happened to be crawled first.
+    *
+    * Shape: the shared pair core → connected components → one join to a
+    * token-count projection → one rank-1 window PARTITIONED BY component
+    * (bounded by cluster size, never corpus-global). Reports keeper and
+    * drop count per cluster. */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
+    val comp = graft.ml.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(filter(split($"text", " "), x => x =!= ""))
+        .cast("long").as("n_tokens"))
+    val m = comp.join(toks, $"node" === $"doc_id")
+      .select($"component", $"node", $"n_tokens")
+    val w = Window.partitionBy($"component")
+      .orderBy($"n_tokens".desc, $"node")
+    m.withColumn("__rn", row_number().over(w))
+      .groupBy($"component")
+      .agg(min(when($"__rn" === 1, $"node")).as("keeper_doc"),
+        min(when($"__rn" === 1, $"n_tokens")).as("keeper_tokens"),
+        count(lit(1)).as("n_members"))
+      .select($"component", $"keeper_doc", $"keeper_tokens", $"n_members",
+        ($"n_members" - 1).as("n_dropped"))
+      .orderBy($"component")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE
+      |p AS (SELECT doc_a, doc_b FROM ($dedupShingleJaccardSql)),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION SELECT doc_b AS u, doc_a AS v FROM p),
+      |n AS (SELECT DISTINCT u AS node FROM e),
+      |r AS (
+      |  SELECT node, node AS reach FROM n
+      |  UNION
+      |  SELECT e.u AS node, r.reach FROM e JOIN r ON r.node = e.v),
+      |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node),
+      |tk AS (
+      |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |m AS (
+      |  SELECT c.component, c.node, tk.n_tokens,
+      |    row_number() OVER (PARTITION BY c.component
+      |                       ORDER BY tk.n_tokens DESC, c.node) AS rn
+      |  FROM comp c JOIN tk ON c.node = tk.doc_id)
+      |SELECT component,
+      |  min(CASE WHEN rn = 1 THEN node END) AS keeper_doc,
+      |  min(CASE WHEN rn = 1 THEN n_tokens END) AS keeper_tokens,
+      |  count(*) AS n_members,
+      |  count(*) - 1 AS n_dropped
+      |FROM m GROUP BY component ORDER BY component""".stripMargin
 
   /** Token capacity per training chunk for [[qSequencePack]]. */
   val PackCapacity = 2000L
@@ -1759,7 +1972,10 @@ object Similarity {
     "q_shingle_cosine" -> (qShingleCosine _),
     "q_sequence_pack" -> (qSequencePack _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_contamination" -> (qContamination _),
+    "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
     "q_source_temperature" -> (qSourceTemperature _),
@@ -1788,7 +2004,10 @@ object Similarity {
     "q_shingle_cosine" -> shingleCosineSql,
     "q_sequence_pack" -> sequencePackSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_contamination" -> contaminationSql,
+    "q_decontam_ngram" -> decontamNgramSql,
+    "q_simhash_neardup" -> simhashNeardupSql,
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,
     "q_source_temperature" -> sourceTemperatureSql,

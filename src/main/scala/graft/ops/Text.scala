@@ -121,6 +121,96 @@ object Text {
       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
       |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
 
+  /** Fixed merge table for [[qBpeApply]] — 16 high-frequency English
+    * merges in priority order (the first rules a real English BPE
+    * training run learns). A LITERAL table on purpose: tokenizer
+    * vocabularies are versioned artifacts shipped WITH a model, not
+    * re-derived per corpus — applying a fixed published merge list is
+    * exactly the production decode path. */
+  val BpeApplyMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s",
+    "s" -> "t", "a" -> "r", "o" -> "u", "in" -> "g")
+
+  /** Passes of leftmost non-overlapping `replace` per merge rule in the
+    * ORACLE's expression-chain spelling. ONE pass diverges from
+    * canonical BPE on runs (" a a a a " merges once, not twice, because
+    * the shared boundary space is consumed); each extra pass at least
+    * halves the remaining adjacent occurrences, so pass count bounds the
+    * handled run length at 2^passes — 4 passes covers runs to 16
+    * symbols, beyond any [a-z]+ word the vocab filter admits. TextSpec
+    * asserts the fixpoint: a 5th pass changes nothing over the real
+    * vocabulary, so the chain agrees with the canonical
+    * `graft_bpe` kernel the engine side uses. (The engine does NOT run
+    * this chain: 64 nested `replace` nodes generated pathological
+    * codegen/JIT load — 10-30 s compile stalls landing on whichever
+    * query ran nearby. The kernel is one compiled call; the chain
+    * survives only as the DuckDB oracle, where it measured fine.) */
+  private val BpePasses = 4
+
+  private[graft] def bpeApplyChain(c: Column): Column =
+    BpeApplyMerges.foldLeft(c) { case (acc, (a, b)) =>
+      (1 to BpePasses).foldLeft(acc)((s, _) =>
+        replace(s, lit(s" $a $b "), lit(s" $a$b ")))
+    }
+
+  /** The merge table as `graft_bpe`'s rule-literal argument. */
+  private[graft] val bpeRulesLit: Column =
+    lit(BpeApplyMerges.map { case (a, b) => s"$a $b" }.mkString(";"))
+
+  private def bpeApplySqlChain(expr0: String): String =
+    BpeApplyMerges.foldLeft(expr0) { case (acc, (a, b)) =>
+      (1 to BpePasses).foldLeft(acc)((s, _) => s"replace($s, ' $a $b ', ' $a$b ')")
+    }
+
+  /** BPE tokenizer APPLICATION (the decode-side complement of
+    * [[qBpeMerges]]' training statistics): segment the corpus vocabulary
+    * into subword units under the fixed [[BpeApplyMerges]] table and
+    * report the top-30 subword tokens by corpus frequency — the
+    * "tokenize 100 TB with a shipped tokenizer" operator every training
+    * pipeline runs exactly once per corpus.
+    *
+    * Shape: same vocabulary-level discipline as the trainer — the
+    * encode runs once per DISTINCT word (Heaps-sublinear), never per
+    * occurrence; occurrences only weight the final count. The encode is
+    * the compiled `graft_bpe` kernel ([[graft.functions.TextKernels.bpe]]:
+    * canonical leftmost-until-fixpoint merging per rule, rules in table
+    * order) — one codegen'd call, no shuffle until the final token
+    * aggregation. The oracle spells the identical fixpoint as a
+    * boundary-delimited 4-pass `replace` chain over " c h a r s </w> "
+    * (see [[BpePasses]] for why the two spellings agree). */
+  def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(toks(lower($"text"))).as("w"))
+      .where($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    words
+      .select($"freq",
+        explode(call_function("graft_bpe", $"w", bpeRulesLit)).as("token"))
+      .groupBy($"token").agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(30)
+  }
+
+  val bpeApplySql: String = {
+    val chain = bpeApplySqlChain(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '")
+    s"""WITH t AS (
+      |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |w AS (
+      |  SELECT w, count(*) AS freq FROM t
+      |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+      |enc AS (SELECT freq, $chain AS enc FROM w),
+      |tok AS (
+      |  SELECT freq, unnest(list_filter(string_split(trim(enc), ' '),
+      |    x -> x <> '' AND x <> '</w>')) AS token
+      |  FROM enc)
+      |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt
+      |FROM tok GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30""".stripMargin
+  }
+
   /** Per-language corpus stats (ref capability: grouped summary stats). */
   def qLangStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2392,6 +2482,7 @@ object Text {
     "q_tokenize_wordcount" -> (qTokenizeWordcount _),
     "q_bigram_counts" -> (qBigramCounts _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_lang_stats" -> (qLangStats _),
     "q_common_terms_topk" -> (qCommonTermsTopk _),
     "q_word_id_encode" -> (qWordIdEncode _),
@@ -2408,6 +2499,7 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_span_dedup" -> spanDedupSql,
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,

@@ -475,4 +475,83 @@ class SimilaritySpec extends GraftSuite {
          if s.getLong(1).max(s.getLong(2)) >= b.getLong(1).max(b.getLong(2)))
       assert(b.getLong(3) > s.getLong(3))
   }
+
+  test("q_simhash_neardup equals brute-force pairs at hamming <= 3 (perfect recall)") {
+    // 4 disjoint 15-bit bands catch EVERY pair within radius 3 by
+    // pigeonhole — so the banded query must equal the all-pairs scan,
+    // not approximate it
+    val fp = Similarity.qDedupSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint"))
+    val brute = (for {
+      (ida, fa) <- fp; (idb, fb) <- fp
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= Similarity.SimhashMaxHamming
+    } yield (ida, idb, java.lang.Long.bitCount(fa ^ fb))).toSet
+    val got = rows(Similarity.qSimhashNeardup(spark, sf))
+      .map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+        x.getAs[Int]("hamming"))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
+
+  test("q_decontam_ngram accounts for every train doc; planted copy flagged") {
+    import spark.implicits._
+    val r = rows(Similarity.qDecontamNgram(spark, sf))
+    val nTrain = spark.read.parquet(s"$sf/documents.parquet")
+      .where((conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100) < 80).count()
+    assert(r.map(_.getAs[Long]("n_train")).sum == nTrain)
+    r.foreach { x =>
+      val (t, c, p) = (x.getAs[Long]("n_train"),
+        x.getAs[Long]("n_contaminated"), x.getAs[Long]("drop_ppm"))
+      assert(c >= 0 && c <= t)
+      assert(p == c * 1000000L / t)
+    }
+    // planted: a train doc sharing an exact 13-gram with an eval doc is
+    // flagged; sharing only 12 tokens is not
+    val buckets = spark.range(200)
+      .select($"id", (conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val trainIds = buckets.collect { case (id, b) if b < 80 => id }.toSeq.sorted
+    val evalId = buckets.collectFirst { case (id, b) if b >= 90 => id }.get
+    val thirteen = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val twelve = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    (Seq((trainIds(0), s"leading words $thirteen trailing text here"),
+      (trainIds(1), s"only a partial $twelve overlap stays clean here"),
+      (evalId, s"$thirteen padded with other eval words")) ++
+      trainIds.drop(2).take(10).zipWithIndex.map { case (id, i) =>
+        (id, s"unrelated$i filler$i text$i goes$i here$i") })
+      .map { case (id, tx) => (id, tx, s"s${id % 3}") }
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pr = rows(Similarity.qDecontamNgram(spark, tmp))
+    assert(pr.map(_.getAs[Long]("n_contaminated")).sum == 1,
+      s"exactly the planted 13-gram copy must be flagged: $pr")
+    val hitSrc = s"s${trainIds(0) % 3}"
+    assert(pr.find(_.getAs[String]("source") == hitSrc)
+      .get.getAs[Long]("n_contaminated") >= 1)
+  }
+
+  test("q_dedup_keep_best keeps the longest member of every cluster") {
+    import spark.implicits._
+    val clusters = rows(Similarity.qDedupClusters(spark, sf))
+      .groupBy(_.getAs[Long]("component"))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", size(filter(split($"text", " "), x => x =!= ""))
+        .cast("long").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r = rows(Similarity.qDedupKeepBest(spark, sf))
+    assert(r.map(_.getAs[Long]("component")).toSet == clusters.keySet)
+    r.foreach { x =>
+      val comp = x.getAs[Long]("component")
+      val members = clusters(comp).map(_.getAs[Long]("doc_id"))
+      assert(x.getAs[Long]("n_members") == members.size)
+      assert(x.getAs[Long]("n_dropped") == members.size - 1)
+      val keeper = x.getAs[Long]("keeper_doc")
+      assert(members.contains(keeper))
+      val best = members.map(m => (-toks(m), m)).min
+      assert(keeper == best._2, s"cluster $comp keeper $keeper != ${best._2}")
+      assert(x.getAs[Long]("keeper_tokens") == toks(keeper))
+    }
+  }
 }

@@ -692,6 +692,56 @@ class TextSpec extends GraftSuite {
     assert(r.size == 30 && r.head._2 >= r.last._2)
   }
 
+  test("q_bpe_apply matches a driver-side canonical merge replay") {
+    val r = rows(Text.qBpeApply(spark, sf)).map(x => (x.getString(0), x.getLong(1)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    docs.iterator.flatMap(_.toLowerCase.split(" ").iterator)
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'))
+      .foreach(w => freq(w) += 1L)
+    // canonical per-rule fixpoint: merge leftmost adjacent (a, b) until
+    // none remains, rules in table order
+    def encode(w: String): Seq[String] = {
+      var syms = w.map(_.toString) :+ "</w>"
+      for ((a, b) <- Text.BpeApplyMerges) {
+        var changed = true
+        while (changed) {
+          val i = syms.indices.dropRight(1)
+            .find(i => syms(i) == a && syms(i + 1) == b)
+          changed = i.isDefined
+          i.foreach(i => syms = syms.patch(i, Seq(a + b), 2))
+        }
+      }
+      syms.filterNot(_ == "</w>")
+    }
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    freq.foreach { case (w, f) => encode(w).foreach(t => cnt(t) += f) }
+    val expect = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+    assert(r == expect, s"got ${r.take(5)}… want ${expect.take(5)}…")
+    // merges actually fired: at least one multi-char subword in the top 30
+    assert(r.exists(_._1.length > 1))
+  }
+
+  test("bpe oracle replace-chain agrees with the graft_bpe kernel on the real vocab") {
+    import spark.implicits._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .where($"w".rlike("^[a-z]+$")).distinct()
+    val spaced = concat(lit(" "), regexp_replace($"w", "(.)", "$1 "), lit("</w> "))
+    val once = Text.bpeApplyChain(spaced)
+    // the oracle's 4-pass chain is at its fixpoint…
+    assert(words.where(once =!= Text.bpeApplyChain(once)).count() == 0,
+      "a second full chain application must change nothing")
+    // …and that fixpoint equals the kernel's canonical merge, token for token
+    val chainToks = filter(split(trim(once), " "), t => t =!= "" && t =!= "</w>")
+    val kernelToks = call_function("graft_bpe", $"w", Text.bpeRulesLit)
+    assert(words.where(chainToks =!= kernelToks).count() == 0,
+      "oracle chain and graft_bpe kernel must segment identically")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
