@@ -176,15 +176,26 @@ object Ann {
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int): DataFrame = {
     val dv = transform(col(vecCol), _.cast("double"))
-    // cell-tagged compressed index: (cell, cand_id, codes) — grouped by
-    // the coarse quantizer, compressed by PQ; the PQ codebook rides the
-    // one-node [[cbLit]] literal (same rationale as pqAdcTopK, no
-    // checkpoint barrier needed)
+    // cell-tagged compressed index: (cell, cand_id, codes) built in ONE
+    // corpus scan — the coarse assignment and the M sub-slices project
+    // out of the same row (no second scan, no index self-join); the PQ
+    // codebook rides the one-node [[cbLit]] literal (same rationale as
+    // pqAdcTopK, no checkpoint barrier needed)
     val cb = cbLit(pq)
-    val coded = pqEncode(data, idCol, dv, pq)
-      .join(data.withColumn("__v", dv)
-        .select(col(idCol).as("cand_id"),
-          assignExpr(col("__v"), coarse).as("cell")), "cand_id")
+    val sliced = data.withColumn("__v", dv)
+      .select(col(idCol).as("cand_id") +:
+        assignExpr(col("__v"), coarse).as("cell") +:
+        (0 until pq.m).map(mi =>
+          slice(col("__v"), mi * pq.dsub + 1, pq.dsub).as(s"__s$mi")): _*)
+    val coded = sliced.select(col("cand_id"), col("cell"),
+      array((0 until pq.m).map { mi =>
+        array_min(transform(sequence(lit(0), lit(pq.ksub - 1)), ci =>
+          struct(
+            call_function("graft_sqdist", col(s"__s$mi"),
+              element_at(element_at(cb, mi + 1), ci + 1)).as("d"),
+            ci.as("c"))))
+          .getField("c")
+      }: _*).as("codes"))
     val lutExpr = array((0 until pq.m).map { mi =>
       val sub = slice(col("__v"), mi * pq.dsub + 1, pq.dsub)
       transform(sequence(lit(0), lit(pq.ksub - 1)), ci =>

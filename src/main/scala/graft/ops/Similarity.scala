@@ -612,6 +612,78 @@ object Similarity {
 
   val annPqSql: String = annPqSqlK(PqK)
 
+  /** IVF-PQ ANN through [[graft.ml.Ann.ivfPqTopK]] — the BILLION-SCALE
+    * composition in the DuckDB gate: the [[ivfFixedIndex]] coarse
+    * quantizer prunes WHICH vectors each probe scans (equi-join on the
+    * cell id, nprobe/nlist of the corpus), and the [[pqFixedIndex]]
+    * codebooks compress HOW each survivor is scored (8 integer LUT adds,
+    * no dim-wide arithmetic). Both components are already gated alone
+    * (`q_ann_ivf`, `q_ann_pq`); this query gates their COMPOSITION —
+    * cell-restricted candidate generation feeding ADC ranking — so the
+    * production index layout (shard by cell, M-byte codes within) has
+    * its own green row, not just AnnSpec's unit equivalences. */
+  def qAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    graft.ml.Ann.ivfPqTopK(ivfFixedIndex, pqFixedIndex, e,
+        e.where($"vec_id" < 10), "vec_id", "embedding",
+        k = PqK, nprobe = IvfNprobe)
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT CAST(k AS INT) AS k, list_transform(range(1, 65), i ->
+      |    (CAST((i * 37 + k * 1009) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS c
+      |  FROM range(0, $IvfNlist) t(k)),
+      |cd AS (
+      |  SELECT vec_id, k,
+      |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM e, cent),
+      |assign AS (
+      |  SELECT vec_id, k AS cell FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS probe_id, k AS cell FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd
+      |    WHERE vec_id < 10)
+      |  WHERE rn <= $IvfNprobe),
+      |cb AS (
+      |  SELECT CAST(m AS INT) AS m, CAST(c AS INT) AS c,
+      |    list_transform(range(1, 9), j ->
+      |      (CAST(((m*8 + j)*37 + c*1009 + m*7919) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS w
+      |  FROM range(0, $PqM) mm(m), range(0, $PqKsub) cc(c)),
+      |subd AS (
+      |  SELECT e.vec_id, cb.m, cb.c,
+      |    list_sum(list_transform(list_zip(v[cb.m*8+1 : cb.m*8+8], cb.w),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM e, cb),
+      |enc AS (
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+      |    FROM subd)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT vec_id AS probe_id, m, c, CAST(round(d * 1e6) AS BIGINT) AS dq
+      |  FROM subd WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT p.probe_id, a.vec_id AS cand_id
+      |  FROM probes p JOIN assign a ON p.cell = a.cell
+      |  WHERE a.vec_id <> p.probe_id),
+      |pair AS (
+      |  SELECT l.probe_id, enc.vec_id AS cand_id, CAST(sum(l.dq) AS BIGINT) AS adist
+      |  FROM lut l JOIN enc ON l.m = enc.m AND l.c = enc.code
+      |  JOIN cand ON cand.probe_id = l.probe_id AND cand.cand_id = enc.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT probe_id, rank, cand_id, adist FROM (
+      |  SELECT probe_id, cand_id, adist,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rank
+      |  FROM pair)
+      |WHERE rank <= $PqK ORDER BY probe_id, rank""".stripMargin
+
   /** PQ shortlist recall audit: does the exact L2 top-5 land in the ADC
     * top-50 shortlist? — the dashboard number for the shortlist+re-rank
     * pattern PQ is deployed in (direct top-k agreement is the wrong
@@ -1968,6 +2040,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_recall" -> (qAnnPqRecall _),
     "q_shingle_cosine" -> (qShingleCosine _),
     "q_sequence_pack" -> (qSequencePack _),
@@ -2025,6 +2098,7 @@ object Similarity {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_pq_recall" -> annPqRecallSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_neardup" -> embedNeardupSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -306,17 +306,101 @@ object Stats {
       |    AS cusum_stat
       |FROM c ORDER BY ns_abs DESC, day LIMIT 1""".stripMargin
 
+  // ------------------------------------------------------ Welch's t-test
+
+  /** Per-source Welch's t-test of document length vs the REST of the
+    * corpus — the parametric drift companion to [[qKsTest]]'s
+    * distribution-free sup statistic: KS says the distributions differ,
+    * Welch says whether the MEAN shifted and by how many standard
+    * errors, without assuming equal variances (the unequal-variance
+    * t-test is the right default when one source is 100× another's
+    * size). Reports t and the Welch–Satterthwaite degrees of freedom.
+    *
+    * Exactness: one hash aggregation collects per-source (n, Σx, Σx²) as
+    * exact BIGINTs; the complement slice (n₂, s₂, q₂) is INTEGER
+    * SUBTRACTION from the broadcast corpus totals — the "rest" sample
+    * costs no second scan. All post-aggregate arithmetic runs in DOUBLE
+    * with the identical operand order on both engines (same discipline
+    * as the autocorrelation query), so results are bit-identical;
+    * integer sums avoid the n·q overflow a cross-multiplied spelling
+    * would hit (Σx² of byte-bounded lengths stays exact past 10¹² docs).
+    * Scale shape: one aggregation + a 1-row broadcast — fact rows touch
+    * exactly one shuffle. */
+  def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars".cast("long").as("x"))
+    val per = d.groupBy($"source").agg(count(lit(1)).as("n1"),
+      sum($"x").as("s1"), sum($"x" * $"x").as("q1"))
+    val tot = d.agg(count(lit(1)).as("ng"),
+      sum($"x").as("sg"), sum($"x" * $"x").as("qg"))
+    val j = per.crossJoin(broadcast(tot))
+      .select($"source", $"n1", $"s1", $"q1",
+        ($"ng" - $"n1").as("n2"), ($"sg" - $"s1").as("s2"),
+        ($"qg" - $"q1").as("q2"))
+    def m(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def v(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1.0)
+    val se1 = v($"q1", $"s1", $"n1") / $"n1".cast("double")
+    val se2 = v($"q2", $"s2", $"n2") / $"n2".cast("double")
+    j.select($"source", $"n1".as("n_src"),
+        round(m($"s1", $"n1"), 4).as("mean_src"),
+        round(m($"s2", $"n2"), 4).as("mean_rest"),
+        (round((m($"s1", $"n1") - m($"s2", $"n2")) / sqrt(se1 + se2), 4)
+          + 0.0).as("t_stat"),
+        round((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / ($"n1".cast("double") - 1.0) +
+           se2 * se2 / ($"n2".cast("double") - 1.0)), 2).as("df"))
+      .orderBy($"source")
+  }
+
+  val welchTtestSql: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n1, CAST(sum(x) AS BIGINT) AS s1,
+      |    CAST(sum(x * x) AS BIGINT) AS q1
+      |  FROM d GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+      |    CAST(sum(x * x) AS BIGINT) AS qg
+      |  FROM d),
+      |j AS (
+      |  SELECT source, n1, s1, q1, ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2
+      |  FROM per CROSS JOIN tot),
+      |c AS (
+      |  SELECT source, n1, s1, n2, s2,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+      |      / CAST(n1 AS DOUBLE) AS se1,
+      |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+      |      / CAST(n2 AS DOUBLE) AS se2
+      |  FROM j)
+      |SELECT source, n1 AS n_src,
+      |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS mean_src,
+      |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 4) AS mean_rest,
+      |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |       - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(se1 + se2), 4)
+      |    + 0.0 AS t_stat,
+      |  round((se1 + se2) * (se1 + se2)
+      |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+      |     + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df
+      |FROM c ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test" -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
+    "q_welch_ttest" -> (qWelchTtest _),
     "q_cusum_changepoint" -> (qCusumChangepoint _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
     "q_mann_whitney" -> mannWhitneySql,
     "q_spearman" -> spearmanSql,
+    "q_welch_ttest" -> welchTtestSql,
     "q_cusum_changepoint" -> cusumChangepointSql)
 }

@@ -129,6 +129,35 @@ class AnnSpec extends GraftSuite {
       "pruning cells can only raise the best ADC distance")
   }
 
+  test("q_ann_ivfpq: scores agree with full-width ADC, pruning only raises them") {
+    import graft.ops.Similarity
+    val sfDir = SparkTestBase.sf
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist")))
+    val gated = rows(Similarity.qAnnIvfPq(spark, sfDir))
+    val plain = rows(Similarity.qAnnPq(spark, sfDir)) // same codebooks, full scan
+    assert(gated.map(_._1).distinct.length == 10, "all 10 probes answered")
+    // ranks are 1..k contiguous and adist non-decreasing within a probe
+    gated.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+    }
+    // the IVF stage prunes candidates but NEVER changes a pair's ADC
+    // score: any (probe, cand) in both rankings carries the same adist
+    val plainScore = plain.map(t => (t._1, t._3) -> t._4).toMap
+    gated.foreach { case (p, _, c, d) =>
+      plainScore.get((p, c)).foreach(pd => assert(pd == d,
+        s"adist must be pruning-invariant for ($p, $c): $d vs $pd"))
+    }
+    // and the pruned best can only be >= the full-scan best
+    val bestPlain = plain.groupBy(_._1).view.mapValues(_.map(_._4).min)
+    gated.groupBy(_._1).foreach { case (p, g) =>
+      assert(g.map(_._4).min >= bestPlain(p))
+    }
+  }
+
   test("assignment shards the corpus across inverted lists") {
     val v = transform($"embedding", x => x.cast("double"))
     // reuse the index to count cluster sizes via the public scan path

@@ -114,4 +114,44 @@ class StatsSpec extends GraftSuite {
     // a genuine interior changepoint, not a boundary artifact
     assert(best._1 != byDay.head._1 && best._1 != byDay.last._1)
   }
+
+  test("q_welch_ttest matches an exact two-sample replay") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "CAST(n_chars AS LONG) AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def stats(xs: Seq[Long]): (Long, Double, Double) = {
+      val n = xs.size.toLong
+      val s = xs.sum
+      val q = xs.map(x => x * x).sum
+      val m = s.toDouble / n
+      val v = (q.toDouble - s.toDouble * s.toDouble / n) / (n - 1.0)
+      (n, m, v)
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows(Stats.qWelchTtest(spark, sf)).map(x =>
+      x.getString(0) -> x).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, xs) =>
+      val rest = docs.filter(_._1 != src).map(_._2)
+      val (n1, m1, v1) = stats(xs)
+      val (_, m2, v2) = stats(rest)
+      val se = v1 / xs.size + v2 / rest.size
+      val t = (m1 - m2) / math.sqrt(se)
+      val df = se * se /
+        (v1 / xs.size * (v1 / xs.size) / (xs.size - 1.0) +
+         v2 / rest.size * (v2 / rest.size) / (rest.size - 1.0))
+      val row = got(src)
+      assert(row.getAs[Long]("n_src") == n1)
+      assert(math.abs(row.getAs[Double]("mean_src") - r4(m1)) <= 1e-9)
+      assert(math.abs(row.getAs[Double]("t_stat") - r4(t)) <= 1e-4, s"$src")
+      assert(math.abs(row.getAs[Double]("df") - df) <= 0.5, s"$src df")
+      // Welch df is bounded by min(n1, n2) - 1 below… sanity: positive
+      assert(row.getAs[Double]("df") > 1.0)
+    }
+    // the t statistics should straddle zero across sources (drift both ways)
+    val ts = got.values.map(_.getAs[Double]("t_stat"))
+    assert(ts.exists(_ > 0) && ts.exists(_ < 0))
+  }
 }
