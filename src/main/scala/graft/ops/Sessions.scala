@@ -61,6 +61,47 @@ object Sessions {
       |SELECT bucket_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
 
+  /** Batch twin of the STREAM-STREAM interval join
+    * ([[graft.streaming.StreamingOps.clickPurchaseIntervalJoin]]): each
+    * purchase matched to the same user's clicks in the preceding 30
+    * minutes. Same dataflow shape as the streaming operator — an
+    * EQUI-join on user_id with the time interval as a post-match
+    * predicate (hash-partitionable; under streaming the two watermarks
+    * bound the state store to the interval). Completes the streaming
+    * family's batch-twin coverage: tumbling/sliding/session windows and
+    * stream dedup already have gated twins, this gates the join. Times
+    * compare on whole-second epochs (the ns-parquet vs µs-read rule). */
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .withColumn("tsec", floor($"ts".cast("double")).cast("long"))
+    val clicks = e.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"tsec".as("click_sec"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"tsec".as("purchase_sec"))
+    purchases.join(clicks, Seq("user_id"))
+      .where($"click_sec" <= $"purchase_sec" &&
+        $"click_sec" >= $"purchase_sec" - 1800L)
+      .select($"user_id", $"purchase_id", $"click_id",
+        $"purchase_sec", $"click_sec")
+      .orderBy($"user_id", $"purchase_id", $"click_id")
+  }
+
+  val streamJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, tsec AS click_sec
+      |      FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, tsec AS purchase_sec
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT user_id, purchase_id, click_id, purchase_sec, click_sec
+      |FROM p JOIN c USING (user_id)
+      |WHERE click_sec <= purchase_sec AND click_sec >= purchase_sec - 1800
+      |ORDER BY user_id, purchase_id, click_id""".stripMargin
+
   /** Sessionization: 30-minute-gap sessions per user via lag + cumulative
     * session counter — the batch formulation; `session_window(ts, '30 minutes')`
     * is the streaming-mode equivalent (see StreamingOps). */
@@ -1152,6 +1193,7 @@ object Sessions {
     "q_activity_streaks" -> (qActivityStreaks _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_sessionize" -> (qSessionize _))
@@ -1178,6 +1220,7 @@ object Sessions {
     "q_activity_streaks" -> activityStreaksSql,
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,
+    "q_stream_join" -> streamJoinSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_sessionize" -> sessionizeSql)

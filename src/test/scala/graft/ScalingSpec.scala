@@ -39,7 +39,8 @@ class ScalingSpec extends GraftSuite {
       "q_bm25", "q_token_entropy", "q_rolling_anomaly",
       "q_bloom_semijoin", "q_cm_heavy_hitters", "q_lsh_quality",
       "q_part_affinity", "q_join_interval_binned", "q_ann_pq",
-      "q_chunk_dedup").foreach { name =>
+      "q_chunk_dedup", "q_simhash_neardup", "q_dedup_keep_best",
+      "q_ann_ivfpq", "q_decontam_ngram").foreach { name =>
     test(s"$name: 10x data costs < ${MaxSlope.toInt}x wall time") {
       time(name, sfSmall) // warm-up: codegen + JIT out of both timings
       val tSmall = math.max(time(name, sfSmall), FloorSec)

@@ -470,4 +470,22 @@ class SessionsEvalSpec extends GraftSuite {
     assert(r.valuesIterator.map(_._1).sum ==
       ev.count(_._3 == "purchase").toLong)
   }
+
+  test("q_stream_join matches a driver-side interval replay") {
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(floor(CAST(ts AS DOUBLE)) AS LONG) AS tsec")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val expect = (for {
+      (u, pid, _, pt) <- purchases
+      (cu, cid, _, ct) <- clicks
+      if cu == u && ct <= pt && ct >= pt - 1800L
+    } yield (u, pid, cid, pt, ct)).sortBy(t => (t._1, t._2, t._3))
+    val got = rows(Sessions.qStreamJoin(spark, sf)).map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(got == expect.toSeq, s"got ${got.size} want ${expect.size}")
+    assert(got.nonEmpty, "the horizon must match at least one pair at this sf")
+  }
 }
