@@ -317,6 +317,83 @@ object Quality {
       |GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3
       |ORDER BY nation, bal_band""".stripMargin
 
+  // --------------------------------------------------------- t-closeness
+
+  /** Reporting threshold for [[qTCloseness]] in ppm (t = 0.25). */
+  val TClosenessPpm = 250000L
+
+  /** T-closeness audit — the DISTRIBUTION-disclosure member of the
+    * privacy trio (Li et al., ICDE 2007): a class can be k-anonymous AND
+    * l-diverse yet still leak if its sensitive-value MIX differs sharply
+    * from the table's (e.g. a class that is 90% one segment against a
+    * 20% base rate). For a categorical sensitive attribute the distance
+    * is the variational distance ½·Σ_s |p_class(s) − p_global(s)|;
+    * classes with distance > t are reported.
+    *
+    * Exactness: the distance is computed on the INTEGER cross-multiplied
+    * numerator Σ_s |c_cs·N − g_s·n_c| (absent segments contribute their
+    * full g_s·n_c via the grid join — forgetting them understates the
+    * distance), scaled to ppm with one integer division. Needs
+    * c·N < 2^63 — exact through ~3e9 rows; widen to DECIMAL(38,0) past
+    * that (same bound note as the KS/CUSUM integer numerators).
+    * Scale shape: two hash aggregates (per-(class, segment) and
+    * per-class) plus TWO broadcast dimensions (segment totals, the 1-row
+    * N); the grid join is |classes| × |segments|-bounded — fact rows
+    * touch only the first aggregate. */
+  def qTCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, sfDir)
+      .select($"c_nationkey".cast("long").as("nation"),
+        floor(floor($"c_acctbal" * 100).cast("long") / 100000L).as("bal_band"),
+        $"c_mktsegment")
+    val cs = base.groupBy($"nation", $"bal_band", $"c_mktsegment")
+      .agg(count(lit(1)).as("c_cs"))
+    val cls = base.groupBy($"nation", $"bal_band")
+      .agg(count(lit(1)).as("class_size"))
+    val seg = base.groupBy($"c_mktsegment").agg(count(lit(1)).as("g_s"))
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    cls.crossJoin(broadcast(seg))
+      .join(cs, Seq("nation", "bal_band", "c_mktsegment"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy($"nation", $"bal_band")
+      .agg(min($"class_size").as("class_size"),
+        sum(abs(coalesce($"c_cs", lit(0L)) * $"n_tot" -
+          $"g_s" * $"class_size")).as("num"),
+        min($"n_tot").as("n_tot"))
+      .select($"nation", $"bal_band", $"class_size",
+        expr("num * 500000 DIV (class_size * n_tot)").as("dist_ppm"))
+      .where($"dist_ppm" > TClosenessPpm)
+      .orderBy($"nation", $"bal_band")
+  }
+
+  val tClosenessSql: String =
+    s"""WITH base AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(floor(floor(c_acctbal * 100) / 100000) AS BIGINT) AS bal_band,
+      |    c_mktsegment
+      |  FROM customer),
+      |cs AS (
+      |  SELECT nation, bal_band, c_mktsegment, count(*) AS c_cs
+      |  FROM base GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT nation, bal_band, count(*) AS class_size FROM base GROUP BY 1, 2),
+      |seg AS (SELECT c_mktsegment, count(*) AS g_s FROM base GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_tot FROM base),
+      |d AS (
+      |  SELECT cls.nation, cls.bal_band, cls.class_size, tot.n_tot,
+      |    sum(abs(COALESCE(cs.c_cs, 0) * tot.n_tot
+      |            - seg.g_s * cls.class_size)) AS num
+      |  FROM cls CROSS JOIN seg
+      |  LEFT JOIN cs ON cs.nation = cls.nation AND cs.bal_band = cls.bal_band
+      |              AND cs.c_mktsegment = seg.c_mktsegment
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT nation, bal_band, CAST(class_size AS BIGINT) AS class_size,
+      |  CAST(num * 500000 // (class_size * n_tot) AS BIGINT) AS dist_ppm
+      |FROM d
+      |WHERE num * 500000 // (class_size * n_tot) > $TClosenessPpm
+      |ORDER BY nation, bal_band""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,6 +401,7 @@ object Quality {
     "q_data_constraints" -> (qDataConstraints _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_pii_luhn" -> (qPiiLuhn _))
 
   val oracle: Map[String, String] = Map(
@@ -331,5 +409,6 @@ object Quality {
     "q_data_constraints" -> dataConstraintsSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_l_diversity" -> lDiversitySql,
+    "q_t_closeness" -> tClosenessSql,
     "q_pii_luhn" -> piiLuhnSql)
 }

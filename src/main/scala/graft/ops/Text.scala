@@ -773,6 +773,40 @@ object Text {
        |  length(text) AS text_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** GPT-2-style pretokenization pattern: contraction suffixes, then
+    * space-prefixed letter / digit / punctuation runs — the leading-space
+    * convention is the GPT-2 signature (" the" and "the" are DISTINCT
+    * vocabulary entries). Alternation is ordered; both Java regex (Spark)
+    * and RE2 (DuckDB) resolve alternatives leftmost-first, so the two
+    * engines segment identically. `\s+` runs are simply skipped between
+    * matches, so no whitespace-only arm is needed. */
+  val Gpt2PretokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Corpus pretoken vocabulary under the GPT-2 pretokenizer (north-star
+    * tokenizer support — the segmentation stage that FEEDS
+    * [[qBpeMerges]]' pair statistics and [[qBpeApply]]'s encode; a real
+    * BPE trainer consumes exactly these pretoken counts). Top-30
+    * pretokens by corpus frequency, case preserved, leading spaces
+    * significant. Scale shape: one regexp scan + a token-keyed hash
+    * aggregation + a TakeOrdered top-30 cut — no global sort. */
+  def qPretokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(regexp_extract_all($"text",
+        lit(Gpt2PretokenRegex), lit(0))).as("pretoken"))
+      .groupBy($"pretoken").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pretoken")
+      .limit(30)
+  }
+
+  val pretokenizeSql: String =
+    """SELECT pretoken, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS pretoken
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY cnt DESC, pretoken LIMIT 30""".stripMargin
+
   /** Position-weighted rolling-hash document fingerprint (north-star):
     * deterministic integer arithmetic shared with the oracle — the cheap
     * first stage of any shingle/minhash pipeline. */
@@ -2483,6 +2517,7 @@ object Text {
     "q_bigram_counts" -> (qBigramCounts _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_apply" -> (qBpeApply _),
+    "q_pretokenize" -> (qPretokenize _),
     "q_lang_stats" -> (qLangStats _),
     "q_common_terms_topk" -> (qCommonTermsTopk _),
     "q_word_id_encode" -> (qWordIdEncode _),
@@ -2500,6 +2535,7 @@ object Text {
   val oracle: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
+    "q_pretokenize" -> pretokenizeSql,
     "q_span_dedup" -> spanDedupSql,
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,

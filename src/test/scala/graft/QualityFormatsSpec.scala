@@ -75,6 +75,31 @@ class QualityFormatsSpec extends GraftSuite {
     assert(got.nonEmpty && got.values.forall(n => n >= 1 && n < 5))
   }
 
+  test("q_t_closeness: distances match an exact variational replay") {
+    val cust = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1),
+        math.floor(math.floor(r.getDouble(2) * 100) / 100000.0).toLong))
+    val n = cust.length.toLong
+    val gSeg = cust.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = cust.groupBy(r => (r._1, r._3)).flatMap { case (cls, rows) =>
+      val nc = rows.length.toLong
+      val perSeg = rows.groupBy(_._2).view.mapValues(_.length.toLong)
+      val num = gSeg.keysIterator.map { s =>
+        math.abs(perSeg.getOrElse(s, 0L) * n - gSeg(s) * nc)
+      }.sum
+      val ppm = num * 500000L / (nc * n)
+      if (ppm > Quality.TClosenessPpm) Some(cls -> (nc, ppm)) else None
+    }
+    val got = Quality.qTCloseness(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))
+    }.toMap
+    assert(got == expected, s"got ${got.size} want ${expected.size}")
+    // variational distance is bounded by 1 (1e6 ppm); threshold respected
+    assert(got.nonEmpty && got.values.forall { case (_, d) =>
+      d > Quality.TClosenessPpm && d <= 1000000L })
+  }
+
   test("q_orc_roundtrip: ORC write/read preserves every aggregated value") {
     import spark.implicits._
     val viaOrc = Formats.qOrcRoundtrip(spark, sf).collect()

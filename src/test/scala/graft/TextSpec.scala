@@ -742,6 +742,24 @@ class TextSpec extends GraftSuite {
       "oracle chain and graft_bpe kernel must segment identically")
   }
 
+  test("q_pretokenize matches a driver-side regex replay, GPT-2 conventions hold") {
+    val r = rows(Text.qPretokenize(spark, sf)).map(x => (x.getString(0), x.getLong(1)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val pat = java.util.regex.Pattern.compile(Text.Gpt2PretokenRegex)
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    docs.foreach { t =>
+      val m = pat.matcher(t)
+      while (m.find()) cnt(m.group()) += 1L
+    }
+    val expect = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+    assert(r == expect, s"got ${r.take(5)}… want ${expect.take(5)}…")
+    // the GPT-2 signature: space-prefixed vocabulary entries dominate
+    assert(r.exists(_._1.startsWith(" ")),
+      "leading-space pretokens must appear in the top 30")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
