@@ -816,19 +816,34 @@ object Similarity {
   val SimhashBandBits = 15
   val SimhashMaxHamming = 3
 
+  /** Occupancy cap per (band, code) bucket. Unlike MinHash band buckets
+    * (hash-uniform by construction), SimHash band codes CONCENTRATE on
+    * natural language — templated/boilerplate-heavy corpora put whole
+    * percent of the corpus behind one 15-bit code (measured 5% in one
+    * bucket on the synthetic corpus), and bucket fan-out is occ². A
+    * bucket hotter than this cap is a degenerate near-identical cluster,
+    * not a pair candidate source — the exact-dup and shingle passes own
+    * those — so it is dropped whole, bounding every bucket's pair
+    * emission at cap² (the ShingleMaxDf discipline at the band level).
+    * Mirrored verbatim in the oracle; at the gated SFs the hottest
+    * bucket is well under the cap, so the declared result is unchanged. */
+  val SimhashBandMaxOcc = 1000
+
   /** SimHash near-duplicate pairs at Hamming radius ≤ 3 (north-star
     * near-dup family — the Google crawl-dedup shape, Manku et al. WWW'07):
     * block on [[SimhashBands]] 15-bit fingerprint bands (an EQUI-join on
     * (band, code), never an all-pairs scan), then the exact popcount of
     * the fingerprint XOR decides. 4×15 banding guarantees every pair
-    * within radius 3 collides in ≥ 1 band (pigeonhole), so recall is 1.0
-    * by construction — the blocking only prunes TRUE negatives.
+    * within radius 3 collides in ≥ 1 band (pigeonhole), so among
+    * surviving buckets recall is 1.0 by construction — the blocking
+    * only prunes TRUE negatives (plus whole buckets over the
+    * [[SimhashBandMaxOcc]] occupancy valve, which the gated SFs never
+    * hit — asserted equal to the all-pairs scan in SimilaritySpec).
     *
-    * Scale: each doc emits exactly 4 (band, code) rows; candidate fan-out
-    * is bounded by band-bucket occupancy (near-uniform for hash-derived
-    * fingerprints — hot buckets would indicate fingerprint skew, the
-    * diagnostic [[qDedupSimhash]] exposes); the verify is one codegen'd
-    * xor+popcount per candidate over 8-byte keys. */
+    * Scale: each doc emits exactly 4 (band, code) rows; candidate
+    * fan-out is bounded by cap² per bucket via the occupancy valve; the
+    * verify is one codegen'd xor+popcount per candidate over 8-byte
+    * keys. */
   def qSimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the fingerprint relation feeds three subtrees (band explode + both
@@ -839,9 +854,17 @@ object Similarity {
     val fp = simhashFingerprints(spark, sfDir)
       .select($"doc_id", $"fingerprint").localCheckpoint()
     val bandMask = (1L << SimhashBandBits) - 1
-    val bands = fp.select($"doc_id", posexplode(array((0 until SimhashBands).map(b =>
+    val allBands = fp.select($"doc_id", posexplode(array((0 until SimhashBands).map(b =>
         shiftright($"fingerprint", b * SimhashBandBits).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "code")))
+    // occupancy valve: drop degenerate buckets before any pair is emitted
+    // (see [[SimhashBandMaxOcc]]) — the aggregation is (band, code)-keyed
+    // and map-side combinable, so the valve itself is skew-free
+    val keep = allBands.groupBy($"band", $"code")
+      .agg(count(lit(1)).as("__occ"))
+      .where($"__occ" <= SimhashBandMaxOcc)
+      .select($"band", $"code")
+    val bands = allBands.join(keep, Seq("band", "code"), "left_semi")
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "code"))
       .where($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
@@ -857,10 +880,16 @@ object Similarity {
 
   val simhashNeardupSql: String =
     s"""WITH $simhashFpCte,
-      |bands AS (
+      |all_bands AS (
       |  SELECT doc_id, b.b AS band,
       |    (fingerprint >> CAST($SimhashBandBits * b.b AS INT)) & ${(1L << SimhashBandBits) - 1} AS code
       |  FROM fp, range(0, $SimhashBands) b(b)),
+      |keep AS (
+      |  SELECT band, code FROM all_bands
+      |  GROUP BY 1, 2 HAVING count(*) <= $SimhashBandMaxOcc),
+      |bands AS (
+      |  SELECT a.doc_id, a.band, a.code
+      |  FROM all_bands a JOIN keep USING (band, code)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.code = b.code

@@ -54,7 +54,19 @@ class DeterminismSpec extends GraftSuite {
     "q_column_profile",
     "q_upsert_snapshot",
     "q_snapshot_diff",
-    "q_scd2_intervals").foreach { name =>
+    "q_scd2_intervals",
+    // round-8 additions: banded-Hamming blocking, cluster keep-policy,
+    // the IVF-PQ composition, the BPE kernel's vocab aggregation, and
+    // the grid-joined variational distance
+    "q_simhash_neardup",
+    "q_dedup_keep_best",
+    "q_ann_ivfpq",
+    "q_bpe_apply",
+    "q_decontam_ngram",
+    "q_t_closeness",
+    "q_pretokenize",
+    "q_welch_ttest",
+    "q_stream_join").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }
