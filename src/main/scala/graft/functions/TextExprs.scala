@@ -92,9 +92,10 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
-  /** Parse a `;`-separated "a b;th e;…" merge-rule literal. */
+  /** Parse a `;`-separated "a b;th e;…" merge-rule literal. An empty
+    * string is the valid zero-rule table (a trainer's starting state). */
   def parseBpeRules(rules: UTF8String): Array[Array[String]] =
-    rules.toString.split(";").map(_.split(" ", 2))
+    rules.toString.split(";").filter(_.contains(" ")).map(_.split(" ", 2))
 
   /** All ordered pairs (x, y) with x before y in `arr` (callers pass a
     * sorted distinct array, so x < y), as structs — plus, when

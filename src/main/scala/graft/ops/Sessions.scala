@@ -102,6 +102,55 @@ object Sessions {
       |WHERE click_sec <= purchase_sec AND click_sec >= purchase_sec - 1800
       |ORDER BY user_id, purchase_id, click_id""".stripMargin
 
+  /** The ACTUAL `session_window` operator in the oracle gate:
+    * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
+    * this query gates Spark's native session-window group key — the one
+    * construct that runs unchanged under Structured Streaming with
+    * merging session state ([[graft.streaming.StreamingOps]] uses it
+    * with a watermark). Boundary semantics, established EMPIRICALLY
+    * against sf0.1 (which contains an exact-timeout gap): an event
+    * landing exactly at the previous session's end MERGES into it —
+    * session_window treats the window as closed at [start, last+gap],
+    * so a new session opens only when the gap is STRICTLY greater than
+    * the 30-minute timeout. The oracle mirrors that `> 1800` boundary
+    * (note [[qSessionize]]'s islands spelling happens to use the same
+    * strict inequality); the window end is last-event + timeout.
+    * Event times compare on whole seconds (the ns-parquet vs µs-read
+    * rule); `timestamp_seconds` rebuilds a timestamp from the truncated
+    * epoch so the operator sees second-aligned event time. */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("tsec", timestamp_seconds(floor($"ts".cast("double")).cast("long")))
+      .groupBy($"user_id", session_window($"tsec", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"user_id",
+        unix_timestamp($"w.start").as("session_start"),
+        unix_timestamp($"w.end").as("session_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |g AS (
+      |  SELECT *, tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS gap_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, min(tsec) AS session_start,
+      |  max(tsec) + 1800 AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Sessionization: 30-minute-gap sessions per user via lag + cumulative
     * session counter — the batch formulation; `session_window(ts, '30 minutes')`
     * is the streaming-mode equivalent (see StreamingOps). */
@@ -1194,6 +1243,7 @@ object Sessions {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_sessionize" -> (qSessionize _))
@@ -1221,6 +1271,7 @@ object Sessions {
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,
     "q_stream_join" -> streamJoinSql,
+    "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_sessionize" -> sessionizeSql)

@@ -471,6 +471,24 @@ class SessionsEvalSpec extends GraftSuite {
       ev.count(_._3 == "purchase").toLong)
   }
 
+  test("q_session_window partitions all events; windows respect the timeout") {
+    val r = rows(Sessions.qSessionWindow(spark, sf))
+    val nEvents = graft.tables.Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "session windows must partition every event")
+    // per user: windows ordered, non-overlapping, end = last event + gap
+    r.groupBy(_.getLong(0)).values.foreach { sessions =>
+      val sorted = sessions.sortBy(_.getAs[Long]("session_start"))
+      sorted.foreach { s =>
+        assert(s.getAs[Long]("session_end") >= s.getAs[Long]("session_start") + 1800)
+      }
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a.getAs[Long]("session_end") <= b.getAs[Long]("session_start"),
+          "merged session windows must not overlap")
+      }
+    }
+  }
+
   test("q_stream_join matches a driver-side interval replay") {
     val ev = graft.tables.Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "event_type",

@@ -742,6 +742,60 @@ class TextSpec extends GraftSuite {
       "oracle chain and graft_bpe kernel must segment identically")
   }
 
+  test("tokenizer lifecycle capstone: merges learned from corpus counts drive graft_bpe") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // the full tokenizer-training loop at vocabulary level: segment the
+    // vocab under the current merge table (graft_bpe with k rules),
+    // count adjacent symbol pairs weighted by word frequency, adopt the
+    // top pair as rule k+1 — the exact loop q_bpe_merges is the first
+    // iteration of, closed end-to-end through the apply kernel
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .where($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    def topPair(rulesStr: String): (String, Long) = {
+      val enc = call_function("graft_bpe", $"w", lit(rulesStr))
+      val r = words.select($"freq", enc.as("enc"))
+        .where(size($"enc") >= 2)
+        .select($"freq", explode(transform(sequence(lit(1), size($"enc") - 1),
+          i => concat(element_at($"enc", i), lit(" "),
+            element_at($"enc", i + 1)))).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1).head()
+      (r.getString(0), r.getLong(1))
+    }
+    var rules = Vector.empty[String]
+    var counts = Vector.empty[Long]
+    for (_ <- 1 to 6) {
+      val (p, c) = topPair(rules.mkString(";"))
+      rules :+= p; counts :+= c
+    }
+    // round 1 must agree with the gated trainer statistics query
+    val firstFromQuery = rows(Text.qBpeMerges(spark, sf)).head
+    assert(rules.head.replace(" ", "") ==
+      firstFromQuery.getString(0) && counts.head == firstFromQuery.getLong(1),
+      s"round-1 merge ${rules.head} must be q_bpe_merges' top pair")
+    // the max adjacent-pair count is non-increasing: a merge can create
+    // new pairs but never more frequent ones than the pair it consumed
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"pair counts must be monotone non-increasing: $counts")
+    // segmentation under the learned table is lossless and at fixpoint
+    val encFinal = call_function("graft_bpe", $"w", lit(rules.mkString(";")))
+    assert(words.where(array_join(encFinal, "") =!= $"w").count() == 0,
+      "subword concatenation must reconstruct every word")
+    rules.foreach { rule =>
+      val Array(a, b) = rule.split(" ", 2)
+      val adj = words.select(encFinal.as("enc")).where(size($"enc") >= 2)
+        .select(explode(transform(sequence(lit(1), size($"enc") - 1),
+          i => struct(element_at($"enc", i).as("x"),
+            element_at($"enc", i + 1).as("y")))).as("p"))
+        .where($"p.x" === a && $"p.y" === b)
+      assert(adj.count() == 0, s"learned rule ($a, $b) must be exhausted")
+    }
+  }
+
   test("q_pretokenize matches a driver-side regex replay, GPT-2 conventions hold") {
     val r = rows(Text.qPretokenize(spark, sf)).map(x => (x.getString(0), x.getLong(1)))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
