@@ -336,4 +336,33 @@ class PlanShapeSpec extends GraftSuite {
             df.queryExecution.optimizedPlan)
       }
   }
+
+  test("q_decontam_ngram restricts train shingles with a LEFT SEMI join") {
+    val plan = planOf("q_decontam_ngram")
+    assert(plan.contains("LeftSemi"),
+      s"the eval-digest restriction must be a semi-join, not a full join:\n$plan")
+  }
+
+  test("q_simhash_neardup blocks with equi-joins only") {
+    val plan = planOf("q_simhash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band blocking must equi-join on (band, code):\n$plan")
+  }
+
+  test("q_ann_ivfpq builds the cell-tagged index in one embeddings scan") {
+    val plan = planOf("q_ann_ivfpq")
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    // one scan feeds the compressed index, one the bounded probe side —
+    // the old scan+scan+self-join spelling planned three
+    assert(scans <= 2, s"expected <= 2 embeddings scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_session_window plans the native session-window operator") {
+    val plan = planOf("q_session_window")
+    assert(plan.contains("Sessions") || plan.contains("session_window"),
+      s"the native session-window aggregation must appear:\n$plan")
+  }
 }
