@@ -365,4 +365,48 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan.contains("Sessions") || plan.contains("session_window"),
       s"the native session-window aggregation must appear:\n$plan")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the OTHER half of the skew story beside q_join_skew_salted's manual
+    // salting: at 100 TB the first line of defense is AQE's runtime
+    // re-plan, which detects a post-shuffle partition dwarfing the median
+    // and splits it. Build a join where one key holds ~all probe rows and
+    // assert the final sort-merge join is marked skew-handled.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // half the probe rows land on ONE key → one post-shuffle partition
+      // dwarfs the median by far more than the factor-2 trigger
+      val skewed = spark.range(400000)
+        .select(when($"id" % 2 === 0, lit(0L)).otherwise($"id").as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(50000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = skewed.join(dim, "k")
+      // execute THIS df's own plan (count() would build a different
+      // QueryExecution and leave this one's AQE plan unfinalized)
+      assert(joined.queryExecution.toRdd.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE must mark the skewed partition split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
