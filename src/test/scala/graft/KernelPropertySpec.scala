@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextKernels
+import graft.ops.Similarity
+
+/** ScalaCheck properties of the round-8 kernels — pure-JVM laws that do
+  * not depend on a Spark session, so they fuzz far wider input spaces
+  * than the fixture corpus:
+  *  - `TextKernels.bpe` against a naive repeat-until-fixpoint reference
+  *    (canonical per-rule leftmost merging), plus losslessness and the
+  *    end-of-word-marker contract, over random words and random rule
+  *    tables — including rules that merge INTO the `</w>` marker;
+  *  - the SimHash band geometry's pigeonhole recall guarantee: any two
+  *    60-bit fingerprints within the declared Hamming radius collide in
+  *    at least one 15-bit band (pins the 4×15/radius-3 constants — a
+  *    "harmless" geometry change would silently void the guarantee). */
+class KernelPropertySpec extends GraftSuite {
+
+  private def bpeTokens(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    val arr = TextKernels.bpe(UTF8String.fromString(word),
+      rules.map { case (a, b) => Array(a, b) }.toArray)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  /** Naive canonical reference: per rule in order, repeatedly merge the
+    * leftmost adjacent occurrence until none remains. */
+  private def bpeReference(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString) :+ "</w>"
+    for ((a, b) <- rules) {
+      var changed = true
+      while (changed) {
+        val i = syms.indices.dropRight(1)
+          .find(i => syms(i) == a && syms(i + 1) == b)
+        changed = i.isDefined
+        i.foreach(i => syms = syms.patch(i, Seq(a + b), 2))
+      }
+    }
+    syms.filterNot(_ == "</w>")
+  }
+
+  private val genWord: Gen[String] = for {
+    n <- Gen.chooseNum(1, 24)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')) // narrow alphabet
+  } yield cs.mkString                                   // forces rule collisions
+
+  private val genSym: Gen[String] = Gen.oneOf(
+    Gen.oneOf("a", "b", "c", "d"),
+    Gen.oneOf("ab", "ba", "cc", "ad", "bc"),
+    Gen.const("</w>"))
+
+  private val genRules: Gen[List[(String, String)]] =
+    Gen.listOfN(8, Gen.zip(genSym, genSym))
+      .map(_.filterNot { case (a, b) => a == "</w>" && b == "</w>" })
+
+  test("graft_bpe equals the canonical repeat-until-fixpoint reference") {
+    checkProp(Prop.forAll(genWord, genRules) { (w, rules) =>
+      bpeTokens(w, rules) == bpeReference(w, rules)
+    }, "bpe == reference")
+  }
+
+  test("graft_bpe segmentation is lossless and never emits a bare marker") {
+    checkProp(Prop.forAll(genWord, genRules) { (w, rules) =>
+      val toks = bpeTokens(w, rules)
+      // strip marker text merged into subwords, then compare
+      toks.mkString.replace("</w>", "") == w && !toks.contains("</w>")
+    }, "bpe lossless + marker contract")
+  }
+
+  test("simhash band geometry guarantees recall at the declared radius") {
+    val bits = Similarity.SimhashBits
+    val bands = Similarity.SimhashBands
+    val bandBits = Similarity.SimhashBandBits
+    val radius = Similarity.SimhashMaxHamming
+    assert(bands * bandBits == bits, "bands must tile the fingerprint")
+    assert(radius < bands,
+      "pigeonhole needs fewer flipped bits than bands")
+    val genFp = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(_ & ((1L << bits) - 1))
+    val genFlips = Gen.chooseNum(0, radius).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(0, bits - 1)))
+    checkProp(Prop.forAll(genFp, genFlips) { (fp, flips) =>
+      val other = flips.foldLeft(fp)((f, b) => f ^ (1L << b))
+      val mask = (1L << bandBits) - 1
+      (0 until bands).exists { b =>
+        ((fp >> (b * bandBits)) & mask) == ((other >> (b * bandBits)) & mask)
+      }
+    }, "pigeonhole recall at radius <= 3")
+  }
+}
