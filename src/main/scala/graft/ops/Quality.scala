@@ -28,6 +28,30 @@ import graft.tables.Tables
   */
 object Quality {
 
+  // ------------------------------------------------------ inline metrics
+
+  /** Attach FREE inline metrics to a frame via `Dataset.observe` — the
+    * production spelling of "profile the data you're already writing":
+    * the metrics piggyback on whatever action consumes the frame (the
+    * 100 TB sink write), so row counts, null counts and sums cost ZERO
+    * extra scans, unlike running [[qColumnProfile]] after the fact.
+    * Returns the instrumented frame plus the [[Observation]] handle to
+    * read once the action completes. Numeric columns contribute a
+    * null count and an exact DECIMAL(38,2) sum (summation-order-safe);
+    * every column contributes a null count. */
+  def observedMetrics(df: DataFrame, numericCols: Seq[String],
+      otherCols: Seq[String] = Nil): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics =
+      count(lit(1)).as("n_rows") +:
+      (numericCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        sum(col(c).cast("decimal(38,2)")).as(s"${c}_sum"))) ++
+       otherCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+
   // ---------------------------------------------------------------- profile
 
   /** Per-column profile of `orders` — rows, nulls, distincts, min/max —

@@ -75,6 +75,23 @@ class QualityFormatsSpec extends GraftSuite {
     assert(got.nonEmpty && got.values.forall(n => n >= 1 && n < 5))
   }
 
+  test("observedMetrics rides the consuming action — no second scan, exact values") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    val (instrumented, obs) = Quality.observedMetrics(
+      orders, Seq("o_totalprice"), Seq("o_orderpriority"))
+    // the metrics materialize with the frame's OWN action (here a write-
+    // shaped count), not a separate profiling job
+    val n = instrumented.count()
+    val m = obs.get
+    assert(m("n_rows") == n)
+    assert(m("o_totalprice_nulls") == 0L && m("o_orderpriority_nulls") == 0L)
+    val direct = orders.agg(
+      sum(col("o_totalprice").cast("decimal(38,2)"))).head().getDecimal(0)
+    assert(m("o_totalprice_sum") == direct,
+      s"observed sum must equal the direct aggregate: ${m("o_totalprice_sum")} vs $direct")
+  }
+
   test("q_t_closeness: distances match an exact variational replay") {
     val cust = Tables.customer(spark, sf)
       .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
