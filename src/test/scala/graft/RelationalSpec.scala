@@ -319,4 +319,26 @@ class RelationalSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global sort must not window:\n$plan")
   }
+
+  test("the SQL front door: temp views and graft kernels from spark.sql") {
+    import org.apache.spark.sql.functions._
+    // a user of the library can stay in SQL text: tables as temp views,
+    // the injected graft_* kernels resolvable by name
+    graft.tables.Tables.lineitem(spark, sf).createOrReplaceTempView("li_v")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM li_v GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val viaDf = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+    val k = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_shingles('a b c', 2) AS s,
+        |       graft_bpe('the', 't h;th e') AS b""".stripMargin).head()
+    assert(k.getDouble(0) == 11.0)
+    assert(k.getSeq[String](1) == Seq("a b", "b c"))
+    assert(k.getSeq[String](2) == Seq("the"))
+  }
 }
