@@ -184,6 +184,25 @@ case class BpeEncode(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe"
 
+  // the rule table parses ONCE per plan, so the argument must be a
+  // non-null literal — enforced at ANALYSIS time (the function is on the
+  // public SQL front door; without this check a column argument would
+  // surface as an opaque NPE from eval(null) during planning)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (word STRING, rules STRING), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName rules must be a foldable string literal")
+    else if (right.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName rules must not be NULL")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   private lazy val rules: Array[Array[String]] =
     TextKernels.parseBpeRules(right.eval(null).asInstanceOf[UTF8String])
 

@@ -101,15 +101,20 @@ object Ann {
     * graft_sqdist per subspace, ties to lower id — array_min's struct
     * ordering). Two stages: the M sub-slices materialize as plain
     * attributes first, so each subspace slices its vector once, not ksub
-    * times. */
+    * times. `extra` columns (computed from the raw `__v` vector, e.g. an
+    * IVF cell assignment) project out of the SAME scan — the single
+    * implementation both the plain ADC path and the IVF-PQ composition
+    * share, so the tie-break/slicing subtleties the oracles pin exist
+    * exactly once. */
   private def pqEncode(data: DataFrame, idCol: String, dv: Column,
-      index: PqIndex): DataFrame = {
+      index: PqIndex, extra: Seq[(String, Column)] = Nil): DataFrame = {
     val cb = cbLit(index)
     val sliced = data.withColumn("__v", dv)
       .select(col(idCol).as("cand_id") +:
-        (0 until index.m).map(mi =>
-          slice(col("__v"), mi * index.dsub + 1, index.dsub).as(s"__s$mi")): _*)
-    sliced.select(col("cand_id"),
+        (extra.map { case (n, c) => c.as(n) } ++
+         (0 until index.m).map(mi =>
+           slice(col("__v"), mi * index.dsub + 1, index.dsub).as(s"__s$mi"))): _*)
+    sliced.select(col("cand_id") +: (extra.map(e => col(e._1)) :+
       array((0 until index.m).map { mi =>
         array_min(transform(sequence(lit(0), lit(index.ksub - 1)), ci =>
           struct(
@@ -117,7 +122,7 @@ object Ann {
               element_at(element_at(cb, mi + 1), ci + 1)).as("d"),
             ci.as("c"))))
           .getField("c")
-      }: _*).as("codes"))
+      }: _*).as("codes")): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k: each probe precomputes its M × ksub
@@ -177,25 +182,13 @@ object Ann {
       nprobe: Int): DataFrame = {
     val dv = transform(col(vecCol), _.cast("double"))
     // cell-tagged compressed index: (cell, cand_id, codes) built in ONE
-    // corpus scan — the coarse assignment and the M sub-slices project
-    // out of the same row (no second scan, no index self-join); the PQ
-    // codebook rides the one-node [[cbLit]] literal (same rationale as
-    // pqAdcTopK, no checkpoint barrier needed)
+    // corpus scan — the coarse assignment projects out of pqEncode's own
+    // scan as an extra column (no second scan, no index self-join); the
+    // PQ codebook rides the one-node [[cbLit]] literal (same rationale
+    // as pqAdcTopK, no checkpoint barrier needed)
     val cb = cbLit(pq)
-    val sliced = data.withColumn("__v", dv)
-      .select(col(idCol).as("cand_id") +:
-        assignExpr(col("__v"), coarse).as("cell") +:
-        (0 until pq.m).map(mi =>
-          slice(col("__v"), mi * pq.dsub + 1, pq.dsub).as(s"__s$mi")): _*)
-    val coded = sliced.select(col("cand_id"), col("cell"),
-      array((0 until pq.m).map { mi =>
-        array_min(transform(sequence(lit(0), lit(pq.ksub - 1)), ci =>
-          struct(
-            call_function("graft_sqdist", col(s"__s$mi"),
-              element_at(element_at(cb, mi + 1), ci + 1)).as("d"),
-            ci.as("c"))))
-          .getField("c")
-      }: _*).as("codes"))
+    val coded = pqEncode(data, idCol, dv, pq,
+      extra = Seq("cell" -> assignExpr(col("__v"), coarse)))
     val lutExpr = array((0 until pq.m).map { mi =>
       val sub = slice(col("__v"), mi * pq.dsub + 1, pq.dsub)
       transform(sequence(lit(0), lit(pq.ksub - 1)), ci =>

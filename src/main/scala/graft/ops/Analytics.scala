@@ -988,14 +988,7 @@ object Analytics {
   private[graft] def ranksOfCounts(vc: DataFrame, key: String, v: String,
       ranks: Seq[(String, Column => Column)],
       windowMaxRows: Long = 4000000L): DataFrame =
-    // sentinel bounds skip the dispatch count() job: 0 forces the
-    // bucketed arm, MaxValue forces the one-window arm — for callers
-    // that already know their cardinality regime and whose job count is
-    // the cost that matters (q_outlier_filter runs two selections
-    // back-to-back inside one query)
-    if (windowMaxRows == 0L) ranksOfCountsBucketed(vc, key, v, ranks)
-    else if (windowMaxRows == Long.MaxValue) ranksOfCountsWindow(vc, key, v, ranks)
-    else if (vc.count() <= windowMaxRows) ranksOfCountsWindow(vc, key, v, ranks)
+    if (vc.count() <= windowMaxRows) ranksOfCountsWindow(vc, key, v, ranks)
     else ranksOfCountsBucketed(vc, key, v, ranks)
 
   /** One-window rank selection: per-key running count over distinct
@@ -1091,12 +1084,12 @@ object Analytics {
     * Rank selection rides [[ranksOfCounts]]' two-phase bucket refinement
     * (no per-key full-value sort anywhere). */
   private def medianOfCounts(vc: DataFrame, key: String, v: String,
-      out: String, windowMaxRows: Long = 4000000L): DataFrame =
+      out: String): DataFrame =
     // 1-based interpolation ranks for p=0.5: lo = floor((n+1)/2),
     // hi = floor(n/2)+1 — equal when n is odd
     ranksOfCounts(vc, key, v, Seq(
       "__vlo" -> (n => ((n + 1) / 2).cast("long")),
-      "__vhi" -> (n => (n / 2).cast("long") + 1)), windowMaxRows)
+      "__vhi" -> (n => (n / 2).cast("long") + 1)))
       .select(col(key), ((col("__vlo") + col("__vhi")) / 2.0).as(out))
 
   /** General p-quantile over an ALREADY value-counted (key, v, __c)
@@ -1206,27 +1199,31 @@ object Analytics {
     * come from the same table. */
   def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Structure note (measured under bench conditions, cold):
-    // checkpointed multi-job spelling ~4-5 s; a fully-lazy one-plan
-    // spelling relying on exchange reuse was WORSE cold (5.3-6.6 s —
-    // the tripled vc subtree pays planning+codegen before reuse can
-    // help). The winning shape keeps the three checkpoints (each heavy
-    // relation materializes exactly once) and drops the two per-median
-    // dispatch count() jobs via the MaxValue sentinel: integer-cent
-    // prices are domain-bounded (~10⁷ distinct), the one-window arm's
-    // regime, so the runtime dispatch had nothing to decide.
+    // Structure note (measured under bench conditions, cold, against a
+    // same-run reference query for noise control): the checkpointed
+    // multi-job spelling with RUNTIME-DISPATCHED rank selection is the
+    // winner at ~4 s. Both "clever" alternatives measured worse: a
+    // fully-lazy one-plan spelling relying on exchange reuse paid
+    // 5.3-6.6 s cold (the tripled vc subtree pays planning+codegen
+    // before reuse can help), and forcing the bucketed arm to skip the
+    // two dispatch count() jobs paid 4.4-7.2 s (its per-median stats
+    // checkpoints cost more jobs than the counts they replaced). The
+    // dispatch itself is the scale story: per-flag distinct price
+    // counts grow with SF, and past the window arm's 4M-row ceiling the
+    // SAME query flips to the bucketed arm's ≤2048-row windows instead
+    // of funneling a flag's whole value set through one task.
     val vc = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    val med = medianOfCounts(vc, "flag", "price_c", "med", Long.MaxValue)
+    val med = medianOfCounts(vc, "flag", "price_c", "med")
       .localCheckpoint(true)
     val devCounts = vc.join(broadcast(med), "flag")
       .groupBy($"flag", abs($"price_c" - $"med").as("dev"))
       .agg(sum($"__c").as("__c"))
       .localCheckpoint(true)
-    val mad = medianOfCounts(devCounts, "flag", "dev", "mad", Long.MaxValue)
+    val mad = medianOfCounts(devCounts, "flag", "dev", "mad")
     vc.join(broadcast(med.join(mad, "flag")), "flag")
       .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")
       .groupBy($"flag")

@@ -357,9 +357,13 @@ object Quality {
     * Exactness: the distance is computed on the INTEGER cross-multiplied
     * numerator Σ_s |c_cs·N − g_s·n_c| (absent segments contribute their
     * full g_s·n_c via the grid join — forgetting them understates the
-    * distance), scaled to ppm with one integer division. Needs
-    * c·N < 2^63 — exact through ~3e9 rows; widen to DECIMAL(38,0) past
-    * that (same bound note as the KS/CUSUM integer numerators).
+    * distance), scaled to ppm with one integer division. Every product,
+    * the segment sum, and the ×5·10⁵ ppm scaling run WIDENED —
+    * DECIMAL(38,0) here, HUGEINT in the oracle — because the chained
+    * bound is num·5·10⁵ ≤ 10⁶·class_size·n_tot, which wraps a BIGINT
+    * already at class_size·n_tot ≈ 9·10¹² (a 10⁵-row class in a 10⁹-row
+    * table), far below the naive single-term estimate; widened, the
+    * report is exact to ~10³⁸ and both engines floor identically.
     * Scale shape: two hash aggregates (per-(class, segment) and
     * per-class) plus TWO broadcast dimensions (segment totals, the 1-row
     * N); the grid join is |classes| × |segments|-bounded — fact rows
@@ -381,11 +385,12 @@ object Quality {
       .crossJoin(broadcast(tot))
       .groupBy($"nation", $"bal_band")
       .agg(min($"class_size").as("class_size"),
-        sum(abs(coalesce($"c_cs", lit(0L)) * $"n_tot" -
-          $"g_s" * $"class_size")).as("num"),
+        sum(abs(coalesce($"c_cs", lit(0L)).cast("decimal(38,0)") * $"n_tot" -
+          $"g_s".cast("decimal(38,0)") * $"class_size")).as("num"),
         min($"n_tot").as("n_tot"))
       .select($"nation", $"bal_band", $"class_size",
-        expr("num * 500000 DIV (class_size * n_tot)").as("dist_ppm"))
+        expr("CAST(num * 500000 AS DECIMAL(38,0)) " +
+          "DIV (CAST(class_size AS DECIMAL(38,0)) * n_tot)").as("dist_ppm"))
       .where($"dist_ppm" > TClosenessPpm)
       .orderBy($"nation", $"bal_band")
   }
@@ -405,17 +410,17 @@ object Quality {
       |tot AS (SELECT count(*) AS n_tot FROM base),
       |d AS (
       |  SELECT cls.nation, cls.bal_band, cls.class_size, tot.n_tot,
-      |    sum(abs(COALESCE(cs.c_cs, 0) * tot.n_tot
-      |            - seg.g_s * cls.class_size)) AS num
+      |    sum(abs(CAST(COALESCE(cs.c_cs, 0) AS HUGEINT) * tot.n_tot
+      |            - CAST(seg.g_s AS HUGEINT) * cls.class_size)) AS num
       |  FROM cls CROSS JOIN seg
       |  LEFT JOIN cs ON cs.nation = cls.nation AND cs.bal_band = cls.bal_band
       |              AND cs.c_mktsegment = seg.c_mktsegment
       |  CROSS JOIN tot
       |  GROUP BY 1, 2, 3, 4)
       |SELECT nation, bal_band, CAST(class_size AS BIGINT) AS class_size,
-      |  CAST(num * 500000 // (class_size * n_tot) AS BIGINT) AS dist_ppm
+      |  CAST(num * 500000 // (CAST(class_size AS HUGEINT) * n_tot) AS BIGINT) AS dist_ppm
       |FROM d
-      |WHERE num * 500000 // (class_size * n_tot) > $TClosenessPpm
+      |WHERE num * 500000 // (CAST(class_size AS HUGEINT) * n_tot) > $TClosenessPpm
       |ORDER BY nation, bal_band""".stripMargin
 
   // ------------------------------------------------------------- registry

@@ -491,6 +491,31 @@ object Similarity {
       (((i * 37 + k * 1009) % 83).toDouble / 83.0 - 0.5) * 0.1
     }))
 
+  /** Shared oracle fragments for the fixed ANN indexes — the integer
+    * centroid formula, the nearest-cell assignment, and the nprobe probe
+    * expansion exist in ONE string, consumed by [[annIvfSql]] and
+    * [[annIvfPqSql]] (editing the geometry cannot leave the oracles
+    * gating different indexes). Requires a preceding CTE
+    * `vecs(vec_id, v)` with double vectors. */
+  private val ivfOracleCte: String =
+    s"""cent AS (
+      |  SELECT CAST(k AS INT) AS k, list_transform(range(1, 65), i ->
+      |    (CAST((i * 37 + k * 1009) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS c
+      |  FROM range(0, $IvfNlist) t(k)),
+      |ivfd AS (
+      |  SELECT vec_id, k,
+      |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM vecs, cent),
+      |assign AS (
+      |  SELECT vec_id, k AS cell FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM ivfd)
+      |  WHERE rn = 1),
+      |iprobes AS (
+      |  SELECT vec_id AS probe_id, k AS cell FROM (
+      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM ivfd
+      |    WHERE vec_id < 10)
+      |  WHERE rn <= $IvfNprobe)""".stripMargin
+
   /** IVF ANN cosine top-k through [[graft.ml.Ann.ivfCosineTopK]] — the
     * coarse-quantizer similarity-search scale path in the DuckDB gate:
     * every vector is assigned to its nearest cell (argmin of codegen'd
@@ -511,31 +536,16 @@ object Similarity {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (
       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      |cent AS (
-      |  SELECT CAST(k AS INT) AS k, list_transform(range(1, 65), i ->
-      |    (CAST((i * 37 + k * 1009) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS c
-      |  FROM range(0, $IvfNlist) t(k)),
-      |d AS (
-      |  SELECT vec_id, k,
-      |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-      |  FROM n, cent),
-      |assign AS (
-      |  SELECT vec_id, k AS cluster FROM (
-      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d)
-      |  WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS probe_id, k AS cluster FROM (
-      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d
-      |    WHERE vec_id < 10)
-      |  WHERE rn <= $IvfNprobe)
+      |vecs AS (SELECT vec_id, v FROM e),
+      |$ivfOracleCte
       |SELECT probe_id, rank, cand_id, round(cos, 6) + 0.0 AS cos FROM (
       |  SELECT p.probe_id, c.vec_id AS cand_id,
       |    list_sum(list_transform(list_zip(pn.v, n.v), x -> x[1] * x[2])) / (pn.nrm * n.nrm) AS cos,
       |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
       |      list_sum(list_transform(list_zip(pn.v, n.v), x -> x[1] * x[2])) / (pn.nrm * n.nrm) DESC,
       |      c.vec_id) AS rank
-      |  FROM probes p
-      |  JOIN assign c ON p.cluster = c.cluster AND c.vec_id <> p.probe_id
+      |  FROM iprobes p
+      |  JOIN assign c ON p.cell = c.cell AND c.vec_id <> p.probe_id
       |  JOIN n pn ON pn.vec_id = p.probe_id
       |  JOIN n ON n.vec_id = c.vec_id)
       |WHERE rank <= $IvfK ORDER BY probe_id, rank""".stripMargin
@@ -575,22 +585,21 @@ object Similarity {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** The PQ-ADC ranking as SQL, parameterized by the top-k cut —
-    * [[annPqSql]] is the gated k=[[PqK]] form; [[annPqRecallSql]] reuses
-    * the k=50 shortlist form. */
-  private def annPqSqlK(k: Int): String =
-    s"""WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |cb AS (
+  /** Shared oracle fragment for the fixed PQ codebooks — the codeword
+    * formula, the per-subspace encode, and the probe LUT exist in ONE
+    * string, consumed by [[annPqSqlK]] (and therefore the recall form)
+    * and [[annIvfPqSql]]. Requires a preceding CTE `vecs(vec_id, v)`. */
+  private val pqOracleCte: String =
+    s"""cb AS (
       |  SELECT CAST(m AS INT) AS m, CAST(c AS INT) AS c,
       |    list_transform(range(1, 9), j ->
       |      (CAST(((m*8 + j)*37 + c*1009 + m*7919) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS w
       |  FROM range(0, $PqM) mm(m), range(0, $PqKsub) cc(c)),
       |subd AS (
-      |  SELECT e.vec_id, cb.m, cb.c,
+      |  SELECT vecs.vec_id, cb.m, cb.c,
       |    list_sum(list_transform(list_zip(v[cb.m*8+1 : cb.m*8+8], cb.w),
       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-      |  FROM e, cb),
+      |  FROM vecs, cb),
       |enc AS (
       |  SELECT vec_id, m, c AS code FROM (
       |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
@@ -598,7 +607,15 @@ object Similarity {
       |  WHERE rn = 1),
       |lut AS (
       |  SELECT vec_id AS probe_id, m, c, CAST(round(d * 1e6) AS BIGINT) AS dq
-      |  FROM subd WHERE vec_id < 10),
+      |  FROM subd WHERE vec_id < 10)""".stripMargin
+
+  /** The PQ-ADC ranking as SQL, parameterized by the top-k cut —
+    * [[annPqSql]] is the gated k=[[PqK]] form; [[annPqRecallSql]] reuses
+    * the k=50 shortlist form. */
+  private def annPqSqlK(k: Int): String =
+    s"""WITH vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |$pqOracleCte,
       |pair AS (
       |  SELECT l.probe_id, enc.vec_id AS cand_id, CAST(sum(l.dq) AS BIGINT) AS adist
       |  FROM lut l JOIN enc ON l.m = enc.m AND l.c = enc.code
@@ -632,46 +649,13 @@ object Similarity {
   }
 
   val annIvfPqSql: String =
-    s"""WITH e AS (
+    s"""WITH vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |cent AS (
-      |  SELECT CAST(k AS INT) AS k, list_transform(range(1, 65), i ->
-      |    (CAST((i * 37 + k * 1009) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS c
-      |  FROM range(0, $IvfNlist) t(k)),
-      |cd AS (
-      |  SELECT vec_id, k,
-      |    list_sum(list_transform(list_zip(v, c), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-      |  FROM e, cent),
-      |assign AS (
-      |  SELECT vec_id, k AS cell FROM (
-      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd)
-      |  WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS probe_id, k AS cell FROM (
-      |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd
-      |    WHERE vec_id < 10)
-      |  WHERE rn <= $IvfNprobe),
-      |cb AS (
-      |  SELECT CAST(m AS INT) AS m, CAST(c AS INT) AS c,
-      |    list_transform(range(1, 9), j ->
-      |      (CAST(((m*8 + j)*37 + c*1009 + m*7919) % 83 AS DOUBLE) / 83.0 - 0.5) * 0.1) AS w
-      |  FROM range(0, $PqM) mm(m), range(0, $PqKsub) cc(c)),
-      |subd AS (
-      |  SELECT e.vec_id, cb.m, cb.c,
-      |    list_sum(list_transform(list_zip(v[cb.m*8+1 : cb.m*8+8], cb.w),
-      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
-      |  FROM e, cb),
-      |enc AS (
-      |  SELECT vec_id, m, c AS code FROM (
-      |    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
-      |    FROM subd)
-      |  WHERE rn = 1),
-      |lut AS (
-      |  SELECT vec_id AS probe_id, m, c, CAST(round(d * 1e6) AS BIGINT) AS dq
-      |  FROM subd WHERE vec_id < 10),
+      |$ivfOracleCte,
+      |$pqOracleCte,
       |cand AS (
       |  SELECT p.probe_id, a.vec_id AS cand_id
-      |  FROM probes p JOIN assign a ON p.cell = a.cell
+      |  FROM iprobes p JOIN assign a ON p.cell = a.cell
       |  WHERE a.vec_id <> p.probe_id),
       |pair AS (
       |  SELECT l.probe_id, enc.vec_id AS cand_id, CAST(sum(l.dq) AS BIGINT) AS adist

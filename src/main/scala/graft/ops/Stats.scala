@@ -344,7 +344,13 @@ object Stats {
         (n.cast("double") - 1.0)
     val se1 = v($"q1", $"s1", $"n1") / $"n1".cast("double")
     val se2 = v($"q2", $"s2", $"n2") / $"n2".cast("double")
-    j.select($"source", $"n1".as("n_src"),
+    // degenerate-sample guard: a 1-doc source gives 0/0 variance and a
+    // pair of zero-variance samples a 0 standard error — either would
+    // emit NaN/Inf rows; such sources are excluded (identically on both
+    // engines) rather than reported with non-numbers
+    j.where($"n1" >= 2 && $"n2" >= 2)
+      .where(v($"q1", $"s1", $"n1") + v($"q2", $"s2", $"n2") > 0.0)
+      .select($"source", $"n1".as("n_src"),
         round(m($"s1", $"n1"), 4).as("mean_src"),
         round(m($"s2", $"n2"), 4).as("mean_rest"),
         (round((m($"s1", $"n1") - m($"s2", $"n2")) / sqrt(se1 + se2), 4)
@@ -386,7 +392,9 @@ object Stats {
       |  round((se1 + se2) * (se1 + se2)
       |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
       |     + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 2) AS df
-      |FROM c ORDER BY source""".stripMargin
+      |FROM c
+      |WHERE n1 >= 2 AND n2 >= 2 AND se1 + se2 > 0
+      |ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------- registry
 

@@ -66,7 +66,8 @@ class DeterminismSpec extends GraftSuite {
     "q_t_closeness",
     "q_pretokenize",
     "q_welch_ttest",
-    "q_stream_join").foreach { name =>
+    "q_stream_join",
+    "q_session_window").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

@@ -796,6 +796,20 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("graft_bpe rejects non-literal or NULL rules at analysis time") {
+    import spark.implicits._
+    val df = Seq(("the", "t h")).toDF("w", "r")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe", $"w", $"r")).collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_bpe", $"w",
+        lit(null).cast("string"))).collect()
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("q_pretokenize matches a driver-side regex replay, GPT-2 conventions hold") {
     val r = rows(Text.qPretokenize(spark, sf)).map(x => (x.getString(0), x.getLong(1)))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
