@@ -1814,6 +1814,78 @@ object Similarity {
       |WHERE t.bucket < 80
       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** Eval-set n-gram coverage — the RECALL direction of
+    * [[qDecontamNgram]]: decontam asks "which TRAIN docs must drop";
+    * this asks "how much of each eval doc's content the train set
+    * already contains" (the number a benchmark-leakage dashboard
+    * tracks per eval source — high coverage means the benchmark can be
+    * answered from memorization). Per eval-split source: eval docs,
+    * distinct eval 13-grams, how many of those appear anywhere in the
+    * train split, coverage ppm.
+    *
+    * Shape: the same one shingle pass / 120-bit digests / hash split as
+    * decontam, but aggregated from the EVAL side: distinct eval
+    * (source, digest) rows semi-joined against the distinct train
+    * digest set. Same no-broadcast-hint rationale. */
+  def qNgramCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"))
+    val sh = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
+      .select($"source", $"bucket", md5($"s").as("m"))
+      .select($"source", $"bucket",
+        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+    val tr = sh.where($"bucket" < 80).select($"h1", $"h2").distinct()
+    val ev = sh.where($"bucket" >= 90)
+      .select($"source", $"h1", $"h2").distinct()
+    val covered = ev.join(tr, Seq("h1", "h2"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_covered"))
+    val evalDocs = docs.where($"bucket" >= 90)
+      .groupBy($"source").agg(count(lit(1)).as("n_eval_docs"))
+    ev.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      .join(covered, Seq("source"), "left")
+      .join(evalDocs, Seq("source"), "left")
+      .select($"source", coalesce($"n_eval_docs", lit(0L)).as("n_eval_docs"),
+        $"n_grams", coalesce($"n_covered", lit(0L)).as("n_covered"),
+        expr("coalesce(n_covered, 0) * 1000000 DIV n_grams").as("coverage_ppm"))
+      .orderBy($"source")
+  }
+
+  val ngramCoverageSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, bucket,
+      |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${DecontamN - 1}], ' ')), 1, 15) AS BIGINT) AS h1,
+      |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${DecontamN - 1}], ' ')), 17, 15) AS BIGINT) AS h2
+      |  FROM t, UNNEST(range(1, len(toks) - ${DecontamN - 2})) u(i)
+      |  WHERE len(toks) >= $DecontamN),
+      |tr AS (SELECT DISTINCT h1, h2 FROM sh WHERE bucket < 80),
+      |ev AS (SELECT DISTINCT source, h1, h2 FROM sh WHERE bucket >= 90),
+      |cov AS (
+      |  SELECT source, count(*) AS n_covered
+      |  FROM ev SEMI JOIN tr USING (h1, h2)
+      |  GROUP BY 1),
+      |ed AS (
+      |  SELECT source, count(*) AS n_eval_docs FROM t
+      |  WHERE bucket >= 90 GROUP BY 1),
+      |g AS (SELECT source, count(*) AS n_grams FROM ev GROUP BY 1)
+      |SELECT g.source, COALESCE(ed.n_eval_docs, 0) AS n_eval_docs,
+      |  g.n_grams, COALESCE(cov.n_covered, 0) AS n_covered,
+      |  COALESCE(cov.n_covered, 0) * 1000000 // g.n_grams AS coverage_ppm
+      |FROM g LEFT JOIN cov ON g.source = cov.source
+      |LEFT JOIN ed ON g.source = ed.source
+      |ORDER BY g.source""".stripMargin
+
   /** Near-dup cluster resolution (north-star — the dedup pipeline's FINAL
     * step): the shingle-Jaccard pair set resolved to connected components
     * via [[graft.ml.Dedup.connectedComponents]] (iterative min-label
@@ -2061,6 +2133,7 @@ object Similarity {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_contamination" -> (qContamination _),
     "q_decontam_ngram" -> (qDecontamNgram _),
+    "q_ngram_coverage" -> (qNgramCoverage _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_stratified_split" -> (qStratifiedSplit _),
     "q_source_mix" -> (qSourceMix _),
@@ -2093,6 +2166,7 @@ object Similarity {
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_contamination" -> contaminationSql,
     "q_decontam_ngram" -> decontamNgramSql,
+    "q_ngram_coverage" -> ngramCoverageSql,
     "q_simhash_neardup" -> simhashNeardupSql,
     "q_stratified_split" -> stratifiedSplitSql,
     "q_source_mix" -> sourceMixSql,

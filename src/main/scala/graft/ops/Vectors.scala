@@ -316,8 +316,64 @@ object Vectors {
       |  round(mx / 1e6, 6) AS max_v
       |FROM a ORDER BY dim""".stripMargin
 
+  /** Embedding norm outliers — the VECTOR-level companion to
+    * [[qEmbeddingStats]]' per-dimension profile: vectors whose squared
+    * L2 norm sits more than 3σ from the corpus mean are exactly the
+    * broken rows an embedding pipeline ships (zeroed vectors from a
+    * failed encode, exploded ones from a missing normalization), and at
+    * 100 TB they silently poison every cosine downstream unless this
+    * audit drops them first.
+    *
+    * Exactness: each element quantizes to integer micro-units; the
+    * squared norm is then an exact ≤2⁴⁸-magnitude integer computed as a
+    * codegen'd `graft_dot` of the quantized vector with itself (double
+    * arithmetic is EXACT for integers below 2⁵³). The corpus moments
+    * widen to DECIMAL(38,0)/HUGEINT (Σnsq wraps a BIGINT past ~3·10⁴
+    * vectors of this scale... at 10⁹ rows, and Σnsq² already at the
+    * gated SFs); mean/σ and the 3σ gate are identical double operand
+    * order on both engines. Scale: one scan + a 1-row broadcast. */
+  def qEmbedNormOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val md = transform($"embedding", x => round(x.cast("double") * 1e6))
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        call_function("graft_dot", md, md).cast("long").as("nsq"))
+    val stats = v.agg(count(lit(1)).as("n"),
+      sum($"nsq".cast("decimal(38,0)")).as("s"),
+      sum($"nsq".cast("decimal(38,0)") * $"nsq").as("ss"))
+    v.crossJoin(broadcast(stats))
+      .withColumn("mean", $"s".cast("double") / $"n")
+      .withColumn("sd", sqrt($"ss".cast("double") / $"n" - $"mean" * $"mean"))
+      .where(abs($"nsq" - $"mean") > lit(3.0) * $"sd")
+      .select($"vec_id",
+        round(sqrt($"nsq".cast("double")) / 1e6, 6).as("norm"),
+        (round(($"nsq" - $"mean") / $"sd", 4) + 0.0).as("z"))
+      .orderBy($"vec_id")
+  }
+
+  val embedNormOutliersSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(embedding,
+      |    x -> round(CAST(x AS DOUBLE)*1e6) * round(CAST(x AS DOUBLE)*1e6)))
+      |    AS BIGINT) AS nsq
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT count(*) AS n, sum(CAST(nsq AS HUGEINT)) AS s,
+      |    sum(CAST(nsq AS HUGEINT) * nsq) AS ss
+      |  FROM v),
+      |j AS (
+      |  SELECT vec_id, nsq, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(CAST(ss AS DOUBLE) / n -
+      |      (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      |  FROM v CROSS JOIN st)
+      |SELECT vec_id, round(sqrt(CAST(nsq AS DOUBLE)) / 1e6, 6) AS norm,
+      |  round((nsq - mean) / sd, 4) + 0.0 AS z
+      |FROM j WHERE abs(nsq - mean) > 3.0 * sd
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_stats" -> (qEmbeddingStats _),
+    "q_embed_norm_outliers" -> (qEmbedNormOutliers _),
     "q_vector_relu" -> (qVectorRelu _),
     "q_vector_hellinger" -> (qVectorHellinger _),
     "q_standard_scale" -> (qStandardScale _),
@@ -330,6 +386,7 @@ object Vectors {
 
   val oracle: Map[String, String] = Map(
     "q_embedding_stats" -> embeddingStatsSql,
+    "q_embed_norm_outliers" -> embedNormOutliersSql,
     "q_vector_relu" -> vectorReluSql,
     "q_vector_hellinger" -> vectorHellingerSql,
     "q_standard_scale" -> standardScaleSql,

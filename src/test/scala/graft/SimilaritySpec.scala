@@ -532,6 +532,36 @@ class SimilaritySpec extends GraftSuite {
       .get.getAs[Long]("n_contaminated") >= 1)
   }
 
+  test("q_ngram_coverage is bounded and detects a planted eval-in-train copy") {
+    import spark.implicits._
+    val r = rows(Similarity.qNgramCoverage(spark, sf))
+    r.foreach { x =>
+      val (g, c, p) = (x.getAs[Long]("n_grams"),
+        x.getAs[Long]("n_covered"), x.getAs[Long]("coverage_ppm"))
+      assert(c >= 0 && c <= g)
+      assert(p == c * 1000000L / g)
+    }
+    // planted: an eval doc fully contained in a train doc → its source's
+    // coverage is total; an uncovered eval doc's source is zero
+    val buckets = spark.range(200)
+      .select($"id", (conv(substring(md5($"id".cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val trainId = buckets.collectFirst { case (id, b) if b < 80 => id }.get
+    val evalIds = buckets.collect { case (id, b) if b >= 90 => id }.toSeq.sorted
+    val fifteen = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    Seq((trainId, s"prefix words $fifteen suffix words here", "sA"),
+      (evalIds(0), fifteen, "sA"),
+      (evalIds(1), (1 to 20).map(i => s"other$i").mkString(" "), "sB"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pr = rows(Similarity.qNgramCoverage(spark, tmp))
+      .map(x => x.getAs[String]("source") -> x.getAs[Long]("coverage_ppm")).toMap
+    assert(pr("sA") == 1000000L, s"fully-contained eval doc: $pr")
+    assert(pr("sB") == 0L, s"unrelated eval doc: $pr")
+  }
+
   test("q_dedup_keep_best keeps the longest member of every cluster") {
     import spark.implicits._
     val clusters = rows(Similarity.qDedupClusters(spark, sf))

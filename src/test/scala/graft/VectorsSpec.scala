@@ -98,4 +98,24 @@ class VectorsSpec extends GraftSuite {
       assert(row.getAs[Double]("std") <= (mx - mn), "std bounded by range")
     }
   }
+
+  test("q_embed_norm_outliers matches a driver-side 3-sigma replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6).toDouble))
+    val nsq = vecs.map { case (id, m) => id -> m.map(x => x * x).sum.toLong }
+    val n = nsq.length
+    val mean = nsq.map(_._2.toDouble).sum / n
+    val sd = math.sqrt(nsq.map(x => x._2.toDouble * x._2).sum / n - mean * mean)
+    val expectIds = nsq.filter { case (_, q) =>
+      math.abs(q - mean) > 3.0 * sd }.map(_._1).toSet
+    val got = rows(graft.ops.Vectors.qEmbedNormOutliers(spark, sf))
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == expectIds)
+    assert(got.nonEmpty, "the fixture corpus must contain norm outliers")
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) >= 3.0 - 1e-3,
+        s"reported z must be beyond the gate: $r")
+    }
+  }
 }
