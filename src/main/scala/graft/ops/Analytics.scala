@@ -1305,6 +1305,58 @@ object Analytics {
       |WHERE cents = m1 AND (m2 IS NULL OR m2 > cents)
       |ORDER BY p_size DESC, p_partkey""".stripMargin
 
+  /** Degree distribution of the supplier co-purchase graph — the first
+    * diagnostic any graph pipeline runs before the iterative algorithms
+    * ([[qPagerank]], triangle counting): a histogram of node degree,
+    * including degree-0 isolates (suppliers that never co-ship), which an
+    * edge-only aggregation silently drops.
+    *
+    * The raw co-purchase graph is quasi-complete (every supplier co-ships
+    * with every other at this density), so — the `q_triangle_count`
+    * sparsification discipline — an edge requires ≥ 20 shared orders,
+    * turning the histogram into a real affinity-degree distribution
+    * rather than one spike at |V|−1.
+    *
+    * Scale shape: the same bounded per-order pair generation as
+    * [[qPagerank]] (compiled `graft_pairs` kernel — one orderkey shuffle,
+    * fan-out bounded by lineitems per order, never an all-pairs
+    * self-join), one weight aggregation on the undirected x<y half
+    * counted twice, a LEFT join from the supplier dimension to pick up
+    * isolates, and a degree-domain-bounded histogram aggregate. */
+  def qDegreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .groupBy($"e.x", $"e.y").agg(count(lit(1)).as("w"))
+      .where($"w" >= 20)
+      .select($"x", $"y")
+    val deg = pairs.select(explode(array($"x", $"y")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as("node"))
+      .join(deg, Seq("node"), "left")
+      .select(coalesce($"deg", lit(0L)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
+  val degreeDistributionSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 20),
+      |deg AS (
+      |  SELECT node, count(*) AS deg
+      |  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+      |  GROUP BY node)
+      |SELECT coalesce(deg, 0) AS deg, count(*) AS n_nodes
+      |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
+      |GROUP BY 1 ORDER BY deg""".stripMargin
+
   /** Fixed-iteration PageRank over the supplier co-purchase graph —
     * iterative graph analytics beyond [[Similarity]]'s connected
     * components. Nodes are suppliers; a directed edge joins two suppliers
@@ -2172,6 +2224,7 @@ object Analytics {
     "q_khop_reach" -> (qKhopReach _),
     "q_shortest_path" -> (qShortestPath _),
     "q_triangle_count" -> (qTriangleCount _),
+    "q_degree_distribution" -> (qDegreeDistribution _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2205,6 +2258,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_skyline" -> skylineSql,
+    "q_degree_distribution" -> degreeDistributionSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

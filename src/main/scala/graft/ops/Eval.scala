@@ -206,11 +206,209 @@ object Eval {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** NDCG@10 per probe over the same cosine ranking as
+    * [[qMeanAvgPrecision]] — the graded-position companion to AP every
+    * retrieval report carries: DCG discounts each relevant hit by
+    * log2(rank+1), normalized by the ideal ordering's DCG (IDCG over
+    * min(n_rel, 10) positions).
+    *
+    * Exactness: relevance is 0/1 integer; the DCG sum is ≤10 bounded
+    * double terms per probe (same determinism budget as AP's
+    * precision@rank sum, round 4); IDCG is a closed-form ≤10-term HOF sum
+    * from the exact relevant count, identical on both engines. Scale
+    * shape: exactly MAP's — broadcast 10 probes, per-probe rank window
+    * bounded by the candidate set, one aggregate. */
+  def qEvalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dblV = transform(col("embedding"), x => x.cast("double"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", dblV.as("v"))
+      .withColumn("nrm", call_function("graft_norm", $"v"))
+    val probes = e.where($"vec_id" < 10)
+      .select($"vec_id".as("p_id"), $"label".as("p_label"), $"v".as("pv"), $"nrm".as("pn"))
+    val wRank = Window.partitionBy($"p_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(probes), $"vec_id" =!= $"p_id")
+      .withColumn("cos",
+        call_function("graft_dot", $"pv", $"v") / ($"pn" * $"nrm"))
+      .withColumn("rel", when($"label" === $"p_label", 1L).otherwise(0L))
+      .withColumn("rank", row_number().over(wRank))
+      .groupBy($"p_id")
+      .agg(
+        sum($"rel").as("n_rel"),
+        sum(when($"rank" <= 10, $"rel".cast("double") / log2($"rank".cast("double") + 1.0))
+          .otherwise(0.0)).as("dcg"))
+      // ideal DCG from the exact relevant count; greatest(...,1) keeps the
+      // sequence non-empty (Spark's sequence(1,0) would DESCEND, not empty)
+      .withColumn("idcg",
+        aggregate(sequence(lit(1L), greatest(least($"n_rel", lit(10L)), lit(1L))),
+          lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)))
+      .select($"p_id", $"n_rel", round($"dcg" / $"idcg", 4).as("ndcg10"))
+      .orderBy($"p_id")
+  }
+
+  val evalNdcgSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |scored AS (
+      |  SELECT p.vec_id AS p_id, c.vec_id,
+      |    CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+      |    list_sum(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2])) / (p.nrm * c.nrm) AS cos
+      |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 10),
+      |r AS (
+      |  SELECT p_id, rel,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored),
+      |g AS (
+      |  SELECT p_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+      |    sum(CASE WHEN rank <= 10 THEN CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)
+      |        ELSE 0.0 END) AS dcg
+      |  FROM r GROUP BY p_id)
+      |SELECT p_id, n_rel,
+      |  round(dcg / list_sum(list_transform(
+      |    generate_series(1, CAST(greatest(least(n_rel, 10), 1) AS INTEGER)),
+      |    i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))), 4) AS ndcg10
+      |FROM g ORDER BY p_id""".stripMargin
+
+  /** Cohen's kappa between the model's predictions and the gold labels —
+    * chance-corrected agreement, the metric annotation pipelines report
+    * when raw accuracy is inflated by class imbalance.
+    *
+    * Exactness: κ = (N·agree − Σ_c rowtot_c·coltot_c) / (N² − Σ_c ...) is
+    * assembled entirely from exact integer counts with ONE double division
+    * at the end — both engines bit-identical. N² needs N < ~3e9; past
+    * that, widen the two products to DECIMAL(38,0). Scale shape: three
+    * hash aggregates (one corpus pass + two class-bounded marginals) and a
+    * 10-row grid join — corpus size only enters map-side. */
+  def qCohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = preds(spark, sfDir)
+    val tot = p.agg(count(lit(1)).as("n"),
+      sum(when($"actual" === $"predicted", 1L).otherwise(0L)).as("agree"))
+    val ma = p.groupBy($"actual".as("cls")).agg(count(lit(1)).as("ca"))
+    val mp = p.groupBy($"predicted".as("cls")).agg(count(lit(1)).as("cp"))
+    val pe = ma.join(mp, Seq("cls"), "full_outer")
+      .agg(sum(coalesce($"ca", lit(0L)) * coalesce($"cp", lit(0L))).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select($"n", $"agree".as("n_agree"),
+        round(($"n" * $"agree" - $"pe_num").cast("double")
+          / ($"n" * $"n" - $"pe_num"), 6).as("kappa"))
+  }
+
+  val cohensKappaSql: String =
+    s"""WITH preds AS ($predsSql),
+       |t AS (SELECT count(*) AS n,
+       |        sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS agree
+       |      FROM preds),
+       |ma AS (SELECT actual AS cls, count(*) AS ca FROM preds GROUP BY 1),
+       |mp AS (SELECT predicted AS cls, count(*) AS cp FROM preds GROUP BY 1),
+       |pe AS (SELECT sum(coalesce(ca, 0) * coalesce(cp, 0)) AS pe_num
+       |       FROM ma FULL OUTER JOIN mp USING (cls))
+       |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+       |  round(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6) AS kappa
+       |FROM t CROSS JOIN pe""".stripMargin
+
+  /** Calibration (reliability) table + per-bin Brier score: scores are the
+    * first embedding dimension min-max mapped to [0,1), micro-quantized to
+    * integer millionths, binned into 10 deciles; each bin reports mean
+    * predicted probability vs observed positive rate — the "is 0.8 really
+    * 80%?" audit — plus its Brier contribution.
+    *
+    * Exactness: the ONLY doubles before the final projection are the
+    * shared (s−mn)·1e6/(mx−mn) mapping (identical op order both engines,
+    * then floor → integer); all aggregates are integer, with the
+    * squared-error sum widened to DECIMAL(38,0) (each term ≤1e12, so a
+    * BIGINT sum would wrap past ~9e6 rows/bin — DuckDB sums in HUGEINT
+    * and the engines would diverge instead of both staying exact). Scale
+    * shape: one 1-row min/max broadcast + one 10-bin hash aggregate. */
+  def qEvalCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.embeddings(spark, sfDir)
+      .select(element_at($"embedding", 1).cast("double").as("s"),
+        when($"label" >= 5, 1L).otherwise(0L).as("y"))
+    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    s.crossJoin(broadcast(mm))
+      .select(
+        least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
+          lit(999999L)).as("p_micro"),
+        $"y")
+      .groupBy(expr("p_micro DIV 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"p_micro").as("sum_p"), sum($"y").as("n_pos"),
+        sum((($"p_micro" - $"y" * 1000000L) * ($"p_micro" - $"y" * 1000000L))
+          .cast("decimal(38,0)")).as("sq"))
+      .select($"bin", $"n", $"n_pos",
+        round($"sum_p".cast("double") / ($"n" * lit(1000000.0)), 6).as("mean_pred"),
+        round($"n_pos".cast("double") / $"n", 6).as("frac_pos"),
+        round($"sq".cast("double") / ($"n".cast("double") * lit(1.0e12)), 6).as("brier"))
+      .orderBy($"bin")
+  }
+
+  val evalCalibrationSql: String =
+    """WITH s AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+      |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
+      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |        999999) AS p_micro, y
+      |      FROM s CROSS JOIN mm),
+      |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n, sum(p_micro) AS sum_p,
+      |        sum(y) AS n_pos,
+      |        sum(CAST((p_micro - y * 1000000) * (p_micro - y * 1000000)
+      |          AS DECIMAL(38,0))) AS sq
+      |      FROM p GROUP BY 1)
+      |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+      |  round(CAST(sum_p AS DOUBLE) / (n * 1000000.0), 6) AS mean_pred,
+      |  round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+      |  round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier
+      |FROM g ORDER BY bin""".stripMargin
+
+  /** Deterministic 5-fold cross-validation assignment with a per-language
+    * balance audit — the split an eval harness must be able to REPLAY:
+    * fold = md5(doc_id) mod 5 (the portable digest-hash convention of
+    * `q_hash_sample`), reported as per-(fold, language) counts and each
+    * fold's share of its language.
+    *
+    * Scale shape: a stateless pure projection (any engine, any
+    * partitioning reproduces the same folds), one hash aggregate, and a
+    * share window over the folds×languages-bounded grid. */
+  def qKfoldSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fold = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 5L
+    Tables.documents(spark, sfDir)
+      .select(fold.as("fold"), $"lang")
+      .groupBy($"fold", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share",
+        round($"n_docs".cast("double")
+          / sum($"n_docs").over(Window.partitionBy($"lang")), 4))
+      .orderBy($"fold", $"lang")
+  }
+
+  val kfoldSplitSql: String =
+    """WITH f AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5
+      |    AS fold, lang
+      |  FROM documents),
+      |g AS (SELECT fold, lang, count(*) AS n_docs FROM f GROUP BY 1, 2)
+      |SELECT fold, lang, n_docs,
+      |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4)
+      |    AS lang_share
+      |FROM g ORDER BY fold, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_binary" -> (qEvalBinary _),
     "q_confusion_matrix" -> (qConfusionMatrix _),
     "q_mean_avg_precision" -> (qMeanAvgPrecision _),
     "q_eval_auc" -> (qEvalAuc _),
+    "q_eval_ndcg" -> (qEvalNdcg _),
+    "q_cohens_kappa" -> (qCohensKappa _),
+    "q_eval_calibration" -> (qEvalCalibration _),
+    "q_kfold_split" -> (qKfoldSplit _),
     "q_udaf_geomean" -> (qUdafGeomean _))
 
   val oracle: Map[String, String] = Map(
@@ -218,5 +416,9 @@ object Eval {
     "q_confusion_matrix" -> confusionMatrixSql,
     "q_mean_avg_precision" -> meanAvgPrecisionSql,
     "q_eval_auc" -> evalAucSql,
+    "q_eval_ndcg" -> evalNdcgSql,
+    "q_cohens_kappa" -> cohensKappaSql,
+    "q_eval_calibration" -> evalCalibrationSql,
+    "q_kfold_split" -> kfoldSplitSql,
     "q_udaf_geomean" -> udafGeomeanSql)
 }

@@ -59,6 +59,47 @@ object Formats {
       |FROM lineitem WHERE l_orderkey < 5000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** CSV round trip with QUOTING STRESS: every row carries a synthetic
+    * string containing the field separator and embedded double quotes —
+    * exactly what breaks naive CSV handling — written with Spark's
+    * RFC-4180 quoting (quote doubling) and read back with an explicit
+    * schema. The oracle computes the same aggregates from the original
+    * parquet, so a mangled delimiter or a dropped quote anywhere in the
+    * writer/reader fails the hash gate. Embedded NEWLINES are deliberately
+    * out of scope: they force `multiLine=true`, which makes CSV files
+    * non-splittable — at 100 TB that's a format-choice error, not a
+    * reader option.
+    *
+    * Scale notes: header CSV with explicit schema stays splittable and
+    * codegen-scanned; numeric fidelity crosses the text boundary via the
+    * cent floor (doubles print/parse round-trip exactly in Spark's
+    * Ryu-style formatter, but the gate shouldn't depend on it). */
+  def qCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tmpDir(sfDir, "csv")
+    Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand",
+        concat($"p_name", lit(",\""), $"p_type", lit("\",")).as("stress"),
+        $"p_retailprice")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read.option("header", "true")
+      .schema("p_partkey LONG, p_brand STRING, stress STRING, p_retailprice DOUBLE")
+      .csv(dir)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"stress")).cast("long").as("stress_chars"),
+        sum(floor($"p_retailprice" * 100).cast("long")).as("sum_price_c"),
+        countDistinct($"p_partkey").as("n_parts"))
+      .orderBy($"p_brand")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(length(p_name || ',"' || p_type || '",')) AS BIGINT) AS stress_chars,
+      |  CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  count(DISTINCT p_partkey) AS n_parts
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Schema-evolution read: two parquet fragments with DIFFERENT schemas
     * (an early slice carrying quantity, a later slice carrying price —
     * the classic "column added to the feed mid-stream" shape) are read
@@ -201,12 +242,14 @@ object Formats {
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_schema_merge" -> (qSchemaMerge _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_zonemap_skipping" -> (qZonemapSkipping _))
 
   val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" -> csvRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_schema_merge" -> schemaMergeSql,
     "q_compaction_plan" -> compactionPlanSql,

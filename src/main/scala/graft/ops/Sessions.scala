@@ -102,6 +102,90 @@ object Sessions {
       |WHERE click_sec <= purchase_sec AND click_sec >= purchase_sec - 1800
       |ORDER BY user_id, purchase_id, click_id""".stripMargin
 
+  /** Batch twin of the stream-STATIC enrichment join
+    * ([[graft.streaming.StreamingOps.staticEnrich]]): each event enriched
+    * with its user's market segment from the customer dimension, then the
+    * tumbling 1-hour rollup per segment. The dimension side is explicitly
+    * `broadcast()` — under streaming Spark re-plans it per micro-batch as
+    * a batch relation, and at 100 TB the fact side never shuffles for the
+    * enrich. Completes the streaming join-class coverage: stream-stream
+    * (`q_stream_join`) and stream-static both gated. */
+  def qStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment")
+    Tables.events(spark, sfDir)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour").as("w"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("bucket_start"),
+        $"c_mktsegment".as("segment"), $"n", $"sum_value")
+      .orderBy($"bucket_start", $"segment")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+      |  c_mktsegment AS segment, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY bucket_start, segment""".stripMargin
+
+  /** Time-weighted average of each user's event value — the TWAP/
+    * time-weighted-balance operator every metering, billing, and position
+    * pipeline needs: each observation holds until the next one (a step
+    * function), so the average weights each value by its holding
+    * duration, with the final value held to the global study end. A plain
+    * `avg(value)` over irregular samples is biased toward busy periods —
+    * this is the unbiased integral.
+    *
+    * Exactness: values quantized to exact integer cents through the
+    * family's DECIMAL(18,2) cast, durations are integer seconds from the
+    * portable epoch floor, so the Σ v·dt numerator and Σ dt denominator
+    * are exact longs (v_c·dt ≤ 1e4·1e8 — widen to DECIMAL(38,0) past
+    * ~10⁶-second spans at 9-figure cents); ONE double division ends it.
+    * Ties on the same second break on event_id in BOTH engines, making
+    * the step function's order — hence the 0-width segments — identical.
+    * Scale shape: one user-partitioned lead window (bounded by events per
+    * user), one hash aggregate, a 1-row broadcast study-end. */
+  def qTwap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id",
+        floor($"ts".cast("double")).cast("long").as("tsec"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v_c"))
+    val endRow = e.agg(max($"tsec").as("tend"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    e.crossJoin(broadcast(endRow))
+      .withColumn("nxt", coalesce(lead($"tsec", 1).over(w), $"tend"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v_c" * ($"nxt" - $"tsec")).as("num"),
+        sum($"nxt" - $"tsec").as("den"))
+      .where($"den" > 0)
+      .select($"user_id", $"n_events",
+        round($"num".cast("double") / $"den" / 100.0, 4).as("twap"))
+      .orderBy($"user_id")
+  }
+
+  val twapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+      |  FROM events),
+      |t AS (SELECT max(tsec) AS tend FROM e),
+      |l AS (
+      |  SELECT user_id, v_c, tsec,
+      |    coalesce(lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id),
+      |      tend) AS nxt
+      |  FROM e CROSS JOIN t),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    sum(v_c * (nxt - tsec)) AS num, sum(nxt - tsec) AS den
+      |  FROM l GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  round(CAST(num AS DOUBLE) / den / 100.0, 4) AS twap
+      |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin
+
   /** The ACTUAL `session_window` operator in the oracle gate:
     * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
     * this query gates Spark's native session-window group key — the one
@@ -1243,6 +1327,8 @@ object Sessions {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_enrich" -> (qStreamEnrich _),
+    "q_twap" -> (qTwap _),
     "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -1271,6 +1357,8 @@ object Sessions {
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_sliding" -> streamSlidingSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_enrich" -> streamEnrichSql,
+    "q_twap" -> twapSql,
     "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,

@@ -2123,7 +2123,54 @@ object Similarity {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Blocked fuzzy entity-resolution join — the record-linkage operator:
+    * candidate pairs come ONLY from a cheap blocking key (part size + the
+    * name's head noun), the expensive edit-distance verify runs inside the
+    * block, and the top-20 closest pairs are reported with a total-order
+    * tie-break. Unlike `q_edit_distance`'s capped string-function demo,
+    * this is the full-corpus linkage discipline.
+    *
+    * Scale shape: the blocked self-join is the standard ER answer to the
+    * all-pairs O(n²) — pair fan-out is Σ_b |b|², and each block is CAPPED
+    * at 32 members (deterministic by key, mirrored in the oracle's
+    * QUALIFY) so one hot block can never quadratically blow the join; the
+    * final cut is TakeOrderedAndProject, never a global sort. Levenshtein
+    * is codegen'd on both engines with identical unit-cost semantics. */
+  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_name", $"p_size",
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("noun"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"p_size", $"noun").orderBy($"p_partkey")))
+      .where($"rn" <= 32).drop("rn")
+    p.as("a").join(p.as("b"),
+        $"a.p_size" === $"b.p_size" && $"a.noun" === $"b.noun" &&
+          $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        levenshtein($"a.p_name", $"b.p_name").cast("long").as("dist"))
+      .where($"dist".between(1, 6))
+      .orderBy($"dist", $"key_a", $"key_b")
+      .limit(20)
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_size,
+      |    regexp_extract(p_name, '([a-z]+)$', 1) AS noun
+      |  FROM part
+      |  QUALIFY row_number() OVER (PARTITION BY p_size, noun ORDER BY p_partkey) <= 32)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.p_size = b.p_size AND a.noun = b.noun AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 6
+      |ORDER BY dist, key_a, key_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_recall" -> (qAnnPqRecall _),
@@ -2160,6 +2207,7 @@ object Similarity {
     "q_multimodal_join" -> (qMultimodalJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q_shingle_cosine" -> shingleCosineSql,
     "q_sequence_pack" -> sequencePackSql,
     "q_dedup_clusters" -> dedupClustersSql,

@@ -396,6 +396,147 @@ object Stats {
       |WHERE n1 >= 2 AND n2 >= 2 AND se1 + se2 > 0
       |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------- one-way ANOVA
+
+  /** One-way ANOVA F statistic across ALL sources' document lengths — the
+    * k-group generalization of [[qWelchTtest]]'s two-sample comparison:
+    * "do any of these slices differ in mean?" before pairwise drill-down.
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact integer aggregates (Σx²
+    * widened to DECIMAL(38,0) — DuckDB sums BIGINT into HUGEINT, Spark
+    * would wrap, so the widening keeps both engines exact); the
+    * between/within sums of squares need Σ_g S_g²/n_g, inherently
+    * rational, so the final assembly runs in doubles over the
+    * #groups-bounded grid — ~20 same-magnitude terms into a round(4), far
+    * inside double headroom. Scale shape: ONE corpus hash aggregate to the
+    * group grid, then a grid-sized aggregation — corpus size only enters
+    * map-side. */
+  def qAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("ng"), sum($"n_chars").as("sg"),
+        sum(($"n_chars" * $"n_chars").cast("decimal(38,0)")).as("sq"))
+    grid.agg(
+      count(lit(1)).as("k"), sum($"ng").as("n"), sum($"sg").as("s"),
+      sum($"sq").as("sqt"),
+      sum($"sg".cast("double") * $"sg".cast("double") / $"ng".cast("double"))
+        .as("ssb_raw"))
+      .select($"k", $"n",
+        round(
+          (($"ssb_raw" - $"s".cast("double") * $"s".cast("double") / $"n".cast("double"))
+            / ($"k" - 1).cast("double"))
+          / (($"sqt".cast("double") - $"ssb_raw") / ($"n" - $"k").cast("double")),
+          4).as("f_stat"))
+  }
+
+  val anovaSql: String =
+    """WITH grid AS (
+      |  SELECT source, count(*) AS ng, sum(n_chars) AS sg,
+      |    sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sq
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s, sum(sq) AS sqt,
+      |    sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |      AS ssb_raw
+      |  FROM grid)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |  round(
+      |    ((ssb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / CAST(k - 1 AS DOUBLE))
+      |    / ((CAST(sqt AS DOUBLE) - ssb_raw) / CAST(n - k AS DOUBLE)),
+      |  4) AS f_stat
+      |FROM t""".stripMargin
+
+  // ------------------------------------------- Kaplan-Meier survival curve
+
+  /** Kaplan–Meier estimate of customer time-to-repeat-purchase — the
+    * right-censored survival curve behind every churn/retention report:
+    * duration = days from a customer's first to second order date; a
+    * customer with no second order is CENSORED at the study end (the
+    * latest order date), which a plain "average days to reorder" silently
+    * discards.
+    *
+    * Exactness: the day grid, event/censor counts and at-risk counts are
+    * exact integers ([[Dist.withPrefix]] supplies the risk-set prefix
+    * without an unpartitioned window); each event time's ln(1 − d/n) is
+    * micro-nat quantized to an INTEGER before the cumulative sum (the
+    * family's micro-nat idiom), so the running product's log is an exact
+    * long prefix and one exp ends it. A time where EVERYONE at risk dies
+    * sends ln→−∞ — clamped to −100 nats (exp ⇒ 0 at round 6) instead of a
+    * NaN/overflow divergence. Scale shape: per-customer first/second
+    * dates from a customer-partitioned rank window (bounded by orders per
+    * customer), then everything runs on the DAY-domain-bounded duration
+    * grid — corpus size never reaches a window. */
+  def qKaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("cust"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val firstTwo = o
+      .withColumn("rn", row_number().over(Window.partitionBy($"cust").orderBy($"day")))
+      .where($"rn" <= 2)
+    val subj = firstTwo.groupBy($"cust")
+      .agg(min(when($"rn" === 1, $"day")).as("d0"),
+        min(when($"rn" === 2, $"day")).as("d1"))
+      .crossJoin(broadcast(o.agg(max($"day").as("dend"))))
+      .select(
+        when($"d1".isNotNull, $"d1" - $"d0").otherwise($"dend" - $"d0").as("dur"),
+        when($"d1".isNotNull, 1L).otherwise(0L).as("ev"))
+    val grid = subj.groupBy($"dur")
+      .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
+      .withColumn("tot", $"d" + $"c")
+    val terms = Dist.withPrefix(grid, Seq($"dur"), Seq("tot" -> "cumb"))
+      .crossJoin(broadcast(subj.agg(count(lit(1)).as("ntot"))))
+      .withColumn("n_risk", $"ntot" - $"cumb")
+      .withColumn("lt",
+        when($"d" > 0 && $"d" < $"n_risk",
+          round(log(lit(1.0) - $"d".cast("double") / $"n_risk".cast("double"))
+            * 1000000.0).cast("long"))
+          .when($"d" > 0, lit(-100000000L))
+          .otherwise(0L))
+    Dist.withPrefix(terms, Seq($"dur"), Seq("lt" -> "cumln"))
+      .where($"d" > 0)
+      .select($"dur".as("dur_days"), $"n_risk", $"d".as("d_events"),
+        round(exp(($"cumln" + $"lt").cast("double") / 1000000.0), 6).as("survival"))
+      .orderBy($"dur_days")
+  }
+
+  val kaplanMeierSql: String =
+    """WITH o AS (
+      |  SELECT DISTINCT o_custkey AS cust,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+      |  FROM orders),
+      |r AS (SELECT cust, day,
+      |        row_number() OVER (PARTITION BY cust ORDER BY day) AS rn FROM o),
+      |p AS (SELECT cust, min(CASE WHEN rn = 1 THEN day END) AS d0,
+      |        min(CASE WHEN rn = 2 THEN day END) AS d1
+      |      FROM r WHERE rn <= 2 GROUP BY cust),
+      |e AS (SELECT max(day) AS dend FROM o),
+      |s AS (SELECT CASE WHEN d1 IS NOT NULL THEN d1 - d0 ELSE dend - d0 END AS dur,
+      |        CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |      FROM p CROSS JOIN e),
+      |g AS (SELECT dur, sum(ev) AS d, sum(1 - ev) AS c FROM s GROUP BY dur),
+      |t AS (SELECT g.*,
+      |        coalesce(sum(d + c) OVER (ORDER BY dur
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+      |        (SELECT count(*) FROM s) AS ntot
+      |      FROM g),
+      |m AS (SELECT dur, d, ntot - cumb AS n_risk,
+      |        CASE WHEN d > 0 AND d < ntot - cumb THEN
+      |          CAST(round(ln(1.0 - CAST(d AS DOUBLE) / (ntot - cumb)) * 1000000) AS BIGINT)
+      |        WHEN d > 0 THEN -100000000 ELSE 0 END AS lt
+      |      FROM t),
+      |f AS (SELECT dur, d, n_risk,
+      |        sum(lt) OVER (ORDER BY dur
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM m)
+      |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS d_events,
+      |  round(exp(CAST(cum AS DOUBLE) / 1000000), 6) AS survival
+      |FROM f WHERE d > 0 ORDER BY dur_days""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -403,12 +544,16 @@ object Stats {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
     "q_welch_ttest" -> (qWelchTtest _),
-    "q_cusum_changepoint" -> (qCusumChangepoint _))
+    "q_cusum_changepoint" -> (qCusumChangepoint _),
+    "q_anova" -> (qAnova _),
+    "q_kaplan_meier" -> (qKaplanMeier _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
     "q_mann_whitney" -> mannWhitneySql,
     "q_spearman" -> spearmanSql,
     "q_welch_ttest" -> welchTtestSql,
-    "q_cusum_changepoint" -> cusumChangepointSql)
+    "q_cusum_changepoint" -> cusumChangepointSql,
+    "q_anova" -> anovaSql,
+    "q_kaplan_meier" -> kaplanMeierSql)
 }

@@ -2481,7 +2481,108 @@ object Text {
        |  round(CAST(coalesce(n_dup_pos, 0) AS DOUBLE) / n, 4) AS dup_frac
        |FROM d LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation + per-source sentence statistics — the
+    * paragraph/sentence-level profiling step between document stats
+    * (`q_text_quality`) and token stats (`q_token_count`). The synthetic
+    * corpus carries no punctuation, so — the `q_html_extract`
+    * formula-wrapping precedent — deterministic sentence terminals are
+    * first injected with a plain string replace (every ` sort ` becomes
+    * `. `, identical non-overlapping left-to-right semantics on both
+    * engines), then text is split on terminal-punctuation runs `[.!?]+`
+    * and empty segments dropped. Reported per source: documents, total
+    * sentences, sentences per doc, mean sentence length.
+    *
+    * Exactness: segment counts and character sums are exact integers via
+    * array HOFs; two final divisions. Scale shape: expression-only per
+    * row (no explode — the per-doc reduction happens inside the array
+    * aggregate), one source-bounded hash aggregate. */
+  def qSentenceSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = filter(split(expr("replace(text, ' sort ', '. ')"), "[.!?]+"),
+      x => length(trim(x)) > 0)
+    Tables.documents(spark, sfDir)
+      .select($"source", size(segs).cast("long").as("n_sent"),
+        aggregate(segs, lit(0L), (a, x) => a + length(trim(x)).cast("long"))
+          .as("sent_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_sent").as("n_sentences"),
+        round(sum($"n_sent").cast("double") / count(lit(1)), 4).as("sent_per_doc"),
+        round(sum($"sent_chars").cast("double") / sum($"n_sent"), 4).as("chars_per_sent"))
+      .orderBy($"source")
+  }
+
+  val sentenceSplitSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(replace(text, ' sort ', '. '), '[.!?]+'),
+      |      x -> length(trim(x)) > 0) AS segs
+      |  FROM documents),
+      |pd AS (
+      |  SELECT source, CAST(length(segs) AS BIGINT) AS n_sent,
+      |    CAST(coalesce(list_sum(list_transform(segs, x -> length(trim(x)))), 0)
+      |      AS BIGINT) AS sent_chars
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+      |  round(CAST(sum(n_sent) AS DOUBLE) / count(*), 4) AS sent_per_doc,
+      |  round(CAST(sum(sent_chars) AS DOUBLE) / sum(n_sent), 4) AS chars_per_sent
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  /** Flesch-style readability score per source — the classic
+    * words-per-sentence × syllables-per-word composite
+    * (206.835 − 1.015·W/S − 84.6·Syl/W) that curation recipes use as a
+    * cheap fluency prior. Sentences use [[qSentenceSplit]]'s injected-
+    * terminal scheme (counted on the marked text); words and syllables
+    * come from the ORIGINAL text — words as space-delimited tokens,
+    * syllables approximated as vowel runs (the standard heuristic;
+    * consonant-only tokens contribute 0, deterministic on both engines
+    * because spaces break every run identically).
+    *
+    * Exactness: three exact integer sums per source; the two ratios and
+    * the affine combination are four doubles in one final projection,
+    * round 4. Scale shape: expression-only per row, one source-bounded
+    * hash aggregate. */
+  def qReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sentSegs = filter(split(expr("replace(text, ' sort ', '. ')"), "[.!?]+"),
+      x => length(trim(x)) > 0)
+    Tables.documents(spark, sfDir)
+      .select($"source",
+        size(sentSegs).cast("long").as("n_sent"),
+        size(split($"text", " ")).cast("long").as("n_words"),
+        (size(split($"text", "[aeiou]+")) - 1).cast("long").as("n_syl"))
+      .groupBy($"source")
+      .agg(sum($"n_sent").as("sentences"), sum($"n_words").as("words"),
+        sum($"n_syl").as("syllables"))
+      .select($"source", $"sentences", $"words", $"syllables",
+        round(lit(206.835)
+          - lit(1.015) * $"words".cast("double") / $"sentences"
+          - lit(84.6) * $"syllables".cast("double") / $"words", 4).as("flesch"))
+      .orderBy($"source")
+  }
+
+  val readabilitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(length(list_filter(
+      |      regexp_split_to_array(replace(text, ' sort ', '. '), '[.!?]+'),
+      |      x -> length(trim(x)) > 0)) AS BIGINT) AS n_sent,
+      |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(regexp_split_to_array(text, '[aeiou]+')) - 1 AS BIGINT) AS n_syl
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, sum(n_sent) AS sentences, sum(n_words) AS words,
+      |    sum(n_syl) AS syllables
+      |  FROM d GROUP BY source)
+      |SELECT source, CAST(sentences AS BIGINT) AS sentences,
+      |  CAST(words AS BIGINT) AS words, CAST(syllables AS BIGINT) AS syllables,
+      |  round(206.835
+      |    - 1.015 * CAST(words AS DOUBLE) / sentences
+      |    - 84.6 * CAST(syllables AS DOUBLE) / words, 4) AS flesch
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (qReadability _),
+    "q_sentence_split" -> (qSentenceSplit _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
@@ -2536,6 +2637,8 @@ object Text {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_pretokenize" -> pretokenizeSql,
+    "q_readability" -> readabilitySql,
+    "q_sentence_split" -> sentenceSplitSql,
     "q_span_dedup" -> spanDedupSql,
     "q_html_extract" -> htmlExtractSql,
     "q_url_normalize" -> urlNormalizeSql,

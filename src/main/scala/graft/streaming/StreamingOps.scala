@@ -64,6 +64,23 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-STATIC enrichment join + windowed rollup — the remaining join
+    * class beside the stream-stream interval join: a streaming fact
+    * enriched against a bounded dimension (here customer → market
+    * segment). Spark plans the static side as an ordinary (broadcast-able)
+    * batch relation re-read per micro-batch; no join state, no watermark
+    * needed for the join itself — the watermark only bounds the windowed
+    * aggregation state downstream. Batch twin: `q_stream_enrich`. */
+  def staticEnrich(events: DataFrame, dim: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"),
+        col("c_mktsegment").as("segment"), col("n"))
+
   /** Stream-stream interval join: each purchase matched to the same user's
     * clicks in the preceding `horizon` — the streaming face of the batch
     * as-of/range joins (q_join_asof / q_join_range). Both sides carry

@@ -473,4 +473,26 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.nonEmpty && got.size < parts.length,
       "skyline must be a proper non-empty subset at this sf")
   }
+
+  test("q_degree_distribution matches a driver-side co-occurrence replay") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val co = li.groupBy(_._1).values.flatMap { xs =>
+      val ss = xs.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = co.filter(_._2 >= 20).keys.toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val suppKeys = graft.tables.Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSeq
+    val expected = suppKeys.map(s => deg.getOrElse(s, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows(Analytics.qDegreeDistribution(spark, sf))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum == suppKeys.size.toLong,
+      "every supplier appears exactly once")
+  }
 }

@@ -200,4 +200,19 @@ class QualityFormatsSpec extends GraftSuite {
       .agg(sum($"l_quantity").cast("long")).head().getLong(0)
     assert(r.getLong(r.fieldIndex("sum_qty")) == sumQty)
   }
+
+  test("q_csv_roundtrip: quoting stress survives; aggregates match parquet") {
+    val got = rows(Formats.qCsvRoundtrip(spark, sf))
+    val direct = Tables.part(spark, sf)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(concat(col("p_name"), lit(",\""), col("p_type"), lit("\","))))
+          .cast("long").as("stress_chars"),
+        sum(floor(col("p_retailprice") * 100).cast("long")).as("sum_price_c"),
+        countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy(col("p_brand")).collect().toSeq
+    assert(got.map(_.toSeq) == direct.map(_.toSeq),
+      "CSV write->read must preserve every field through quoting")
+    assert(got.map(_.getLong(1)).sum == Tables.part(spark, sf).count())
+  }
 }

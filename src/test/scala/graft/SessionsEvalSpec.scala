@@ -506,4 +506,153 @@ class SessionsEvalSpec extends GraftSuite {
     assert(got == expect.toSeq, s"got ${got.size} want ${expect.size}")
     assert(got.nonEmpty, "the horizon must match at least one pair at this sf")
   }
+
+  // ---------------------------------------------------- round-9 additions
+
+  private lazy val embRows: Seq[(Long, Int, IndexedSeq[Float])] =
+    graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toIndexedSeq)).toSeq
+
+  test("q_eval_ndcg matches an exact driver-side ranking replay") {
+    val vecs = embRows.map { case (id, l, v) => (id, l, v.map(_.toDouble)) }
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: IndexedSeq[Double]): Double = math.sqrt(dot(a, a))
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val expected = vecs.filter(_._1 < 10).sortBy(_._1).map { case (pid, pl, pv) =>
+      val pn = nrm(pv)
+      val ranked = vecs.filter(_._1 != pid)
+        .map { case (id, l, v) => (id, l, dot(pv, v) / (pn * nrm(v))) }
+        .sortBy { case (id, _, cos) => (-cos, id) }
+      val nRel = ranked.count(_._2 == pl).toLong
+      val dcg = ranked.take(10).zipWithIndex.collect {
+        case ((_, l, _), i) if l == pl => 1.0 / log2(i + 2.0)
+      }.sum
+      val idcg = (1L to math.max(math.min(nRel, 10L), 1L))
+        .map(i => 1.0 / log2(i + 1.0)).sum
+      (pid, nRel, BigDecimal(dcg / idcg)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = rows(Eval.qEvalNdcg(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    // 0 is reachable (no relevant hit in the top-10), 1 is the ideal cap
+    assert(got.forall { case (_, _, n) => n >= 0.0 && n <= 1.0 })
+  }
+
+  test("q_cohens_kappa matches the exact integer replay; bounded by [-1, 1]") {
+    val preds = embRows.map { case (_, label, v) =>
+      val mx = v.max
+      val pos = v.indexWhere(_ == mx) // first max, 0-based = list_position-1
+      (label.toLong, (pos % 10).toLong)
+    }
+    val n = preds.size.toLong
+    val agree = preds.count { case (a, p) => a == p }.toLong
+    val ca = preds.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cp = preds.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val peNum = (ca.keySet ++ cp.keySet).toSeq
+      .map(c => ca.getOrElse(c, 0L) * cp.getOrElse(c, 0L)).sum
+    val kappa = BigDecimal((n * agree - peNum).toDouble / (n * n - peNum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows(Eval.qCohensKappa(spark, sf)).head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((n, agree, kappa)))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("q_eval_calibration matches the exact micro-quantized replay") {
+    val sy = embRows.map { case (_, label, v) =>
+      (v.head.toDouble, if (label >= 5) 1L else 0L)
+    }
+    val mn = sy.map(_._1).min
+    val mx = sy.map(_._1).max
+    val binned = sy.map { case (s, y) =>
+      val p = math.min(math.floor((s - mn) * 1000000.0 / (mx - mn)).toLong, 999999L)
+      (p / 100000L, p, y)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = binned.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+      val n = xs.size.toLong
+      val sumP = xs.map(_._2).sum
+      val nPos = xs.map(_._3).sum
+      val sq = xs.map { case (_, p, y) => val d = p - y * 1000000L; BigInt(d) * d }.sum
+      (bin, n, nPos, r6(sumP.toDouble / (n * 1000000.0)),
+        r6(nPos.toDouble / n), r6(sq.toDouble / (n.toDouble * 1.0e12)))
+    }
+    val got = rows(Eval.qEvalCalibration(spark, sf)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got == expected)
+    // predicted-probability bin means must sit inside their decile
+    got.foreach { case (bin, _, _, meanP, fracPos, _) =>
+      assert(meanP >= bin / 10.0 - 1e-6 && meanP <= (bin + 1) / 10.0 + 1e-6)
+      assert(fracPos >= 0.0 && fracPos <= 1.0)
+    }
+  }
+
+  test("q_kfold_split: md5 folds replay exactly; shares sum to 1 per lang") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 5
+    }
+    val expected = docs.groupBy { case (id, lang) => (fold(id), lang) }.view
+      .mapValues(_.size.toLong).toMap
+    val got = rows(Eval.qKfoldSplit(spark, sf))
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    // every fold present, and within each lang the shares sum to ~1
+    assert(got.keySet.map(_._1) == Set(0L, 1L, 2L, 3L, 4L))
+    rows(Eval.qKfoldSplit(spark, sf)).groupBy(_.getString(1)).foreach {
+      case (lang, xs) =>
+        val tot = xs.map(_.getDouble(3)).sum
+        assert(math.abs(tot - 1.0) < 0.01, s"$lang fold shares sum to $tot")
+    }
+  }
+
+  test("q_stream_enrich: totals reconcile with the direct join") {
+    val got = rows(Sessions.qStreamEnrich(spark, sf))
+    assert(got.nonEmpty)
+    val joined = graft.tables.Tables.events(spark, sf)
+      .join(graft.tables.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+    assert(got.map(_.getLong(2)).sum == joined.count(),
+      "windowed counts must cover every enriched event exactly once")
+    val segs = joined.select("c_mktsegment").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(got.map(_.getString(1)).toSet == segs)
+    // buckets are hour-aligned epochs
+    assert(got.forall(_.getLong(0) % 3600 == 0))
+  }
+
+  test("q_twap matches an exact step-function integral replay") {
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id",
+        "CAST(floor(CAST(ts AS DOUBLE)) AS LONG) AS tsec",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tend = ev.map(_._3).max
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2))
+      val nxt = s.drop(1).map(_._3) :+ tend
+      val num = s.zip(nxt).map { case ((_, _, t, v), n) => v * (n - t) }.sum
+      val den = tend - s.head._3
+      if (den > 0)
+        Some((u, s.size.toLong, BigDecimal(num.toDouble / den / 100.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val got = rows(Sessions.qTwap(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

@@ -584,4 +584,32 @@ class SimilaritySpec extends GraftSuite {
       assert(x.getAs[Long]("keeper_tokens") == toks(keeper))
     }
   }
+
+  test("q_fuzzy_join matches a driver-side blocked-Levenshtein replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.tables.Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val noun = (n: String) => n.split(' ').last
+    val capped = parts.groupBy(p => (p._3, noun(p._2))).values
+      .flatMap(_.sortBy(_._1).take(32)).toSeq
+    val expected = (for {
+      a <- capped; b <- capped
+      if a._3 == b._3 && noun(a._2) == noun(b._2) && a._1 < b._1
+      d = lev(a._2, b._2) if d >= 1 && d <= 6
+    } yield (a._1, b._1, a._2, b._2, d.toLong))
+      .sortBy(t => (t._5, t._1, t._2)).take(20)
+    val got = rows(Similarity.qFuzzyJoin(spark, sf)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got == expected)
+    assert(got.nonEmpty, "the name space must contain close pairs at this sf")
+  }
 }

@@ -154,4 +154,62 @@ class StatsSpec extends GraftSuite {
     val ts = got.values.map(_.getAs[Double]("t_stat"))
     assert(ts.exists(_ > 0) && ts.exists(_ < 0))
   }
+
+  test("q_anova matches the exact-sums F replay; F positive") {
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = bySrc.size
+    val n = docs.size
+    val s = docs.map(_._2).sum
+    val sq = docs.map(x => BigInt(x._2) * x._2).sum
+    val ssbRaw = bySrc.values.map { xs =>
+      val sg = xs.sum.toDouble; sg * sg / xs.size
+    }.sum
+    val between = (ssbRaw - s.toDouble * s.toDouble / n) / (k - 1.0)
+    val within = (sq.toDouble - ssbRaw) / (n - k).toDouble
+    val f = BigDecimal(between / within)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows(Stats.qAnova(spark, sf)).head
+    assert(r.getLong(0) == k.toLong && r.getLong(1) == n.toLong)
+    assert(math.abs(r.getDouble(2) - f) <= 1e-4)
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("q_kaplan_meier matches the exact micro-nat replay; curve monotone") {
+    val byCust = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "datediff(o_orderdate, DATE'1995-01-01') AS day")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val dend = byCust.values.flatten.max
+    val subj = byCust.values.map { days =>
+      if (days.size >= 2) (days(1) - days(0), 1L) else (dend - days(0), 0L)
+    }.toSeq
+    val ntot = subj.size.toLong
+    val grid = subj.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, xs) =>
+      (dur, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong)
+    }
+    var cum = 0L     // subjects leaving the risk set before this time
+    var cumLn = 0L   // running micro-nat log-survival
+    val expected = grid.flatMap { case (dur, d, c) =>
+      val nRisk = ntot - cum
+      cum += d + c
+      val lt =
+        if (d > 0 && d < nRisk)
+          BigDecimal(math.log(1.0 - d.toDouble / nRisk) * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else if (d > 0) -100000000L
+        else 0L
+      cumLn += lt
+      if (d > 0)
+        Some((dur, nRisk, d, BigDecimal(math.exp(cumLn.toDouble / 1000000.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val got = rows(Stats.qKaplanMeier(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // survival is a proper curve: in (0, 1], non-increasing in time
+    assert(got.forall { case (_, _, _, sv) => sv >= 0.0 && sv <= 1.0 })
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "risk set shrinks")
+  }
 }

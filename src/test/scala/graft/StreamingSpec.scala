@@ -232,4 +232,30 @@ class StreamingSpec extends GraftSuite {
     val n = spark.table("sliding").where($"event_type" === "click").count()
     assert(n == 4, s"1h window / 15min slide => 4 windows per event, got $n")
   }
+
+  test("staticEnrich joins the stream to a broadcast dimension, no join state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[Ev]
+    val q = StreamingOps.staticEnrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Ev(1, ts(5), 1, "click", 1.0, "{}"),
+        Ev(2, ts(20), 1, "view", 2.0, "{}"),
+        Ev(3, ts(30), 2, "click", 3.0, "{}"),
+        Ev(4, ts(10), 9, "click", 4.0, "{}")) // no dim row -> dropped
+      q.processAllAvailable()
+      stream.addData(Ev(5, ts(200), 2, "click", 0.0, "{}")) // close hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enrich").collect()
+    val hour0 = out.filter(_.getAs[Timestamp]("bucket_start") == ts(0))
+      .map(r => r.getAs[String]("segment") -> r.getAs[Long]("n")).toMap
+    assert(hour0 == Map("AUTO" -> 2L, "RETAIL" -> 1L),
+      s"hour-0 enriched counts per segment: $hour0")
+    assert(!out.exists(_.getAs[Long]("n") > 3L), "unknown users must not join")
+  }
 }

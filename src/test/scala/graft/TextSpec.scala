@@ -879,4 +879,55 @@ class TextSpec extends GraftSuite {
       assert(gotNorm == means(bucketOf(id)), s"doc $id")
     }
   }
+
+  test("q_sentence_split matches a driver-side segmentation replay") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = docs.map { case (src, text) =>
+      val segs = text.replace(" sort ", ". ").split("[.!?]+")
+        .filter(_.trim.nonEmpty)
+      (src, segs.length.toLong, segs.map(_.trim.length.toLong).sum)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val nDocs = xs.size.toLong
+      val nSent = xs.map(_._2).sum
+      val chars = xs.map(_._3).sum
+      (src, nDocs, nSent, r4(nSent.toDouble / nDocs), r4(chars.toDouble / nSent))
+    }
+    val got = rows(Text.qSentenceSplit(spark, sf)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got == expected)
+    // the injected terminals must actually split: > 1 sentence per doc on avg
+    assert(got.forall(_._4 > 1.0), "terminal injection must create sentences")
+  }
+
+  test("q_readability matches the integer-sums Flesch replay") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val sent = xs.map { case (_, t) =>
+        t.replace(" sort ", ". ").split("[.!?]+").count(_.trim.nonEmpty).toLong
+      }.sum
+      val words = xs.map { case (_, t) => t.split(" ", -1).length.toLong }.sum
+      val syl = xs.map { case (_, t) =>
+        (t.split("[aeiou]+", -1).length - 1).toLong
+      }.sum
+      val flesch = BigDecimal(206.835
+        - 1.015 * words.toDouble / sent - 84.6 * syl.toDouble / words)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, sent, words, syl, flesch)
+    }
+    val got = rows(Text.qReadability(spark, sf)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got == expected)
+    // every word has at least some vowels in this corpus: ratio sane
+    got.foreach { case (src, s, w, y, _) =>
+      assert(s > 0 && w > 0 && y > 0, src)
+      assert(y <= 4 * w, s"$src syllable/word ratio out of range")
+    }
+  }
 }
