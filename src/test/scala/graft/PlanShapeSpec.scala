@@ -409,4 +409,19 @@ class PlanShapeSpec extends GraftSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q_fuzzy_join stays a blocked equi-join, never nested-loop/cartesian") {
+    val plan = planOf("q_fuzzy_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the blocking key must drive an equi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must never be a global sort:\n$plan")
+  }
+
+  test("q_stream_enrich broadcasts the dimension side of the enrich join") {
+    val plan = planOf("q_stream_enrich")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must not shuffle for a dimension enrich:\n$plan")
+  }
 }

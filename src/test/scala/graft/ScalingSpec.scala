@@ -40,7 +40,11 @@ class ScalingSpec extends GraftSuite {
       "q_bloom_semijoin", "q_cm_heavy_hitters", "q_lsh_quality",
       "q_part_affinity", "q_join_interval_binned", "q_ann_pq",
       "q_chunk_dedup", "q_simhash_neardup", "q_dedup_keep_best",
-      "q_ann_ivfpq", "q_decontam_ngram").foreach { name =>
+      "q_ann_ivfpq", "q_decontam_ngram",
+      // round 9: the blocked fuzzy join (block cap must bound pair
+      // fan-out), TWAP (per-user window), and Kaplan-Meier (day-grid
+      // prefix passes) all need linear-ish slopes
+      "q_fuzzy_join", "q_twap", "q_kaplan_meier").foreach { name =>
     test(s"$name: 10x data costs < ${MaxSlope.toInt}x wall time") {
       time(name, sfSmall) // warm-up: codegen + JIT out of both timings
       val tSmall = math.max(time(name, sfSmall), FloorSec)
