@@ -186,6 +186,113 @@ object Sessions {
       |  round(CAST(num AS DOUBLE) / den / 100.0, 4) AS twap
       |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin
 
+  /** Group-wise OLS trend: per market segment, the least-squares slope
+    * and intercept of daily order revenue against the day index — the
+    * "is this segment growing, and how fast?" regression every revenue
+    * dashboard fits, as a pure aggregation (no ML library, no iteration).
+    *
+    * Exactness: the five OLS moments (n, Σx, Σy, Σxy, Σx²) are exact
+    * BIGINT sums over the (segment, day)-bounded daily grid — x is the
+    * epoch-day index, y exact cents through the DECIMAL(18,2) cast; the
+    * closed-form slope/intercept assembly happens in doubles with
+    * identical op order on both engines (the n·Σxy cross-product would
+    * pass 2^63 around 100× this revenue scale — the double assembly of
+    * exact integers stays deterministic regardless). Scale shape: one
+    * fact aggregate to the daily grid, one grid aggregate — corpus size
+    * only enters map-side. */
+  def qTrendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("x"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y_c"))
+      .groupBy($"segment", $"x").agg(sum($"y_c").as("y"))
+    daily.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"segment", $"n".as("n_days"),
+        round(
+          (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+            / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+            / 100.0, 4).as("slope_per_day"),
+        round(
+          ($"sy".cast("double")
+            - (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+              / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+              * $"sx") / $"n" / 100.0, 2).as("intercept"))
+      .orderBy($"segment")
+  }
+
+  val trendSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT c_mktsegment AS segment,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT segment, CAST(n AS BIGINT) AS n_days,
+      |  round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) / 100.0, 4)
+      |    AS slope_per_day,
+      |  round((CAST(sy AS DOUBLE)
+      |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+      |    / n / 100.0, 2) AS intercept
+      |FROM m ORDER BY segment""".stripMargin
+
+  /** Maximum drawdown of each segment's daily revenue series — the
+    * largest peak-to-current decline relative to the running peak, the
+    * standard worst-slump risk metric. Computed entirely in integers:
+    * running peak cents via a prefix max, per-day decline as a
+    * cross-multiplied ppm integer division, one max.
+    *
+    * Scale shape: one fact aggregate to the (segment, day) grid, a
+    * segment-partitioned running-max window over the day-domain-bounded
+    * grid, one aggregate. */
+  def qDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"segment", $"day").agg(sum($"rev_c").as("rev_c"))
+    val w = Window.partitionBy($"segment").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak_c", max($"rev_c").over(w))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_days"),
+        round(max($"peak_c").cast("double") / 100.0, 2).as("peak_rev"),
+        max(expr("(peak_c - rev_c) * 1000000 DIV peak_c")).as("max_drawdown_ppm"))
+      .orderBy($"segment")
+  }
+
+  val drawdownSql: String =
+    """WITH daily AS (
+      |  SELECT c_mktsegment AS segment,
+      |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT segment, rev_c,
+      |    max(rev_c) OVER (PARTITION BY segment ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+      |  FROM daily)
+      |SELECT segment, count(*) AS n_days,
+      |  round(CAST(max(peak_c) AS DOUBLE) / 100.0, 2) AS peak_rev,
+      |  CAST(max((peak_c - rev_c) * 1000000 // peak_c) AS BIGINT)
+      |    AS max_drawdown_ppm
+      |FROM p GROUP BY segment ORDER BY segment""".stripMargin
+
   /** The ACTUAL `session_window` operator in the oracle gate:
     * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
     * this query gates Spark's native session-window group key — the one
@@ -1329,6 +1436,8 @@ object Sessions {
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_twap" -> (qTwap _),
+    "q_trend_slope" -> (qTrendSlope _),
+    "q_drawdown" -> (qDrawdown _),
     "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -1359,6 +1468,8 @@ object Sessions {
     "q_stream_join" -> streamJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_twap" -> twapSql,
+    "q_trend_slope" -> trendSlopeSql,
+    "q_drawdown" -> drawdownSql,
     "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,

@@ -2580,7 +2580,61 @@ object Text {
       |    - 84.6 * CAST(syllables AS DOUBLE) / words, 4) AS flesch
       |FROM g ORDER BY source""".stripMargin
 
+  /** Context-length bucketing + padding-waste audit — the batching
+    * decision a training pipeline makes before [[qSequencePack]] packs
+    * anything: each document lands in the smallest fixed context length
+    * (64/128/256/512/1024 whitespace tokens, the power-of-two ladder real
+    * trainers use) that holds it, documents over the cap are marked
+    * truncated, and each bucket reports its padding waste — the fraction
+    * of the batch matrix that would be pad tokens if batches were drawn
+    * from that bucket unpacked.
+    *
+    * Exactness: token counts, bucket capacities and the waste ppm are all
+    * integers (cross-multiplied `DIV`); no doubles anywhere. The bucket
+    * ladder is a literal CASE — identical on both engines, no float log2.
+    * Scale shape: expression-only per row, one ≤6-key hash aggregate. */
+  def qLengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(size(split($"text", " ")).cast("long").as("toks"))
+      .select($"toks",
+        expr("""CASE WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+                WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+                WHEN toks <= 1024 THEN 1024 ELSE 1024 END""").as("bucket"),
+        when($"toks" > 1024, 1L).otherwise(0L).as("trunc"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least($"toks", lit(1024L))).as("kept_tokens"),
+        sum($"trunc").as("n_truncated"))
+      .withColumn("padding_waste_ppm",
+        expr("(n_docs * bucket - kept_tokens) * 1000000 DIV (n_docs * bucket)"))
+      .orderBy($"bucket")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT toks,
+      |    CASE WHEN toks <= 64 THEN 64 WHEN toks <= 128 THEN 128
+      |         WHEN toks <= 256 THEN 256 WHEN toks <= 512 THEN 512
+      |         ELSE 1024 END AS bucket,
+      |    CASE WHEN toks > 1024 THEN 1 ELSE 0 END AS trunc
+      |  FROM d),
+      |g AS (
+      |  SELECT bucket, count(*) AS n_docs,
+      |    sum(least(toks, 1024)) AS kept_tokens, sum(trunc) AS n_truncated
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(kept_tokens AS BIGINT) AS kept_tokens,
+      |  CAST(n_truncated AS BIGINT) AS n_truncated,
+      |  CAST((n_docs * bucket - kept_tokens) * 1000000 // (n_docs * bucket)
+      |    AS BIGINT) AS padding_waste_ppm
+      |FROM g ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_readability" -> (qReadability _),
     "q_sentence_split" -> (qSentenceSplit _),
     "q_span_dedup" -> (qSpanDedup _),
@@ -2637,6 +2691,7 @@ object Text {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_pretokenize" -> pretokenizeSql,
+    "q_length_buckets" -> lengthBucketsSql,
     "q_readability" -> readabilitySql,
     "q_sentence_split" -> sentenceSplitSql,
     "q_span_dedup" -> spanDedupSql,

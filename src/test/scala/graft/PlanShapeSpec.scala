@@ -424,4 +424,51 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"the fact side must not shuffle for a dimension enrich:\n$plan")
   }
+
+  test("LevenshteinBandRule rewrites bounded edit distance to the banded DP") {
+    // the fuzzy join spells the natural levenshtein(a,b) BETWEEN 1 AND 6;
+    // the injected optimizer rule must run it as the thresholded form
+    val opt = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(6)) >= 0"),
+      s"expected the thresholded levenshtein guard in:\n$opt")
+    val opt2 = SparkEntry.queries("q_edit_distance")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt2.contains("Some(4)) >= 0"),
+      s"expected the thresholded levenshtein guard in:\n$opt2")
+  }
+
+  test("LevenshteinBandRule preserves semantics on crafted edge cases") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("abc", "abc"), ("abc", "abd"), ("abc", "xyz"), ("", "abc"),
+      ("kitten", "sitting"), ("aaaa", "aaaaaaaaaa"), ("x", ""),
+      (null, "abc"), ("abc", null)).toDF("a", "b")
+    def lev(a: String, b: String): Int = {
+      if (a == null || b == null) return Int.MinValue // row must vanish
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val raw = pairs.collect().map(r => (r.getString(0), r.getString(1)))
+    def check(f: org.apache.spark.sql.Column, p: Int => Boolean): Unit = {
+      val got = pairs.where(f).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = raw.filter { case (a, b) =>
+        val d = lev(a, b); d != Int.MinValue && p(d)
+      }.toSet
+      assert(got == want, s"filter $f: got $got want $want")
+    }
+    check(levenshtein($"a", $"b") <= 2, _ <= 2)
+    check(levenshtein($"a", $"b") < 3, _ < 3)
+    check(levenshtein($"a", $"b").between(1, 3), d => d >= 1 && d <= 3)
+    check(levenshtein($"a", $"b") === 3, _ == 3)
+    check(levenshtein($"a", $"b") >= 2, _ >= 2)           // no cap: untouched
+    check(levenshtein($"a", $"b") <= 0, _ <= 0)           // zero cap
+    check(levenshtein($"a", $"b") <= 2 || $"a" === "x", d => d <= 2) // OR: no rewrite
+  }
 }

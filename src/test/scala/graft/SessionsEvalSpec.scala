@@ -655,4 +655,57 @@ class SessionsEvalSpec extends GraftSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  private lazy val segDaily: Map[String, Seq[(Long, Long)]] = {
+    val cust = graft.tables.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.tables.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "datediff(o_orderdate, DATE'1995-01-01') AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c")
+      .collect().map(r => (cust(r.getLong(0)), r.getInt(1).toLong, r.getLong(2)))
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (d, ys) => (d, ys.map(_._3).sum) }
+      }.toMap
+  }
+
+  test("q_trend_slope matches the exact-moments OLS replay") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = segDaily.toSeq.sortBy(_._1).map { case (seg, daily) =>
+      val n = daily.size.toDouble
+      val sx = daily.map(_._1).sum.toDouble
+      val sy = daily.map(_._2).sum.toDouble
+      val sxy = daily.map { case (x, y) => x * y }.sum.toDouble
+      val sxx = daily.map { case (x, _) => x * x }.sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (seg, daily.size.toLong, r(slope / 100.0, 4),
+        r((sy - slope * sx) / n / 100.0, 2))
+    }
+    val got = rows(Sessions.qTrendSlope(spark, sf))
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(got == expected)
+  }
+
+  test("q_drawdown matches the running-peak replay; ppm within [0, 1e6)") {
+    val expected = segDaily.toSeq.sortBy(_._1).map { case (seg, daily) =>
+      var peak = Long.MinValue
+      var worst = 0L
+      var maxPeak = 0L
+      daily.foreach { case (_, rev) =>
+        peak = math.max(peak, rev)
+        maxPeak = math.max(maxPeak, peak)
+        worst = math.max(worst, (peak - rev) * 1000000L / peak)
+      }
+      (seg, daily.size.toLong,
+        BigDecimal(maxPeak.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, worst)
+    }
+    val got = rows(Sessions.qDrawdown(spark, sf))
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    assert(got == expected)
+    assert(got.forall(x => x._4 >= 0 && x._4 < 1000000L))
+  }
 }

@@ -930,4 +930,23 @@ class TextSpec extends GraftSuite {
       assert(y <= 4 * w, s"$src syllable/word ratio out of range")
     }
   }
+
+  test("q_length_buckets: ladder replay exact; docs and tokens conserved") {
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("CAST(size(split(text, ' ')) AS LONG) AS t").collect()
+      .map(_.getLong(0)).toSeq
+    def ladder(t: Long): Long =
+      if (t <= 64) 64 else if (t <= 128) 128 else if (t <= 256) 256
+      else if (t <= 512) 512 else 1024
+    val expected = toks.groupBy(ladder).toSeq.sortBy(_._1).map { case (b, xs) =>
+      val n = xs.size.toLong
+      val kept = xs.map(math.min(_, 1024L)).sum
+      (b, n, kept, xs.count(_ > 1024L).toLong,
+        (n * b - kept) * 1000000L / (n * b))
+    }
+    val got = rows(Text.qLengthBuckets(spark, sf)).map(r =>
+      (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got == expected)
+    assert(got.map(_._2).sum == toks.size.toLong)
+  }
 }
