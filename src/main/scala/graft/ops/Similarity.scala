@@ -2136,7 +2136,12 @@ object Similarity {
     * QUALIFY) so one hot block can never quadratically blow the join; the
     * final cut is TakeOrderedAndProject, never a global sort. Levenshtein
     * is codegen'd on both engines with identical unit-cost semantics. */
-  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared blocked-Levenshtein pair core: capped (p_size, noun)
+    * blocks self-joined, edit distance 1..6 verified in-block (the
+    * [[graft.plans.LevenshteinBandRule]] turns the verify into the
+    * banded thresholded DP). Consumed by [[qFuzzyJoin]] (closest pairs)
+    * and [[qEntityResolution]] (transitive closure). */
+  private def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val p = Tables.part(spark, sfDir)
       .select($"p_partkey", $"p_name", $"p_size",
@@ -2151,12 +2156,10 @@ object Similarity {
         $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
         levenshtein($"a.p_name", $"b.p_name").cast("long").as("dist"))
       .where($"dist".between(1, 6))
-      .orderBy($"dist", $"key_a", $"key_b")
-      .limit(20)
   }
 
-  val fuzzyJoinSql: String =
-    """WITH p AS (
+  private val fuzzyPairsSql: String =
+    """WITH fp_p AS (
       |  SELECT p_partkey, p_name, p_size,
       |    regexp_extract(p_name, '([a-z]+)$', 1) AS noun
       |  FROM part
@@ -2164,13 +2167,67 @@ object Similarity {
       |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
       |  a.p_name AS name_a, b.p_name AS name_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      |FROM p a JOIN p b
+      |FROM fp_p a JOIN fp_p b
       |  ON a.p_size = b.p_size AND a.noun = b.noun AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 6
-      |ORDER BY dist, key_a, key_b LIMIT 20""".stripMargin
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 6""".stripMargin
+
+  def qFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    fuzzyPairs(spark, sfDir)
+      .orderBy($"dist", $"key_a", $"key_b")
+      .limit(20)
+  }
+
+  val fuzzyJoinSql: String =
+    s"""SELECT * FROM ($fuzzyPairsSql)
+       |ORDER BY dist, key_a, key_b LIMIT 20""".stripMargin
+
+  /** Entity resolution end-to-end — the capstone the fuzzy join feeds:
+    * near-identical records linked by the blocked edit-distance pairs are
+    * resolved into canonical ENTITIES via transitive closure (the same
+    * size-dispatched [[graft.ml.Dedup.connectedComponents]] the document
+    * dedup pipeline uses), each reported with its min-key id, its
+    * representative name, and its member count. Singleton records (no
+    * fuzzy match) stay out — the output is exactly the duplicate-entity
+    * worklist a master-data pipeline reviews.
+    *
+    * Scale shape: capped blocked pairs (never corpus-quadratic) →
+    * components (driver union-find under the size threshold, label
+    * propagation above) → one broadcast-sized join back to the part
+    * dimension for the representative's name. Oracle: recursive CTE over
+    * the identical pair relation. */
+  def qEntityResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = fuzzyPairs(spark, sfDir).select($"key_a", $"key_b")
+    val comp = graft.ml.Dedup.connectedComponents(pairs, "key_a", "key_b")
+    comp.groupBy($"component".as("entity_id"))
+      .agg(count(lit(1)).as("n_records"))
+      .join(Tables.part(spark, sfDir).select($"p_partkey", $"p_name"),
+        $"entity_id" === $"p_partkey")
+      .select($"entity_id", $"p_name".as("rep_name"), $"n_records")
+      .orderBy($"entity_id")
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH RECURSIVE
+       |fp AS (SELECT key_a, key_b FROM ($fuzzyPairsSql)),
+       |e AS (SELECT key_a AS u, key_b AS v FROM fp
+       |      UNION SELECT key_b AS u, key_a AS v FROM fp),
+       |n AS (SELECT DISTINCT u AS node FROM e),
+       |r AS (
+       |  SELECT node, node AS reach FROM n
+       |  UNION
+       |  SELECT e.u AS node, r.reach FROM e JOIN r ON r.node = e.v),
+       |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node),
+       |g AS (SELECT component AS entity_id, count(*) AS n_records
+       |      FROM comp GROUP BY 1)
+       |SELECT entity_id, p_name AS rep_name, n_records
+       |FROM g JOIN part ON entity_id = p_partkey
+       |ORDER BY entity_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_recall" -> (qAnnPqRecall _),
@@ -2208,6 +2265,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_entity_resolution" -> entityResolutionSql,
     "q_shingle_cosine" -> shingleCosineSql,
     "q_sequence_pack" -> sequencePackSql,
     "q_dedup_clusters" -> dedupClustersSql,

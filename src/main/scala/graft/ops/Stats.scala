@@ -537,6 +537,76 @@ object Stats {
       |  round(exp(CAST(cum AS DOUBLE) / 1000000), 6) AS survival
       |FROM f WHERE d > 0 ORDER BY dur_days""".stripMargin
 
+  // --------------------------------------------- hash-seeded bootstrap SE
+
+  /** Standard error of the corpus mean document length by a DETERMINISTIC
+    * Poisson bootstrap — the one-pass distributed resampling trick (the
+    * spirit of AMPLab's Bag of Little Bootstraps: resample WEIGHTS, not
+    * rows): each of B=20 replicates assigns every document a
+    * Poisson(1)-distributed integer weight by inverting the CDF on the
+    * shared 60-bit md5 uniform seeded with (doc_id, replicate) — so the
+    * "resampling" is a pure projection any engine replays bit-identically,
+    * no RNG state, no shuffled sample materialized.
+    *
+    * Exactness: weights and weighted sums are exact integers per
+    * replicate; each replicate mean is one double division, and the SE
+    * over the B-bounded replicate grid is assembled in doubles (same
+    * grid-sized-double budget as [[qAnova]], round 4/6). Scale shape: a
+    * B-fold expansion of (doc_id, n_chars) PAIRS only (text never rides
+    * the explode), one (replicate)-keyed hash aggregate with map-side
+    * combine, then a 20-row reduction. */
+  def qBootstrapSe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Poisson(1) CDF cutpoints scaled to the 60-bit uniform's 2^60 range
+    val cut = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+      $"r".cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = cut.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((c, i), rest) => when(u < c, i.toLong).otherwise(rest)
+    }
+    val reps = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("r", explode(sequence(lit(0), lit(19))))
+      .groupBy($"r")
+      .agg(sum(w).as("sw"), sum(w * $"n_chars").as("swx"))
+      .select(($"swx".cast("double") / $"sw").as("m"))
+    val corpus = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sx"))
+    reps.agg(count(lit(1)).as("b"), sum($"m").as("sm"), sum($"m" * $"m").as("sm2"))
+      .crossJoin(broadcast(corpus))
+      .select($"n_docs", $"b",
+        round($"sx".cast("double") / $"n_docs", 4).as("corpus_mean"),
+        round(sqrt(($"sm2" - $"sm" * $"sm" / $"b") / ($"b" - 1)), 4).as("boot_se"))
+  }
+
+  val bootstrapSeSql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |x AS (
+      |  SELECT doc_id, n_chars, r.r,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS r) r),
+      |wts AS (
+      |  SELECT r, n_chars,
+      |    CASE WHEN u < 424136118829305344 THEN 0
+      |         WHEN u < 848272237658610688 THEN 1
+      |         WHEN u < 1060340297073263360 THEN 2
+      |         WHEN u < 1131029650211480960 THEN 3
+      |         WHEN u < 1148701988496035328 THEN 4
+      |         ELSE 5 END AS w
+      |  FROM x),
+      |reps AS (
+      |  SELECT r, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS m
+      |  FROM wts GROUP BY r),
+      |agg AS (
+      |  SELECT count(*) AS b, sum(m) AS sm, sum(m * m) AS sm2 FROM reps),
+      |corpus AS (SELECT count(*) AS n_docs, sum(n_chars) AS sx FROM d)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(b AS BIGINT) AS b,
+      |  round(CAST(sx AS DOUBLE) / n_docs, 4) AS corpus_mean,
+      |  round(sqrt((sm2 - sm * sm / b) / (b - 1)), 4) AS boot_se
+      |FROM agg CROSS JOIN corpus""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -546,7 +616,8 @@ object Stats {
     "q_welch_ttest" -> (qWelchTtest _),
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_anova" -> (qAnova _),
-    "q_kaplan_meier" -> (qKaplanMeier _))
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_bootstrap_se" -> (qBootstrapSe _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
@@ -555,5 +626,6 @@ object Stats {
     "q_welch_ttest" -> welchTtestSql,
     "q_cusum_changepoint" -> cusumChangepointSql,
     "q_anova" -> anovaSql,
-    "q_kaplan_meier" -> kaplanMeierSql)
+    "q_kaplan_meier" -> kaplanMeierSql,
+    "q_bootstrap_se" -> bootstrapSeSql)
 }

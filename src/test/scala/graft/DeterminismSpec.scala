@@ -67,7 +67,16 @@ class DeterminismSpec extends GraftSuite {
     "q_pretokenize",
     "q_welch_ttest",
     "q_stream_join",
-    "q_session_window").foreach { name =>
+    "q_session_window",
+    // round-9 additions: the distributed-prefix survival curve, the
+    // same-second-tie TWAP window, the capped-block fuzzy join, the
+    // probe-ranking NDCG, and the OLS/drawdown daily grids
+    "q_kaplan_meier",
+    "q_twap",
+    "q_fuzzy_join",
+    "q_eval_ndcg",
+    "q_trend_slope",
+    "q_drawdown").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

@@ -612,4 +612,43 @@ class SimilaritySpec extends GraftSuite {
     assert(got == expected)
     assert(got.nonEmpty, "the name space must contain close pairs at this sf")
   }
+
+  test("q_entity_resolution matches a union-find replay of the pair core") {
+    def lev2(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.tables.Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val names = parts.map(p => p._1 -> p._2).toMap
+    val noun = (n: String) => n.split(' ').last
+    val capped = parts.groupBy(p => (p._3, noun(p._2))).values
+      .flatMap(_.sortBy(_._1).take(32)).toSeq
+    val pairs = for {
+      a <- capped; b <- capped
+      if a._3 == b._3 && noun(a._2) == noun(b._2) && a._1 < b._1
+      d = lev2(a._2, b._2) if d >= 1 && d <= 6
+    } yield (a._1, b._1)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(find).toSeq.sortBy(_._1)
+      .map { case (root, ms) => (root, names(root), ms.size.toLong) }
+    val got = rows(Similarity.qEntityResolution(spark, sf))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got == expected)
+    assert(got.forall(_._3 >= 2), "every resolved entity links >= 2 records")
+  }
 }

@@ -212,4 +212,39 @@ class StatsSpec extends GraftSuite {
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
     assert(got.map(_._2) == got.map(_._2).sorted.reverse, "risk set shrinks")
   }
+
+  test("q_bootstrap_se matches the deterministic Poisson-weight replay") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cut = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val means = (0 until 20).map { r =>
+      var sw = 0L; var swx = 0L
+      docs.foreach { case (id, x) =>
+        val u = u60(s"$id:$r")
+        val w = cut.indexWhere(u < _) match { case -1 => 5L; case i => i.toLong }
+        sw += w; swx += w * x
+      }
+      swx.toDouble / sw
+    }
+    val b = means.size
+    val sm = means.sum
+    val sm2 = means.map(m => m * m).sum
+    val se = math.sqrt((sm2 - sm * sm / b) / (b - 1))
+    val row = rows(Stats.qBootstrapSe(spark, sf)).head
+    assert(row.getLong(0) == docs.size.toLong && row.getLong(1) == 20L)
+    assert(math.abs(row.getDouble(3) - se) <= 2e-4, s"se ${row.getDouble(3)} vs $se")
+    // the bootstrap SE must approximate sd/sqrt(n) within a loose factor
+    val mean = docs.map(_._2).sum.toDouble / docs.size
+    val sd = math.sqrt(docs.map(d => (d._2 - mean) * (d._2 - mean)).sum / (docs.size - 1))
+    val classical = sd / math.sqrt(docs.size.toDouble)
+    assert(row.getDouble(3) > classical / 3 && row.getDouble(3) < classical * 3,
+      s"bootstrap SE ${row.getDouble(3)} should be near sd/sqrt(n)=$classical")
+  }
 }
