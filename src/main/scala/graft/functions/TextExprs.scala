@@ -126,6 +126,27 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). Fast path:
+    * pure-ASCII bytes are already NFC — skip the Normalizer round trip
+    * (and its String allocation) for the overwhelmingly common case. */
+  def nfc(text: UTF8String): UTF8String = {
+    val n = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var i = 0L
+    var ascii = true
+    while (ascii && i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0) ascii = false
+      i += 1L
+    }
+    if (ascii) text
+    else {
+      val s = text.toString
+      val out = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      if (out == s) text else UTF8String.fromString(out)
+    }
+  }
 }
 
 /** `graft_shingles(text, n)` → array<string> of whitespace n-gram shingles.
@@ -217,4 +238,27 @@ case class BpeEncode(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BpeEncode = copy(left = newLeft, right = newRight)
+}
+
+/** Unicode NFC canonical composition of one string — the normalization
+  * step a crawl-ingest pipeline runs before any hashing or dedup (the
+  * same text arrives composed from one site and decomposed from another;
+  * without NFC they hash apart). A compiled static call per row (the
+  * JDK's java.text.Normalizer is the reference implementation), so the
+  * surrounding stage stays inside whole-stage codegen — the interpreted
+  * alternative would be a Scala UDF with per-row boxing. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.nfc(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.nfc($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }

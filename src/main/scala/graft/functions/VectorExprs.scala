@@ -168,6 +168,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (children: Seq[Expression]) => binary(children, BpeEncode.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => unary(children, NfcNormalize.apply)))
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)

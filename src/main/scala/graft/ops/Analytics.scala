@@ -1323,15 +1323,31 @@ object Analytics {
     * self-join), one weight aggregation on the undirected x<y half
     * counted twice, a LEFT join from the supplier dimension to pick up
     * isolates, and a degree-domain-bounded histogram aggregate. */
-  def qDegreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ≥20-shared-orders supplier affinity graph as undirected (x<y)
+    * edges — shared by [[qDegreeDistribution]] and [[qLinkPredict]].
+    * Bounded per-order pair generation via the compiled `graft_pairs`
+    * kernel; one orderkey shuffle, one (x, y)-keyed weight aggregate. */
+  private def affinityEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
       .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
       .groupBy($"e.x", $"e.y").agg(count(lit(1)).as("w"))
       .where($"w" >= 20)
       .select($"x", $"y")
+  }
+
+  private val affinityEdgesSql: String =
+    """SELECT a.l_suppkey AS x, b.l_suppkey AS y
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+      |JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |GROUP BY 1, 2 HAVING count(*) >= 20""".stripMargin
+
+  def qDegreeDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = affinityEdges(spark, sfDir)
     val deg = pairs.select(explode(array($"x", $"y")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     Tables.supplier(spark, sfDir)
@@ -1343,19 +1359,52 @@ object Analytics {
   }
 
   val degreeDistributionSql: String =
-    """WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      |e AS (
-      |  SELECT a.l_suppkey AS x, b.l_suppkey AS y
-      |  FROM lp a JOIN lp b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 20),
-      |deg AS (
-      |  SELECT node, count(*) AS deg
-      |  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
-      |  GROUP BY node)
-      |SELECT coalesce(deg, 0) AS deg, count(*) AS n_nodes
-      |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
-      |GROUP BY 1 ORDER BY deg""".stripMargin
+    s"""WITH e AS ($affinityEdgesSql),
+       |deg AS (
+       |  SELECT node, count(*) AS deg
+       |  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+       |  GROUP BY node)
+       |SELECT coalesce(deg, 0) AS deg, count(*) AS n_nodes
+       |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
+       |GROUP BY 1 ORDER BY deg""".stripMargin
+
+  /** Common-neighbors link prediction on the supplier affinity graph —
+    * "which suppliers SHOULD be co-shipping but aren't": for every
+    * non-adjacent pair sharing at least one neighbor, the classic
+    * common-neighbors score, top-20 with a total-order tie-break.
+    *
+    * Scale shape: the wedge self-join on the symmetrized adjacency fans
+    * out by degree² per pivot node (the inherent cost of common-neighbor
+    * counting — the same bound the triangle count carries), one (a, c)
+    * aggregate, a LEFT ANTI join against the edge set to keep only
+    * non-adjacent candidates, and a TakeOrderedAndProject cut. */
+  def qLinkPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = affinityEdges(spark, sfDir).localCheckpoint(true)
+    val adj = e.select($"x".as("b"), $"y".as("n"))
+      .union(e.select($"y".as("b"), $"x".as("n")))
+    val wedges = adj.as("l").join(adj.as("r"),
+        col("l.b") === col("r.b") && col("l.n") < col("r.n"))
+      .groupBy(col("l.n").as("a"), col("r.n").as("c"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges.join(e, wedges("a") === e("x") && wedges("c") === e("y"), "left_anti")
+      .orderBy($"common_neighbors".desc, $"a", $"c")
+      .limit(20)
+  }
+
+  val linkPredictSql: String =
+    s"""WITH e AS ($affinityEdgesSql),
+       |adj AS (SELECT x AS b, y AS n FROM e UNION ALL SELECT y AS b, x AS n FROM e),
+       |w AS (
+       |  SELECT l.n AS a, r.n AS c, count(*) AS common_neighbors
+       |  FROM adj l JOIN adj r ON l.b = r.b AND l.n < r.n
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT w.* FROM w
+       |  LEFT JOIN e ON w.a = e.x AND w.c = e.y
+       |  WHERE e.x IS NULL)
+       |SELECT a, c, common_neighbors FROM cand
+       |ORDER BY common_neighbors DESC, a, c LIMIT 20""".stripMargin
 
   /** Fixed-iteration PageRank over the supplier co-purchase graph —
     * iterative graph analytics beyond [[Similarity]]'s connected
@@ -2225,6 +2274,7 @@ object Analytics {
     "q_shortest_path" -> (qShortestPath _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_degree_distribution" -> (qDegreeDistribution _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2259,6 +2309,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_skyline" -> skylineSql,
     "q_degree_distribution" -> degreeDistributionSql,
+    "q_link_predict" -> linkPredictSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

@@ -2633,7 +2633,52 @@ object Text {
       |    AS BIGINT) AS padding_waste_ppm
       |FROM g ORDER BY bucket""".stripMargin
 
+  /** Unicode NFC normalization audit — the ingest step that makes
+    * composed ("café") and decomposed ("cafe" + COMBINING ACUTE) spellings
+    * of the same text hash together before any dedup/fingerprint runs.
+    * The synthetic corpus is pure ASCII, so — the formula-wrapping
+    * precedent — every even doc gets a DECOMPOSED prefix and every odd
+    * doc a COMPOSED one, built from identical codepoints on both engines;
+    * the compiled `graft_nfc` kernel (ASCII fast path, JDK Normalizer
+    * behind it) then composes, and the audit reports how many documents
+    * changed and how many codepoints the composition saved per source.
+    *
+    * Scale shape: expression-only per row (one compiled static call, the
+    * stage stays in whole-stage codegen), one source-bounded aggregate. */
+  def qUnicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // even docs get the DECOMPOSED prefix (e + U+0301), odd the COMPOSED
+    // one (U+00E9) — explicit escapes so no editor/encoding pass can
+    // silently re-compose the source file
+    val mark = when(pmod($"doc_id", lit(2)) === 0,
+        concat(lit("re\u0301sume\u0301 "), $"text"))
+      .otherwise(concat(lit("caf\u00e9 "), $"text"))
+    Tables.documents(spark, sfDir)
+      .select($"source", mark.as("mark"))
+      .withColumn("norm", call_function("graft_nfc", $"mark"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"norm" =!= $"mark", 1L).otherwise(0L)).as("n_changed"),
+        sum((length($"mark") - length($"norm")).cast("long")).as("chars_saved"))
+      .orderBy($"source")
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'r' || chr(101) || chr(769) || 'sum' || chr(101) || chr(769)
+      |        || ' ' || text
+      |      ELSE 'caf' || chr(233) || ' ' || text END AS mark
+      |  FROM documents),
+      |n AS (SELECT source, mark, nfc_normalize(mark) AS norm FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN norm <> mark THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(length(mark) - length(norm)) AS BIGINT) AS chars_saved
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unicode_normalize" -> (qUnicodeNormalize _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_readability" -> (qReadability _),
     "q_sentence_split" -> (qSentenceSplit _),
@@ -2691,6 +2736,7 @@ object Text {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_pretokenize" -> pretokenizeSql,
+    "q_unicode_normalize" -> unicodeNormalizeSql,
     "q_length_buckets" -> lengthBucketsSql,
     "q_readability" -> readabilitySql,
     "q_sentence_split" -> sentenceSplitSql,

@@ -495,4 +495,27 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.values.sum == suppKeys.size.toLong,
       "every supplier appears exactly once")
   }
+
+  test("q_link_predict matches a common-neighbors replay; none adjacent") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ss = xs.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 20).keySet
+    val nbrs = (edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    val expected = (for {
+      a <- nodes; c <- nodes if a < c && !edges.contains((a, c))
+      cn = (nbrs(a) & nbrs(c)).size if cn > 0
+    } yield (a, c, cn.toLong))
+      .sortBy { case (a, c, cn) => (-cn, a, c) }.take(20)
+    val got = rows(Analytics.qLinkPredict(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+    assert(got.forall { case (a, c, _) => !edges.contains((a, c)) })
+  }
 }

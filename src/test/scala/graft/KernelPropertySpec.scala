@@ -89,4 +89,23 @@ class KernelPropertySpec extends GraftSuite {
       }
     }, "pigeonhole recall at radius <= 3")
   }
+
+  test("TextKernels.nfc: agrees with the JDK Normalizer; idempotent; ASCII is identity") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.const('\u0301'), // combining acute
+      Gen.const('\u00e9'), // composed e-acute
+      Gen.const('\u0041'), Gen.const('\u030a'), // A + combining ring
+      Gen.const('\u00c5'), Gen.const('\u212b')  // Angstrom sign -> NFC A-ring
+    )).map(_.mkString)
+    checkProp(Prop.forAll(gen) { s =>
+      val got = TextKernels.nfc(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      got == want &&
+        TextKernels.nfc(UTF8String.fromString(got)).toString == got
+    }, "nfc agrees with Normalizer and is idempotent")
+    // the ASCII fast path returns the SAME object, not a copy
+    val a = UTF8String.fromString("plain ascii only")
+    assert(TextKernels.nfc(a) eq a)
+  }
 }

@@ -949,4 +949,19 @@ class TextSpec extends GraftSuite {
     assert(got == expected)
     assert(got.map(_._2).sum == toks.size.toLong)
   }
+
+  test("q_unicode_normalize: decomposed docs compose, composed stay put") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val even = xs.count(_._1 % 2 == 0).toLong
+      // each decomposed prefix carries two combining marks -> 2 saved
+      (src, xs.size.toLong, even, 2L * even)
+    }
+    val got = rows(Text.qUnicodeNormalize(spark, sf))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    assert(got.map(_._3).sum > 0, "some docs must actually change")
+  }
 }
