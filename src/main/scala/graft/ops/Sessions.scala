@@ -293,6 +293,103 @@ object Sessions {
       |    AS max_drawdown_ppm
       |FROM p GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** Top event paths — 3-step behavioral path mining: each user's
+    * consecutive event-type triples (ordered by time, event_id
+    * tie-break), counted corpus-wide, top-20. The n-step generalization
+    * of [[qEventTransitions]]' first-order Markov matrix — the "what do
+    * users actually DO" sankey feed.
+    *
+    * Scale shape: one user-partitioned double-lead window (bounded by
+    * events per user), a types³-bounded hash aggregate, and a
+    * TakeOrderedAndProject cut. */
+  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("s2", lead($"event_type", 1).over(w))
+      .withColumn("s3", lead($"event_type", 2).over(w))
+      .where($"s2".isNotNull && $"s3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"s2", $"s3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val eventPathsSql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS s2, lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || s2 || '>' || s3 AS path, count(*) AS n
+      |FROM l WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** Trend + day-of-week seasonal decomposition of daily revenue — the
+    * STL-style additive split every ops dashboard wants: trend is a
+    * centered 7-day moving average, the seasonal component is each
+    * weekday's mean detrended residual.
+    *
+    * Exactness: daily revenue is exact cents; the centered window keeps
+    * (sum, n) instead of dividing, and each day's residual
+    * rev − sum/n = (rev·n − sum)/n is cleared of its denominator by
+    * scaling with 420/n (420 = lcm(4..7) covers the edge windows), so
+    * the per-weekday accumulation is an exact BIGINT sum — division and
+    * the one double appear only in the 7-row final projection. Scale
+    * shape: one fact aggregate to the day grid; the centered ROWS window
+    * is spelled as TWO lookups into [[Dist.withPrefix]]'s distributed
+    * cumulative sum (c[min(i+3, n−1)] − pre[max(i−3, 0)]) joined by row
+    * index — the family's no-unpartitioned-window discipline — then one
+    * 7-key aggregate. */
+  def qSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .select(
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
+    // the prefix grid fans out to THREE consumers (hi lookup, lo lookup,
+    // the max-index row) — checkpoint it so the zipWithIndex row ids are
+    // assigned ONCE; a recompute under a different range partitioning
+    // would hand the three branches inconsistent indexes
+    val g = Dist.withPrefix(daily, Seq($"day"), Seq("rev_c" -> "pre"), Some("idx"))
+      .withColumn("cum", $"pre" + $"rev_c")
+      .localCheckpoint(true)
+    val hi = g.select($"idx".as("hi_i"), $"cum".as("hi_cum"))
+    val lo = g.select($"idx".as("lo_i"), $"pre".as("lo_pre"))
+    g.crossJoin(broadcast(g.agg(max($"idx").as("mx"))))
+      .withColumn("hi_i", least($"idx" + 3L, $"mx"))
+      .withColumn("lo_i", greatest($"idx" - 3L, lit(1L))) // idx is 1-based
+      .join(hi, "hi_i").join(lo, "lo_i")
+      .withColumn("tsum", $"hi_cum" - $"lo_pre")
+      .withColumn("tn", $"hi_i" - $"lo_i" + 1L)
+      // residual cleared to integers: (rev·n − sum) · (420 / n)
+      .withColumn("r420", ($"rev_c" * $"tn" - $"tsum") * expr("420 DIV tn"))
+      .groupBy(pmod($"day", lit(7L)).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum($"r420").cast("double") / (lit(420.0) * count(lit(1))) / 100.0, 4)
+          .as("seasonal"),
+        round(avg($"tsum".cast("double") / $"tn") / 100.0, 2).as("mean_trend"))
+      .orderBy($"dow")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, rev_c,
+      |    sum(rev_c) OVER w AS tsum, count(*) OVER w AS tn
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      |SELECT day % 7 AS dow, count(*) AS n_days,
+      |  round(CAST(sum((rev_c * tn - tsum) * (420 // tn)) AS DOUBLE)
+      |    / (420.0 * count(*)) / 100.0, 4) AS seasonal,
+      |  round(avg(CAST(tsum AS DOUBLE) / tn) / 100.0, 2) AS mean_trend
+      |FROM t GROUP BY 1 ORDER BY dow""".stripMargin
+
   /** The ACTUAL `session_window` operator in the oracle gate:
     * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
     * this query gates Spark's native session-window group key — the one
@@ -1438,6 +1535,8 @@ object Sessions {
     "q_twap" -> (qTwap _),
     "q_trend_slope" -> (qTrendSlope _),
     "q_drawdown" -> (qDrawdown _),
+    "q_event_paths" -> (qEventPaths _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -1470,6 +1569,8 @@ object Sessions {
     "q_twap" -> twapSql,
     "q_trend_slope" -> trendSlopeSql,
     "q_drawdown" -> drawdownSql,
+    "q_event_paths" -> eventPathsSql,
+    "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,

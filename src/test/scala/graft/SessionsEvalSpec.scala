@@ -708,4 +708,37 @@ class SessionsEvalSpec extends GraftSuite {
     assert(got == expected)
     assert(got.forall(x => x._4 >= 0 && x._4 < 1000000L))
   }
+
+  test("q_event_paths matches a driver-side triple replay") {
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "CAST(ts AS STRING) AS t", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2)).map(_._4)
+      s.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = rows(Sessions.qEventPaths(spark, sf))
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == expected)
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
+  test("q_seasonal_decompose: residuals sum to ~0; grid partitioned by dow") {
+    val got = rows(Sessions.qSeasonalDecompose(spark, sf))
+    assert(got.size == 7)
+    // day-count conservation: the dow buckets partition the full day grid
+    val days = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("datediff(o_orderdate, DATE'1995-01-01') AS d")
+      .distinct().count()
+    assert(got.map(_.getLong(1)).sum == days)
+    // additive decomposition: count-weighted seasonal components of a
+    // centered-MA detrend nearly cancel (edge windows break exactness)
+    val weighted = got.map(r => r.getDouble(2) * r.getLong(1)).sum
+    val scale = got.map(r => math.abs(r.getDouble(3))).max
+    // loose: the sf0.001 day grid is sparse, so edge windows leave a
+    // visible (but bounded) non-cancellation; sf0.01 parity is exact
+    assert(math.abs(weighted) < scale * 0.15,
+      s"weighted seasonal sum $weighted should be small vs trend $scale")
+  }
 }
