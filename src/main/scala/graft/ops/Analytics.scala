@@ -1368,6 +1368,63 @@ object Analytics {
        |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
        |GROUP BY 1 ORDER BY deg""".stripMargin
 
+  /** Degree assortativity of the supplier affinity graph — the Pearson
+    * correlation of endpoint degrees over all directed edges: positive
+    * means hubs ship with hubs (assortative mixing), negative means
+    * hub-and-spoke. The one-number structural summary that tells you
+    * whether the skew-handling path (salting, AQE skew join) will face
+    * clustered or dispersed hot keys.
+    *
+    * Exactness: degrees are bounded by |V|, so the five Pearson moments
+    * over the directed edge list are exact BIGINT sums; one double
+    * assembly ends it. Scale shape: one degree aggregate + one edge-keyed
+    * join of the degree dimension onto each endpoint, then a single
+    * 1-row reduction. */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = affinityEdges(spark, sfDir).localCheckpoint(true)
+    val adj = e.union(e.select($"y", $"x"))
+      .toDF("src", "dst")
+    val deg = adj.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    adj
+      .join(deg.select($"node".as("src"), $"deg".as("dx")), Seq("src"))
+      .join(deg.select($"node".as("dst"), $"deg".as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      // a regular graph (every degree equal — sf0.001's K10) has zero
+      // degree variance: the correlation is undefined there, and under
+      // ANSI mode an unguarded 0/0 double division THROWS — emit null
+      .withColumn("den",
+        sqrt($"m".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
+          * sqrt($"m".cast("double") * $"syy" - $"sy".cast("double") * $"sy"))
+      .select(expr("m DIV 2").as("n_edges"),
+        when($"den" > 0.0,
+          round(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+            / $"den", 6)).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH e0 AS ($affinityEdgesSql),
+       |adj AS (SELECT x AS src, y AS dst FROM e0
+       |        UNION ALL SELECT y AS src, x AS dst FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY 1),
+       |j AS (
+       |  SELECT a.deg AS dx, b.deg AS dy
+       |  FROM adj JOIN deg a ON adj.src = a.node JOIN deg b ON adj.dst = b.node),
+       |m AS (
+       |  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+       |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+       |  FROM j)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       |  CASE WHEN sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |      * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+       |    THEN round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |      / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |        * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+       |  END AS assortativity
+       |FROM m""".stripMargin
+
   /** Common-neighbors link prediction on the supplier affinity graph —
     * "which suppliers SHOULD be co-shipping but aren't": for every
     * non-adjacent pair sharing at least one neighbor, the classic
@@ -2275,6 +2332,7 @@ object Analytics {
     "q_triangle_count" -> (qTriangleCount _),
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_assortativity" -> (qAssortativity _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2310,6 +2368,7 @@ object Analytics {
     "q_skyline" -> skylineSql,
     "q_degree_distribution" -> degreeDistributionSql,
     "q_link_predict" -> linkPredictSql,
+    "q_assortativity" -> assortativitySql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

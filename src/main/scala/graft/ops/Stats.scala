@@ -607,6 +607,76 @@ object Stats {
       |  round(sqrt((sm2 - sm * sm / b) / (b - 1)), 4) AS boot_se
       |FROM agg CROSS JOIN corpus""".stripMargin
 
+  // ------------------------------------------------- Theil-Sen robust slope
+
+  /** Theil–Sen estimator of the daily-revenue trend — the robust
+    * companion to `q_trend_slope`'s OLS: the MEDIAN of all pairwise
+    * slopes, insensitive to ~29% outlier contamination where one wild
+    * day drags least squares arbitrarily far.
+    *
+    * Exactness: each pairwise slope is floor(Δrev·1e6/Δday) — the float
+    * product Δrev·1e6 stays ≤ 2^53 so the double math is exact and the
+    * floor lands identically on both engines (explicit floor instead of
+    * integer division, whose negative-operand rounding differs between
+    * engines); the median comes from the value-count relation by exact
+    * rank selection over [[Dist.withPrefix]]'s distributed cumulative
+    * count (the ×2 trick averages the two middles without leaving
+    * integers). Scale shape: the day grid is CALENDAR-bounded, so the
+    * O(days²) pair self-join is bounded at any corpus size (~3M pairs
+    * for 7 years) — corpus rows only enter the one fact aggregate. */
+  def qTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .select(
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
+      .localCheckpoint(true)
+    val vc = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .select(floor((col("b.rev_c") - col("a.rev_c")).cast("double") * 1000000.0
+        / (col("b.day") - col("a.day")).cast("double")).cast("long").as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("cnt"))
+    val tot = vc.agg(sum($"cnt").as("n"), count(lit(1)).as("nv"))
+    Dist.withPrefix(vc, Seq($"s"), Seq("cnt" -> "cumb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lo", expr("(n + 1) DIV 2"))
+      .withColumn("hi", expr("(n + 2) DIV 2"))
+      .agg(
+        max($"n").as("n_pairs"), max($"nv").as("n_distinct_slopes"),
+        (sum(when($"cumb" < $"lo" && $"lo" <= $"cumb" + $"cnt", $"s")) +
+          sum(when($"cumb" < $"hi" && $"hi" <= $"cumb" + $"cnt", $"s"))).as("m2"))
+      .select($"n_pairs", $"n_distinct_slopes",
+        round($"m2".cast("double") / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(floor(CAST(b.rev_c - a.rev_c AS DOUBLE) * 1000000.0
+      |    / (b.day - a.day)) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |vc AS (SELECT s, count(*) AS cnt FROM p GROUP BY s),
+      |c AS (
+      |  SELECT s, cnt,
+      |    coalesce(sum(cnt) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM vc),
+      |t AS (SELECT sum(cnt) AS n, count(*) AS nv FROM vc),
+      |m AS (
+      |  SELECT max(n) AS n_pairs, max(nv) AS nv,
+      |    sum(CASE WHEN cumb < (n + 1) // 2 AND (n + 1) // 2 <= cumb + cnt
+      |        THEN s ELSE 0 END) +
+      |    sum(CASE WHEN cumb < (n + 2) // 2 AND (n + 2) // 2 <= cumb + cnt
+      |        THEN s ELSE 0 END) AS m2
+      |  FROM c CROSS JOIN t)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(nv AS BIGINT) AS n_distinct_slopes,
+      |  round(CAST(m2 AS DOUBLE) / 2.0e6 / 100.0, 6) AS ts_slope_per_day
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -617,7 +687,8 @@ object Stats {
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_anova" -> (qAnova _),
     "q_kaplan_meier" -> (qKaplanMeier _),
-    "q_bootstrap_se" -> (qBootstrapSe _))
+    "q_bootstrap_se" -> (qBootstrapSe _),
+    "q_theil_sen" -> (qTheilSen _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
@@ -627,5 +698,6 @@ object Stats {
     "q_cusum_changepoint" -> cusumChangepointSql,
     "q_anova" -> anovaSql,
     "q_kaplan_meier" -> kaplanMeierSql,
-    "q_bootstrap_se" -> bootstrapSeSql)
+    "q_bootstrap_se" -> bootstrapSeSql,
+    "q_theil_sen" -> theilSenSql)
 }

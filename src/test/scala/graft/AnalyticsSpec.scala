@@ -518,4 +518,38 @@ class AnalyticsSpec extends GraftSuite {
     assert(got == expected)
     assert(got.forall { case (a, c, _) => !edges.contains((a, c)) })
   }
+
+  test("q_assortativity matches an exact degree-moment replay; in [-1, 1]") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ss = xs.map(_._2).distinct.sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 20).keys.toSeq
+    val row = rows(Analytics.qAssortativity(spark, sf)).head
+    assert(row.getLong(0) == edges.size.toLong)
+    val directed = edges.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pts = directed.map { case (s, d) => (deg(s), deg(d)) }
+    val m = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val den = math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    if (edges.isEmpty || den == 0.0) {
+      // sf0.001's affinity graph is a complete K10 — every degree equal,
+      // zero variance: the correlation is undefined and must surface as
+      // null, not an ANSI 0/0 crash (the sf0.01 oracle pins the rest)
+      assert(row.isNullAt(1), s"degenerate graph must yield null: $row")
+    } else {
+      val expected = BigDecimal((m * sxy - sx * sy) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(1) == expected)
+      assert(expected >= -1.0 && expected <= 1.0)
+    }
+  }
 }

@@ -247,4 +247,25 @@ class StatsSpec extends GraftSuite {
     assert(row.getDouble(3) > classical / 3 && row.getDouble(3) < classical * 3,
       s"bootstrap SE ${row.getDouble(3)} should be near sd/sqrt(n)=$classical")
   }
+
+  test("q_theil_sen matches an exact pairwise-median replay") {
+    val daily = Tables.orders(spark, sf)
+      .selectExpr("datediff(o_orderdate, DATE'1995-01-01') AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.size
+    } yield math.floor((daily(j)._2 - daily(i)._2).toDouble * 1000000.0
+      / (daily(j)._1 - daily(i)._1)).toLong).sorted
+    val n = slopes.size
+    val m2 = slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)
+    val expected = BigDecimal(m2.toDouble / 2.0e6 / 100.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows(Stats.qTheilSen(spark, sf)).head
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == slopes.distinct.size.toLong)
+    assert(r.getDouble(2) == expected)
+  }
 }
