@@ -2677,7 +2677,57 @@ object Text {
       |  CAST(sum(length(mark) - length(norm)) AS BIGINT) AS chars_saved
       |FROM n GROUP BY source ORDER BY source""".stripMargin
 
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage audit: a
+    * vocabulary is frozen from the TRAIN split (the md5 80% split,
+    * min-count 5 — the classic `min_count` floor, which unlike a top-K
+    * cut needs no global ranking), then the held-out split's tokens are
+    * scored against it. High OOV per source flags domains the tokenizer
+    * will shred into bytes — the report run before committing a vocab.
+    *
+    * Exactness: counts and the ppm are integers throughout (`DIV`).
+    * Scale shape: one train-side token aggregate (map-side combinable),
+    * one token-keyed LEFT join of the held-out stream against the vocab
+    * (no broadcast hint — the vocab is data-derived), one source-bounded
+    * aggregate. */
+  def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isTrain = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 10L < 8L
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"source", isTrain.as("is_train"), explode(toks($"text")).as("token"))
+    val vocab = tokens.where($"is_train")
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+      .where($"c" >= 5L)
+      .select($"token", lit(1L).as("in_v"))
+    tokens.where(!$"is_train")
+      .join(vocab, Seq("token"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy($"source")
+  }
+
+  val oovRateSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 10 < 8 AS is_train,
+       |    unnest($duckToks) AS token
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT token, 1 AS in_v FROM d WHERE is_train
+       |  GROUP BY token HAVING count(*) >= 5)
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS oov_ppm
+       |FROM d LEFT JOIN vocab USING (token)
+       |WHERE NOT is_train
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oov_rate" -> (qOovRate _),
     "q_unicode_normalize" -> (qUnicodeNormalize _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_readability" -> (qReadability _),
@@ -2736,6 +2786,7 @@ object Text {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_pretokenize" -> pretokenizeSql,
+    "q_oov_rate" -> oovRateSql,
     "q_unicode_normalize" -> unicodeNormalizeSql,
     "q_length_buckets" -> lengthBucketsSql,
     "q_readability" -> readabilitySql,

@@ -964,4 +964,30 @@ class TextSpec extends GraftSuite {
     assert(got == expected)
     assert(got.map(_._3).sum > 0, "some docs must actually change")
   }
+
+  test("q_oov_rate matches the frozen-vocab replay; splits conserved") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def train(id: Long): Boolean = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 < 8
+    }
+    def tk(t: String) = t.split(' ').filter(_.nonEmpty)
+    val vocab = docs.filter(d => train(d._1)).flatMap(d => tk(d._3))
+      .groupBy(identity).collect { case (t, xs) if xs.size >= 5 => t }.toSet
+    val expected = docs.filterNot(d => train(d._1))
+      .flatMap(d => tk(d._3).map(t => (d._2, t)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ts) =>
+        val n = ts.size.toLong
+        val oov = ts.count(t => !vocab.contains(t._2)).toLong
+        (src, n, oov, oov * 1000000L / n)
+      }
+    val got = rows(Text.qOovRate(spark, sf))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got == expected)
+    assert(got.map(_._2).sum > 0)
+  }
 }
