@@ -390,6 +390,68 @@ object Sessions {
       |  round(avg(CAST(tsum AS DOUBLE) / tn) / 100.0, 2) AS mean_trend
       |FROM t GROUP BY 1 ORDER BY dow""".stripMargin
 
+  /** Lead-lag cross-correlation scan: Pearson r between daily revenue
+    * and daily order VOLUME at every shift in ±7 days — "does volume
+    * lead value?" — the lag-scan generalization of
+    * [[qHourlyAutocorr]]'s single fixed lag.
+    *
+    * Exactness: both series are exact integers on the day grid (cents,
+    * counts); per-lag moments are exact sums — the revenue² sum is
+    * widened to DECIMAL(38,0) (cents² terms pass 2^63 at ~100 high-revenue
+    * days) — and each lag's r is one double assembly, round 6. Scale
+    * shape: the lag dimension is a 15-row broadcast against the
+    * calendar-bounded day grid, matched by a shifted-key equi-join (no
+    * dense series materialized), then a 15-key aggregate. */
+  def qLeadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.orders(spark, sfDir)
+      .select(
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("a"))
+      .groupBy($"day").agg(sum($"a").as("a"), count(lit(1)).as("b"))
+      .localCheckpoint(true)
+    val lags = spark.range(-7, 8).select($"id".as("lag"))
+    val shifted = g.select($"day".as("day2"), $"b".as("b2"))
+    g.crossJoin(broadcast(lags))
+      .join(shifted, $"day2" === $"day" + $"lag")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"a").as("sa"), sum($"b2").as("sb"),
+        sum($"a" * $"b2").as("sab"),
+        sum(($"a" * $"a").cast("decimal(38,0)")).as("saa"),
+        sum($"b2" * $"b2").as("sbb"))
+      .select($"lag", $"n".as("n_days"),
+        round(($"n".cast("double") * $"sab" - $"sa".cast("double") * $"sb")
+          / (sqrt($"n".cast("double") * $"saa".cast("double")
+              - $"sa".cast("double") * $"sa")
+            * sqrt($"n".cast("double") * $"sbb" - $"sb".cast("double") * $"sb")),
+          6).as("xcorr"))
+      .orderBy($"lag")
+  }
+
+  val leadLagSql: String =
+    """WITH g AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS a,
+      |    count(*) AS b
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+      |j AS (
+      |  SELECT l.lag, g.a, s.b AS b2
+      |  FROM g CROSS JOIN l JOIN g s ON s.day = g.day + l.lag),
+      |m AS (
+      |  SELECT lag, count(*) AS n, sum(a) AS sa, sum(b2) AS sb,
+      |    sum(a * b2) AS sab,
+      |    sum(CAST(a * a AS DECIMAL(38,0))) AS saa, sum(b2 * b2) AS sbb
+      |  FROM j GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+      |  round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+      |        - CAST(sa AS DOUBLE) * sa)
+      |      * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)),
+      |  6) AS xcorr
+      |FROM m ORDER BY lag""".stripMargin
+
   /** The ACTUAL `session_window` operator in the oracle gate:
     * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
     * this query gates Spark's native session-window group key — the one
@@ -1537,6 +1599,7 @@ object Sessions {
     "q_drawdown" -> (qDrawdown _),
     "q_event_paths" -> (qEventPaths _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_lead_lag" -> (qLeadLag _),
     "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -1571,6 +1634,7 @@ object Sessions {
     "q_drawdown" -> drawdownSql,
     "q_event_paths" -> eventPathsSql,
     "q_seasonal_decompose" -> seasonalDecomposeSql,
+    "q_lead_lag" -> leadLagSql,
     "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,

@@ -76,7 +76,15 @@ class DeterminismSpec extends GraftSuite {
     "q_fuzzy_join",
     "q_eval_ndcg",
     "q_trend_slope",
-    "q_drawdown").foreach { name =>
+    "q_drawdown",
+    // late round-9: zipWithIndex prefix consumers (seasonal, Theil-Sen),
+    // the hash-seeded bootstrap, union-find entity resolution, and the
+    // vocab-join OOV audit
+    "q_seasonal_decompose",
+    "q_theil_sen",
+    "q_bootstrap_se",
+    "q_entity_resolution",
+    "q_oov_rate").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

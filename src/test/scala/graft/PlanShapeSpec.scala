@@ -471,4 +471,36 @@ class PlanShapeSpec extends GraftSuite {
     check(levenshtein($"a", $"b") <= 0, _ <= 0)           // zero cap
     check(levenshtein($"a", $"b") <= 2 || $"a" === "x", d => d <= 2) // OR: no rewrite
   }
+
+  test("LevenshteinBandRule: seeded fuzz over random pairs and thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def word(): String = {
+      val n = rnd.nextInt(13)
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // small alphabet -> rich tie/threshold structure
+    }
+    val pairsSeq = Seq.fill(200)((word(), word()))
+    val pairs = pairsSeq.toDF("a", "b")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def run(f: org.apache.spark.sql.Column, p: Int => Boolean): Unit = {
+      val got = pairs.where(f).collect().map(r => (r.getString(0), r.getString(1)))
+      val want = pairsSeq.filter { case (a, b) => p(lev(a, b)) }
+      assert(got.toSeq.sorted == want.sorted, s"filter $f diverged")
+    }
+    for (k <- Seq(0, 1, 2, 3, 5, 9)) {
+      run(levenshtein($"a", $"b") <= k, _ <= k)
+      run(levenshtein($"a", $"b") === k, _ == k)
+      if (k >= 1) run(levenshtein($"a", $"b").between(1, k), d => d >= 1 && d <= k)
+    }
+    run(levenshtein($"a", $"b") < 4 && levenshtein($"a", $"b") > 1,
+      d => d < 4 && d > 1)
+  }
 }

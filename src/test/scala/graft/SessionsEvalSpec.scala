@@ -741,4 +741,37 @@ class SessionsEvalSpec extends GraftSuite {
     assert(math.abs(weighted) < scale * 0.15,
       s"weighted seasonal sum $weighted should be small vs trend $scale")
   }
+
+  test("q_lead_lag matches an exact lag-scan replay; lag 0 is the peak") {
+    val daily = segDaily.values.flatten
+      .groupBy(_._1).toSeq.map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .sortBy(_._1)
+    val counts = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("datediff(o_orderdate, DATE'1995-01-01') AS d")
+      .collect().map(_.getInt(0).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val revByDay = daily.toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (-7L to 7L).map { lag =>
+      val pts = daily.flatMap { case (d, a) =>
+        counts.get(d + lag).map(b => (a, b))
+      }
+      val n = pts.size.toDouble
+      val sa = pts.map(_._1).sum.toDouble
+      val sb = pts.map(_._2).sum.toDouble
+      val sab = pts.map(p => p._1 * p._2).sum.toDouble
+      val saa = pts.map(p => BigInt(p._1) * p._1).sum.toDouble
+      val sbb = pts.map(p => p._2 * p._2).sum.toDouble
+      val r = (n * sab - sa * sb) /
+        (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+      (lag, pts.size.toLong, r6(r))
+    }
+    val got = rows(Sessions.qLeadLag(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    // same-day volume and revenue are most correlated at lag 0
+    val best = got.maxBy(_._3)
+    assert(best._1 == 0L, s"peak cross-correlation should sit at lag 0: $best")
+  }
 }
