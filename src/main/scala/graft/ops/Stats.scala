@@ -677,6 +677,85 @@ object Stats {
       |  round(CAST(m2 AS DOUBLE) / 2.0e6 / 100.0, 6) AS ts_slope_per_day
       |FROM m""".stripMargin
 
+  // ------------------------------------- Population Stability Index (PSI)
+
+  /** Population Stability Index of document length between the md5 80%
+    * train split and the held-out 20% — THE model-ops drift score
+    * (PSI < 0.1 stable / 0.1–0.25 moderate / > 0.25 shifted): the
+    * held-out distribution is binned by the TRAIN split's exact deciles
+    * and Σ (p−q)·ln(p/q) accumulated per bin.
+    *
+    * Exactness: decile cuts come from exact count-based rank selection
+    * over the train value-count relation ([[Dist.withPrefix]] — the
+    * family's no-unpartitioned-window quantile spelling); bin counts are
+    * exact integers with +1 smoothing on BOTH engines (an empty held-out
+    * bin would send ln to ∞); the ln terms are assembled in the final
+    * projection over the 10-row bin grid. Scale shape: one value-count
+    * aggregate, a 9-row broadcast cut table, one 10-key aggregate. */
+  def qPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"n_chars".as("v"),
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10L < 8L).as("is_train"))
+    val vc = d.where($"is_train").groupBy($"v").agg(count(lit(1)).as("cnt"))
+    val cuts = Dist.withPrefix(vc, Seq($"v"), Seq("cnt" -> "cumb"))
+      .crossJoin(broadcast(vc.agg(sum($"cnt").as("n"))))
+      .select($"v", $"cumb", $"cnt", $"n")
+      .where(expr(
+        "exists(sequence(1, 9), k -> cumb < (k * n) DIV 10 AND (k * n) DIV 10 <= cumb + cnt)"))
+      .select($"v".as("cut"))
+    val binned = d.crossJoin(broadcast(cuts.agg(
+        sort_array(collect_list($"cut")).as("cs"))))
+      .select($"is_train",
+        aggregate($"cs", lit(0L), (acc, c) => acc + when($"v" > c, 1L).otherwise(0L))
+          .as("bin"))
+    binned.groupBy($"bin")
+      .agg(sum(when($"is_train", 1L).otherwise(0L)).as("tn"),
+        sum(when(!$"is_train", 1L).otherwise(0L)).as("en"))
+      .crossJoin(broadcast(binned.agg(
+        (sum(when($"is_train", 1L).otherwise(0L)) + 10L).as("tt"),
+        (sum(when(!$"is_train", 1L).otherwise(0L)) + 10L).as("et"))))
+      .select($"bin", $"tn", $"en",
+        round((($"tn" + 1L).cast("double") / $"tt" - ($"en" + 1L).cast("double") / $"et")
+          * (log(($"tn" + 1L).cast("double") / $"tt")
+            - log(($"en" + 1L).cast("double") / $"et")), 6).as("psi_term"))
+      .orderBy($"bin")
+  }
+
+  val psiSql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 10 < 8 AS is_train
+      |  FROM documents),
+      |vc AS (SELECT v, count(*) AS cnt FROM d WHERE is_train GROUP BY v),
+      |c AS (
+      |  SELECT v, cnt,
+      |    coalesce(sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+      |    (SELECT sum(cnt) FROM vc) AS n
+      |  FROM vc),
+      |cuts AS (
+      |  SELECT v AS cut FROM c
+      |  WHERE EXISTS (SELECT 1 FROM (SELECT unnest(generate_series(1, 9)) AS k)
+      |    WHERE cumb < (k * n) // 10 AND (k * n) // 10 <= cumb + cnt)),
+      |b AS (
+      |  SELECT is_train,
+      |    (SELECT count(*) FROM cuts WHERE d.v > cuts.cut) AS bin
+      |  FROM d),
+      |g AS (
+      |  SELECT bin, sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS tn,
+      |    sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS en
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT sum(tn) + 10 AS tt, sum(en) + 10 AS et FROM g)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(tn AS BIGINT) AS tn,
+      |  CAST(en AS BIGINT) AS en,
+      |  round((CAST(tn + 1 AS DOUBLE) / tt - CAST(en + 1 AS DOUBLE) / et)
+      |    * (ln(CAST(tn + 1 AS DOUBLE) / tt) - ln(CAST(en + 1 AS DOUBLE) / et)),
+      |  6) AS psi_term
+      |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -688,7 +767,8 @@ object Stats {
     "q_anova" -> (qAnova _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_bootstrap_se" -> (qBootstrapSe _),
-    "q_theil_sen" -> (qTheilSen _))
+    "q_theil_sen" -> (qTheilSen _),
+    "q_psi" -> (qPsi _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
@@ -699,5 +779,6 @@ object Stats {
     "q_anova" -> anovaSql,
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_bootstrap_se" -> bootstrapSeSql,
-    "q_theil_sen" -> theilSenSql)
+    "q_theil_sen" -> theilSenSql,
+    "q_psi" -> psiSql)
 }

@@ -44,7 +44,11 @@ class ScalingSpec extends GraftSuite {
       // round 9: the blocked fuzzy join (block cap must bound pair
       // fan-out), TWAP (per-user window), and Kaplan-Meier (day-grid
       // prefix passes) all need linear-ish slopes
-      "q_fuzzy_join", "q_twap", "q_kaplan_meier").foreach { name =>
+      "q_fuzzy_join", "q_twap", "q_kaplan_meier",
+      // calendar-bounded grids (pair joins, prefix lookups) and the
+      // vocab-join OOV audit: all must stay ~flat-to-linear in corpus size
+      "q_theil_sen", "q_seasonal_decompose", "q_lead_lag", "q_psi",
+      "q_oov_rate").foreach { name =>
     test(s"$name: 10x data costs < ${MaxSlope.toInt}x wall time") {
       time(name, sfSmall) // warm-up: codegen + JIT out of both timings
       val tSmall = math.max(time(name, sfSmall), FloorSec)

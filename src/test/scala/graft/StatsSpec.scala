@@ -268,4 +268,45 @@ class StatsSpec extends GraftSuite {
     assert(r.getLong(1) == slopes.distinct.size.toLong)
     assert(r.getDouble(2) == expected)
   }
+
+  test("q_psi matches the exact decile-bin replay; PSI small on a random split") {
+    val ds = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def train(id: Long): Boolean = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10 < 8
+    }
+    val tr = ds.filter(d => train(d._1)).map(_._2)
+    val vc = tr.groupBy(identity).toSeq.map { case (v, xs) => (v, xs.size.toLong) }
+      .sortBy(_._1)
+    val n = tr.size.toLong
+    var cum = 0L
+    val cuts = vc.flatMap { case (v, c) =>
+      val hit = (1 to 9).exists { k =>
+        val r = k * n / 10; cum < r && r <= cum + c
+      }
+      cum += c
+      if (hit) Some(v) else None
+    }
+    def bin(v: Long): Int = cuts.count(v > _)
+    val binsT = tr.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val ev = ds.filterNot(d => train(d._1)).map(_._2)
+    val binsE = ev.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    val (tt, et) = (tr.size.toLong + 10L, ev.size.toLong + 10L)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (binsT.keySet ++ binsE.keySet).toSeq.sorted.map { b =>
+      val tn = binsT.getOrElse(b, 0L); val en = binsE.getOrElse(b, 0L)
+      val p = (tn + 1).toDouble / tt; val q = (en + 1).toDouble / et
+      (b.toLong, tn, en, r6((p - q) * (math.log(p) - math.log(q))))
+    }
+    val got = rows(Stats.qPsi(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got == expected)
+    // a random split of one population must read as stable
+    assert(got.map(_._4).sum < 0.1, s"PSI ${got.map(_._4).sum} should be < 0.1")
+  }
 }
