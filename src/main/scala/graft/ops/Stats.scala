@@ -632,10 +632,17 @@ object Stats {
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
       .localCheckpoint(true)
+    // the O(days²) pair generation feeds THREE evaluations (the totals
+    // agg + the prefix pass's two scans) — checkpoint the ~|pairs|-
+    // bounded value-count relation so the BNLJ runs exactly once.
+    // (A ranksOfCountsBucketed spelling was measured SLOWER here — 8.5 s
+    // vs ~3 s — its multi-pass bucket refinement only pays off when the
+    // distinct grid can't be checkpointed whole; this one is 23 MB.)
     val vc = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
       .select(floor((col("b.rev_c") - col("a.rev_c")).cast("double") * 1000000.0
         / (col("b.day") - col("a.day")).cast("double")).cast("long").as("s"))
       .groupBy($"s").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val tot = vc.agg(sum($"cnt").as("n"), count(lit(1)).as("nv"))
     Dist.withPrefix(vc, Seq($"s"), Seq("cnt" -> "cumb"))
       .crossJoin(broadcast(tot))
