@@ -1368,6 +1368,42 @@ object Analytics {
        |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
        |GROUP BY 1 ORDER BY deg""".stripMargin
 
+  /** Herfindahl–Hirschman concentration of supplier revenue per ship
+    * year — Σ share² (0 → perfectly fragmented, 1 → monopoly), the
+    * standard market-concentration index, and operationally the same
+    * number that predicts whether a supplier-keyed shuffle will skew.
+    *
+    * Exactness: per-supplier yearly revenue is exact cents; the Σ rev²
+    * numerator is widened to DECIMAL(38,0) (cents² passes 2^63 just
+    * above ~$300k per supplier-year) and the denominator square is
+    * assembled from the exact BIGINT total in doubles, one division,
+    * round 6. Scale shape: one fact aggregate to the (year, supplier)
+    * grid, one year-bounded aggregate. */
+  def qHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ys = Tables.lineitem(spark, sfDir)
+      .select(year($"l_shipdate").cast("long").as("yr"), $"l_suppkey",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"yr", $"l_suppkey").agg(sum($"rev_c").as("rev"))
+    ys.groupBy($"yr")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"rev").as("tot"),
+        sum(($"rev" * $"rev").cast("decimal(38,0)")).as("sq"))
+      .select($"yr", $"n_suppliers",
+        round($"sq".cast("double")
+          / ($"tot".cast("double") * $"tot".cast("double")), 6).as("hhi"))
+      .orderBy($"yr")
+  }
+
+  val hhiSql: String =
+    """WITH ys AS (
+      |  SELECT year(l_shipdate) AS yr, l_suppkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT CAST(yr AS BIGINT) AS yr, count(*) AS n_suppliers,
+      |  round(CAST(sum(CAST(rev * rev AS DECIMAL(38,0))) AS DOUBLE)
+      |    / (CAST(sum(rev) AS DOUBLE) * sum(rev)), 6) AS hhi
+      |FROM ys GROUP BY yr ORDER BY yr""".stripMargin
+
   /** Degree assortativity of the supplier affinity graph — the Pearson
     * correlation of endpoint degrees over all directed edges: positive
     * means hubs ship with hubs (assortative mixing), negative means
@@ -2333,6 +2369,7 @@ object Analytics {
     "q_degree_distribution" -> (qDegreeDistribution _),
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
+    "q_hhi" -> (qHhi _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2369,6 +2406,7 @@ object Analytics {
     "q_degree_distribution" -> degreeDistributionSql,
     "q_link_predict" -> linkPredictSql,
     "q_assortativity" -> assortativitySql,
+    "q_hhi" -> hhiSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

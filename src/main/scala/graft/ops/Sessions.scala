@@ -452,6 +452,53 @@ object Sessions {
       |  6) AS xcorr
       |FROM m ORDER BY lag""".stripMargin
 
+  /** Burstiness of each event type's daily arrival counts — the Fano
+    * factor (variance/mean index of dispersion): ≈1 reads Poisson,
+    * ≫1 reads bursty/clumped, ≪1 regular — the one-number answer to
+    * "can I capacity-plan this stream on its average rate?".
+    *
+    * Exactness: daily counts are exact integers over the (type, day)
+    * grid — ABSENT days count as zero via the span (they are real
+    * observations of zero arrivals; dropping them would bias the factor
+    * down), cleared of division through cross-multiplied integer moments
+    * (n·Σc² − (Σc)²) with one double division by n·Σc at the end. Scale
+    * shape: one fact aggregate to the calendar-bounded grid, a 1-row
+    * broadcast day-span, one type-bounded aggregate. */
+  def qBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select($"event_type",
+        expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) DIV 86400").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val span = daily.agg((max($"day") - min($"day") + 1L).as("n_days"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("active_days"), sum($"c").as("s"),
+        sum($"c" * $"c").as("sq"))
+      .crossJoin(broadcast(span))
+      // zero days contribute 0 to s and sq; only n changes: n = n_days
+      .select($"event_type", $"n_days", $"active_days", $"s".as("n_events"),
+        round(($"n_days".cast("double") * $"sq" - $"s".cast("double") * $"s")
+          / ($"n_days".cast("double") * $"s"), 6).as("fano"))
+      .orderBy($"event_type")
+  }
+
+  val burstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT max(day) - min(day) + 1 AS n_days FROM daily),
+      |g AS (
+      |  SELECT event_type, count(*) AS active_days, sum(c) AS s,
+      |    sum(c * c) AS sq
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(active_days AS BIGINT) AS active_days,
+      |  CAST(s AS BIGINT) AS n_events,
+      |  round((CAST(n_days AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
+      |    / (CAST(n_days AS DOUBLE) * s), 6) AS fano
+      |FROM g CROSS JOIN span ORDER BY event_type""".stripMargin
+
   /** The ACTUAL `session_window` operator in the oracle gate:
     * [[qSessionize]] gates the lag+islands SPELLING of sessionization;
     * this query gates Spark's native session-window group key — the one
@@ -1600,6 +1647,7 @@ object Sessions {
     "q_event_paths" -> (qEventPaths _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_lead_lag" -> (qLeadLag _),
+    "q_burstiness" -> (qBurstiness _),
     "q_session_window" -> (qSessionWindow _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
@@ -1635,6 +1683,7 @@ object Sessions {
     "q_event_paths" -> eventPathsSql,
     "q_seasonal_decompose" -> seasonalDecomposeSql,
     "q_lead_lag" -> leadLagSql,
+    "q_burstiness" -> burstinessSql,
     "q_session_window" -> sessionWindowSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,

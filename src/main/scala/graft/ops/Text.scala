@@ -2726,7 +2726,45 @@ object Text {
        |WHERE NOT is_train
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Autocomplete index: the top-3 completions for every 2-character
+    * token prefix, ranked by corpus frequency with a lexical tie-break —
+    * the search-suggest / query-completion table, built batch-side.
+    *
+    * Scale shape: one token-count aggregate (map-side combinable), then
+    * a rank window PARTITIONED BY PREFIX — bounded by the vocabulary
+    * under one prefix (Heaps-sublinear in the corpus), never
+    * corpus-global. */
+  def qAutocomplete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(toks($"text")).as("token"))
+      .where(length($"token") >= 2)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring($"token", 1, 2))
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"prefix").orderBy($"cnt".desc, $"token")))
+      .where($"rnk" <= 3)
+      .select($"prefix", $"rnk".cast("long").as("rnk"), $"token", $"cnt")
+      .orderBy($"prefix", $"rnk")
+  }
+
+  val autocompleteSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest($duckToks) AS token FROM documents),
+       |c AS (
+       |  SELECT token, count(*) AS cnt FROM t
+       |  WHERE length(token) >= 2 GROUP BY token),
+       |r AS (
+       |  SELECT substr(token, 1, 2) AS prefix, token, cnt,
+       |    row_number() OVER (PARTITION BY substr(token, 1, 2)
+       |      ORDER BY cnt DESC, token) AS rnk
+       |  FROM c)
+       |SELECT prefix, CAST(rnk AS BIGINT) AS rnk, token, cnt
+       |FROM r WHERE rnk <= 3 ORDER BY prefix, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocomplete" -> (qAutocomplete _),
     "q_oov_rate" -> (qOovRate _),
     "q_unicode_normalize" -> (qUnicodeNormalize _),
     "q_length_buckets" -> (qLengthBuckets _),
@@ -2786,6 +2824,7 @@ object Text {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_pretokenize" -> pretokenizeSql,
+    "q_autocomplete" -> autocompleteSql,
     "q_oov_rate" -> oovRateSql,
     "q_unicode_normalize" -> unicodeNormalizeSql,
     "q_length_buckets" -> lengthBucketsSql,

@@ -552,4 +552,26 @@ class AnalyticsSpec extends GraftSuite {
       assert(expected >= -1.0 && expected <= 1.0)
     }
   }
+
+  test("q_hhi matches an exact-cents replay; bounded by (1/n, 1]") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .selectExpr("year(l_shipdate) AS yr", "l_suppkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (yr, xs) =>
+      val bySupp = xs.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      val tot = bySupp.sum.toDouble
+      (yr.toLong, bySupp.size.toLong,
+        r6(bySupp.map(v => BigInt(v) * v).sum.toDouble / (tot * tot)))
+    }
+    val got = rows(Analytics.qHhi(spark, sf))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == expected)
+    got.foreach { case (_, n, h) =>
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9,
+        s"HHI must sit in [1/n, 1]: $n $h")
+    }
+  }
 }

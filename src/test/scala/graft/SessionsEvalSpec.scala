@@ -774,4 +774,24 @@ class SessionsEvalSpec extends GraftSuite {
     val best = got.maxBy(_._3)
     assert(best._1 == 0L, s"peak cross-correlation should sit at lag 0: $best")
   }
+
+  test("q_burstiness matches the zero-inclusive Fano replay") {
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(floor(CAST(ts AS DOUBLE)) AS LONG) DIV 86400 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val span = ev.map(_._2).max - ev.map(_._2).min + 1
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val daily = xs.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val s = daily.sum
+      val sq = daily.map(c => c * c).sum
+      (t, span, daily.size.toLong, s,
+        r6((span.toDouble * sq - s.toDouble * s) / (span.toDouble * s)))
+    }
+    val got = rows(Sessions.qBurstiness(spark, sf)).map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got == expected)
+    assert(got.forall(_._5 >= 0.0))
+  }
 }

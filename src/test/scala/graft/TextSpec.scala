@@ -990,4 +990,20 @@ class TextSpec extends GraftSuite {
     assert(got == expected)
     assert(got.map(_._2).sum > 0)
   }
+
+  test("q_autocomplete: every prefix's completions are its frequency top-3") {
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select("text").collect().flatMap(_.getString(0).split(' '))
+      .filter(t => t.nonEmpty && t.length >= 2).toSeq
+    val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.keys.toSeq.groupBy(_.take(2)).toSeq.sortBy(_._1)
+      .flatMap { case (p, ts) =>
+        ts.map(t => (t, counts(t))).sortBy { case (t, c) => (-c, t) }
+          .take(3).zipWithIndex
+          .map { case ((t, c), i) => (p, (i + 1).toLong, t, c) }
+      }
+    val got = rows(Text.qAutocomplete(spark, sf)).map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got == expected)
+  }
 }
