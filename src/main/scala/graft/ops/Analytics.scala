@@ -1368,6 +1368,39 @@ object Analytics {
        |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
        |GROUP BY 1 ORDER BY deg""".stripMargin
 
+  /** Statistical MODE per group — the most frequent quantity per return
+    * flag with a deterministic smallest-value tie-break: the one classic
+    * aggregate the family still lacked (means, medians, quantiles,
+    * geomeans all ship; the mode is the categorical-or-discrete
+    * summary).
+    *
+    * Scale shape: one (flag, value) hash aggregate (map-side
+    * combinable), then a rank-1 window over the VALUE-CARDINALITY-
+    * bounded count relation — never the fact rows. */
+  def qMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"qty").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"cnt".desc, $"qty")))
+      .where($"rnk" === 1)
+      .select($"l_returnflag", $"qty".as("mode_qty"), $"cnt".as("mode_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val modeSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, qty, cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, qty) AS rnk
+      |  FROM c)
+      |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+      |FROM r WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
+
   /** Herfindahl–Hirschman concentration of supplier revenue per ship
     * year — Σ share² (0 → perfectly fragmented, 1 → monopoly), the
     * standard market-concentration index, and operationally the same
@@ -2370,6 +2403,7 @@ object Analytics {
     "q_link_predict" -> (qLinkPredict _),
     "q_assortativity" -> (qAssortativity _),
     "q_hhi" -> (qHhi _),
+    "q_mode" -> (qMode _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2407,6 +2441,7 @@ object Analytics {
     "q_link_predict" -> linkPredictSql,
     "q_assortativity" -> assortativitySql,
     "q_hhi" -> hhiSql,
+    "q_mode" -> modeSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

@@ -763,6 +763,74 @@ object Stats {
       |  6) AS psi_term
       |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------- Wald-Wolfowitz runs
+
+  /** Wald–Wolfowitz runs test on the sign of day-over-day revenue moves —
+    * "is the daily series random, or does it trend/oscillate?": too FEW
+    * runs of consecutive ups/downs reads momentum, too many reads
+    * mean-reversion; z is the standard normal approximation from the
+    * exact up/down/run counts.
+    *
+    * Exactness: signs, the lag-based run starts, and (n₊, n₋, R) are
+    * exact integers on the day grid (ties — equal consecutive revenues —
+    * can't occur in cents data here and would be dropped identically by
+    * the != comparison on both engines); the mean/variance assembly is
+    * one double projection. Scale shape: one fact aggregate to the
+    * calendar-bounded day grid, [[Dist.withPrefix]] supplies the ordered
+    * previous-day value as an index self-join (no unpartitioned lag
+    * window), one 1-row result. */
+  def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, sfDir)
+      .select(
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
+    val g = Dist.withPrefix(daily, Seq($"day"), Seq("rev_c" -> "pre"), Some("idx"))
+      .localCheckpoint(true)
+    val prev = g.select(($"idx" + 1L).as("idx"), $"rev_c".as("prev_rev"))
+    val signs = g.join(prev, Seq("idx"))                 // drops the first row
+      .select($"idx", ($"rev_c" > $"prev_rev").as("up"))
+    val prevSign = signs.select(($"idx" + 1L).as("idx"), $"up".as("prev_up"))
+    signs.join(prevSign, Seq("idx"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"up", 1L).otherwise(0L)).as("n_up"),
+        sum(when($"prev_up".isNull || $"up" =!= $"prev_up", 1L).otherwise(0L))
+          .as("runs"))
+      .select($"n", $"n_up", ($"n" - $"n_up").as("n_down"), $"runs",
+        round(($"runs".cast("double")
+          - (lit(2.0) * $"n_up" * ($"n" - $"n_up") / $"n" + 1.0))
+          / sqrt((lit(2.0) * $"n_up" * ($"n" - $"n_up")
+              * (lit(2.0) * $"n_up" * ($"n" - $"n_up") - $"n"))
+            / ($"n".cast("double") * $"n" * ($"n" - 1L))), 4).as("z_score"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT day, rev_c > lag(rev_c) OVER (ORDER BY day) AS up,
+      |    lag(rev_c) OVER (ORDER BY day) AS prev_rev
+      |  FROM daily),
+      |s2 AS (
+      |  SELECT up, lag(up) OVER (ORDER BY day) AS prev_up
+      |  FROM s WHERE prev_rev IS NOT NULL),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN up THEN 1 ELSE 0 END) AS n_up,
+      |    sum(CASE WHEN prev_up IS NULL OR up <> prev_up THEN 1 ELSE 0 END)
+      |      AS runs
+      |  FROM s2)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_up AS BIGINT) AS n_up,
+      |  CAST(n - n_up AS BIGINT) AS n_down, CAST(runs AS BIGINT) AS runs,
+      |  round((CAST(runs AS DOUBLE)
+      |    - (2.0 * n_up * (n - n_up) / n + 1.0))
+      |    / sqrt((2.0 * n_up * (n - n_up) * (2.0 * n_up * (n - n_up) - n))
+      |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z_score
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -775,7 +843,8 @@ object Stats {
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_bootstrap_se" -> (qBootstrapSe _),
     "q_theil_sen" -> (qTheilSen _),
-    "q_psi" -> (qPsi _))
+    "q_psi" -> (qPsi _),
+    "q_runs_test" -> (qRunsTest _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test" -> ksTestSql,
@@ -787,5 +856,6 @@ object Stats {
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_bootstrap_se" -> bootstrapSeSql,
     "q_theil_sen" -> theilSenSql,
-    "q_psi" -> psiSql)
+    "q_psi" -> psiSql,
+    "q_runs_test" -> runsTestSql)
 }

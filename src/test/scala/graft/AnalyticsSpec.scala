@@ -574,4 +574,18 @@ class AnalyticsSpec extends GraftSuite {
         s"HHI must sit in [1/n, 1]: $n $h")
     }
   }
+
+  test("q_mode is exactly each flag's most frequent quantity (min tie-break)") {
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS LONG) AS q")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = li.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val (q, c) = xs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .minBy { case (v, cnt) => (-cnt, v) }
+      (f, q, c)
+    }
+    val got = rows(Analytics.qMode(spark, sf))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+  }
 }

@@ -309,4 +309,29 @@ class StatsSpec extends GraftSuite {
     // a random split of one population must read as stable
     assert(got.map(_._4).sum < 0.1, s"PSI ${got.map(_._4).sum} should be < 0.1")
   }
+
+  test("q_runs_test matches an exact sign-runs replay") {
+    val byDay = Tables.orders(spark, sf)
+      .selectExpr("datediff(o_orderdate, DATE'1995-01-01') AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .sortBy(_._1).map(_._2)
+    val ups = byDay.sliding(2).collect { case Seq(a, b) => b > a }.toSeq
+    val n = ups.size.toLong
+    val nUp = ups.count(identity).toLong
+    val runs = 1L + ups.sliding(2).count {
+      case Seq(a, b) => a != b; case _ => false
+    }
+    val nd = (n - nUp).toDouble
+    val mu = 2.0 * nUp * nd / n + 1.0
+    val vr = (2.0 * nUp * nd * (2.0 * nUp * nd - n)) /
+      (n.toDouble * n * (n - 1))
+    val z = BigDecimal((runs - mu) / math.sqrt(vr))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows(Stats.qRunsTest(spark, sf)).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n, nUp, n - nUp, runs)))
+    assert(r.getDouble(4) == z)
+  }
 }
