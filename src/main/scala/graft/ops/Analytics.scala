@@ -1368,6 +1368,52 @@ object Analytics {
        |FROM supplier s LEFT JOIN deg ON deg.node = s.s_suppkey
        |GROUP BY 1 ORDER BY deg""".stripMargin
 
+  /** Pareto concentration: the share of total revenue carried by the top
+    * 20% of customers — the "80/20" readout every account-management
+    * review opens with, complementing [[qRevenueGini]]'s full-curve
+    * summary with the single actionable cut.
+    *
+    * Exactness: per-customer revenue is exact cents; the top-k cut
+    * (k = n DIV 5, total order (revenue desc, custkey)) comes from
+    * [[Dist.withPrefix]]'s distributed sort + row index — the family's
+    * zipWithIndex ranking discipline, no unpartitioned window — and the
+    * share is one integer ratio in ppm. Scale shape: one fact aggregate
+    * to the customer relation, one distributed-prefix pass, a 1-row
+    * result. */
+  def qParetoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, sfDir)
+      .select($"o_custkey",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+      .groupBy($"o_custkey").agg(sum($"rev_c").as("rev"))
+      .withColumn("negrev", -$"rev")
+    val idxd = Dist.withPrefix(perCust, Seq($"negrev", $"o_custkey"),
+        Seq("rev" -> "cumpre"), Some("idx"))
+      .localCheckpoint(true)
+    val tot = idxd.agg(count(lit(1)).as("n"), sum($"rev").as("total"))
+    idxd.crossJoin(broadcast(tot))
+      .withColumn("k", expr("n DIV 5"))
+      .agg(max($"n").as("n_customers"), max($"k").as("top_k"),
+        max($"total").as("tot"),
+        sum(when($"idx" <= $"k", $"rev").otherwise(0L)).as("toprev"))
+      .select($"n_customers", $"top_k",
+        expr("toprev * 1000000 DIV tot").as("top20_share_ppm"))
+  }
+
+  val paretoShareSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS idx
+      |  FROM pc),
+      |t AS (SELECT count(*) AS n, sum(rev) AS total FROM pc)
+      |SELECT CAST(n AS BIGINT) AS n_customers, CAST(n // 5 AS BIGINT) AS top_k,
+      |  CAST(sum(CASE WHEN idx <= n // 5 THEN rev ELSE 0 END) * 1000000
+      |    // total AS BIGINT) AS top20_share_ppm
+      |FROM r CROSS JOIN t GROUP BY n, total""".stripMargin
+
   /** Statistical MODE per group — the most frequent quantity per return
     * flag with a deterministic smallest-value tie-break: the one classic
     * aggregate the family still lacked (means, medians, quantiles,
@@ -2404,6 +2450,7 @@ object Analytics {
     "q_assortativity" -> (qAssortativity _),
     "q_hhi" -> (qHhi _),
     "q_mode" -> (qMode _),
+    "q_pareto_share" -> (qParetoShare _),
     "q_pagerank" -> (qPagerank _),
     "q_skew_report" -> (qSkewReport _),
     "q_outlier_filter" -> (qOutlierFilter _),
@@ -2442,6 +2489,7 @@ object Analytics {
     "q_assortativity" -> assortativitySql,
     "q_hhi" -> hhiSql,
     "q_mode" -> modeSql,
+    "q_pareto_share" -> paretoShareSql,
     "q_pagerank" -> pagerankSql,
     "q_triangle_count" -> triangleCountSql,
     "q_label_prop" -> labelPropSql,

@@ -588,4 +588,22 @@ class AnalyticsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got == expected)
   }
+
+  test("q_pareto_share matches an exact top-k replay; share dominates 20%") {
+    val perCust = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.map { case (k, xs) => (k, xs.map(_._2).sum) }
+    val sorted = perCust.sortBy { case (k, r) => (-r, k) }
+    val n = sorted.size.toLong
+    val k = n / 5
+    val tot = sorted.map(_._2).sum
+    val top = sorted.take(k.toInt).map(_._2).sum
+    val r = rows(Analytics.qParetoShare(spark, sf)).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((n, k, top * 1000000L / tot)))
+    // the top 20% must carry at least 20% (equality only if uniform)
+    assert(r.getLong(2) >= 200000L)
+  }
 }
