@@ -830,15 +830,20 @@ object Similarity {
     * keys. */
   def qSimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // the fingerprint relation feeds three subtrees (band explode + both
-    // sides of the verify join): one eager localCheckpoint materializes
-    // the 60-column vote aggregation once — same shared-relation
-    // discipline as qContamination (Bench/Verify release the blocks
-    // between queries)
+    // the 60-column vote aggregation feeds two subtrees (the occupancy
+    // valve and the band join); one eager localCheckpoint materializes it
+    // once — same shared-relation discipline as qContamination
+    // (Bench/Verify release the blocks between queries)
     val fp = simhashFingerprints(spark, sfDir)
       .select($"doc_id", $"fingerprint").localCheckpoint()
     val bandMask = (1L << SimhashBandBits) - 1
-    val allBands = fp.select($"doc_id", posexplode(array((0 until SimhashBands).map(b =>
+    // carry the 8-byte fingerprint THROUGH the band relation: the verify
+    // (xor+popcount) then runs at pair-emission time inside the band
+    // join itself, BEFORE the distinct — no join-backs to fp, and the
+    // distinct deduplicates only the (≤ radius) survivors instead of the
+    // full candidate fan-out
+    val allBands = fp.select($"doc_id", $"fingerprint",
+      posexplode(array((0 until SimhashBands).map(b =>
         shiftright($"fingerprint", b * SimhashBandBits).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "code")))
     // occupancy valve: drop degenerate buckets before any pair is emitted
@@ -849,16 +854,13 @@ object Similarity {
       .where($"__occ" <= SimhashBandMaxOcc)
       .select($"band", $"code")
     val bands = allBands.join(keep, Seq("band", "code"), "left_semi")
-    val cand = bands.as("a").join(bands.as("b"), Seq("band", "code"))
+    bands.as("a").join(bands.as("b"), Seq("band", "code"))
       .where($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
-    cand
-      .join(fp.select($"doc_id".as("id_a"), $"fingerprint".as("fa")), "id_a")
-      .join(fp.select($"doc_id".as("id_b"), $"fingerprint".as("fb")), "id_b")
-      .select($"id_a", $"id_b",
-        bit_count($"fa".bitwiseXOR($"fb")).cast("int").as("hamming"))
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.fingerprint".bitwiseXOR($"b.fingerprint"))
+          .cast("int").as("hamming"))
       .where($"hamming" <= SimhashMaxHamming)
+      .distinct()
       .orderBy($"id_a", $"id_b")
   }
 
@@ -1932,9 +1934,9 @@ object Similarity {
     * whichever copy happened to be crawled first.
     *
     * Shape: the shared pair core → connected components → one join to a
-    * token-count projection → one rank-1 window PARTITIONED BY component
-    * (bounded by cluster size, never corpus-global). Reports keeper and
-    * drop count per cluster. */
+    * token-count projection → one max_by hash aggregate (map-side
+    * combinable; no per-component sort window at all). Reports keeper
+    * and drop count per cluster. */
   def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
@@ -1944,14 +1946,17 @@ object Similarity {
         .cast("long").as("n_tokens"))
     val m = comp.join(toks, $"node" === $"doc_id")
       .select($"component", $"node", $"n_tokens")
-    val w = Window.partitionBy($"component")
-      .orderBy($"n_tokens".desc, $"node")
-    m.withColumn("__rn", row_number().over(w))
-      .groupBy($"component")
-      .agg(min(when($"__rn" === 1, $"node")).as("keeper_doc"),
-        min(when($"__rn" === 1, $"n_tokens")).as("keeper_tokens"),
+    // the keep-policy argmax as ONE map-side-combinable hash aggregate:
+    // max_by over the (n_tokens, -node) order key — no per-component
+    // sort window, no second aggregation pass. The order key is unique
+    // per member (node is unique), so max_by is deterministic.
+    m.groupBy($"component")
+      .agg(
+        max_by(struct($"node", $"n_tokens"),
+          struct($"n_tokens", (-$"node").as("neg"))).as("__k"),
         count(lit(1)).as("n_members"))
-      .select($"component", $"keeper_doc", $"keeper_tokens", $"n_members",
+      .select($"component", $"__k.node".as("keeper_doc"),
+        $"__k.n_tokens".as("keeper_tokens"), $"n_members",
         ($"n_members" - 1).as("n_dropped"))
       .orderBy($"component")
   }
