@@ -272,39 +272,83 @@ object Relational {
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Approximate distinct via HyperLogLog++ (SURVEY §2.B: non-oracle — HLL
-    * sketches are engine-specific, so the driver records a rows-only check;
-    * the unit suite bounds the estimate against the exact count). At scale
-    * this is the single-pass, fixed-memory alternative to countDistinct's
-    * two-phase shuffle of the distinct keys. */
+  /** Approximate distinct via HyperLogLog++. At scale this is the
+    * single-pass, fixed-memory alternative to countDistinct's two-phase
+    * shuffle of the distinct keys.
+    *
+    * Gate design: HLL sketch internals are engine-specific, so the raw
+    * estimate can never hash-match an oracle. Instead the query emits
+    * the EXACT distinct count (reproducible on any engine) plus
+    * `hll_within_5pct` — the sketch-vs-exact relative-error bound
+    * evaluated ON THE SPARK SIDE — and the oracle asserts the bound as
+    * literal TRUE. A sketch regression past ±5% flips the boolean and
+    * fails the hash gate, so the estimate is driver-verified without
+    * requiring cross-engine sketch equality. */
   def qAggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("__approx"),
+        countDistinct($"l_orderkey").as("exact_orders"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"exact_orders", $"n_rows",
+        (abs($"__approx" - $"exact_orders").cast("double")
+          / $"exact_orders" <= 0.05).as("hll_within_5pct"))
       .orderBy($"l_returnflag")
   }
+
+  val aggApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(*) AS n_rows, TRUE AS hll_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Approximate quantiles via `approx_percentile` (Greenwald-Khanna
     * sketch): per-flag p50/p95/p99 of extended price. The sketch is
     * mergeable — each partition summarizes locally, partial sketches
     * merge at the reducer — so at 100 TB it replaces a full sort with a
     * bounded-memory pass, the same accuracy/cost trade the HLL row makes
-    * for distinct counts. Engine-specific by design (GK internals differ
-    * per engine), so rows-only in the gate; the ±1% rank-error bound vs
-    * the exact sort-based quantile is unit-asserted in RelationalSpec. */
+    * for distinct counts.
+    *
+    * Gate design (same pattern as [[qAggApproxDistinct]]): GK internals
+    * differ per engine, so the raw estimates can't cross-engine match.
+    * The query instead RANK-CHECKS each estimate against the corpus on
+    * the Spark side — v passes at quantile q iff
+    * `count(< v) ≤ (q+ε)·n AND count(≤ v) ≥ (q−ε)·n` (the two-sided form
+    * is the correct one under ties), ε = 1% — and emits the three
+    * booleans; the oracle asserts them literal TRUE. The rank counts
+    * ride ONE extra broadcast join of the 3-row sketch relation back to
+    * the fact scan — no sort, no second shuffle. */
   def qAggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, sfDir)
+    val sk = Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
         expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
         count(lit(1)).as("n_rows"))
+    val eps = 0.01
+    def rankOk(q: Double, v: Column): Column = {
+      val lt = sum(when($"l_extendedprice" < v, 1L).otherwise(0L))
+      val le = sum(when($"l_extendedprice" <= v, 1L).otherwise(0L))
+      (lt <= (lit(q) + eps) * $"nr" && le >= (lit(q) - eps) * $"nr")
+    }
+    Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(sk.withColumnRenamed("n_rows", "nr")), "l_returnflag")
+      .groupBy($"l_returnflag", $"nr", $"p50", $"p95", $"p99")
+      .agg(rankOk(0.50, $"p50").as("p50_ok"),
+        rankOk(0.95, $"p95").as("p95_ok"),
+        rankOk(0.99, $"p99").as("p99_ok"))
+      .select($"l_returnflag", $"nr".as("n_rows"),
+        $"p50_ok", $"p95_ok", $"p99_ok")
       .orderBy($"l_returnflag")
   }
+
+  val aggApproxQuantileSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** ROLLUP region→nation→grand-total of order revenue. */
   def qAggRollup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1087,6 +1131,8 @@ object Relational {
     "q_join_skew_salted" -> joinSkewSaltedSql,
     "q_agg_pricing_summary" -> aggPricingSummarySql,
     "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_approx_distinct" -> aggApproxDistinctSql,
+    "q_agg_approx_quantile" -> aggApproxQuantileSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_agg_grouping_sets" -> aggGroupingSetsSql,
