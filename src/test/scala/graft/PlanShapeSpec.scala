@@ -503,4 +503,49 @@ class PlanShapeSpec extends GraftSuite {
     run(levenshtein($"a", $"b") < 4 && levenshtein($"a", $"b") > 1,
       d => d < 4 && d > 1)
   }
+
+  test("LevenshteinBandRule must NOT fire on OR-guarded edit distance") {
+    import spark.implicits._
+    // non-local source so ConvertToLocalRelation can't fold the filter away
+    val d = graft.tables.Tables.documents(spark, sf)
+      .select($"text".as("a"), $"source".as("b"), $"lang".as("c"))
+    // the soundness argument's edge: under an OR the conjunction-level
+    // 3-valued equivalence doesn't hold, so the rule must leave the
+    // predicate alone
+    val orGuarded = d.where(levenshtein($"a", $"b") <= 2 || $"c" === "xx")
+    val p1 = orGuarded.queryExecution.optimizedPlan.toString
+    assert(!p1.contains("Some(2)"),
+      s"rule fired under an OR guard:\n$p1")
+    // a capped conjunct whose lev ALSO appears inside an un-rewritable OR
+    // arm: the group must abort whole (substituting levT only in the
+    // capped conjunct would diverge when lev > cap)
+    val mixed = d.where(levenshtein($"a", $"b") <= 2 &&
+      (levenshtein($"a", $"b") === 1 || $"c" === "xx"))
+    val p2 = mixed.queryExecution.optimizedPlan.toString
+    assert(!p2.contains("Some(2)"),
+      s"rule fired on a lev that escapes into an OR arm:\n$p2")
+  }
+
+  test("LevenshteinBandRule A/B: disabled rule gives identical results on the declared queries") {
+    val key = "spark.sql.optimizer.excludedRules"
+    val before = spark.conf.getOption(key)
+    def results(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+    val withRule = Seq("q_edit_distance", "q_fuzzy_join").map(results)
+    try {
+      spark.conf.set(key, "graft.plans.LevenshteinBandRule")
+      val opt = SparkEntry.queries("q_edit_distance")(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Some(4)"),
+        s"exclusion did not disable the rule:\n$opt")
+      val withoutRule = Seq("q_edit_distance", "q_fuzzy_join").map(results)
+      assert(withRule == withoutRule,
+        "banded rewrite changed query results")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
