@@ -81,8 +81,12 @@ object Formats {
       .select($"p_partkey", $"p_brand",
         concat($"p_name", lit(",\""), $"p_type", lit("\",")).as("stress"),
         $"p_retailprice")
-      .write.mode("overwrite").option("header", "true").csv(dir)
-    spark.read.option("header", "true")
+      .write.mode("overwrite").option("header", "true")
+      // Spark's CSV default backslash-escapes embedded quotes; setting
+      // escape = quote char yields true RFC-4180 quote DOUBLING on the
+      // wire, so external RFC readers parse these files too
+      .option("escape", "\"").csv(dir)
+    spark.read.option("header", "true").option("escape", "\"")
       .schema("p_partkey LONG, p_brand STRING, stress STRING, p_retailprice DOUBLE")
       .csv(dir)
       .groupBy($"p_brand")

@@ -206,7 +206,7 @@ object Sessions {
       .join(broadcast(Tables.customer(spark, sfDir)
         .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment".as("segment"),
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("x"),
+        Epoch.day($"o_orderdate").as("x"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("y_c"))
       .groupBy($"segment", $"x").agg(sum($"y_c").as("y"))
     daily.groupBy($"segment")
@@ -261,7 +261,7 @@ object Sessions {
       .join(broadcast(Tables.customer(spark, sfDir)
         .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment".as("segment"),
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        Epoch.day($"o_orderdate").as("day"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"segment", $"day").agg(sum($"rev_c").as("rev_c"))
     val w = Window.partitionBy($"segment").orderBy($"day")
@@ -346,7 +346,7 @@ object Sessions {
     import spark.implicits._
     val daily = Tables.orders(spark, sfDir)
       .select(
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        Epoch.day($"o_orderdate").as("day"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
     // the prefix grid fans out to THREE consumers (hi lookup, lo lookup,
@@ -406,7 +406,7 @@ object Sessions {
     import spark.implicits._
     val g = Tables.orders(spark, sfDir)
       .select(
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        Epoch.day($"o_orderdate").as("day"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("a"))
       .groupBy($"day").agg(sum($"a").as("a"), count(lit(1)).as("b"))
       .localCheckpoint(true)

@@ -484,7 +484,7 @@ object Stats {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
       .select($"o_custkey".as("cust"),
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"))
+        Epoch.day($"o_orderdate").as("day"))
       .distinct()
     val firstTwo = o
       .withColumn("rn", row_number().over(Window.partitionBy($"cust").orderBy($"day")))
@@ -640,7 +640,7 @@ object Stats {
     import spark.implicits._
     val daily = Tables.orders(spark, sfDir)
       .select(
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        Epoch.day($"o_orderdate").as("day"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
       .localCheckpoint(true)
@@ -795,7 +795,7 @@ object Stats {
     import spark.implicits._
     val daily = Tables.orders(spark, sfDir)
       .select(
-        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("day"),
+        Epoch.day($"o_orderdate").as("day"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
     val g = Dist.withPrefix(daily, Seq($"day"), Seq("rev_c" -> "pre"), Some("idx"))

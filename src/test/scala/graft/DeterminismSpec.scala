@@ -84,7 +84,13 @@ class DeterminismSpec extends GraftSuite {
     "q_theil_sen",
     "q_bootstrap_se",
     "q_entity_resolution",
-    "q_oov_rate").foreach { name =>
+    "q_oov_rate",
+    // round-12 additions: the remaining float-assembly queries whose
+    // siblings were already listed — the ANOVA float ssb sum, the ±7-day
+    // lead-lag correlation grid, and the HHI share-of-squares assembly
+    "q_anova",
+    "q_lead_lag",
+    "q_hhi").foreach { name =>
     test(s"$name is partitioning-invariant") { checkStable(name) }
   }
 }

@@ -334,4 +334,30 @@ class StatsSpec extends GraftSuite {
       ((n, nUp, n - nUp, runs)))
     assert(r.getDouble(4) == z)
   }
+
+  test("Epoch.day guards the nonnegative-day-index invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the current testdata vintage satisfies the invariant the calendar
+    // queries' pmod-vs-% and DIV-vs-// oracle equivalences rely on
+    val minDate = Tables.orders(spark, sf)
+      .agg(min($"o_orderdate").cast("string")).as[String].head()
+    assert(minDate >= graft.ops.Epoch.Origin,
+      s"testdata vintage regressed: min(o_orderdate)=$minDate precedes " +
+        graft.ops.Epoch.Origin)
+    // on-or-after dates index cleanly; a pre-origin date must RAISE, not
+    // silently produce a negative index
+    val ok = Seq("1995-01-01", "1995-01-08").toDF("d")
+      .select(graft.ops.Epoch.day($"d".cast("date")).as("day"))
+      .as[Long].collect().toSeq
+    assert(ok == Seq(0L, 7L))
+    val thrown = intercept[Exception] {
+      Seq("1994-12-31").toDF("d")
+        .select(graft.ops.Epoch.day($"d".cast("date"))).collect()
+    }
+    val msgs = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(msgs.contains("epoch origin"))
+  }
 }
