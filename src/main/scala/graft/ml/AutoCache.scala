@@ -34,8 +34,7 @@ object AutoCache {
     * longer calls this). */
   def cacheIfWorthIt(df: DataFrame, uses: Int,
       memBudgetBytes: Long = 2L << 30): CacheHandle = {
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val worth = uses > 1 && estBytes <= BigInt(memBudgetBytes)
+    val worth = uses > 1 && estimatedSize(df) <= BigInt(memBudgetBytes)
     if (worth) CacheHandle(df.persist(StorageLevel.MEMORY_AND_DISK), cached = true)
     else CacheHandle(df, cached = false)
   }
@@ -49,7 +48,51 @@ object AutoCache {
   }
 
   /** Estimated size (bytes) of the optimized plan — exposed for tests and
-    * for pipeline authors deciding block sizes. */
-  def estimatedSize(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes
+    * for pipeline authors deciding block sizes.
+    *
+    * Catalyst propagates `sizeInBytes` from parquet footers through
+    * filters/projections, but an RDD-backed scan (the CIFAR binary
+    * loader, any `rdd.toDF`) reports the `defaultSizeInBytes` "unknown"
+    * sentinel, which would make the planner decline every cache behind
+    * one. For those plans fall back to the reference's profiling
+    * behavior: one exact distributed `count()` plus a bounded driver-side
+    * sample to estimate the average row width. The profiling pass is only
+    * paid when the frame is a multi-use cache candidate, where it is
+    * amortized by the re-reads it saves. */
+  def estimatedSize(df: DataFrame): BigInt = {
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown =
+      stats >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (!unknown) stats else profiledSize(df)
+  }
+
+  private val SampleRows = 100
+
+  private def profiledSize(df: DataFrame): BigInt = {
+    val n = df.count()
+    if (n == 0L) BigInt(0)
+    else {
+      val sample = df.head(SampleRows)
+      val avg = sample.iterator.map(rowBytes).sum / sample.length
+      BigInt(n) * avg
+    }
+  }
+
+  /** Crude per-row heap footprint — a cost-model input, not an exact
+    * accounting. */
+  private def rowBytes(r: org.apache.spark.sql.Row): Long =
+    16L + r.toSeq.iterator.map {
+      case null => 1L
+      case _: Boolean | _: Byte => 1L
+      case _: Short => 2L
+      case _: Int | _: Float => 4L
+      case _: Long | _: Double => 8L
+      case s: String => 8L + s.length
+      case a: Array[Byte] => 8L + a.length
+      case xs: scala.collection.Seq[_] => 8L + xs.length * 8L
+      case m: scala.collection.Map[_, _] => 8L + m.size * 16L
+      case nested: org.apache.spark.sql.Row => rowBytes(nested)
+      case d: java.math.BigDecimal => 16L + d.precision()
+      case _ => 16L
+    }.sum
 }

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.images.ImageOps
+import graft.ml.AutoCache
 import graft.ml.LearningOps.{BlockLeastSquaresEst, ZCAWhitenerEst}
 import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier}
 import graft.sources.Loaders
@@ -65,11 +66,36 @@ class CifarPipelineSpec extends GraftSuite {
     val withInd = ClassLabelIndicators("label", "ind", 3)
     val train = withInd(feats.where($"id" % 5 =!= 0))
     val test = withInd(feats.where($"id" % 5 === 0))
-    val models = (0 until 3).map { k =>
-      BlockLeastSquaresEst("features", s"y$k", s"score$k",
-        blockSize = 32, numIter = 2, lambda = 1e-4)
-        .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
+    // --- AutoCache owns the multi-pass fit input: three one-vs-rest
+    // solver fits re-read `train`, so the cost model should persist it —
+    // and the decision must be visible END-TO-END in the physical story:
+    // with the cache accepted, every solver pass plans as an
+    // InMemoryRelation scan; with it declined (zero budget), the same
+    // downstream plan must NOT contain one. This is the reference's
+    // AutoCacheRule contract exercised inside a declared capstone, both
+    // directions.
+    def fitInputPlan(): String = train
+      .withColumn("y0", element_at($"ind", 1))
+      .queryExecution.optimizedPlan.toString
+    val declined = AutoCache.cacheIfWorthIt(train, uses = 3, memBudgetBytes = 1L)
+    assert(!declined.cached, "zero budget must decline the cache")
+    assert(!fitInputPlan().contains("InMemoryRelation"),
+      "declined decision must leave the fit-input plan uncached")
+    declined.release()
+    val models = AutoCache.withCached(train, uses = 3) { tr =>
+      assert(tr.storageLevel.useMemory,
+        "3-consumer in-budget fit input should be cached")
+      assert(fitInputPlan().contains("InMemoryRelation"),
+        "accepted decision must surface as an InMemoryRelation scan " +
+          "in every solver pass's plan")
+      (0 until 3).map { k =>
+        BlockLeastSquaresEst("features", s"y$k", s"score$k",
+          blockSize = 32, numIter = 2, lambda = 1e-4)
+          .fit(tr.withColumn(s"y$k", element_at($"ind", k + 1)))
+      }
     }
+    assert(!fitInputPlan().contains("InMemoryRelation"),
+      "withCached must release the persist when the fitting scope ends")
     val scored = models.foldLeft(test)((d, m) => m(d))
       .withColumn("scores", array($"score0", $"score1", $"score2"))
     val pred = MaxClassifier("scores", "cls")(scored)

@@ -157,6 +157,22 @@ class PipelineSpec extends GraftSuite {
     assert(!huge.cached, "over-budget frame must not cache")
   }
 
+  test("AutoCache profiles RDD-backed frames whose plan stats are unknown") {
+    import spark.implicits._
+    // rdd.toDF reports the defaultSizeInBytes sentinel to Catalyst; the
+    // planner must profile (count + row-width sample) instead of
+    // declining every cache behind an RDD scan
+    val rddDf = spark.sparkContext.parallelize(1 to 1000, 4).toDF("x")
+    val est = AutoCache.estimatedSize(rddDf)
+    assert(est > 0 && est < BigInt(1L << 20),
+      s"profiled estimate $est should be a few KB, not the unknown sentinel")
+    val h = AutoCache.cacheIfWorthIt(rddDf, uses = 2)
+    assert(h.cached, "small multi-use RDD-backed frame should cache")
+    h.release()
+    val tiny = AutoCache.cacheIfWorthIt(rddDf, uses = 2, memBudgetBytes = 16L)
+    assert(!tiny.cached, "profiled estimate must still respect the budget")
+  }
+
   test("AutoCache.withCached brackets the persist around the body") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet").select("l_partkey")
     val levelInside = AutoCache.withCached(df, uses = 3) { d =>
