@@ -527,25 +527,22 @@ class PlanShapeSpec extends GraftSuite {
   }
 
   test("LevenshteinBandRule A/B: disabled rule gives identical results on the declared queries") {
-    val key = "spark.sql.optimizer.excludedRules"
-    val before = spark.conf.getOption(key)
-    def results(name: String) =
-      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
-    val withRule = Seq("q_edit_distance", "q_fuzzy_join").map(results)
-    try {
-      spark.conf.set(key, "graft.plans.LevenshteinBandRule")
-      val opt = SparkEntry.queries("q_edit_distance")(spark, sf)
-        .queryExecution.optimizedPlan.toString
-      assert(!opt.contains("Some(4)"),
-        s"exclusion did not disable the rule:\n$opt")
-      val withoutRule = Seq("q_edit_distance", "q_fuzzy_join").map(results)
-      assert(withRule == withoutRule,
-        "banded rewrite changed query results")
-    } finally {
-      before match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    def results(s: org.apache.spark.sql.SparkSession, name: String) =
+      SparkEntry.queries(name)(s, sf).collect().map(_.toString).sorted.toSeq
+    val withRule = Seq("q_edit_distance", "q_fuzzy_join").map(results(spark, _))
+    // the disabled arm runs in a FORKED session: same SparkContext,
+    // same injected rules and builder conf (initialSessionOptions),
+    // private SQL conf — the shared session is never mutated, so this
+    // stays safe if suites ever run in parallel
+    val off = spark.newSession()
+    off.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.LevenshteinBandRule")
+    val opt = SparkEntry.queries("q_edit_distance")(off, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Some(4)"),
+      s"exclusion did not disable the rule:\n$opt")
+    val withoutRule = Seq("q_edit_distance", "q_fuzzy_join").map(results(off, _))
+    assert(withRule == withoutRule,
+      "banded rewrite changed query results")
   }
 }

@@ -171,6 +171,21 @@ class RelationalSpec extends GraftSuite {
       assert(row.getAs[Boolean]("hll_within_5pct"),
         s"HLL estimate for $flag off by >5%")
     }
+    // INDEPENDENT bound recomputation — shares no expression with the
+    // query's in-query boolean: re-estimate with the same rsd straight
+    // off the parquet, compute the relative error in driver-side Scala,
+    // and assert the 5% literal HERE. A vacuous or inverted in-query
+    // bound cannot satisfy this layer.
+    val indep = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("a"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(indep.keySet == exact.keySet)
+    indep.foreach { case (flag, a) =>
+      val err = math.abs(a.toDouble - exact(flag)) / exact(flag)
+      assert(err <= 0.05,
+        s"independent HLL recheck: $flag relative error $err > 0.05")
+    }
   }
 
   test("q_agg_approx_quantile: all GK rank-error bounds hold") {
@@ -188,6 +203,27 @@ class RelationalSpec extends GraftSuite {
       for (name <- Seq("p50_ok", "p95_ok", "p99_ok"))
         assert(row.getAs[Boolean](name),
           s"$flag $name: GK estimate outside exact ±1%-rank band")
+    }
+    // INDEPENDENT recomputation — fresh approx_percentile estimates off
+    // the parquet, exact lt/le rank counts over collected raw values,
+    // two-sided tie-correct band asserted in plain Scala with test-local
+    // literals. The query's in-query rank booleans play no part here.
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_returnflag", "l_extendedprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+    val est = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").as("ps"))
+      .collect().map(x => x.getString(0) -> x.getSeq[Double](1)).toMap
+    assert(est.keySet == raw.keySet)
+    for ((flag, vals) <- raw; ((q, v), label) <-
+        Seq(0.50, 0.95, 0.99).zip(est(flag)).zip(Seq("p50", "p95", "p99"))) {
+      val n = vals.length.toDouble
+      val lt = vals.count(_ < v)
+      val le = vals.count(_ <= v)
+      assert(lt <= (q + 0.01) * n && le >= (q - 0.01) * n,
+        s"independent GK recheck: $flag $label=$v lt=$lt le=$le n=$n")
     }
   }
 
