@@ -51,6 +51,24 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> dt
     }.toMap
+    // Noise immunization: any query landing over the retry bar gets ONE
+    // re-timing at sweep end under the same between-query cleanup, and
+    // BOTH numbers are recorded. Three rounds of adjudicating single-query
+    // host-noise spikes (documented 1.25–1.4× band, one 4.7× outlier)
+    // showed a same-sweep second sample settles structural-vs-wobble at
+    // source: a structural cost repeats, a wobble doesn't.
+    val retryBar = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
+    val retries = results.toSeq.filter(_._2 > retryBar).sortBy(_._1)
+      .map { case (name, _) =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> dt
+      }.toMap
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def ms(v: Double): String = f"$v%.3f"
@@ -68,8 +86,10 @@ object Bench {
     //     (the ones a perf grader needs) up to the size budget.
     val fullQs = sorted.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retryQs = retries.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"retry":$retryQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.json"),
       fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -93,7 +113,12 @@ object Bench {
       if (fits) { if (budgetQs.nonEmpty) budgetQs += ','; budgetQs ++= e }
       fits
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","full":"BENCH.json","queries":{$budgetQs}}""")
+    // cap the console copy so the driver's 2000-char stdout tail always
+    // holds the contract line whole even on a pathologically noisy host;
+    // BENCH.json carries the full retry map losslessly
+    val retryMs = retries.toSeq.sortBy(-_._2).take(8).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","full":"BENCH.json","retry":$retryMs,"queries":{$budgetQs}}""")
     spark.stop()
   }
 }
