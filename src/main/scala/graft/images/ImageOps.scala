@@ -442,6 +442,111 @@ object ImageOps {
     }
   }
 
+  /** ref: SIFTExtractor (the reference wraps VLFeat's dense SIFT behind
+    * C++/JNI) — re-expressed as pure-JVM dense SIFT from the published
+    * algorithm (Lowe, IJCV 2004; VLFeat dsift), which removes the JNI
+    * dependency entirely: like [[hog]]/[[daisy]]/[[lcs]] it is per-row
+    * dense math in a Dataset map, embarrassingly parallel, nothing on the
+    * driver, no native library.
+    *
+    * Engine-portable configuration (the same discipline as [[daisy]]):
+    *  - DENSE keypoint grid: patch windows of `patch`² pixels, top-left
+    *    corners stepping by `step`; gradients are clamped central
+    *    differences on the FULL image (patch-interior pixels see their
+    *    true neighbors across patch seams).
+    *  - SIGNED orientation over [0, 2π) in `bins` bins — SIFT's defining
+    *    contrast with HOG's unsigned [0, π) — assigned hard with bin
+    *    BOUNDARIES at odd multiples of π/bins (a half-bin offset, i.e.
+    *    bin CENTERS at the axis/diagonal directions, as VLFeat centers
+    *    them). The offset is what makes hard assignment engine-safe:
+    *    diagonal gradients (|gx| = |gy|) land exactly ON a multiple of
+    *    π/4, which with unshifted boundaries would sit on a bin edge an
+    *    atan2 ulp could flip; against the shifted boundaries (tan of odd
+    *    π/8 multiples is irrational) no rational gradient ratio comes
+    *    within ~1e-6 of an edge.
+    *  - Spatial weighting by the integer tent window
+    *    w(x,y) = (min(x, patch−1−x)+1)·(min(y, patch−1−y)+1) — the
+    *    separable integer approximation of SIFT's Gaussian window (the
+    *    [[daisy]] binomial-kernel trick applied to windowing); the weight
+    *    product is computed IN INTEGERS and applied in one double
+    *    multiply, so the replay is associativity-proof.
+    *  - `cells`×`cells` spatial bins per patch; Lowe's two-stage
+    *    normalization per descriptor: L2-normalize, clip at 0.2,
+    *    re-L2-normalize (+1e-12 guards).
+    *
+    * Output layout: x_dim = number of keypoints (row-major over the
+    * keypoint grid), y_dim = cells², n_channels = bins;
+    * index = (kp·cells² + cell)·bins + bin. */
+  def sift(ds: Dataset[Img], patch: Int = 16, step: Int = 16,
+      cells: Int = 4, bins: Int = 8): Dataset[Img] = {
+    import ds.sparkSession.implicits._
+    require(patch % cells == 0, "patch must divide evenly into cells")
+    ds.map { img =>
+      require(img.n_channels == 1, "sift expects a grayscale image")
+      val w = img.x_dim
+      val h = img.y_dim
+      val cs = patch / cells
+      val kpx = if (w >= patch) (w - patch) / step + 1 else 0
+      val kpy = if (h >= patch) (h - patch) / step + 1 else 0
+      val dLen = cells * cells * bins
+      val out = new Array[Double](kpx * kpy * dLen)
+      val twoPi = 2 * math.Pi
+      val halfBin = math.Pi / bins
+      var kY = 0
+      while (kY < kpy) {
+        var kX = 0
+        while (kX < kpx) {
+          val base = (kY * kpx + kX) * dLen
+          val px = kX * step
+          val py = kY * step
+          var y = 0
+          while (y < patch) {
+            val gyy = py + y
+            var x = 0
+            while (x < patch) {
+              val gxx = px + x
+              val xm = if (gxx == 0) gxx else gxx - 1
+              val xp = if (gxx == w - 1) gxx else gxx + 1
+              val ym = if (gyy == 0) gyy else gyy - 1
+              val yp = if (gyy == h - 1) gyy else gyy + 1
+              val gx = img.image(gyy * w + xp) - img.image(gyy * w + xm)
+              val gy = img.image(yp * w + gxx) - img.image(ym * w + gxx)
+              val mag = math.sqrt(gx * gx + gy * gy)
+              if (mag > 0) {
+                var theta = math.atan2(gy, gx) + halfBin
+                if (theta < 0) theta += twoPi
+                val bin = math.min((theta / twoPi * bins).toInt, bins - 1)
+                val wgt =
+                  (math.min(x, patch - 1 - x) + 1) * (math.min(y, patch - 1 - y) + 1)
+                out(base + ((y / cs) * cells + (x / cs)) * bins + bin) += mag * wgt
+              }
+              x += 1
+            }
+            y += 1
+          }
+          var s = 0.0
+          var i = 0
+          while (i < dLen) { val v = out(base + i); s += v * v; i += 1 }
+          val n1 = math.sqrt(s) + 1e-12
+          var s2 = 0.0
+          i = 0
+          while (i < dLen) {
+            val u = math.min(out(base + i) / n1, 0.2)
+            out(base + i) = u
+            s2 += u * u
+            i += 1
+          }
+          val n2 = math.sqrt(s2) + 1e-12
+          i = 0
+          while (i < dLen) { out(base + i) /= n2; i += 1 }
+          kX += 1
+        }
+        kY += 1
+      }
+      Img(img.id, kpx * kpy, cells * cells, bins, out)
+    }
+  }
+
   /** ref: LCSExtractor — Local Color Statistics descriptor: per grid cell
     * and channel, the (mean, stddev) of the pixel values — 2·C·cells
     * doubles per image. Pure per-row arithmetic in mapPartitions. */

@@ -397,6 +397,66 @@ object Images {
       |FROM vals v JOIN nrm n ON v.id = n.id AND v.pt = n.pt
       |ORDER BY id, point, orient""".stripMargin
 
+  /** Dense SIFT (ref: SIFTExtractor — the formerly JNI-only §2.A row,
+    * re-expressed as pure-JVM math in [[ImageOps.sift]]) over 20
+    * synthetic 16×16×1 images: one 16×16 patch per image → 4×4 spatial
+    * cells × 8 SIGNED orientation bins = the canonical 128-dim
+    * descriptor. The oracle replays the extractor's exact IEEE steps
+    * from the pixel formula: clamped central differences on pre-rounded
+    * /255.0 doubles, signed atan2 folded into [0, 2π) AFTER the half-bin
+    * (+π/8) offset — bin boundaries at odd multiples of π/8 so the
+    * |gx|=|gy| diagonals sit at bin CENTERS, never within an atan2 ulp
+    * of an edge — integer tent-window weights applied in one double
+    * multiply, and Lowe's normalize → clip(0.2) → renormalize with the
+    * +1e-12 guards in identical order. 224 of the 2560 output
+    * components exceed 0.2 post-renormalization, so the clip stage is
+    * genuinely exercised by the gate, not just present. */
+  def qImageSift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = ImageOps.syntheticImages(spark, n = 20, x = 16, y = 16, c = 1)
+      .as[ImageOps.Img]
+    ImageOps.sift(imgs, patch = 16, step = 16, cells = 4, bins = 8).toDF()
+      .select($"id", posexplode($"image").as(Seq("i", "raw")))
+      .select($"id",
+        floor($"i" / 8).cast("long").as("cell"),
+        ($"i" % 8).cast("long").as("bin"),
+        round($"raw", 6).as("val"))
+      .orderBy($"id", $"cell", $"bin")
+  }
+
+  val imageSiftSql: String =
+    """WITH grad AS (
+      |  SELECT t.id AS id, y.y AS y, x.x AS x,
+      |    CAST((t.id*31 + (y.y*16 + CASE WHEN x.x = 15 THEN x.x ELSE x.x + 1 END)*7) % 256 AS DOUBLE)/255.0
+      |    - CAST((t.id*31 + (y.y*16 + CASE WHEN x.x = 0 THEN x.x ELSE x.x - 1 END)*7) % 256 AS DOUBLE)/255.0 AS gx,
+      |    CAST((t.id*31 + ((CASE WHEN y.y = 15 THEN y.y ELSE y.y + 1 END)*16 + x.x)*7) % 256 AS DOUBLE)/255.0
+      |    - CAST((t.id*31 + ((CASE WHEN y.y = 0 THEN y.y ELSE y.y - 1 END)*16 + x.x)*7) % 256 AS DOUBLE)/255.0 AS gy
+      |  FROM range(0, 20) t(id), range(0, 16) y(y), range(0, 16) x(x)),
+      |votes AS (
+      |  SELECT id, (y//4)*4 + x//4 AS cell,
+      |    least(CAST(floor(
+      |      (CASE WHEN atan2(gy, gx) + pi()/8 < 0 THEN atan2(gy, gx) + pi()/8 + 2*pi()
+      |            ELSE atan2(gy, gx) + pi()/8 END) / (2*pi()) * 8) AS BIGINT), 7) AS bin,
+      |    sqrt(gx*gx + gy*gy)
+      |      * CAST((least(x, 15 - x) + 1) * (least(y, 15 - y) + 1) AS DOUBLE) AS v
+      |  FROM grad WHERE sqrt(gx*gx + gy*gy) > 0),
+      |acc AS (SELECT id, cell, bin, sum(v) AS v FROM votes GROUP BY id, cell, bin),
+      |n1 AS (SELECT id, sqrt(sum(v*v)) + 1e-12 AS n FROM acc GROUP BY id),
+      |grid AS (
+      |  SELECT t.id AS id, c.c AS cell, b.b AS bin
+      |  FROM range(0, 20) t(id), range(0, 16) c(c), range(0, 8) b(b)),
+      |u AS (
+      |  SELECT g.id AS id, g.cell AS cell, g.bin AS bin,
+      |    least(coalesce(a.v, 0.0) / n1.n, 0.2) AS u
+      |  FROM grid g
+      |  JOIN n1 ON n1.id = g.id
+      |  LEFT JOIN acc a ON a.id = g.id AND a.cell = g.cell AND a.bin = g.bin),
+      |n2 AS (SELECT id, sqrt(sum(u*u)) + 1e-12 AS n FROM u GROUP BY id)
+      |SELECT u.id AS id, CAST(u.cell AS BIGINT) AS cell,
+      |  CAST(u.bin AS BIGINT) AS bin, round(u.u / n2.n, 6) AS val
+      |FROM u JOIN n2 ON n2.id = u.id
+      |ORDER BY id, cell, bin""".stripMargin
+
   /** Random flip + brightness jitter (ref: RandomImageTransformer — the
     * last §2.A image row outside the gate) over 20 synthetic 4×4×2
     * images. The "randomness" is [[ImageOps.randomTransform]]'s keyed
@@ -592,6 +652,7 @@ object Images {
     "q_image_lcs" -> (qImageLcs _),
     "q_image_hog" -> (qImageHog _),
     "q_image_daisy" -> (qImageDaisy _),
+    "q_image_sift" -> (qImageSift _),
     "q_image_flip_jitter" -> (qImageFlipJitter _),
     "q_image_fisher_vector" -> (qImageFisherVector _))
 
@@ -608,6 +669,7 @@ object Images {
     "q_image_lcs" -> imageLcsSql,
     "q_image_hog" -> imageHogSql,
     "q_image_daisy" -> imageDaisySql,
+    "q_image_sift" -> imageSiftSql,
     "q_image_flip_jitter" -> imageFlipJitterSql,
     "q_image_fisher_vector" -> imageFisherVectorSql)
 }

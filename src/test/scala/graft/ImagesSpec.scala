@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Dataset
 import graft.images.{ImageOps, MultimodalOps}
 import graft.images.ImageOps.Img
 
@@ -172,6 +173,65 @@ class ImagesSpec extends GraftSuite {
         col("image")).as[Img]
     val zeros = ImageOps.hog(flat, cell = 4, bins = 9).collect()
     assert(zeros.forall(_.image.forall(_ == 0.0)))
+  }
+
+  test("sift descriptor: signed orientation, dense grid, two-stage norm") {
+    // vertical step edge 0->1 at x=8: gx>0, gy=0 => theta=0 => bin 0
+    // (+x direction; boundaries are half-bin-offset so 0 is a CENTER)
+    def edgeImgs(rising: Boolean): Dataset[Img] = spark.range(2).toDF("id")
+      .withColumn("x_dim", lit(16)).withColumn("y_dim", lit(16))
+      .withColumn("n_channels", lit(1))
+      .withColumn("image", transform(sequence(lit(0), lit(16 * 16 - 1)),
+        i => {
+          val left = if (rising) lit(0.0) else lit(1.0)
+          val right = if (rising) lit(1.0) else lit(0.0)
+          when(i % 16 < 8, left).otherwise(right)
+        }))
+      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
+        col("image")).as[Img]
+    val up = ImageOps.sift(edgeImgs(rising = true)).collect()
+    val down = ImageOps.sift(edgeImgs(rising = false)).collect()
+    def binEnergy(im: Img, bin: Int): Double =
+      im.image.grouped(8).map(_(bin)).sum
+    up.foreach { im =>
+      assert(im.x_dim == 1 && im.y_dim == 16 && im.n_channels == 8)
+      assert(im.image.length == 128)
+      // SIFT's signed orientation: the rising edge votes +x (bin 0) ...
+      assert(binEnergy(im, 0) > 0 && binEnergy(im, 4) == 0.0)
+      // two-stage normalization leaves a unit-L2 descriptor
+      val n = math.sqrt(im.image.map(v => v * v).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+    // ... and the falling edge votes -x (bin 4) — the contrast with
+    // HOG's unsigned bins, where both edges are indistinguishable
+    down.foreach { im =>
+      assert(binEnergy(im, 4) > 0 && binEnergy(im, 0) == 0.0)
+    }
+    // dense keypoint grid: 32x16 at patch=16, step=16 => 2 descriptors
+    val wide = spark.range(3).toDF("id")
+      .withColumn("x_dim", lit(32)).withColumn("y_dim", lit(16))
+      .withColumn("n_channels", lit(1))
+      .withColumn("image", transform(sequence(lit(0), lit(32 * 16 - 1)),
+        i => ((col("id") * 31 + i * 7) % 256).cast("double") / 255.0))
+      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
+        col("image")).as[Img]
+    val dense = ImageOps.sift(wide).collect()
+    dense.foreach { im =>
+      assert(im.x_dim == 2, "32x16 at patch=16 step=16 must yield 2 keypoints")
+      assert(im.image.length == 2 * 128)
+      im.image.grouped(128).foreach { d =>
+        val n = math.sqrt(d.map(v => v * v).sum)
+        assert(math.abs(n - 1.0) < 1e-9)
+        assert(d.forall(_ >= 0.0))
+      }
+    }
+    // flat image => zero descriptor (no gradient, norm guards hold)
+    val flat = edgeImgs(rising = true).toDF()
+      .withColumn("image",
+        transform(sequence(lit(0), lit(16 * 16 - 1)), _ => lit(0.5)))
+      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
+        col("image")).as[Img]
+    assert(ImageOps.sift(flat).collect().forall(_.image.forall(_ == 0.0)))
   }
 
   test("lcs descriptor: per-cell channel mean/std match direct computation") {
