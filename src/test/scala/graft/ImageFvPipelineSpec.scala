@@ -7,16 +7,18 @@ import graft.ml.ImageFvPipeline
 import graft.ml.LearningOps.BlockLeastSquaresEst
 import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier}
 
-/** The reference's ImageNet capstone shape (ImageNetSiftLcsFV: dense
-  * descriptors → PCA → GMM → FisherVector → one-vs-rest solve → argmax)
-  * composed end-to-end from this engine's scale-path pieces: LCS color
-  * descriptors, exact distributed TSQR-PCA (the ml-matrix role), and the
-  * gemm-batched Fisher encoder (the EncEval role). The capstone asserts
-  * the composed pipeline LEARNS: held-out accuracy on a 3-class synthetic
-  * task must clear a floor far above chance. */
+/** The reference's ImageNet capstone shape (ImageNetSiftLcsFV: TWO dense
+  * descriptor branches — SIFT and LCS — each → PCA → GMM → FisherVector,
+  * gathered → one-vs-rest solve → argmax) composed end-to-end from this
+  * engine's scale-path pieces: dense-SIFT gradient descriptors
+  * (pure-JVM, round 12 — the branch previously stubbed by LCS alone),
+  * LCS color descriptors, exact distributed TSQR-PCA (the ml-matrix
+  * role), and the gemm-batched Fisher encoder (the EncEval role). The
+  * capstone asserts the composed pipeline LEARNS: held-out accuracy on a
+  * 3-class synthetic task must clear a floor far above chance. */
 class ImageFvPipelineSpec extends GraftSuite {
 
-  test("ImageNetSiftLcsFV shape: LCS -> TSQR-PCA -> GMM -> batched FV -> solve -> argmax") {
+  test("ImageNetSiftLcsFV shape: SIFT+LCS -> TSQR-PCA -> GMM -> batched FV -> gather -> solve -> argmax") {
     import spark.implicits._
 
     // --- synthetic 8x8x3 images, 3 classes: channel intensity tracks the
@@ -42,14 +44,35 @@ class ImageFvPipelineSpec extends GraftSuite {
     assert(descs.count() == n * 16L)
     assert(descs.select(size($"desc")).head().getInt(0) == 6)
 
-    // --- fit PCA(4) + GMM(5) + batched-FV encoder on the TRAIN split
-    // only; encode both splits with the fitted transformer
+    // --- SIFT gradient descriptors on the grayscale plane (the
+    // reference's other branch, dense SIFT): 4x4 patches stepping 4 ->
+    // 2x2 keypoint grid x (2x2 cells x 4 signed bins) = 4 descriptors
+    // of dim 16 per image
+    val gray = ImageOps.grayScale(imgs.toDF())
+      .select($"id", $"x_dim", $"y_dim", $"n_channels", $"image")
+      .as[ImageOps.Img]
+    val siftOut = ImageOps.sift(gray, patch = 4, step = 4,
+      cells = 2, bins = 4).toDF()
+    val siftDescs = ImageFvPipeline.cellDescriptors(siftOut, descDim = 16)
+    assert(siftDescs.count() == n * 4L)
+    assert(siftDescs.select(size($"desc")).head().getInt(0) == 16)
+
+    // --- per-branch PCA(4) + GMM(5) + batched-FV encoders, fitted on
+    // the TRAIN split only; encode both splits with the fitted
+    // transformers and GATHER the two branch FVs (the reference's
+    // SiftFisherVector ++ LcsFisherVector concatenation)
     val trainIds = labels.where($"id" % 5 =!= 0).select($"id")
     val enc = ImageFvPipeline.fit(
-      descs.join(trainIds, "id"), "id", "desc", "fv", pcaK = 4, gmmK = 5)
-    val fvs = enc(descs).join(labels, "id")
-    // 2 * gmmK * pcaK Fisher dimensions per image
-    assert(fvs.select(size($"fv")).head().getInt(0) == 2 * 5 * 4)
+      descs.join(trainIds, "id"), "id", "desc", "fv_lcs", pcaK = 4, gmmK = 5)
+    val encSift = ImageFvPipeline.fit(
+      siftDescs.join(trainIds, "id"), "id", "desc", "fv_sift",
+      pcaK = 4, gmmK = 5)
+    val fvs = enc(descs)
+      .join(encSift(siftDescs), "id")
+      .withColumn("fv", concat($"fv_lcs", $"fv_sift"))
+      .join(labels, "id")
+    // 2 * gmmK * pcaK Fisher dimensions per image PER BRANCH
+    assert(fvs.select(size($"fv")).head().getInt(0) == 2 * (2 * 5 * 4))
     assert(fvs.count() == n.toLong)
 
     // --- one-vs-rest block least squares on +/-1 indicators, held out
