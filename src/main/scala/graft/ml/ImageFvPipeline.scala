@@ -52,7 +52,12 @@ object ImageFvPipeline {
     * descriptor table with the same columns to one 2·gmmK·pcaK Fisher
     * vector per group. */
   def fit(train: DataFrame, groupCol: String, descCol: String, out: String,
-      pcaK: Int, gmmK: Int, seed: Long = 42L): Transformer = {
+      pcaK: Int, gmmK: Int, seed: Long = 42L): Transformer =
+    // eager multi-pass fit: TSQR-PCA and the projected GMM fit both
+    // re-read the descriptor table, so the AutoCache planner owns the
+    // persist for the fitting scope (released before the transformer is
+    // returned — the fitted transformer closes over literals only)
+    AutoCache.withCached(train, uses = 2) { train =>
     val (mu, axes, _) = LearningOps.tsqrPca(train, descCol, pcaK)
     val projected = pcaProject(train, descCol, "__pdesc", mu, axes)
     val model = new org.apache.spark.ml.clustering.GaussianMixture()
