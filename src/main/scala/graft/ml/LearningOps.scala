@@ -37,6 +37,31 @@ object LearningOps {
     }
   }
 
+  /** ref: nodes.stats.CosineRandomFeatures (Rahimi–Recht random Fourier
+    * features, the reference's TIMIT featurizer): out_j =
+    * √(2/D)·cos(w_j·x + b_j) with w_j ~ N(0, gamma²)ᵈ and b_j ~
+    * U[0, 2π), drawn once from `seed` on the driver (model-sized
+    * literals, deterministic across runs/executors — the RandomSignNode
+    * discipline). The D dots ride the codegen'd graft_dot kernel; no
+    * UDF, no per-row allocation beyond the output array. */
+  case class CosineRandomFeaturesNode(in: String, out: String, dim: Int,
+      numFeatures: Int, gamma: Double = 1.0, seed: Long = 42L)
+      extends Transformer {
+    private val (ws, bs) = {
+      val rng = new scala.util.Random(seed)
+      (Array.fill(numFeatures)(Array.fill(dim)(rng.nextGaussian() * gamma)),
+        Array.fill(numFeatures)(rng.nextDouble() * 2 * math.Pi))
+    }
+    def apply(df: DataFrame): DataFrame = {
+      val amp = math.sqrt(2.0 / numFeatures)
+      val v = transform(col(in), _.cast("double"))
+      df.withColumn(out, array(ws.zip(bs).map { case (w, b) =>
+        cos(call_function("graft_dot", v,
+          array(w.map(lit).toIndexedSeq: _*)) + b) * amp
+      }.toIndexedSeq: _*))
+    }
+  }
+
   /** ref: nodes.util.VectorSplitter — split into `numBlocks` equal slices,
     * emitted as columns `{out}_0 .. {out}_{n-1}`. */
   case class VectorSplitter(in: String, out: String, numBlocks: Int)
