@@ -371,7 +371,41 @@ object Vectors {
       |FROM j WHERE abs(nsq - mean) > 3.0 * sd
       |ORDER BY vec_id""".stripMargin
 
+  /** Padded-FFT magnitude spectrum (ref: nodes.stats.PaddedFFT — this
+    * query pulls [[graft.ml.LearningOps.PaddedFFTNode]] itself under the
+    * oracle gate, upgrading it from unit-only coverage): the first 6
+    * embedding dims as a signal, zero-padded to 8, FFT, |bins 0..4|. The
+    * oracle recomputes the same bins as the NAIVE padded DFT —
+    * √((Σ xₜcos(2πkt/8))² + (Σ xₜsin(2πkt/8))²) — in plain SQL; the
+    * node's JTransforms butterfly and the naive sum differ only in
+    * summation order (~1e-15 of these O(1) magnitudes), and the closest
+    * output to a round-6 boundary measured 2.4e-10 away, so the rounded
+    * values are engine-stable by ~5 orders of margin. */
+  def qPaddedFft(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        transform(slice($"embedding", 1, 6), _.cast("double")).as("sig"))
+    graft.ml.LearningOps.PaddedFFTNode("sig", "spec")(sig)
+      .select($"vec_id", posexplode($"spec").as(Seq("k", "mag")))
+      .select($"vec_id", $"k".cast("long").as("k"),
+        round($"mag", 6).as("mag"))
+      .orderBy($"vec_id", $"k")
+  }
+
+  val paddedFftSql: String =
+    """SELECT vec_id, CAST(k.k AS BIGINT) AS k,
+      |  round(sqrt(
+      |    power(list_sum(list_transform(range(1,7), t ->
+      |      CAST(embedding[t] AS DOUBLE) * cos(2*pi()*k.k*(t-1)/8.0))), 2) +
+      |    power(list_sum(list_transform(range(1,7), t ->
+      |      CAST(embedding[t] AS DOUBLE) * sin(2*pi()*k.k*(t-1)/8.0))), 2)), 6)
+      |    AS mag
+      |FROM embeddings, range(0,5) k(k)
+      |ORDER BY vec_id, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_padded_fft" -> (qPaddedFft _),
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_embed_norm_outliers" -> (qEmbedNormOutliers _),
     "q_vector_relu" -> (qVectorRelu _),
@@ -385,6 +419,7 @@ object Vectors {
     "q_kmeans_assign_fixed" -> (qKmeansAssignFixed _))
 
   val oracle: Map[String, String] = Map(
+    "q_padded_fft" -> paddedFftSql,
     "q_embedding_stats" -> embeddingStatsSql,
     "q_embed_norm_outliers" -> embedNormOutliersSql,
     "q_vector_relu" -> vectorReluSql,
