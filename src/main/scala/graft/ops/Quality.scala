@@ -425,7 +425,70 @@ object Quality {
 
   // ------------------------------------------------------------- registry
 
+  /** Regexes shared by the redaction query and its oracle: the common
+    * Java-regex / RE2 subset (character classes, bounded repeats — no
+    * lookaround, no \b), so both engines match identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII REDACTION — the transform half of the scrubber ([[qPiiLuhn]] is
+    * the detection half): emails → `[EMAIL]`, dashed phone numbers →
+    * `[PHONE]`, with per-doc match counts and the md5 of the redacted
+    * text under the gate (so a single swallowed character anywhere in
+    * the masking fails the hash). The PII is INJECTED deterministically
+    * from doc_id on both engines (the documents fixture is pure ASCII
+    * with no @/digits — the q_html_extract formula-wrapping precedent):
+    * every doc gets one email and one phone, even ids a second email,
+    * exercising multi-match global replacement. Stateless per-row
+    * expression work; corpus size only enters the scan. */
+  def qPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        """concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
+          |  'or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+          |  lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' re ',
+          |  substr(text, 1, 80)) AS t""".stripMargin)
+      .select($"doc_id",
+        regexp_count($"t", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"t", lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace($"t", EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("r"))
+      .select($"doc_id", $"n_emails", $"n_phones",
+        length($"r").cast("long").as("red_len"), md5($"r").as("red_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String = {
+    // DuckDB standard string literals pass backslashes through verbatim,
+    // so the runtime regex strings interpolate directly
+    val email = EmailRe
+    val phone = PhoneRe
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
+       |      CASE WHEN doc_id % 2 = 0
+       |           THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
+       |      'or 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+       |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'), ' re ',
+       |      substr(text, 1, 80)) AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'),
+       |      '$phone', '[PHONE]', 'g') AS r
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(r) AS BIGINT) AS red_len, md5(r) AS red_md5
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (qPiiRedact _),
     "q_column_profile" -> (qColumnProfile _),
     "q_data_constraints" -> (qDataConstraints _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -434,6 +497,7 @@ object Quality {
     "q_pii_luhn" -> (qPiiLuhn _))
 
   val oracle: Map[String, String] = Map(
+    "q_pii_redact" -> piiRedactSql,
     "q_column_profile" -> columnProfileSql,
     "q_data_constraints" -> dataConstraintsSql,
     "q_k_anonymity" -> kAnonymitySql,

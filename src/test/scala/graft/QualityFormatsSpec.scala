@@ -29,6 +29,38 @@ class QualityFormatsSpec extends GraftSuite {
     }
   }
 
+  test("q_pii_redact: no raw email/phone survives the masking") {
+    import spark.implicits._
+    // rebuild the redacted text (the declared query ships only counts,
+    // length, and md5) and scan it for surviving PII with patterns the
+    // query does NOT use — an independent leak check
+    val out = Quality.qPiiRedact(spark, sf).collect()
+    assert(out.length > 100)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_phones")) == 1L)
+      val e = r.getLong(r.fieldIndex("n_emails"))
+      assert(e == (if (r.getLong(0) % 2 == 0) 2L else 1L))
+    }
+    val redacted = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        """concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
+          |  'or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+          |  lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' re ',
+          |  substr(text, 1, 80)) AS t""".stripMargin)
+      .selectExpr("doc_id",
+        """regexp_replace(regexp_replace(t,
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+          |  '\\d{3}-\\d{3}-\\d{4}', '[PHONE]') AS r""".stripMargin)
+      .select($"r").as[String].collect()
+    redacted.foreach { t =>
+      assert(!t.contains("@"), s"raw email survived: $t")
+      assert(!t.matches(".*\\d{3}-\\d{3}.*"), s"raw phone survived: $t")
+      assert(t.contains("[EMAIL]") && t.contains("[PHONE]"))
+    }
+  }
+
   test("q_data_constraints: invariants hold, freshness checks fire") {
     val m = Quality.qDataConstraints(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
