@@ -33,24 +33,28 @@ object Bench {
     // cluster job gets.
     try graft.ops.Similarity.shinglePairStats(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Time one query, then block-manager hygiene: several operators pin
+    // blocks for the duration of ONE query (localCheckpointed graph /
+    // index relations, cached intermediates). Over a 270-query sequential
+    // sweep those blocks otherwise accumulate for the whole run — round 7
+    // measured the late-alphabet queries 1.7× slower under that pressure
+    // while isolated probes stayed fast. Release everything the finished
+    // query left behind; the next query builds its own state from scratch
+    // anyway (nothing is shared across queries by design). ONE shared
+    // body for the sweep and the retry pass, so "same conditions" holds
+    // by construction.
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Block-manager hygiene between queries: several operators pin
-      // blocks for the duration of ONE query (localCheckpointed graph /
-      // index relations, cached intermediates). Over a 226-query
-      // sequential sweep those blocks otherwise accumulate for the whole
-      // run — round 7 measured the late-alphabet queries 1.7× slower
-      // under that pressure while isolated probes stayed fast. Release
-      // everything the finished query left behind; the next query builds
-      // its own state from scratch anyway (nothing is shared across
-      // queries by design).
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> dt
-    }.toMap
+      dt
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(name => name -> timeOne(name)).toMap
     // Noise immunization: any query landing over the retry bar gets ONE
     // re-timing at sweep end under the same between-query cleanup, and
     // BOTH numbers are recorded. Three rounds of adjudicating single-query
@@ -59,16 +63,7 @@ object Bench {
     // source: a structural cost repeats, a wobble doesn't.
     val retryBar = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
     val retries = results.toSeq.filter(_._2 > retryBar).sortBy(_._1)
-      .map { case (name, _) =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> dt
-      }.toMap
+      .map { case (name, _) => name -> timeOne(name) }.toMap
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def ms(v: Double): String = f"$v%.3f"

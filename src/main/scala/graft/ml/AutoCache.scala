@@ -26,17 +26,33 @@ object AutoCache {
   }
 
   /** Decide-and-persist: cache `df` iff it will be consumed `uses` times
-    * and its optimizer-estimated size fits `memBudgetBytes`. Returns a
+    * and its estimated size fits `memBudgetBytes`. Returns a
     * [[CacheHandle]] — the caller releases it when the consuming scope
     * ends (eager `fit()` bodies bracket with [[withCached]]; lazily
     * returned query frames must NOT persist at all and should rely on
     * exchange reuse instead, which is why the declared dedup query no
-    * longer calls this). */
+    * longer calls this).
+    *
+    * Plans with trustworthy Catalyst stats decide for free. Plans whose
+    * stats are sentinel-derived (see [[planStats]]) are PERSISTED FIRST
+    * and then profiled, so the profiling `count()` doubles as the first
+    * consumer's materialization pass when the cache is accepted — the
+    * only wasted pass is the over-budget decline, where one pass is the
+    * unavoidable price of learning the size at all. */
   def cacheIfWorthIt(df: DataFrame, uses: Int,
       memBudgetBytes: Long = 2L << 30): CacheHandle = {
-    val worth = uses > 1 && estimatedSize(df) <= BigInt(memBudgetBytes)
-    if (worth) CacheHandle(df.persist(StorageLevel.MEMORY_AND_DISK), cached = true)
-    else CacheHandle(df, cached = false)
+    if (uses <= 1) return CacheHandle(df, cached = false)
+    val budget = BigInt(memBudgetBytes)
+    planStats(df) match {
+      case Some(stats) =>
+        if (stats <= budget)
+          CacheHandle(df.persist(StorageLevel.MEMORY_AND_DISK), cached = true)
+        else CacheHandle(df, cached = false)
+      case None =>
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        if (profiledSize(df) <= budget) CacheHandle(df, cached = true)
+        else { df.unpersist(); CacheHandle(df, cached = false) }
+    }
   }
 
   /** Bracketed form for eager multi-pass consumers: persist if worthwhile,
@@ -47,24 +63,35 @@ object AutoCache {
     try body(h.df) finally h.release()
   }
 
-  /** Estimated size (bytes) of the optimized plan — exposed for tests and
-    * for pipeline authors deciding block sizes.
+  /** Catalyst's optimized-plan size estimate, or None when it is
+    * sentinel-derived and therefore meaningless.
     *
-    * Catalyst propagates `sizeInBytes` from parquet footers through
-    * filters/projections, but an RDD-backed scan (the CIFAR binary
-    * loader, any `rdd.toDF`) reports the `defaultSizeInBytes` "unknown"
-    * sentinel, which would make the planner decline every cache behind
-    * one. For those plans fall back to the reference's profiling
-    * behavior: one exact distributed `count()` plus a bounded driver-side
-    * sample to estimate the average row width. The profiling pass is only
-    * paid when the frame is a multi-use cache candidate, where it is
-    * amortized by the re-reads it saves. */
-  def estimatedSize(df: DataFrame): BigInt = {
+    * An RDD-backed scan (the CIFAR binary loader, any `rdd.toDF`) reports
+    * `defaultSizeInBytes` (Long.MaxValue by default); visitors then SCALE
+    * that sentinel — a column-narrowing projection multiplies it by the
+    * row-width ratio, a join by the other side — so the poisoned value
+    * can land anywhere huge, not only at or above the sentinel itself.
+    * Both screens are needed: `>= defaultSizeInBytes` catches
+    * sentinel-preserving plans even when the conf is tuned low (a common
+    * broadcast-join knob), and the absolute [[SaneStatsCeiling]] catches
+    * scaled-down sentinel descendants — no honest single-frame estimate
+    * reaches a pebibyte. */
+  private[graft] def planStats(df: DataFrame): Option[BigInt] = {
     val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknown =
-      stats >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (!unknown) stats else profiledSize(df)
+    val sentinelDerived =
+      stats >= BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes) ||
+        stats >= SaneStatsCeiling
+    if (sentinelDerived) None else Some(stats)
   }
+
+  private val SaneStatsCeiling = BigInt(1L << 50) // 1 PiB
+
+  /** Estimated size (bytes) — exposed for tests and for pipeline authors
+    * deciding block sizes: Catalyst's estimate when trustworthy, else the
+    * reference's profiling behavior (one exact distributed `count()` plus
+    * a bounded driver-side sample of row widths). */
+  def estimatedSize(df: DataFrame): BigInt =
+    planStats(df).getOrElse(profiledSize(df))
 
   private val SampleRows = 100
 

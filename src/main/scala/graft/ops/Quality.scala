@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -431,6 +431,22 @@ object Quality {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
 
+  /** doc_id-keyed PII injection, shared VERBATIM by [[qPiiRedact]] and
+    * the leak-scan unit test so the test corpus can never de-sync from
+    * the shipped query's. */
+  private[graft] val PiiInjectExpr: String =
+    """concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
+      |  'or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+      |  lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' re ',
+      |  substr(text, 1, 80)) AS t""".stripMargin
+
+  /** The masking transform itself — also shared with the leak-scan test
+    * (the test's PROBES stay independent of these regexes). */
+  private[graft] def redact(t: Column): Column =
+    regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
   /** PII REDACTION — the transform half of the scrubber ([[qPiiLuhn]] is
     * the detection half): emails → `[EMAIL]`, dashed phone numbers →
     * `[PHONE]`, with per-doc match counts and the md5 of the redacted
@@ -444,18 +460,11 @@ object Quality {
   def qPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
-      .selectExpr("doc_id",
-        """concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
-          |  CASE WHEN doc_id % 2 = 0
-          |       THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
-          |  'or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
-          |  lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' re ',
-          |  substr(text, 1, 80)) AS t""".stripMargin)
+      .selectExpr("doc_id", PiiInjectExpr)
       .select($"doc_id",
         regexp_count($"t", lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count($"t", lit(PhoneRe)).cast("long").as("n_phones"),
-        regexp_replace(regexp_replace($"t", EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]").as("r"))
+        redact($"t").as("r"))
       .select($"doc_id", $"n_emails", $"n_phones",
         length($"r").cast("long").as("red_len"), md5($"r").as("red_md5"))
       .orderBy($"doc_id")

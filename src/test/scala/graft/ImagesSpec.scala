@@ -208,13 +208,10 @@ class ImagesSpec extends GraftSuite {
       assert(binEnergy(im, 4) > 0 && binEnergy(im, 0) == 0.0)
     }
     // dense keypoint grid: 32x16 at patch=16, step=16 => 2 descriptors
-    val wide = spark.range(3).toDF("id")
-      .withColumn("x_dim", lit(32)).withColumn("y_dim", lit(16))
-      .withColumn("n_channels", lit(1))
-      .withColumn("image", transform(sequence(lit(0), lit(32 * 16 - 1)),
-        i => ((col("id") * 31 + i * 7) % 256).cast("double") / 255.0))
-      .select(col("id"), col("x_dim"), col("y_dim"), col("n_channels"),
-        col("image")).as[Img]
+    // (the canonical synthetic fixture — same pixel formula the
+    // q_image_sift oracle hard-codes)
+    val wide = ImageOps.syntheticImages(spark, n = 3, x = 32, y = 16, c = 1)
+      .as[Img]
     val dense = ImageOps.sift(wide).collect()
     dense.foreach { im =>
       assert(im.x_dim == 2, "32x16 at patch=16 step=16 must yield 2 keypoints")

@@ -171,6 +171,19 @@ class PipelineSpec extends GraftSuite {
     h.release()
     val tiny = AutoCache.cacheIfWorthIt(rddDf, uses = 2, memBudgetBytes = 16L)
     assert(!tiny.cached, "profiled estimate must still respect the budget")
+    assert(rddDf.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "an over-budget profile-by-caching decision must revert the persist")
+    // a column-narrowing projection over an RDD scan SCALES the unknown
+    // sentinel below defaultSizeInBytes — the stats are still poisoned
+    // and must route to profiling, not be trusted as a (huge) estimate
+    val narrowed = spark.sparkContext.parallelize(1 to 1000, 4)
+      .map(i => (i, i.toString * 8)).toDF("a", "b").select("a")
+    assert(AutoCache.planStats(narrowed).isEmpty,
+      "scaled sentinel stats must be treated as unknown")
+    val h2 = AutoCache.cacheIfWorthIt(narrowed, uses = 2)
+    assert(h2.cached, "profiled narrow projection should cache")
+    h2.release()
   }
 
   test("AutoCache.withCached brackets the persist around the body") {

@@ -41,19 +41,11 @@ class QualityFormatsSpec extends GraftSuite {
       val e = r.getLong(r.fieldIndex("n_emails"))
       assert(e == (if (r.getLong(0) % 2 == 0) 2L else 1L))
     }
+    // SAME injection + masking expressions as the shipped query (shared
+    // vals — cannot de-sync); only the leak PROBES below are independent
     val redacted = graft.tables.Tables.documents(spark, sf)
-      .selectExpr("doc_id",
-        """concat('contact user', doc_id, '@mail', doc_id % 10, '.com ',
-          |  CASE WHEN doc_id % 2 = 0
-          |       THEN concat('cc admin', doc_id, '@corp.org ') ELSE '' END,
-          |  'or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
-          |  lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' re ',
-          |  substr(text, 1, 80)) AS t""".stripMargin)
-      .selectExpr("doc_id",
-        """regexp_replace(regexp_replace(t,
-          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
-          |  '\\d{3}-\\d{3}-\\d{4}', '[PHONE]') AS r""".stripMargin)
-      .select($"r").as[String].collect()
+      .selectExpr("doc_id", Quality.PiiInjectExpr)
+      .select(Quality.redact($"t").as("r")).as[String].collect()
     redacted.foreach { t =>
       assert(!t.contains("@"), s"raw email survived: $t")
       assert(!t.matches(".*\\d{3}-\\d{3}.*"), s"raw phone survived: $t")
