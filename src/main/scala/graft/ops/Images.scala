@@ -218,7 +218,10 @@ object Images {
       .select($"label".cast("long").as("label"),
         posexplode($"fv").as(Seq("pos", "raw")))
       .select($"label", $"pos".cast("long").as("pos"),
-        round($"raw", 6).as("val"))
+        // + 0.0 normalizes IEEE -0.0 (a tiny negative contribution sum
+        // rounding to signed zero) to +0.0 on both engines — first seen
+        // live at sf0.1 where one (label, pos) cell landed there
+        (round($"raw", 6) + lit(0.0)).as("val"))
       .orderBy($"label", $"pos")
   }
 
@@ -262,7 +265,7 @@ object Images {
       |    WHEN 1 THEN (CAST(s_sg_0 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(2.0*0.4))
       |    WHEN 2 THEN (CAST(s_mu_1 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(0.6))
       |    ELSE        (CAST(s_sg_1 AS DOUBLE)/1000000000.0) / (CAST(t AS DOUBLE) * sqrt(2.0*0.6))
-      |  END, 6) AS val
+      |  END, 6) + 0.0 AS val
       |FROM s, range(0, 4) b(b)
       |ORDER BY label, pos""".stripMargin
 

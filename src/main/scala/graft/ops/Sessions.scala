@@ -1432,16 +1432,28 @@ object Sessions {
 
   /** Overlapping-interval merge (interval union) per supplier: each
     * lineitem contributes a deterministic handling window
-    * [ship, ship + qty%7 + 1 days]; overlapping windows coalesce into
-    * maximal covered spans — the classic gaps-and-islands coverage
-    * problem (machine-utilization / SLA-coverage shape). A new island
-    * starts where the interval's start exceeds the running max end of all
-    * earlier intervals; island ids are a running sum of those flags.
+    * [ship, ship + day%7 + 1 days]; overlapping AND touching windows
+    * coalesce into maximal covered-day spans — the classic
+    * gaps-and-islands coverage problem (machine-utilization /
+    * SLA-coverage shape). A new island starts where the interval's start
+    * leaves at least one uncovered day after the running max end of all
+    * earlier intervals (st > pmax + 1); island ids are a running sum of
+    * those flags, so a span is exactly a maximal run of covered days.
     *
     * Scale shape: both windows partition by s (supplier) — partition size
     * is a supplier's lineitem count, never corpus-global — and the final
     * rollup is one hash aggregation on s. Date arithmetic is exact
-    * integer-day math end to end; no fp anywhere. */
+    * integer-day math end to end; no fp anywhere.
+    *
+    * Oracle note: the DuckDB side deliberately avoids window functions —
+    * duckdb 1.0.0's parallel windowed MAX over many small partitions is
+    * RUN-TO-RUN NONDETERMINISTIC at sf0.1 row counts (observed live:
+    * identical SQL, different covered_days per run, while Spark matched
+    * an independent ground-truth replay). The oracle instead explodes
+    * each ≤8-day interval into covered days and counts distinct days
+    * (coverage) and day-runs (spans) with plain joins/aggregates, which
+    * is engine-robust — and is why the span semantic is day-contiguity,
+    * the only island definition expressible without ordered windows. */
   def qIntervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val iv = Tables.lineitem(spark, sfDir)
@@ -1455,7 +1467,7 @@ object Sessions {
     iv
       .withColumn("pmax", max($"en").over(prevMax))
       .withColumn("new_island",
-        when($"pmax".isNull || $"st" > $"pmax", 1L).otherwise(0L))
+        when($"pmax".isNull || $"st" > date_add($"pmax", 1), 1L).otherwise(0L))
       .withColumn("island", sum($"new_island").over(
         byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"s", $"island")
@@ -1470,28 +1482,18 @@ object Sessions {
   val intervalMergeSql: String =
     """WITH iv AS (
       |  SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS st,
-      |    CAST(l_shipdate AS DATE) +
-      |      CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') % 7 + 1
-      |        AS INTEGER) AS en
+      |    CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01') % 7 + 1
+      |      AS INTEGER) AS len
       |  FROM lineitem),
-      |flagged AS (
-      |  SELECT s, st, en,
-      |    max(en) OVER (PARTITION BY s ORDER BY st, en
-      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |      AS pmax
-      |  FROM iv),
-      |isl AS (
-      |  SELECT s, st, en,
-      |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY s ORDER BY st, en
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      |  FROM flagged),
-      |spans AS (
-      |  SELECT s, island, min(st) AS span_start, max(en) AS span_end
-      |  FROM isl GROUP BY 1, 2)
-      |SELECT s AS suppkey, count(*) AS n_spans,
-      |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS covered_days
-      |FROM spans GROUP BY 1 ORDER BY suppkey""".stripMargin
+      |days AS (
+      |  SELECT DISTINCT s, st + CAST(x.x AS INTEGER) AS d
+      |  FROM iv, range(0, 8) x(x) WHERE x.x <= len)
+      |SELECT a.s AS suppkey,
+      |  CAST(sum(CASE WHEN p.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_spans,
+      |  CAST(count(*) AS BIGINT) AS covered_days
+      |FROM days a LEFT JOIN days p ON p.s = a.s AND p.d = a.d - 1
+      |GROUP BY 1 ORDER BY suppkey""".stripMargin
 
   /** Watermark late-data accounting — the batch twin of
     * `withWatermark("ts", "10 minutes")` drop semantics, run as a replay
