@@ -34,25 +34,21 @@ object AutoCache {
     * longer calls this).
     *
     * Plans with trustworthy Catalyst stats decide for free. Plans whose
-    * stats are sentinel-derived (see [[planStats]]) are PERSISTED FIRST
-    * and then profiled, so the profiling `count()` doubles as the first
-    * consumer's materialization pass when the cache is accepted — the
-    * only wasted pass is the over-budget decline, where one pass is the
-    * unavoidable price of learning the size at all. */
+    * stats are sentinel-derived (see [[planStats]]) are profiled WITHOUT
+    * persisting (one distributed pass — [[profiledSize]]); the persist
+    * happens only after an accept. Join-product estimates over honest
+    * leaves routinely land in sentinel territory too (size-visitors
+    * multiply child sizes when row counts are absent), so the profiling
+    * path must never be allowed to write a genuinely over-budget frame
+    * to storage just to learn it does not fit — declining is free now,
+    * and the accept path pays one extra pass over a frame it is about
+    * to cache anyway. */
   def cacheIfWorthIt(df: DataFrame, uses: Int,
       memBudgetBytes: Long = 2L << 30): CacheHandle = {
     if (uses <= 1) return CacheHandle(df, cached = false)
-    val budget = BigInt(memBudgetBytes)
-    planStats(df) match {
-      case Some(stats) =>
-        if (stats <= budget)
-          CacheHandle(df.persist(StorageLevel.MEMORY_AND_DISK), cached = true)
-        else CacheHandle(df, cached = false)
-      case None =>
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-        if (profiledSize(df) <= budget) CacheHandle(df, cached = true)
-        else { df.unpersist(); CacheHandle(df, cached = false) }
-    }
+    if (estimatedSize(df) <= BigInt(memBudgetBytes))
+      CacheHandle(df.persist(StorageLevel.MEMORY_AND_DISK), cached = true)
+    else CacheHandle(df, cached = false)
   }
 
   /** Bracketed form for eager multi-pass consumers: persist if worthwhile,
@@ -61,6 +57,58 @@ object AutoCache {
       memBudgetBytes: Long = 2L << 30)(body: DataFrame => T): T = {
     val h = cacheIfWorthIt(df, uses, memBudgetBytes)
     try body(h.df) finally h.release()
+  }
+
+  /** A frame competing for cache budget in [[selectCacheSet]]: the frame,
+    * how many times the consuming scope will read it, and a label for
+    * diagnostics/tests. */
+  final case class Candidate(df: DataFrame, uses: Int, label: String = "")
+
+  /** Set-selection under ONE shared budget — the reference AutoCacheRule's
+    * actual shape (it picks a cache SET across the whole pipeline DAG
+    * under a single memory budget via a greedy knapsack, not a per-frame
+    * accept/decline; SURVEY §4). Benefit of caching a frame =
+    * (uses − 1) · size (the recomputation bytes a hit saves), weight =
+    * size, so benefit density is (uses − 1): candidates are taken in
+    * (density desc, benefit desc) order while they still fit the
+    * remaining budget — when two frames compete for the last slot at
+    * equal density, the higher-benefit one wins, and a frame that does
+    * not fit is skipped rather than blocking smaller frames behind it.
+    *
+    * Returns handles ALIGNED WITH THE INPUT ORDER; only selected frames
+    * are persisted, and every handle's `release()` is unconditionally
+    * safe (no-op for declined frames). Sizing reuses [[estimatedSize]] —
+    * Catalyst stats when trustworthy, the no-persist profiling pass
+    * otherwise. */
+  def selectCacheSet(candidates: Seq[Candidate],
+      memBudgetBytes: Long = 2L << 30): Seq[CacheHandle] = {
+    val sizes = candidates.map(c => estimatedSize(c.df))
+    val order = candidates.indices
+      .filter(i => candidates(i).uses > 1)
+      .sortBy { i =>
+        val density = candidates(i).uses - 1
+        (-density.toLong, -(BigInt(density) * sizes(i)))
+      }
+    var remaining = BigInt(memBudgetBytes)
+    val chosen = scala.collection.mutable.BitSet.empty
+    order.foreach { i =>
+      if (sizes(i) <= remaining) { chosen += i; remaining -= sizes(i) }
+    }
+    candidates.indices.map { i =>
+      if (chosen(i))
+        CacheHandle(candidates(i).df.persist(StorageLevel.MEMORY_AND_DISK),
+          cached = true)
+      else CacheHandle(candidates(i).df, cached = false)
+    }
+  }
+
+  /** Bracketed form of [[selectCacheSet]]: select under the shared budget,
+    * run `body` against the (selectively cached) frames in input order,
+    * always release all handles. */
+  def withCachedSet[T](candidates: Seq[Candidate],
+      memBudgetBytes: Long = 2L << 30)(body: Seq[DataFrame] => T): T = {
+    val hs = selectCacheSet(candidates, memBudgetBytes)
+    try body(hs.map(_.df)) finally hs.foreach(_.release())
   }
 
   /** Catalyst's optimized-plan size estimate, or None when it is
@@ -88,21 +136,34 @@ object AutoCache {
 
   /** Estimated size (bytes) — exposed for tests and for pipeline authors
     * deciding block sizes: Catalyst's estimate when trustworthy, else the
-    * reference's profiling behavior (one exact distributed `count()` plus
-    * a bounded driver-side sample of row widths). */
+    * reference's profiling behavior ([[profiledSize]]). */
   def estimatedSize(df: DataFrame): BigInt =
     planStats(df).getOrElse(profiledSize(df))
 
-  private val SampleRows = 100
+  private val SamplePerPartition = 8
 
+  /** Profile a frame's size in ONE distributed pass, persisting nothing:
+    * exact row count plus the first few row widths of EVERY partition.
+    * Sampling every partition matters — a width-skewed layout (data
+    * sorted by document/array length) makes a driver-side `head(100)`
+    * sample, which only ever sees the first partition, lie badly in
+    * either direction. The width average is computed in Double (no
+    * integer truncation) before scaling by the count. */
   private def profiledSize(df: DataFrame): BigInt = {
-    val n = df.count()
-    if (n == 0L) BigInt(0)
-    else {
-      val sample = df.head(SampleRows)
-      val avg = sample.iterator.map(rowBytes).sum / sample.length
-      BigInt(n) * avg
-    }
+    val (n, widthSum, widthCnt) = df.rdd
+      .mapPartitions { it =>
+        var rows = 0L; var ws = 0.0; var wc = 0L
+        it.foreach { r =>
+          rows += 1L
+          if (wc < SamplePerPartition) { ws += rowBytes(r).toDouble; wc += 1L }
+        }
+        Iterator.single((rows, ws, wc))
+      }
+      .fold((0L, 0.0, 0L)) { case ((an, aw, ac), (bn, bw, bc)) =>
+        (an + bn, aw + bw, ac + bc)
+      }
+    if (n == 0L || widthCnt == 0L) BigInt(0)
+    else BigDecimal(widthSum / widthCnt * n.toDouble).toBigInt
   }
 
   /** Crude per-row heap footprint — a cost-model input, not an exact

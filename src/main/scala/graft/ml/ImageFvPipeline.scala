@@ -57,7 +57,32 @@ object ImageFvPipeline {
     // re-read the descriptor table, so the AutoCache planner owns the
     // persist for the fitting scope (released before the transformer is
     // returned — the fitted transformer closes over literals only)
-    AutoCache.withCached(train, uses = 2) { train =>
+    AutoCache.withCached(train, uses = 2) { cached =>
+      fitOn(cached, groupCol, descCol, out, pcaK, gmmK, seed)
+    }
+
+  /** Multi-branch fit under ONE shared cache budget (ref:
+    * AutoCacheRule's set selection — the ImageNet pipeline's SIFT and
+    * LCS descriptor branches COMPETE for executor memory rather than
+    * each branch accepting/declining in isolation): every branch's
+    * training table is a cache candidate with uses = 2 (TSQR-PCA + the
+    * projected GMM fit), [[AutoCache.selectCacheSet]] picks the subset
+    * that fits, and each encoder fits against its possibly-cached
+    * frame. Returns the fitted per-branch transformers in input order. */
+  def fitBranches(branches: Seq[(DataFrame, String)], groupCol: String,
+      descCol: String, pcaK: Int, gmmK: Int, seed: Long = 42L,
+      memBudgetBytes: Long = 2L << 30): Seq[Transformer] =
+    AutoCache.withCachedSet(
+      branches.map { case (df, outCol) =>
+        AutoCache.Candidate(df, uses = 2, label = outCol)
+      }, memBudgetBytes) { cached =>
+      cached.zip(branches).map { case (train, (_, outCol)) =>
+        fitOn(train, groupCol, descCol, outCol, pcaK, gmmK, seed)
+      }
+    }
+
+  private def fitOn(train: DataFrame, groupCol: String, descCol: String,
+      out: String, pcaK: Int, gmmK: Int, seed: Long): Transformer = {
     val (mu, axes, _) = LearningOps.tsqrPca(train, descCol, pcaK)
     val projected = pcaProject(train, descCol, "__pdesc", mu, axes)
     val model = new org.apache.spark.ml.clustering.GaussianMixture()

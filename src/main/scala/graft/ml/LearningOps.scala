@@ -54,7 +54,15 @@ object LearningOps {
     }
     def apply(df: DataFrame): DataFrame = {
       val amp = math.sqrt(2.0 / numFeatures)
-      val v = transform(col(in), _.cast("double"))
+      val raw = transform(col(in), _.cast("double"))
+      // In-plan dim guard (the Epoch.day pattern): graft_dot silently
+      // truncates to min(length) on mismatch, so a mis-sized input —
+      // e.g. an upstream FFT pad change shifting the bin count — must
+      // raise, not yield silently wrong random features. One O(1) size
+      // comparison per row ahead of the D dots.
+      val v = when(size(raw) === dim, raw).otherwise(raise_error(concat(
+        lit(s"graft: CosineRandomFeaturesNode($in) expects dim=$dim, got "),
+        size(raw).cast("string"))))
       df.withColumn(out, array(ws.zip(bs).map { case (w, b) =>
         cos(call_function("graft_dot", v,
           array(w.map(lit).toIndexedSeq: _*)) + b) * amp

@@ -62,11 +62,13 @@ class ImageFvPipelineSpec extends GraftSuite {
     // transformers and GATHER the two branch FVs (the reference's
     // SiftFisherVector ++ LcsFisherVector concatenation)
     val trainIds = labels.where($"id" % 5 =!= 0).select($"id")
-    val enc = ImageFvPipeline.fit(
-      descs.join(trainIds, "id"), "id", "desc", "fv_lcs", pcaK = 4, gmmK = 5)
-    val encSift = ImageFvPipeline.fit(
-      siftDescs.join(trainIds, "id"), "id", "desc", "fv_sift",
-      pcaK = 4, gmmK = 5)
+    // the two branch descriptor tables COMPETE for one shared cache
+    // budget (AutoCacheRule set selection) instead of each branch
+    // deciding in isolation — the reference pipeline's actual topology
+    val Seq(enc, encSift) = ImageFvPipeline.fitBranches(
+      Seq(descs.join(trainIds, "id") -> "fv_lcs",
+        siftDescs.join(trainIds, "id") -> "fv_sift"),
+      "id", "desc", pcaK = 4, gmmK = 5)
     val fvs = enc(descs)
       .join(encSift(siftDescs), "id")
       .withColumn("fv", concat($"fv_lcs", $"fv_sift"))

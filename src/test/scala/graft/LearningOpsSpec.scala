@@ -263,4 +263,20 @@ class LearningOpsSpec extends GraftSuite {
       assert(diff < 1e-6, s"axes must be partition-invariant, max diff $diff")
     }
   }
+
+  test("CosineRandomFeaturesNode raises on a dim mismatch instead of truncating") {
+    // graft_dot truncates to min(length) on mismatch, so without the
+    // in-plan guard a wrong dim yields silently wrong features (the
+    // TIMIT capstone's dim=33 depends on the FFT pad staying 64)
+    val node = CosineRandomFeaturesNode("v", "rf", dim = 64, numFeatures = 4)
+    val ok = node(vecs).select(size($"rf")).head().getInt(0)
+    assert(ok == 4)
+    val badNode = CosineRandomFeaturesNode("v", "rf", dim = 33, numFeatures = 4)
+    val thrown = intercept[Exception] { badNode(vecs).collect() }
+    val msgs = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(msgs.contains("expects dim=33"),
+      s"guard message missing from: $msgs")
+  }
 }

@@ -195,4 +195,75 @@ class PipelineSpec extends GraftSuite {
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "frame must be released after the body returns")
   }
+
+  test("AutoCache profiling samples row widths from EVERY partition") {
+    import spark.implicits._
+    // width-skewed layout: rows sorted by payload length, so the first
+    // partition holds only tiny rows — a first-partition-only sample
+    // (the old head(100)) would underestimate the frame ~50x. True size
+    // is dominated by the last partition's ~4 KB rows.
+    val skewed = spark.sparkContext
+      .parallelize(0 until 400, 4)
+      .map(i => (i, "x" * (if (i < 300) 8 else 4096)))
+      .toDF("id", "payload")
+    assert(AutoCache.planStats(skewed).isEmpty,
+      "RDD-backed frame must route to profiling")
+    val est = AutoCache.estimatedSize(skewed).toDouble
+    // exact footprint per rowBytes: 300·(16+4+8+8) + 100·(16+4+8+4096)
+    val truth = 300.0 * 36 + 100.0 * 4124
+    assert(est > truth * 0.5 && est < truth * 2.0,
+      s"per-partition sampling should land near $truth, got $est")
+  }
+
+  test("AutoCache declines an over-budget unknown-stats frame without persisting") {
+    import spark.implicits._
+    val rddDf = spark.sparkContext.parallelize(1 to 5000, 4).toDF("x")
+    val h = AutoCache.cacheIfWorthIt(rddDf, uses = 2, memBudgetBytes = 16L)
+    assert(!h.cached)
+    assert(rddDf.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "profiling an over-budget frame must not write it to storage at all")
+  }
+
+  test("AutoCache.selectCacheSet picks the higher-value frame under a shared budget") {
+    import spark.implicits._
+    // two competitors that do NOT both fit: same density (uses = 2), the
+    // wide frame saves more recomputation bytes per hit => it must win
+    val small = spark.sparkContext.parallelize(1 to 500, 2).toDF("x")
+    val big = spark.sparkContext.parallelize(1 to 500, 2)
+      .map(i => (i, "y" * 64)).toDF("a", "b")
+    val sizeSmall = AutoCache.estimatedSize(small)
+    val sizeBig = AutoCache.estimatedSize(big)
+    assert(sizeBig > sizeSmall)
+    val budget = (sizeBig + sizeSmall / 2).toLong // big fits, both don't
+    val hs = AutoCache.selectCacheSet(Seq(
+      AutoCache.Candidate(small, uses = 2, label = "small"),
+      AutoCache.Candidate(big, uses = 2, label = "big")), budget)
+    assert(hs.map(_.cached) == Seq(false, true),
+      "equal density: the higher-benefit (bigger-recompute-savings) frame wins")
+    assert(big.storageLevel.useMemory && !small.storageLevel.useMemory)
+    hs.foreach(_.release())
+    assert(big.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+
+    // higher density beats raw size: a 3-use small frame outranks a
+    // 2-use big frame; after it is taken the big one still fits here
+    val hs2 = AutoCache.selectCacheSet(Seq(
+      AutoCache.Candidate(small, uses = 3, label = "small"),
+      AutoCache.Candidate(big, uses = 2, label = "big")),
+      (sizeSmall + sizeBig).toLong)
+    assert(hs2.map(_.cached) == Seq(true, true))
+    hs2.foreach(_.release())
+
+    // a frame that does not fit is skipped WITHOUT blocking smaller ones
+    val hs3 = AutoCache.selectCacheSet(Seq(
+      AutoCache.Candidate(big, uses = 5, label = "big"),
+      AutoCache.Candidate(small, uses = 2, label = "small")),
+      sizeSmall.toLong)
+    assert(hs3.map(_.cached) == Seq(false, true),
+      "over-budget high-density frame must not starve the fitting one")
+    hs3.foreach(_.release())
+    // single-use frames never cache regardless of budget headroom
+    val hs4 = AutoCache.selectCacheSet(
+      Seq(AutoCache.Candidate(small, uses = 1)), Long.MaxValue)
+    assert(hs4.map(_.cached) == Seq(false))
+  }
 }
