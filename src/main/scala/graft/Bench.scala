@@ -53,6 +53,20 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       dt
     }
+    // The previously committed sweep's per-query timings (read BEFORE this
+    // run overwrites BENCH.json): baseline for the top-mover retry below.
+    val priorTimes: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        """"([^"]+)":([-0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => name -> timeOne(name)).toMap
     // Noise immunization: any query landing over the retry bar gets ONE
@@ -62,8 +76,22 @@ object Bench {
     // showed a same-sweep second sample settles structural-vs-wobble at
     // source: a structural cost repeats, a wobble doesn't.
     val retryBar = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
-    val retries = results.toSeq.filter(_._2 > retryBar).sortBy(_._1)
-      .map { case (name, _) => name -> timeOne(name) }.toMap
+    val slow = results.toSeq.filter(_._2 > retryBar).map(_._1)
+    // ALSO retry the top round-over-round movers regardless of absolute
+    // time: a 2.9x jump that stays under the bar (q_min_cost_supplier,
+    // 1.38s -> 3.96s across r11/r12 sweeps) previously escaped with no
+    // adjudication datum. Ratio >= 2x vs the committed sweep, current
+    // time >= 0.5s (sub-half-second wobble carries no signal), top 5.
+    val moverRatio =
+      sys.env.getOrElse("SPARK_GRAFT_MOVER_RATIO", "2.0").toDouble
+    val movers = results.toSeq
+      .filter { case (n, t) =>
+        t >= 0.5 && priorTimes.get(n).exists(p => p > 0 && t / p >= moverRatio)
+      }
+      .sortBy { case (n, t) => -(t / priorTimes(n)) }
+      .take(5).map(_._1)
+    val retries = (slow ++ movers).distinct.sorted
+      .map(name => name -> timeOne(name)).toMap
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def ms(v: Double): String = f"$v%.3f"

@@ -439,10 +439,10 @@ object LearningOps {
           var p = 0
           while (p < bLen) { weights(bIdx(p)) = sol(p); p += 1 }
         }
-        val wLit = array(weights.map(lit): _*)
         Transformer { df =>
           df.withColumn(out, call_function("graft_dot",
-            transform(col(featuresCol), _.cast("double")), wLit))
+            transform(col(featuresCol), _.cast("double")),
+            array(weights.toIndexedSeq.map(lit): _*)))
         }
       } finally data.unpersist()
     }

@@ -1,7 +1,8 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.storage.StorageLevel
 
@@ -38,6 +39,40 @@ object workflow {
       * transformer onto the chain. */
     def andThen(est: Estimator, trainData: DataFrame): Transformer =
       self.andThen(est.fit(self(trainData)))
+
+    /** EP3 single-item serving (ref: workflow/Transformer.apply(in: A) —
+      * the reference applies a fitted pipeline to ONE datum driver-only,
+      * without launching a cluster job). Spark-first spelling: the datum
+      * becomes a `LocalRelation`, and Catalyst's `ConvertToLocalRelation`
+      * rule evaluates a chain of deterministic column expressions AT
+      * OPTIMIZATION TIME, collapsing the plan back to a `LocalRelation` —
+      * the physical plan is one `LocalTableScan` whose `executeCollect`
+      * hands rows straight back, launching ZERO jobs/tasks/shuffles.
+      * Fitted nodes keep model state as plain Scala (weight arrays, vocab
+      * maps) and rebuild literal Columns per apply, so serving chains
+      * collapse fully; no second interpreter exists to drift from the
+      * distributed semantics — Catalyst's own expression evaluator runs
+      * both paths.
+      *
+      * `requireLocal=true` (default) fails fast when a stage defeats the
+      * collapse (an RDD seam, a persist, MLlib `transform`) instead of
+      * silently paying per-datum job-launch latency; pass `false` to
+      * accept a distributed fallback for such chains. */
+    def applyLocal(spark: SparkSession, schema: StructType, rows: Seq[Row],
+        requireLocal: Boolean = true): Seq[Row] = {
+      import scala.jdk.CollectionConverters._
+      val out = self(spark.createDataFrame(rows.asJava, schema))
+      if (requireLocal) {
+        val opt = out.queryExecution.optimizedPlan
+        require(
+          opt.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "applyLocal: the chain did not collapse to a LocalRelation " +
+            s"(optimized plan root is ${opt.getClass.getSimpleName}); " +
+            "some stage defeats driver-local evaluation — pass " +
+            "requireLocal=false to accept per-datum Spark jobs")
+      }
+      out.collect().toSeq
+    }
   }
 
   object Transformer {
@@ -135,9 +170,9 @@ object workflow {
         .collect()
       val vocab = vocabRows.map(_.getString(0)).zipWithIndex.toMap
       val dim = vocab.size
-      val vocabLit = map(vocab.toSeq.flatMap { case (t, i) =>
-        Seq(lit(t), lit(i)) }: _*)
       Transformer { df =>
+        val vocabLit = map(vocab.toSeq.sortBy(_._2).flatMap { case (t, i) =>
+          Seq(lit(t), lit(i)) }: _*)
         val idx = filter(
           transform(col(in), tok => element_at(vocabLit, tok)),
           x => x.isNotNull)
@@ -258,9 +293,11 @@ object workflow {
         .collect()
       val mus = stats.map(_.getAs[Double]("mu"))
       val sds = stats.map(r => math.max(r.getAs[Double]("sd"), 1e-12))
-      val muLit = array(mus.map(lit): _*)
-      val sdLit = array(sds.map(lit): _*)
+      // fitted state stays plain Scala (serializable, locally evaluable);
+      // literal Columns are rebuilt per apply
       Transformer { df =>
+        val muLit = array(mus.toIndexedSeq.map(lit): _*)
+        val sdLit = array(sds.toIndexedSeq.map(lit): _*)
         df.withColumn(out, zip_with(
           zip_with(col(in), muLit, (x, m) => x - m),
           sdLit, (xm, s) => xm / s))

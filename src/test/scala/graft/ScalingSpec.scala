@@ -136,6 +136,31 @@ class ScalingSpec extends GraftSuite {
     assert(slope < MaxSlope)
   }
 
+  // q_image_sift itself reads a FIXED-COUNT synthetic image set (no data
+  // slope by construction, like the other excluded image queries), so the
+  // heaviest descriptor path gets its real canary here: 10x the IMAGE
+  // COUNT must cost < 15x — per-image descriptor cost is constant, so a
+  // super-linear slope means the per-partition extractor or its
+  // explode/aggregation downstream regressed to cross-image work.
+  test("ImageOps.sift: 10x images cost < 15x wall time") {
+    import graft.images.ImageOps
+    import spark.implicits._
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val imgs = ImageOps.syntheticImages(spark, n = n.toInt, x = 16, y = 16,
+        c = 1).as[ImageOps.Img]
+      val out = ImageOps.sift(imgs, patch = 16, step = 16, cells = 4, bins = 8)
+        .toDF()
+      // one 128-dim descriptor row per image at patch=step=image size —
+      // asserts the extractor's shape, not just the slope
+      assert(out.count() == n)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val slope = slopeOf(run, 200, 2000)
+    info(f"ImageOps.sift: slope=$slope%.1fx on 10x images")
+    assert(slope < MaxSlope)
+  }
+
   test("pagerank3: 10x fixed-density edges cost < 15x wall time") {
     val d = 4
     def run(n: Long): Double = {

