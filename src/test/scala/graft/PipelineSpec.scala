@@ -173,7 +173,7 @@ class PipelineSpec extends GraftSuite {
     assert(!tiny.cached, "profiled estimate must still respect the budget")
     assert(rddDf.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE,
-      "an over-budget profile-by-caching decision must revert the persist")
+      "an over-budget profiling decision must leave nothing persisted")
     // a column-narrowing projection over an RDD scan SCALES the unknown
     // sentinel below defaultSizeInBytes — the stats are still poisoned
     // and must route to profiling, not be trusted as a (huge) estimate
