@@ -36,6 +36,20 @@ class PipelineSpec extends GraftSuite {
     val served = fitted(one).select("doc_id", "pred").collect()
     assert(served.length == 1)
     assert(served.head.getDouble(1) >= 0.0 && served.head.getDouble(1) <= 4.0)
+    // EP3 proper (round 13): the same fitted chain serves one datum
+    // driver-only via applyLocal — MLlib's NaiveBayesModel.transform is
+    // deterministic ScalaUDF projections, so even the MLlib-wrapped
+    // Amazon chain collapses to a LocalRelation (requireLocal=true
+    // would raise otherwise), covering the second flagship family after
+    // ServingSpec's TIMIT chain
+    val input = docs.select(col("doc_id"), col("text"))
+    val row = input.orderBy(col("doc_id")).head()
+    val local = fitted.applyLocal(spark, input.schema, Seq(row))
+    assert(local.size == 1)
+    val dfPred = fitted(input.orderBy(col("doc_id")).limit(1))
+      .select(col("pred")).head().getDouble(0)
+    assert(local.head.getAs[Double]("pred") == dfPred,
+      "local NB serving must agree with the distributed path")
   }
 
   test("andThen composition preserves laziness until an action") {
