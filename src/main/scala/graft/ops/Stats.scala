@@ -408,6 +408,124 @@ object Stats {
       |WHERE n1 >= 2 AND n2 >= 2 AND se1 + se2 > 0
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------- Benjamini–Hochberg FDR family
+
+  /** Benjamini–Hochberg FDR control over the per-(source, language)
+    * mean-length drift family — the multiple-testing layer a monitoring
+    * pipeline needs on top of [[qWelchTtest]]'s single comparison: with
+    * ~100 segments tested every run, an uncorrected α = 0.05 alarms on
+    * ~5 segments by chance alone; BH's step-up keeps the expected FALSE
+    * share of reported discoveries at α. Each segment's mean `n_chars`
+    * is Welch-z-tested against the rest of the corpus, converted to a
+    * two-sided p-value, then ranked: reject p₍ᵢ₎ while the adjusted
+    * q-value (the monotone suffix-min of m·p₍ⱼ₎/j) stays ≤ α.
+    *
+    * Exactness: moments are exact BIGINTs (the Welch discipline; the
+    * rest-of-corpus slice is integer subtraction from the broadcast
+    * totals). z and the two-sided p via the Abramowitz–Stegun 7.1.25
+    * erfc polynomial (|ε| ≤ 5e−5 two-sided; a rational+exp formula BOTH
+    * engines evaluate in the identical operand order — no engine's
+    * erfc/Φ built-in is portable) are doubles whose only cross-engine
+    * hazard is the final libm `exp` ulp; quantizing p to 1e−9 BEFORE the
+    * BH ranking absorbs it, so rank order, q-values, and the rejection
+    * frontier are engine-identical. Scale shape: one corpus-pass hash
+    * aggregation + a 1-row broadcast; the BH rank and suffix-min windows
+    * run over the segment-family relation (sources × languages —
+    * bounded, never corpus-sized: the vocabulary-bounded-window
+    * precedent). */
+  def qFdrBh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.05
+    val d = Tables.documents(spark, sfDir)
+      .select($"source", $"lang", $"n_chars".cast("long").as("x"))
+    val per = d.groupBy($"source", $"lang").agg(count(lit(1)).as("n1"),
+      sum($"x").as("s1"), sum($"x" * $"x").as("q1"))
+    val tot = d.agg(count(lit(1)).as("ng"),
+      sum($"x").as("sg"), sum($"x" * $"x").as("qg"))
+    val j = per.crossJoin(broadcast(tot))
+      .select($"source", $"lang", $"n1", $"s1", $"q1",
+        ($"ng" - $"n1").as("n2"), ($"sg" - $"s1").as("s2"),
+        ($"qg" - $"q1").as("q2"))
+    def vr(q: Column, s: Column, n: Column) =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
+        (n.cast("double") - 1.0)
+    val md = $"s1".cast("double") / $"n1".cast("double") -
+      $"s2".cast("double") / $"n2".cast("double")
+    val v1 = vr($"q1", $"s1", $"n1")
+    val v2 = vr($"q2", $"s2", $"n2")
+    val zt = j.where($"n1" >= 2 && $"n2" >= 2)
+      .withColumn("v1", v1).withColumn("v2", v2)
+      .where($"v1" + $"v2" > 0.0)
+      .withColumn("z",
+        md / sqrt($"v1" / $"n1".cast("double") + $"v2" / $"n2".cast("double")))
+    // A&S 7.1.25: erfc(x) ≈ t·(a1 + t·(a2 + t·a3))·e^(−x²), t = 1/(1+px);
+    // x = |z|/√2 gives the two-sided normal p-value
+    val xAS = abs($"z") / sqrt(lit(2.0))
+    val tAS = lit(1.0) / (lit(1.0) + lit(0.47047) * xAS)
+    val pt = zt.withColumn("p", round(
+      tAS * (lit(0.3480242) + tAS * (lit(-0.0958798) + tAS * lit(0.7478556)))
+        * exp(-xAS * xAS), 9))
+    val fam = pt.crossJoin(broadcast(pt.agg(count(lit(1)).as("m"))))
+    val wRank = Window.orderBy($"p", $"source", $"lang")
+    val wSuffix = Window.orderBy($"p".desc, $"source".desc, $"lang".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fam.withColumn("rank", row_number().over(wRank))
+      .withColumn("q_raw", $"m".cast("double") * $"p" / $"rank".cast("double"))
+      .withColumn("qv", least(min($"q_raw").over(wSuffix), lit(1.0)))
+      .select($"source", $"lang", $"n1".as("n_seg"),
+        (round($"z", 4) + 0.0).as("z"),
+        round($"p", 6).as("p_value"),
+        round($"qv", 6).as("q_value"),
+        ($"qv" <= alpha).as("rejected"))
+      .orderBy($"source", $"lang")
+  }
+
+  val fdrBhSql: String =
+    """WITH d AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |per AS (
+      |  SELECT source, lang, count(*) AS n1, CAST(sum(x) AS BIGINT) AS s1,
+      |    CAST(sum(x * x) AS BIGINT) AS q1
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+      |    CAST(sum(x * x) AS BIGINT) AS qg
+      |  FROM d),
+      |j AS (
+      |  SELECT source, lang, n1, s1, q1, ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2
+      |  FROM per CROSS JOIN tot),
+      |c AS (
+      |  SELECT source, lang, n1,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+      |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md,
+      |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+      |  FROM j WHERE n1 >= 2 AND n2 >= 2),
+      |zt AS (
+      |  SELECT source, lang, n1, md / sqrt(v1 / n1d + v2 / n2d) AS z
+      |  FROM c WHERE v1 + v2 > 0),
+      |pt AS (
+      |  SELECT source, lang, n1, z,
+      |    round((1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2))))
+      |      * (0.3480242 + (1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2))))
+      |        * (-0.0958798 + (1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2)))) * 0.7478556))
+      |      * exp(-(abs(z) / sqrt(2)) * (abs(z) / sqrt(2))), 9) AS p
+      |  FROM zt),
+      |fam AS (SELECT pt.*, m FROM pt CROSS JOIN (SELECT count(*) AS m FROM pt)),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY p, source, lang) AS rank FROM fam),
+      |qv AS (
+      |  SELECT *, least(min(CAST(m AS DOUBLE) * p / rank)
+      |    OVER (ORDER BY p DESC, source DESC, lang DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS q_value
+      |  FROM r)
+      |SELECT source, lang, CAST(n1 AS BIGINT) AS n_seg, round(z, 4) + 0.0 AS z,
+      |  round(p, 6) AS p_value, round(q_value, 6) AS q_value,
+      |  q_value <= 0.05 AS rejected
+      |FROM qv ORDER BY source, lang""".stripMargin
+
   // ------------------------------------------------------- one-way ANOVA
 
   /** One-way ANOVA F statistic across ALL sources' document lengths — the
@@ -850,6 +968,7 @@ object Stats {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spearman" -> (qSpearman _),
     "q_welch_ttest" -> (qWelchTtest _),
+    "q_fdr_bh" -> (qFdrBh _),
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_anova" -> (qAnova _),
     "q_kaplan_meier" -> (qKaplanMeier _),
@@ -863,6 +982,7 @@ object Stats {
     "q_mann_whitney" -> mannWhitneySql,
     "q_spearman" -> spearmanSql,
     "q_welch_ttest" -> welchTtestSql,
+    "q_fdr_bh" -> fdrBhSql,
     "q_cusum_changepoint" -> cusumChangepointSql,
     "q_anova" -> anovaSql,
     "q_kaplan_meier" -> kaplanMeierSql,

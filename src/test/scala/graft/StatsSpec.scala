@@ -360,4 +360,68 @@ class StatsSpec extends GraftSuite {
       .mkString(" ")
     assert(msgs.contains("epoch origin"))
   }
+
+  test("q_fdr_bh: full driver-side replay of the Welch-z + BH pipeline") {
+    import org.apache.spark.sql.functions._
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    def rnd(v: Double, scale: Int): Double =
+      new JBig(v).setScale(scale, RoundingMode.HALF_UP).doubleValue()
+    // independent recomputation from the raw parquet, sharing NOTHING
+    // with the query's plan: exact integer moments, the identical double
+    // operand order, A&S p-values quantized to 1e-9, BH step-up — then
+    // every output row must match EXACTLY (the strong-gate style of the
+    // HLL/GK driver-side recomputations)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("lang"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val per = raw.groupBy(t => (t._1, t._2)).map { case ((src, lg), rows) =>
+      (src, lg, rows.length.toLong,
+        rows.map(_._3).sum, rows.map(t => t._3 * t._3).sum)
+    }.toSeq
+    val ng = raw.length.toLong
+    val sg = raw.map(_._3).sum
+    val qg = raw.map(t => t._3 * t._3).sum
+    val tests = per.flatMap { case (src, lg, n1, s1, q1) =>
+      val (n2, s2, q2) = (ng - n1, sg - s1, qg - q1)
+      if (n1 < 2 || n2 < 2) None
+      else {
+        def vr(q: Long, s: Long, n: Long) =
+          (q.toDouble - s.toDouble * s.toDouble / n.toDouble) / (n.toDouble - 1.0)
+        val (v1, v2) = (vr(q1, s1, n1), vr(q2, s2, n2))
+        if (!(v1 + v2 > 0.0)) None
+        else {
+          val md = s1.toDouble / n1.toDouble - s2.toDouble / n2.toDouble
+          val z = md / math.sqrt(v1 / n1.toDouble + v2 / n2.toDouble)
+          val x = math.abs(z) / math.sqrt(2.0)
+          val t = 1.0 / (1.0 + 0.47047 * x)
+          val p = rnd(t * (0.3480242 + t * (-0.0958798 + t * 0.7478556))
+            * math.exp(-x * x), 9)
+          Some((src, lg, n1, z, p))
+        }
+      }
+    }
+    val m = tests.length
+    val ranked = tests.sortBy(t => (t._5, t._1, t._2)).zipWithIndex
+      .map { case ((src, lg, n1, z, p), i) => (src, lg, n1, z, p, i + 1) }
+    // suffix min of m*p/rank over descending rank order
+    var run = Double.MaxValue
+    val withQ = ranked.reverse.map { case (src, lg, n1, z, p, rank) =>
+      run = math.min(run, m.toDouble * p / rank.toDouble)
+      (src, lg, n1, z, p, math.min(run, 1.0))
+    }.reverse
+    val want = withQ.map { case (src, lg, n1, z, p, qv) =>
+      (src, lg, n1, rnd(z, 4) + 0.0, rnd(p, 6), rnd(qv, 6), qv <= 0.05)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_fdr_bh")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .toSeq
+    assert(got.nonEmpty && got == want,
+      s"BH replay mismatch: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // the discovery set must be non-trivially smaller than naive α
+    // thresholding whenever the family has marginal p-values
+    val naive = want.count(_._5 <= 0.05)
+    val bh = want.count(_._7)
+    assert(bh <= naive, "BH can never reject more than uncorrected α")
+  }
 }
