@@ -366,6 +366,159 @@ object Eval {
       |  round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier
       |FROM g ORDER BY bin""".stripMargin
 
+  /** McNemar's paired test — the A/B comparison for two classifiers
+    * scored on the SAME examples (here: the full-embedding argmax model
+    * vs a cheaper first-8-dims argmax), which a pooled-accuracy z-test
+    * gets wrong because the per-example outcomes are correlated. Only
+    * the DISCORDANT pairs carry information: b = A right where B wrong,
+    * c = the reverse; the continuity-corrected statistic is
+    * χ² = (|b−c|−1)²/(b+c), reported with the two-sided p via the same
+    * Abramowitz–Stegun erfc polynomial as `q_fdr_bh` (identical operand
+    * order on both engines; z floored at 0 so |b−c| ≤ 1 yields the
+    * correct p = 1 instead of a negative-x excursion outside the
+    * approximation's domain).
+    *
+    * Exactness: b, c, and both accuracy numerators are exact integer
+    * conditional sums off ONE corpus pass; every double appears after
+    * aggregation. Scale shape: one hash-free global aggregate — fact
+    * rows never shuffle more than their partial sums. */
+  def qMcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.embeddings(spark, sfDir).select(
+      $"label".cast("long").as("actual"),
+      ((array_position($"embedding", array_max($"embedding")) - 1) % 10)
+        .cast("long").as("pred_a"),
+      ((array_position($"embedding", array_max(slice($"embedding", 1, 8))) - 1) % 10)
+        .cast("long").as("pred_b"))
+    val c = p.agg(
+      count(lit(1)).as("n"),
+      sum(when($"pred_a" === $"actual", 1L).otherwise(0L)).as("ka"),
+      sum(when($"pred_b" === $"actual", 1L).otherwise(0L)).as("kb"),
+      sum(when($"pred_a" === $"actual" && $"pred_b" =!= $"actual", 1L)
+        .otherwise(0L)).as("b"),
+      sum(when($"pred_a" =!= $"actual" && $"pred_b" === $"actual", 1L)
+        .otherwise(0L)).as("c"))
+    val z = greatest(
+      (abs(($"b" - $"c").cast("double")) - 1.0) /
+        sqrt(($"b" + $"c").cast("double")), lit(0.0))
+    val xAS = z / sqrt(lit(2.0))
+    val tAS = lit(1.0) / (lit(1.0) + lit(0.47047) * xAS)
+    c.where($"b" + $"c" > 0)
+      .select($"n", $"b", $"c",
+        round($"ka".cast("double") / $"n", 4).as("acc_a"),
+        round($"kb".cast("double") / $"n", 4).as("acc_b"),
+        round(z * z, 4).as("chi2"),
+        round(tAS * (lit(0.3480242) + tAS * (lit(-0.0958798) + tAS * lit(0.7478556)))
+          * exp(-xAS * xAS), 6).as("p_value"))
+  }
+
+  val mcnemarSql: String =
+    """WITH preds AS (
+      |  SELECT CAST(label AS BIGINT) AS actual,
+      |    CAST((list_position(embedding, list_max(embedding)) - 1) % 10 AS BIGINT) AS pred_a,
+      |    CAST((list_position(embedding, list_max(embedding[1:8])) - 1) % 10 AS BIGINT) AS pred_b
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN pred_a = actual THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+      |    CAST(sum(CASE WHEN pred_b = actual THEN 1 ELSE 0 END) AS BIGINT) AS kb,
+      |    CAST(sum(CASE WHEN pred_a = actual AND pred_b <> actual THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN pred_a <> actual AND pred_b = actual THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM preds),
+      |zc AS (
+      |  SELECT *, greatest((abs(CAST(b - c AS DOUBLE)) - 1.0)
+      |    / sqrt(CAST(b + c AS DOUBLE)), 0.0) AS z
+      |  FROM c WHERE b + c > 0)
+      |SELECT CAST(n AS BIGINT) AS n, b, c,
+      |  round(CAST(ka AS DOUBLE) / n, 4) AS acc_a,
+      |  round(CAST(kb AS DOUBLE) / n, 4) AS acc_b,
+      |  round(z * z, 4) AS chi2,
+      |  round((1.0 / (1.0 + 0.47047 * (z / sqrt(2))))
+      |    * (0.3480242 + (1.0 / (1.0 + 0.47047 * (z / sqrt(2))))
+      |      * (-0.0958798 + (1.0 / (1.0 + 0.47047 * (z / sqrt(2)))) * 0.7478556))
+      |    * exp(-(z / sqrt(2)) * (z / sqrt(2))), 6) AS p_value
+      |FROM zc""".stripMargin
+
+  /** Isotonic (monotone) calibration of the argmax classifier's
+    * CONFIDENCE — fit the best non-decreasing map from the model's max
+    * activation to its empirical correctness rate, the calibration step
+    * production scorers run after [[qEvalCalibration]]'s diagnosis says
+    * the raw confidences are miscalibrated. Fitted over the 10 decile
+    * bins via the exact minimax identity iso(i) = max_{j≤i} min_{k≥i}
+    * rate(j..k) — the closed form of pool-adjacent-violators, chosen
+    * over PAV's sequential pooling because it is pure bounded-grid
+    * relational algebra (no loop, no order-dependent state).
+    *
+    * Exactness: bin counts and cumulative sums are exact integers
+    * (cumulatives via a window-free grid self-join); every interval
+    * rate is one int/int double division, and min/max over doubles are
+    * order-free. Scale shape: ONE corpus pass to the 10-bin relation +
+    * a 1-row min/max broadcast; all three grid joins are 10-row-sided
+    * (≤1000 combinations) regardless of corpus size. */
+  def qIsotonicFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.embeddings(spark, sfDir).select(
+      array_max($"embedding").cast("double").as("s"),
+      when(((array_position($"embedding", array_max($"embedding")) - 1) % 10)
+        === $"label", 1L).otherwise(0L).as("y"))
+    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    val p = s.crossJoin(broadcast(mm)).select(
+      least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
+        lit(999999L)).as("p_micro"), $"y")
+    val g = p.groupBy(expr("p_micro DIV 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+    val cum = g.as("a").join(g.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("b.n")).as("cn"), sum(col("b.n_pos")).as("cp"))
+    val pairs = cum.as("j").join(cum.as("k"), col("j.bin") <= col("k.bin"))
+      .join(cum.as("jm"), col("jm.bin") === col("j.bin") - 1, "left")
+      .select(col("j.bin").as("j"), col("k.bin").as("k"),
+        ((col("k.cp") - coalesce(col("jm.cp"), lit(0L))).cast("double") /
+          (col("k.cn") - coalesce(col("jm.cn"), lit(0L))).cast("double")).as("rate"))
+    val innerMin = g.select($"bin".as("i"))
+      .join(pairs, $"j" <= $"i" && $"k" >= $"i")
+      .groupBy($"i", $"j").agg(min($"rate").as("mn_rate"))
+    val iso = innerMin.groupBy($"i".as("bin")).agg(max($"mn_rate").as("iso_rate"))
+    g.join(iso, "bin")
+      .select($"bin", $"n", $"n_pos",
+        round($"n_pos".cast("double") / $"n", 6).as("frac_pos"),
+        round($"iso_rate", 6).as("iso_prob"))
+      .orderBy($"bin")
+  }
+
+  val isotonicFitSql: String =
+    """WITH s AS (
+      |  SELECT CAST(list_max(embedding) AS DOUBLE) AS s,
+      |    CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10
+      |      = label THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
+      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |        999999) AS p_micro, y
+      |      FROM s CROSS JOIN mm),
+      |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n, sum(y) AS n_pos
+      |      FROM p GROUP BY 1),
+      |cum AS (
+      |  SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cn,
+      |    CAST(sum(b.n_pos) AS BIGINT) AS cp
+      |  FROM g a JOIN g b ON b.bin <= a.bin GROUP BY a.bin),
+      |pairs AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(k.cp - coalesce(jm.cp, 0) AS DOUBLE)
+      |      / CAST(k.cn - coalesce(jm.cn, 0) AS DOUBLE) AS rate
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin
+      |  LEFT JOIN cum jm ON jm.bin = j.bin - 1),
+      |inner_min AS (
+      |  SELECT g.bin AS i, p.j, min(p.rate) AS mn_rate
+      |  FROM g JOIN pairs p ON p.j <= g.bin AND p.k >= g.bin
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i AS bin, max(mn_rate) AS iso_rate FROM inner_min GROUP BY 1)
+      |SELECT g.bin, CAST(g.n AS BIGINT) AS n, CAST(g.n_pos AS BIGINT) AS n_pos,
+      |  round(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS frac_pos,
+      |  round(i.iso_rate, 6) AS iso_prob
+      |FROM g JOIN iso i ON i.bin = g.bin
+      |ORDER BY g.bin""".stripMargin
+
   /** Deterministic 5-fold cross-validation assignment with a per-language
     * balance audit — the split an eval harness must be able to REPLAY:
     * fold = md5(doc_id) mod 5 (the portable digest-hash convention of
@@ -408,6 +561,8 @@ object Eval {
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_eval_calibration" -> (qEvalCalibration _),
+    "q_mcnemar" -> (qMcnemar _),
+    "q_isotonic_fit" -> (qIsotonicFit _),
     "q_kfold_split" -> (qKfoldSplit _),
     "q_udaf_geomean" -> (qUdafGeomean _))
 
@@ -419,6 +574,8 @@ object Eval {
     "q_eval_ndcg" -> evalNdcgSql,
     "q_cohens_kappa" -> cohensKappaSql,
     "q_eval_calibration" -> evalCalibrationSql,
+    "q_mcnemar" -> mcnemarSql,
+    "q_isotonic_fit" -> isotonicFitSql,
     "q_kfold_split" -> kfoldSplitSql,
     "q_udaf_geomean" -> udafGeomeanSql)
 }

@@ -794,4 +794,76 @@ class SessionsEvalSpec extends GraftSuite {
     assert(got == expected)
     assert(got.forall(_._5 >= 0.0))
   }
+
+  test("q_mcnemar matches the exact discordant-pair replay") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trips = embRows.map { case (_, label, v) =>
+      val predA = (v.indexWhere(_ == v.max) % 10).toLong
+      val head8 = v.take(8)
+      val predB = (v.indexWhere(_ == head8.max) % 10).toLong
+      (label.toLong, predA, predB)
+    }
+    val n = trips.size.toLong
+    val ka = trips.count { case (a, pa, _) => pa == a }.toLong
+    val kb = trips.count { case (a, _, pb) => pb == a }.toLong
+    val b = trips.count { case (a, pa, pb) => pa == a && pb != a }.toLong
+    val c = trips.count { case (a, pa, pb) => pa != a && pb == a }.toLong
+    assert(b + c > 0)
+    val z = math.max((math.abs((b - c).toDouble) - 1.0) / math.sqrt((b + c).toDouble), 0.0)
+    val x = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.47047 * x)
+    val p = t * (0.3480242 + t * (-0.0958798 + t * 0.7478556)) * math.exp(-x * x)
+    val row = rows(Eval.qMcnemar(spark, sf)).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((n, b, c)))
+    assert(row.getDouble(3) == r(ka.toDouble / n, 4))
+    assert(row.getDouble(4) == r(kb.toDouble / n, 4))
+    assert(row.getDouble(5) == r(z * z, 4))
+    assert(row.getDouble(6) == r(p, 6))
+  }
+
+  test("q_isotonic_fit matches an independent sequential PAV; monotone; pools preserve mass") {
+    // bins replayed exactly like the calibration replay, but over the
+    // confidence-vs-correctness fixture
+    val sy = embRows.map { case (_, label, v) =>
+      val mx = v.max
+      (mx.toDouble, if (v.indexWhere(_ == mx) % 10 == label) 1L else 0L)
+    }
+    val mn = sy.map(_._1).min
+    val mx = sy.map(_._1).max
+    val bins = sy.map { case (s, y) =>
+      (math.min(math.floor((s - mn) * 1000000.0 / (mx - mn)).toLong, 999999L)
+        / 100000L, y)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (bin, xs) => (bin, xs.size.toLong, xs.map(_._2).sum) }
+    // classic pool-adjacent-violators — a genuinely DIFFERENT algorithm
+    // from the query's minimax spelling; they must agree exactly
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    bins.foreach { case (_, n, pos) =>
+      stack += ((pos, n, 1))
+      while (stack.length > 1 && {
+        val (p2, n2, _) = stack(stack.length - 2)
+        val (p1, n1, _) = stack.last
+        p2 * n1 > p1 * n2 // exact integer cross-multiplied violation test
+      }) {
+        val (p1, n1, w1) = stack.remove(stack.length - 1)
+        val (p2, n2, w2) = stack.remove(stack.length - 1)
+        stack += ((p1 + p2, n1 + n2, w1 + w2))
+      }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pav = stack.flatMap { case (pos, n, w) =>
+      Seq.fill(w)(r6(pos.toDouble / n.toDouble))
+    }.toSeq
+    val got = rows(Eval.qIsotonicFit(spark, sf)).map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1) == bins.map(_._1) && got.map(_._2) == bins.map(_._2),
+      "bin layout must match the replay")
+    assert(got.map(_._5) == pav,
+      s"minimax fit must equal PAV: ${got.map(_._5)} vs $pav")
+    // monotone non-decreasing, and each pooled block's rate equals the
+    // mass-weighted average of the raw rates it covers (PAV invariant)
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
 }
