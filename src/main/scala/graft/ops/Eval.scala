@@ -467,16 +467,23 @@ object Eval {
         lit(999999L)).as("p_micro"), $"y")
     val g = p.groupBy(expr("p_micro DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
-    val cum = g.as("a").join(g.as("b"), col("b.bin") <= col("a.bin"))
+    // every theta-join below carries an explicit broadcast hint: the
+    // sides are ≤10-bin (≤55-pair) relations, but they sit behind
+    // aggregations whose stats Catalyst can't bound, so without the hint
+    // the non-equi joins would plan CartesianProduct (caught by
+    // PlanShapeSpec's whole-surface cartesian guard); broadcast-NLJ over
+    // a grid-sized build side is the right physical plan at any corpus
+    // scale
+    val cum = g.as("a").join(broadcast(g.as("b")), col("b.bin") <= col("a.bin"))
       .groupBy(col("a.bin").as("bin"))
       .agg(sum(col("b.n")).as("cn"), sum(col("b.n_pos")).as("cp"))
-    val pairs = cum.as("j").join(cum.as("k"), col("j.bin") <= col("k.bin"))
-      .join(cum.as("jm"), col("jm.bin") === col("j.bin") - 1, "left")
+    val pairs = cum.as("j").join(broadcast(cum.as("k")), col("j.bin") <= col("k.bin"))
+      .join(broadcast(cum.as("jm")), col("jm.bin") === col("j.bin") - 1, "left")
       .select(col("j.bin").as("j"), col("k.bin").as("k"),
         ((col("k.cp") - coalesce(col("jm.cp"), lit(0L))).cast("double") /
           (col("k.cn") - coalesce(col("jm.cn"), lit(0L))).cast("double")).as("rate"))
     val innerMin = g.select($"bin".as("i"))
-      .join(pairs, $"j" <= $"i" && $"k" >= $"i")
+      .join(broadcast(pairs), $"j" <= $"i" && $"k" >= $"i")
       .groupBy($"i", $"j").agg(min($"rate").as("mn_rate"))
     val iso = innerMin.groupBy($"i".as("bin")).agg(max($"mn_rate").as("iso_rate"))
     g.join(iso, "bin")

@@ -131,6 +131,10 @@ class ServingSpec extends GraftSuite {
       cachingChain.applyLocal(spark, input.schema, Seq(row))
     }
     assert(thrown.getMessage.contains("did not collapse"))
+    // the explicit opt-out still serves correctly (paying a job)
+    val fallback = cachingChain
+      .applyLocal(spark, input.schema, Seq(row), requireLocal = false)
+    assert(fallback.head.getAs[Long]("cls") == a.getAs[Long]("cls"))
     spark.sharedState.cacheManager.clearCache()
   }
 }
