@@ -79,19 +79,53 @@ class PlanShapeSpec extends GraftSuite {
     assert(!plan.contains("SortMergeJoin"), s"rank joins must broadcast:\n$plan")
   }
 
-  test("no declared query plans a CartesianProduct — the WHOLE surface") {
-    // cross-shaped queries must bound one side via broadcast; a cartesian
-    // product in any plan is a scale bug. Iterates every registered query.
-    // NOT free: constructing a handful of these DataFrames runs real jobs
-    // (zipWithIndex, sketch collects, eager localCheckpoints) — the sweep
-    // costs tens of seconds, paid once here for whole-surface coverage.
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+  test("whole-surface plan guards: no CartesianProduct, no undocumented global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // ONE construction pass over every registered query pays for BOTH
+    // guards (constructing a handful of these DataFrames runs real setup
+    // jobs — zipWithIndex, sketch collects, eager localCheckpoints — so
+    // the sweep costs tens of seconds; do it once).
+    //
+    // Guard 1: a CartesianProduct in any plan is a scale bug —
+    // cross-shaped queries must bound one side via broadcast (caught
+    // q_isotonic_fit's stat-less grid joins in round 13).
+    // Guard 2: an unpartitioned Window is legitimate ONLY over a
+    // relation bounded by a fixed domain (a segment family, a vocabulary
+    // cut — never corpus-sized). Round 13 derived this from the whole
+    // registry (the old hand-maintained list had gone stale the same way
+    // DeterminismSpec's had): the exception map below is the COMPLETE,
+    // reviewable documentation — a new query acquiring a global window
+    // fails here by default, and a stale exception fails too.
+    val cartesian = scala.collection.mutable.ArrayBuffer.empty[String]
+    val globalWin = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        cartesian += name
+      if (qe.optimizedPlan.collectFirst {
+        case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
+        globalWin += name
     }
-    assert(offenders.isEmpty,
-      s"these queries plan a CartesianProduct: ${offenders.mkString(", ")}")
+    assert(cartesian.isEmpty,
+      s"these queries plan a CartesianProduct: ${cartesian.mkString(", ")}")
+    val boundedFamilyExceptions = Map(
+      "q_fdr_bh" -> ("BH rank + suffix-min windows over the sources x " +
+        "languages segment-family relation (bounded by fixed domains, " +
+        "never corpus-sized)"),
+      // the next two spell share-of-total as Window.partitionBy(lit(1))
+      // over POST-AGGREGATION relations; the constant partition key
+      // constant-folds to an empty spec (which is how the old
+      // list-based guard missed them — found by deriving this sweep)
+      "q_benford_prices" -> ("share-of-total window over the 9-row " +
+        "first-significant-digit domain"),
+      "q_monthly_seasonality" -> ("share-of-total window over the 12-row " +
+        "calendar-month domain"))
+    val undocumented = globalWin.toSet -- boundedFamilyExceptions.keySet
+    val stale = boundedFamilyExceptions.keySet -- globalWin.toSet
+    assert(undocumented.isEmpty,
+      s"undocumented global window(s): ${undocumented.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"stale global-window exceptions: ${stale.mkString(", ")}")
   }
 
   test("identical self-join sides reuse one exchange (EquivalentNodeMerge is free)") {
@@ -316,26 +350,10 @@ class PlanShapeSpec extends GraftSuite {
       s"bucketed sides must scan shuffle-free on the join key:\n$plan")
   }
 
-  test("no unpartitioned window survives anywhere in the declared surface") {
-    // every global running-sum/rank moved to orderBy.limit, zipWithIndex,
-    // or Dist.withPrefix/withPrefixMin — assert the optimized plans of
-    // every query that EVER carried a global window (plus the original
-    // text/vocab set) have no Window node with an empty partition spec
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    Seq("q_common_terms_topk", "q_word_id_encode", "q_stupid_backoff_bigram",
-      "q_tfidf_top_terms", "q_zipf_slope", "q_eval_auc", "q_ks_test",
-      "q_mann_whitney", "q_cusum_changepoint", "q_vocab_growth",
-      "q_length_drift", "q_hybrid_rrf", "q_skyline", "q_revenue_gini")
-      .foreach { name =>
-        val df = SparkEntry.queries(name)(spark, sf)
-        val bad = df.queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-        assert(bad.isEmpty,
-          s"$name has ${bad.size} unpartitioned window(s):\n" +
-            df.queryExecution.optimizedPlan)
-      }
-  }
+  // (the old list-based "no unpartitioned window" test was folded into
+  // the derived whole-surface guard above in round 13 — every query that
+  // EVER carried a global window is now re-checked on every run, plus
+  // every query that never did)
 
   test("q_decontam_ngram restricts train shingles with a LEFT SEMI join") {
     val plan = planOf("q_decontam_ngram")
