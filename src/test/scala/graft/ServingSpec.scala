@@ -91,6 +91,7 @@ class ServingSpec extends GraftSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      val t0 = System.nanoTime()
       servingRows.foreach { row =>
         val served = chain.applyLocal(spark, schema, Seq(row))
         assert(served.size == 1)
@@ -98,6 +99,19 @@ class ServingSpec extends GraftSuite {
         assert(served.head.getAs[Long]("cls") == want(id),
           s"local serving diverged from the distributed path on id=$id")
       }
+      val perDatumMs = (System.nanoTime() - t0) / 1e6 / servingRows.length
+      info(f"per-datum serving latency: $perDatumMs%.1f ms " +
+        f"(analysis+optimize+LocalTableScan collect, no job launch)")
+      // the cost is per-CALL plan compilation, not per-row evaluation:
+      // a micro-batch through ONE applyLocal call amortizes it away
+      val tb = System.nanoTime()
+      val batched = chain.applyLocal(spark, schema, servingRows.toSeq)
+      val batchedMs = (System.nanoTime() - tb) / 1e6 / servingRows.length
+      info(f"micro-batched serving latency: $batchedMs%.1f ms/datum " +
+        f"(${servingRows.length} rows in one local call)")
+      assert(batched.map(r => r.getLong(0) -> r.getAs[Long]("cls")).toMap
+        == want.view.filterKeys(batched.map(_.getLong(0)).toSet).toMap,
+        "batched local serving must agree with the distributed path")
       // flush: listener events are delivered in order, so once the marker
       // job's start is observed, any job a serving call had launched
       // would already be counted. The marker is a raw RDD action — always
