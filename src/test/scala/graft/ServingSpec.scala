@@ -124,6 +124,52 @@ class ServingSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("LocalServer compiles the chain once and serves per-datum with zero jobs") {
+    val (chain, frames) = fitted
+    val input = frames.select(col("id"), col("label"), col("wave"))
+    val want = chain(frames).select(col("id"), col("cls"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val servingRows = input.orderBy(col("id")).collect()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val server = graft.ml.LocalServer.compile(chain, spark, input.schema)
+      // warm the codegen'd projection, then time the steady state — the
+      // envelope the reference's per-datum Transformer.apply lives in
+      server(servingRows.head)
+      val t0 = System.nanoTime()
+      servingRows.foreach { row =>
+        val served = server(row)
+        assert(served.getAs[Long]("cls") == want(row.getLong(0)),
+          s"compiled serving diverged on id=${row.getLong(0)}")
+      }
+      val perDatumMs = (System.nanoTime() - t0) / 1e6 / servingRows.length
+      info(f"compiled per-datum latency: $perDatumMs%.3f ms " +
+        f"(UnsafeProjection eval + row codecs; no analysis per call)")
+      // a chain with a non-Project stage (here: an aggregate) must fail
+      // at compile time with the offending node named; NB a persist
+      // stage is an execution hint invisible to the analyzed program and
+      // compiles fine
+      val thrown = intercept[IllegalArgumentException] {
+        graft.ml.LocalServer.compile(
+          chain.andThen(Transformer { df =>
+            df.groupBy(col("cls")).agg(count(lit(1)).as("n"))
+          }), spark, input.schema)
+      }
+      assert(thrown.getMessage.contains("pure column program"))
+      spark.sparkContext.parallelize(Seq(1), 1).count() // marker flush
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"compile+serve launched ${jobs.get() - 1} Spark job(s); must be zero")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("applyLocal round-trips through ModelIO and fails fast on non-local chains") {
     val (chain, frames) = fitted
     val input = frames.select($"id", $"label", $"wave")
