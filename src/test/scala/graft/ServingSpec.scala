@@ -183,6 +183,13 @@ class ServingSpec extends GraftSuite {
     assert(a.getAs[Long]("cls") == b.getAs[Long]("cls"))
     assert(a.getSeq[Double](a.fieldIndex("scores")) ==
       b.getSeq[Double](b.fieldIndex("scores")))
+    // the full lifecycle loop: train -> save -> load -> COMPILE -> serve
+    // (a serving process deserializes the model and binds it once)
+    val server = graft.ml.LocalServer.compile(loaded, spark, input.schema)
+    val served = server(row)
+    assert(served.getAs[Long]("cls") == a.getAs[Long]("cls"))
+    assert(served.getSeq[Double](served.fieldIndex("scores")) ==
+      a.getSeq[Double](a.fieldIndex("scores")))
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
     // a chain with an RDD/persist seam cannot collapse: requireLocal
     // must raise rather than silently launching per-datum jobs
