@@ -67,6 +67,13 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+    // a silent parse-to-empty on an existing BENCH.json would disable the
+    // mover retries with no trace — keep the instrument honest
+    if (priorTimes.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("BENCH.json")))
+      System.err.println(
+        "[bench] WARN: BENCH.json exists but no prior per-query times " +
+          "parsed — mover retries disabled this sweep (format drift?)")
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(name => name -> timeOne(name)).toMap
     // Noise immunization: any query landing over the retry bar gets ONE

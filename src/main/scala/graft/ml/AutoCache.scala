@@ -82,7 +82,13 @@ object AutoCache {
     * otherwise. */
   def selectCacheSet(candidates: Seq[Candidate],
       memBudgetBytes: Long = 2L << 30): Seq[CacheHandle] = {
-    val sizes = candidates.map(c => estimatedSize(c.df))
+    // size ONLY the uses > 1 candidates: the rest are filtered out of the
+    // greedy order and can never be selected, and estimatedSize on a
+    // stat-less frame is a full distributed profiling pass — paid for
+    // nothing on a never-cacheable candidate
+    val sizes: Map[Int, BigInt] = candidates.indices
+      .filter(i => candidates(i).uses > 1)
+      .map(i => i -> estimatedSize(candidates(i).df)).toMap
     val order = candidates.indices
       .filter(i => candidates(i).uses > 1)
       .sortBy { i =>

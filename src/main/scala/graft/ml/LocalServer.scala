@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap,
-  NamedExpression, Nondeterministic, UnsafeProjection}
+  NamedExpression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.types.StructType
 
@@ -71,13 +71,13 @@ object LocalServer {
       }
 
     val (exprs, leaf) = fold(analyzed)
-    // deterministic chains only need this for completeness; any stateful
-    // expression must be seeded before eval, exactly as executors do
-    exprs.foreach(_.foreach {
-      case n: Nondeterministic => n.initialize(0)
-      case _ =>
-    })
     val projection = UnsafeProjection.create(exprs, leaf.output)
+    // initialize the PROJECTION, not the source expression tree: codegen
+    // compiles stateful expressions into its own state fields that only
+    // the projection's initialize seeds (a chain containing rand() would
+    // otherwise compile and then NPE on the first serve); the call also
+    // covers the interpreted fallback path
+    projection.initialize(0)
     val toInternal = ExpressionEncoder(RowEncoder.encoderFor(schema))
       .createSerializer()
     val fromInternal = ExpressionEncoder(RowEncoder.encoderFor(out.schema))

@@ -205,6 +205,17 @@ object workflow {
       df.withColumn(out, concat(ins.map(col): _*))
   }
 
+  /** Scalar fan-in: collect N scalar columns into one array<double> column
+    * — [[VectorCombiner]] for single-width branches (the serving-side
+    * gather of per-class scorer outputs). As a named library node it also
+    * keeps a persisted chain free of caller-scoped lambdas, whose
+    * SerializedLambda would drag the caller's Class into the model file
+    * and trip [[graft.ml.ModelIO]]'s deserialization allowlist. */
+  case class ScalarsToVector(ins: Seq[String], out: String) extends Transformer {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(out, array(ins.map(c => col(c).cast("double")): _*))
+  }
+
   /** ref: nodes.util.MaxClassifier — argmax (0-based) of a score array. */
   case class MaxClassifier(in: String, out: String) extends Transformer {
     def apply(df: DataFrame): DataFrame =

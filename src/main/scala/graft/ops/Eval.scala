@@ -461,36 +461,61 @@ object Eval {
       array_max($"embedding").cast("double").as("s"),
       when(((array_position($"embedding", array_max($"embedding")) - 1) % 10)
         === $"label", 1L).otherwise(0L).as("y"))
-    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    isotonicFitFromScores(s)
+  }
+
+  /** Minimax-identity isotonic fit over a (s: double score, y: 0/1 label)
+    * frame — the relational core of [[qIsotonicFit]], factored out so the
+    * grid algebra is unit-testable on adversarial fixtures (an interior
+    * decile left EMPTY by a skewed score distribution, or an all-equal
+    * score corpus that degenerates the min-max grid to one bin). */
+  private[graft] def isotonicFitFromScores(s: DataFrame): DataFrame = {
+    val mm = s.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    // mx == mn (constant-score corpus) degenerates the grid denominator to
+    // 0/0 — Spark 4 ANSI throws on it even for doubles (the
+    // q_assortativity precedent), so collapse that corpus into bin 0
+    // explicitly on both engines
     val p = s.crossJoin(broadcast(mm)).select(
-      least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
-        lit(999999L)).as("p_micro"), $"y")
+      when(col("mx") > col("mn"),
+        least(floor((col("s") - col("mn")) * lit(1000000.0)
+          / (col("mx") - col("mn"))).cast("long"), lit(999999L)))
+        .otherwise(lit(0L)).as("p_micro"), col("y"))
     val g = p.groupBy(expr("p_micro DIV 100000").as("bin"))
-      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
     // every theta-join below carries an explicit broadcast hint: the
     // sides are ≤10-bin (≤55-pair) relations, but they sit behind
     // aggregations whose stats Catalyst can't bound, so without the hint
     // the non-equi joins would plan CartesianProduct (caught by
     // PlanShapeSpec's whole-surface cartesian guard); broadcast-NLJ over
     // a grid-sized build side is the right physical plan at any corpus
-    // scale
+    // scale.
+    // The below-cumulatives ride the SAME self-join (b.bin < a.bin arm)
+    // rather than a `bin = j-1` predecessor join: a skewed score
+    // distribution can leave interior bins EMPTY, and a literal
+    // predecessor lookup would miss there and silently treat the
+    // cumulative below j as 0, corrupting every interval rate that
+    // starts at j
     val cum = g.as("a").join(broadcast(g.as("b")), col("b.bin") <= col("a.bin"))
       .groupBy(col("a.bin").as("bin"))
-      .agg(sum(col("b.n")).as("cn"), sum(col("b.n_pos")).as("cp"))
+      .agg(sum(col("b.n")).as("cn"), sum(col("b.n_pos")).as("cp"),
+        sum(when(col("b.bin") < col("a.bin"), col("b.n")).otherwise(0L))
+          .as("cn_below"),
+        sum(when(col("b.bin") < col("a.bin"), col("b.n_pos")).otherwise(0L))
+          .as("cp_below"))
     val pairs = cum.as("j").join(broadcast(cum.as("k")), col("j.bin") <= col("k.bin"))
-      .join(broadcast(cum.as("jm")), col("jm.bin") === col("j.bin") - 1, "left")
       .select(col("j.bin").as("j"), col("k.bin").as("k"),
-        ((col("k.cp") - coalesce(col("jm.cp"), lit(0L))).cast("double") /
-          (col("k.cn") - coalesce(col("jm.cn"), lit(0L))).cast("double")).as("rate"))
-    val innerMin = g.select($"bin".as("i"))
-      .join(broadcast(pairs), $"j" <= $"i" && $"k" >= $"i")
-      .groupBy($"i", $"j").agg(min($"rate").as("mn_rate"))
-    val iso = innerMin.groupBy($"i".as("bin")).agg(max($"mn_rate").as("iso_rate"))
+        ((col("k.cp") - col("j.cp_below")).cast("double") /
+          (col("k.cn") - col("j.cn_below")).cast("double")).as("rate"))
+    val innerMin = g.select(col("bin").as("i"))
+      .join(broadcast(pairs), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate")).as("mn_rate"))
+    val iso = innerMin.groupBy(col("i").as("bin"))
+      .agg(max(col("mn_rate")).as("iso_rate"))
     g.join(iso, "bin")
-      .select($"bin", $"n", $"n_pos",
-        round($"n_pos".cast("double") / $"n", 6).as("frac_pos"),
-        round($"iso_rate", 6).as("iso_prob"))
-      .orderBy($"bin")
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("iso_rate"), 6).as("iso_prob"))
+      .orderBy(col("bin"))
   }
 
   val isotonicFitSql: String =
@@ -500,21 +525,24 @@ object Eval {
       |      = label THEN 1 ELSE 0 END AS y
       |  FROM embeddings),
       |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
-      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
-      |        999999) AS p_micro, y
+      |p AS (SELECT CASE WHEN mx > mn
+      |        THEN least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |          999999)
+      |        ELSE 0 END AS p_micro, y
       |      FROM s CROSS JOIN mm),
       |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n, sum(y) AS n_pos
       |      FROM p GROUP BY 1),
       |cum AS (
       |  SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cn,
-      |    CAST(sum(b.n_pos) AS BIGINT) AS cp
+      |    CAST(sum(b.n_pos) AS BIGINT) AS cp,
+      |    CAST(sum(CASE WHEN b.bin < a.bin THEN b.n ELSE 0 END) AS BIGINT) AS cn_below,
+      |    CAST(sum(CASE WHEN b.bin < a.bin THEN b.n_pos ELSE 0 END) AS BIGINT) AS cp_below
       |  FROM g a JOIN g b ON b.bin <= a.bin GROUP BY a.bin),
       |pairs AS (
       |  SELECT j.bin AS j, k.bin AS k,
-      |    CAST(k.cp - coalesce(jm.cp, 0) AS DOUBLE)
-      |      / CAST(k.cn - coalesce(jm.cn, 0) AS DOUBLE) AS rate
-      |  FROM cum j JOIN cum k ON j.bin <= k.bin
-      |  LEFT JOIN cum jm ON jm.bin = j.bin - 1),
+      |    CAST(k.cp - j.cp_below AS DOUBLE)
+      |      / CAST(k.cn - j.cn_below AS DOUBLE) AS rate
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
       |inner_min AS (
       |  SELECT g.bin AS i, p.j, min(p.rate) AS mn_rate
       |  FROM g JOIN pairs p ON p.j <= g.bin AND p.k >= g.bin

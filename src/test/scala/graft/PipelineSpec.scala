@@ -50,6 +50,15 @@ class PipelineSpec extends GraftSuite {
       .select(col("pred")).head().getDouble(0)
     assert(local.head.getAs[Double]("pred") == dfPred,
       "local NB serving must agree with the distributed path")
+    // round 14 breadth envelope: the SAME fitted chain also COMPILES
+    // through LocalServer — tokenizer regex, the vocab-map UDF, and
+    // MLlib NaiveBayesModel.transform's scoring UDFs all fold into one
+    // codegen'd projection, so both flagship serving families (TIMIT
+    // array-math in ServingSpec, Amazon MLlib-wrapped text here) sit
+    // inside the compiled per-datum envelope, not just applyLocal's
+    val server = graft.ml.LocalServer.compile(fitted, spark, input.schema)
+    assert(server(row).getAs[Double]("pred") == dfPred,
+      "compiled serving must agree with the distributed path")
   }
 
   test("andThen composition preserves laziness until an action") {

@@ -44,15 +44,15 @@ class ServingSpec extends GraftSuite {
         blockSize = 24, numIter = 2, lambda = 1e-4)
         .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
     }
-    // NB: the inline gather stage must build its Columns with col(), not
-    // the suite's $-interpolator — a lambda capturing $ drags the whole
-    // test-suite instance (non-serializable) into the chain's closure,
-    // which is exactly the capture hygiene ModelIO enforces
+    // NB: the gather stage is the library's ScalarsToVector node, not an
+    // inline lambda — a lambda defined in this suite (even a non-capturing
+    // one) ships the suite's Class via SerializedLambda, which ModelIO's
+    // deserialization allowlist correctly rejects; persisted chains must
+    // be built from library nodes (or the loader must be told the extra
+    // prefix)
     val chain = scorers.foldLeft(featurize)(_ andThen _)
-      .andThen(Transformer { df =>
-        df.withColumn("scores",
-          array(col("score0"), col("score1"), col("score2")))
-      })
+      .andThen(graft.ml.workflow.ScalarsToVector(
+        Seq("score0", "score1", "score2"), "scores"))
       .andThen(MaxClassifier("scores", "cls"))
     (chain, frames)
   }
@@ -203,5 +203,26 @@ class ServingSpec extends GraftSuite {
       .applyLocal(spark, input.schema, Seq(row), requireLocal = false)
     assert(fallback.head.getAs[Long]("cls") == a.getAs[Long]("cls"))
     spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ModelIO load filter rejects caller-scoped classes unless opted in") {
+    val (chain, frames) = fitted
+    // an inline lambda defined HERE ships this suite's Class (via
+    // SerializedLambda.capturingClass) into the model file; the default
+    // allowlist must refuse to resolve it, and the caller-supplied prefix
+    // must open exactly that door
+    val withInline = chain.andThen(Transformer { df =>
+      df.withColumn("one", lit(1))
+    })
+    val path = java.nio.file.Files.createTempFile("graft-model", ".bin")
+      .toString
+    ModelIO.save(withInline, path)
+    intercept[java.io.InvalidClassException] { ModelIO.load(path) }
+    val loaded = ModelIO.load(path, extraAllowedPrefixes = Seq("org.scalatest."))
+    val row = frames.select($"id", $"label", $"wave").orderBy($"id").head()
+    val served = loaded.applyLocal(spark,
+      frames.select($"id", $"label", $"wave").schema, Seq(row)).head
+    assert(served.getAs[Int]("one") == 1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 }

@@ -866,4 +866,33 @@ class SessionsEvalSpec extends GraftSuite {
     // mass-weighted average of the raw rates it covers (PAV invariant)
     assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
+
+  test("isotonic fit: empty interior bins (skewed scores) still pool exactly") {
+    // scores leave deciles 1-2 and 4-8 EMPTY; the cumulative-below must
+    // come from the greatest EXISTING bin, not a literal bin-1 lookup
+    // (which would treat everything below bin 3 as mass 0 and corrupt
+    // every interval rate starting there)
+    import spark.implicits._
+    val fixture = Seq(
+      (0.05, 1L), (0.05, 1L), (0.06, 1L), (0.07, 0L), // bin 0: 3/4
+      (0.35, 0L), (0.36, 0L), (0.37, 0L), (0.38, 1L), // bin 3: 1/4
+      (0.95, 1L), (1.00, 1L)) // bin 9: 2/2
+      .toDF("s", "y")
+    val got = graft.ops.Eval.isotonicFitFromScores(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // PAV: 0.75 vs 0.25 violate -> pool to (3+1)/(4+4) = 0.5; 1.0 stands
+    assert(got.toSeq == Seq(
+      (0L, 4L, 3L, 0.75, 0.5), (3L, 4L, 1L, 0.25, 0.5),
+      (9L, 2L, 2L, 1.0, 1.0)))
+  }
+
+  test("isotonic fit: constant-score corpus degrades to one bin, no ANSI error") {
+    import spark.implicits._
+    val fixture = Seq.fill(3)((0.7, 1L)).++(Seq.fill(2)((0.7, 0L))).toDF("s", "y")
+    val got = graft.ops.Eval.isotonicFitFromScores(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 5L, 3L, 0.6, 0.6)))
+  }
 }
