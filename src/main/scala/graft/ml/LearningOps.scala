@@ -382,11 +382,18 @@ object LearningOps {
   /** ref: nodes.learning.BlockLeastSquaresEstimator — block coordinate
     * descent for wide ridge regression: features split into blocks of
     * `blockSize`; each epoch solves every block's normal equations
-    * (XᵦᵀXᵦ + λI) wᵦ = Xᵦᵀ(r + Xᵦwᵦ) against the current residual.
-    * Per-block distributed work is ONE treeAggregate of (gram, Xᵀr) —
-    * blockSize² + blockSize doubles — and the residual column updates with
-    * the broadcast block weights. Nothing data-sized ever reaches the
-    * driver, and memory is bounded by blockSize², not d². */
+    * (XᵦᵀXᵦ + λI) wᵦ = XᵦᵀWr + Gᵦwᵦ against the current residual.
+    *
+    * Scale shape (round 14 — the layout the SolverCostModel prices):
+    * the training pass stores each partition COLUMN-MAJOR and maintains
+    * the residual r = y − Xw MATERIALIZED alongside it, so a block's
+    * gram pass touches only that block's b columns plus r (contiguous
+    * arrays), and the per-block residual update is an n·b column sweep —
+    * an epoch costs ~n·d·b flops and ~n·d bytes TOTAL no matter how many
+    * blocks d splits into, where the old row-major respelling paid a full
+    * n·d re-read per block. Per-block distributed state stays b² + b
+    * doubles; nothing data-sized reaches the driver, and memory is
+    * bounded by blockSize², not d². */
   case class BlockLeastSquaresEst(featuresCol: String, labelCol: String,
       out: String, blockSize: Int = 32, numIter: Int = 3,
       lambda: Double = 1e-6, weightCol: Option[String] = None)
@@ -395,56 +402,126 @@ object LearningOps {
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
       val blocks = (0 until d).grouped(blockSize).toArray
+      val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // weightCol => the reference's BlockWeightedLeastSquaresEstimator:
       // per-row (usually per-class) weights scale each row's contribution
       // to the gram and residual statistics.
       val wc = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-      val data = train.select(
+      val dd = d
+      // one pass builds the column-major cache: per partition a d×m
+      // column-major matrix (cm), labels, row weights
+      val cols = train.select(
         transform(col(featuresCol), _.cast("double")).as("x"),
         col(labelCol).cast("double").as("y"),
         wc.as("w"))
-        .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .rdd.mapPartitions { it =>
+          val buf = it.map(r =>
+            (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
+            .toArray
+          val m = buf.length
+          val cm = new Array[Double](m * dd)
+          val ys = new Array[Double](m)
+          val ws = new Array[Double](m)
+          var i = 0
+          while (i < m) {
+            val (x, y, w0) = buf(i)
+            ys(i) = y; ws(i) = w0
+            var j = 0
+            while (j < dd) { cm(j * m + i) = x(j); j += 1 }
+            i += 1
+          }
+          Iterator.single((cm, ys, ws))
+        }.persist(level)
+      var resid = cols.map { case (_, ys, _) => ys.clone() }.persist(level)
       try {
+        resid.count() // materialize before the cached sweeps begin
         val weights = new Array[Double](d)
-        // residual r = y - Xw maintained implicitly via current weights
-        for (_ <- 0 until numIter; block <- blocks) {
+        for (epoch <- 0 until numIter; block <- blocks) {
           val bIdx = block.toArray
           val bLen = bIdx.length
-          val bc = data.context.broadcast((weights.clone(), bIdx))
-          val (gram, xtr) = data.treeAggregate(
-            (DenseMatrix.zeros[Double](bLen, bLen), DenseVector.zeros[Double](bLen)))(
-            seqOp = { case ((g, v), (x, y, rowW)) =>
-              val (wCur, idx) = bc.value
-              var r = y
-              var i = 0
-              while (i < x.length) { r -= x(i) * wCur(i); i += 1 }
-              // r excludes nothing; add back this block's contribution
-              var bi = 0
-              while (bi < idx.length) { r += x(idx(bi)) * wCur(idx(bi)); bi += 1 }
+          val wbCur = DenseVector(bIdx.map(weights))
+          val (gram, xtwr) = cols.zipPartitions(resid) { (cit, rit) =>
+            val g = DenseMatrix.zeros[Double](bLen, bLen)
+            val v = DenseVector.zeros[Double](bLen)
+            if (cit.hasNext) {
+              val (cm, _, ws) = cit.next()
+              val r = rit.next()
+              val m = ws.length
               var p = 0
-              while (p < idx.length) {
-                val xp = x(idx(p)) * rowW
-                v(p) += xp * r
+              while (p < bLen) {
+                val offP = bIdx(p) * m
+                // v(p) = Σ w·x_p·r ; g(p,q) = Σ w·x_p·x_q — contiguous
+                // column sweeps, only this block's columns are touched
+                var vp = 0.0
+                var i = 0
+                while (i < m) { vp += ws(i) * cm(offP + i) * r(i); i += 1 }
+                v(p) = vp
                 var q = 0
-                while (q < idx.length) { g(p, q) += xp * x(idx(q)); q += 1 }
+                while (q < bLen) {
+                  val offQ = bIdx(q) * m
+                  var gpq = 0.0
+                  i = 0
+                  while (i < m) {
+                    gpq += ws(i) * cm(offP + i) * cm(offQ + i); i += 1
+                  }
+                  g(p, q) = gpq
+                  q += 1
+                }
                 p += 1
               }
-              (g, v)
-            },
-            combOp = { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) })
-          bc.destroy()
+            }
+            Iterator.single((g, v))
+          }.treeReduce { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) }
+          // with r = y − Xw (ALL blocks applied), the block target is
+          // Xᵦᵀ W (r + Xᵦwᵦ) = XᵦᵀWr + Gᵦwᵦ — the Gᵦwᵦ term is a
+          // driver-side b×b multiply, so the residual needs no add-back
+          // pass
           val reg = DenseMatrix.eye[Double](bLen) * lambda
-          val sol = inv(gram + reg) * xtr
+          val sol = inv(gram + reg) * (xtwr + gram * wbCur)
+          val delta = sol - wbCur
           var p = 0
           while (p < bLen) { weights(bIdx(p)) = sol(p); p += 1 }
+          // r ← r − Xᵦ·Δwᵦ: an n·b column sweep; the old residual stays
+          // persisted until the new one is materialized
+          val bc = cols.context.broadcast((bIdx, delta.toArray))
+          val newR = cols.zipPartitions(resid) { (cit, rit) =>
+            if (!cit.hasNext) Iterator.empty
+            else {
+              val (cm, _, _) = cit.next()
+              val r = rit.next().clone()
+              val m = r.length
+              val (idx, del) = bc.value
+              var p2 = 0
+              while (p2 < idx.length) {
+                val off = idx(p2) * m
+                val dl = del(p2)
+                var i = 0
+                while (i < m) { r(i) -= cm(off + i) * dl; i += 1 }
+                p2 += 1
+              }
+              Iterator.single(r)
+            }
+          }.persist(level)
+          // truncate the per-block lineage chain each epoch so a lost
+          // partition never replays the whole sweep. NB: the block
+          // broadcasts are NOT destroyed eagerly — task serialization of
+          // a downstream zipPartitions still walks this lineage even over
+          // cached partitions; the checkpoint truncation makes them
+          // unreachable and the ContextCleaner reclaims them
+          if (block eq blocks.last) newR.localCheckpoint()
+          newR.count()
+          resid.unpersist(blocking = false)
+          resid = newR
         }
         Transformer { df =>
           df.withColumn(out, call_function("graft_dot",
             transform(col(featuresCol), _.cast("double")),
             array(weights.toIndexedSeq.map(lit): _*)))
         }
-      } finally data.unpersist()
+      } finally {
+        resid.unpersist(blocking = false)
+        cols.unpersist()
+      }
     }
   }
 }

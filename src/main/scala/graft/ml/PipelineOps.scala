@@ -321,6 +321,19 @@ object workflow {
   private def withVec(df: DataFrame, in: String): DataFrame =
     df.withColumn("__features", array_to_vector(transform(col(in), _.cast("double"))))
 
+  private val toSparseVec = udf { (xs: Seq[Double]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(xs.toArray).toSparse
+      : org.apache.spark.ml.linalg.Vector
+  }
+
+  /** [[withVec]], but compacting to MLlib sparse vectors when the
+    * dispatcher knows the design is sparse — iterative gradient solvers
+    * then pay nnz per pass instead of d. */
+  private def withVecAuto(df: DataFrame, in: String, sparse: Boolean): DataFrame =
+    if (!sparse) withVec(df, in)
+    else df.withColumn("__features",
+      toSparseVec(transform(col(in), _.cast("double"))))
+
   /** ref: nodes.learning.NaiveBayesEstimator (wraps MLlib multinomial NB).
     * Label column must be numeric 0..k-1; emits predicted class + the raw
     * score array. */
@@ -402,23 +415,65 @@ object workflow {
   }
 
   /** ref: nodes.learning.LeastSquaresEstimator — the reference's
-    * node-level SOLVER DISPATCH (SURVEY §4): it picks a physical solver
-    * from (n, d) at fit time. Re-expressed over MLlib LinearRegression:
-    * narrow designs solve the normal equations exactly (one pass, d²
-    * driver memory), wide designs go through L-BFGS (iterative, never
-    * materializes X'X). The chosen solver is observable for tests. */
+    * node-level SOLVER DISPATCH (SURVEY §4, the paper's headline
+    * operator-level optimization): fit probes the PROBLEM — n (count),
+    * d (width), sparsity (sampled zero-fraction), cluster parallelism —
+    * and [[graft.ml.SolverCostModel]] prices the three physical solvers
+    * (compute + memory-bandwidth + network + per-barrier latency) to
+    * pick one: exact normal equations (one gram pass, d² driver memory),
+    * MLlib L-BFGS (iterative, nnz-proportional — the dispatcher feeds it
+    * SPARSE vectors when density warrants, so sparse-wide designs
+    * genuinely pay nnz), or [[graft.ml.LearningOps.BlockLeastSquaresEst]]
+    * (block coordinate descent, the wide-dense workhorse; b² memory).
+    * The decision AND the full cost report are observable for tests. */
   case class LeastSquaresEst(featuresCol: String, labelCol: String, out: String,
-      regParam: Double = 0.0, normalEqMaxDim: Int = 2048) extends Estimator {
+      regParam: Double = 0.0, normalEqMaxDim: Int = 2048,
+      blockSize: Int = 32, numIter: Int = 3,
+      workersOverride: Option[Int] = None) extends Estimator {
     @volatile var chosenSolver: String = _
+    @volatile var costReport: Map[String, Double] = _
+    @volatile var probedDensity: Double = _
+
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
-      chosenSolver = if (d <= normalEqMaxDim) "normal" else "l-bfgs"
-      val model = new org.apache.spark.ml.regression.LinearRegression()
-        .setSolver(chosenSolver).setRegParam(regParam)
-        .setFeaturesCol("__features").setLabelCol(labelCol)
-        .setPredictionCol(out)
-        .fit(withVec(train, featuresCol))
-      Transformer { df => model.transform(withVec(df, featuresCol)).drop("__features") }
+      val n = train.count()
+      // sampled zero-fraction: a ~4k-row probe regardless of corpus size
+      val frac = math.min(1.0, 4096.0 / math.max(n, 1L).toDouble)
+      val probe = train.select(
+        (size(filter(col(featuresCol), x => x =!= 0.0)).cast("double")
+          / d).as("rowDensity"))
+        .sample(withReplacement = false, frac, seed = 7L)
+        .agg(avg(col("rowDensity"))).head()
+      val density =
+        if (probe.isNullAt(0)) 1.0 else math.max(probe.getDouble(0), 1e-6)
+      probedDensity = density
+      val workers = workersOverride.getOrElse(
+        train.sparkSession.sparkContext.defaultParallelism)
+      val (solver, costs) = graft.ml.SolverCostModel.choose(
+        graft.ml.SolverCostModel.Problem(n, d, k = 1, density, workers,
+          normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
+          bcdEpochs = numIter))
+      chosenSolver = solver
+      costReport = costs
+      solver match {
+        case "block-cd" =>
+          graft.ml.LearningOps.BlockLeastSquaresEst(featuresCol, labelCol,
+            out, blockSize = blockSize, numIter = numIter,
+            lambda = math.max(regParam, 1e-8)).fit(train)
+        case mllibSolver =>
+          // sparse designs ride sparse vectors so L-BFGS's gradient cost
+          // really is nnz-proportional (MLlib aggregates via foreachActive)
+          val sparse = mllibSolver == "l-bfgs" && density < 0.5
+          val model = new org.apache.spark.ml.regression.LinearRegression()
+            .setSolver(mllibSolver).setRegParam(regParam)
+            .setFeaturesCol("__features").setLabelCol(labelCol)
+            .setPredictionCol(out)
+            .fit(withVecAuto(train, featuresCol, sparse))
+          Transformer { df =>
+            model.transform(withVecAuto(df, featuresCol, sparse))
+              .drop("__features")
+          }
+      }
     }
   }
 

@@ -125,18 +125,64 @@ class PipelineSpec extends GraftSuite {
     assert(ok == docs.count())
   }
 
-  test("LeastSquaresEst dispatches solver by feature width (ref cost model)") {
+  test("LeastSquaresEst dispatches solver from the problem (ref cost model)") {
+    import graft.ml.SolverCostModel
+    // the reference's regimes, priced at cluster scale by the pure model:
+    // tall-skinny dense -> exact normal equations (one gram pass wins and
+    // exactness is preferred inside the window)
+    val (tall, tallCosts) = SolverCostModel.choose(SolverCostModel.Problem(
+      n = 100000000L, d = 128, k = 1, density = 1.0, workers = 256))
+    assert(tall == "normal", s"tall-skinny dense must solve exactly: $tallCosts")
+    // wide dense -> block coordinate descent (gram infeasible at d², and
+    // near-exact block solves beat 100 approximate gradient passes)
+    val (wideD, wideCosts) = SolverCostModel.choose(SolverCostModel.Problem(
+      n = 10000000L, d = 8192, k = 1, density = 1.0, workers = 256))
+    assert(wideD == "block-cd", s"wide dense must block-solve: $wideCosts")
+    assert(wideCosts("normal").isInfinity, "d=8192 gram must be infeasible")
+    // sparse wide -> L-BFGS (the only solver whose per-pass cost scales
+    // with nnz; grams densify)
+    val (sparseW, sparseCosts) = SolverCostModel.choose(SolverCostModel.Problem(
+      n = 10000000L, d = 8192, k = 1, density = 0.02, workers = 256))
+    assert(sparseW == "l-bfgs", s"sparse wide must take l-bfgs: $sparseCosts")
+
+    // end-to-end: fit probes n/d/density itself and the decision (and the
+    // whole cost report) is observable
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"),
         element_at(col("embedding"), 1).cast("double").as("y"))
     val narrow = LeastSquaresEst("v", "y", "pred")
     narrow.fit(vecs)
     assert(narrow.chosenSolver == "normal",
-      "64-dim design must take the normal-equations path")
+      "a 64-dim dense design at test scale must take the normal-equations path")
+    assert(narrow.costReport("normal") < narrow.costReport("l-bfgs"))
     val wide = LeastSquaresEst("v", "y", "pred", normalEqMaxDim = 32)
-    wide.fit(vecs)
-    assert(wide.chosenSolver == "l-bfgs",
-      "designs wider than the threshold must take l-bfgs")
+    val fittedWide = wide.fit(vecs)
+    assert(wide.chosenSolver == "block-cd",
+      "a dense design past the gram cap must block-solve, not l-bfgs")
+    assert(wide.costReport("normal").isInfinity)
+    // the dispatched block solver must actually fit: noiseless linear
+    // target recovered through the block path
+    val target = vecs.withColumn("y2",
+      call_function("graft_dot", col("v"),
+        array((1 to 64).map(i => lit(math.cos(i.toDouble))): _*)))
+    val bcd = LeastSquaresEst("v", "y2", "p2", normalEqMaxDim = 32,
+      numIter = 8, blockSize = 16)
+    val scored = bcd.fit(target)(target)
+    assert(bcd.chosenSolver == "block-cd")
+    val rmse = math.sqrt(scored.select(avg(pow(col("p2") - col("y2"), 2)))
+      .head().getDouble(0))
+    assert(rmse < 1e-3, s"dispatched block CD must fit the linear target: $rmse")
+
+    // the sampled zero-fraction probe: a design with 4 of 64 dims live
+    // must report ~6% density to the model (this is what routes
+    // cluster-scale sparse-wide problems to l-bfgs above)
+    val sparseVecs = vecs.select(
+      transform(col("v"), (x, i) => when(i < 4, x).otherwise(lit(0.0))).as("v"),
+      col("y"))
+    val sp = LeastSquaresEst("v", "y", "pred")
+    sp.fit(sparseVecs)
+    assert(math.abs(sp.probedDensity - 4.0 / 64.0) < 0.01,
+      s"sampled density probe off: ${sp.probedDensity}")
   }
 
   test("KMeansEst assigns every vector to one of k clusters") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ml.LearningOps.{BlockLeastSquaresEst, CosineRandomFeaturesNode, PaddedFFTNode}
+import graft.ml.LearningOps.{CosineRandomFeaturesNode, PaddedFFTNode}
 import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier, StandardScalerEst}
 
 /** The reference's speech capstone shape (TimitPipeline: frame windows →
@@ -47,10 +47,18 @@ class TimitPipelineSpec extends GraftSuite {
     val withInd = ClassLabelIndicators("label", "ind", 3)
     val train = withInd(feats.where($"id" % 5 =!= 0))
     val test = withInd(feats.where($"id" % 5 === 0))
+    // round 14: the solve goes through the COST-MODEL DISPATCHER (the
+    // reference's LeastSquaresEstimator picks the solver, the user never
+    // does). normalEqMaxDim=32 stands in for "the gram does not fit" at
+    // this 64-dim test scale; the model must then route the dense design
+    // to block coordinate descent — asserted, not assumed
     val models = (0 until 3).map { k =>
-      BlockLeastSquaresEst("rf", s"y$k", s"score$k",
-        blockSize = 32, numIter = 2, lambda = 1e-4)
-        .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
+      val est = graft.ml.workflow.LeastSquaresEst("rf", s"y$k", s"score$k",
+        regParam = 1e-4, normalEqMaxDim = 32, blockSize = 32, numIter = 2)
+      val m = est.fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
+      assert(est.chosenSolver == "block-cd",
+        s"dispatcher must block-solve the dense over-cap design: ${est.costReport}")
+      m
     }
     val scored = models.foldLeft(test)((d, m) => m(d))
       .withColumn("scores", array($"score0", $"score1", $"score2"))
