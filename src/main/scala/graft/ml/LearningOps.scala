@@ -402,126 +402,186 @@ object LearningOps {
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
       val blocks = (0 until d).grouped(blockSize).toArray
-      val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // weightCol => the reference's BlockWeightedLeastSquaresEstimator:
       // per-row (usually per-class) weights scale each row's contribution
       // to the gram and residual statistics.
       val wc = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
-      val dd = d
-      // one pass builds the column-major cache: per partition a d×m
-      // column-major matrix (cm), labels, row weights
-      val cols = train.select(
-        transform(col(featuresCol), _.cast("double")).as("x"),
-        col(labelCol).cast("double").as("y"),
-        wc.as("w"))
-        .rdd.mapPartitions { it =>
-          val buf = it.map(r =>
-            (r.getSeq[Double](0).toArray, r.getDouble(1), r.getDouble(2)))
-            .toArray
-          val m = buf.length
-          val cm = new Array[Double](m * dd)
-          val ys = new Array[Double](m)
-          val ws = new Array[Double](m)
-          var i = 0
-          while (i < m) {
-            val (x, y, w0) = buf(i)
-            ys(i) = y; ws(i) = w0
-            var j = 0
-            while (j < dd) { cm(j * m + i) = x(j); j += 1 }
-            i += 1
-          }
-          Iterator.single((cm, ys, ws))
-        }.persist(level)
-      var resid = cols.map { case (_, ys, _) => ys.clone() }.persist(level)
-      try {
-        resid.count() // materialize before the cached sweeps begin
-        val weights = new Array[Double](d)
-        for (epoch <- 0 until numIter; block <- blocks) {
-          val bIdx = block.toArray
-          val bLen = bIdx.length
-          val wbCur = DenseVector(bIdx.map(weights))
-          val (gram, xtwr) = cols.zipPartitions(resid) { (cit, rit) =>
-            val g = DenseMatrix.zeros[Double](bLen, bLen)
-            val v = DenseVector.zeros[Double](bLen)
-            if (cit.hasNext) {
-              val (cm, _, ws) = cit.next()
-              val r = rit.next()
-              val m = ws.length
-              var p = 0
-              while (p < bLen) {
-                val offP = bIdx(p) * m
-                // v(p) = Σ w·x_p·r ; g(p,q) = Σ w·x_p·x_q — contiguous
-                // column sweeps, only this block's columns are touched
+      val w = blockCdSolve(train, featuresCol,
+        array(col(labelCol).cast("double")), k = 1, d = d,
+        blocks = blocks, numIter = numIter, lambda = lambda, wc = wc)(0)
+      Transformer { df =>
+        df.withColumn(out, call_function("graft_dot",
+          transform(col(featuresCol), _.cast("double")),
+          array(w.toIndexedSeq.map(lit): _*)))
+      }
+    }
+  }
+
+  /** Multi-target block CD — the reference's ACTUAL
+    * BlockLeastSquaresEstimator shape (it solves every class indicator
+    * simultaneously: `LabelEstimator[DenseVector, DenseVector,
+    * DenseVector]`): all k targets share each block's gram, so the
+    * one-vs-rest loop's k× gram passes collapse to one — per epoch
+    * ~n·d·(b + 2k) flops instead of k·n·d·(b + 2). `labelsCol` is an
+    * array<double> of length k (ClassLabelIndicators output); the fitted
+    * transformer emits the k scores as one array column, ready for
+    * MaxClassifier. */
+  case class BlockLeastSquaresMultiEst(featuresCol: String, labelsCol: String,
+      out: String, blockSize: Int = 32, numIter: Int = 3,
+      lambda: Double = 1e-6, weightCol: Option[String] = None)
+      extends Estimator {
+
+    def fit(train: DataFrame): Transformer = {
+      val d = train.select(size(col(featuresCol))).head().getInt(0)
+      val k = train.select(size(col(labelsCol))).head().getInt(0)
+      val blocks = (0 until d).grouped(blockSize).toArray
+      val wc = weightCol.map(col(_).cast("double")).getOrElse(lit(1.0))
+      val w = blockCdSolve(train, featuresCol,
+        transform(col(labelsCol), _.cast("double")), k = k, d = d,
+        blocks = blocks, numIter = numIter, lambda = lambda, wc = wc)
+      Transformer { df =>
+        val x = transform(col(featuresCol), _.cast("double"))
+        df.withColumn(out, array(w.toIndexedSeq.map(wk =>
+          call_function("graft_dot", x,
+            array(wk.toIndexedSeq.map(lit): _*))): _*))
+      }
+    }
+  }
+
+  /** Shared block-CD core: column-major partition cache + materialized
+    * k-target residual. Returns the k×d weight rows. */
+  private def blockCdSolve(train: DataFrame, featuresCol: String,
+      labels: org.apache.spark.sql.Column, k: Int, d: Int,
+      blocks: Array[Range], numIter: Int, lambda: Double,
+      wc: org.apache.spark.sql.Column): Array[Array[Double]] = {
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dd = d
+    val kk = k
+    // one pass builds the column-major cache: per partition a d×m
+    // column-major design (cm), a k×m column-major target matrix (yk),
+    // and row weights
+    val cols = train.select(
+      transform(col(featuresCol), _.cast("double")).as("x"),
+      labels.as("ys"), wc.as("w"))
+      .rdd.mapPartitions { it =>
+        val buf = it.map(r =>
+          (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
+            r.getDouble(2))).toArray
+        val m = buf.length
+        val cm = new Array[Double](m * dd)
+        val yk = new Array[Double](m * kk)
+        val ws = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          val (x, ys, w0) = buf(i)
+          ws(i) = w0
+          var c = 0
+          while (c < kk) { yk(c * m + i) = ys(c); c += 1 }
+          var j = 0
+          while (j < dd) { cm(j * m + i) = x(j); j += 1 }
+          i += 1
+        }
+        Iterator.single((cm, yk, ws))
+      }.persist(level)
+    var resid = cols.map { case (_, yk, _) => yk.clone() }.persist(level)
+    try {
+      resid.count() // materialize before the cached sweeps begin
+      val weights = Array.fill(k)(new Array[Double](d))
+      for (epoch <- 0 until numIter; block <- blocks) {
+        val bIdx = block.toArray
+        val bLen = bIdx.length
+        val wbCur = DenseMatrix.tabulate(bLen, k)((p, c) => weights(c)(bIdx(p)))
+        val (gram, xtwr) = cols.zipPartitions(resid) { (cit, rit) =>
+          val g = DenseMatrix.zeros[Double](bLen, bLen)
+          val v = DenseMatrix.zeros[Double](bLen, kk)
+          if (cit.hasNext) {
+            val (cm, _, ws) = cit.next()
+            val r = rit.next()
+            val m = ws.length
+            var p = 0
+            while (p < bLen) {
+              val offP = bIdx(p) * m
+              // v(p,c) = Σ w·x_p·r_c ; g(p,q) = Σ w·x_p·x_q — contiguous
+              // column sweeps; the gram is shared by ALL k targets
+              var c = 0
+              while (c < kk) {
+                val offC = c * m
                 var vp = 0.0
                 var i = 0
-                while (i < m) { vp += ws(i) * cm(offP + i) * r(i); i += 1 }
-                v(p) = vp
-                var q = 0
-                while (q < bLen) {
-                  val offQ = bIdx(q) * m
-                  var gpq = 0.0
-                  i = 0
-                  while (i < m) {
-                    gpq += ws(i) * cm(offP + i) * cm(offQ + i); i += 1
-                  }
-                  g(p, q) = gpq
-                  q += 1
-                }
-                p += 1
+                while (i < m) { vp += ws(i) * cm(offP + i) * r(offC + i); i += 1 }
+                v(p, c) = vp
+                c += 1
               }
-            }
-            Iterator.single((g, v))
-          }.treeReduce { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) }
-          // with r = y − Xw (ALL blocks applied), the block target is
-          // Xᵦᵀ W (r + Xᵦwᵦ) = XᵦᵀWr + Gᵦwᵦ — the Gᵦwᵦ term is a
-          // driver-side b×b multiply, so the residual needs no add-back
-          // pass
-          val reg = DenseMatrix.eye[Double](bLen) * lambda
-          val sol = inv(gram + reg) * (xtwr + gram * wbCur)
-          val delta = sol - wbCur
-          var p = 0
-          while (p < bLen) { weights(bIdx(p)) = sol(p); p += 1 }
-          // r ← r − Xᵦ·Δwᵦ: an n·b column sweep; the old residual stays
-          // persisted until the new one is materialized
-          val bc = cols.context.broadcast((bIdx, delta.toArray))
-          val newR = cols.zipPartitions(resid) { (cit, rit) =>
-            if (!cit.hasNext) Iterator.empty
-            else {
-              val (cm, _, _) = cit.next()
-              val r = rit.next().clone()
-              val m = r.length
-              val (idx, del) = bc.value
-              var p2 = 0
-              while (p2 < idx.length) {
-                val off = idx(p2) * m
-                val dl = del(p2)
+              var q = 0
+              while (q < bLen) {
+                val offQ = bIdx(q) * m
+                var gpq = 0.0
                 var i = 0
-                while (i < m) { r(i) -= cm(off + i) * dl; i += 1 }
-                p2 += 1
+                while (i < m) {
+                  gpq += ws(i) * cm(offP + i) * cm(offQ + i); i += 1
+                }
+                g(p, q) = gpq
+                q += 1
               }
-              Iterator.single(r)
+              p += 1
             }
-          }.persist(level)
-          // truncate the per-block lineage chain each epoch so a lost
-          // partition never replays the whole sweep. NB: the block
-          // broadcasts are NOT destroyed eagerly — task serialization of
-          // a downstream zipPartitions still walks this lineage even over
-          // cached partitions; the checkpoint truncation makes them
-          // unreachable and the ContextCleaner reclaims them
-          if (block eq blocks.last) newR.localCheckpoint()
-          newR.count()
-          resid.unpersist(blocking = false)
-          resid = newR
+          }
+          Iterator.single((g, v))
+        }.treeReduce { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) }
+        // with r = y − Xw (ALL blocks applied), the block target is
+        // Xᵦᵀ W (r + Xᵦwᵦ) = XᵦᵀWr + Gᵦwᵦ — the Gᵦwᵦ term is a
+        // driver-side b×b×k multiply, so the residual needs no add-back
+        // pass; ONE factorization serves all k right-hand sides
+        val reg = DenseMatrix.eye[Double](bLen) * lambda
+        val sol = inv(gram + reg) * (xtwr + gram * wbCur)
+        val delta = sol - wbCur
+        var p = 0
+        while (p < bLen) {
+          var c = 0
+          while (c < k) { weights(c)(bIdx(p)) = sol(p, c); c += 1 }
+          p += 1
         }
-        Transformer { df =>
-          df.withColumn(out, call_function("graft_dot",
-            transform(col(featuresCol), _.cast("double")),
-            array(weights.toIndexedSeq.map(lit): _*)))
-        }
-      } finally {
+        // r ← r − Xᵦ·Δwᵦ: an n·b·k column sweep; the old residual stays
+        // persisted until the new one is materialized
+        val bc = cols.context.broadcast((bIdx, delta.toArray)) // column-major b×k
+        val newR = cols.zipPartitions(resid) { (cit, rit) =>
+          if (!cit.hasNext) Iterator.empty
+          else {
+            val (cm, _, _) = cit.next()
+            val r = rit.next().clone()
+            val m = if (kk == 0) 0 else r.length / kk
+            val (idx, del) = bc.value
+            var p2 = 0
+            while (p2 < idx.length) {
+              val off = idx(p2) * m
+              var c = 0
+              while (c < kk) {
+                val dl = del(c * idx.length + p2)
+                val offC = c * m
+                var i = 0
+                while (i < m) { r(offC + i) -= cm(off + i) * dl; i += 1 }
+                c += 1
+              }
+              p2 += 1
+            }
+            Iterator.single(r)
+          }
+        }.persist(level)
+        // truncate the per-block lineage chain each epoch so a lost
+        // partition never replays the whole sweep. NB: the block
+        // broadcasts are NOT destroyed eagerly — task serialization of
+        // a downstream zipPartitions still walks this lineage even over
+        // cached partitions; the checkpoint truncation makes them
+        // unreachable and the ContextCleaner reclaims them
+        if (block eq blocks.last) newR.localCheckpoint()
+        newR.count()
         resid.unpersist(blocking = false)
-        cols.unpersist()
+        resid = newR
       }
+      weights
+    } finally {
+      resid.unpersist(blocking = false)
+      cols.unpersist()
     }
   }
 }

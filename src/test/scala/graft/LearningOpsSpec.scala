@@ -96,6 +96,38 @@ class LearningOpsSpec extends GraftSuite {
     assert(rmseB < rmseE + 1e-3, "block solution should match the exact solver here")
   }
 
+  test("BlockLeastSquaresMultiEst: k targets off one shared gram == k single solves") {
+    // three noiseless linear targets packed into one array column — the
+    // reference's actual estimator shape (all class indicators solved
+    // simultaneously; the gram is computed ONCE per block, not k times)
+    def w(seed: Int) =
+      array((1 to 64).map(i => lit(math.sin(i.toDouble * seed))): _*)
+    val target = vecs
+      .withColumn("ys", array(
+        call_function("graft_dot", $"v", w(1)),
+        call_function("graft_dot", $"v", w(2)),
+        call_function("graft_dot", $"v", w(3))))
+    val multi = graft.ml.LearningOps.BlockLeastSquaresMultiEst(
+      "v", "ys", "scores", blockSize = 16, numIter = 8).fit(target)(target)
+    // every target recovered through the shared-gram path
+    val errs = (1 to 3).map { c =>
+      math.sqrt(multi.select(
+        avg(pow(element_at($"scores", c) - element_at($"ys", c), 2)))
+        .head().getDouble(0))
+    }
+    errs.foreach(e => assert(e < 1e-3, s"multi-target block CD rmse: $errs"))
+    // and it agrees with the equivalent single-target solve to float noise
+    val single = BlockLeastSquaresEst("v", "y1", "s1",
+      blockSize = 16, numIter = 8)
+      .fit(target.withColumn("y1", element_at($"ys", 1)))(
+        target.withColumn("y1", element_at($"ys", 1)))
+    val joinDiff = multi.select($"vec_id", element_at($"scores", 1).as("m1"))
+      .join(single.select($"vec_id", $"s1"), "vec_id")
+      .select(max(abs($"m1" - $"s1"))).head().getDouble(0)
+    assert(joinDiff < 1e-9,
+      s"multi target 1 must match the single solve: max diff $joinDiff")
+  }
+
   test("KernelRidgeEst fits a nonlinear target a linear solver cannot") {
     // target = mixture of RBF bumps centered on three data points, at the
     // model's own length scale — structurally out of reach for any linear

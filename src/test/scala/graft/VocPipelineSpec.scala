@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.images.ImageOps
 import graft.ml.ImageFvPipeline
-import graft.ml.LearningOps.BlockLeastSquaresEst
+import graft.ml.LearningOps.BlockLeastSquaresMultiEst
 
 /** The reference's VOC capstone shape (VOCSIFTFisher: multi-LABEL images
   * → dense descriptors → PCA → GMM → FisherVector → one binary solve per
@@ -48,16 +48,20 @@ class VocPipelineSpec extends GraftSuite {
       descs.join(trainIds, "id"), "id", "desc", "fv", pcaK = 4, gmmK = 5)
     val fvs = enc(descs).join(labels, "id")
 
-    // --- one independent binary solve per class (the VOC discipline:
-    // classes are NOT mutually exclusive, so no argmax anywhere)
+    // --- all three binary targets solved SIMULTANEOUSLY off one shared
+    // gram per block (round 14 — the reference estimator's actual
+    // multi-label shape; the VOC discipline still holds: classes are NOT
+    // mutually exclusive, so no argmax anywhere, just k score columns)
     val train = fvs.where($"id" % 5 =!= 0)
+      .withColumn("ys", array($"y0", $"y1", $"y2"))
     val test = fvs.where($"id" % 5 === 0)
-    val models = (0 until 3).map { k =>
-      BlockLeastSquaresEst("fv", s"y$k", s"score$k",
-        blockSize = 40, numIter = 2, lambda = 1e-4).fit(train)
-    }
-    val scored = models.foldLeft(test)((d, m) => m(d))
-      .select($"id", $"y0", $"y1", $"y2", $"score0", $"score1", $"score2")
+    val model = BlockLeastSquaresMultiEst("fv", "ys", "scores",
+      blockSize = 40, numIter = 2, lambda = 1e-4).fit(train)
+    val scored = model(test)
+      .select($"id", $"y0", $"y1", $"y2",
+        element_at($"scores", 1).as("score0"),
+        element_at($"scores", 2).as("score1"),
+        element_at($"scores", 3).as("score2"))
       .collect()
 
     // --- VOC mAP (MeanAveragePrecisionEvaluator role, exact replay):
