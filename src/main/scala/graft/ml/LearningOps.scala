@@ -449,8 +449,11 @@ object LearningOps {
   }
 
   /** Shared block-CD core: column-major partition cache + materialized
-    * k-target residual. Returns the k×d weight rows. */
-  private def blockCdSolve(train: DataFrame, featuresCol: String,
+    * k-target residual. Returns the k×d weight rows. With a single block
+    * spanning all d columns and one epoch this IS the exact distributed
+    * ridge solve — (G + λI)⁻¹ X'WY off one treeAggregate — which is how
+    * the dispatcher's `normal` path solves multi-target problems. */
+  private[ml] def blockCdSolve(train: DataFrame, featuresCol: String,
       labels: org.apache.spark.sql.Column, k: Int, d: Int,
       blocks: Array[Range], numIter: Int, lambda: Double,
       wc: org.apache.spark.sql.Column): Array[Array[Double]] = {

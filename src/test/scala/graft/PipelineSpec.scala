@@ -185,6 +185,48 @@ class PipelineSpec extends GraftSuite {
       s"sampled density probe off: ${sp.probedDensity}")
   }
 
+  test("LeastSquaresMultiEst: k is a cost-model input; multi-class solves dispatch exact") {
+    import graft.ml.SolverCostModel
+    // gram amortization: at k=150 the shared-gram exact solve beats the
+    // per-target-priced L-BFGS loop even at d=512 where k=1 would not
+    val (multiClass, mcCosts) = SolverCostModel.choose(SolverCostModel.Problem(
+      n = 100000000L, d = 512, k = 150, density = 1.0, workers = 256))
+    assert(multiClass == "normal",
+      s"150-class tall problems must solve exactly off one gram: $mcCosts")
+    assert(mcCosts("l-bfgs") > mcCosts("normal") * 10,
+      "the k factor must make the per-target gradient loop uncompetitive")
+
+    // end-to-end: 3 noiseless linear targets, fitted at once
+    def w(seed: Int) =
+      array((1 to 64).map(i => lit(math.sin(i.toDouble * seed))): _*)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("ys", array(
+        call_function("graft_dot", col("v"), w(1)),
+        call_function("graft_dot", col("v"), w(2)),
+        call_function("graft_dot", col("v"), w(3))))
+    def rmses(scored: org.apache.spark.sql.DataFrame): Seq[Double] =
+      (1 to 3).map { c =>
+        math.sqrt(scored.select(
+          avg(pow(element_at(col("scores"), c) - element_at(col("ys"), c), 2)))
+          .head().getDouble(0))
+      }
+    // narrow + dense -> the exact distributed shared-gram ridge
+    val exact = LeastSquaresMultiEst("v", "ys", "scores")
+    val exactScored = exact.fit(vecs)(vecs)
+    assert(exact.chosenSolver == "normal", s"${exact.costReport}")
+    rmses(exactScored).foreach(e =>
+      assert(e < 1e-3, s"exact multi solve must recover all targets: $e"))
+    // past the gram cap -> the multi-target block solver
+    val wideM = LeastSquaresMultiEst("v", "ys", "scores",
+      normalEqMaxDim = 32, blockSize = 16, numIter = 8)
+    val wideScored = wideM.fit(vecs)(vecs)
+    assert(wideM.chosenSolver == "block-cd", s"${wideM.costReport}")
+    rmses(wideScored).foreach(e =>
+      assert(e < 1e-3, s"dispatched multi block CD must recover all targets: $e"))
+  }
+
   test("KMeansEst assigns every vector to one of k clusters") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
