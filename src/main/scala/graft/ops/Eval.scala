@@ -518,6 +518,71 @@ object Eval {
       .orderBy(col("bin"))
   }
 
+  /** Apply the fitted isotonic calibration map back to EVERY row — the
+    * serving half of the calibrate lifecycle ([[qIsotonicFit]] is the
+    * fit half): each vec's raw max-activation confidence is looked up in
+    * its decile bin and replaced by the bin's isotonic (monotone,
+    * empirically-calibrated) probability.
+    *
+    * Scale shape: the 10-row fitted map broadcasts; applying it is one
+    * equi-join projection over the corpus — rows never shuffle. */
+  def qIsotonicApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.embeddings(spark, sfDir).select(
+      $"vec_id",
+      array_max($"embedding").cast("double").as("s"),
+      when(((array_position($"embedding", array_max($"embedding")) - 1) % 10)
+        === $"label", 1L).otherwise(0L).as("y"))
+    val fit = isotonicFitFromScores(s.select($"s", $"y"))
+      .select($"bin", $"iso_prob".as("cal_prob"))
+    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    val binned = s.crossJoin(broadcast(mm))
+      .select($"vec_id", $"s",
+        when($"mx" > $"mn",
+          least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn"))
+            .cast("long"), lit(999999L)))
+          .otherwise(lit(0L)).as("p_micro"))
+      .select($"vec_id", $"s", expr("p_micro DIV 100000").as("bin"))
+    binned.join(broadcast(fit), "bin")
+      .select($"vec_id", $"bin", round($"s", 6).as("conf"), $"cal_prob")
+      .orderBy($"vec_id")
+  }
+
+  val isotonicApplySql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS s,
+      |    CASE WHEN (list_position(embedding, list_max(embedding)) - 1) % 10
+      |      = label THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
+      |p AS (SELECT vec_id, s,
+      |        (CASE WHEN mx > mn
+      |         THEN least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |           999999)
+      |         ELSE 0 END) // 100000 AS bin, y
+      |      FROM s CROSS JOIN mm),
+      |g AS (SELECT bin, count(*) AS n, sum(y) AS n_pos FROM p GROUP BY 1),
+      |cum AS (
+      |  SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cn,
+      |    CAST(sum(b.n_pos) AS BIGINT) AS cp,
+      |    CAST(sum(CASE WHEN b.bin < a.bin THEN b.n ELSE 0 END) AS BIGINT) AS cn_below,
+      |    CAST(sum(CASE WHEN b.bin < a.bin THEN b.n_pos ELSE 0 END) AS BIGINT) AS cp_below
+      |  FROM g a JOIN g b ON b.bin <= a.bin GROUP BY a.bin),
+      |pairs AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(k.cp - j.cp_below AS DOUBLE)
+      |      / CAST(k.cn - j.cn_below AS DOUBLE) AS rate
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+      |inner_min AS (
+      |  SELECT g.bin AS i, pr.j, min(pr.rate) AS mn_rate
+      |  FROM g JOIN pairs pr ON pr.j <= g.bin AND pr.k >= g.bin
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i AS bin, max(mn_rate) AS iso_rate FROM inner_min GROUP BY 1)
+      |SELECT p.vec_id, p.bin, round(p.s, 6) AS conf,
+      |  round(i.iso_rate, 6) AS cal_prob
+      |FROM p JOIN iso i ON i.bin = p.bin
+      |ORDER BY p.vec_id""".stripMargin
+
   val isotonicFitSql: String =
     """WITH s AS (
       |  SELECT CAST(list_max(embedding) AS DOUBLE) AS s,
@@ -598,6 +663,7 @@ object Eval {
     "q_eval_calibration" -> (qEvalCalibration _),
     "q_mcnemar" -> (qMcnemar _),
     "q_isotonic_fit" -> (qIsotonicFit _),
+    "q_isotonic_apply" -> (qIsotonicApply _),
     "q_kfold_split" -> (qKfoldSplit _),
     "q_udaf_geomean" -> (qUdafGeomean _))
 
@@ -611,6 +677,7 @@ object Eval {
     "q_eval_calibration" -> evalCalibrationSql,
     "q_mcnemar" -> mcnemarSql,
     "q_isotonic_fit" -> isotonicFitSql,
+    "q_isotonic_apply" -> isotonicApplySql,
     "q_kfold_split" -> kfoldSplitSql,
     "q_udaf_geomean" -> udafGeomeanSql)
 }

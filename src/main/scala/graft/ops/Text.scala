@@ -1205,6 +1205,142 @@ object Text {
       |SELECT source, CAST(CAST(sum(kl_micro) AS BIGINT) AS DOUBLE) / 1e6 AS kl_nats
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source Jensen–Shannon divergence between the source's document-
+    * length distribution and the corpus's — the SYMMETRIC, bounded
+    * ([0, ln 2]) companion to [[qSourceKl]] that production drift
+    * monitors prefer because it never blows up on bins one side lacks.
+    * Lengths land in 10 fixed 200-char buckets (capped), so the
+    * distribution grid is constant-bounded.
+    *
+    * Determinism: all probabilities are exact-integer ratios; each JS
+    * term — ½p·ln(2p/(p+q)) (only when p>0) + ½q·ln(2q/(p+q)) — is a
+    * handful of double ops quantized to micro-nats before the
+    * per-source sum. Scale shape: one (source, bucket) aggregation,
+    * then sources×buckets grid joins over broadcast-sized relations. */
+  def qJensenShannon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source",
+        expr("least(CAST(length(text) AS BIGINT) DIV 200, 9L)").as("bin"))
+      .agg(count(lit(1)).as("c_sb"))
+    val srcs = cells.groupBy($"source").agg(sum($"c_sb").as("c_s"))
+    val bins = cells.groupBy($"bin").agg(sum($"c_sb").as("c_b"))
+    val total = cells.agg(sum($"c_sb").as("ct"))
+    val grid = srcs.crossJoin(broadcast(bins))
+      .join(cells, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .crossJoin(broadcast(total))
+    val p = $"c_sb".cast("double") / $"c_s"
+    val q = $"c_b".cast("double") / $"ct"
+    val term =
+      when($"c_sb" > 0, lit(0.5) * p * log(lit(2.0) * p / (p + q)))
+        .otherwise(lit(0.0)) +
+        lit(0.5) * q * log(lit(2.0) * q / (p + q))
+    grid
+      .select($"source", round(term * 1e6).cast("long").as("js_micro"))
+      .groupBy($"source")
+      .agg((sum($"js_micro").cast("double") / 1e6).as("js_nats"))
+      .orderBy($"source")
+  }
+
+  val jensenShannonSql: String =
+    """WITH cells AS (
+      |  SELECT source, least(CAST(length(text) AS BIGINT) // 200, 9) AS bin,
+      |    count(*) AS c_sb
+      |  FROM documents GROUP BY 1, 2),
+      |srcs AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+      |bins AS (SELECT bin, CAST(sum(c_sb) AS BIGINT) AS c_b FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_sb) AS BIGINT) AS ct FROM cells),
+      |grid AS (
+      |  SELECT srcs.source, srcs.c_s, bins.bin, bins.c_b,
+      |    coalesce(cells.c_sb, 0) AS c_sb
+      |  FROM srcs CROSS JOIN bins
+      |  LEFT JOIN cells ON cells.source = srcs.source AND cells.bin = bins.bin),
+      |terms AS (
+      |  SELECT source,
+      |    CAST(round((CASE WHEN c_sb > 0 THEN
+      |        0.5 * (CAST(c_sb AS DOUBLE) / c_s)
+      |          * ln((2.0 * CAST(c_sb AS DOUBLE) / c_s)
+      |               / (CAST(c_sb AS DOUBLE) / c_s + CAST(c_b AS DOUBLE) / ct))
+      |      ELSE 0.0 END
+      |      + 0.5 * (CAST(c_b AS DOUBLE) / ct)
+      |        * ln((2.0 * CAST(c_b AS DOUBLE) / ct)
+      |             / (CAST(c_sb AS DOUBLE) / c_s + CAST(c_b AS DOUBLE) / ct))) * 1e6)
+      |      AS BIGINT) AS js_micro
+      |  FROM grid, t)
+      |SELECT source, CAST(CAST(sum(js_micro) AS BIGINT) AS DOUBLE) / 1e6 AS js_nats
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mutual information between a document's language and its source —
+    * ONE number for "how much does knowing the source tell you about the
+    * language" (the corpus-composition coupling a mixing plan must know),
+    * with both marginal entropies and the normalized MI
+    * (mi / min(H_source, H_lang)) alongside.
+    *
+    * Determinism: exact-integer cell/marginal counts; each plogp term is
+    * quantized to NANO-nats (1e9 — the sums are single digits, so nano
+    * keeps 9 significant digits without overflow: |cells| ≤ 200 terms
+    * ≤ ln(C)·1e9 each, far inside BIGINT). Scale shape: identical to
+    * [[qSourceKl]] — one (source, lang) aggregation plus broadcast
+    * marginals. */
+  def qMutualInformation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+    val total = cells.agg(sum($"c_sl").as("ct"))
+    val mi = cells
+      .join(broadcast(bySource), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .select(round(($"c_sl".cast("double") / $"ct")
+        * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
+        * 1e9).cast("long").as("mi_nano"))
+      .agg(sum($"mi_nano").as("mi_nano"))
+    val hS = bySource.crossJoin(broadcast(total))
+      .select(round(-($"c_s".cast("double") / $"ct")
+        * log($"c_s".cast("double") / $"ct") * 1e9).cast("long").as("h"))
+      .agg(sum($"h").as("hs_nano"))
+    val hL = byLang.crossJoin(broadcast(total))
+      .select(round(-($"c_l".cast("double") / $"ct")
+        * log($"c_l".cast("double") / $"ct") * 1e9).cast("long").as("h"))
+      .agg(sum($"h").as("hl_nano"))
+    mi.crossJoin(broadcast(hS)).crossJoin(broadcast(hL))
+      .select(
+        ($"mi_nano".cast("double") / 1e9).as("mi_nats"),
+        ($"hs_nano".cast("double") / 1e9).as("h_source"),
+        ($"hl_nano".cast("double") / 1e9).as("h_lang"),
+        round($"mi_nano".cast("double") / least($"hs_nano", $"hl_nano"), 6)
+          .as("nmi"))
+  }
+
+  val mutualInformationSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_sl) AS BIGINT) AS ct FROM cells),
+      |mi AS (
+      |  SELECT CAST(sum(CAST(round((CAST(c_sl AS DOUBLE) / ct)
+      |    * ln(CAST(c_sl * ct AS DOUBLE) / CAST(c_s * c_l AS DOUBLE)) * 1e9) AS BIGINT))
+      |    AS BIGINT) AS mi_nano
+      |  FROM cells JOIN s ON cells.source = s.source
+      |             JOIN l ON cells.lang = l.lang, t),
+      |hs AS (
+      |  SELECT CAST(sum(CAST(round(-(CAST(c_s AS DOUBLE) / ct)
+      |    * ln(CAST(c_s AS DOUBLE) / ct) * 1e9) AS BIGINT)) AS BIGINT) AS hs_nano
+      |  FROM s, t),
+      |hl AS (
+      |  SELECT CAST(sum(CAST(round(-(CAST(c_l AS DOUBLE) / ct)
+      |    * ln(CAST(c_l AS DOUBLE) / ct) * 1e9) AS BIGINT)) AS BIGINT) AS hl_nano
+      |  FROM l, t)
+      |SELECT CAST(mi.mi_nano AS DOUBLE) / 1e9 AS mi_nats,
+      |  CAST(hs.hs_nano AS DOUBLE) / 1e9 AS h_source,
+      |  CAST(hl.hl_nano AS DOUBLE) / 1e9 AS h_lang,
+      |  round(CAST(mi.mi_nano AS DOUBLE) / least(hs.hs_nano, hl.hl_nano), 6) AS nmi
+      |FROM mi, hs, hl""".stripMargin
+
   /** Vocabulary-growth (Heaps' law) curve over the BIGRAM vocabulary:
     * distinct bigrams seen after ingesting each 1%-of-corpus prefix in
     * doc_id order — the curve that sizes tokenizer vocabularies and
@@ -2778,6 +2914,8 @@ object Text {
     "q_token_entropy" -> (qTokenEntropy _),
     "q_blocklist_scrub" -> (qBlocklistScrub _),
     "q_source_kl" -> (qSourceKl _),
+    "q_jensen_shannon" -> (qJensenShannon _),
+    "q_mutual_information" -> (qMutualInformation _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_hash_sample" -> (qHashSample _),
@@ -2838,6 +2976,8 @@ object Text {
     "q_token_entropy" -> tokenEntropySql,
     "q_blocklist_scrub" -> blocklistScrubSql,
     "q_source_kl" -> sourceKlSql,
+    "q_jensen_shannon" -> jensenShannonSql,
+    "q_mutual_information" -> mutualInformationSql,
     "q_vocab_growth" -> vocabGrowthSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_hash_sample" -> hashSampleSql,

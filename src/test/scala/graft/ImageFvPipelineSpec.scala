@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.images.ImageOps
 import graft.ml.ImageFvPipeline
-import graft.ml.LearningOps.BlockLeastSquaresEst
+import graft.ml.LearningOps.BlockLeastSquaresMultiEst
 import graft.ml.workflow.{ClassLabelIndicators, MaxClassifier}
 
 /** The reference's ImageNet capstone shape (ImageNetSiftLcsFV: TWO dense
@@ -77,19 +77,17 @@ class ImageFvPipelineSpec extends GraftSuite {
     assert(fvs.select(size($"fv")).head().getInt(0) == 2 * (2 * 5 * 4))
     assert(fvs.count() == n.toLong)
 
-    // --- one-vs-rest block least squares on +/-1 indicators, held out
-    // by id (same solve discipline as the Cifar capstone)
+    // --- block least squares on +/-1 indicators, held out by id — ALL
+    // three indicators solved at once off one shared gram per block
+    // (round 14: the reference estimator's multi-label shape; the
+    // ClassLabelIndicators array feeds the solver directly and the
+    // scores array feeds MaxClassifier directly)
     val withInd = ClassLabelIndicators("label", "ind", 3)
     val train = withInd(fvs.where($"id" % 5 =!= 0))
     val test = withInd(fvs.where($"id" % 5 === 0))
-    val models = (0 until 3).map { k =>
-      BlockLeastSquaresEst("fv", s"y$k", s"score$k",
-        blockSize = 40, numIter = 2, lambda = 1e-4)
-        .fit(train.withColumn(s"y$k", element_at($"ind", k + 1)))
-    }
-    val scored = models.foldLeft(test)((d, m) => m(d))
-      .withColumn("scores", array($"score0", $"score1", $"score2"))
-    val pred = MaxClassifier("scores", "cls")(scored)
+    val model = BlockLeastSquaresMultiEst("fv", "ind", "scores",
+      blockSize = 40, numIter = 2, lambda = 1e-4).fit(train)
+    val pred = MaxClassifier("scores", "cls")(model(test))
 
     val total = pred.count().toDouble
     val correct = pred.where($"cls" === $"label").count().toDouble

@@ -887,6 +887,27 @@ class SessionsEvalSpec extends GraftSuite {
       (9L, 2L, 2L, 1.0, 1.0)))
   }
 
+  test("q_isotonic_apply: every row carries its bin's fitted probability") {
+    val fit = rows(Eval.qIsotonicFit(spark, sf))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val applied = rows(Eval.qIsotonicApply(spark, sf))
+    // one calibrated row per vec, and the per-bin row counts reproduce
+    // the fitted table's bin masses exactly
+    assert(applied.length == embRows.length)
+    val binCounts = applied.groupBy(_.getLong(1)).view.mapValues(_.size.toLong)
+    assert(binCounts.toMap == fit.view.mapValues(_._1).toMap,
+      "apply must route every vec into the fitted bin layout")
+    applied.foreach { r =>
+      assert(r.getDouble(3) == fit(r.getLong(1))._2,
+        s"cal_prob must equal the bin's fitted iso_prob: $r")
+    }
+    // calibration preserves the monotone order: higher bin, >= cal_prob
+    val byBin = applied.map(r => (r.getLong(1), r.getDouble(3)))
+      .distinct.sortBy(_._1)
+    assert(byBin.map(_._2).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
   test("isotonic fit: constant-score corpus degrades to one bin, no ANSI error") {
     import spark.implicits._
     val fixture = Seq.fill(3)((0.7, 1L)).++(Seq.fill(2)((0.7, 0L))).toDF("s", "y")

@@ -400,6 +400,68 @@ class TextSpec extends GraftSuite {
     assert(r.where($"kl_nats" < -1e-4).count() == 0)
   }
 
+  test("q_jensen_shannon matches an exact driver replay; bounded by ln 2") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", length($"text").cast("long").as("len"))
+      .collect().map(r => (r.getString(0), math.min(r.getLong(1) / 200L, 9L)))
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((s, b), c) => (s, b, c) }
+    val cS = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cB = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val ct = docs.length.toLong
+    def quant(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = cS.keys.toSeq.sorted.map { s =>
+      val micro = cB.keys.toSeq.sorted.map { b =>
+        val csb = cells.find(c => c._1 == s && c._2 == b).map(_._3).getOrElse(0L)
+        val p = csb.toDouble / cS(s)
+        val q = cB(b).toDouble / ct
+        val pTerm = if (csb > 0) 0.5 * p * math.log(2.0 * p / (p + q)) else 0.0
+        quant(pTerm + 0.5 * q * math.log(2.0 * q / (p + q)))
+      }.sum
+      s -> micro.toDouble / 1e6
+    }
+    val got = Text.qJensenShannon(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(got == expected, s"JS replay mismatch: $got vs $expected")
+    // symmetric divergence of distributions is bounded by ln 2, and the
+    // quantization can only dip a hair below 0
+    got.foreach { case (s, js) =>
+      assert(js >= -1e-4 && js <= math.log(2.0) + 1e-4, s"$s: $js")
+    }
+  }
+
+  test("q_mutual_information matches an exact driver replay; MI <= min entropy") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cS = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cL = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = docs.length.toLong
+    def quant(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val miNano = cells.toSeq.map { case ((s, l), c) =>
+      quant((c.toDouble / ct) *
+        math.log((c * ct).toDouble / (cS(s) * cL(l)).toDouble))
+    }.sum
+    val hsNano = cS.values.toSeq
+      .map(c => quant(-(c.toDouble / ct) * math.log(c.toDouble / ct))).sum
+    val hlNano = cL.values.toSeq
+      .map(c => quant(-(c.toDouble / ct) * math.log(c.toDouble / ct))).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Text.qMutualInformation(spark, sf).head()
+    assert(row.getDouble(0) == miNano.toDouble / 1e9)
+    assert(row.getDouble(1) == hsNano.toDouble / 1e9)
+    assert(row.getDouble(2) == hlNano.toDouble / 1e9)
+    assert(row.getDouble(3) == r6(miNano.toDouble / math.min(hsNano, hlNano)))
+    // information-theory sanity: 0 <= MI <= min(H_source, H_lang)
+    assert(miNano >= -100 && miNano <= math.min(hsNano, hlNano) + 100)
+  }
+
   test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
     import spark.implicits._
     val r = Text.qVocabGrowth(spark, sf).collect()
