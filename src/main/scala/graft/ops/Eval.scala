@@ -366,6 +366,73 @@ object Eval {
       |  round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6) AS brier
       |FROM g ORDER BY bin""".stripMargin
 
+  /** Expected calibration error — the ONE number summarizing
+    * [[qEvalCalibration]]'s reliability table (Σ_b (n_b/N)·|mean predicted
+    * − observed rate|), plus the max-bin gap (MCE). This is the scalar
+    * that DECIDES whether to run the [[qIsotonicFit]] → [[qIsotonicApply]]
+    * recalibration, completing the diagnose → summarize → fit → serve
+    * calibration lifecycle.
+    *
+    * Exactness: per-bin gaps are exact-integer ratios (sum of micro-probs,
+    * positive counts) combined in identical operand order and quantized to
+    * micro before the ≤10-term sum/max. Scale shape: identical to the
+    * reliability table — one broadcast min/max + one 10-bin aggregate. */
+  def qCalibrationEce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.embeddings(spark, sfDir)
+      .select(element_at($"embedding", 1).cast("double").as("s"),
+        when($"label" >= 5, 1L).otherwise(0L).as("y"))
+    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    val g = s.crossJoin(broadcast(mm))
+      .select(
+        least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
+          lit(999999L)).as("p_micro"),
+        $"y")
+      .groupBy(expr("p_micro DIV 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"p_micro").as("sum_p"),
+        sum($"y").as("n_pos"))
+    val total = g.agg(sum($"n").as("ct"))
+    val gap = abs($"sum_p".cast("double") / ($"n" * lit(1000000.0))
+      - $"n_pos".cast("double") / $"n")
+    g.crossJoin(broadcast(total))
+      .select(
+        $"ct",
+        round(($"n".cast("double") / $"ct") * gap * 1e6).cast("long")
+          .as("ece_micro"),
+        round(gap * 1e6).cast("long").as("gap_micro"))
+      .groupBy($"ct".as("n"))
+      .agg(
+        (sum($"ece_micro").cast("double") / 1e6).as("ece"),
+        (max($"gap_micro").cast("double") / 1e6).as("mce"))
+  }
+
+  val calibrationEceSql: String =
+    """WITH s AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+      |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
+      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |        999999) AS p_micro, y
+      |      FROM s CROSS JOIN mm),
+      |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n,
+      |        CAST(sum(p_micro) AS BIGINT) AS sum_p,
+      |        CAST(sum(y) AS BIGINT) AS n_pos
+      |      FROM p GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM g),
+      |terms AS (
+      |  SELECT ct,
+      |    CAST(round((CAST(n AS DOUBLE) / ct)
+      |      * abs(CAST(sum_p AS DOUBLE) / (n * 1000000.0)
+      |            - CAST(n_pos AS DOUBLE) / n) * 1e6) AS BIGINT) AS ece_micro,
+      |    CAST(round(abs(CAST(sum_p AS DOUBLE) / (n * 1000000.0)
+      |      - CAST(n_pos AS DOUBLE) / n) * 1e6) AS BIGINT) AS gap_micro
+      |  FROM g, t)
+      |SELECT ct AS n,
+      |  CAST(CAST(sum(ece_micro) AS BIGINT) AS DOUBLE) / 1e6 AS ece,
+      |  CAST(max(gap_micro) AS DOUBLE) / 1e6 AS mce
+      |FROM terms GROUP BY ct""".stripMargin
+
   /** McNemar's paired test — the A/B comparison for two classifiers
     * scored on the SAME examples (here: the full-embedding argmax model
     * vs a cheaper first-8-dims argmax), which a pooled-accuracy z-test
@@ -661,6 +728,7 @@ object Eval {
     "q_eval_ndcg" -> (qEvalNdcg _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_eval_calibration" -> (qEvalCalibration _),
+    "q_calibration_ece" -> (qCalibrationEce _),
     "q_mcnemar" -> (qMcnemar _),
     "q_isotonic_fit" -> (qIsotonicFit _),
     "q_isotonic_apply" -> (qIsotonicApply _),
@@ -675,6 +743,7 @@ object Eval {
     "q_eval_ndcg" -> evalNdcgSql,
     "q_cohens_kappa" -> cohensKappaSql,
     "q_eval_calibration" -> evalCalibrationSql,
+    "q_calibration_ece" -> calibrationEceSql,
     "q_mcnemar" -> mcnemarSql,
     "q_isotonic_fit" -> isotonicFitSql,
     "q_isotonic_apply" -> isotonicApplySql,

@@ -1341,6 +1341,73 @@ object Text {
       |  round(CAST(mi.mi_nano AS DOUBLE) / least(hs.hs_nano, hl.hl_nano), 6) AS nmi
       |FROM mi, hs, hl""".stripMargin
 
+  /** Cramér's V — the EFFECT-SIZE companion to [[qMutualInformation]]:
+    * the χ² statistic over the full lang×source grid (INCLUDING empty
+    * cells, whose expected counts still contribute) normalized to [0,1]
+    * by n·(min(r,c)−1), with its degrees of freedom. MI says how many
+    * nats the coupling carries; V says how strong the association is on
+    * a scale a reviewer can read.
+    *
+    * Determinism: expected counts are exact-integer products over one
+    * double division; per-cell χ² terms are quantized to micro before
+    * the ≤(r·c)-term sum. Scale shape: one (source, lang) aggregation
+    * plus a marginals-grid left join — every relation after the first
+    * aggregate is bounded by the category cardinalities. */
+  def qCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+    val total = cells.agg(sum($"c_sl").as("ct"))
+    val dims = bySource.agg(count(lit(1)).as("r"))
+      .crossJoin(broadcast(byLang.agg(count(lit(1)).as("c"))))
+    val grid = bySource.crossJoin(broadcast(byLang))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c_sl"))
+      .crossJoin(broadcast(total))
+    val expCnt = ($"c_s" * $"c_l").cast("double") / $"ct"
+    grid
+      .select($"ct",
+        round(($"c_sl".cast("double") - expCnt)
+          * ($"c_sl".cast("double") - expCnt) / expCnt * 1e6)
+          .cast("long").as("chi_micro"))
+      .groupBy($"ct".as("n"))
+      .agg(sum($"chi_micro").as("chi_micro"))
+      .crossJoin(broadcast(dims))
+      .select($"n",
+        ($"chi_micro".cast("double") / 1e6).as("chi2"),
+        ((least($"r", $"c") - 1) * (greatest($"r", $"c") - 1)).as("dof"),
+        round(sqrt(($"chi_micro".cast("double") / 1e6)
+          / ($"n" * (least($"r", $"c") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  val cramersVSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS c_s FROM cells GROUP BY 1),
+      |l AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_sl) AS BIGINT) AS ct FROM cells),
+      |grid AS (
+      |  SELECT s.source, s.c_s, l.lang, l.c_l, coalesce(cells.c_sl, 0) AS c_sl
+      |  FROM s CROSS JOIN l
+      |  LEFT JOIN cells ON cells.source = s.source AND cells.lang = l.lang),
+      |chi AS (
+      |  SELECT ct, CAST(sum(CAST(round(
+      |      (CAST(c_sl AS DOUBLE) - CAST(c_s * c_l AS DOUBLE) / ct)
+      |      * (CAST(c_sl AS DOUBLE) - CAST(c_s * c_l AS DOUBLE) / ct)
+      |      / (CAST(c_s * c_l AS DOUBLE) / ct) * 1e6) AS BIGINT)) AS BIGINT)
+      |    AS chi_micro
+      |  FROM grid, t GROUP BY ct),
+      |dims AS (SELECT (SELECT count(*) FROM s) AS r, (SELECT count(*) FROM l) AS c)
+      |SELECT ct AS n,
+      |  CAST(chi_micro AS DOUBLE) / 1e6 AS chi2,
+      |  CAST((least(r, c) - 1) * (greatest(r, c) - 1) AS BIGINT) AS dof,
+      |  round(sqrt((CAST(chi_micro AS DOUBLE) / 1e6)
+      |    / (ct * (least(r, c) - 1))), 6) AS cramers_v
+      |FROM chi, dims""".stripMargin
+
   /** Vocabulary-growth (Heaps' law) curve over the BIGRAM vocabulary:
     * distinct bigrams seen after ingesting each 1%-of-corpus prefix in
     * doc_id order — the curve that sizes tokenizer vocabularies and
@@ -2916,6 +2983,7 @@ object Text {
     "q_source_kl" -> (qSourceKl _),
     "q_jensen_shannon" -> (qJensenShannon _),
     "q_mutual_information" -> (qMutualInformation _),
+    "q_cramers_v" -> (qCramersV _),
     "q_vocab_growth" -> (qVocabGrowth _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_hash_sample" -> (qHashSample _),
@@ -2978,6 +3046,7 @@ object Text {
     "q_source_kl" -> sourceKlSql,
     "q_jensen_shannon" -> jensenShannonSql,
     "q_mutual_information" -> mutualInformationSql,
+    "q_cramers_v" -> cramersVSql,
     "q_vocab_growth" -> vocabGrowthSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_hash_sample" -> hashSampleSql,

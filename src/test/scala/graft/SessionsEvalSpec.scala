@@ -887,6 +887,32 @@ class SessionsEvalSpec extends GraftSuite {
       (9L, 2L, 2L, 1.0, 1.0)))
   }
 
+  test("q_calibration_ece: scalar summary equals the reliability table's weighted gaps") {
+    // ECE/MCE must be derivable from the q_eval_calibration table itself:
+    // Σ (n_b/N)·gap_b quantized per bin, and max bin gap — recomputed here
+    // from the UNROUNDED bin sums via the same replay fixture
+    val s = embRows.map { case (_, label, v) => (v.head.toDouble, if (label >= 5) 1L else 0L) }
+    val mn = s.map(_._1).min
+    val mx = s.map(_._1).max
+    val bins = s.map { case (x, y) =>
+      (math.min(math.floor((x - mn) * 1000000.0 / (mx - mn)).toLong, 999999L), y)
+    }.groupBy(_._1 / 100000L).toSeq.map { case (b, xs) =>
+      (b, xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).sum)
+    }
+    val ct = s.size.toLong
+    def quant(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val gaps = bins.map { case (_, n, sumP, nPos) =>
+      (n, math.abs(sumP.toDouble / (n * 1000000.0) - nPos.toDouble / n))
+    }
+    val ece = gaps.map { case (n, g) => quant((n.toDouble / ct) * g) }.sum
+    val mce = gaps.map { case (_, g) => quant(g) }.max
+    val row = rows(Eval.qCalibrationEce(spark, sf)).head
+    assert(row.getLong(0) == ct)
+    assert(row.getDouble(1) == ece.toDouble / 1e6)
+    assert(row.getDouble(2) == mce.toDouble / 1e6)
+  }
+
   test("q_isotonic_apply: every row carries its bin's fitted probability") {
     val fit = rows(Eval.qIsotonicFit(spark, sf))
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap

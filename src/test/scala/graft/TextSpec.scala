@@ -462,6 +462,38 @@ class TextSpec extends GraftSuite {
     assert(miNano >= -100 && miNano <= math.min(hsNano, hlNano) + 100)
   }
 
+  test("q_cramers_v matches an exact driver replay over the FULL grid") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cS = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cL = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = docs.length.toLong
+    def quant(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // the grid INCLUDES empty cells — their expected counts still carry χ²
+    // (NB: iterate Seqs, not key Sets — a Set comprehension dedupes equal
+    // χ² terms before the sum)
+    val chiMicro = (for (s <- cS.keys.toSeq; l <- cL.keys.toSeq) yield {
+      val o = cells.getOrElse((s, l), 0L).toDouble
+      val e = (cS(s) * cL(l)).toDouble / ct
+      quant((o - e) * (o - e) / e)
+    }).sum
+    val r = cS.size.min(cL.size)
+    val dof = (cS.size.min(cL.size) - 1L) * (cS.size.max(cL.size) - 1L)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Text.qCramersV(spark, sf).head()
+    assert(row.getLong(0) == ct)
+    assert(row.getDouble(1) == chiMicro.toDouble / 1e6)
+    assert(row.getLong(2) == dof)
+    assert(row.getDouble(3) ==
+      r6(math.sqrt(chiMicro.toDouble / 1e6 / (ct * (r - 1)).toDouble)))
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
     import spark.implicits._
     val r = Text.qVocabGrowth(spark, sf).collect()
