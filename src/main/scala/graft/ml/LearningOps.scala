@@ -439,13 +439,19 @@ object LearningOps {
       val w = blockCdSolve(train, featuresCol,
         transform(col(labelsCol), _.cast("double")), k = k, d = d,
         blocks = blocks, numIter = numIter, lambda = lambda, wc = wc)
-      Transformer { df =>
-        val x = transform(col(featuresCol), _.cast("double"))
-        df.withColumn(out, array(w.toIndexedSeq.map(wk =>
-          call_function("graft_dot", x,
-            array(wk.toIndexedSeq.map(lit): _*))): _*))
-      }
+      scoresTransformer(featuresCol, out, w)
     }
+  }
+
+  /** Fitted k-target scorer: the k weight rows applied as one array of
+    * codegen'd graft_dot columns (shared by the block and exact multi
+    * solvers). */
+  private[ml] def scoresTransformer(featuresCol: String, out: String,
+      w: Array[Array[Double]]): Transformer = Transformer { df =>
+    val x = transform(col(featuresCol), _.cast("double"))
+    df.withColumn(out, array(w.toIndexedSeq.map(wk =>
+      call_function("graft_dot", x,
+        array(wk.toIndexedSeq.map(lit): _*))): _*))
   }
 
   /** Shared block-CD core: column-major partition cache + materialized
@@ -482,6 +488,8 @@ object LearningOps {
           while (c < kk) { yk(c * m + i) = ys(c); c += 1 }
           var j = 0
           while (j < dd) { cm(j * m + i) = x(j); j += 1 }
+          buf(i) = null // release the row copy as it is transposed, so the
+          // build's peak heap stays ~1× the cached footprint, not 2×
           i += 1
         }
         Iterator.single((cm, yk, ws))
@@ -545,45 +553,58 @@ object LearningOps {
           p += 1
         }
         // r ← r − Xᵦ·Δwᵦ: an n·b·k column sweep; the old residual stays
-        // persisted until the new one is materialized
-        val bc = cols.context.broadcast((bIdx, delta.toArray)) // column-major b×k
-        val newR = cols.zipPartitions(resid) { (cit, rit) =>
-          if (!cit.hasNext) Iterator.empty
-          else {
-            val (cm, _, _) = cit.next()
-            val r = rit.next().clone()
-            val m = if (kk == 0) 0 else r.length / kk
-            val (idx, del) = bc.value
-            var p2 = 0
-            while (p2 < idx.length) {
-              val off = idx(p2) * m
-              var c = 0
-              while (c < kk) {
-                val dl = del(c * idx.length + p2)
-                val offC = c * m
-                var i = 0
-                while (i < m) { r(offC + i) -= cm(off + i) * dl; i += 1 }
-                c += 1
+        // persisted until the new one is materialized. The LAST
+        // (epoch, block) iteration skips it entirely — its residual has
+        // no consumer, and skipping it is what makes the dispatcher's
+        // one-block/one-epoch `normal` route a genuine ONE-pass solve
+        val lastIteration =
+          epoch == numIter - 1 && (block eq blocks.last)
+        if (!lastIteration) {
+          val bc = cols.context.broadcast((bIdx, delta.toArray)) // col-major b×k
+          val newR = cols.zipPartitions(resid) { (cit, rit) =>
+            if (!cit.hasNext) Iterator.empty
+            else {
+              val (cm, _, _) = cit.next()
+              val r = rit.next().clone()
+              val m = if (kk == 0) 0 else r.length / kk
+              val (idx, del) = bc.value
+              var p2 = 0
+              while (p2 < idx.length) {
+                val off = idx(p2) * m
+                var c = 0
+                while (c < kk) {
+                  val dl = del(c * idx.length + p2)
+                  val offC = c * m
+                  var i = 0
+                  while (i < m) { r(offC + i) -= cm(off + i) * dl; i += 1 }
+                  c += 1
+                }
+                p2 += 1
               }
-              p2 += 1
+              Iterator.single(r)
             }
-            Iterator.single(r)
-          }
-        }.persist(level)
-        // truncate the per-block lineage chain each epoch so a lost
-        // partition never replays the whole sweep. NB: the block
-        // broadcasts are NOT destroyed eagerly — task serialization of
-        // a downstream zipPartitions still walks this lineage even over
-        // cached partitions; the checkpoint truncation makes them
-        // unreachable and the ContextCleaner reclaims them
-        if (block eq blocks.last) newR.localCheckpoint()
-        newR.count()
-        resid.unpersist(blocking = false)
-        resid = newR
+          }.persist(level)
+          // truncate the per-block lineage chain each epoch so a lost
+          // partition never replays the whole sweep. NB: the block
+          // broadcasts are NOT destroyed eagerly — task serialization of
+          // a downstream zipPartitions still walks this lineage even over
+          // cached partitions; the checkpoint truncation makes them
+          // unreachable and the ContextCleaner reclaims them
+          if (block eq blocks.last) newR.localCheckpoint()
+          newR.count()
+          // a localCheckpointed residual must KEEP its blocks: its
+          // lineage is truncated, so unpersisting would delete the only
+          // copy and a later partition loss becomes a hard failure
+          // instead of a replay. At most one checkpointed residual per
+          // epoch stays resident; all become unreachable when fit
+          // returns and the ContextCleaner reclaims them
+          if (!resid.isCheckpointed) resid.unpersist(blocking = false)
+          resid = newR
+        }
       }
       weights
     } finally {
-      resid.unpersist(blocking = false)
+      if (!resid.isCheckpointed) resid.unpersist(blocking = false)
       cols.unpersist()
     }
   }

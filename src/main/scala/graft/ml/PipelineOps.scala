@@ -334,6 +334,24 @@ object workflow {
     else df.withColumn("__features",
       toSparseVec(transform(col(in), _.cast("double"))))
 
+  /** Fit-time problem probe shared by the solver dispatchers: exact n
+    * (a columnar count), and the zero-fraction of a ~4k-row sample —
+    * SAMPLED FIRST so the per-row nnz projection runs over the sample,
+    * not the corpus. */
+  private def probeProblem(train: DataFrame, featuresCol: String,
+      d: Int): (Long, Double) = {
+    val n = train.count()
+    val frac = math.min(1.0, 4096.0 / math.max(n, 1L).toDouble)
+    val probe = train
+      .sample(withReplacement = false, frac, seed = 7L)
+      .select((size(filter(col(featuresCol), x => x =!= 0.0)).cast("double")
+        / d).as("rowDensity"))
+      .agg(avg(col("rowDensity"))).head()
+    val density =
+      if (probe.isNullAt(0)) 1.0 else math.max(probe.getDouble(0), 1e-6)
+    (n, density)
+  }
+
   /** ref: nodes.learning.NaiveBayesEstimator (wraps MLlib multinomial NB).
     * Label column must be numeric 0..k-1; emits predicted class + the raw
     * score array. */
@@ -436,16 +454,7 @@ object workflow {
 
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
-      val n = train.count()
-      // sampled zero-fraction: a ~4k-row probe regardless of corpus size
-      val frac = math.min(1.0, 4096.0 / math.max(n, 1L).toDouble)
-      val probe = train.select(
-        (size(filter(col(featuresCol), x => x =!= 0.0)).cast("double")
-          / d).as("rowDensity"))
-        .sample(withReplacement = false, frac, seed = 7L)
-        .agg(avg(col("rowDensity"))).head()
-      val density =
-        if (probe.isNullAt(0)) 1.0 else math.max(probe.getDouble(0), 1e-6)
+      val (n, density) = probeProblem(train, featuresCol, d)
       probedDensity = density
       val workers = workersOverride.getOrElse(
         train.sparkSession.sparkContext.defaultParallelism)
@@ -464,8 +473,14 @@ object workflow {
           // sparse designs ride sparse vectors so L-BFGS's gradient cost
           // really is nnz-proportional (MLlib aggregates via foreachActive)
           val sparse = mllibSolver == "l-bfgs" && density < 0.5
+          // no intercept on ANY route: the dispatcher must pick the
+          // PHYSICAL solver, never the model class — an intercept here
+          // with none on the block-CD route would let cluster size flip
+          // the model's family (the reference's LinearMapper convention:
+          // append a bias feature when an offset is wanted)
           val model = new org.apache.spark.ml.regression.LinearRegression()
             .setSolver(mllibSolver).setRegParam(regParam)
+            .setFitIntercept(false)
             .setFeaturesCol("__features").setLabelCol(labelCol)
             .setPredictionCol(out)
             .fit(withVecAuto(train, featuresCol, sparse))
@@ -496,19 +511,13 @@ object workflow {
       workersOverride: Option[Int] = None) extends Estimator {
     @volatile var chosenSolver: String = _
     @volatile var costReport: Map[String, Double] = _
+    @volatile var probedDensity: Double = _
 
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
       val k = train.select(size(col(labelsCol))).head().getInt(0)
-      val n = train.count()
-      val frac = math.min(1.0, 4096.0 / math.max(n, 1L).toDouble)
-      val probe = train.select(
-        (size(filter(col(featuresCol), x => x =!= 0.0)).cast("double")
-          / d).as("rowDensity"))
-        .sample(withReplacement = false, frac, seed = 7L)
-        .agg(avg(col("rowDensity"))).head()
-      val density =
-        if (probe.isNullAt(0)) 1.0 else math.max(probe.getDouble(0), 1e-6)
+      val (n, density) = probeProblem(train, featuresCol, d)
+      probedDensity = density
       val workers = workersOverride.getOrElse(
         train.sparkSession.sparkContext.defaultParallelism)
       val (solver, costs) = graft.ml.SolverCostModel.choose(
@@ -523,12 +532,7 @@ object workflow {
             transform(col(labelsCol), _.cast("double")), k = k, d = d,
             blocks = Array(0 until d), numIter = 1,
             lambda = math.max(regParam, 1e-9), wc = lit(1.0))
-          Transformer { df =>
-            val x = transform(col(featuresCol), _.cast("double"))
-            df.withColumn(out, array(w.toIndexedSeq.map(wk =>
-              call_function("graft_dot", x,
-                array(wk.toIndexedSeq.map(lit): _*))): _*))
-          }
+          graft.ml.LearningOps.scoresTransformer(featuresCol, out, w)
         case "block-cd" =>
           graft.ml.LearningOps.BlockLeastSquaresMultiEst(featuresCol,
             labelsCol, out, blockSize = blockSize, numIter = numIter,

@@ -332,8 +332,10 @@ object Eval {
     val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
     s.crossJoin(broadcast(mm))
       .select(
-        least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
-          lit(999999L)).as("p_micro"),
+        when($"mx" > $"mn",
+          least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn"))
+            .cast("long"), lit(999999L)))
+          .otherwise(lit(0L)).as("p_micro"),
         $"y")
       .groupBy(expr("p_micro DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum($"p_micro").as("sum_p"), sum($"y").as("n_pos"),
@@ -352,8 +354,10 @@ object Eval {
       |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
       |  FROM embeddings),
       |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
-      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
-      |        999999) AS p_micro, y
+      |p AS (SELECT CASE WHEN mx > mn
+      |        THEN least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |          999999)
+      |        ELSE 0 END AS p_micro, y
       |      FROM s CROSS JOIN mm),
       |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n, sum(p_micro) AS sum_p,
       |        sum(y) AS n_pos,
@@ -379,31 +383,39 @@ object Eval {
     * reliability table — one broadcast min/max + one 10-bin aggregate. */
   def qCalibrationEce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val s = Tables.embeddings(spark, sfDir)
+    calibrationEceFromScores(Tables.embeddings(spark, sfDir)
       .select(element_at($"embedding", 1).cast("double").as("s"),
-        when($"label" >= 5, 1L).otherwise(0L).as("y"))
-    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+        when($"label" >= 5, 1L).otherwise(0L).as("y")))
+  }
+
+  /** ECE/MCE core over a (s: double score, y: 0/1 label) frame — factored
+    * out so the degenerate constant-score corpus (every gap computed in
+    * one bin, no ANSI division hazard) is unit-testable. */
+  private[graft] def calibrationEceFromScores(s: DataFrame): DataFrame = {
+    val mm = s.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
     val g = s.crossJoin(broadcast(mm))
       .select(
-        least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn")).cast("long"),
-          lit(999999L)).as("p_micro"),
-        $"y")
+        when(col("mx") > col("mn"),
+          least(floor((col("s") - col("mn")) * lit(1000000.0)
+            / (col("mx") - col("mn"))).cast("long"), lit(999999L)))
+          .otherwise(lit(0L)).as("p_micro"),
+        col("y"))
       .groupBy(expr("p_micro DIV 100000").as("bin"))
-      .agg(count(lit(1)).as("n"), sum($"p_micro").as("sum_p"),
-        sum($"y").as("n_pos"))
-    val total = g.agg(sum($"n").as("ct"))
-    val gap = abs($"sum_p".cast("double") / ($"n" * lit(1000000.0))
-      - $"n_pos".cast("double") / $"n")
+      .agg(count(lit(1)).as("n"), sum(col("p_micro")).as("sum_p"),
+        sum(col("y")).as("n_pos"))
+    val total = g.agg(sum(col("n")).as("ct"))
+    val gap = abs(col("sum_p").cast("double") / (col("n") * lit(1000000.0))
+      - col("n_pos").cast("double") / col("n"))
     g.crossJoin(broadcast(total))
       .select(
-        $"ct",
-        round(($"n".cast("double") / $"ct") * gap * 1e6).cast("long")
+        col("ct"),
+        round((col("n").cast("double") / col("ct")) * gap * 1e6).cast("long")
           .as("ece_micro"),
         round(gap * 1e6).cast("long").as("gap_micro"))
-      .groupBy($"ct".as("n"))
+      .groupBy(col("ct").as("n"))
       .agg(
-        (sum($"ece_micro").cast("double") / 1e6).as("ece"),
-        (max($"gap_micro").cast("double") / 1e6).as("mce"))
+        (sum(col("ece_micro")).cast("double") / 1e6).as("ece"),
+        (max(col("gap_micro")).cast("double") / 1e6).as("mce"))
   }
 
   val calibrationEceSql: String =
@@ -412,8 +424,10 @@ object Eval {
       |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
       |  FROM embeddings),
       |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM s),
-      |p AS (SELECT least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
-      |        999999) AS p_micro, y
+      |p AS (SELECT CASE WHEN mx > mn
+      |        THEN least(CAST(floor((s - mn) * 1000000.0 / (mx - mn)) AS BIGINT),
+      |          999999)
+      |        ELSE 0 END AS p_micro, y
       |      FROM s CROSS JOIN mm),
       |g AS (SELECT p_micro // 100000 AS bin, count(*) AS n,
       |        CAST(sum(p_micro) AS BIGINT) AS sum_p,

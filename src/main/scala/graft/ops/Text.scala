@@ -1285,7 +1285,16 @@ object Text {
     * marginals. */
   def qMutualInformation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.documents(spark, sfDir)
+    mutualInformationFromPairs(
+      Tables.documents(spark, sfDir).select($"source", $"lang"))
+  }
+
+  /** MI core over a (source, lang) frame — factored out so the degenerate
+    * single-category corpus (min marginal entropy exactly 0 → NMI must
+    * degrade to 0, not divide by zero) is unit-testable. */
+  private[graft] def mutualInformationFromPairs(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cells = pairs
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
@@ -1311,8 +1320,12 @@ object Text {
         ($"mi_nano".cast("double") / 1e9).as("mi_nats"),
         ($"hs_nano".cast("double") / 1e9).as("h_source"),
         ($"hl_nano".cast("double") / 1e9).as("h_lang"),
-        round($"mi_nano".cast("double") / least($"hs_nano", $"hl_nano"), 6)
-          .as("nmi"))
+        // a single-source (or single-language) corpus has zero min
+        // marginal entropy — NMI degrades to 0 by convention instead of
+        // tripping Spark 4's ANSI DIVIDE_BY_ZERO
+        when(least($"hs_nano", $"hl_nano") > 0,
+          round($"mi_nano".cast("double") / least($"hs_nano", $"hl_nano"), 6))
+          .otherwise(lit(0.0)).as("nmi"))
   }
 
   val mutualInformationSql: String =
@@ -1338,7 +1351,9 @@ object Text {
       |SELECT CAST(mi.mi_nano AS DOUBLE) / 1e9 AS mi_nats,
       |  CAST(hs.hs_nano AS DOUBLE) / 1e9 AS h_source,
       |  CAST(hl.hl_nano AS DOUBLE) / 1e9 AS h_lang,
-      |  round(CAST(mi.mi_nano AS DOUBLE) / least(hs.hs_nano, hl.hl_nano), 6) AS nmi
+      |  CASE WHEN least(hs.hs_nano, hl.hl_nano) > 0
+      |    THEN round(CAST(mi.mi_nano AS DOUBLE) / least(hs.hs_nano, hl.hl_nano), 6)
+      |    ELSE 0.0 END AS nmi
       |FROM mi, hs, hl""".stripMargin
 
   /** Cramér's V — the EFFECT-SIZE companion to [[qMutualInformation]]:
@@ -1355,7 +1370,16 @@ object Text {
     * aggregate is bounded by the category cardinalities. */
   def qCramersV(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.documents(spark, sfDir)
+    cramersVFromPairs(
+      Tables.documents(spark, sfDir).select($"source", $"lang"))
+  }
+
+  /** Cramér's V core over a (source, lang) frame — factored out so the
+    * degenerate 1×c table (min dimension 1 → V must degrade to 0, not
+    * divide by zero) is unit-testable. */
+  private[graft] def cramersVFromPairs(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val cells = pairs
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
@@ -1378,9 +1402,12 @@ object Text {
       .select($"n",
         ($"chi_micro".cast("double") / 1e6).as("chi2"),
         ((least($"r", $"c") - 1) * (greatest($"r", $"c") - 1)).as("dof"),
-        round(sqrt(($"chi_micro".cast("double") / 1e6)
-          / ($"n" * (least($"r", $"c") - 1)).cast("double")), 6)
-          .as("cramers_v"))
+        // a 1×c table has no association dimensions — V degrades to 0 by
+        // convention instead of tripping Spark 4's ANSI DIVIDE_BY_ZERO
+        when(least($"r", $"c") > 1,
+          round(sqrt(($"chi_micro".cast("double") / 1e6)
+            / ($"n" * (least($"r", $"c") - 1)).cast("double")), 6))
+          .otherwise(lit(0.0)).as("cramers_v"))
   }
 
   val cramersVSql: String =
@@ -1404,8 +1431,10 @@ object Text {
       |SELECT ct AS n,
       |  CAST(chi_micro AS DOUBLE) / 1e6 AS chi2,
       |  CAST((least(r, c) - 1) * (greatest(r, c) - 1) AS BIGINT) AS dof,
-      |  round(sqrt((CAST(chi_micro AS DOUBLE) / 1e6)
-      |    / (ct * (least(r, c) - 1))), 6) AS cramers_v
+      |  CASE WHEN least(r, c) > 1
+      |    THEN round(sqrt((CAST(chi_micro AS DOUBLE) / 1e6)
+      |      / (ct * (least(r, c) - 1))), 6)
+      |    ELSE 0.0 END AS cramers_v
       |FROM chi, dims""".stripMargin
 
   /** Vocabulary-growth (Heaps' law) curve over the BIGRAM vocabulary:

@@ -913,6 +913,18 @@ class SessionsEvalSpec extends GraftSuite {
     assert(row.getDouble(2) == mce.toDouble / 1e6)
   }
 
+  test("calibration ECE: constant-score corpus collapses to one bin, no ANSI error") {
+    import spark.implicits._
+    val fixture = Seq((0.7, 1L), (0.7, 1L), (0.7, 1L), (0.7, 0L), (0.7, 0L))
+      .toDF("s", "y")
+    val row = Eval.calibrationEceFromScores(fixture).head()
+    // the degenerate grid maps every score to micro-prob 0, so the single
+    // bin's gap is exactly the positive rate
+    assert(row.getLong(0) == 5L)
+    assert(row.getDouble(1) == 0.6)
+    assert(row.getDouble(2) == 0.6)
+  }
+
   test("q_isotonic_apply: every row carries its bin's fitted probability") {
     val fit = rows(Eval.qIsotonicFit(spark, sf))
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap

@@ -494,6 +494,23 @@ class TextSpec extends GraftSuite {
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
   }
 
+  test("MI and Cramér's V degrade to 0 on single-category corpora (no ANSI error)") {
+    import spark.implicits._
+    // one source: H_source = 0, so NMI's denominator is exactly zero
+    val oneSource = Seq(("s0", "en"), ("s0", "de"), ("s0", "en"))
+      .toDF("source", "lang")
+    val mi = Text.mutualInformationFromPairs(oneSource).head()
+    assert(mi.getDouble(0) == 0.0, "MI against a constant is 0")
+    assert(mi.getDouble(3) == 0.0, "NMI must degrade to 0, not divide by 0")
+    // one language: min(r, c) = 1, so V's denominator is exactly zero
+    val oneLang = Seq(("s0", "en"), ("s1", "en"), ("s2", "en"))
+      .toDF("source", "lang")
+    val cv = Text.cramersVFromPairs(oneLang).head()
+    assert(cv.getDouble(1) == 0.0, "chi2 of a 1-dim table is 0")
+    assert(cv.getLong(2) == 0L)
+    assert(cv.getDouble(3) == 0.0, "V must degrade to 0, not divide by 0")
+  }
+
   test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
     import spark.implicits._
     val r = Text.qVocabGrowth(spark, sf).collect()
