@@ -68,37 +68,47 @@ object AutoCache {
     * actual shape (it picks a cache SET across the whole pipeline DAG
     * under a single memory budget via a greedy knapsack, not a per-frame
     * accept/decline; SURVEY §4). Benefit of caching a frame =
-    * (uses − 1) · size (the recomputation bytes a hit saves), weight =
-    * size, so benefit density is (uses − 1): candidates are taken in
-    * (density desc, benefit desc) order while they still fit the
-    * remaining budget — when two frames compete for the last slot at
-    * equal density, the higher-benefit one wins, and a frame that does
-    * not fit is skipped rather than blocking smaller frames behind it.
+    * (uses − 1) · ESTIMATED RECOMPUTE SECONDS — the paper's runtime
+    * semantics (AutoCacheRule minimizes estimated pipeline time under a
+    * memory budget off sampled compute profiles), not a size proxy: an
+    * expensive-to-recompute small frame must beat a cheap-to-rescan
+    * giant one. Weight = size; candidates are taken in (benefit/size
+    * density desc, benefit desc) order while they still fit the
+    * remaining budget — a frame that does not fit is skipped rather
+    * than blocking smaller frames behind it.
+    *
+    * The recompute-seconds estimate rides the sizing machinery for
+    * free: a frame whose Catalyst stats are trustworthy is (by
+    * construction — parquet footers propagated through narrow ops) a
+    * scan-shaped recompute, priced at size / [[ScanBwBytesPerSec]];
+    * a stat-less frame already pays the one-pass profiling sweep
+    * ([[profiledSize]]), whose measured wall time IS its sampled
+    * recompute cost.
     *
     * Returns handles ALIGNED WITH THE INPUT ORDER; only selected frames
     * are persisted, and every handle's `release()` is unconditionally
-    * safe (no-op for declined frames). Sizing reuses [[estimatedSize]] —
-    * Catalyst stats when trustworthy, the no-persist profiling pass
-    * otherwise. */
+    * safe (no-op for declined frames). */
   def selectCacheSet(candidates: Seq[Candidate],
       memBudgetBytes: Long = 2L << 30): Seq[CacheHandle] = {
-    // size ONLY the uses > 1 candidates: the rest are filtered out of the
-    // greedy order and can never be selected, and estimatedSize on a
-    // stat-less frame is a full distributed profiling pass — paid for
-    // nothing on a never-cacheable candidate
-    val sizes: Map[Int, BigInt] = candidates.indices
+    // profile ONLY the uses > 1 candidates: the rest are filtered out of
+    // the greedy order and can never be selected, and profiling a
+    // stat-less frame is a full distributed pass — paid for nothing on a
+    // never-cacheable candidate
+    val profiles: Map[Int, (BigInt, Double)] = candidates.indices
       .filter(i => candidates(i).uses > 1)
-      .map(i => i -> estimatedSize(candidates(i).df)).toMap
+      .map(i => i -> estimatedSizeAndCost(candidates(i).df)).toMap
     val order = candidates.indices
       .filter(i => candidates(i).uses > 1)
       .sortBy { i =>
-        val density = candidates(i).uses - 1
-        (-density.toLong, -(BigInt(density) * sizes(i)))
+        val (size, seconds) = profiles(i)
+        val benefit = (candidates(i).uses - 1).toDouble * seconds
+        val density = benefit / size.toDouble.max(1.0)
+        (-density, -benefit)
       }
     var remaining = BigInt(memBudgetBytes)
     val chosen = scala.collection.mutable.BitSet.empty
     order.foreach { i =>
-      if (sizes(i) <= remaining) { chosen += i; remaining -= sizes(i) }
+      if (profiles(i)._1 <= remaining) { chosen += i; remaining -= profiles(i)._1 }
     }
     candidates.indices.map { i =>
       if (chosen(i))
@@ -144,7 +154,24 @@ object AutoCache {
     * deciding block sizes: Catalyst's estimate when trustworthy, else the
     * reference's profiling behavior ([[profiledSize]]). */
   def estimatedSize(df: DataFrame): BigInt =
-    planStats(df).getOrElse(profiledSize(df))
+    planStats(df).getOrElse(profiledSizeAndTime(df)._1)
+
+  /** Modeled re-scan bandwidth for a frame whose recompute is
+    * scan-shaped (trustworthy Catalyst stats = parquet + narrow ops):
+    * local-disk parquet at ~1 GB/s. Only the RATIO against measured
+    * profile seconds matters for the knapsack ordering. */
+  private[graft] val ScanBwBytesPerSec = 1e9
+
+  /** (size bytes, estimated recompute seconds) — the knapsack's two
+    * inputs off ONE sizing decision: stats-backed frames price a
+    * re-scan; stat-less frames return the measured wall time of the
+    * profiling pass they already paid (the reference's sampled
+    * per-node compute profile). */
+  private[graft] def estimatedSizeAndCost(df: DataFrame): (BigInt, Double) =
+    planStats(df) match {
+      case Some(size) => (size, size.toDouble / ScanBwBytesPerSec)
+      case None => profiledSizeAndTime(df)
+    }
 
   private val SamplePerPartition = 8
 
@@ -154,7 +181,17 @@ object AutoCache {
     * sorted by document/array length) makes a driver-side `head(100)`
     * sample, which only ever sees the first partition, lie badly in
     * either direction. The width average is computed in Double (no
-    * integer truncation) before scaling by the count. */
+    * integer truncation) before scaling by the count.
+    *
+    * Also returns the pass's wall seconds: the pass executes the
+    * frame's full plan, so its duration is a direct sample of the
+    * recompute cost a cache hit saves. */
+  private def profiledSizeAndTime(df: DataFrame): (BigInt, Double) = {
+    val t0 = System.nanoTime()
+    val size = profiledSize(df)
+    (size, (System.nanoTime() - t0) / 1e9)
+  }
+
   private def profiledSize(df: DataFrame): BigInt = {
     val (n, widthSum, widthCnt) = df.rdd
       .mapPartitions { it =>

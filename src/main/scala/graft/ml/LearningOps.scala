@@ -445,31 +445,69 @@ object LearningOps {
 
   /** Fitted k-target scorer: the k weight rows applied as one array of
     * codegen'd graft_dot columns (shared by the block and exact multi
-    * solvers). */
+    * solvers). Per-target offsets `b` carry a mean-centered intercept
+    * (ref LinearMapper's `bOpt`); a zero offset emits the bare dot so
+    * intercept-free fits keep their exact plan shape. */
   private[ml] def scoresTransformer(featuresCol: String, out: String,
-      w: Array[Array[Double]]): Transformer = Transformer { df =>
-    val x = transform(col(featuresCol), _.cast("double"))
-    df.withColumn(out, array(w.toIndexedSeq.map(wk =>
-      call_function("graft_dot", x,
-        array(wk.toIndexedSeq.map(lit): _*))): _*))
-  }
+      w: Array[Array[Double]], b: Array[Double]): Transformer =
+    Transformer { df =>
+      val x = transform(col(featuresCol), _.cast("double"))
+      df.withColumn(out, array(w.indices.map { c =>
+        val dot = call_function("graft_dot", x,
+          array(w(c).toIndexedSeq.map(lit): _*))
+        if (b(c) == 0.0) dot else dot + lit(b(c))
+      }.toIndexedSeq: _*))
+    }
+
+  private[ml] def scoresTransformer(featuresCol: String, out: String,
+      w: Array[Array[Double]]): Transformer =
+    scoresTransformer(featuresCol, out, w, new Array[Double](w.length))
 
   /** Shared block-CD core: column-major partition cache + materialized
     * k-target residual. Returns the k×d weight rows. With a single block
     * spanning all d columns and one epoch this IS the exact distributed
-    * ridge solve — (G + λI)⁻¹ X'WY off one treeAggregate — which is how
-    * the dispatcher's `normal` path solves multi-target problems. */
-  private[ml] def blockCdSolve(train: DataFrame, featuresCol: String,
+    * ridge solve — (G + λI) \ X'WY off one treeAggregate — which is how
+    * the dispatcher's `normal` path solves multi-target problems.
+    *
+    * Kernels are level-3 BLAS over the column-major buffers (the
+    * reference's rows→local-matrix + gemm pattern, ref:
+    * utils/MatrixUtils + nodes/learning/BlockLeastSquaresEstimator):
+    * the block gram is one `dsyrk` on the √w-scaled block columns (half
+    * the gemm flops via symmetry, mirrored once on the driver), the
+    * cross term one `dgemm`, and the residual update R -= B·Δ one
+    * `dgemm` — all through `dev.ludovic.netlib` (the BLAS Spark MLlib
+    * itself ships). Row weights must be ≥ 0 (they enter as √w scales).
+    *
+    * Cache safety: each partition's buffers are flat `Array[Double]`s,
+    * so rows-per-partition × max(d, k) must stay ≤ `maxPartElems`
+    * (Int.MaxValue). When the caller knows n (`nHint` — the dispatchers
+    * pass their probed count) the input is repartitioned up-front to
+    * keep 2× headroom under the cap; either way the cache build itself
+    * refuses an oversize partition with a named error instead of
+    * overflowing the Int offset arithmetic. */
+  private[graft] def blockCdSolve(train: DataFrame, featuresCol: String,
       labels: org.apache.spark.sql.Column, k: Int, d: Int,
       blocks: Array[Range], numIter: Int, lambda: Double,
-      wc: org.apache.spark.sql.Column): Array[Array[Double]] = {
+      wc: org.apache.spark.sql.Column, nHint: Long = -1L,
+      maxPartElems: Long = Int.MaxValue.toLong): Array[Array[Double]] = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dd = d
     val kk = k
+    val widest = math.max(dd, kk).toLong.max(1L)
+    val safeRowsPerPart = math.max(1L, maxPartElems / (2L * widest))
+    val source =
+      if (nHint > 0) {
+        val parts = math.max(train.rdd.getNumPartitions, 1)
+        if (nHint / parts > safeRowsPerPart)
+          train.repartition(math.ceil(nHint.toDouble / safeRowsPerPart)
+            .toInt)
+        else train
+      } else train
+    val capMsg = maxPartElems
     // one pass builds the column-major cache: per partition a d×m
     // column-major design (cm), a k×m column-major target matrix (yk),
-    // and row weights
-    val cols = train.select(
+    // and √(row weight) scales
+    val cols = source.select(
       transform(col(featuresCol), _.cast("double")).as("x"),
       labels.as("ys"), wc.as("w"))
       .rdd.mapPartitions { it =>
@@ -477,13 +515,23 @@ object LearningOps {
           (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
             r.getDouble(2))).toArray
         val m = buf.length
+        if (m.toLong * dd > capMsg || m.toLong * kk > capMsg)
+          throw new IllegalArgumentException(
+            s"blockCdSolve: a partition with $m rows x max($dd features, " +
+              s"$kk targets) overflows the flat column-major cache " +
+              s"(limit $capMsg elements); repartition the training frame " +
+              s"to <= ${capMsg / math.max(math.max(dd, kk), 1)} rows per " +
+              "partition")
         val cm = new Array[Double](m * dd)
         val yk = new Array[Double](m * kk)
-        val ws = new Array[Double](m)
+        val sw = new Array[Double](m)
         var i = 0
         while (i < m) {
           val (x, ys, w0) = buf(i)
-          ws(i) = w0
+          if (w0 < 0.0) throw new IllegalArgumentException(
+            s"blockCdSolve: negative row weight $w0 (weights scale the " +
+              "gram as sqrt factors and must be >= 0)")
+          sw(i) = math.sqrt(w0)
           var c = 0
           while (c < kk) { yk(c * m + i) = ys(c); c += 1 }
           var j = 0
@@ -492,7 +540,7 @@ object LearningOps {
           // build's peak heap stays ~1× the cached footprint, not 2×
           i += 1
         }
-        Iterator.single((cm, yk, ws))
+        Iterator.single((cm, yk, sw))
       }.persist(level)
     var resid = cols.map { case (_, yk, _) => yk.clone() }.persist(level)
     try {
@@ -502,49 +550,67 @@ object LearningOps {
         val bIdx = block.toArray
         val bLen = bIdx.length
         val wbCur = DenseMatrix.tabulate(bLen, k)((p, c) => weights(c)(bIdx(p)))
-        val (gram, xtwr) = cols.zipPartitions(resid) { (cit, rit) =>
-          val g = DenseMatrix.zeros[Double](bLen, bLen)
-          val v = DenseMatrix.zeros[Double](bLen, kk)
+        val (gArr, vArr) = cols.zipPartitions(resid) { (cit, rit) =>
+          val g = new Array[Double](bLen * bLen)
+          val v = new Array[Double](bLen * kk)
           if (cit.hasNext) {
-            val (cm, _, ws) = cit.next()
+            val (cm, _, sw) = cit.next()
             val r = rit.next()
-            val m = ws.length
-            var p = 0
-            while (p < bLen) {
-              val offP = bIdx(p) * m
-              // v(p,c) = Σ w·x_p·r_c ; g(p,q) = Σ w·x_p·x_q — contiguous
-              // column sweeps; the gram is shared by ALL k targets
+            val m = sw.length
+            if (m > 0) {
+              val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+              // SB = √w-scaled block columns (m×b col-major), SR = √w-scaled
+              // residual (m×k): then G = SBᵀSB = Σ w·x_p·x_q and
+              // V = SBᵀSR = Σ w·x_p·r_c — the gram is shared by ALL k
+              // targets. dsyrk fills the UPPER triangle only (half the
+              // gemm flops); the driver mirrors once after the reduce.
+              val sb = new Array[Double](m * bLen)
+              var p = 0
+              while (p < bLen) {
+                val src = bIdx(p) * m
+                val dst = p * m
+                var i = 0
+                while (i < m) { sb(dst + i) = sw(i) * cm(src + i); i += 1 }
+                p += 1
+              }
+              val sr = new Array[Double](m * kk)
               var c = 0
               while (c < kk) {
-                val offC = c * m
-                var vp = 0.0
+                val off = c * m
                 var i = 0
-                while (i < m) { vp += ws(i) * cm(offP + i) * r(offC + i); i += 1 }
-                v(p, c) = vp
+                while (i < m) { sr(off + i) = sw(i) * r(off + i); i += 1 }
                 c += 1
               }
-              var q = 0
-              while (q < bLen) {
-                val offQ = bIdx(q) * m
-                var gpq = 0.0
-                var i = 0
-                while (i < m) {
-                  gpq += ws(i) * cm(offP + i) * cm(offQ + i); i += 1
-                }
-                g(p, q) = gpq
-                q += 1
-              }
-              p += 1
+              blas.dsyrk("U", "T", bLen, m, 1.0, sb, m, 0.0, g, bLen)
+              blas.dgemm("T", "N", bLen, kk, m, 1.0, sb, m, sr, m, 0.0,
+                v, bLen)
             }
           }
           Iterator.single((g, v))
-        }.treeReduce { case ((g1, v1), (g2, v2)) => (g1 + g2, v1 + v2) }
+        }.treeReduce { case ((g1, v1), (g2, v2)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          i = 0
+          while (i < v1.length) { v1(i) += v2(i); i += 1 }
+          (g1, v1)
+        }
+        // mirror dsyrk's upper triangle into a full symmetric gram
+        val gram = new DenseMatrix(bLen, bLen, gArr)
+        var pm = 0
+        while (pm < bLen) {
+          var qm = pm + 1
+          while (qm < bLen) { gram(qm, pm) = gram(pm, qm); qm += 1 }
+          pm += 1
+        }
+        val xtwr = new DenseMatrix(bLen, kk, vArr)
         // with r = y − Xw (ALL blocks applied), the block target is
         // Xᵦᵀ W (r + Xᵦwᵦ) = XᵦᵀWr + Gᵦwᵦ — the Gᵦwᵦ term is a
         // driver-side b×b×k multiply, so the residual needs no add-back
-        // pass; ONE factorization serves all k right-hand sides
+        // pass; ONE factorization (LAPACK solve, not an explicit
+        // inverse — stable on ill-conditioned grams) serves all k
+        // right-hand sides
         val reg = DenseMatrix.eye[Double](bLen) * lambda
-        val sol = inv(gram + reg) * (xtwr + gram * wbCur)
+        val sol = (gram + reg) \ (xtwr + gram * wbCur)
         val delta = sol - wbCur
         var p = 0
         while (p < bLen) {
@@ -564,22 +630,22 @@ object LearningOps {
           val newR = cols.zipPartitions(resid) { (cit, rit) =>
             if (!cit.hasNext) Iterator.empty
             else {
-              val (cm, _, _) = cit.next()
+              val (cm, _, sw) = cit.next()
               val r = rit.next().clone()
-              val m = if (kk == 0) 0 else r.length / kk
-              val (idx, del) = bc.value
-              var p2 = 0
-              while (p2 < idx.length) {
-                val off = idx(p2) * m
-                var c = 0
-                while (c < kk) {
-                  val dl = del(c * idx.length + p2)
-                  val offC = c * m
-                  var i = 0
-                  while (i < m) { r(offC + i) -= cm(off + i) * dl; i += 1 }
-                  c += 1
+              val m = sw.length
+              if (m > 0) {
+                val (idx, del) = bc.value
+                val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+                // R -= B·Δ as one gemm: gather the (unscaled) block
+                // columns contiguously, then (m×k) += (m×b)(b×k)·(−1)
+                val bArr = new Array[Double](m * idx.length)
+                var p2 = 0
+                while (p2 < idx.length) {
+                  System.arraycopy(cm, idx(p2) * m, bArr, p2 * m, m)
+                  p2 += 1
                 }
-                p2 += 1
+                blas.dgemm("N", "N", m, kk, idx.length, -1.0, bArr, m,
+                  del, idx.length, 1.0, r, m)
               }
               Iterator.single(r)
             }

@@ -432,25 +432,107 @@ object workflow {
       }
   }
 
+  /** One-pass feature/label means (treeAggregate of d+k doubles) for
+    * intercept centering — shared by the solver dispatchers. */
+  private def probeMeans(df: DataFrame, featuresCol: String,
+      labels: org.apache.spark.sql.Column, d: Int, k: Int,
+      n: Long): (Array[Double], Array[Double]) = {
+    val (sx, sy) = df.select(
+      transform(col(featuresCol), _.cast("double")).as("x"), labels.as("ys"))
+      .rdd.treeAggregate((new Array[Double](d), new Array[Double](k)))(
+        seqOp = { case ((ax, ay), r) =>
+          val x = r.getSeq[Double](0)
+          val ys = r.getSeq[Double](1)
+          var j = 0
+          while (j < d) { ax(j) += x(j); j += 1 }
+          var c = 0
+          while (c < k) { ay(c) += ys(c); c += 1 }
+          (ax, ay)
+        },
+        combOp = { case ((ax, ay), (bx, by)) =>
+          var j = 0
+          while (j < d) { ax(j) += bx(j); j += 1 }
+          var c = 0
+          while (c < k) { ay(c) += by(c); c += 1 }
+          (ax, ay)
+        })
+    val nn = math.max(n, 1L).toDouble
+    (sx.map(_ / nn), sy.map(_ / nn))
+  }
+
+  /** Center an array column by a plain mean array (fit-time only; serve
+    * time folds the means into the intercept instead). */
+  private def centered(in: org.apache.spark.sql.Column,
+      mu: Array[Double]): org.apache.spark.sql.Column = {
+    val centerUdf = udf { (xs: Seq[Double]) =>
+      val out = new Array[Double](mu.length)
+      var j = 0
+      while (j < mu.length) { out(j) = xs(j) - mu(j); j += 1 }
+      out.toSeq
+    }
+    centerUdf(in)
+  }
+
+  /** Ridge as pure least squares for the MLlib L-BFGS route:
+    * ‖Xw−y‖² + λ‖w‖² = ‖[X;√λ·I]w − [y;0]‖², so appending d one-hot
+    * rows scaled by √λ and fitting with regParam = 0 yields EXACTLY the
+    * same stationary point as the gram routes' (XᵀX + λI)w = Xᵀy —
+    * independent of MLlib's internal feature/label standardization
+    * scalings, which warp its own penalty's meaning (the OLS minimizer
+    * is scale-equivariant; a penalized one is not). The basis rows are
+    * SPARSE vectors (one nnz each), so augmentation costs O(d) total
+    * regardless of width. Returns rows (__features, __ys array[k]=0). */
+  private def ridgeAugmentRows(spark: org.apache.spark.sql.SparkSession,
+      d: Int, k: Int, lambda: Double): DataFrame = {
+    val sqrtL = math.sqrt(lambda)
+    val basis = udf { (j: Int) =>
+      org.apache.spark.ml.linalg.Vectors
+        .sparse(d, Array(j), Array(sqrtL)): org.apache.spark.ml.linalg.Vector
+    }
+    spark.range(d).select(
+      basis(col("id").cast("int")).as("__features"),
+      array_repeat(lit(0.0), k).as("__ys"))
+  }
+
   /** ref: nodes.learning.LeastSquaresEstimator — the reference's
     * node-level SOLVER DISPATCH (SURVEY §4, the paper's headline
     * operator-level optimization): fit probes the PROBLEM — n (count),
     * d (width), sparsity (sampled zero-fraction), cluster parallelism —
     * and [[graft.ml.SolverCostModel]] prices the three physical solvers
     * (compute + memory-bandwidth + network + per-barrier latency) to
-    * pick one: exact normal equations (one gram pass, d² driver memory),
-    * MLlib L-BFGS (iterative, nnz-proportional — the dispatcher feeds it
-    * SPARSE vectors when density warrants, so sparse-wide designs
-    * genuinely pay nnz), or [[graft.ml.LearningOps.BlockLeastSquaresEst]]
-    * (block coordinate descent, the wide-dense workhorse; b² memory).
-    * The decision AND the full cost report are observable for tests. */
+    * pick one: exact normal equations (ONE gram pass through the
+    * shared block-CD core with a single full-width block — any d the
+    * cost model's driver-memory gate admits, no MLlib 4096-feature
+    * cap), MLlib L-BFGS (iterative, nnz-proportional — the dispatcher
+    * feeds it SPARSE vectors when density warrants, so sparse-wide
+    * designs genuinely pay nnz), or block coordinate descent (the
+    * wide-dense workhorse; b² memory).
+    *
+    * EVERY route optimizes the SAME objective — ‖Xw − y‖² + λ‖w‖² with
+    * λ = `regParam` — so the cost model's choice (which depends on
+    * probed n, density, and cluster shape) never changes the fitted
+    * model, only how it is computed: the exact/block routes solve
+    * (XᵀX + λI)w = Xᵀy directly, and the MLlib route gets
+    * `standardization=false` + λ/n (its loss carries a 1/(2n) factor).
+    * With `fitIntercept` the dispatcher mean-centers features and label
+    * (one treeAggregate pass), solves WITHOUT an intercept on whichever
+    * route won — preserving solver-choice invariance — and reconstitutes
+    * b = ȳ − x̄ᵀw into the fitted mapper (the reference LinearMapper's
+    * `bOpt`). Note centering densifies: on a genuinely sparse design
+    * prefer `fitIntercept = false` (the reference convention: append a
+    * bias feature instead). The decision, cost report, probed density,
+    * and fitted intercept are observable for tests; `solverOverride`
+    * forces a route (dispatch-invariance testing). */
   case class LeastSquaresEst(featuresCol: String, labelCol: String, out: String,
-      regParam: Double = 0.0, normalEqMaxDim: Int = 2048,
+      regParam: Double = 0.0, fitIntercept: Boolean = false,
+      normalEqMaxDim: Int = 2048,
       blockSize: Int = 32, numIter: Int = 3,
-      workersOverride: Option[Int] = None) extends Estimator {
+      workersOverride: Option[Int] = None,
+      solverOverride: Option[String] = None) extends Estimator {
     @volatile var chosenSolver: String = _
     @volatile var costReport: Map[String, Double] = _
     @volatile var probedDensity: Double = _
+    @volatile var fittedIntercept: Double = 0.0
 
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
@@ -462,32 +544,64 @@ object workflow {
         graft.ml.SolverCostModel.Problem(n, d, k = 1, density, workers,
           normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
           bcdEpochs = numIter))
-      chosenSolver = solver
+      chosenSolver = solverOverride.getOrElse(solver)
       costReport = costs
-      solver match {
+      val rawLabels = array(col(labelCol).cast("double"))
+      val (xMu, yMu) =
+        if (fitIntercept) probeMeans(train, featuresCol, rawLabels, d, 1, n)
+        else (new Array[Double](d), new Array[Double](1))
+      val fitFrame =
+        if (fitIntercept)
+          train.withColumn(featuresCol, centered(col(featuresCol), xMu))
+        else train
+      val fitLabels =
+        if (fitIntercept) array(col(labelCol).cast("double") - lit(yMu(0)))
+        else rawLabels
+      val w: Array[Double] = chosenSolver match {
+        case "normal" =>
+          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+            fitLabels, k = 1, d = d, blocks = Array(0 until d),
+            numIter = 1, lambda = math.max(regParam, 1e-9),
+            wc = lit(1.0), nHint = n)(0)
         case "block-cd" =>
-          graft.ml.LearningOps.BlockLeastSquaresEst(featuresCol, labelCol,
-            out, blockSize = blockSize, numIter = numIter,
-            lambda = math.max(regParam, 1e-8)).fit(train)
-        case mllibSolver =>
+          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+            fitLabels, k = 1, d = d,
+            blocks = (0 until d).grouped(blockSize).toArray,
+            numIter = numIter, lambda = math.max(regParam, 1e-8),
+            wc = lit(1.0), nHint = n)(0)
+        case _ =>
           // sparse designs ride sparse vectors so L-BFGS's gradient cost
-          // really is nnz-proportional (MLlib aggregates via foreachActive)
-          val sparse = mllibSolver == "l-bfgs" && density < 0.5
-          // no intercept on ANY route: the dispatcher must pick the
-          // PHYSICAL solver, never the model class — an intercept here
-          // with none on the block-CD route would let cluster size flip
-          // the model's family (the reference's LinearMapper convention:
-          // append a bias feature when an offset is wanted)
-          val model = new org.apache.spark.ml.regression.LinearRegression()
-            .setSolver(mllibSolver).setRegParam(regParam)
+          // really is nnz-proportional (MLlib aggregates via foreachActive);
+          // ridge enters as the √λ augmentation (same objective as the
+          // gram routes by construction), regParam = 0 to MLlib
+          val sparse = density < 0.5
+          val lf = withVecAuto(
+            fitFrame.withColumn("__y0", element_at(fitLabels, 1)),
+            featuresCol, sparse)
+            .select(col("__features"), col("__y0"))
+          val augmented =
+            if (regParam > 0.0)
+              lf.union(ridgeAugmentRows(train.sparkSession, d, 1, regParam)
+                .select(col("__features"),
+                  element_at(col("__ys"), 1).as("__y0")))
+            else lf
+          new org.apache.spark.ml.regression.LinearRegression()
+            .setSolver("l-bfgs").setRegParam(0.0).setTol(1e-9)
             .setFitIntercept(false)
-            .setFeaturesCol("__features").setLabelCol(labelCol)
-            .setPredictionCol(out)
-            .fit(withVecAuto(train, featuresCol, sparse))
-          Transformer { df =>
-            model.transform(withVecAuto(df, featuresCol, sparse))
-              .drop("__features")
-          }
+            .setFeaturesCol("__features").setLabelCol("__y0")
+            .setPredictionCol("__p0")
+            .fit(augmented)
+            .coefficients.toArray
+      }
+      val b = yMu(0) - xMu.indices.iterator.map(j => xMu(j) * w(j)).sum
+      fittedIntercept = b
+      val fc = featuresCol
+      val oc = out
+      Transformer { df =>
+        val dot = call_function("graft_dot",
+          transform(col(fc), _.cast("double")),
+          array(w.toIndexedSeq.map(lit): _*))
+        df.withColumn(oc, if (b == 0.0) dot else dot + lit(b))
       }
     }
   }
@@ -506,12 +620,15 @@ object workflow {
     * solver; `l-bfgs` = a per-target MLlib loop (only wins when
     * sparsity collapses its nnz cost, priced with the honest k factor). */
   case class LeastSquaresMultiEst(featuresCol: String, labelsCol: String,
-      out: String, regParam: Double = 0.0, normalEqMaxDim: Int = 2048,
+      out: String, regParam: Double = 0.0, fitIntercept: Boolean = false,
+      normalEqMaxDim: Int = 2048,
       blockSize: Int = 32, numIter: Int = 3,
-      workersOverride: Option[Int] = None) extends Estimator {
+      workersOverride: Option[Int] = None,
+      solverOverride: Option[String] = None) extends Estimator {
     @volatile var chosenSolver: String = _
     @volatile var costReport: Map[String, Double] = _
     @volatile var probedDensity: Double = _
+    @volatile var fittedIntercepts: Array[Double] = _
 
     def fit(train: DataFrame): Transformer = {
       val d = train.select(size(col(featuresCol))).head().getInt(0)
@@ -524,41 +641,64 @@ object workflow {
         graft.ml.SolverCostModel.Problem(n, d, k, density, workers,
           normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
           bcdEpochs = numIter))
-      chosenSolver = solver
+      chosenSolver = solverOverride.getOrElse(solver)
       costReport = costs
-      solver match {
+      val rawLabels = transform(col(labelsCol), _.cast("double"))
+      val (xMu, yMu) =
+        if (fitIntercept) probeMeans(train, featuresCol, rawLabels, d, k, n)
+        else (new Array[Double](d), new Array[Double](k))
+      val fitFrame =
+        if (fitIntercept)
+          train.withColumn(featuresCol, centered(col(featuresCol), xMu))
+        else train
+      val fitLabels =
+        if (fitIntercept) centered(rawLabels, yMu) else rawLabels
+      val w: Array[Array[Double]] = chosenSolver match {
         case "normal" =>
-          val w = graft.ml.LearningOps.blockCdSolve(train, featuresCol,
-            transform(col(labelsCol), _.cast("double")), k = k, d = d,
-            blocks = Array(0 until d), numIter = 1,
-            lambda = math.max(regParam, 1e-9), wc = lit(1.0))
-          graft.ml.LearningOps.scoresTransformer(featuresCol, out, w)
+          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+            fitLabels, k = k, d = d, blocks = Array(0 until d),
+            numIter = 1, lambda = math.max(regParam, 1e-9), wc = lit(1.0),
+            nHint = n)
         case "block-cd" =>
-          graft.ml.LearningOps.BlockLeastSquaresMultiEst(featuresCol,
-            labelsCol, out, blockSize = blockSize, numIter = numIter,
-            lambda = math.max(regParam, 1e-8)).fit(train)
+          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+            fitLabels, k = k, d = d,
+            blocks = (0 until d).grouped(blockSize).toArray,
+            numIter = numIter, lambda = math.max(regParam, 1e-8),
+            wc = lit(1.0), nHint = n)
         case _ =>
-          // sparse regime: k independent MLlib L-BFGS fits over sparse
-          // vectors — each pays nnz per pass, the k factor the model
-          // already priced
-          val fitted = (0 until k).map { c =>
-            new org.apache.spark.ml.regression.LinearRegression()
-              .setSolver("l-bfgs").setRegParam(regParam)
-              .setFitIntercept(false)
-              .setFeaturesCol("__features")
-              .setLabelCol("__yc").setPredictionCol(s"__p$c")
-              .fit(withVecAuto(train, featuresCol, sparse = true)
-                .withColumn("__yc",
-                  element_at(col(labelsCol), c + 1).cast("double")))
-          }
-          Transformer { df =>
-            val base = withVecAuto(df, featuresCol, sparse = true)
-            val scoredAll = fitted.foldLeft(base)((acc, m) => m.transform(acc))
-            scoredAll.withColumn(out,
-              array((0 until k).map(c => col(s"__p$c")): _*))
-              .drop("__features" +: (0 until k).map(c => s"__p$c"): _*)
-          }
+          // sparse regime: k independent MLlib L-BFGS fits — each pays
+          // nnz per pass, the k factor the model already priced. The
+          // vectorized (and λ-augmented — same exact-ridge construction
+          // as the single-target route) frame is built and CACHED once
+          // across the k fits, and sparsity is gated on the probed
+          // density, so a dense design that lands here doesn't pay
+          // sparse-vector overhead.
+          val sparse = density < 0.5
+          val vectorized = withVecAuto(
+            fitFrame.withColumn("__ys", fitLabels), featuresCol, sparse)
+            .select(col("__features"), col("__ys"))
+          val prepared = (if (regParam > 0.0)
+            vectorized.union(
+              ridgeAugmentRows(train.sparkSession, d, k, regParam))
+          else vectorized)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            (0 until k).map { c =>
+              new org.apache.spark.ml.regression.LinearRegression()
+                .setSolver("l-bfgs").setRegParam(0.0).setTol(1e-9)
+                .setFitIntercept(false)
+                .setFeaturesCol("__features")
+                .setLabelCol("__yc").setPredictionCol("__pc")
+                .fit(prepared.withColumn("__yc",
+                  element_at(col("__ys"), c + 1)))
+                .coefficients.toArray
+            }.toArray
+          } finally prepared.unpersist(blocking = false)
       }
+      val b = Array.tabulate(k)(c =>
+        yMu(c) - xMu.indices.iterator.map(j => xMu(j) * w(c)(j)).sum)
+      fittedIntercepts = b
+      graft.ml.LearningOps.scoresTransformer(featuresCol, out, w, b)
     }
   }
 

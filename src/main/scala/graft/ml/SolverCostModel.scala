@@ -53,6 +53,55 @@ object SolverCostModel {
   private val FlopSec = 1e10
   /** Per-worker memory bandwidth for a cached-data pass (bytes/s). */
   private val MemBwSec = 1e10
+
+  /** Documented tolerance for the measured-vs-assumed constants: the
+    * model only needs RATIOS right (the regime tests pin those), so a
+    * calibration within this factor of the declared constant confirms
+    * the declared value; outside it, update the constant. */
+  val CalibrationTolerance = 100.0
+
+  @volatile private var calSink = 0.0 // defeats dead-code elimination
+
+  /** Measured-on-this-JVM physical constants, computed once lazily
+    * (~100 ms): FlopSec from a timed Breeze gemm (the solvers' actual
+    * kernel shape — dev.ludovic BLAS underneath, same as the
+    * distributed gram passes) and MemBwSec from a timed contiguous
+    * array sweep. Dispatch keeps the DECLARED constants — regime
+    * ratios are what the tests pin, and a loaded box would otherwise
+    * wobble the decision run to run — but [[choose]] reports
+    * measured-vs-assumed alongside every cost report, so dispatch
+    * decisions carry the evidence to audit the constants. */
+  lazy val calibration: Map[String, Double] = {
+    import breeze.linalg.{DenseMatrix => BDM}
+    val n0 = 256
+    val a = BDM.tabulate(n0, n0)((i, j) => ((i * 31 + j * 17) % 97) / 97.0)
+    val b = BDM.tabulate(n0, n0)((i, j) => ((i * 13 + j * 29) % 89) / 89.0)
+    calSink += (a * b).apply(0, 0) // JIT warmup
+    var bestGemm = Double.MaxValue
+    var r = 0
+    while (r < 8) {
+      val t0 = System.nanoTime()
+      calSink += (a * b).apply(n0 - 1, n0 - 1)
+      bestGemm = math.min(bestGemm, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    val flopSec = 2.0 * n0 * n0 * n0 / math.max(bestGemm, 1e-9)
+    val arr = Array.tabulate(4 << 20)(j => (j % 31).toDouble) // 32 MB
+    var bestSweep = Double.MaxValue
+    r = 0
+    while (r < 8) {
+      val t0 = System.nanoTime()
+      var s = 0.0
+      var j = 0
+      while (j < arr.length) { s += arr(j); j += 1 }
+      calSink += s
+      bestSweep = math.min(bestSweep, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    val memBw = arr.length * 8.0 / math.max(bestSweep, 1e-9)
+    Map("cal_flop_sec" -> flopSec, "cal_mem_bw_sec" -> memBw,
+      "assumed_flop_sec" -> FlopSec, "assumed_mem_bw_sec" -> MemBwSec)
+  }
   /** Aggregation-tree network cost (s/byte at ~1 GB/s per link). */
   private val NetSecPerByte = 1e-8
   /** Fixed latency of one distributed barrier (scheduling + broadcast). */
@@ -118,6 +167,8 @@ object SolverCostModel {
     val winner = ExactnessOrder
       .find(s => costs(s) <= cheapest * ExactnessWindow)
       .getOrElse(costs.minBy(_._2)._1)
-    (winner, costs)
+    // measured-vs-assumed constants ride along in every report (the
+    // decision itself uses the declared constants — see [[calibration]])
+    (winner, costs ++ calibration)
   }
 }

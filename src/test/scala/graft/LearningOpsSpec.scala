@@ -128,6 +128,95 @@ class LearningOpsSpec extends GraftSuite {
       s"multi target 1 must match the single solve: max diff $joinDiff")
   }
 
+  test("BLAS block-CD agrees with a scalar driver-side replay to 1e-9") {
+    // pin the distributed dsyrk/dgemm kernels against an independent
+    // scalar implementation of the SAME iteration (blocks, epochs,
+    // residual maintenance) run on the collected data with Breeze
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val k = 2
+    val d = 24
+    val small = vecs.where($"vec_id" < 300)
+      .select($"vec_id", slice($"v", 1, d).as("v"))
+      .withColumn("ys", array(
+        call_function("graft_dot", $"v",
+          array((1 to d).map(i => lit(math.sin(i * 1.7))): _*)) + lit(0.3),
+        call_function("graft_dot", $"v",
+          array((1 to d).map(i => lit(math.cos(i * 0.9))): _*))))
+      .withColumn("wgt", ($"vec_id" % 3 + 1).cast("double"))
+    val blocks = (0 until d).grouped(7).toArray
+    val lambda = 1e-3
+    val epochs = 3
+    val dist = graft.ml.LearningOps.blockCdSolve(small, "v",
+      transform($"ys", _.cast("double")), k = k, d = d, blocks = blocks,
+      numIter = epochs, lambda = lambda, wc = $"wgt")
+    // scalar replay
+    val rows = small.select($"v", $"ys", $"wgt").collect()
+    val n = rows.length
+    val x = BDM.tabulate(n, d)((i, j) => rows(i).getSeq[Double](0)(j))
+    val y = BDM.tabulate(n, k)((i, c) => rows(i).getSeq[Double](1)(c))
+    val w = BDV.tabulate(n)(i => rows(i).getDouble(2))
+    val wt = BDM.zeros[Double](d, k)
+    val r = y.copy
+    for (_ <- 0 until epochs; block <- blocks) {
+      val b = block.toArray
+      val xb = x(::, b.toIndexedSeq).toDenseMatrix
+      val xbw = BDM.tabulate(n, b.length)((i, p) => xb(i, p) * w(i))
+      val g = xbw.t * xb
+      val v = xbw.t * r
+      val cur = BDM.tabulate(b.length, k)((p, c) => wt(b(p), c))
+      val sol = (g + BDM.eye[Double](b.length) * lambda) \ (v + g * cur)
+      val delta = sol - cur
+      for (p <- b.indices; c <- 0 until k) wt(b(p), c) = sol(p, c)
+      r -= xb * delta
+    }
+    val maxDiff = (for (c <- 0 until k; j <- 0 until d)
+      yield math.abs(dist(c)(j) - wt(j, c))).max
+    assert(maxDiff < 1e-9,
+      s"distributed BLAS kernels must replay the scalar iteration: $maxDiff")
+  }
+
+  test("blockCdSolve guards the column-major cache against Int overflow") {
+    val d = 8
+    val small = vecs.where($"vec_id" < 200)
+      .select(slice($"v", 1, d).as("v"))
+      .withColumn("y", element_at($"v", 1)).coalesce(1)
+    // no n hint: the cache build must refuse the oversize partition with
+    // a named error, never mis-index
+    val err = intercept[org.apache.spark.SparkException] {
+      graft.ml.LearningOps.blockCdSolve(small, "v",
+        array($"y".cast("double")), k = 1, d = d,
+        blocks = Array(0 until d), numIter = 1, lambda = 1e-6,
+        wc = lit(1.0), maxPartElems = 64L)
+    }
+    assert(err.getMessage.contains("overflows the flat column-major cache"),
+      s"expected the named cache-cap error, got: ${err.getMessage}")
+    // with the probed count supplied, the solver repartitions itself under
+    // the cap and the answer matches the unconstrained solve exactly
+    val free = graft.ml.LearningOps.blockCdSolve(small, "v",
+      array($"y".cast("double")), k = 1, d = d,
+      blocks = Array(0 until d), numIter = 1, lambda = 1e-6, wc = lit(1.0))
+    val capped = graft.ml.LearningOps.blockCdSolve(small, "v",
+      array($"y".cast("double")), k = 1, d = d,
+      blocks = Array(0 until d), numIter = 1, lambda = 1e-6, wc = lit(1.0),
+      nHint = 200L, maxPartElems = 64L)
+    val diff = (0 until d).map(j => math.abs(free(0)(j) - capped(0)(j))).max
+    assert(diff < 1e-9,
+      s"auto-repartitioned solve must match the unconstrained one: $diff")
+  }
+
+  test("blockCdSolve rejects negative row weights by name") {
+    val bad = vecs.where($"vec_id" < 50)
+      .select(slice($"v", 1, 4).as("v"))
+      .withColumn("y", element_at($"v", 1))
+      .withColumn("wgt", lit(-1.0))
+    val err = intercept[org.apache.spark.SparkException] {
+      graft.ml.LearningOps.blockCdSolve(bad, "v",
+        array($"y".cast("double")), k = 1, d = 4,
+        blocks = Array(0 until 4), numIter = 1, lambda = 1e-6, wc = $"wgt")
+    }
+    assert(err.getMessage.contains("negative row weight"))
+  }
+
   test("KernelRidgeEst fits a nonlinear target a linear solver cannot") {
     // target = mixture of RBF bumps centered on three data points, at the
     // model's own length scale — structurally out of reach for any linear

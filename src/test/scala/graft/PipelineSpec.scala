@@ -227,6 +227,98 @@ class PipelineSpec extends GraftSuite {
       assert(e < 1e-3, s"dispatched multi block CD must recover all targets: $e"))
   }
 
+  test("SolverCostModel calibration: measured constants back the declared ones") {
+    import graft.ml.SolverCostModel
+    val cal = SolverCostModel.calibration
+    val flopRatio = cal("cal_flop_sec") / cal("assumed_flop_sec")
+    val bwRatio = cal("cal_mem_bw_sec") / cal("assumed_mem_bw_sec")
+    info(f"measured flop/s = ${cal("cal_flop_sec")}%.3g " +
+      f"(assumed ${cal("assumed_flop_sec")}%.3g, ratio $flopRatio%.3f)")
+    info(f"measured mem bw = ${cal("cal_mem_bw_sec")}%.3g B/s " +
+      f"(assumed ${cal("assumed_mem_bw_sec")}%.3g, ratio $bwRatio%.3f)")
+    val tol = SolverCostModel.CalibrationTolerance
+    assert(flopRatio > 1.0 / tol && flopRatio < tol,
+      s"declared FlopSec is off by more than ${tol}x — update the constant")
+    assert(bwRatio > 1.0 / tol && bwRatio < tol,
+      s"declared MemBwSec is off by more than ${tol}x — update the constant")
+    // and every dispatch decision carries the evidence
+    val (_, report) = SolverCostModel.choose(SolverCostModel.Problem(
+      n = 1000000L, d = 64, k = 1, density = 1.0, workers = 32))
+    assert(report.contains("cal_flop_sec") && report.contains("cal_mem_bw_sec"))
+  }
+
+  test("every dispatched route optimizes the SAME ridge objective") {
+    // regParam > 0 is where route-dependent objectives would diverge
+    // (MLlib's loss carries 1/(2n) + standardization; the exact routes
+    // solve (X'X + λI)w = X'y): with the λ/n + standardization=false
+    // mapping, the fitted model must be solver-invariant — cluster
+    // shape can change WHICH solver wins, never WHAT it fits
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("y", call_function("graft_dot", col("v"),
+        array((1 to 64).map(i => lit(math.sin(i * 0.31))): _*)) * 0.7)
+    def fitRoute(route: String): org.apache.spark.sql.DataFrame = {
+      val est = LeastSquaresEst("v", "y", "p", regParam = 0.5,
+        numIter = 60, blockSize = 16, solverOverride = Some(route))
+      val scored = est.fit(vecs)(vecs)
+      assert(est.chosenSolver == route)
+      scored.select(col("vec_id"), col("p").as(s"p_$route"))
+    }
+    val joined = fitRoute("normal")
+      .join(fitRoute("block-cd"), "vec_id")
+      .join(fitRoute("l-bfgs"), "vec_id")
+    val Array(dBcd, dLbfgs) = joined.select(
+      max(abs(col("p_normal") - col("p_block-cd"))),
+      max(abs(col("p_normal") - col("p_l-bfgs")))).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(dBcd < 1e-6,
+      s"block-cd must converge to the same ridge solution: $dBcd")
+    assert(dLbfgs < 1e-6,
+      s"l-bfgs must optimize the same objective as the exact routes: $dLbfgs")
+  }
+
+  test("fitIntercept recovers an offset identically on every route") {
+    // shifted noiseless target: y = <v, w*> + 7.5; the dispatcher must
+    // mean-center, solve WITHOUT an intercept on whichever route won,
+    // and reconstitute b = ȳ − x̄ᵀw — so the intercept is a model
+    // capability, never a solver-choice coupling (ref LinearMapper bOpt)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("y", call_function("graft_dot", col("v"),
+        array((1 to 64).map(i => lit(math.cos(i * 0.47))): _*)) + lit(7.5))
+    val residByRoute = Seq("normal", "block-cd", "l-bfgs").map { route =>
+      val est = LeastSquaresEst("v", "y", "p", fitIntercept = true,
+        numIter = 60, blockSize = 16, solverOverride = Some(route))
+      val scored = est.fit(vecs)(vecs)
+      val resid = scored.select(max(abs(col("p") - col("y"))))
+        .head().getDouble(0)
+      (route, est.fittedIntercept, resid)
+    }
+    residByRoute.foreach { case (route, b, resid) =>
+      assert(math.abs(b - 7.5) < 1e-4,
+        s"$route must recover the 7.5 offset, got $b")
+      assert(resid < 1e-4,
+        s"$route intercept fit must reproduce the shifted target: $resid")
+    }
+    // and the multi-target dispatcher: per-class offsets recovered
+    val multi = vecs.withColumn("ys",
+      array(col("y"), col("y") * lit(-1.0) + lit(3.0)))
+    val est = LeastSquaresMultiEst("v", "ys", "scores", fitIntercept = true)
+    val scored = est.fit(multi)(multi)
+    assert(est.chosenSolver == "normal", s"${est.costReport}")
+    // ys(2) = −y + 3 = −<v,w*> − 4.5, so its intercept is −4.5
+    assert(math.abs(est.fittedIntercepts(0) - 7.5) < 1e-4 &&
+      math.abs(est.fittedIntercepts(1) + 4.5) < 1e-4,
+      s"per-class offsets off: ${est.fittedIntercepts.toSeq}")
+    val worst = scored.select(greatest(
+      max(abs(element_at(col("scores"), 1) - element_at(col("ys"), 1))),
+      max(abs(element_at(col("scores"), 2) - element_at(col("ys"), 2)))))
+      .head().getDouble(0)
+    assert(worst < 1e-4, s"multi-target intercept fit off: $worst")
+  }
+
   test("KMeansEst assigns every vector to one of k clusters") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
@@ -337,11 +429,14 @@ class PipelineSpec extends GraftSuite {
 
   test("AutoCache.selectCacheSet picks the higher-value frame under a shared budget") {
     import spark.implicits._
-    // two competitors that do NOT both fit: same density (uses = 2), the
-    // wide frame saves more recomputation bytes per hit => it must win
+    // two competitors that do NOT both fit: the expensive frame (a slow
+    // per-row computation) saves far more recompute TIME per hit and
+    // must win the slot — benefit is estimated runtime, not bytes
+    val slowUdf = udf { (i: Int) => Thread.sleep(4); "y" * 64 }
     val small = spark.sparkContext.parallelize(1 to 500, 2).toDF("x")
     val big = spark.sparkContext.parallelize(1 to 500, 2)
-      .map(i => (i, "y" * 64)).toDF("a", "b")
+      .map(i => (i, "")).toDF("a", "b")
+      .withColumn("b", slowUdf($"a"))
     val sizeSmall = AutoCache.estimatedSize(small)
     val sizeBig = AutoCache.estimatedSize(big)
     assert(sizeBig > sizeSmall)
@@ -350,7 +445,7 @@ class PipelineSpec extends GraftSuite {
       AutoCache.Candidate(small, uses = 2, label = "small"),
       AutoCache.Candidate(big, uses = 2, label = "big")), budget)
     assert(hs.map(_.cached) == Seq(false, true),
-      "equal density: the higher-benefit (bigger-recompute-savings) frame wins")
+      "the higher-benefit (bigger-recompute-time-savings) frame wins")
     assert(big.storageLevel.useMemory && !small.storageLevel.useMemory)
     hs.foreach(_.release())
     assert(big.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -376,5 +471,34 @@ class PipelineSpec extends GraftSuite {
     val hs4 = AutoCache.selectCacheSet(
       Seq(AutoCache.Candidate(small, uses = 1)), Long.MaxValue)
     assert(hs4.map(_.cached) == Seq(false))
+  }
+
+  test("AutoCache benefit is estimated RUNTIME: expensive-small beats cheap-large") {
+    import spark.implicits._
+    // the case the old (uses−1)·size proxy got BACKWARDS: a tiny frame
+    // that is very expensive to recompute versus a big frame that is a
+    // cheap rescan — the paper's AutoCacheRule selects by estimated
+    // recompute time under the byte budget, so the expensive small
+    // frame must take the only slot
+    val slowUdf = udf { (i: Int) => Thread.sleep(8); i * 2 }
+    val expensiveSmall = spark.sparkContext.parallelize(1 to 200, 2)
+      .toDF("x").withColumn("x2", slowUdf($"x"))
+    val cheapLarge = spark.sparkContext.parallelize(1 to 5000, 2)
+      .map(i => (i, "z" * 80)).toDF("a", "b")
+    val (sizeS, costS) = AutoCache.estimatedSizeAndCost(expensiveSmall)
+    val (sizeL, costL) = AutoCache.estimatedSizeAndCost(cheapLarge)
+    assert(sizeS < sizeL, s"fixture: small must be smaller ($sizeS vs $sizeL)")
+    assert(costS > costL,
+      s"fixture: the sleeping recompute must profile slower ($costS vs $costL)")
+    // budget admits the large frame alone OR the small frame alone — the
+    // greedy order decides which survives
+    val budget = sizeL.toLong
+    val hs = AutoCache.selectCacheSet(Seq(
+      AutoCache.Candidate(cheapLarge, uses = 2, label = "cheap-large"),
+      AutoCache.Candidate(expensiveSmall, uses = 2, label = "expensive-small")),
+      budget)
+    assert(hs.map(_.cached) == Seq(false, true),
+      "runtime benefit must rank the expensive small frame first")
+    hs.foreach(_.release())
   }
 }
