@@ -494,35 +494,124 @@ object workflow {
       array_repeat(lit(0.0), k).as("__ys"))
   }
 
-  /** ref: nodes.learning.LeastSquaresEstimator — the reference's
-    * node-level SOLVER DISPATCH (SURVEY §4, the paper's headline
-    * operator-level optimization): fit probes the PROBLEM — n (count),
-    * d (width), sparsity (sampled zero-fraction), cluster parallelism —
-    * and [[graft.ml.SolverCostModel]] prices the three physical solvers
-    * (compute + memory-bandwidth + network + per-barrier latency) to
-    * pick one: exact normal equations (ONE gram pass through the
-    * shared block-CD core with a single full-width block — any d the
-    * cost model's driver-memory gate admits, no MLlib 4096-feature
-    * cap), MLlib L-BFGS (iterative, nnz-proportional — the dispatcher
-    * feeds it SPARSE vectors when density warrants, so sparse-wide
-    * designs genuinely pay nnz), or block coordinate descent (the
-    * wide-dense workhorse; b² memory).
+  /** Shared fit core for the two solver dispatchers (ref:
+    * nodes.learning.LeastSquaresEstimator — SURVEY §4, the paper's
+    * headline operator-level optimization): probe the PROBLEM — n
+    * (count), d (width), k (targets), sparsity (sampled zero-fraction),
+    * cluster parallelism — let [[graft.ml.SolverCostModel]] price the
+    * three physical solvers, solve on the winner, and return the k×d
+    * weights plus per-target intercepts.
+    *
+    * Routes: `normal` = ONE gram pass through the shared block-CD core
+    * with a single full-width block (any d the cost model's
+    * driver-memory gate admits — no MLlib 4096-feature cap);
+    * `block-cd` = block coordinate descent (the wide-dense workhorse,
+    * b² memory); `l-bfgs` = MLlib, fed SPARSE vectors when density
+    * warrants so sparse-wide designs genuinely pay nnz, one fit per
+    * target over a frame vectorized (and cached, for k > 1) once.
     *
     * EVERY route optimizes the SAME objective — ‖Xw − y‖² + λ‖w‖² with
-    * λ = `regParam` — so the cost model's choice (which depends on
-    * probed n, density, and cluster shape) never changes the fitted
-    * model, only how it is computed: the exact/block routes solve
-    * (XᵀX + λI)w = Xᵀy directly, and the MLlib route gets
-    * `standardization=false` + λ/n (its loss carries a 1/(2n) factor).
-    * With `fitIntercept` the dispatcher mean-centers features and label
-    * (one treeAggregate pass), solves WITHOUT an intercept on whichever
-    * route won — preserving solver-choice invariance — and reconstitutes
-    * b = ȳ − x̄ᵀw into the fitted mapper (the reference LinearMapper's
-    * `bOpt`). Note centering densifies: on a genuinely sparse design
-    * prefer `fitIntercept = false` (the reference convention: append a
-    * bias feature instead). The decision, cost report, probed density,
-    * and fitted intercept are observable for tests; `solverOverride`
-    * forces a route (dispatch-invariance testing). */
+    * λ = max(regParam, [[RidgeFloor]]), one floor for all routes — so
+    * the cost model's choice (which depends on probed n, density, and
+    * cluster shape) never changes the fitted model, only how it is
+    * computed: the gram routes solve (XᵀX + λI)w = Xᵀy directly, and
+    * the L-BFGS route solves the SAME system as √λ-AUGMENTED pure
+    * least squares ([[ridgeAugmentRows]]) with regParam = 0 handed to
+    * MLlib — the OLS minimizer is invariant to MLlib's internal
+    * feature/label standardization scalings, which warp the meaning of
+    * MLlib's own penalty. The augmentation is unconditional (λ is
+    * floored, never 0): besides route-invariant conditioning it keeps
+    * MLlib from zeroing the coefficient of a CONSTANT feature column
+    * (its zero-variance guard) — the append-a-bias-feature convention
+    * must fit the bias weight on every route.
+    *
+    * With `fitIntercept` the core mean-centers features and labels
+    * (one treeAggregate pass), solves WITHOUT an intercept on
+    * whichever route won — preserving solver-choice invariance — and
+    * reconstitutes b_c = ȳ_c − x̄ᵀw_c (the reference LinearMapper's
+    * `bOpt`). Centering densifies, so the sparse-vector gate requires
+    * `!fitIntercept`; on a genuinely sparse design prefer the
+    * reference convention (append a bias feature) over centering. */
+  private def dispatchLeastSquares(train: DataFrame, featuresCol: String,
+      rawLabels: Column, k: Int, regParam: Double, fitIntercept: Boolean,
+      normalEqMaxDim: Int, blockSize: Int, numIter: Int,
+      workersOverride: Option[Int], solverOverride: Option[String])
+      : DispatchResult = {
+    val d = train.select(size(col(featuresCol))).head().getInt(0)
+    val (n, density) = probeProblem(train, featuresCol, d)
+    val workers = workersOverride.getOrElse(
+      train.sparkSession.sparkContext.defaultParallelism)
+    val (modelPick, costs) = graft.ml.SolverCostModel.choose(
+      graft.ml.SolverCostModel.Problem(n, d, k, density, workers,
+        normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
+        bcdEpochs = numIter))
+    val solver = solverOverride.getOrElse(modelPick)
+    require(graft.ml.SolverCostModel.ExactnessOrder.contains(solver),
+      s"unknown solver override '$solver' (valid: " +
+        s"${graft.ml.SolverCostModel.ExactnessOrder.mkString(", ")})")
+    val (xMu, yMu) =
+      if (fitIntercept) probeMeans(train, featuresCol, rawLabels, d, k, n)
+      else (new Array[Double](d), new Array[Double](k))
+    val fitFrame =
+      if (fitIntercept)
+        train.withColumn(featuresCol, centered(col(featuresCol), xMu))
+      else train
+    val fitLabels =
+      if (fitIntercept) centered(rawLabels, yMu) else rawLabels
+    val lambda = math.max(regParam, RidgeFloor)
+    val w: Array[Array[Double]] = solver match {
+      case "normal" =>
+        graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+          fitLabels, k = k, d = d, blocks = Array(0 until d),
+          numIter = 1, lambda = lambda, wc = lit(1.0), nHint = n)
+      case "block-cd" =>
+        graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
+          fitLabels, k = k, d = d,
+          blocks = (0 until d).grouped(blockSize).toArray,
+          numIter = numIter, lambda = lambda, wc = lit(1.0), nHint = n)
+      case _ =>
+        val sparse = density < 0.5 && !fitIntercept
+        val prepared = withVecAuto(
+          fitFrame.withColumn("__ys", fitLabels), featuresCol, sparse)
+          .select(col("__features"), col("__ys"))
+          .union(ridgeAugmentRows(train.sparkSession, d, k, lambda))
+        val cached =
+          if (k > 1) prepared.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else prepared
+        try {
+          (0 until k).map { c =>
+            new org.apache.spark.ml.regression.LinearRegression()
+              .setSolver("l-bfgs").setRegParam(0.0).setTol(1e-9)
+              .setFitIntercept(false)
+              .setFeaturesCol("__features")
+              .setLabelCol("__yc").setPredictionCol("__pc")
+              .fit(cached.withColumn("__yc",
+                element_at(col("__ys"), c + 1)))
+              .coefficients.toArray
+          }.toArray
+        } finally if (k > 1) cached.unpersist(blocking = false)
+    }
+    val b = Array.tabulate(k)(c =>
+      yMu(c) - xMu.indices.iterator.map(j => xMu(j) * w(c)(j)).sum)
+    DispatchResult(solver, costs, density, w, b)
+  }
+
+  /** One ridge floor for every dispatch route: keeps degenerate
+    * (rank-deficient, d > n, duplicated-column) designs solvable AND
+    * route-invariant — a per-route floor would make the "same
+    * objective" contract false exactly where conditioning matters. */
+  private val RidgeFloor = 1e-9
+
+  private[graft] final case class DispatchResult(solver: String,
+      costs: Map[String, Double], density: Double,
+      weights: Array[Array[Double]], intercepts: Array[Double])
+
+  /** Scalar-label solver dispatcher (see [[dispatchLeastSquares]] for
+    * the routing/objective/intercept contract). The decision, cost
+    * report, probed density, and fitted intercept are observable for
+    * tests; `solverOverride` forces a route (dispatch-invariance
+    * testing) and rejects unknown names. */
   case class LeastSquaresEst(featuresCol: String, labelCol: String, out: String,
       regParam: Double = 0.0, fitIntercept: Boolean = false,
       normalEqMaxDim: Int = 2048,
@@ -535,66 +624,16 @@ object workflow {
     @volatile var fittedIntercept: Double = 0.0
 
     def fit(train: DataFrame): Transformer = {
-      val d = train.select(size(col(featuresCol))).head().getInt(0)
-      val (n, density) = probeProblem(train, featuresCol, d)
-      probedDensity = density
-      val workers = workersOverride.getOrElse(
-        train.sparkSession.sparkContext.defaultParallelism)
-      val (solver, costs) = graft.ml.SolverCostModel.choose(
-        graft.ml.SolverCostModel.Problem(n, d, k = 1, density, workers,
-          normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
-          bcdEpochs = numIter))
-      chosenSolver = solverOverride.getOrElse(solver)
-      costReport = costs
-      val rawLabels = array(col(labelCol).cast("double"))
-      val (xMu, yMu) =
-        if (fitIntercept) probeMeans(train, featuresCol, rawLabels, d, 1, n)
-        else (new Array[Double](d), new Array[Double](1))
-      val fitFrame =
-        if (fitIntercept)
-          train.withColumn(featuresCol, centered(col(featuresCol), xMu))
-        else train
-      val fitLabels =
-        if (fitIntercept) array(col(labelCol).cast("double") - lit(yMu(0)))
-        else rawLabels
-      val w: Array[Double] = chosenSolver match {
-        case "normal" =>
-          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
-            fitLabels, k = 1, d = d, blocks = Array(0 until d),
-            numIter = 1, lambda = math.max(regParam, 1e-9),
-            wc = lit(1.0), nHint = n)(0)
-        case "block-cd" =>
-          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
-            fitLabels, k = 1, d = d,
-            blocks = (0 until d).grouped(blockSize).toArray,
-            numIter = numIter, lambda = math.max(regParam, 1e-8),
-            wc = lit(1.0), nHint = n)(0)
-        case _ =>
-          // sparse designs ride sparse vectors so L-BFGS's gradient cost
-          // really is nnz-proportional (MLlib aggregates via foreachActive);
-          // ridge enters as the √λ augmentation (same objective as the
-          // gram routes by construction), regParam = 0 to MLlib
-          val sparse = density < 0.5
-          val lf = withVecAuto(
-            fitFrame.withColumn("__y0", element_at(fitLabels, 1)),
-            featuresCol, sparse)
-            .select(col("__features"), col("__y0"))
-          val augmented =
-            if (regParam > 0.0)
-              lf.union(ridgeAugmentRows(train.sparkSession, d, 1, regParam)
-                .select(col("__features"),
-                  element_at(col("__ys"), 1).as("__y0")))
-            else lf
-          new org.apache.spark.ml.regression.LinearRegression()
-            .setSolver("l-bfgs").setRegParam(0.0).setTol(1e-9)
-            .setFitIntercept(false)
-            .setFeaturesCol("__features").setLabelCol("__y0")
-            .setPredictionCol("__p0")
-            .fit(augmented)
-            .coefficients.toArray
-      }
-      val b = yMu(0) - xMu.indices.iterator.map(j => xMu(j) * w(j)).sum
-      fittedIntercept = b
+      val r = dispatchLeastSquares(train, featuresCol,
+        array(col(labelCol).cast("double")), k = 1, regParam,
+        fitIntercept, normalEqMaxDim, blockSize, numIter,
+        workersOverride, solverOverride)
+      chosenSolver = r.solver
+      costReport = r.costs
+      probedDensity = r.density
+      fittedIntercept = r.intercepts(0)
+      val w = r.weights(0)
+      val b = r.intercepts(0)
       val fc = featuresCol
       val oc = out
       Transformer { df =>
@@ -614,11 +653,7 @@ object workflow {
     * win multi-class problems the per-target L-BFGS loop loses).
     * `labelsCol` is an array<double> of length k (ClassLabelIndicators
     * output); the fitted transformer emits the k scores as one array.
-    * Solver routes: `normal` = the exact distributed shared-gram ridge
-    * (one full-width block, one epoch of the block-CD core — no
-    * intercept, λ = regParam); `block-cd` = the multi-target block
-    * solver; `l-bfgs` = a per-target MLlib loop (only wins when
-    * sparsity collapses its nnz cost, priced with the honest k factor). */
+    * Routing/objective/intercept contract: [[dispatchLeastSquares]]. */
   case class LeastSquaresMultiEst(featuresCol: String, labelsCol: String,
       out: String, regParam: Double = 0.0, fitIntercept: Boolean = false,
       normalEqMaxDim: Int = 2048,
@@ -631,76 +666,20 @@ object workflow {
     @volatile var fittedIntercepts: Array[Double] = _
 
     def fit(train: DataFrame): Transformer = {
-      val d = train.select(size(col(featuresCol))).head().getInt(0)
       val k = train.select(size(col(labelsCol))).head().getInt(0)
-      val (n, density) = probeProblem(train, featuresCol, d)
-      probedDensity = density
-      val workers = workersOverride.getOrElse(
-        train.sparkSession.sparkContext.defaultParallelism)
-      val (solver, costs) = graft.ml.SolverCostModel.choose(
-        graft.ml.SolverCostModel.Problem(n, d, k, density, workers,
-          normalEqMaxDim = normalEqMaxDim, blockSize = blockSize,
-          bcdEpochs = numIter))
-      chosenSolver = solverOverride.getOrElse(solver)
-      costReport = costs
-      val rawLabels = transform(col(labelsCol), _.cast("double"))
-      val (xMu, yMu) =
-        if (fitIntercept) probeMeans(train, featuresCol, rawLabels, d, k, n)
-        else (new Array[Double](d), new Array[Double](k))
-      val fitFrame =
-        if (fitIntercept)
-          train.withColumn(featuresCol, centered(col(featuresCol), xMu))
-        else train
-      val fitLabels =
-        if (fitIntercept) centered(rawLabels, yMu) else rawLabels
-      val w: Array[Array[Double]] = chosenSolver match {
-        case "normal" =>
-          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
-            fitLabels, k = k, d = d, blocks = Array(0 until d),
-            numIter = 1, lambda = math.max(regParam, 1e-9), wc = lit(1.0),
-            nHint = n)
-        case "block-cd" =>
-          graft.ml.LearningOps.blockCdSolve(fitFrame, featuresCol,
-            fitLabels, k = k, d = d,
-            blocks = (0 until d).grouped(blockSize).toArray,
-            numIter = numIter, lambda = math.max(regParam, 1e-8),
-            wc = lit(1.0), nHint = n)
-        case _ =>
-          // sparse regime: k independent MLlib L-BFGS fits — each pays
-          // nnz per pass, the k factor the model already priced. The
-          // vectorized (and λ-augmented — same exact-ridge construction
-          // as the single-target route) frame is built and CACHED once
-          // across the k fits, and sparsity is gated on the probed
-          // density, so a dense design that lands here doesn't pay
-          // sparse-vector overhead.
-          val sparse = density < 0.5
-          val vectorized = withVecAuto(
-            fitFrame.withColumn("__ys", fitLabels), featuresCol, sparse)
-            .select(col("__features"), col("__ys"))
-          val prepared = (if (regParam > 0.0)
-            vectorized.union(
-              ridgeAugmentRows(train.sparkSession, d, k, regParam))
-          else vectorized)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            (0 until k).map { c =>
-              new org.apache.spark.ml.regression.LinearRegression()
-                .setSolver("l-bfgs").setRegParam(0.0).setTol(1e-9)
-                .setFitIntercept(false)
-                .setFeaturesCol("__features")
-                .setLabelCol("__yc").setPredictionCol("__pc")
-                .fit(prepared.withColumn("__yc",
-                  element_at(col("__ys"), c + 1)))
-                .coefficients.toArray
-            }.toArray
-          } finally prepared.unpersist(blocking = false)
-      }
-      val b = Array.tabulate(k)(c =>
-        yMu(c) - xMu.indices.iterator.map(j => xMu(j) * w(c)(j)).sum)
-      fittedIntercepts = b
-      graft.ml.LearningOps.scoresTransformer(featuresCol, out, w, b)
+      val r = dispatchLeastSquares(train, featuresCol,
+        transform(col(labelsCol), _.cast("double")), k = k, regParam,
+        fitIntercept, normalEqMaxDim, blockSize, numIter,
+        workersOverride, solverOverride)
+      chosenSolver = r.solver
+      costReport = r.costs
+      probedDensity = r.density
+      fittedIntercepts = r.intercepts
+      graft.ml.LearningOps.scoresTransformer(featuresCol, out,
+        r.weights, r.intercepts)
     }
   }
+
 
   /** MinHashLSH-backed near-dup estimator (the production-scale path the
     * declared q_dedup_shingle_jaccard query approximates exactly at test

@@ -249,9 +249,10 @@ class PipelineSpec extends GraftSuite {
 
   test("every dispatched route optimizes the SAME ridge objective") {
     // regParam > 0 is where route-dependent objectives would diverge
-    // (MLlib's loss carries 1/(2n) + standardization; the exact routes
-    // solve (X'X + λI)w = X'y): with the λ/n + standardization=false
-    // mapping, the fitted model must be solver-invariant — cluster
+    // (MLlib's own penalty is warped by its internal feature/label
+    // standardization scalings; the exact routes solve (X'X + λI)w =
+    // X'y): with the L-BFGS route solving √λ-augmented pure OLS at
+    // regParam=0, the fitted model must be solver-invariant — cluster
     // shape can change WHICH solver wins, never WHAT it fits
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"),
@@ -276,6 +277,41 @@ class PipelineSpec extends GraftSuite {
       s"block-cd must converge to the same ridge solution: $dBcd")
     assert(dLbfgs < 1e-6,
       s"l-bfgs must optimize the same objective as the exact routes: $dLbfgs")
+  }
+
+  test("bias-feature convention survives every route; bad overrides reject") {
+    // the reference convention for an offset is appending a CONSTANT 1.0
+    // feature. MLlib's zero-variance guard zeroes such a coefficient at
+    // regParam=0 — the unconditional √λ-floor augmentation keeps the
+    // column non-constant, so the l-bfgs route fits the bias weight the
+    // gram routes fit
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        concat(transform(col("embedding"), x => x.cast("double")),
+          array(lit(1.0))).as("v"))
+      .withColumn("y", call_function("graft_dot", col("v"),
+        array(((1 to 64).map(i => lit(math.sin(i * 0.53))) :+ lit(5.0)): _*)))
+    def biasWeight(route: String): Double = {
+      val est = LeastSquaresEst("v", "y", "p",
+        solverOverride = Some(route))
+      est.fit(vecs)
+      // recover w(64) (the bias column) from a 1-row probe: p(0-vector
+      // with bias 1) = w_bias
+      val probe = vecs.limit(1)
+        .withColumn("v", concat(array_repeat(lit(0.0), 64), array(lit(1.0))))
+      est.fit(vecs)(probe).select(col("p")).head().getDouble(0)
+    }
+    val wbExact = biasWeight("normal")
+    val wbLbfgs = biasWeight("l-bfgs")
+    assert(math.abs(wbExact - 5.0) < 1e-4, s"exact bias weight: $wbExact")
+    assert(math.abs(wbLbfgs - wbExact) < 1e-4,
+      s"l-bfgs must fit the constant bias column too: $wbLbfgs vs $wbExact")
+    // unknown route names fail fast instead of silently running l-bfgs
+    val err = intercept[IllegalArgumentException] {
+      LeastSquaresEst("v", "y", "p", solverOverride = Some("lbfgs"))
+        .fit(vecs)
+    }
+    assert(err.getMessage.contains("unknown solver override"))
   }
 
   test("fitIntercept recovers an offset identically on every route") {
