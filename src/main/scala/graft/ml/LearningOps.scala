@@ -133,8 +133,13 @@ object LearningOps {
 
   /** ref: nodes.learning.ZCAWhitener(+Estimator) — whiten with
     * W = V (Λ + εI)^{-1/2} Vᵀ from the covariance eigendecomposition.
-    * fit: one distributed treeAggregate of (Σx, ΣxxᵀT) — d + d² doubles per
-    * partition, never data-sized — then a d×d eigSym on the driver.
+    * fit: ONE distributed pass — each partition buffers rows into a
+    * bounded column-major chunk and accumulates the raw second moment
+    * with `dsyrk` (upper triangle, half the flops; the reference's
+    * rows→local-matrix + level-3 BLAS pattern, like the block solver's
+    * gram passes — NOT a per-row d×d outer product, which allocates a
+    * matrix per row) — d + d² doubles per partition travel, never
+    * data-sized; then a d×d eigSym on the driver.
     * transform: per-row (x−μ)ᵀW in a closure with the broadcast matrix. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5)
       extends Estimator {
@@ -142,21 +147,51 @@ object LearningOps {
       val data = train.select(transform(col(in), _.cast("double")).as("v"))
         .rdd.map(r => r.getSeq[Double](0).toArray)
       val d = data.first().length
-      val (n, sum, outer) = data.treeAggregate(
-        (0L, DenseVector.zeros[Double](d), DenseMatrix.zeros[Double](d, d)))(
-        seqOp = { case ((c, s, m), x) =>
-          val xv = DenseVector(x)
-          (c + 1, s + xv, m + xv * xv.t)
-        },
-        combOp = { case ((c1, s1, m1), (c2, s2, m2)) => (c1 + c2, s1 + s2, m1 + m2) })
-      val mu = sum / n.toDouble
+      val dd = d
+      val (n, sumArr, gUpper) = data.mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val g = new Array[Double](dd * dd)
+        val s = new Array[Double](dd)
+        // bounded row buffer: ≤ ~32 MB regardless of d or partition size
+        val chunk = math.max(64, math.min(4096, (4 << 20) / dd))
+        val buf = new Array[Double](chunk * dd)
+        var m = 0
+        var cnt = 0L
+        def flush(): Unit = {
+          if (m > 0) blas.dsyrk("U", "T", dd, m, 1.0, buf, chunk, 1.0, g, dd)
+          m = 0
+        }
+        while (it.hasNext) {
+          val x = it.next()
+          var j = 0
+          while (j < dd) { buf(j * chunk + m) = x(j); s(j) += x(j); j += 1 }
+          cnt += 1
+          m += 1
+          if (m == chunk) flush()
+        }
+        flush()
+        Iterator.single((cnt, s, g))
+      }.treeReduce { case ((c1, s1, g1), (c2, s2, g2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (c1 + c2, s1, g1)
+      }
+      val outer = new DenseMatrix(d, d, gUpper)
+      var pm = 0
+      while (pm < d) {
+        var qm = pm + 1
+        while (qm < d) { outer(qm, pm) = outer(pm, qm); qm += 1 }
+        pm += 1
+      }
+      val mu = DenseVector(sumArr) / n.toDouble
       val cov = (outer / n.toDouble) - mu * mu.t
       val es = eigSym(cov)
       val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
       val w = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
       val muArr = mu.toArray
       val wArr = w.toArray // column-major d*d
-      val dd = d
       val whitenUdf = udf { (xs: Seq[Double]) =>
         val centered = new Array[Double](dd)
         var i = 0
