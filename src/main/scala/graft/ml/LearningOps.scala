@@ -1,6 +1,6 @@
 package graft.ml
 
-import breeze.linalg.{DenseMatrix, DenseVector, eigSym, inv}
+import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -131,6 +131,55 @@ object LearningOps {
     }
   }
 
+  /** Chunked per-partition gram accumulator — the reference's
+    * rows→local-matrix + level-3 BLAS pattern (`[K] utils/MatrixUtils`)
+    * shared by every fit that needs Σ x xᵀ statistics (ZCA covariance,
+    * kernel-ridge KᵀK, LDA scatter, the block solver's gram passes):
+    * buffers rows into a bounded (≤ ~32 MB) column-major chunk and
+    * accumulates the UPPER-triangle gram G += XᵀX with one `dsyrk` per
+    * chunk (half the gemm flops; mirror with [[mirrorUpper]] after the
+    * reduce) instead of allocating a d×d outer product per row.
+    * `perRow` folds any side statistic (column sums, Xᵀy) in the same
+    * sweep; it is called exactly once per row, in row order, BEFORE the
+    * row is buffered. Returns (row count, flat d×d upper gram). */
+  private[ml] def syrkPartition(it: Iterator[Array[Double]], d: Int,
+      perRow: Array[Double] => Unit): (Long, Array[Double]) = {
+    val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+    val g = new Array[Double](d * d)
+    val chunk = math.max(64, math.min(4096, (4 << 20) / math.max(d, 1)))
+    val buf = new Array[Double](chunk * d)
+    var m = 0
+    var cnt = 0L
+    def flush(): Unit = {
+      if (m > 0) blas.dsyrk("U", "T", d, m, 1.0, buf, chunk, 1.0, g, d)
+      m = 0
+    }
+    while (it.hasNext) {
+      val x = it.next()
+      perRow(x)
+      var j = 0
+      while (j < d) { buf(j * chunk + m) = x(j); j += 1 }
+      cnt += 1
+      m += 1
+      if (m == chunk) flush()
+    }
+    flush()
+    (cnt, g)
+  }
+
+  /** Reflect a dsyrk-upper flat d×d buffer into a full symmetric
+    * Breeze matrix (wraps the buffer — no copy). */
+  private[ml] def mirrorUpper(g: Array[Double], d: Int): DenseMatrix[Double] = {
+    val m = new DenseMatrix(d, d, g)
+    var p = 0
+    while (p < d) {
+      var q = p + 1
+      while (q < d) { m(q, p) = m(p, q); q += 1 }
+      p += 1
+    }
+    m
+  }
+
   /** ref: nodes.learning.ZCAWhitener(+Estimator) — whiten with
     * W = V (Λ + εI)^{-1/2} Vᵀ from the covariance eigendecomposition.
     * fit: ONE distributed pass — each partition buffers rows into a
@@ -149,27 +198,11 @@ object LearningOps {
       val d = data.first().length
       val dd = d
       val (n, sumArr, gUpper) = data.mapPartitions { it =>
-        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
-        val g = new Array[Double](dd * dd)
         val s = new Array[Double](dd)
-        // bounded row buffer: ≤ ~32 MB regardless of d or partition size
-        val chunk = math.max(64, math.min(4096, (4 << 20) / dd))
-        val buf = new Array[Double](chunk * dd)
-        var m = 0
-        var cnt = 0L
-        def flush(): Unit = {
-          if (m > 0) blas.dsyrk("U", "T", dd, m, 1.0, buf, chunk, 1.0, g, dd)
-          m = 0
-        }
-        while (it.hasNext) {
-          val x = it.next()
+        val (cnt, g) = syrkPartition(it, dd, x => {
           var j = 0
-          while (j < dd) { buf(j * chunk + m) = x(j); s(j) += x(j); j += 1 }
-          cnt += 1
-          m += 1
-          if (m == chunk) flush()
-        }
-        flush()
+          while (j < dd) { s(j) += x(j); j += 1 }
+        })
         Iterator.single((cnt, s, g))
       }.treeReduce { case ((c1, s1, g1), (c2, s2, g2)) =>
         var i = 0
@@ -178,13 +211,7 @@ object LearningOps {
         while (i < g1.length) { g1(i) += g2(i); i += 1 }
         (c1 + c2, s1, g1)
       }
-      val outer = new DenseMatrix(d, d, gUpper)
-      var pm = 0
-      while (pm < d) {
-        var qm = pm + 1
-        while (qm < d) { outer(qm, pm) = outer(pm, qm); qm += 1 }
-        pm += 1
-      }
+      val outer = mirrorUpper(gUpper, d)
       val mu = DenseVector(sumArr) / n.toDouble
       val cov = (outer / n.toDouble) - mu * mu.t
       val es = eigSym(cov)
@@ -332,15 +359,32 @@ object LearningOps {
       val rows = mapK(train)
         .select(col("__k"), col(labelCol).cast("double").as("__y"))
         .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-      val (ktk, kty) = rows.treeAggregate(
-        (DenseMatrix.zeros[Double](mm, mm), DenseVector.zeros[Double](mm)))(
-        seqOp = { case ((a, b), (k, y)) =>
-          val kv = DenseVector(k)
-          (a + kv * kv.t, b + kv * y)
-        },
-        combOp = { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) })
-      val alpha = inv(ktk + kmm * lambda +
-        DenseMatrix.eye[Double](mm) * 1e-12) * kty
+      val mmLocal = mm
+      val (ktkUpper, ktyArr) = rows.mapPartitions { it =>
+        // chunked dsyrk for KᵀK (a per-row mm×mm outer product would
+        // allocate a full matrix per row); Kᵀy folds in the same sweep
+        // via the perRow hook — the mapped iterator stashes each row's
+        // label in `curY` immediately before the hook sees the row
+        val kty = new Array[Double](mmLocal)
+        var curY = 0.0
+        val (_, g) = syrkPartition(
+          it.map { case (k, y) => curY = y; k }, mmLocal,
+          k => {
+            var j = 0
+            while (j < mmLocal) { kty(j) += k(j) * curY; j += 1 }
+          })
+        Iterator.single((g, kty))
+      }.treeReduce { case ((g1, b1), (g2, b2)) =>
+        var i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        i = 0
+        while (i < b1.length) { b1(i) += b2(i); i += 1 }
+        (g1, b1)
+      }
+      val ktk = mirrorUpper(ktkUpper, mm)
+      val kty = DenseVector(ktyArr)
+      val alpha = (ktk + kmm * lambda +
+        DenseMatrix.eye[Double](mm) * 1e-12) \ kty
       val aLit = array(alpha.toArray.map(lit): _*)
       Transformer { df =>
         mapK(df)
@@ -376,12 +420,23 @@ object LearningOps {
         // pass 2: within-class scatter (one treeAggregate of a d×d matrix)
         val bcMeans = rows.context.broadcast(classMeans.map { case (y, (m, _)) =>
           y -> m.toArray }.toMap)
-        val sw = rows.treeAggregate(DenseMatrix.zeros[Double](d, d))(
-          seqOp = { case (m, (y, x)) =>
-            val c = DenseVector(x) - DenseVector(bcMeans.value(y))
-            m + c * c.t
-          },
-          combOp = _ + _)
+        val dLocal = d
+        val swUpper = rows.mapPartitions { it =>
+          // class-center each row, then chunked dsyrk (no per-row d×d)
+          val means = bcMeans.value
+          Iterator.single(syrkPartition(it.map { case (y, x) =>
+            val mu = means(y)
+            val c = new Array[Double](dLocal)
+            var j = 0
+            while (j < dLocal) { c(j) = x(j) - mu(j); j += 1 }
+            c
+          }, dLocal, _ => ())._2)
+        }.treeReduce { (g1, g2) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          g1
+        }
+        val sw = mirrorUpper(swUpper, d)
         bcMeans.destroy()
         val sb = classMeans.values.map { case (m, c) =>
           val diff = m - globalMean
@@ -389,7 +444,7 @@ object LearningOps {
         }.reduce(_ + _)
         // generalized eig via S_w^-1 S_b (regularized); top-k eigenvectors
         val reg = DenseMatrix.eye[Double](d) * 1e-6
-        val m = inv(sw + reg) * sb
+        val m = (sw + reg) \ sb
         val es = breeze.linalg.eig(m)
         val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
         val proj = DenseMatrix.horzcat(order.map(i =>
