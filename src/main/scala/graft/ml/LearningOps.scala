@@ -14,9 +14,10 @@ import graft.ml.workflow.{Estimator, Transformer}
   *
   * Dense-math strategy (the reference's own, SURVEY §4): distributed
   * passes aggregate small fixed-size statistics (grams, covariances —
-  * d² doubles, never data-sized) via treeAggregate with Breeze inside the
-  * executors; the driver solves the d×d problem; the resulting model
-  * broadcasts back as literal weights applied per row.
+  * d² doubles, never data-sized) with level-3 BLAS inside the executors
+  * ([[LearningOps.syrkPartition]] / the block solver's dsyrk+dgemm
+  * passes) reduced tree-wise; the driver solves the d×d problem; the
+  * resulting model broadcasts back as literal weights applied per row.
   */
 object LearningOps {
 
@@ -139,11 +140,13 @@ object LearningOps {
     * accumulates the UPPER-triangle gram G += XᵀX with one `dsyrk` per
     * chunk (half the gemm flops; mirror with [[mirrorUpper]] after the
     * reduce) instead of allocating a d×d outer product per row.
-    * `perRow` folds any side statistic (column sums, Xᵀy) in the same
-    * sweep; it is called exactly once per row, in row order, BEFORE the
-    * row is buffered. Returns (row count, flat d×d upper gram). */
-  private[ml] def syrkPartition(it: Iterator[Array[Double]], d: Int,
-      perRow: Array[Double] => Unit): (Long, Array[Double]) = {
+    * Rows arrive as any element type `T` with a `rowOf` extractor, so
+    * a labeled row (vector, y) keeps its label attached — `perRow(t)`
+    * folds any side statistic (column sums, Kᵀy) in the same sweep
+    * with no ordering side-channel between the caller and this loop.
+    * Returns (row count, flat d×d upper gram). */
+  private[ml] def syrkPartition[T](it: Iterator[T], d: Int,
+      rowOf: T => Array[Double], perRow: T => Unit): (Long, Array[Double]) = {
     val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
     val g = new Array[Double](d * d)
     val chunk = math.max(64, math.min(4096, (4 << 20) / math.max(d, 1)))
@@ -155,8 +158,9 @@ object LearningOps {
       m = 0
     }
     while (it.hasNext) {
-      val x = it.next()
-      perRow(x)
+      val t = it.next()
+      perRow(t)
+      val x = rowOf(t)
       var j = 0
       while (j < d) { buf(j * chunk + m) = x(j); j += 1 }
       cnt += 1
@@ -199,7 +203,7 @@ object LearningOps {
       val dd = d
       val (n, sumArr, gUpper) = data.mapPartitions { it =>
         val s = new Array[Double](dd)
-        val (cnt, g) = syrkPartition(it, dd, x => {
+        val (cnt, g) = syrkPartition[Array[Double]](it, dd, identity, x => {
           var j = 0
           while (j < dd) { s(j) += x(j); j += 1 }
         })
@@ -315,9 +319,10 @@ object LearningOps {
     * object is the n×m feature map k(x, landmark_j) = exp(−γ‖x−l_j‖²),
     * computed row-wise with the codegen'd graft_sqdist kernel against the
     * broadcast landmarks. fit solves the m×m system
-    * (K_nmᵀK_nm + λ K_mm) α = K_nmᵀ y  — one treeAggregate of m²+m
-    * doubles — on the driver; transform is the same feature map + a
-    * graft_dot with the broadcast α. */
+    * (K_nmᵀK_nm + λ K_mm) α = K_nmᵀ y — one distributed pass
+    * aggregating m²+m doubles (chunked dsyrk, [[syrkPartition]]) — on
+    * the driver; transform is the same feature map + a graft_dot with
+    * the broadcast α. */
   case class KernelRidgeEst(featuresCol: String, labelCol: String, out: String,
       gamma: Double, numLandmarks: Int = 64, lambda: Double = 1e-6,
       seed: Long = 42L) extends Estimator {
@@ -363,15 +368,12 @@ object LearningOps {
       val (ktkUpper, ktyArr) = rows.mapPartitions { it =>
         // chunked dsyrk for KᵀK (a per-row mm×mm outer product would
         // allocate a full matrix per row); Kᵀy folds in the same sweep
-        // via the perRow hook — the mapped iterator stashes each row's
-        // label in `curY` immediately before the hook sees the row
+        // via the perRow hook, which sees the (row, label) pair intact
         val kty = new Array[Double](mmLocal)
-        var curY = 0.0
-        val (_, g) = syrkPartition(
-          it.map { case (k, y) => curY = y; k }, mmLocal,
-          k => {
+        val (_, g) = syrkPartition[(Array[Double], Double)](it, mmLocal,
+          _._1, { case (k, y) =>
             var j = 0
-            while (j < mmLocal) { kty(j) += k(j) * curY; j += 1 }
+            while (j < mmLocal) { kty(j) += k(j) * y; j += 1 }
           })
         Iterator.single((g, kty))
       }.treeReduce { case ((g1, b1), (g2, b2)) =>
@@ -417,20 +419,21 @@ object LearningOps {
         val total = classStats.values.map(_._1).sum.toDouble
         val globalMean = classStats.values.map(_._2).reduce(_ + _) / total
         val classMeans = classStats.map { case (y, (c, s)) => y -> (s / c.toDouble, c) }
-        // pass 2: within-class scatter (one treeAggregate of a d×d matrix)
+        // pass 2: within-class scatter (one pass aggregating one d×d
+        // matrix per partition — chunked dsyrk over class-centered rows)
         val bcMeans = rows.context.broadcast(classMeans.map { case (y, (m, _)) =>
           y -> m.toArray }.toMap)
         val dLocal = d
         val swUpper = rows.mapPartitions { it =>
           // class-center each row, then chunked dsyrk (no per-row d×d)
           val means = bcMeans.value
-          Iterator.single(syrkPartition(it.map { case (y, x) =>
+          Iterator.single(syrkPartition[Array[Double]](it.map { case (y, x) =>
             val mu = means(y)
             val c = new Array[Double](dLocal)
             var j = 0
             while (j < dLocal) { c(j) = x(j) - mu(j); j += 1 }
             c
-          }, dLocal, _ => ())._2)
+          }, dLocal, identity, _ => ())._2)
         }.treeReduce { (g1, g2) =>
           var i = 0
           while (i < g1.length) { g1(i) += g2(i); i += 1 }
@@ -684,14 +687,7 @@ object LearningOps {
           while (i < v1.length) { v1(i) += v2(i); i += 1 }
           (g1, v1)
         }
-        // mirror dsyrk's upper triangle into a full symmetric gram
-        val gram = new DenseMatrix(bLen, bLen, gArr)
-        var pm = 0
-        while (pm < bLen) {
-          var qm = pm + 1
-          while (qm < bLen) { gram(qm, pm) = gram(pm, qm); qm += 1 }
-          pm += 1
-        }
+        val gram = mirrorUpper(gArr, bLen)
         val xtwr = new DenseMatrix(bLen, kk, vArr)
         // with r = y − Xw (ALL blocks applied), the block target is
         // Xᵦᵀ W (r + Xᵦwᵦ) = XᵦᵀWr + Gᵦwᵦ — the Gᵦwᵦ term is a
