@@ -272,19 +272,42 @@ object LearningOps {
     def rOf(m: DenseMatrix[Double]): DenseMatrix[Double] =
       breeze.linalg.qr.reduced(m).r
     val rFinal = data.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val muA = bMu.value
-        val m = DenseMatrix.zeros[Double](rows.length, muA.length)
-        var i = 0
-        while (i < rows.length) {
-          var j = 0
-          while (j < muA.length) { m(i, j) = rows(i)(j) - muA(j); j += 1 }
-          i += 1
+      // CHUNKED within the partition: QR [R_acc; next ≤C centered rows]
+      // and keep only the R — peak task memory is (d + C)×d, bounded
+      // (~32 MB) no matter how many rows the partition holds, where the
+      // old spelling materialized the WHOLE partition as one dense
+      // matrix (a 1M-row × d=512 partition = 4 GB per task). Exact TSQR
+      // either way: stacking R factors preserves the row space.
+      val muA = bMu.value
+      val dd = muA.length
+      val chunkRows = math.max(64, math.min(4096, (4 << 20) / dd))
+      val buf = DenseMatrix.zeros[Double](chunkRows, dd)
+      var rAcc: DenseMatrix[Double] = null
+      var m = 0
+      def flush(): Unit = {
+        if (m > 0) {
+          val top = if (rAcc == null) 0 else rAcc.rows
+          val stacked = DenseMatrix.zeros[Double](top + m, dd)
+          if (rAcc != null) stacked(0 until top, ::) := rAcc
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < dd) { stacked(top + i, j) = buf(i, j); j += 1 }
+            i += 1
+          }
+          rAcc = rOf(stacked)
+          m = 0
         }
-        Iterator.single(rOf(m))
       }
+      while (it.hasNext) {
+        val x = it.next()
+        var j = 0
+        while (j < dd) { buf(m, j) = x(j) - muA(j); j += 1 }
+        m += 1
+        if (m == chunkRows) flush()
+      }
+      flush()
+      if (rAcc == null) Iterator.empty else Iterator.single(rAcc)
     }.treeReduce((r1, r2) => rOf(DenseMatrix.vertcat(r1, r2)))
     // LAPACK's divide-and-conquer dgesdd occasionally reports
     // NotConverged on perfectly valid inputs (library-state/timing
