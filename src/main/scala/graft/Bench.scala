@@ -84,11 +84,16 @@ object Bench {
     // source: a structural cost repeats, a wobble doesn't.
     val retryBar = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
     val slow = results.toSeq.filter(_._2 > retryBar).map(_._1)
-    // ALSO retry the top round-over-round movers regardless of absolute
+    // ALSO retry EVERY round-over-round mover regardless of absolute
     // time: a 2.9x jump that stays under the bar (q_min_cost_supplier,
     // 1.38s -> 3.96s across r11/r12 sweeps) previously escaped with no
     // adjudication datum. Ratio >= 2x vs the committed sweep, current
-    // time >= 0.5s (sub-half-second wobble carries no signal), top 5.
+    // time >= 0.5s (sub-half-second wobble carries no signal). The list
+    // was top-5-capped through round 15, but a noisy host patch produces
+    // movers in bulk — the r15 sweep had SEVEN and left two uncorrected
+    // in the artifact — so the cap defeated the mechanism exactly when
+    // it was needed; now uncapped (a retry costs one extra query run,
+    // and a genuinely regressed build SHOULD pay to re-time itself).
     val moverRatio =
       sys.env.getOrElse("SPARK_GRAFT_MOVER_RATIO", "2.0").toDouble
     val movers = results.toSeq
@@ -96,7 +101,7 @@ object Bench {
         t >= 0.5 && priorTimes.get(n).exists(p => p > 0 && t / p >= moverRatio)
       }
       .sortBy { case (n, t) => -(t / priorTimes(n)) }
-      .take(5).map(_._1)
+      .map(_._1)
     val retries = (slow ++ movers).distinct.sorted
       .map(name => name -> timeOne(name)).toMap
     val sorted = results.toSeq.sortBy(_._1)

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * each): scalar kernels block-cd 14.7/15.4 s, exact 27.7/28.6 s →
   * BLAS kernels block-cd 8.7/10.7 s, exact 12.0/11.9 s. At the small
   * default size both spellings sit inside the host-noise band
-  * (5-9 s) — per-task scheduling dominates there, not kernels. */
+  * (5-9 s) — per-task scheduling dominates there, not kernels.
+  *
+  * Round-16 QR evidence (same size): Breeze's netlib-java F2J
+  * qr.reduced 1.81 s vs dev.ludovic.netlib dgeqrf (lapackQrR) 0.90 s
+  * per 4608×512 chunk-shaped QR — 2.0×, plus retiring the F2J dgeqr2
+  * stack where the one-off CPU-burn hang lived; distributed tsqrPca
+  * end-to-end 17.3 s at n=400k d=512 k=20. */
 object SolverBench {
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toInt).getOrElse(40000)
@@ -60,8 +66,29 @@ object SolverBench {
         blocks = Array(0 until d), numIter = 1, lambda = 1e-6,
         wc = lit(1.0), nHint = n)
     }
+    // Round-16 QR evidence: Breeze's netlib-java F2J qr.reduced vs the
+    // dev.ludovic.netlib dgeqrf spelling tsqrPca now uses, timed on the
+    // exact chunk shape tsqrPca stacks ((chunkRows + d) × d), plus the
+    // full distributed TSQR-PCA pass end-to-end.
+    val qrRows = math.min(4096, (4 << 20) / d) + d
+    val qm = breeze.linalg.DenseMatrix.tabulate(qrRows, d)(
+      (i, j) => math.sin(i * 31 + j * 17))
+    def reps(body: => Unit): Double = {
+      body // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 5) { body; i += 1 }
+      (System.nanoTime() - t0) / 5e9
+    }
+    val tQrBreeze = reps(breeze.linalg.qr.reduced(qm))
+    val tQrLapack = reps(graft.ml.LearningOps.lapackQrR(qm))
+    val tPca = time {
+      graft.ml.LearningOps.tsqrPca(base, "v", k = math.min(k, d))
+    }
     println(s"""{"n":$n,"d":$d,"k":$k,"blockSize":$blockSize,""" +
-      s""""epochs":$epochs,"block_cd_sec":$tBcd,"exact_sec":$tExact}""")
+      s""""epochs":$epochs,"block_cd_sec":$tBcd,"exact_sec":$tExact,""" +
+      s""""qr_breeze_sec":$tQrBreeze,"qr_lapack_sec":$tQrLapack,""" +
+      s""""tsqr_pca_sec":$tPca}""")
     spark.stop()
   }
 }

@@ -19,7 +19,7 @@ import graft.ml.workflow.{Estimator, Transformer}
   * passes) reduced tree-wise; the driver solves the d×d problem; the
   * resulting model broadcasts back as literal weights applied per row.
   */
-object LearningOps {
+object LearningOps extends Serializable {
 
   private def withVec(df: DataFrame, in: String): DataFrame =
     df.withColumn("__features", array_to_vector(transform(col(in), _.cast("double"))))
@@ -184,6 +184,126 @@ object LearningOps {
     m
   }
 
+  /** A contiguous column-major view of a Breeze matrix for LAPACK calls
+    * (copies only when the input is a view/transpose). */
+  private def contiguous(m: DenseMatrix[Double]): DenseMatrix[Double] =
+    if (m.offset == 0 && !m.isTranspose && m.majorStride == m.rows) m
+    else m.copy
+
+  /** R factor of a reduced QR via LAPACK `dgeqrf` on `dev.ludovic.netlib`
+    * — the same provider as the solver kernels ([[blockCdSolve]] /
+    * [[syrkPartition]]), replacing the Breeze→netlib-java F2J path where
+    * a `dgeqr2` CPU-burn hang was once observed mid-suite. R's row signs
+    * are provider-dependent, which TSQR is invariant to: stacking R
+    * factors preserves RᵀR, and the final right singular vectors are
+    * sign-canonicalized by the caller. */
+  private[graft] def lapackQrR(m0: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val m = contiguous(m0)
+    val rows = m.rows
+    val cols = m.cols
+    val lapack = dev.ludovic.netlib.lapack.LAPACK.getInstance()
+    val a = java.util.Arrays.copyOf(m.data, rows * cols)
+    val kk = math.min(rows, cols)
+    val tau = new Array[Double](math.max(kk, 1))
+    val info = new org.netlib.util.intW(0)
+    val wq = new Array[Double](1)
+    lapack.dgeqrf(rows, cols, a, rows, tau, wq, -1, info)
+    require(info.`val` == 0, s"dgeqrf workspace query failed: info=${info.`val`}")
+    val lwork = math.max(cols, wq(0).toInt)
+    val work = new Array[Double](lwork)
+    lapack.dgeqrf(rows, cols, a, rows, tau, work, lwork, info)
+    require(info.`val` == 0, s"dgeqrf failed: info=${info.`val`}")
+    val r = DenseMatrix.zeros[Double](kk, cols)
+    var j = 0
+    while (j < cols) {
+      val lim = math.min(j, kk - 1)
+      var i = 0
+      while (i <= lim) { r(i, j) = a(i + j * rows); i += 1 }
+      j += 1
+    }
+    r
+  }
+
+  /** Top-k right singular vectors and singular values of a small
+    * driver-side matrix via LAPACK `dgesvd` (the QR-iteration driver —
+    * more convergence-robust than the divide-and-conquer `dgesdd` Breeze
+    * binds, which reported NotConverged once mid-suite on valid input).
+    * If dgesvd itself fails to converge (info > 0), falls back to
+    * `dsyev` on RᵀR — unconditionally convergent, same right singular
+    * vectors up to the sign the caller canonicalizes, σ = √eig.
+    * Signs of the returned vectors are provider-dependent; callers must
+    * canonicalize. */
+  private[graft] def lapackTopRightSingular(r0: DenseMatrix[Double], k: Int)
+      : (IndexedSeq[Array[Double]], Array[Double]) = {
+    val r = contiguous(r0)
+    val rows = r.rows
+    val cols = r.cols
+    val lapack = dev.ludovic.netlib.lapack.LAPACK.getInstance()
+    val minMn = math.min(rows, cols)
+    val a = java.util.Arrays.copyOf(r.data, rows * cols)
+    val s = new Array[Double](minMn)
+    val vt = new Array[Double](minMn * cols)
+    val u = new Array[Double](1)
+    val info = new org.netlib.util.intW(0)
+    val wq = new Array[Double](1)
+    lapack.dgesvd("N", "S", rows, cols, a, rows, s, u, 1, vt, minMn, wq, -1, info)
+    var converged = info.`val` == 0
+    if (converged) {
+      val lwork = math.max(1, wq(0).toInt)
+      val work = new Array[Double](lwork)
+      lapack.dgesvd("N", "S", rows, cols, a, rows, s, u, 1, vt, minMn,
+        work, lwork, info)
+      converged = info.`val` == 0
+    }
+    require(info.`val` >= 0, s"dgesvd illegal argument: info=${info.`val`}")
+    if (converged) {
+      val axes = (0 until k).map { ax =>
+        val v = new Array[Double](cols)
+        var j = 0
+        while (j < cols) { v(j) = vt(ax + j * minMn); j += 1 }
+        v
+      }
+      (axes, s.take(k))
+    } else dsyevTopRightSingular(r, k)
+  }
+
+  /** The non-convergence fallback of [[lapackTopRightSingular]], kept
+    * separately callable so its agreement with the dgesvd path is a
+    * test, not a hope: `dsyev` on RᵀR — unconditionally convergent,
+    * σ = √eig, right singular vectors = eigenvectors (signs
+    * provider-dependent; the caller canonicalizes). */
+  private[graft] def dsyevTopRightSingular(r0: DenseMatrix[Double], k: Int)
+      : (IndexedSeq[Array[Double]], Array[Double]) = {
+    val r = contiguous(r0)
+    val rows = r.rows
+    val cols = r.cols
+    val lapack = dev.ludovic.netlib.lapack.LAPACK.getInstance()
+    val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+    val g = new Array[Double](cols * cols)
+    blas.dsyrk("U", "T", cols, rows, 1.0, r.data, rows, 0.0, g, cols)
+    mirrorUpper(g, cols)
+    val w = new Array[Double](cols)
+    val info = new org.netlib.util.intW(0)
+    val wq = new Array[Double](1)
+    lapack.dsyev("V", "U", cols, g, cols, w, wq, -1, info)
+    require(info.`val` == 0, s"dsyev workspace query failed: info=${info.`val`}")
+    val lwork = math.max(1, wq(0).toInt)
+    val work = new Array[Double](lwork)
+    lapack.dsyev("V", "U", cols, g, cols, w, work, lwork, info)
+    require(info.`val` == 0, s"dsyev failed: info=${info.`val`}")
+    // dsyev orders eigenvalues ascending — top-k reads from the end
+    val axes = (0 until k).map { ax =>
+      val cIdx = cols - 1 - ax
+      val v = new Array[Double](cols)
+      var j = 0
+      while (j < cols) { v(j) = g(j + cIdx * cols); j += 1 }
+      v
+    }
+    val sv = Array.tabulate(k)(ax =>
+      math.sqrt(math.max(w(cols - 1 - ax), 0.0)))
+    (axes, sv)
+  }
+
   /** ref: nodes.learning.ZCAWhitener(+Estimator) — whiten with
     * W = V (Λ + εI)^{-1/2} Vᵀ from the covariance eigendecomposition.
     * fit: ONE distributed pass — each partition buffers rows into a
@@ -254,7 +374,11 @@ object LearningOps {
     * route, which squares the condition number). Two passes total: mean,
     * then QR tree. Axis signs are canonicalized (largest-|loading|
     * component made positive) so the result is deterministic across
-    * partitionings.
+    * partitionings AND across LAPACK providers (QR/SVD sign freedom).
+    * All dense math rides `dev.ludovic.netlib` ([[lapackQrR]] /
+    * [[lapackTopRightSingular]]) — the provider the solver kernels use —
+    * not Breeze's netlib-java F2J path, where a `dgeqr2` CPU-burn hang
+    * was once observed mid-suite.
     *
     * Returns (mean, top-k axes as rows, the k singular values of the
     * centered matrix — sqrt((n−1)·variance) along each axis). */
@@ -269,8 +393,7 @@ object LearningOps {
       combOp = { case ((c1, s1), (c2, s2)) => (c1 + c2, s1 + s2) })
     val mu = sum / n.toDouble
     val bMu = data.sparkContext.broadcast(mu.toArray)
-    def rOf(m: DenseMatrix[Double]): DenseMatrix[Double] =
-      breeze.linalg.qr.reduced(m).r
+    def rOf(m: DenseMatrix[Double]): DenseMatrix[Double] = lapackQrR(m)
     val rFinal = data.mapPartitions { it =>
       // CHUNKED within the partition: QR [R_acc; next ≤C centered rows]
       // and keep only the R — peak task memory is (d + C)×d, bounded
@@ -309,24 +432,9 @@ object LearningOps {
       flush()
       if (rAcc == null) Iterator.empty else Iterator.single(rAcc)
     }.treeReduce((r1, r2) => rOf(DenseMatrix.vertcat(r1, r2)))
-    // LAPACK's divide-and-conquer dgesdd occasionally reports
-    // NotConverged on perfectly valid inputs (library-state/timing
-    // sensitive; observed once mid-suite on this repo's own fixtures).
-    // Fall back to the symmetric eigendecomposition of RᵀR — d×d,
-    // unconditionally convergent, same right singular vectors up to the
-    // sign that's canonicalized below, σ = √eig.
-    val (rawAxes, sings) =
-      try {
-        val s = breeze.linalg.svd.reduced(rFinal)
-        ((0 until k).map(a => s.Vt(a, ::).t.toArray),
-          s.singularValues.toArray.take(k))
-      } catch {
-        case _: breeze.linalg.NotConvergedException =>
-          val es = breeze.linalg.eigSym(rFinal.t * rFinal)
-          val top = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).take(k)
-          (top.toIndexedSeq.map { case (_, i) => es.eigenvectors(::, i).toArray },
-            top.map { case (ev, _) => math.sqrt(math.max(ev, 0.0)) })
-      }
+    // Right singular vectors of R via dev.ludovic.netlib dgesvd with a
+    // dsyev(RᵀR) non-convergence fallback — see lapackTopRightSingular.
+    val (rawAxes, sings) = lapackTopRightSingular(rFinal, k)
     val axes = rawAxes.map { v =>
       // canonical sign: the largest-|loading| component is positive
       val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
@@ -614,10 +722,19 @@ object LearningOps {
     val source =
       if (nHint > 0) {
         val parts = math.max(train.rdd.getNumPartitions, 1)
-        if (nHint / parts > safeRowsPerPart)
-          train.repartition(math.ceil(nHint.toDouble / safeRowsPerPart)
-            .toInt)
-        else train
+        // Trigger on the AVERAGE reaching HALF the safe rows/partition,
+        // not the safe value itself: the incoming partitioning can be
+        // skewed (the cap error fires on the worst partition, not the
+        // mean), and a round-robin repartition() levels it — so go
+        // early, while safeRowsPerPart's own 2x headroom still covers
+        // residual imbalance. Partition count is clamped to a sane Int
+        // range (ceil of a huge nHint/safeRows ratio can overflow
+        // toInt); past the clamp the named cache-cap error below still
+        // guards the build.
+        if (nHint / parts > safeRowsPerPart / 2) {
+          val want = math.ceil(2.0 * nHint.toDouble / safeRowsPerPart)
+          train.repartition(math.min(want, 1e7).toInt.max(parts))
+        } else train
       } else train
     val capMsg = maxPartElems
     // one pass builds the column-major cache: per partition a d×m

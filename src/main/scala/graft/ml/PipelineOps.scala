@@ -604,7 +604,7 @@ object workflow {
   private val RidgeFloor = 1e-9
 
   private[graft] final case class DispatchResult(solver: String,
-      costs: Map[String, Double], density: Double,
+      costs: graft.ml.SolverCostModel.CostReport, density: Double,
       weights: Array[Array[Double]], intercepts: Array[Double])
 
   /** Scalar-label solver dispatcher (see [[dispatchLeastSquares]] for
@@ -619,7 +619,7 @@ object workflow {
       workersOverride: Option[Int] = None,
       solverOverride: Option[String] = None) extends Estimator {
     @volatile var chosenSolver: String = _
-    @volatile var costReport: Map[String, Double] = _
+    @volatile var costReport: graft.ml.SolverCostModel.CostReport = _
     @volatile var probedDensity: Double = _
     @volatile var fittedIntercept: Double = 0.0
 
@@ -661,7 +661,7 @@ object workflow {
       workersOverride: Option[Int] = None,
       solverOverride: Option[String] = None) extends Estimator {
     @volatile var chosenSolver: String = _
-    @volatile var costReport: Map[String, Double] = _
+    @volatile var costReport: graft.ml.SolverCostModel.CostReport = _
     @volatile var probedDensity: Double = _
     @volatile var fittedIntercepts: Array[Double] = _
 

@@ -158,10 +158,20 @@ object SolverCostModel {
     Map("normal" -> normal, "l-bfgs" -> lbfgs, "block-cd" -> blockCd)
   }
 
+  /** Per-route estimated costs and the calibration evidence, as SEPARATE
+    * fields: merging them into one Map let any consumer that iterates
+    * values (minBy, sum, a pretty-printed "route costs" table) silently
+    * pick up non-route entries. `apply` is route-only lookup, so
+    * `report("normal")` stays the per-route read it looks like. */
+  case class CostReport(routeCosts: Map[String, Double],
+      calibration: Map[String, Double]) {
+    def apply(route: String): Double = routeCosts(route)
+  }
+
   /** The dispatch decision plus the full cost report (for observability —
     * the estimator exposes both, the same way the chosen solver itself is
     * exposed for tests). */
-  def choose(p: Problem): (String, Map[String, Double]) = {
+  def choose(p: Problem): (String, CostReport) = {
     val costs = estimates(p)
     val cheapest = costs.values.min
     val winner = ExactnessOrder
@@ -169,6 +179,6 @@ object SolverCostModel {
       .getOrElse(costs.minBy(_._2)._1)
     // measured-vs-assumed constants ride along in every report (the
     // decision itself uses the declared constants — see [[calibration]])
-    (winner, costs ++ calibration)
+    (winner, CostReport(costs, calibration))
   }
 }

@@ -202,6 +202,21 @@ class LearningOpsSpec extends GraftSuite {
     val diff = (0 until d).map(j => math.abs(free(0)(j) - capped(0)(j))).max
     assert(diff < 1e-9,
       s"auto-repartitioned solve must match the unconstrained one: $diff")
+    // SKEWED input: all rows hash to ONE of 8 partitions, so the mean
+    // rows/partition sits under the safe value while the worst partition
+    // is far over the cap — the guard must trigger on the early (half-
+    // safe) threshold and level the skew, not abort mid-job
+    val skew = small.limit(32).repartition(8, lit(0))
+    val free32 = graft.ml.LearningOps.blockCdSolve(small.limit(32), "v",
+      array($"y".cast("double")), k = 1, d = d,
+      blocks = Array(0 until d), numIter = 1, lambda = 1e-6, wc = lit(1.0))
+    val skewed = graft.ml.LearningOps.blockCdSolve(skew, "v",
+      array($"y".cast("double")), k = 1, d = d,
+      blocks = Array(0 until d), numIter = 1, lambda = 1e-6, wc = lit(1.0),
+      nHint = 32L, maxPartElems = 64L)
+    val sdiff = (0 until d).map(j => math.abs(free32(0)(j) - skewed(0)(j))).max
+    assert(sdiff < 1e-9,
+      s"skew-leveled solve must match the unconstrained one: $sdiff")
   }
 
   test("blockCdSolve rejects negative row weights by name") {
@@ -382,6 +397,45 @@ class LearningOpsSpec extends GraftSuite {
     axes.zip(axes13).foreach { case (a, b) =>
       val diff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
       assert(diff < 1e-6, s"axes must be partition-invariant, max diff $diff")
+    }
+  }
+
+  test("lapackQrR: upper-triangular R with RᵀR = MᵀM at 1e-9 (tall, wide, view)") {
+    import breeze.linalg.{DenseMatrix => BDM, max => bmax}
+    import breeze.numerics.{abs => babs}
+    val rng = new scala.util.Random(7)
+    for ((rows, cols) <- Seq((40, 12), (8, 12))) {
+      val m = BDM.tabulate(rows, cols)((_, _) => rng.nextGaussian())
+      val r = lapackQrR(m)
+      assert(r.rows == math.min(rows, cols) && r.cols == cols)
+      for (i <- 0 until r.rows; j <- 0 until math.min(i, r.cols))
+        assert(r(i, j) == 0.0, s"R($i,$j) must be zero below the diagonal")
+      // R of any QR of M satisfies RᵀR = MᵀM (sign freedom cancels) —
+      // and must agree with Breeze's qr.reduced through the same identity
+      assert(bmax(babs(r.t * r - m.t * m)) < 1e-9)
+      val rb = breeze.linalg.qr.reduced(m).r
+      assert(bmax(babs(r.t * r - rb.t * rb)) < 1e-9)
+    }
+    // a Breeze view (offset/stride ≠ contiguous) must route through copy
+    val base = BDM.tabulate(20, 20)((_, _) => rng.nextGaussian())
+    val view = base(3 until 15, 2 until 8)
+    assert(bmax(babs(lapackQrR(view).t * lapackQrR(view) - view.t * view)) < 1e-9)
+  }
+
+  test("dsyev non-convergence fallback agrees with the dgesvd path at 1e-9") {
+    import breeze.linalg.{DenseMatrix => BDM}
+    val rng = new scala.util.Random(11)
+    val m = BDM.tabulate(30, 10)((_, _) => rng.nextGaussian())
+    val r = lapackQrR(m)
+    val (ax1, sv1) = lapackTopRightSingular(r, 4)
+    val (ax2, sv2) = dsyevTopRightSingular(r, 4)
+    sv1.zip(sv2).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"singular values differ: $a vs $b")
+    }
+    ax1.zip(ax2).foreach { case (a, b) =>
+      // vectors agree up to sign (both paths leave sign to the caller)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-9, s"|cos| = ${math.abs(dot)}")
     }
   }
 

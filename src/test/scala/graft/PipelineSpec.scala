@@ -241,10 +241,15 @@ class PipelineSpec extends GraftSuite {
       s"declared FlopSec is off by more than ${tol}x — update the constant")
     assert(bwRatio > 1.0 / tol && bwRatio < tol,
       s"declared MemBwSec is off by more than ${tol}x — update the constant")
-    // and every dispatch decision carries the evidence
+    // and every dispatch decision carries the evidence — in its own
+    // field, NOT mixed into the route-cost map (a consumer iterating
+    // routeCosts.values must see routes only)
     val (_, report) = SolverCostModel.choose(SolverCostModel.Problem(
       n = 1000000L, d = 64, k = 1, density = 1.0, workers = 32))
-    assert(report.contains("cal_flop_sec") && report.contains("cal_mem_bw_sec"))
+    assert(report.calibration.contains("cal_flop_sec") &&
+      report.calibration.contains("cal_mem_bw_sec"))
+    assert(report.routeCosts.keySet == SolverCostModel.ExactnessOrder.toSet,
+      s"routeCosts must hold exactly the routes: ${report.routeCosts.keySet}")
   }
 
   test("every dispatched route optimizes the SAME ridge objective") {
