@@ -1,5 +1,7 @@
 package graft.ml
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -64,6 +66,17 @@ object AutoCache {
     * diagnostics/tests. */
   final case class Candidate(df: DataFrame, uses: Int, label: String = "")
 
+  /** [[selectCacheSet]]'s full decision record — handles aligned with the
+    * input order plus the evidence behind the knapsack: per-candidate
+    * sizes and benefit-seconds (keyed by label, or the candidate index
+    * when unlabeled) and the scan-bandwidth calibration
+    * (measured-vs-assumed, [[scanCalibration]]) in its OWN field — never
+    * merged into the per-candidate maps (the SolverCostModel.CostReport
+    * discipline). */
+  final case class CacheSelection(handles: Seq[CacheHandle],
+      sizes: Map[String, BigInt], benefitSeconds: Map[String, Double],
+      calibration: Map[String, Double])
+
   /** Set-selection under ONE shared budget — the reference AutoCacheRule's
     * actual shape (it picks a cache SET across the whole pipeline DAG
     * under a single memory budget via a greedy knapsack, not a per-frame
@@ -89,14 +102,26 @@ object AutoCache {
     * are persisted, and every handle's `release()` is unconditionally
     * safe (no-op for declined frames). */
   def selectCacheSet(candidates: Seq[Candidate],
-      memBudgetBytes: Long = 2L << 30): Seq[CacheHandle] = {
+      memBudgetBytes: Long = 2L << 30,
+      profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
+      : Seq[CacheHandle] =
+    selectCacheSetReported(candidates, memBudgetBytes, profiler).handles
+
+  /** [[selectCacheSet]] with the full [[CacheSelection]] decision record.
+    * `profiler` is injectable (default: [[estimatedSizeAndCost]]) so the
+    * knapsack ordering is testable with deterministic (size, seconds)
+    * pairs instead of wall-clock sleeps. */
+  def selectCacheSetReported(candidates: Seq[Candidate],
+      memBudgetBytes: Long = 2L << 30,
+      profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
+      : CacheSelection = {
     // profile ONLY the uses > 1 candidates: the rest are filtered out of
     // the greedy order and can never be selected, and profiling a
     // stat-less frame is a full distributed pass — paid for nothing on a
     // never-cacheable candidate
     val profiles: Map[Int, (BigInt, Double)] = candidates.indices
       .filter(i => candidates(i).uses > 1)
-      .map(i => i -> estimatedSizeAndCost(candidates(i).df)).toMap
+      .map(i => i -> profiler(candidates(i).df)).toMap
     val order = candidates.indices
       .filter(i => candidates(i).uses > 1)
       .sortBy { i =>
@@ -110,12 +135,26 @@ object AutoCache {
     order.foreach { i =>
       if (profiles(i)._1 <= remaining) { chosen += i; remaining -= profiles(i)._1 }
     }
-    candidates.indices.map { i =>
+    val handles = candidates.indices.map { i =>
       if (chosen(i))
         CacheHandle(candidates(i).df.persist(StorageLevel.MEMORY_AND_DISK),
           cached = true)
       else CacheHandle(candidates(i).df, cached = false)
     }
+    def key(i: Int): String = {
+      val l = candidates(i).label
+      if (l.nonEmpty) l else i.toString
+    }
+    val cal =
+      if (candidates.nonEmpty)
+        scanCalibration(candidates.head.df.sparkSession)
+      else Map.empty[String, Double]
+    CacheSelection(handles,
+      sizes = profiles.map { case (i, (s, _)) => key(i) -> s },
+      benefitSeconds = profiles.map { case (i, (_, sec)) =>
+        key(i) -> (candidates(i).uses - 1).toDouble * sec
+      },
+      calibration = cal)
   }
 
   /** Bracketed form of [[selectCacheSet]]: select under the shared budget,
@@ -159,18 +198,98 @@ object AutoCache {
   /** Modeled re-scan bandwidth for a frame whose recompute is
     * scan-shaped (trustworthy Catalyst stats = parquet + narrow ops):
     * local-disk parquet at ~1 GB/s. Only the RATIO against measured
-    * profile seconds matters for the knapsack ordering. */
+    * profile seconds matters for the knapsack ordering. The DECISION
+    * keeps this declared constant (the SolverCostModel discipline — a
+    * loaded box would wobble selections run to run), but every
+    * [[CacheSelection]] report carries the measured value
+    * ([[scanCalibration]]) so the constant is auditable evidence, not
+    * an article of faith. */
   private[graft] val ScanBwBytesPerSec = 1e9
+
+  @volatile private var calSink = 0.0 // defeats dead-code elimination
+  @volatile private var scanCal: Map[String, Double] = null
+
+  /** Measured-on-this-JVM scan bandwidth, computed once lazily: writes
+    * ~48 MB of incompressible (hashed) longs to a temp-dir parquet,
+    * times full-column scans of it (best of 3 after one warm run), and
+    * reports disk-bytes/second against the declared constant. The temp
+    * files are deleted after the measurement. */
+  private[graft] def scanCalibration(
+      spark: org.apache.spark.sql.SparkSession): Map[String, Double] = {
+    var c = scanCal
+    if (c == null) synchronized {
+      if (scanCal == null) scanCal = measureScanBw(spark)
+      c = scanCal
+    }
+    c
+  }
+
+  private def measureScanBw(
+      spark: org.apache.spark.sql.SparkSession): Map[String, Double] = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scan-cal")
+    try {
+      val path = dir.resolve("cal.parquet").toString
+      spark.range(0L, 2L << 20).select(
+        xxhash64(col("id")).as("a"),
+        xxhash64(col("id"), lit(1)).as("b"),
+        xxhash64(col("id"), lit(2)).as("c"))
+        .coalesce(4).write.mode("overwrite").parquet(path)
+      val bytes = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(java.nio.file.Files.size(_): Long).sum
+      val df = spark.read.parquet(path)
+      var best = Double.MaxValue
+      var r = 0
+      while (r < 4) {
+        val t0 = System.nanoTime()
+        calSink += df.select(avg(hash(col("a"), col("b"), col("c"))))
+          .head().getDouble(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (r > 0) best = math.min(best, dt) // run 0 warms codegen/IO
+        r += 1
+      }
+      Map("cal_scan_bw_bytes_sec" -> bytes.toDouble / math.max(best, 1e-9),
+        "assumed_scan_bw_bytes_sec" -> ScanBwBytesPerSec)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Does the optimized plan carry compute Catalyst cannot price — a
+    * Scala UDF/UDAF or an object-mapping operator (mapPartitions etc.)?
+    * Trusted stats on such a plan still describe BYTES honestly, but the
+    * scan-priced recompute model does not: an expensive narrow UDF over
+    * a parquet scan yields trusted stats AND an arbitrarily costly
+    * recompute, the exact inversion the runtime-benefit knapsack exists
+    * to fix — so [[estimatedSizeAndCost]] falls through to measured
+    * profiling for these plans. */
+  private[graft] def hasOpaqueCompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
+      case _: ObjectProducer | _: ObjectConsumer => true
+      case node => node.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+        case _: org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _] => true
+        case _ => false
+      })
+    }
+  }
 
   /** (size bytes, estimated recompute seconds) — the knapsack's two
     * inputs off ONE sizing decision: stats-backed frames price a
-    * re-scan; stat-less frames return the measured wall time of the
-    * profiling pass they already paid (the reference's sampled
-    * per-node compute profile). */
+    * re-scan; stat-less frames — AND stats-backed frames carrying
+    * opaque compute ([[hasOpaqueCompute]]), whose recompute cost a scan
+    * model cannot see — return the measured wall time of the profiling
+    * pass (the reference's sampled per-node compute profile). */
   private[graft] def estimatedSizeAndCost(df: DataFrame): (BigInt, Double) =
     planStats(df) match {
-      case Some(size) => (size, size.toDouble / ScanBwBytesPerSec)
-      case None => profiledSizeAndTime(df)
+      case Some(size) if !hasOpaqueCompute(df) =>
+        (size, size.toDouble / ScanBwBytesPerSec)
+      case _ => profiledSizeAndTime(df)
     }
 
   private val SamplePerPartition = 8

@@ -313,7 +313,8 @@ object LearningOps extends Serializable {
     * gram passes — NOT a per-row d×d outer product, which allocates a
     * matrix per row) — d + d² doubles per partition travel, never
     * data-sized; then a d×d eigSym on the driver.
-    * transform: per-row (x−μ)ᵀW in a closure with the broadcast matrix. */
+    * transform: per-partition chunked gemm Y = (X−μ)·W — level-3 BLAS
+    * on both sides of the lifecycle, no per-row dense-math loop. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
@@ -342,23 +343,66 @@ object LearningOps extends Serializable {
       val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
       val w = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
       val muArr = mu.toArray
-      val wArr = w.toArray // column-major d*d
-      val whitenUdf = udf { (xs: Seq[Double]) =>
-        val centered = new Array[Double](dd)
-        var i = 0
-        while (i < dd) { centered(i) = xs(i) - muArr(i); i += 1 }
-        val res = new Array[Double](dd)
-        var j = 0
-        while (j < dd) {
-          var s = 0.0
-          var i2 = 0
-          while (i2 < dd) { s += centered(i2) * wArr(j * dd + i2); i2 += 1 }
-          res(j) = s
-          j += 1
+      val wArr = w.toArray // column-major d*d (symmetric)
+      // transform: a PER-PARTITION gemm (the Convolver batching
+      // pattern) — rows buffer into a bounded (~32 MB) column-major
+      // chunk and Y = (X − μ)·W is ONE level-3 BLAS call per chunk,
+      // replacing the old per-row d² scalar loop. Fitted state rides
+      // the closure as plain arrays (java-serializable — no Broadcast,
+      // so a saved fitted chain reloads in a fresh session).
+      Transformer { df =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val base = if (df.columns.contains(out)) df.drop(out) else df
+        val inIdx = base.schema.fieldIndex(in)
+        val isFloat = base.schema(inIdx).dataType match {
+          case ArrayType(FloatType, _) => true
+          case ArrayType(DoubleType, _) => false
+          case other => throw new IllegalArgumentException(
+            s"graft: ZCAWhitener($in) expects array<float|double>, got $other")
         }
-        res
+        val outSchema = StructType(base.schema.fields :+
+          StructField(out, ArrayType(DoubleType, containsNull = false),
+            nullable = false))
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        base.mapPartitions { it =>
+          val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+          val chunk = math.max(64, math.min(4096, (4 << 20) / math.max(dd, 1)))
+          val xb = new Array[Double](chunk * dd)
+          val yb = new Array[Double](chunk * dd)
+          it.grouped(chunk).flatMap { group =>
+            val rows = group.toArray
+            val m = rows.length
+            var i = 0
+            while (i < m) {
+              val xs = rows(i).getSeq[Any](inIdx)
+              var j = 0
+              while (j < dd) {
+                val v =
+                  if (isFloat) xs(j).asInstanceOf[Float].toDouble
+                  else xs(j).asInstanceOf[Double]
+                xb(j * chunk + i) = v - muArr(j)
+                j += 1
+              }
+              i += 1
+            }
+            blas.dgemm("N", "N", m, dd, dd, 1.0, xb, chunk, wArr, dd,
+              0.0, yb, chunk)
+            // strict materialization: the shared yb buffer is reused by
+            // the next chunk, so rows must not be read lazily from it
+            val outRows = new Array[Row](m)
+            i = 0
+            while (i < m) {
+              val y = new Array[Double](dd)
+              var j = 0
+              while (j < dd) { y(j) = yb(j * chunk + i); j += 1 }
+              outRows(i) = Row.fromSeq(rows(i).toSeq :+ y)
+              i += 1
+            }
+            outRows
+          }
+        }(enc)
       }
-      Transformer { df => df.withColumn(out, whitenUdf(col(in))) }
     }
   }
 

@@ -66,11 +66,13 @@ object SolverCostModel {
     * (~100 ms): FlopSec from a timed Breeze gemm (the solvers' actual
     * kernel shape — dev.ludovic BLAS underneath, same as the
     * distributed gram passes) and MemBwSec from a timed contiguous
-    * array sweep. Dispatch keeps the DECLARED constants — regime
-    * ratios are what the tests pin, and a loaded box would otherwise
-    * wobble the decision run to run — but [[choose]] reports
-    * measured-vs-assumed alongside every cost report, so dispatch
-    * decisions carry the evidence to audit the constants. */
+    * array sweep. Dispatch keeps the DECLARED constants by default —
+    * regime ratios are what the tests pin, and a loaded box would
+    * otherwise wobble the decision run to run — but [[choose]] reports
+    * measured-vs-assumed alongside every cost report, and its
+    * `useMeasuredCalibration` flag substitutes the measured values into
+    * the pricing (the regime tests assert both dispatchers agree when
+    * the ratios sit inside the window). */
   lazy val calibration: Map[String, Double] = {
     import breeze.linalg.{DenseMatrix => BDM}
     val n0 = 256
@@ -115,8 +117,13 @@ object SolverCostModel {
   private def log2w(workers: Int): Double =
     math.log(workers.toDouble + 1.0) / math.log(2.0)
 
-  /** Estimated seconds per solver; infeasible paths cost +∞. */
-  def estimates(p: Problem): Map[String, Double] = {
+  /** Estimated seconds per solver; infeasible paths cost +∞.
+    * `flopSec`/`memBwSec` default to the declared constants; [[choose]]
+    * substitutes the measured calibration behind its flag. */
+  def estimates(p: Problem, flopSec: Double = FlopSec,
+      memBwSec: Double = MemBwSec): Map[String, Double] = {
+    val FlopSec = flopSec
+    val MemBwSec = memBwSec
     val n = p.n.toDouble.max(1.0)
     val d = p.d.toDouble
     val k = p.k.toDouble
@@ -171,8 +178,17 @@ object SolverCostModel {
   /** The dispatch decision plus the full cost report (for observability —
     * the estimator exposes both, the same way the chosen solver itself is
     * exposed for tests). */
-  def choose(p: Problem): (String, CostReport) = {
-    val costs = estimates(p)
+  def choose(p: Problem,
+      useMeasuredCalibration: Boolean = false): (String, CostReport) = {
+    // The flag substitutes this JVM's measured FlopSec/MemBwSec into the
+    // pricing; the default keeps the declared constants (decisions must
+    // not wobble run to run on a loaded box). On a box whose measured
+    // ratios sit inside the documented tolerance the two dispatchers
+    // agree — asserted by the regime tests.
+    val costs =
+      if (useMeasuredCalibration)
+        estimates(p, calibration("cal_flop_sec"), calibration("cal_mem_bw_sec"))
+      else estimates(p)
     val cheapest = costs.values.min
     val winner = ExactnessOrder
       .find(s => costs(s) <= cheapest * ExactnessWindow)

@@ -82,6 +82,39 @@ class LearningOpsSpec extends GraftSuite {
       s"whitened variance off identity: ${stats.getAs[Double]("worst_vr")}")
   }
 
+  test("ZCA gemm-batched transform replays the scalar (x-mu)'W per row at 1e-12") {
+    // pin the per-partition dgemm against an independent scalar replay
+    // of the same fitted (mu, W): recompute W from the driver-side
+    // covariance the same way the estimator does, then compare rows
+    import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
+    val d = 16
+    val small = vecs.where($"vec_id" < 400)
+      .select($"vec_id", slice($"v", 1, d).as("v"))
+    val eps = 1e-5
+    val white = ZCAWhitenerEst("v", "w", eps = eps).fit(small)(small)
+      .select($"vec_id", $"v", $"w").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray)).sortBy(_._1)
+    val xs = white.map(_._2)
+    val n = xs.length
+    val mu = BDV.tabulate(d)(j => xs.map(_(j)).sum / n)
+    val cov = BDM.tabulate(d, d) { (a, b) =>
+      xs.map(x => (x(a) - mu(a)) * (x(b) - mu(b))).sum / n
+    }
+    val es = breeze.linalg.eigSym(cov)
+    val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val wm = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
+    val worst = white.map { case (_, x, got) =>
+      val expect = (BDV(x) - mu).t * wm
+      (0 until d).map(j => math.abs(got(j) - expect(j))).max
+    }.max
+    assert(worst < 1e-12,
+      s"gemm-batched whitening must replay the scalar product: $worst")
+    // the appended column keeps every original column intact and in order
+    val cols = ZCAWhitenerEst("v", "w2").fit(small)(small).columns.toSeq
+    assert(cols == Seq("vec_id", "v", "w2"))
+  }
+
   test("BlockLeastSquaresEst approaches the exact least-squares fit") {
     // well-posed target: y = v . w_true + small structure
     val target = vecs.withColumn("y",

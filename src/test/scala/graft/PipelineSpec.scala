@@ -250,6 +250,29 @@ class PipelineSpec extends GraftSuite {
       report.calibration.contains("cal_mem_bw_sec"))
     assert(report.routeCosts.keySet == SolverCostModel.ExactnessOrder.toSet,
       s"routeCosts must hold exactly the routes: ${report.routeCosts.keySet}")
+    // the measured constants can also drive the DECISION behind a flag;
+    // on a box whose measured/declared ratios sit inside the exactness
+    // window the flagged and unflagged dispatchers agree on every
+    // canonical regime (outside it — a badly loaded box — agreement is
+    // not expected and the check reports instead of failing)
+    val regimes = Seq(
+      SolverCostModel.Problem(n = 100000000L, d = 128, k = 1,
+        density = 1.0, workers = 256),
+      SolverCostModel.Problem(n = 10000000L, d = 8192, k = 1,
+        density = 1.0, workers = 256),
+      SolverCostModel.Problem(n = 10000000L, d = 8192, k = 1,
+        density = 0.02, workers = 256),
+      SolverCostModel.Problem(n = 100000000L, d = 512, k = 150,
+        density = 1.0, workers = 256))
+    val window = SolverCostModel.ExactnessWindow
+    if (Seq(flopRatio, bwRatio).forall(r => r > 1 / window && r < window))
+      regimes.foreach { p =>
+        assert(SolverCostModel.choose(p)._1 ==
+          SolverCostModel.choose(p, useMeasuredCalibration = true)._1,
+          s"flagged and unflagged dispatch must agree at $p")
+      }
+    else info(f"calibration outside the ${window}%.0fx agreement window " +
+      f"(flop $flopRatio%.2f, bw $bwRatio%.2f) — agreement check skipped")
   }
 
   test("every dispatched route optimizes the SAME ridge objective") {
@@ -470,48 +493,88 @@ class PipelineSpec extends GraftSuite {
 
   test("AutoCache.selectCacheSet picks the higher-value frame under a shared budget") {
     import spark.implicits._
-    // two competitors that do NOT both fit: the expensive frame (a slow
-    // per-row computation) saves far more recompute TIME per hit and
-    // must win the slot — benefit is estimated runtime, not bytes
-    val slowUdf = udf { (i: Int) => Thread.sleep(4); "y" * 64 }
-    val small = spark.sparkContext.parallelize(1 to 500, 2).toDF("x")
-    val big = spark.sparkContext.parallelize(1 to 500, 2)
-      .map(i => (i, "")).toDF("a", "b")
-      .withColumn("b", slowUdf($"a"))
-    val sizeSmall = AutoCache.estimatedSize(small)
-    val sizeBig = AutoCache.estimatedSize(big)
-    assert(sizeBig > sizeSmall)
-    val budget = (sizeBig + sizeSmall / 2).toLong // big fits, both don't
+    // knapsack MECHANICS under injected deterministic (size, seconds)
+    // profiles — no wall-clock sleeps in the ordering assertions (a
+    // loaded host could flip a measured cost and make the greedy order
+    // flaky); the profiling PATH keeps its own integration test below
+    val a = spark.sparkContext.parallelize(1 to 10, 2).toDF("x")
+    val b = spark.sparkContext.parallelize(11 to 20, 2).toDF("x")
+    def profiler(df: org.apache.spark.sql.DataFrame): (BigInt, Double) =
+      if (df eq a) (BigInt(1000), 2.0) else (BigInt(10000), 0.5)
+
+    // expensive-small beats cheap-large for the only slot (benefit is
+    // runtime, not the old size proxy)
     val hs = AutoCache.selectCacheSet(Seq(
-      AutoCache.Candidate(small, uses = 2, label = "small"),
-      AutoCache.Candidate(big, uses = 2, label = "big")), budget)
+      AutoCache.Candidate(b, uses = 2, label = "cheap-large"),
+      AutoCache.Candidate(a, uses = 2, label = "expensive-small")),
+      memBudgetBytes = 10000L, profiler = profiler)
     assert(hs.map(_.cached) == Seq(false, true),
       "the higher-benefit (bigger-recompute-time-savings) frame wins")
-    assert(big.storageLevel.useMemory && !small.storageLevel.useMemory)
+    assert(a.storageLevel.useMemory && !b.storageLevel.useMemory)
     hs.foreach(_.release())
-    assert(big.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
 
-    // higher density beats raw size: a 3-use small frame outranks a
-    // 2-use big frame; after it is taken the big one still fits here
+    // both fit -> both cached (density order must not starve the second)
     val hs2 = AutoCache.selectCacheSet(Seq(
-      AutoCache.Candidate(small, uses = 3, label = "small"),
-      AutoCache.Candidate(big, uses = 2, label = "big")),
-      (sizeSmall + sizeBig).toLong)
+      AutoCache.Candidate(a, uses = 2), AutoCache.Candidate(b, uses = 2)),
+      memBudgetBytes = 11000L, profiler = profiler)
     assert(hs2.map(_.cached) == Seq(true, true))
     hs2.foreach(_.release())
 
-    // a frame that does not fit is skipped WITHOUT blocking smaller ones
+    // a frame that does not fit is skipped WITHOUT blocking smaller
+    // ones: b ranks first on benefit but only a fits the budget
+    def profiler3(df: org.apache.spark.sql.DataFrame): (BigInt, Double) =
+      if (df eq a) (BigInt(1000), 2.0) else (BigInt(10000), 1e6)
     val hs3 = AutoCache.selectCacheSet(Seq(
-      AutoCache.Candidate(big, uses = 5, label = "big"),
-      AutoCache.Candidate(small, uses = 2, label = "small")),
-      sizeSmall.toLong)
+      AutoCache.Candidate(b, uses = 5), AutoCache.Candidate(a, uses = 2)),
+      memBudgetBytes = 1000L, profiler = profiler3)
     assert(hs3.map(_.cached) == Seq(false, true),
       "over-budget high-density frame must not starve the fitting one")
     hs3.foreach(_.release())
+
     // single-use frames never cache regardless of budget headroom
     val hs4 = AutoCache.selectCacheSet(
-      Seq(AutoCache.Candidate(small, uses = 1)), Long.MaxValue)
+      Seq(AutoCache.Candidate(a, uses = 1)), Long.MaxValue, profiler)
     assert(hs4.map(_.cached) == Seq(false))
+
+    // the decision record: per-candidate evidence keyed by label, and
+    // the measured scan-bandwidth calibration in its OWN field (the
+    // CostReport discipline — never merged into the candidate maps)
+    val sel = AutoCache.selectCacheSetReported(Seq(
+      AutoCache.Candidate(a, uses = 3, label = "a"),
+      AutoCache.Candidate(b, uses = 2, label = "b")),
+      memBudgetBytes = 11000L, profiler = profiler)
+    sel.handles.foreach(_.release())
+    assert(sel.sizes == Map("a" -> BigInt(1000), "b" -> BigInt(10000)))
+    assert(sel.benefitSeconds == Map("a" -> 4.0, "b" -> 0.5))
+    val measured = sel.calibration("cal_scan_bw_bytes_sec")
+    assert(measured > 0.0 && !measured.isInfinite,
+      s"calibration must carry a finite measured bandwidth: $measured")
+    assert(sel.calibration("assumed_scan_bw_bytes_sec") == 1e9)
+    info(f"measured scan bw = $measured%.3g B/s (assumed 1e9)")
+  }
+
+  test("AutoCache profiles opaque compute above a trusted scan (no rescan pricing)") {
+    import spark.implicits._
+    // a parquet-backed frame has trusted Catalyst stats; a cheap narrow
+    // plan over it is priced as a rescan
+    val dir = java.nio.file.Files.createTempDirectory("graft-ac-udf").toString
+    spark.range(200).select($"id".cast("int").as("x"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
+    assert(!AutoCache.hasOpaqueCompute(base))
+    val (szBase, costBase) = AutoCache.estimatedSizeAndCost(base)
+    assert(costBase == szBase.toDouble / AutoCache.ScanBwBytesPerSec,
+      "scan-shaped plans keep the modeled rescan price")
+    // an expensive narrow UDF KEEPS the stats trusted but must be
+    // PROFILED — the modeled rescan price would reintroduce the
+    // expensive-small-loses inversion for stats-backed frames
+    val slowUdf = udf { (i: Int) => Thread.sleep(5); i * 2 }
+    val expensive = base.withColumn("y", slowUdf($"x"))
+    assert(AutoCache.hasOpaqueCompute(expensive))
+    val (_, costUdf) = AutoCache.estimatedSizeAndCost(expensive)
+    assert(costUdf > 0.01,
+      s"UDF-bearing plan must carry measured profile seconds: $costUdf")
   }
 
   test("AutoCache benefit is estimated RUNTIME: expensive-small beats cheap-large") {
