@@ -100,7 +100,6 @@ object Bench {
       .filter { case (n, t) =>
         t >= 0.5 && priorTimes.get(n).exists(p => p > 0 && t / p >= moverRatio)
       }
-      .sortBy { case (n, t) => -(t / priorTimes(n)) }
       .map(_._1)
     val retries = (slow ++ movers).distinct.sorted
       .map(name => name -> timeOne(name)).toMap

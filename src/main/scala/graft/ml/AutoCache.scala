@@ -105,16 +105,47 @@ object AutoCache {
       memBudgetBytes: Long = 2L << 30,
       profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
       : Seq[CacheHandle] =
-    selectCacheSetReported(candidates, memBudgetBytes, profiler).handles
+    selectCore(candidates, memBudgetBytes, profiler)._1
 
   /** [[selectCacheSet]] with the full [[CacheSelection]] decision record.
     * `profiler` is injectable (default: [[estimatedSizeAndCost]]) so the
     * knapsack ordering is testable with deterministic (size, seconds)
-    * pairs instead of wall-clock sleeps. */
+    * pairs instead of wall-clock sleeps. Only THIS entry point pays the
+    * one-time scan-bandwidth measurement — [[selectCacheSet]] callers
+    * that discard the report never trigger it. */
   def selectCacheSetReported(candidates: Seq[Candidate],
       memBudgetBytes: Long = 2L << 30,
       profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
       : CacheSelection = {
+    val (handles, profiles) = selectCore(candidates, memBudgetBytes, profiler)
+    // collision-proof report keys: labels verbatim while unique;
+    // unlabeled candidates get "#<index>" (cannot shadow a label-less
+    // sibling), and a repeated label is disambiguated with its index
+    val keys: Map[Int, String] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      candidates.indices.map { i =>
+        val base =
+          if (candidates(i).label.nonEmpty) candidates(i).label else s"#$i"
+        val n = seen.getOrElse(base, 0)
+        seen(base) = n + 1
+        i -> (if (n == 0) base else s"$base#$i")
+      }.toMap
+    }
+    val cal =
+      if (candidates.nonEmpty)
+        scanCalibration(candidates.head.df.sparkSession)
+      else Map.empty[String, Double]
+    CacheSelection(handles,
+      sizes = profiles.map { case (i, (s, _)) => keys(i) -> s },
+      benefitSeconds = profiles.map { case (i, (_, sec)) =>
+        keys(i) -> (candidates(i).uses - 1).toDouble * sec
+      },
+      calibration = cal)
+  }
+
+  private def selectCore(candidates: Seq[Candidate], memBudgetBytes: Long,
+      profiler: DataFrame => (BigInt, Double))
+      : (Seq[CacheHandle], Map[Int, (BigInt, Double)]) = {
     // profile ONLY the uses > 1 candidates: the rest are filtered out of
     // the greedy order and can never be selected, and profiling a
     // stat-less frame is a full distributed pass — paid for nothing on a
@@ -141,20 +172,7 @@ object AutoCache {
           cached = true)
       else CacheHandle(candidates(i).df, cached = false)
     }
-    def key(i: Int): String = {
-      val l = candidates(i).label
-      if (l.nonEmpty) l else i.toString
-    }
-    val cal =
-      if (candidates.nonEmpty)
-        scanCalibration(candidates.head.df.sparkSession)
-      else Map.empty[String, Double]
-    CacheSelection(handles,
-      sizes = profiles.map { case (i, (s, _)) => key(i) -> s },
-      benefitSeconds = profiles.map { case (i, (_, sec)) =>
-        key(i) -> (candidates(i).uses - 1).toDouble * sec
-      },
-      calibration = cal)
+    (handles, profiles)
   }
 
   /** Bracketed form of [[selectCacheSet]]: select under the shared budget,
@@ -235,9 +253,12 @@ object AutoCache {
         xxhash64(col("id"), lit(1)).as("b"),
         xxhash64(col("id"), lit(2)).as("c"))
         .coalesce(4).write.mode("overwrite").parquet(path)
-      val bytes = java.nio.file.Files.walk(dir).iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p))
-        .map(java.nio.file.Files.size(_): Long).sum
+      val walkSize = java.nio.file.Files.walk(dir)
+      val bytes =
+        try walkSize.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(java.nio.file.Files.size(_): Long).sum
+        finally walkSize.close()
       val df = spark.read.parquet(path)
       var best = Double.MaxValue
       var r = 0
@@ -252,10 +273,12 @@ object AutoCache {
       Map("cal_scan_bw_bytes_sec" -> bytes.toDouble / math.max(best, 1e-9),
         "assumed_scan_bw_bytes_sec" -> ScanBwBytesPerSec)
     } finally {
-      java.nio.file.Files.walk(dir).sorted(
+      val walkDel = java.nio.file.Files.walk(dir)
+      try walkDel.sorted(
         java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walkDel.close()
     }
   }
 

@@ -238,6 +238,11 @@ object LearningOps extends Serializable {
     val r = contiguous(r0)
     val rows = r.rows
     val cols = r.cols
+    require(k <= cols, s"k=$k exceeds column count $cols")
+    // dgesvd yields only min(rows, cols) right singular vectors; a
+    // rank-deficient ask (fewer rows than k) takes the gram-eigen route,
+    // which returns a full orthonormal basis (σ=0 past the rank)
+    if (k > math.min(rows, cols)) return dsyevTopRightSingular(r, k)
     val lapack = dev.ludovic.netlib.lapack.LAPACK.getInstance()
     val minMn = math.min(rows, cols)
     val a = java.util.Arrays.copyOf(r.data, rows * cols)
@@ -277,6 +282,7 @@ object LearningOps extends Serializable {
     val r = contiguous(r0)
     val rows = r.rows
     val cols = r.cols
+    require(k <= cols, s"k=$k exceeds column count $cols")
     val lapack = dev.ludovic.netlib.lapack.LAPACK.getInstance()
     val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
     val g = new Array[Double](cols * cols)
@@ -353,19 +359,22 @@ object LearningOps extends Serializable {
       Transformer { df =>
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
-        val base = if (df.columns.contains(out)) df.drop(out) else df
-        val inIdx = base.schema.fieldIndex(in)
-        val isFloat = base.schema(inIdx).dataType match {
-          case ArrayType(FloatType, _) => true
-          case ArrayType(DoubleType, _) => false
+        val inIdx = df.schema.fieldIndex(in)
+        df.schema(inIdx).dataType match {
+          case ArrayType(_: NumericType, _) => ()
           case other => throw new IllegalArgumentException(
-            s"graft: ZCAWhitener($in) expects array<float|double>, got $other")
+            s"graft: ZCAWhitener($in) expects a numeric array, got $other")
         }
-        val outSchema = StructType(base.schema.fields :+
-          StructField(out, ArrayType(DoubleType, containsNull = false),
-            nullable = false))
+        // withColumn semantics: replace `out` in place when it exists
+        // (including out == in — in-place whitening), append otherwise
+        val outIdx = df.schema.fieldNames.indexOf(out)
+        val outField = StructField(out,
+          ArrayType(DoubleType, containsNull = false), nullable = false)
+        val outSchema =
+          if (outIdx >= 0) StructType(df.schema.fields.updated(outIdx, outField))
+          else StructType(df.schema.fields :+ outField)
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
-        base.mapPartitions { it =>
+        df.mapPartitions { it =>
           val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
           val chunk = math.max(64, math.min(4096, (4 << 20) / math.max(dd, 1)))
           val xb = new Array[Double](chunk * dd)
@@ -378,10 +387,10 @@ object LearningOps extends Serializable {
               val xs = rows(i).getSeq[Any](inIdx)
               var j = 0
               while (j < dd) {
-                val v =
-                  if (isFloat) xs(j).asInstanceOf[Float].toDouble
-                  else xs(j).asInstanceOf[Double]
-                xb(j * chunk + i) = v - muArr(j)
+                // any numeric element type whitens — fit() casts to
+                // double, so apply must not be stricter than fit
+                xb(j * chunk + i) =
+                  xs(j).asInstanceOf[Number].doubleValue - muArr(j)
                 j += 1
               }
               i += 1
@@ -396,7 +405,9 @@ object LearningOps extends Serializable {
               val y = new Array[Double](dd)
               var j = 0
               while (j < dd) { y(j) = yb(j * chunk + i); j += 1 }
-              outRows(i) = Row.fromSeq(rows(i).toSeq :+ y)
+              val vals = rows(i).toSeq
+              outRows(i) = Row.fromSeq(
+                if (outIdx >= 0) vals.updated(outIdx, y) else vals :+ y)
               i += 1
             }
             outRows

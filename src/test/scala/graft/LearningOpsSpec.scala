@@ -115,6 +115,62 @@ class LearningOpsSpec extends GraftSuite {
     assert(cols == Seq("vec_id", "v", "w2"))
   }
 
+  test("ZCA apply supports in-place (out == in) and any numeric element type") {
+    val d = 6
+    val small = vecs.where($"vec_id" < 80)
+      .select($"vec_id", slice($"v", 1, d).as("v"))
+    // in-place whitening replaces the input column (withColumn
+    // semantics, which the old UDF spelling had)
+    val inPlace = ZCAWhitenerEst("v", "v").fit(small)(small)
+    assert(inPlace.columns.toSeq == Seq("vec_id", "v"))
+    val append = ZCAWhitenerEst("v", "w").fit(small)(small)
+    val mismatches = inPlace.select($"vec_id", $"v".as("a"))
+      .join(append.select($"vec_id", $"w".as("b")), "vec_id")
+      .where(exists(zip_with($"a", $"b", (x, y) => abs(x - y) > 1e-12), x => x))
+      .count()
+    assert(mismatches == 0, "in-place output must equal append-mode output")
+    // fit() casts ANY numeric array to double, so apply must not be
+    // stricter: an integer feature array whitens end to end
+    val ints = small.select($"vec_id",
+      transform($"v", x => (x * 1000).cast("int")).as("vi"))
+    val white = ZCAWhitenerEst("vi", "w").fit(ints)(ints)
+    assert(white.count() == 80)
+    assert(white.where(exists($"w", x => isnan(x) || x.isNull)).count() == 0)
+  }
+
+  test("tsqrPca: k past the row rank takes the gram-eigen route (orthonormal, zero tail)") {
+    val tiny = vecs.where($"vec_id" < 3).select($"vec_id", $"v")
+    val (_, axes, sv) = tsqrPca(tiny, "v", k = 5)
+    assert(axes.length == 5 && axes.forall(_.length == 64))
+    for (i <- axes.indices; j <- i until axes.length) {
+      val dot = axes(i).zip(axes(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9,
+        s"axes must stay orthonormal past the rank: axes($i)·axes($j) = $dot")
+    }
+    // 3 centered rows have rank <= 2: singular values past it are zero
+    // to gram-route noise (σ = √eig turns ~1e-16 eigen-noise into ~1e-8)
+    assert(sv.drop(2).forall(_ < 1e-6), s"sv = ${sv.toSeq}")
+  }
+
+  test("fitted ZCA survives ModelIO save -> load (gemm closure stays library-scoped)") {
+    // the per-partition gemm transform captures plain arrays in a
+    // library-defined lambda — java-serializable, no Broadcast/session
+    // state, so a saved fitted chain reloads under the allowlist filter
+    val d = 8
+    val small = vecs.where($"vec_id" < 100)
+      .select($"vec_id", slice($"v", 1, d).as("v"))
+    val fit = ZCAWhitenerEst("v", "w").fit(small)
+    val path = java.nio.file.Files.createTempFile("graft-zca", ".bin").toString
+    graft.ml.ModelIO.save(fit, path)
+    val loaded = graft.ml.ModelIO.load(path)
+    val want = fit(small).select($"vec_id", $"w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = loaded(small).select($"vec_id", $"w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == want, "loaded ZCA must whiten identically")
+  }
+
   test("BlockLeastSquaresEst approaches the exact least-squares fit") {
     // well-posed target: y = v . w_true + small structure
     val target = vecs.withColumn("y",

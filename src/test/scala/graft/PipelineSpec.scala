@@ -265,7 +265,12 @@ class PipelineSpec extends GraftSuite {
       SolverCostModel.Problem(n = 100000000L, d = 512, k = 150,
         density = 1.0, workers = 256))
     val window = SolverCostModel.ExactnessWindow
-    if (Seq(flopRatio, bwRatio).forall(r => r > 1 / window && r < window))
+    // guard BOTH the absolute drifts and their relative shift: opposite-
+    // direction drifts inside the window (e.g. flop 0.3x, bw 3x) move the
+    // flop-vs-bandwidth PRICE ratio ~10x and can legitimately flip a
+    // regime — that is a skip, not a failure
+    if (Seq(flopRatio, bwRatio, flopRatio / bwRatio)
+        .forall(r => r > 1 / window && r < window))
       regimes.foreach { p =>
         assert(SolverCostModel.choose(p)._1 ==
           SolverCostModel.choose(p, useMeasuredCalibration = true)._1,
