@@ -108,4 +108,54 @@ class KernelPropertySpec extends GraftSuite {
     val a = UTF8String.fromString("plain ascii only")
     assert(TextKernels.nfc(a) eq a)
   }
+
+  // --- round-16 LAPACK kernel laws (tsqrPca's dense-math substrate) ---
+
+  private val genMat: Gen[breeze.linalg.DenseMatrix[Double]] = for {
+    m <- Gen.chooseNum(1, 40)
+    n <- Gen.chooseNum(1, 24)
+    data <- Gen.listOfN(m * n, Gen.chooseNum(-5.0, 5.0))
+  } yield new breeze.linalg.DenseMatrix(m, n, data.toArray)
+
+  test("lapackQrR: upper-triangular R with R'R = M'M over random shapes") {
+    checkProp(Prop.forAll(genMat) { mm =>
+      val r = graft.ml.LearningOps.lapackQrR(mm)
+      val tol = 1e-8 * (1.0 + breeze.linalg.sum(mm.map(x => x * x)))
+      val shape = r.rows == math.min(mm.rows, mm.cols) && r.cols == mm.cols
+      val upper = (0 until r.rows).forall(i =>
+        (0 until math.min(i, r.cols)).forall(j => r(i, j) == 0.0))
+      val gram =
+        breeze.linalg.max(breeze.numerics.abs(r.t * r - mm.t * mm)) < tol
+      shape && upper && gram
+    }, "lapackQrR gram law")
+  }
+
+  test("singular-triplet laws hold on BOTH the dgesvd and dsyev paths") {
+    // degeneracy-proof laws (valid even with repeated singular values,
+    // where the vectors themselves are not unique): axes orthonormal,
+    // sigma descending and non-negative, the action law ||M v_i|| =
+    // sigma_i, and full energy sum(sigma^2) = ||M||_F^2 at k = min(m,n)
+    checkProp(Prop.forAll(genMat) { mm =>
+      val k = math.min(mm.rows, mm.cols)
+      val fro2 = breeze.linalg.sum(mm.map(x => x * x))
+      Seq(graft.ml.LearningOps.lapackTopRightSingular(mm, k),
+        graft.ml.LearningOps.dsyevTopRightSingular(mm, k))
+        .forall { case (axes, sv) =>
+          val orth = axes.indices.forall(i => (i until axes.length).forall { j =>
+            val dot = axes(i).zip(axes(j)).map { case (x, y) => x * y }.sum
+            math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+          })
+          val desc = sv.zip(sv.tail).forall { case (x, y) => x >= y - 1e-8 }
+          val nonneg = sv.forall(_ >= -1e-12)
+          val action = axes.zip(sv).forall { case (v, s) =>
+            val rv = mm * breeze.linalg.DenseVector(v)
+            math.abs(math.sqrt(breeze.linalg.sum(rv.map(x => x * x))) - s) <
+              1e-6 * (1.0 + math.sqrt(fro2))
+          }
+          val energy =
+            math.abs(sv.map(s => s * s).sum - fro2) < 1e-7 * (1.0 + fro2)
+          orth && desc && nonneg && action && energy
+        }
+    }, "singular-triplet laws")
+  }
 }
