@@ -320,7 +320,11 @@ object LearningOps extends Serializable {
     * matrix per row) — d + d² doubles per partition travel, never
     * data-sized; then a d×d eigSym on the driver.
     * transform: per-partition chunked gemm Y = (X−μ)·W — level-3 BLAS
-    * on both sides of the lifecycle, no per-row dense-math loop. */
+    * on both sides of the lifecycle, no per-row dense-math loop. The
+    * object seam makes a fitted ZCA non-servable via `applyLocal`
+    * (which fails fast by design on non-Project stages) — acceptable
+    * because ZCA sits on the FIT side of the flagship pipelines
+    * (whitening learned patch filters), never in a serving chain. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
