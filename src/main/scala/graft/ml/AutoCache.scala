@@ -93,42 +93,64 @@ object AutoCache {
     * The recompute-seconds estimate rides the sizing machinery for
     * free: a frame whose Catalyst stats are trustworthy is (by
     * construction — parquet footers propagated through narrow ops) a
-    * scan-shaped recompute, priced at size / [[ScanBwBytesPerSec]];
+    * scan-shaped recompute, priced at size / a scan-bandwidth constant;
     * a stat-less frame already pays the one-pass profiling sweep
     * ([[profiledSize]]), whose measured wall time IS its sampled
     * recompute cost.
+    *
+    * `useMeasuredBandwidth = false` (the default) prices rescans at the
+    * declared [[ScanBwBytesPerSec]] — the SolverCostModel discipline:
+    * decisions must not wobble run to run on a loaded box. `true`
+    * substitutes this JVM's measured bandwidth ([[measuredScanBw]], one
+    * lazy measurement per JVM) into the SAME pricing — on the measured-
+    * 3×-slower disk this box has, a scan-shaped frame's recompute gets
+    * 3× more valuable to cache, which can (and should) flip the picked
+    * set against a compute-profiled rival. The flag only feeds the
+    * default pricing: an injected `profiler` owns pricing outright and
+    * receives the effective bandwidth as its second argument to honor
+    * or ignore.
     *
     * Returns handles ALIGNED WITH THE INPUT ORDER; only selected frames
     * are persisted, and every handle's `release()` is unconditionally
     * safe (no-op for declined frames). */
   def selectCacheSet(candidates: Seq[Candidate],
       memBudgetBytes: Long = 2L << 30,
-      profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
+      profiler: (DataFrame, Double) => (BigInt, Double) = estimatedSizeAndCost,
+      useMeasuredBandwidth: Boolean = false)
       : Seq[CacheHandle] =
-    selectCore(candidates, memBudgetBytes, profiler)._1
+    selectCore(candidates, memBudgetBytes, profiler, useMeasuredBandwidth)._1
 
   /** [[selectCacheSet]] with the full [[CacheSelection]] decision record.
     * `profiler` is injectable (default: [[estimatedSizeAndCost]]) so the
     * knapsack ordering is testable with deterministic (size, seconds)
     * pairs instead of wall-clock sleeps. Only THIS entry point pays the
-    * one-time scan-bandwidth measurement — [[selectCacheSet]] callers
-    * that discard the report never trigger it. */
+    * one-time scan-bandwidth measurement for the REPORT —
+    * [[selectCacheSet]] callers that discard the report trigger it only
+    * when they opt into `useMeasuredBandwidth`. */
   def selectCacheSetReported(candidates: Seq[Candidate],
       memBudgetBytes: Long = 2L << 30,
-      profiler: DataFrame => (BigInt, Double) = estimatedSizeAndCost)
+      profiler: (DataFrame, Double) => (BigInt, Double) = estimatedSizeAndCost,
+      useMeasuredBandwidth: Boolean = false)
       : CacheSelection = {
-    val (handles, profiles) = selectCore(candidates, memBudgetBytes, profiler)
-    // collision-proof report keys: labels verbatim while unique;
-    // unlabeled candidates get "#<index>" (cannot shadow a label-less
-    // sibling), and a repeated label is disambiguated with its index
+    val (handles, profiles) =
+      selectCore(candidates, memBudgetBytes, profiler, useMeasuredBandwidth)
+    // collision-proof report keys: labels verbatim while globally unique
+    // against every OTHER key (generated or not); unlabeled candidates
+    // get "#<index>"; any clash — repeated labels, or a literal label
+    // that equals another candidate's generated key — appends "@<index>"
+    // until free ("@i" is unique per candidate, so this terminates)
     val keys: Map[Int, String] = {
-      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val bases = candidates.indices.map { i =>
+        if (candidates(i).label.nonEmpty) candidates(i).label else s"#$i"
+      }
+      val used = scala.collection.mutable.Set.empty[String]
       candidates.indices.map { i =>
-        val base =
-          if (candidates(i).label.nonEmpty) candidates(i).label else s"#$i"
-        val n = seen.getOrElse(base, 0)
-        seen(base) = n + 1
-        i -> (if (n == 0) base else s"$base#$i")
+        var k = bases(i)
+        // a base repeated later would steal this one's verbatim claim —
+        // only the FIRST holder of a base keeps it bare
+        if (bases.indexOf(k) != i) k = s"$k@$i"
+        while (!used.add(k)) k = s"$k@$i"
+        i -> k
       }.toMap
     }
     val cal =
@@ -144,15 +166,21 @@ object AutoCache {
   }
 
   private def selectCore(candidates: Seq[Candidate], memBudgetBytes: Long,
-      profiler: DataFrame => (BigInt, Double))
+      profiler: (DataFrame, Double) => (BigInt, Double),
+      useMeasuredBandwidth: Boolean)
       : (Seq[CacheHandle], Map[Int, (BigInt, Double)]) = {
+    // the measurement is one lazy JVM-wide pass; still, only pay it when
+    // something will actually be priced
+    lazy val effBw =
+      if (useMeasuredBandwidth) measuredScanBw(candidates.head.df.sparkSession)
+      else ScanBwBytesPerSec
     // profile ONLY the uses > 1 candidates: the rest are filtered out of
     // the greedy order and can never be selected, and profiling a
     // stat-less frame is a full distributed pass — paid for nothing on a
     // never-cacheable candidate
     val profiles: Map[Int, (BigInt, Double)] = candidates.indices
       .filter(i => candidates(i).uses > 1)
-      .map(i => i -> profiler(candidates(i).df)).toMap
+      .map(i => i -> profiler(candidates(i).df, effBw)).toMap
     val order = candidates.indices
       .filter(i => candidates(i).uses > 1)
       .sortBy { i =>
@@ -179,8 +207,10 @@ object AutoCache {
     * run `body` against the (selectively cached) frames in input order,
     * always release all handles. */
   def withCachedSet[T](candidates: Seq[Candidate],
-      memBudgetBytes: Long = 2L << 30)(body: Seq[DataFrame] => T): T = {
-    val hs = selectCacheSet(candidates, memBudgetBytes)
+      memBudgetBytes: Long = 2L << 30,
+      useMeasuredBandwidth: Boolean = false)(body: Seq[DataFrame] => T): T = {
+    val hs = selectCacheSet(candidates, memBudgetBytes,
+      useMeasuredBandwidth = useMeasuredBandwidth)
     try body(hs.map(_.df)) finally hs.foreach(_.release())
   }
 
@@ -223,6 +253,21 @@ object AutoCache {
     * ([[scanCalibration]]) so the constant is auditable evidence, not
     * an article of faith. */
   private[graft] val ScanBwBytesPerSec = 1e9
+
+  /** Measured-on-this-JVM scan bandwidth for measured-in-decision pricing
+    * ([[selectCacheSet]]'s `useMeasuredBandwidth`): the [[scanCalibration]]
+    * value, behind a test-only override so decision tests pin the
+    * measured/declared ratio deterministically instead of inheriting
+    * whatever this box's disk does under load. The override affects
+    * DECISIONS only — the [[CacheSelection]] calibration field always
+    * carries the genuinely measured evidence. */
+  private[graft] def measuredScanBw(
+      spark: org.apache.spark.sql.SparkSession): Double =
+    measuredBwOverrideForTests.getOrElse(
+      scanCalibration(spark)("cal_scan_bw_bytes_sec"))
+
+  @volatile private[graft] var measuredBwOverrideForTests: Option[Double] =
+    None
 
   @volatile private var calSink = 0.0 // defeats dead-code elimination
   @volatile private var scanCal: Map[String, Double] = null
@@ -304,16 +349,23 @@ object AutoCache {
 
   /** (size bytes, estimated recompute seconds) — the knapsack's two
     * inputs off ONE sizing decision: stats-backed frames price a
-    * re-scan; stat-less frames — AND stats-backed frames carrying
-    * opaque compute ([[hasOpaqueCompute]]), whose recompute cost a scan
-    * model cannot see — return the measured wall time of the profiling
-    * pass (the reference's sampled per-node compute profile). */
-  private[graft] def estimatedSizeAndCost(df: DataFrame): (BigInt, Double) =
+    * re-scan at `scanBw` bytes/sec (declared or measured — the caller's
+    * [[selectCacheSet]] flag decides); stat-less frames — AND
+    * stats-backed frames carrying opaque compute ([[hasOpaqueCompute]]),
+    * whose recompute cost a scan model cannot see — return the measured
+    * wall time of the profiling pass (the reference's sampled per-node
+    * compute profile), which no bandwidth constant touches. */
+  private[graft] def estimatedSizeAndCost(df: DataFrame, scanBw: Double)
+      : (BigInt, Double) =
     planStats(df) match {
       case Some(size) if !hasOpaqueCompute(df) =>
-        (size, size.toDouble / ScanBwBytesPerSec)
+        (size, size.toDouble / scanBw)
       case _ => profiledSizeAndTime(df)
     }
+
+  /** Declared-constant convenience form (tests, ad-hoc sizing). */
+  private[graft] def estimatedSizeAndCost(df: DataFrame): (BigInt, Double) =
+    estimatedSizeAndCost(df, ScanBwBytesPerSec)
 
   private val SamplePerPartition = 8
 

@@ -209,7 +209,10 @@ object LearningOps extends Serializable {
     val wq = new Array[Double](1)
     lapack.dgeqrf(rows, cols, a, rows, tau, wq, -1, info)
     require(info.`val` == 0, s"dgeqrf workspace query failed: info=${info.`val`}")
-    val lwork = math.max(cols, wq(0).toInt)
+    // ceil, not toInt: the optimal LWORK comes back as a double, and
+    // flooring it can land below LAPACK's minimum -> info<0 on the real
+    // call (same idiom at every workspace query in this file)
+    val lwork = math.max(cols, math.ceil(wq(0)).toInt)
     val work = new Array[Double](lwork)
     lapack.dgeqrf(rows, cols, a, rows, tau, work, lwork, info)
     require(info.`val` == 0, s"dgeqrf failed: info=${info.`val`}")
@@ -254,7 +257,7 @@ object LearningOps extends Serializable {
     lapack.dgesvd("N", "S", rows, cols, a, rows, s, u, 1, vt, minMn, wq, -1, info)
     var converged = info.`val` == 0
     if (converged) {
-      val lwork = math.max(1, wq(0).toInt)
+      val lwork = math.max(1, math.ceil(wq(0)).toInt)
       val work = new Array[Double](lwork)
       lapack.dgesvd("N", "S", rows, cols, a, rows, s, u, 1, vt, minMn,
         work, lwork, info)
@@ -293,7 +296,7 @@ object LearningOps extends Serializable {
     val wq = new Array[Double](1)
     lapack.dsyev("V", "U", cols, g, cols, w, wq, -1, info)
     require(info.`val` == 0, s"dsyev workspace query failed: info=${info.`val`}")
-    val lwork = math.max(1, wq(0).toInt)
+    val lwork = math.max(1, math.ceil(wq(0)).toInt)
     val work = new Array[Double](lwork)
     lapack.dsyev("V", "U", cols, g, cols, w, work, lwork, info)
     require(info.`val` == 0, s"dsyev failed: info=${info.`val`}")
@@ -319,15 +322,31 @@ object LearningOps extends Serializable {
     * gram passes — NOT a per-row d×d outer product, which allocates a
     * matrix per row) — d + d² doubles per partition travel, never
     * data-sized; then a d×d eigSym on the driver.
-    * transform: per-partition chunked gemm Y = (X−μ)·W — level-3 BLAS
-    * on both sides of the lifecycle, no per-row dense-math loop. The
-    * object seam makes a fitted ZCA non-servable via `applyLocal`
-    * (which fails fast by design on non-Project stages) — acceptable
-    * because ZCA sits on the FIT side of the flagship pipelines
-    * (whitening learned patch filters), never in a serving chain. */
-  case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5)
+    * transform: width-dispatched. At or under `maxServeWidth` the fitted
+    * node spells Y = (X−μ)·W as d codegen'd `graft_dot` column
+    * expressions over the centered array — a pure Project, so a fitted
+    * ZCA collapses under `applyLocal`/LocalServer (zero-job serving)
+    * like every other Transformer, and distributed application stays
+    * inside whole-stage codegen with no object seam. Past the cap (the
+    * literal payload and codegen size grow as d², so a wide whitener
+    * would blow the plan) it is a per-partition chunked gemm — level-3
+    * BLAS, no per-row dense-math loop. Both transformers are separately
+    * constructible ([[zcaExprTransformer]]/[[zcaGemmTransformer]]) so
+    * their 1e-9 agreement is a test, not a hope. */
+  case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5,
+      maxServeWidth: Int = 128)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
+      val (muArr, wArr, d) = fitZcaModel(train, in, eps)
+      if (d <= maxServeWidth) zcaExprTransformer(in, out, muArr, wArr, d)
+      else zcaGemmTransformer(in, out, muArr, wArr, d)
+    }
+  }
+
+  /** [[ZCAWhitenerEst]]'s fit pass: (μ, W column-major d×d, d). */
+  private[graft] def fitZcaModel(train: DataFrame, in: String, eps: Double)
+      : (Array[Double], Array[Double], Int) = {
+    {
       val data = train.select(transform(col(in), _.cast("double")).as("v"))
         .rdd.map(r => r.getSeq[Double](0).toArray)
       val d = data.first().length
@@ -354,21 +373,65 @@ object LearningOps extends Serializable {
       val w = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
       val muArr = mu.toArray
       val wArr = w.toArray // column-major d*d (symmetric)
-      // transform: a PER-PARTITION gemm (the Convolver batching
-      // pattern) — rows buffer into a bounded (~32 MB) column-major
-      // chunk and Y = (X − μ)·W is ONE level-3 BLAS call per chunk,
-      // replacing the old per-row d² scalar loop. Fitted state rides
-      // the closure as plain arrays (java-serializable — no Broadcast,
-      // so a saved fitted chain reloads in a fresh session).
-      Transformer { df =>
+      (muArr, wArr, d)
+    }
+  }
+
+  private def requireZcaNumericArray(df: DataFrame, in: String): Unit =
+    df.schema(df.schema.fieldIndex(in)).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        _: org.apache.spark.sql.types.NumericType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"graft: ZCAWhitener($in) expects a numeric array, got $other")
+    }
+
+  /** The serving-width ZCA apply: d `graft_dot` expressions over the
+    * centered input — one Project, so it collapses under
+    * `applyLocal`/LocalServer (EP3 zero-job serving) and stays inside
+    * whole-stage codegen distributed. Each y_j sums (x_i−μ_i)·W_{i,j}
+    * left-to-right, the SAME order as the gemm path's scalar replay,
+    * so the two spellings agree to rounding, not just algebraically.
+    * Bad inputs die with the gemm path's graft-named errors (wrong
+    * width, null array, null element — spelled as `raise_error`
+    * guards, which cost one `size`/`exists` scan per row, O(d) next
+    * to the O(d²) product). */
+  private[graft] def zcaExprTransformer(in: String, out: String,
+      muArr: Array[Double], wArr: Array[Double], d: Int): Transformer =
+    Transformer { df =>
+      requireZcaNumericArray(df, in)
+      val centered = zip_with(
+        transform(col(in), _.cast("double")), lit(muArr), (x, m) => x - m)
+      val ys = (0 until d).map { j =>
+        val wj = java.util.Arrays.copyOfRange(wArr, j * d, (j + 1) * d)
+        call_function("graft_dot", centered, lit(wj))
+      }
+      val guarded = when(col(in).isNull, raise_error(lit(
+          s"graft: ZCAWhitener($in) got a null array")))
+        .when(size(col(in)) =!= d, raise_error(concat(
+          lit(s"graft: ZCAWhitener($in) expects width $d, got "),
+          size(col(in)).cast("string"))))
+        .when(exists(col(in), _.isNull), raise_error(concat(
+          lit(s"graft: ZCAWhitener($in) got a null element at index "),
+          (array_position(transform(col(in), _.isNull), true) - 1)
+            .cast("string"))))
+        .otherwise(array(ys: _*))
+      df.withColumn(out, guarded)
+    }
+
+  /** The wide-d ZCA apply: a PER-PARTITION gemm (the Convolver batching
+    * pattern) — rows buffer into a bounded (~32 MB) column-major
+    * chunk and Y = (X − μ)·W is ONE level-3 BLAS call per chunk,
+    * replacing the old per-row d² scalar loop. Fitted state rides
+    * the closure as plain arrays (java-serializable — no Broadcast,
+    * so a saved fitted chain reloads in a fresh session). */
+  private[graft] def zcaGemmTransformer(in: String, out: String,
+      muArr: Array[Double], wArr: Array[Double], d: Int): Transformer = {
+    val dd = d
+    Transformer { df =>
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types._
         val inIdx = df.schema.fieldIndex(in)
-        df.schema(inIdx).dataType match {
-          case ArrayType(_: NumericType, _) => ()
-          case other => throw new IllegalArgumentException(
-            s"graft: ZCAWhitener($in) expects a numeric array, got $other")
-        }
+        requireZcaNumericArray(df, in)
         // withColumn semantics: replace `out` in place when it exists
         // (including out == in — in-place whitening), append otherwise
         val outIdx = df.schema.fieldNames.indexOf(out)
@@ -389,12 +452,21 @@ object LearningOps extends Serializable {
             var i = 0
             while (i < m) {
               val xs = rows(i).getSeq[Any](inIdx)
+              // the output schema declares non-null (containsNull=false),
+              // so a null array/element must die with a graft-named error
+              // naming the column, not a bare executor NPE inside the
+              // Number unboxing below
+              if (xs == null) throw new IllegalArgumentException(
+                s"graft: ZCAWhitener($in) got a null array")
               var j = 0
               while (j < dd) {
                 // any numeric element type whitens — fit() casts to
                 // double, so apply must not be stricter than fit
+                val e = xs(j)
+                if (e == null) throw new IllegalArgumentException(
+                  s"graft: ZCAWhitener($in) got a null element at index $j")
                 xb(j * chunk + i) =
-                  xs(j).asInstanceOf[Number].doubleValue - muArr(j)
+                  e.asInstanceOf[Number].doubleValue - muArr(j)
                 j += 1
               }
               i += 1
@@ -417,7 +489,6 @@ object LearningOps extends Serializable {
             outRows
           }
         }(enc)
-      }
     }
   }
 
@@ -813,7 +884,10 @@ object LearningOps extends Serializable {
               s"$kk targets) overflows the flat column-major cache " +
               s"(limit $capMsg elements); repartition the training frame " +
               s"to <= ${capMsg / math.max(math.max(dd, kk), 1)} rows per " +
-              "partition")
+              "partition (the automatic nHint guard levels on the MEAN " +
+              "rows/partition, so a layout skewed enough to overflow one " +
+              "partition while the mean stays under half the safe cap " +
+              "reaches here — pass a repartitioned frame)")
         val cm = new Array[Double](m * dd)
         val yk = new Array[Double](m * kk)
         val sw = new Array[Double](m)

@@ -82,20 +82,25 @@ class LearningOpsSpec extends GraftSuite {
       s"whitened variance off identity: ${stats.getAs[Double]("worst_vr")}")
   }
 
-  test("ZCA gemm-batched transform replays the scalar (x-mu)'W per row at 1e-12") {
-    // pin the per-partition dgemm against an independent scalar replay
-    // of the same fitted (mu, W): recompute W from the driver-side
-    // covariance the same way the estimator does, then compare rows
+  test("ZCA expr and gemm transforms both replay the scalar (x-mu)'W per row at 1e-12") {
+    // pin BOTH width-dispatched applies against an independent scalar
+    // replay of the same fitted (mu, W): recompute W from the
+    // driver-side covariance the same way the estimator does, then
+    // compare rows — and against each other
     import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
     val d = 16
     val small = vecs.where($"vec_id" < 400)
       .select($"vec_id", slice($"v", 1, d).as("v"))
     val eps = 1e-5
-    val white = ZCAWhitenerEst("v", "w", eps = eps).fit(small)(small)
+    val (muF, wF, dF) = fitZcaModel(small, "v", eps)
+    assert(dF == d)
+    def collectOut(t: graft.ml.workflow.Transformer) = t(small)
       .select($"vec_id", $"v", $"w").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
         r.getSeq[Double](2).toArray)).sortBy(_._1)
-    val xs = white.map(_._2)
+    val byExpr = collectOut(zcaExprTransformer("v", "w", muF, wF, d))
+    val byGemm = collectOut(zcaGemmTransformer("v", "w", muF, wF, d))
+    val xs = byExpr.map(_._2)
     val n = xs.length
     val mu = BDV.tabulate(d)(j => xs.map(_(j)).sum / n)
     val cov = BDM.tabulate(d, d) { (a, b) =>
@@ -104,15 +109,29 @@ class LearningOpsSpec extends GraftSuite {
     val es = breeze.linalg.eigSym(cov)
     val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
     val wm = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
-    val worst = white.map { case (_, x, got) =>
-      val expect = (BDV(x) - mu).t * wm
-      (0 until d).map(j => math.abs(got(j) - expect(j))).max
+    def worstVsReplay(rows: Array[(Long, Array[Double], Array[Double])]) =
+      rows.map { case (_, x, got) =>
+        val expect = (BDV(x) - mu).t * wm
+        (0 until d).map(j => math.abs(got(j) - expect(j))).max
+      }.max
+    val worstExpr = worstVsReplay(byExpr)
+    val worstGemm = worstVsReplay(byGemm)
+    assert(worstExpr < 1e-12,
+      s"graft_dot whitening must replay the scalar product: $worstExpr")
+    assert(worstGemm < 1e-12,
+      s"gemm-batched whitening must replay the scalar product: $worstGemm")
+    val worstCross = byExpr.zip(byGemm).map { case ((_, _, a), (_, _, b)) =>
+      (0 until d).map(j => math.abs(a(j) - b(j))).max
     }.max
-    assert(worst < 1e-12,
-      s"gemm-batched whitening must replay the scalar product: $worst")
-    // the appended column keeps every original column intact and in order
+    assert(worstCross < 1e-9,
+      s"the two width-dispatched applies must agree: $worstCross")
+    // the appended column keeps every original column intact and in
+    // order; past maxServeWidth the fitted node IS the gemm spelling
     val cols = ZCAWhitenerEst("v", "w2").fit(small)(small).columns.toSeq
     assert(cols == Seq("vec_id", "v", "w2"))
+    val colsWide = ZCAWhitenerEst("v", "w2", maxServeWidth = 4)
+      .fit(small)(small).columns.toSeq
+    assert(colsWide == Seq("vec_id", "v", "w2"))
   }
 
   test("ZCA apply supports in-place (out == in) and any numeric element type") {
@@ -129,6 +148,15 @@ class LearningOpsSpec extends GraftSuite {
       .where(exists(zip_with($"a", $"b", (x, y) => abs(x - y) > 1e-12), x => x))
       .count()
     assert(mismatches == 0, "in-place output must equal append-mode output")
+    // the gemm spelling keeps the same in-place semantics
+    val inPlaceGemm = ZCAWhitenerEst("v", "v", maxServeWidth = 0)
+      .fit(small)(small)
+    assert(inPlaceGemm.columns.toSeq == Seq("vec_id", "v"))
+    val gemmMismatch = inPlaceGemm.select($"vec_id", $"v".as("a"))
+      .join(append.select($"vec_id", $"w".as("b")), "vec_id")
+      .where(exists(zip_with($"a", $"b", (x, y) => abs(x - y) > 1e-9), x => x))
+      .count()
+    assert(gemmMismatch == 0, "gemm in-place output must match expr append output")
     // fit() casts ANY numeric array to double, so apply must not be
     // stricter: an integer feature array whitens end to end
     val ints = small.select($"vec_id",
@@ -136,6 +164,51 @@ class LearningOpsSpec extends GraftSuite {
     val white = ZCAWhitenerEst("vi", "w").fit(ints)(ints)
     assert(white.count() == 80)
     assert(white.where(exists($"w", x => isnan(x) || x.isNull)).count() == 0)
+  }
+
+  test("ZCA apply names the column on a null array or element, not a bare NPE") {
+    val d = 6
+    val small = vecs.where($"vec_id" < 80)
+      .select($"vec_id", slice($"v", 1, d).as("v"))
+    val (muF, wF, _) = fitZcaModel(small, "v", 1e-5)
+    // BOTH width-dispatched applies must die with a graft-named error
+    // naming the column on a null input — the gemm path's Number
+    // unboxing and the expr path's graft_dot would otherwise give a
+    // context-free executor NPE / a silently-null output row
+    val nullArray = small.select($"vec_id",
+      when($"vec_id" === 7L, lit(null)).otherwise($"v").as("v"))
+    val nullElem = small.select($"vec_id",
+      transform($"v", (x, i) =>
+        when($"vec_id" === 7L && i === 2, lit(null)).otherwise(x)).as("v"))
+    def messageChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var e = t
+      while (e != null) { sb ++= String.valueOf(e.getMessage); e = e.getCause }
+      sb.toString
+    }
+    for (path <- Seq(zcaExprTransformer("v", "w", muF, wF, d),
+        zcaGemmTransformer("v", "w", muF, wF, d))) {
+      // collect the output column: a bare count() would let Catalyst
+      // prune the expr-path projection away and never hit the guard
+      val e1 = intercept[Exception] { path(nullArray).select("w").collect() }
+      assert(messageChain(e1).contains(
+        "graft: ZCAWhitener(v) got a null array"),
+        s"wanted the named null-array error, got: ${messageChain(e1)}")
+      val e2 = intercept[Exception] { path(nullElem).select("w").collect() }
+      assert(messageChain(e2).contains(
+        "graft: ZCAWhitener(v) got a null element at index 2"),
+        s"wanted the named null-element error, got: ${messageChain(e2)}")
+    }
+    // the expr path also names a wrong-width row (the gemm path throws
+    // a bounds error there; both refuse rather than compute garbage)
+    val shortRow = small.select($"vec_id",
+      when($"vec_id" === 7L, slice($"v", 1, 3)).otherwise($"v").as("v"))
+    val e3 = intercept[Exception] {
+      zcaExprTransformer("v", "w", muF, wF, d)(shortRow).select("w").collect()
+    }
+    assert(messageChain(e3).contains(
+      "graft: ZCAWhitener(v) expects width 6, got 3"),
+      s"wanted the named width error, got: ${messageChain(e3)}")
   }
 
   test("tsqrPca: k past the row rank takes the gram-eigen route (orthonormal, zero tail)") {
@@ -153,22 +226,26 @@ class LearningOpsSpec extends GraftSuite {
     assert(sv.drop(2).forall(_ < 1e-6), s"sv = ${sv.toSeq}")
   }
 
-  test("fitted ZCA survives ModelIO save -> load (gemm closure stays library-scoped)") {
-    // the per-partition gemm transform captures plain arrays in a
-    // library-defined lambda — java-serializable, no Broadcast/session
+  test("fitted ZCA survives ModelIO save -> load (both spellings stay library-scoped)") {
+    // both width-dispatched transforms capture plain arrays in
+    // library-defined lambdas — java-serializable, no Broadcast/session
     // state, so a saved fitted chain reloads under the allowlist filter
     val d = 8
     val small = vecs.where($"vec_id" < 100)
       .select($"vec_id", slice($"v", 1, d).as("v"))
-    val fit = ZCAWhitenerEst("v", "w").fit(small)
-    val path = java.nio.file.Files.createTempFile("graft-zca", ".bin").toString
-    graft.ml.ModelIO.save(fit, path)
-    val loaded = graft.ml.ModelIO.load(path)
-    val want = fit(small).select($"vec_id", $"w").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val got = loaded(small).select($"vec_id", $"w").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(got == want, "loaded ZCA must whiten identically")
+    for (cap <- Seq(128, 0)) { // expr spelling, then gemm spelling
+      val fit = ZCAWhitenerEst("v", "w", maxServeWidth = cap).fit(small)
+      val path = java.nio.file.Files.createTempFile("graft-zca", ".bin")
+        .toString
+      graft.ml.ModelIO.save(fit, path)
+      val loaded = graft.ml.ModelIO.load(path)
+      val want = fit(small).select($"vec_id", $"w").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val got = loaded(small).select($"vec_id", $"w").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(got == want, s"loaded ZCA (cap=$cap) must whiten identically")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    }
   }
 
   test("BlockLeastSquaresEst approaches the exact least-squares fit") {

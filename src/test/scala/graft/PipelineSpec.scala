@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.ml.workflow._
 import graft.ml.AutoCache
@@ -504,7 +506,8 @@ class PipelineSpec extends GraftSuite {
     // flaky); the profiling PATH keeps its own integration test below
     val a = spark.sparkContext.parallelize(1 to 10, 2).toDF("x")
     val b = spark.sparkContext.parallelize(11 to 20, 2).toDF("x")
-    def profiler(df: org.apache.spark.sql.DataFrame): (BigInt, Double) =
+    def profiler(df: org.apache.spark.sql.DataFrame, bw: Double)
+        : (BigInt, Double) =
       if (df eq a) (BigInt(1000), 2.0) else (BigInt(10000), 0.5)
 
     // expensive-small beats cheap-large for the only slot (benefit is
@@ -528,7 +531,8 @@ class PipelineSpec extends GraftSuite {
 
     // a frame that does not fit is skipped WITHOUT blocking smaller
     // ones: b ranks first on benefit but only a fits the budget
-    def profiler3(df: org.apache.spark.sql.DataFrame): (BigInt, Double) =
+    def profiler3(df: org.apache.spark.sql.DataFrame, bw: Double)
+        : (BigInt, Double) =
       if (df eq a) (BigInt(1000), 2.0) else (BigInt(10000), 1e6)
     val hs3 = AutoCache.selectCacheSet(Seq(
       AutoCache.Candidate(b, uses = 5), AutoCache.Candidate(a, uses = 2)),
@@ -557,6 +561,131 @@ class PipelineSpec extends GraftSuite {
       s"calibration must carry a finite measured bandwidth: $measured")
     assert(sel.calibration("assumed_scan_bw_bytes_sec") == 1e9)
     info(f"measured scan bw = $measured%.3g B/s (assumed 1e9)")
+  }
+
+  test("AutoCache measured-bandwidth flag is a no-op under a bw-ignoring profiler") {
+    import spark.implicits._
+    // an injected profiler OWNS pricing — it receives the effective
+    // bandwidth and this one ignores it, so flagged and unflagged runs
+    // must agree exactly (the SolverCostModel flagged/unflagged
+    // agreement discipline). Override pins the measured value so the
+    // flagged run never depends on this box's disk.
+    val a = spark.sparkContext.parallelize(1 to 10, 2).toDF("x")
+    val b = spark.sparkContext.parallelize(11 to 20, 2).toDF("x")
+    def fixed(df: org.apache.spark.sql.DataFrame, bw: Double)
+        : (BigInt, Double) =
+      if (df eq a) (BigInt(1000), 2.0) else (BigInt(10000), 0.5)
+    AutoCache.measuredBwOverrideForTests =
+      Some(AutoCache.ScanBwBytesPerSec / 3.0)
+    try {
+      def run(flag: Boolean) = {
+        val sel = AutoCache.selectCacheSetReported(Seq(
+          AutoCache.Candidate(a, uses = 2, label = "a"),
+          AutoCache.Candidate(b, uses = 2, label = "b")),
+          memBudgetBytes = 10000L, profiler = fixed,
+          useMeasuredBandwidth = flag)
+        val picked = sel.handles.map(_.cached)
+        sel.handles.foreach(_.release())
+        (picked, sel.sizes, sel.benefitSeconds)
+      }
+      assert(run(flag = false) == run(flag = true),
+        "flag must not perturb an injected profiler's decision or report")
+    } finally AutoCache.measuredBwOverrideForTests = None
+  }
+
+  test("AutoCache measured 3x-slower bandwidth flips the picked set") {
+    import spark.implicits._
+    // THE point of the flag: a scan-shaped frame's rescan is 3x more
+    // expensive at the measured bandwidth than the declared constant
+    // says, so against a compute-profiled rival priced between the two
+    // it loses the only slot unflagged and wins it flagged. The
+    // bw-aware profiler replicates the default pricing shape with
+    // deterministic numbers (a 2 MB rescan vs a fixed 4 ms compute
+    // profile) — no wall-clock in the ordering assertions.
+    val scanish = spark.sparkContext.parallelize(1 to 10, 2).toDF("x")
+    val rival = spark.sparkContext.parallelize(11 to 20, 2).toDF("x")
+    def pricing(df: org.apache.spark.sql.DataFrame, bw: Double)
+        : (BigInt, Double) =
+      if (df eq scanish) (BigInt(1000), 2e6 / bw)
+      else (BigInt(1000), 4e-3)
+    AutoCache.measuredBwOverrideForTests =
+      Some(AutoCache.ScanBwBytesPerSec / 3.0)
+    try {
+      def run(flag: Boolean) = {
+        val hs = AutoCache.selectCacheSet(Seq(
+          AutoCache.Candidate(scanish, uses = 2, label = "scan"),
+          AutoCache.Candidate(rival, uses = 2, label = "compute")),
+          memBudgetBytes = 1000L, profiler = pricing,
+          useMeasuredBandwidth = flag)
+        val picked = hs.map(_.cached)
+        hs.foreach(_.release())
+        picked
+      }
+      assert(run(flag = false) == Seq(false, true),
+        "declared 1 GB/s prices the rescan cheap -> the compute frame wins")
+      assert(run(flag = true) == Seq(true, false),
+        "measured 3x-slower disk makes the rescan dear -> the scan frame wins")
+    } finally AutoCache.measuredBwOverrideForTests = None
+  }
+
+  test("AutoCache flag reprices the DEFAULT scan pricing by exactly the ratio") {
+    // end-to-end plumbing through the default profiler: a parquet-backed
+    // frame has trusted Catalyst stats and no opaque compute, so its
+    // benefit is exactly (uses-1) * size/bw — flagged (override = bw/3)
+    // must report exactly 3x the unflagged benefit, same size
+    val dir = java.nio.file.Files.createTempDirectory("graft-ac-bwflag")
+    try {
+      val path = dir.resolve("t.parquet").toString
+      spark.range(500).selectExpr("id", "id * 2 AS y")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      val base = spark.read.parquet(path)
+      AutoCache.measuredBwOverrideForTests =
+        Some(AutoCache.ScanBwBytesPerSec / 3.0)
+      def run(flag: Boolean) = {
+        val sel = AutoCache.selectCacheSetReported(
+          Seq(AutoCache.Candidate(base, uses = 2, label = "s")),
+          memBudgetBytes = Long.MaxValue, useMeasuredBandwidth = flag)
+        sel.handles.foreach(_.release())
+        (sel.sizes("s"), sel.benefitSeconds("s"))
+      }
+      val (szOff, benOff) = run(flag = false)
+      val (szOn, benOn) = run(flag = true)
+      assert(szOn == szOff, "the flag reprices seconds, never bytes")
+      assert(math.abs(benOn - 3.0 * benOff) <= 1e-12 * benOn.abs.max(1e-300),
+        s"flagged benefit must be exactly 3x: $benOn vs 3 * $benOff")
+    } finally {
+      AutoCache.measuredBwOverrideForTests = None
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  test("AutoCache report keys never collide, even against generated keys") {
+    import spark.implicits._
+    // the adversarial shape: two candidates share a label AND a third's
+    // literal label equals the disambiguated key the second would get;
+    // a fourth is unlabeled. Every candidate must keep its own row in
+    // the report maps.
+    val frames = (0 until 4).map(i =>
+      spark.sparkContext.parallelize(Seq(i), 1).toDF("x"))
+    def fixed(df: org.apache.spark.sql.DataFrame, bw: Double)
+        : (BigInt, Double) = (BigInt(10), 1.0)
+    val sel = AutoCache.selectCacheSetReported(Seq(
+      AutoCache.Candidate(frames(0), uses = 2, label = "a"),
+      AutoCache.Candidate(frames(1), uses = 3, label = "a"),
+      AutoCache.Candidate(frames(2), uses = 4, label = "a@1"),
+      AutoCache.Candidate(frames(3), uses = 5)),
+      memBudgetBytes = Long.MaxValue, profiler = fixed)
+    sel.handles.foreach(_.release())
+    assert(sel.sizes.size == 4 && sel.benefitSeconds.size == 4,
+      s"4 candidates -> 4 report rows, got keys ${sel.sizes.keySet}")
+    // first holder of a base keeps it verbatim; uses disambiguate which
+    // row is whose (benefit = (uses-1) * 1.0s)
+    assert(sel.benefitSeconds("a") == 1.0)
+    assert(sel.benefitSeconds.values.toSeq.sorted == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(sel.benefitSeconds("#3") == 4.0, "unlabeled keeps #<index>")
   }
 
   test("AutoCache profiles opaque compute above a trusted scan (no rescan pricing)") {

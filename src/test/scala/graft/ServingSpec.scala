@@ -124,6 +124,63 @@ class ServingSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("fitted ZCA serves zero-job and agrees with the gemm spelling at 1e-9") {
+    import graft.ml.LearningOps
+    val d = 8
+    val data = spark.createDataset((0 until 120).map { r =>
+      (r.toLong, Array.tabulate(d)(j =>
+        math.sin(r * 0.37 + j) + 0.1 * j * ((r % 7) - 3)))
+    }).toDF("id", "v")
+    val (mu, w, dd) = LearningOps.fitZcaModel(data, "v", 1e-5)
+    assert(dd == d)
+    def rf = CosineRandomFeaturesNode("w", "rf",
+      dim = d, numFeatures = 12, gamma = 0.2)
+    // the serving chain: expr-spelled whiten -> linear featurizer; the
+    // ground truth: the SAME model through the per-partition gemm
+    // spelling, applied distributed
+    val chain = LearningOps.zcaExprTransformer("v", "w", mu, w, d).andThen(rf)
+    val gemmChain = LearningOps.zcaGemmTransformer("v", "w", mu, w, d)
+      .andThen(rf)
+    def collectRf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"rf").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val want = collectRf(gemmChain(data))
+    val viaExpr = collectRf(chain(data))
+    val worst = want.keys.map { id =>
+      viaExpr(id).zip(want(id)).map { case (a, b) => math.abs(a - b) }.max
+    }.max
+    assert(worst < 1e-9,
+      s"expr whiten -> features must track the gemm path: $worst")
+
+    // zero-job serving: the whole whiten -> featurize chain collapses
+    // under ConvertToLocalRelation (d graft_dot Projects, no RDD seam)
+    val input = data.select($"id", $"v")
+    val servingRows = input.orderBy($"id").collect().take(10)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      servingRows.foreach { row =>
+        val served = chain.applyLocal(spark, input.schema, Seq(row))
+        assert(served.size == 1)
+        val got = served.head.getAs[scala.collection.Seq[Double]]("rf")
+        val exp = want(row.getLong(0))
+        val diff = got.iterator.zip(exp.iterator)
+          .map { case (a, b) => math.abs(a - b) }.max
+        assert(diff < 1e-9,
+          s"served ZCA chain diverged from the gemm path on id=${row.getLong(0)}: $diff")
+      }
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"ZCA serving launched ${jobs.get() - 1} Spark job(s); EP3 requires zero")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("LocalServer compiles the chain once and serves per-datum with zero jobs") {
     val (chain, frames) = fitted
     val input = frames.select(col("id"), col("label"), col("wave"))
