@@ -177,7 +177,19 @@ object SolverCostModel {
 
   /** The dispatch decision plus the full cost report (for observability —
     * the estimator exposes both, the same way the chosen solver itself is
-    * exposed for tests). */
+    * exposed for tests).
+    *
+    * `useMeasuredCalibration` stays `false` BY DESIGN (round-17 decision,
+    * revisited against a default flip): wherever the flip is safe — the
+    * measured/declared ratios inside the exactness window, which every
+    * measured box so far has satisfied — the flagged and unflagged
+    * dispatchers pick identically, so the flip changes nothing; wherever
+    * it would change something, the decision would hang off a
+    * once-per-JVM microbenchmark taken on a possibly-loaded box, making
+    * the PHYSICAL SOLVER choice nondeterministic across JVM launches for
+    * the same problem. The declared ratios are what the regime tests
+    * pin; the measured evidence rides every [[CostReport]] so a caller
+    * who trusts their box can opt in per call with full information. */
   def choose(p: Problem,
       useMeasuredCalibration: Boolean = false): (String, CostReport) = {
     // The flag substitutes this JVM's measured FlopSec/MemBwSec into the
