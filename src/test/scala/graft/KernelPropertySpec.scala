@@ -158,4 +158,45 @@ class KernelPropertySpec extends GraftSuite {
         }
     }, "singular-triplet laws")
   }
+
+  // --- round-17 ZCA serving-spelling law ---
+
+  private val genZca: Gen[(Int, Int, List[Double], List[Double], List[Double])] =
+    for {
+      d <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(1, 6)
+      mu <- Gen.listOfN(d, Gen.chooseNum(-3.0, 3.0))
+      w <- Gen.listOfN(d * d, Gen.chooseNum(-2.0, 2.0))
+      xs <- Gen.listOfN(n * d, Gen.chooseNum(-5.0, 5.0))
+    } yield (d, n, mu, w, xs)
+
+  test("ZCA expr spelling equals the dense (x-mu)'W product over random shapes, zero-job") {
+    // fuzz the d graft_dot Projects (the serving spelling) against a
+    // driver-side dense replay over random widths/means/matrices —
+    // evaluated via applyLocal with requireLocal on, so every sampled
+    // width ALSO pins the LocalRelation collapse (an index slip in the
+    // column-major wj slice or a collapse-defeating expression would
+    // fail here before any fixture could)
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    checkProp(Prop.forAll(genZca) { case (d, n, mu, w, xs) =>
+      val t = graft.ml.LearningOps.zcaExprTransformer("v", "y",
+        mu.toArray, w.toArray, d)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))
+      val rows = (0 until n).map(i =>
+        SRow(i.toLong, xs.slice(i * d, (i + 1) * d)))
+      val out = t.applyLocal(spark, schema, rows)
+      out.indices.forall { i =>
+        val x = xs.slice(i * d, (i + 1) * d)
+        val got = out(i).getSeq[Double](out(i).fieldIndex("y"))
+        (0 until d).forall { j =>
+          val expect = (0 until d).map(c => (x(c) - mu(c)) * w(c + j * d)).sum
+          math.abs(got(j) - expect) < 1e-9 * (1.0 + math.abs(expect))
+        }
+      }
+    }, "ZCA expr spelling law")
+  }
 }
