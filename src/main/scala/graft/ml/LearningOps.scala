@@ -1,7 +1,7 @@
 package graft.ml
 
 import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
@@ -323,18 +323,24 @@ object LearningOps extends Serializable {
     * matrix per row) — d + d² doubles per partition travel, never
     * data-sized; then a d×d eigSym on the driver.
     * transform: width-dispatched. At or under `maxServeWidth` the fitted
-    * node spells Y = (X−μ)·W as d codegen'd `graft_dot` column
-    * expressions over the centered array — a pure Project, so a fitted
-    * ZCA collapses under `applyLocal`/LocalServer (zero-job serving)
-    * like every other Transformer, and distributed application stays
-    * inside whole-stage codegen with no object seam. Past the cap (the
-    * literal payload and codegen size grow as d², so a wide whitener
-    * would blow the plan) it is a per-partition chunked gemm — level-3
-    * BLAS, no per-row dense-math loop. Both transformers are separately
+    * node spells Y = (X−μ)·W as d codegen'd `graft_centered_dot` column
+    * expressions — a pure Project, so a fitted ZCA collapses under
+    * `applyLocal`/LocalServer (zero-job serving) like every other
+    * Transformer, and distributed application is generated code with no
+    * object seam. Past the cap it is a per-partition chunked gemm —
+    * level-3 BLAS, no per-row dense-math loop. The cap default (32) is
+    * MEASURED, not guessed (graft.ZcaBench, n=400k, 8 cores, two runs
+    * each): at d=32 the expression spelling costs 1.03/1.09 s vs gemm
+    * 0.36/0.40 s — a ~2.7× sanctioned gap in exchange for zero-job
+    * serving — but at d=64 the whole-stage-codegen-fused Project method
+    * passes HotSpot's huge-method JIT limit and the generated code runs
+    * INTERPRETED: 94.7/97.7 s vs gemm 0.62/0.65 s. The cap sits under
+    * that cliff with margin; wider whiteners take the BLAS path, which
+    * is where they belong anyway. Both transformers are separately
     * constructible ([[zcaExprTransformer]]/[[zcaGemmTransformer]]) so
     * their 1e-9 agreement is a test, not a hope. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5,
-      maxServeWidth: Int = 128)
+      maxServeWidth: Int = 32)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
       val (muArr, wArr, d) = fitZcaModel(train, in, eps)
@@ -385,36 +391,53 @@ object LearningOps extends Serializable {
         s"graft: ZCAWhitener($in) expects a numeric array, got $other")
     }
 
-  /** The serving-width ZCA apply: d `graft_dot` expressions over the
-    * centered input — one Project, so it collapses under
-    * `applyLocal`/LocalServer (EP3 zero-job serving) and stays inside
-    * whole-stage codegen distributed. Each y_j sums (x_i−μ_i)·W_{i,j}
-    * left-to-right, the SAME order as the gemm path's scalar replay,
-    * so the two spellings agree to rounding, not just algebraically.
-    * Bad inputs die with the gemm path's graft-named errors (wrong
-    * width, null array, null element — spelled as `raise_error`
-    * guards, which cost one `size`/`exists` scan per row, O(d) next
-    * to the O(d²) product). */
+  /** The serving-width ZCA apply: d codegen'd `graft_centered_dot`
+    * expressions — one Project, so it collapses under
+    * `applyLocal`/LocalServer (EP3 zero-job serving) and the whole row
+    * loop is generated code distributed (the kernel exists because the
+    * zip_with-centered spelling left the centering as CodegenFallback,
+    * re-run per output dimension — 11× slower than the gemm path at
+    * d=32; see [[graft.functions.CenteredDot]]). Each y_j sums
+    * (x_i−μ_i)·W_{i,j} left-to-right, the SAME order as the gemm
+    * path's scalar replay, so the two spellings agree to rounding, not
+    * just algebraically. Bad inputs die with the gemm path's
+    * graft-named errors, SCHEMA-GATED so the common clean case
+    * (array<double>, non-null) pays only the codegen'd `size` check:
+    * the null-array guard is spelled only for nullable columns, the
+    * O(d)-interpreted null-element guard only for containsNull element
+    * types, and the cast `transform` only for non-double elements. */
   private[graft] def zcaExprTransformer(in: String, out: String,
       muArr: Array[Double], wArr: Array[Double], d: Int): Transformer =
     Transformer { df =>
+      import org.apache.spark.sql.types._
       requireZcaNumericArray(df, in)
-      val centered = zip_with(
-        transform(col(in), _.cast("double")), lit(muArr), (x, m) => x - m)
+      val field = df.schema(df.schema.fieldIndex(in))
+      val at = field.dataType.asInstanceOf[ArrayType]
+      // array-level Cast, not transform(_.cast): Cast is codegen'd while
+      // a transform lambda is CodegenFallback, and CollapseProject would
+      // inline the lambda into this Project and kick the WHOLE projection
+      // out of whole-stage codegen
+      val xd =
+        if (at.elementType == DoubleType) col(in)
+        else col(in).cast("array<double>")
       val ys = (0 until d).map { j =>
         val wj = java.util.Arrays.copyOfRange(wArr, j * d, (j + 1) * d)
-        call_function("graft_dot", centered, lit(wj))
+        call_function("graft_centered_dot", xd, lit(muArr), lit(wj))
       }
-      val guarded = when(col(in).isNull, raise_error(lit(
-          s"graft: ZCAWhitener($in) got a null array")))
-        .when(size(col(in)) =!= d, raise_error(concat(
-          lit(s"graft: ZCAWhitener($in) expects width $d, got "),
-          size(col(in)).cast("string"))))
-        .when(exists(col(in), _.isNull), raise_error(concat(
+      val guards = Seq.newBuilder[(Column, Column)]
+      if (field.nullable) guards += (col(in).isNull -> raise_error(lit(
+        s"graft: ZCAWhitener($in) got a null array")))
+      guards += ((size(col(in)) =!= d) -> raise_error(concat(
+        lit(s"graft: ZCAWhitener($in) expects width $d, got "),
+        size(col(in)).cast("string"))))
+      if (at.containsNull) guards += (exists(col(in), _.isNull) ->
+        raise_error(concat(
           lit(s"graft: ZCAWhitener($in) got a null element at index "),
           (array_position(transform(col(in), _.isNull), true) - 1)
             .cast("string"))))
-        .otherwise(array(ys: _*))
+      val guarded = guards.result().foldRight(array(ys: _*)) {
+        case ((cond, err), acc) => when(cond, err).otherwise(acc)
+      }
       df.withColumn(out, guarded)
     }
 

@@ -49,6 +49,41 @@ class VectorExprsSpec extends GraftSuite {
     assert(r.getDouble(2) == 27.0)
   }
 
+  test("graft_centered_dot is bit-identical to graft_dot over the zip_with centering") {
+    // the ZCA serving kernel: one ternary expression vs the two-step
+    // spelling it replaced (which left the centering as CodegenFallback)
+    val mu = array((1 to 64).map(i => lit(math.sin(i * 0.17))): _*)
+    val w = array((1 to 64).map(i => lit(i * 0.01 - 0.32)): _*)
+    val cmp = vecs.select(
+      call_function("graft_centered_dot", $"v", mu, w).as("native"),
+      call_function("graft_dot",
+        zip_with($"v", mu, (x, m) => x - m), w).as("hof"))
+    assert(cmp.where($"native" =!= $"hof").count() == 0)
+    // known values: (1-1)*10 + (2-1)*20 + (3-2)*30 = 50
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 1.0, 2.0),
+      Array(10.0, 20.0, 30.0))).toDF("x", "m", "w")
+    val r = df.select(call_function("graft_centered_dot",
+      $"x", $"m", $"w")).head()
+    assert(r.getDouble(0) == 50.0)
+    // null input => null output (ternary null-safety)
+    val withNull = Seq((Option.empty[Array[Double]],
+      Some(Array(1.0)), Some(Array(2.0)))).toDF("x", "m", "w")
+    assert(withNull.select(call_function("graft_centered_dot",
+      $"x", $"m", $"w")).head().isNullAt(0))
+    // the projection must carry the whole-stage codegen marker. NB: the
+    // input is cast via the array-level Cast, not transform(_.cast) —
+    // CollapseProject inlines a single-use transform lambda into this
+    // Project and its CodegenFallback kicks the whole projection out of
+    // whole-stage codegen (the zcaExprTransformer uses the same Cast
+    // spelling for exactly this reason)
+    val plan = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(call_function("graft_centered_dot", $"v", mu, w))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_centered_dot")).get
+    assert(line.trim.startsWith("*("), s"expected codegen'd Project in:\n$plan")
+  }
+
   test("kernels handle nulls and stay inside whole-stage codegen") {
     val df = Seq(
       (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
