@@ -197,6 +197,125 @@ case class CenteredDot(x: Expression, mu: Expression, w: Expression)
     copy(x = newFirst, mu = newSecond, w = newThird)
 }
 
+/** The `nprobe` nearest centroid ids for a vector — the IVF coarse
+  * quantizer's assignment/probe kernel in ONE expression of CONSTANT
+  * generated-code size. The spelling it replaces —
+  * `array_min(array(struct(graft_sqdist(v, c_0), 0), ...))` /
+  * `slice(array_sort(...), 1, nprobe)` with one struct per centroid —
+  * grows the fused whole-stage-codegen method linearly in `nlist` and
+  * passes HotSpot's huge-method JIT limit at production centroid counts
+  * (the same cliff ZcaBench measured for the ZCA Project at d=64: the
+  * generated code runs interpreted, ~90× slower); this kernel is two
+  * nested loops whatever `nlist` is.
+  *
+  * Distances are Σ(v_i−c_i)² accumulated left-to-right — bit-identical
+  * to `graft_sqdist` — and selection orders by (distance, centroid id)
+  * ascending with `java.lang.Double.compare` semantics, exactly
+  * Spark's struct ordering in the spelling it replaces (NaN greatest,
+  * ties to the lower id). Returns array<int> of min(nprobe, nlist)
+  * ids. */
+case class TopCells(v: Expression, centroids: Expression, nprobe: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = v
+  override def second: Expression = centroids
+  override def third: Expression = nprobe
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_cells"
+
+  override def nullSafeEval(a: Any, c: Any, np: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cents = c.asInstanceOf[ArrayData]
+    val nlist = cents.numElements()
+    val want = math.min(np.asInstanceOf[Int], nlist)
+    val dists = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      val ci = cents.getArray(i)
+      val n = math.min(x.numElements(), ci.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val d = x.getDouble(j) - ci.getDouble(j)
+        s += d * d
+        j += 1
+      }
+      dists(i) = s
+      i += 1
+    }
+    val out = new Array[Int](math.max(want, 0))
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < want) {
+      var best = -1
+      var i2 = 0
+      while (i2 < nlist) {
+        if (!taken(i2) &&
+          (best < 0 || java.lang.Double.compare(dists(i2), dists(best)) < 0))
+          best = i2
+        i2 += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c, np) => {
+      val nlist = ctx.freshName("nlist")
+      val want = ctx.freshName("want")
+      val dists = ctx.freshName("dists")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val r = ctx.freshName("r")
+      val ci = ctx.freshName("ci")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      s"""
+         |int $nlist = $c.numElements();
+         |int $want = java.lang.Math.min($np, $nlist);
+         |if ($want < 0) $want = 0;
+         |double[] $dists = new double[$nlist];
+         |for (int $i = 0; $i < $nlist; $i++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ci = $c.getArray($i);
+         |  int $n = java.lang.Math.min($a.numElements(), $ci.numElements());
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $d = $a.getDouble($j) - $ci.getDouble($j);
+         |    $s += $d * $d;
+         |  }
+         |  $dists[$i] = $s;
+         |}
+         |boolean[] $taken = new boolean[$nlist];
+         |int[] $out = new int[$want];
+         |for (int $r = 0; $r < $want; $r++) {
+         |  int $best = -1;
+         |  for (int $i = 0; $i < $nlist; $i++) {
+         |    if (!$taken[$i] && ($best < 0 ||
+         |        java.lang.Double.compare($dists[$i], $dists[$best]) < 0))
+         |      $best = $i;
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): TopCells =
+    copy(v = newFirst, centroids = newSecond, nprobe = newThird)
+}
+
 /** Public extension entry point: registers the vector kernels in the
   * session's function registry
   * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`).
@@ -217,6 +336,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_centered_dot"),
       new ExpressionInfo(classOf[CenteredDot].getName, "graft_centered_dot"),
       (children: Seq[Expression]) => ternary(children, CenteredDot.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
+      (children: Seq[Expression]) => ternary(children, TopCells.apply)))
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => binary(children, ShingleArray.apply)))

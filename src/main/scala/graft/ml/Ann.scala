@@ -35,24 +35,28 @@ object Ann {
     IvfIndex(model.clusterCenters.map(_.toArray))
   }
 
-  /** Nearest-centroid assignment expression (argmin of graft_sqdist). */
-  private def assignExpr(v: Column, index: IvfIndex): Column = {
-    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(call_function("graft_sqdist", v, array(c.map(lit): _*)).as("d"),
-        lit(i).as("c"))
-    }
-    array_min(array(dists: _*)).getField("c")
-  }
+  /** The centroid matrix as ONE foldable literal (array<array<double>>). */
+  private def centroidsLit(index: IvfIndex): Column =
+    array(index.centroids.toIndexedSeq.map(c => lit(c)): _*)
 
-  /** Rank all centroids by distance for a probe vector (for nprobe > 1). */
-  private def probeClustersExpr(v: Column, index: IvfIndex, nprobe: Int): Column = {
-    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(call_function("graft_sqdist", v, array(c.map(lit): _*)).as("d"),
-        lit(i).as("c"))
-    }
-    transform(slice(array_sort(array(dists: _*)), 1, nprobe),
-      s => s.getField("c"))
-  }
+  /** Nearest-centroid assignment expression — the codegen'd
+    * `graft_top_cells` kernel at nprobe=1. The struct-per-centroid
+    * spelling it replaces (`array_min(array(struct(graft_sqdist(v,c_i),
+    * i)...))`) grows the fused whole-stage-codegen method linearly in
+    * nlist and passes HotSpot's huge-method JIT limit at production
+    * centroid counts — the generated code then runs INTERPRETED (the
+    * ZcaBench-measured cliff: ~90× at the ZCA equivalent). The kernel's
+    * generated code is constant-size whatever nlist is; distances and
+    * (distance, id) tie-breaks are bit-identical to the old spelling. */
+  private def assignExpr(v: Column, index: IvfIndex): Column =
+    element_at(
+      call_function("graft_top_cells", v, centroidsLit(index), lit(1)), 1)
+
+  /** The `nprobe` nearest centroid ids for a probe vector — same kernel,
+    * same ordering contract as [[assignExpr]] (ascending (distance, id),
+    * NaN greatest). */
+  private def probeClustersExpr(v: Column, index: IvfIndex, nprobe: Int): Column =
+    call_function("graft_top_cells", v, centroidsLit(index), lit(nprobe))
 
   /** Product-quantization index: per-subspace codebooks (m × ksub × dsub).
     * PQ is the COMPRESSION path of similarity search: each corpus vector

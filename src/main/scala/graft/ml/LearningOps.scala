@@ -55,6 +55,14 @@ object LearningOps extends Serializable {
     }
     def apply(df: DataFrame): DataFrame = {
       val amp = math.sqrt(2.0 / numFeatures)
+      // NB: this transform(_.cast) lambda is CodegenFallback, which keeps
+      // the D-dot Project OUT of whole-stage codegen fusion — and that is
+      // currently load-bearing: a fused Project with ~50+ dot expressions
+      // passes HotSpot's huge-method JIT limit and runs interpreted (the
+      // ZcaBench-measured cliff; ZCA capped its width at 32 for this).
+      // Do NOT respell it as the array-level Cast without either capping
+      // numFeatures or moving the D dots into one constant-size kernel
+      // (the graft_top_cells/CenteredDot pattern).
       val raw = transform(col(in), _.cast("double"))
       // In-plan dim guard (the Epoch.day pattern): graft_dot silently
       // truncates to min(length) on mismatch, so a mis-sized input —
@@ -614,6 +622,9 @@ object LearningOps extends Serializable {
     private def featureMap(landmarks: Array[Array[Double]]): DataFrame => DataFrame = {
       val g = gamma
       df => {
+        // NB: the transform(_.cast) lambda pins this m-landmark Project
+        // out of whole-stage codegen fusion — load-bearing at large m for
+        // the same JIT-cliff reason documented in CosineRandomFeaturesNode
         val v = transform(col(featuresCol), _.cast("double"))
         val ks = landmarks.map { l =>
           exp(call_function("graft_sqdist", v, array(l.map(lit): _*)) * (-g))

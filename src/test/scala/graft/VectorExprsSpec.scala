@@ -84,6 +84,55 @@ class VectorExprsSpec extends GraftSuite {
     assert(line.trim.startsWith("*("), s"expected codegen'd Project in:\n$plan")
   }
 
+  test("graft_top_cells equals the struct/array_sort spelling it replaced") {
+    // the IVF assignment/probe kernel vs the per-centroid struct
+    // spelling whose fused method grows linearly in nlist (the JIT
+    // cliff): same distances (left-to-right sqdist), same ordering
+    // contract (ascending (distance, id), ties to the lower id)
+    val rng = new scala.util.Random(7)
+    val cents = Array.fill(13)(Array.fill(64)(rng.nextGaussian()))
+    val centsLit = array(cents.toIndexedSeq.map(c => lit(c)): _*)
+    def oldSpelling(v: org.apache.spark.sql.Column, nprobe: Int) = {
+      val dists = cents.zipWithIndex.map { case (c, i) =>
+        struct(call_function("graft_sqdist", v, lit(c)).as("d"),
+          lit(i).as("c"))
+      }
+      transform(slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe),
+        s => s.getField("c"))
+    }
+    val cmp = vecs.select(
+      call_function("graft_top_cells", $"v", centsLit, lit(5)).as("kernel"),
+      oldSpelling($"v", 5).as("old"))
+    assert(cmp.where($"kernel" =!= $"old").count() == 0,
+      "kernel and struct spelling must rank identically")
+    // exact ties break to the lower id: duplicate centroids
+    val dup = Array(Array(1.0, 2.0), Array(0.0, 0.0), Array(1.0, 2.0))
+    val dupLit = array(dup.toIndexedSeq.map(c => lit(c)): _*)
+    val tied = Seq(Tuple1(Array(1.0, 2.0))).toDF("x")
+      .select(call_function("graft_top_cells", $"x", dupLit, lit(3)))
+      .head().getSeq[Int](0)
+    assert(tied == Seq(0, 2, 1), s"ties must break to the lower id: $tied")
+    // nprobe past nlist truncates; null input => null output
+    val all = Seq(Tuple1(Array(0.0, 0.0))).toDF("x")
+      .select(call_function("graft_top_cells", $"x", dupLit, lit(99)))
+      .head().getSeq[Int](0)
+    assert(all.size == 3)
+    val nullIn = Seq(Tuple1(Option.empty[Array[Double]])).toDF("x")
+      .select(call_function("graft_top_cells", $"x", dupLit, lit(1)))
+    assert(nullIn.head().isNullAt(0))
+    // constant-size generated code: the projection must carry the
+    // whole-stage codegen marker even at a width where the struct
+    // spelling's fused method would be enormous
+    val wide = array((0 until 200).map(k =>
+      lit(Array.tabulate(64)(i => (k * 31 + i * 17) % 19 / 19.0))): _*)
+    val plan = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(call_function("graft_top_cells", $"v", wide, lit(4)))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_top_cells")).get
+    assert(line.trim.startsWith("*("), s"expected codegen'd Project in:\n$plan")
+  }
+
   test("kernels handle nulls and stay inside whole-stage codegen") {
     val df = Seq(
       (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
