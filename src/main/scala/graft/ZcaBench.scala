@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    sanctioned gap, paid in exchange for zero-job serving.
   *  - d=64: expr 94.7/97.7 s vs gemm 0.62/0.65 s — the fused Project
   *    method passes HotSpot's huge-method JIT limit and the generated
-  *    code runs INTERPRETED. The cliff, not a gradient: the cap must
-  *    sit under it, hence 32.
+  *    code runs INTERPRETED. The cliff, not a gradient: d=40/48/56
+  *    scale smoothly (1.12/1.76/2.22 s) and the collapse happens
+  *    between 56 and 64 on this JVM, so the cap at 32 carries a full
+  *    2× width margin.
   *  - History for the record: the original zip_with-centered spelling
   *    (CodegenFallback centering re-run per output dim, Project never
   *    fused) measured 4.6 s at d=32 — 11× over gemm — which is why
