@@ -131,11 +131,15 @@ object Bench {
       .sortBy(_._1)
       .map { case (n, t) =>
         "\"" + n + "\":[" + priorTimes(n) + "," + t + "," +
-          f"${t / priorTimes(n)}%.2f" + "]"
+          "%.2f".formatLocal(java.util.Locale.ROOT, t / priorTimes(n)) + "]"
       }.mkString("{", ",", "}")
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f"%.3f" renders comma decimals
+    // under e.g. LANG=de_DE, which silently corrupts every number in
+    // the machine-read JSON lines (a "1,50" ratio json-parses as TWO
+    // array elements)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // The driver's capture keeps only the LAST ~2000 chars of stdout
     // (BENCH_r06.json: tail len exactly 2000, beheaded mid-line), so one
     // monolithic ~7 KB JSON line can never parse there. Emission contract,
@@ -156,7 +160,8 @@ object Bench {
       if (envShifted)
         s""","env_shifted":true,"movers_skipped":${allMovers.size}"""
       else if (moversDropped.nonEmpty)
-        s""","movers_dropped":${moversDropped.size}"""
+        s""","movers_dropped":${moversDropped.size},"movers_dropped_names":${
+          moversDropped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       else ""
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"retry":$retryQs,"drift":$drift$moverMeta,"sf":"$sfDir"}"""

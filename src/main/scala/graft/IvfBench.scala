@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Focused IVF coarse-assignment micro-benchmark — times the
@@ -11,11 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.IvfBench [n] [dim] [nlist]` (defaults 400000 64 64)
   * prints one JSON line with seconds per spelling. Clean
-  * (containsNull=false) inputs, so both projections are eligible for
-  * whole-stage codegen fusion — the regime where the struct spelling's
-  * fused method grows linearly in nlist and falls off HotSpot's
-  * huge-method JIT limit while the kernel's generated code stays
-  * constant-size.
+  * (containsNull=false) [[BenchHarness.seededVectors]] inputs, so both
+  * projections are eligible for whole-stage codegen fusion — the regime
+  * where the struct spelling's fused method grows linearly in nlist and
+  * falls off HotSpot's huge-method JIT limit while the kernel's
+  * generated code stays constant-size.
   *
   * Round-17 measurements (SPARK_GRAFT_CPUS=8, n=400k, dim=64, two runs
   * each): nlist=8 kernel 0.50/0.31 s vs structs 0.67/0.44 s (kernel
@@ -31,20 +30,8 @@ object IvfBench {
     val n = args.lift(0).map(_.toInt).getOrElse(400000)
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val nlist = args.lift(2).map(_.toInt).getOrElse(64)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val base = spark.range(n).select(col("id"),
-      array((0 until dim).map(j =>
-        coalesce(sin(col("id") * 31 + lit(j) * 17), lit(0.0))): _*)
-        .as("v"))
-      .localCheckpoint()
-    base.count()
+    val spark = BenchHarness.session()
+    val base = BenchHarness.seededVectors(spark, n, dim)
     val rng = new scala.util.Random(42)
     val cents = Array.fill(nlist)(Array.fill(dim)(rng.nextGaussian()))
     val centsLit = array(cents.toIndexedSeq.map(c => lit(c)): _*)
@@ -54,17 +41,12 @@ object IvfBench {
       struct(call_function("graft_sqdist", col("v"), lit(c)).as("d"),
         lit(i).as("c"))
     }.toIndexedSeq: _*)).getField("c")
-    def time(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      body
-      (System.nanoTime() - t0) / 1e9
-    }
     def force(c: org.apache.spark.sql.Column): Unit =
       base.select(sum(c.cast("long"))).head()
     force(kernelExpr) // warm codegen/JIT once each
     force(structExpr)
-    val tKernel = time(force(kernelExpr))
-    val tStruct = time(force(structExpr))
+    val tKernel = BenchHarness.time(force(kernelExpr))
+    val tStruct = BenchHarness.time(force(structExpr))
     println(s"""{"bench":"ivf_assign","n":$n,"dim":$dim,"nlist":$nlist,"kernel_sec":$tKernel,"struct_sec":$tStruct}""")
     spark.stop()
   }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Focused ZCA-apply micro-benchmark — times the two width-dispatched
@@ -10,8 +9,8 @@ import org.apache.spark.sql.functions._
   * and prints each plan's formatted shape on request.
   *
   * `runMain graft.ZcaBench [n] [d] [--explain]` (defaults 400000 32)
-  * prints one JSON line with seconds per spelling. Uses a seeded
-  * expression generator — no data files needed.
+  * prints one JSON line with seconds per spelling. Uses
+  * [[BenchHarness.seededVectors]] — no data files needed.
   *
   * Round-17 measurements that SET the cap (SPARK_GRAFT_CPUS=8, n=400k,
   * two runs each, containsNull=false inputs so the Project
@@ -41,42 +40,19 @@ object ZcaBench {
     val nums = args.filterNot(_.startsWith("--"))
     val n = nums.lift(0).map(_.toInt).getOrElse(400000)
     val d = nums.lift(1).map(_.toInt).getOrElse(32)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // array(...) of provably-non-null doubles => containsNull=false, so
-    // the expression spelling is measured on the clean common case
-    // (only the codegen'd size guard). The coalesce matters: Catalyst
-    // declares sin() nullable, which would mark the array
-    // containsNull=true and force the interpreted null-element guard
-    // into every row.
-    val base = spark.range(n).select(col("id"),
-      array((0 until d).map(j =>
-        coalesce(sin(col("id") * 31 + lit(j) * 17), lit(0.0))): _*)
-        .as("v"))
-      .localCheckpoint() // time the transform, not the generator
-    base.count()
+    val spark = BenchHarness.session()
+    val base = BenchHarness.seededVectors(spark, n, d)
     val (mu, w, dd) = graft.ml.LearningOps.fitZcaModel(base, "v", 1e-5)
     val exprT = graft.ml.LearningOps.zcaExprTransformer("v", "y", mu, w, dd)
     val gemmT = graft.ml.LearningOps.zcaGemmTransformer("v", "y", mu, w, dd)
-    def time(body: => Unit): Double = {
-      val t0 = System.nanoTime()
-      body
-      (System.nanoTime() - t0) / 1e9
-    }
     // force every output value through an aggregate so neither spelling
     // can prune the transform away (count() would)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(sum(aggregate(col("y"), lit(0.0), (a, x) => a + x))).head()
     force(exprT(base)) // warm codegen/JIT for both spellings once
     force(gemmT(base))
-    val tExpr = time(force(exprT(base)))
-    val tGemm = time(force(gemmT(base)))
+    val tExpr = BenchHarness.time(force(exprT(base)))
+    val tGemm = BenchHarness.time(force(gemmT(base)))
     if (explain) {
       exprT(base).explain("formatted")
       gemmT(base).explain("formatted")

@@ -1,12 +1,34 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TypeCheckResult}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 import org.apache.spark.sql.SparkSessionExtensions
+
+/** Analysis-time input checks for the vector kernels. AbstractDataType
+  * is private[sql] in Spark 4, so the ExpectsInputTypes auto-cast path
+  * is unavailable — call sites still cast — but a WRONG type must fail
+  * at analysis with a named message, not compile broken generated Java
+  * (a long nprobe turns `Math.min(long, int)` into a Janino error) and
+  * then throw a context-free ClassCastException from the interpreted
+  * fallback. */
+private[functions] object VectorTypeChecks {
+  def arrayOfDouble(fn: String, what: String, dt: DataType): Option[String] =
+    dt match {
+      case ArrayType(DoubleType, _) => None
+      case other =>
+        Some(s"$fn expects $what to be array<double>, got ${other.catalogString}")
+    }
+  def result(msgs: Option[String]*): TypeCheckResult =
+    msgs.flatten.headOption
+      .map(TypeCheckResult.TypeCheckFailure(_))
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
 
 /** Native Catalyst vector expressions (SURVEY §2.B similarity rows; the
   * "custom Expression beats UDF" rung of the builder ladder).
@@ -31,6 +53,11 @@ case class DotProduct(left: Expression, right: Expression)
   // Spark 4, so no ExpectsInputTypes auto-cast — call sites cast)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.result(
+      VectorTypeChecks.arrayOfDouble(prettyName, "left", left.dataType),
+      VectorTypeChecks.arrayOfDouble(prettyName, "right", right.dataType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +96,10 @@ case class L2Norm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.result(
+      VectorTypeChecks.arrayOfDouble(prettyName, "the input", child.dataType))
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
@@ -105,6 +136,11 @@ case class SquaredL2Distance(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqdist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.result(
+      VectorTypeChecks.arrayOfDouble(prettyName, "left", left.dataType),
+      VectorTypeChecks.arrayOfDouble(prettyName, "right", right.dataType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -160,6 +196,12 @@ case class CenteredDot(x: Expression, mu: Expression, w: Expression)
   override def third: Expression = w
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_centered_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.result(
+      VectorTypeChecks.arrayOfDouble(prettyName, "the vector", x.dataType),
+      VectorTypeChecks.arrayOfDouble(prettyName, "mu", mu.dataType),
+      VectorTypeChecks.arrayOfDouble(prettyName, "w", w.dataType))
 
   override def nullSafeEval(a: Any, m: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -224,6 +266,23 @@ case class TopCells(v: Expression, centroids: Expression, nprobe: Expression)
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType, containsNull = false)
   override def prettyName: String = "graft_top_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeChecks.result(
+      VectorTypeChecks.arrayOfDouble(prettyName, "the vector", v.dataType),
+      centroids.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => None
+        case other => Some(s"$prettyName expects centroids to be " +
+          s"array<array<double>>, got ${other.catalogString}")
+      },
+      nprobe.dataType match {
+        case IntegerType => None
+        // the generated code does Math.min(nprobe, nlist) into an int —
+        // any other integral type must be rejected at analysis, not left
+        // to break Janino compilation
+        case other =>
+          Some(s"$prettyName expects nprobe to be int, got ${other.catalogString}")
+      })
 
   override def nullSafeEval(a: Any, c: Any, np: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

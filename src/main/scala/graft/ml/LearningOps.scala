@@ -489,6 +489,11 @@ object LearningOps extends Serializable {
               // Number unboxing below
               if (xs == null) throw new IllegalArgumentException(
                 s"graft: ZCAWhitener($in) got a null array")
+              // same validation contract as the expr path's size guard:
+              // a mis-sized row must raise, not silently truncate (long
+              // rows) or die with a bare IndexOutOfBounds (short rows)
+              if (xs.length != dd) throw new IllegalArgumentException(
+                s"graft: ZCAWhitener($in) expects width $dd, got ${xs.length}")
               var j = 0
               while (j < dd) {
                 // any numeric element type whitens — fit() casts to

@@ -133,6 +133,47 @@ class VectorExprsSpec extends GraftSuite {
     assert(line.trim.startsWith("*("), s"expected codegen'd Project in:\n$plan")
   }
 
+  test("wrong-typed inputs fail at analysis with graft-named messages") {
+    // AbstractDataType is private[sql] in Spark 4, so the kernels cannot
+    // ride the ExpectsInputTypes auto-cast path — call sites cast. A
+    // WRONG type must therefore fail at analysis with a named message,
+    // not compile broken generated Java (a long nprobe turns
+    // Math.min(long, int) into a Janino error) and then throw a
+    // context-free ClassCastException from the interpreted fallback.
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0), 3L)).toDF("f", "d", "n")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_dot", $"f", $"d")).head()
+    }
+    assert(e1.getMessage.contains(
+      "graft_dot expects left to be array<double>, got array<float>"),
+      e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_norm", $"n")).head()
+    }
+    assert(e2.getMessage.contains(
+      "graft_norm expects the input to be array<double>"), e2.getMessage)
+    val cents = array(lit(Array(0.0, 0.0)))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_top_cells", $"d", cents, lit(3L))).head()
+    }
+    assert(e3.getMessage.contains(
+      "graft_top_cells expects nprobe to be int, got bigint"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_top_cells", $"d", $"d", lit(1))).head()
+    }
+    assert(e4.getMessage.contains(
+      "graft_top_cells expects centroids to be array<array<double>>"),
+      e4.getMessage)
+    val e5 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_centered_dot", $"d", $"f", $"d")).head()
+    }
+    assert(e5.getMessage.contains(
+      "graft_centered_dot expects mu to be array<double>"), e5.getMessage)
+    // the sanctioned spelling — an explicit cast — still works
+    assert(df.select(call_function("graft_dot",
+      $"f".cast("array<double>"), $"d")).head().getDouble(0) == 5.0)
+  }
+
   test("kernels handle nulls and stay inside whole-stage codegen") {
     val df = Seq(
       (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
