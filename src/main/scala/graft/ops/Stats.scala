@@ -753,8 +753,30 @@ object Stats {
     * count (the ×2 trick averages the two middles without leaving
     * integers). Scale shape: the day grid is CALENDAR-bounded, so the
     * O(days²) pair self-join is bounded at any corpus size (~3M pairs
-    * for 7 years) — corpus rows only enter the one fact aggregate. */
-  def qTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    * for 7 years) — corpus rows only enter the one fact aggregate.
+    *
+    * Size-dispatched (the triangle-count discipline): the slope
+    * MULTISET is pairs-bounded, so under [[TheilSenDriverMaxPairs]] the
+    * slopes collect to the driver as one primitive array — sort, take
+    * the middle two — skipping the value-count shuffle, its checkpoint,
+    * and the two prefix scans (measured 2× on the suite fixture:
+    * ~1.3-1.7 s vs ~3.0-3.3 s same-session; graft.TheilProbe). Past the
+    * cap (a multi-decade calendar) the SAME query runs the distributed
+    * rank-selection arm; both arms share the one pair expression and a
+    * both-arms agreement test pins them to the same row. */
+  def qTheilSen(spark: SparkSession, sfDir: String): DataFrame =
+    theilSen(spark, sfDir, TheilSenDriverMaxPairs)
+
+  /** Pair-count ceiling for the driver-median arm: 8M slopes × 8 B ≈
+    * 64 MB of primitive longs — comfortably inside a default driver
+    * budget (the TPC-H calendar yields ~2.9M; 8M covers ~11 years of
+    * days before grading out to the distributed arm). */
+  private val TheilSenDriverMaxPairs = 8000000L
+
+  /** [[qTheilSen]] with the dispatch ceiling exposed so tests can force
+    * the distributed arm (ceiling 0) and assert both arms agree. */
+  private[graft] def theilSen(spark: SparkSession, sfDir: String,
+      driverMaxPairs: Long): DataFrame = {
     import spark.implicits._
     val daily = Tables.orders(spark, sfDir)
       .select(
@@ -762,28 +784,50 @@ object Stats {
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
       .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
       .localCheckpoint(true)
-    // the O(days²) pair generation feeds THREE evaluations (the totals
-    // agg + the prefix pass's two scans) — checkpoint the ~|pairs|-
-    // bounded value-count relation so the BNLJ runs exactly once.
-    // (A ranksOfCountsBucketed spelling was measured SLOWER here — 8.5 s
-    // vs ~3 s — its multi-pass bucket refinement only pays off when the
-    // distinct grid can't be checkpointed whole; this one is 23 MB.)
-    val vc = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
-      .select(floor((col("b.rev_c") - col("a.rev_c")).cast("double") * 1000000.0
-        / (col("b.day") - col("a.day")).cast("double")).cast("long").as("s"))
-      .groupBy($"s").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val tot = vc.agg(sum($"cnt").as("n"), count(lit(1)).as("nv"))
-    Dist.withPrefix(vc, Seq($"s"), Seq("cnt" -> "cumb"))
-      .crossJoin(broadcast(tot))
-      .withColumn("lo", expr("(n + 1) DIV 2"))
-      .withColumn("hi", expr("(n + 2) DIV 2"))
-      .agg(
-        max($"n").as("n_pairs"), max($"nv").as("n_distinct_slopes"),
-        (sum(when($"cumb" < $"lo" && $"lo" <= $"cumb" + $"cnt", $"s")) +
-          sum(when($"cumb" < $"hi" && $"hi" <= $"cumb" + $"cnt", $"s"))).as("m2"))
-      .select($"n_pairs", $"n_distinct_slopes",
-        round($"m2".cast("double") / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+    // checkpointed above, so this count is a cheap local job — it only
+    // drives the arm dispatch (days are calendar-bounded, never data-sized)
+    val nDays = daily.count()
+    val nPairs = nDays * (nDays - 1L) / 2L
+    def pairSlopes(a: DataFrame, b: DataFrame) =
+      a.as("a").join(b.as("b"), col("a.day") < col("b.day"))
+        .select(floor((col("b.rev_c") - col("a.rev_c")).cast("double") * 1000000.0
+          / (col("b.day") - col("a.day")).cast("double")).cast("long").as("s"))
+    if (nPairs > 0 && nPairs <= driverMaxPairs) {
+      val slopes = pairSlopes(daily, daily).as[Long].collect()
+      java.util.Arrays.sort(slopes)
+      val n = slopes.length
+      val m2 = slopes((n - 1) / 2) + slopes(n / 2)
+      var nv = 1
+      var i = 1
+      while (i < n) { if (slopes(i) != slopes(i - 1)) nv += 1; i += 1 }
+      // the final projection routes m2 through the SAME Spark round the
+      // distributed arm uses, so the two arms (and the oracle) agree on
+      // HALF_UP ties at the 6th decimal bit-for-bit
+      spark.range(1).select(
+        lit(n.toLong).as("n_pairs"), lit(nv.toLong).as("n_distinct_slopes"),
+        round(lit(m2.toDouble) / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+    } else {
+      // the O(days²) pair generation feeds THREE evaluations (the totals
+      // agg + the prefix pass's two scans) — checkpoint the ~|pairs|-
+      // bounded value-count relation so the BNLJ runs exactly once.
+      // (A ranksOfCountsBucketed spelling was measured SLOWER here — 8.5 s
+      // vs ~3 s — its multi-pass bucket refinement only pays off when the
+      // distinct grid can't be checkpointed whole; this one is 23 MB.)
+      val vc = pairSlopes(daily, daily)
+        .groupBy($"s").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val tot = vc.agg(sum($"cnt").as("n"), count(lit(1)).as("nv"))
+      Dist.withPrefix(vc, Seq($"s"), Seq("cnt" -> "cumb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lo", expr("(n + 1) DIV 2"))
+        .withColumn("hi", expr("(n + 2) DIV 2"))
+        .agg(
+          max($"n").as("n_pairs"), max($"nv").as("n_distinct_slopes"),
+          (sum(when($"cumb" < $"lo" && $"lo" <= $"cumb" + $"cnt", $"s")) +
+            sum(when($"cumb" < $"hi" && $"hi" <= $"cumb" + $"cnt", $"s"))).as("m2"))
+        .select($"n_pairs", $"n_distinct_slopes",
+          round($"m2".cast("double") / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+    }
   }
 
   val theilSenSql: String =

@@ -267,6 +267,11 @@ class StatsSpec extends GraftSuite {
     assert(r.getLong(0) == n.toLong)
     assert(r.getLong(1) == slopes.distinct.size.toLong)
     assert(r.getDouble(2) == expected)
+    // both dispatch arms produce the identical row: ceiling 0 forces the
+    // distributed rank-selection arm the default (driver-median) arm
+    // replaced on the suite fixture
+    val dist = rows(Stats.theilSen(spark, sf, driverMaxPairs = 0L)).head
+    assert(dist == r, s"distributed arm $dist != driver arm $r")
   }
 
   test("q_psi matches the exact decile-bin replay; PSI small on a random split") {
