@@ -1197,41 +1197,105 @@ object Analytics {
     * the deviation median (counts re-keyed by |v−med| and summed — no
     * second fact scan), and the final outlier rollup whose counts/extrema
     * come from the same table. */
-  def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame =
+    outlierFilter(spark, sfDir, OutlierDriverMaxValues)
+
+  /** Value-row ceiling for the driver arm: 2M (flag, cents) value-count
+    * tuples ≈ low-hundreds of MB transient on the driver — the cents
+    * domain is price-formula-bounded but grows with the part count, so
+    * past the cap the SAME query grades out to the distributed
+    * rank-selection arm. */
+  private val OutlierDriverMaxValues = 2000000L
+
+  /** [[qOutlierFilter]] with the dispatch ceiling exposed so tests can
+    * force the distributed arm (ceiling 0) and assert both arms agree.
+    *
+    * Structure notes, both arms measured under bench conditions:
+    * the DISTRIBUTED arm is the checkpointed multi-job spelling with
+    * runtime-dispatched rank selection (~4 s on the fixture). Two
+    * "clever" distributed alternatives measured WORSE: a fully-lazy
+    * one-plan spelling relying on exchange reuse paid 5.3-6.6 s cold
+    * (the tripled vc subtree pays planning+codegen before reuse can
+    * help), and forcing the bucketed arm to skip the two dispatch
+    * count() jobs paid 4.4-7.2 s (its per-median stats checkpoints cost
+    * more jobs than the counts they replaced). The DRIVER arm collects
+    * the value-count relation itself (cardinality-bounded, counted
+    * cheap off the checkpoint) and replays the exact same rank/median
+    * algebra in local integer-cents math, skipping the median/dev/MAD
+    * shuffle-checkpoint chain entirely; its presentation projection
+    * routes through the SAME Spark round() so the arms and the oracle
+    * agree bit-for-bit. */
+  private[graft] def outlierFilter(spark: SparkSession, sfDir: String,
+      driverMaxValues: Long): DataFrame = {
     import spark.implicits._
-    // Structure note (measured under bench conditions, cold, against a
-    // same-run reference query for noise control): the checkpointed
-    // multi-job spelling with RUNTIME-DISPATCHED rank selection is the
-    // winner at ~4 s. Both "clever" alternatives measured worse: a
-    // fully-lazy one-plan spelling relying on exchange reuse paid
-    // 5.3-6.6 s cold (the tripled vc subtree pays planning+codegen
-    // before reuse can help), and forcing the bucketed arm to skip the
-    // two dispatch count() jobs paid 4.4-7.2 s (its per-median stats
-    // checkpoints cost more jobs than the counts they replaced). The
-    // dispatch itself is the scale story: per-flag distinct price
-    // counts grow with SF, and past the window arm's 4M-row ceiling the
-    // SAME query flips to the bucketed arm's ≤2048-row windows instead
-    // of funneling a flag's whole value set through one task.
     val vc = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    val med = medianOfCounts(vc, "flag", "price_c", "med")
-      .localCheckpoint(true)
-    val devCounts = vc.join(broadcast(med), "flag")
-      .groupBy($"flag", abs($"price_c" - $"med").as("dev"))
-      .agg(sum($"__c").as("__c"))
-      .localCheckpoint(true)
-    val mad = medianOfCounts(devCounts, "flag", "dev", "mad")
-    vc.join(broadcast(med.join(mad, "flag")), "flag")
-      .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")
-      .groupBy($"flag")
-      .agg(sum($"__c").as("n_outliers"),
-        round(min($"price_c") / 100.0, 2).as("min_out"),
-        round(max($"price_c") / 100.0, 2).as("max_out"))
-      .select($"flag".as("l_returnflag"), $"n_outliers", $"min_out", $"max_out")
-      .orderBy($"l_returnflag")
+    // checkpointed above, so this count is a cheap local job driving
+    // only the arm dispatch
+    val nVals = vc.count()
+    if (nVals > 0 && nVals <= driverMaxValues) {
+      // value-at-rank over (value asc, count) with medianOfCounts's
+      // 1-based ranks lo=(n+1)/2, hi=n/2+1; med=(v_lo+v_hi)/2 — the
+      // identical interpolation (exact IEEE on integer-valued doubles)
+      def medOf(pairs: Array[(Double, Long)]): Double = {
+        val n = pairs.iterator.map(_._2).sum
+        val lo = (n + 1) / 2
+        val hi = n / 2 + 1
+        var cum = 0L
+        var vlo = 0.0
+        var vhi = 0.0
+        var i = 0
+        while (i < pairs.length && cum < hi) {
+          val next = cum + pairs(i)._2
+          if (cum < lo && lo <= next) vlo = pairs(i)._1
+          if (cum < hi && hi <= next) vhi = pairs(i)._1
+          cum = next
+          i += 1
+        }
+        (vlo + vhi) / 2.0
+      }
+      val flat = vc.as[(String, Double, Long)].collect()
+      val out = flat.groupBy(_._1).toSeq.flatMap { case (flag, xs) =>
+        val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
+        val med = medOf(pv)
+        val dev = pv.groupBy { case (v, _) => math.abs(v - med) }
+          .map { case (d, ys) => (d, ys.iterator.map(_._2).sum) }
+          .toArray.sortBy(_._1)
+        val mad = medOf(dev)
+        // same operand order as the distributed filter: abs > 2.0 * mad
+        val outs = pv.filter { case (v, _) => math.abs(v - med) > 2.0 * mad }
+        // a flag with zero outliers is absent from the distributed
+        // arm's post-filter groupBy — mirror that
+        if (outs.isEmpty) None
+        else Some((flag, outs.iterator.map(_._2).sum,
+          outs.iterator.map(_._1).min, outs.iterator.map(_._1).max))
+      }
+      spark.createDataset(out)
+        .toDF("l_returnflag", "n_outliers", "min_c", "max_c")
+        .select($"l_returnflag", $"n_outliers",
+          round($"min_c" / 100.0, 2).as("min_out"),
+          round($"max_c" / 100.0, 2).as("max_out"))
+        .orderBy($"l_returnflag")
+    } else {
+      val med = medianOfCounts(vc, "flag", "price_c", "med")
+        .localCheckpoint(true)
+      val devCounts = vc.join(broadcast(med), "flag")
+        .groupBy($"flag", abs($"price_c" - $"med").as("dev"))
+        .agg(sum($"__c").as("__c"))
+        .localCheckpoint(true)
+      val mad = medianOfCounts(devCounts, "flag", "dev", "mad")
+      vc.join(broadcast(med.join(mad, "flag")), "flag")
+        .where(abs($"price_c" - $"med") > lit(2.0) * $"mad")
+        .groupBy($"flag")
+        .agg(sum($"__c").as("n_outliers"),
+          round(min($"price_c") / 100.0, 2).as("min_out"),
+          round(max($"price_c") / 100.0, 2).as("max_out"))
+        .select($"flag".as("l_returnflag"), $"n_outliers", $"min_out", $"max_out")
+        .orderBy($"l_returnflag")
+    }
   }
 
   val outlierFilterSql: String =

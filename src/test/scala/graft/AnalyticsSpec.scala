@@ -169,6 +169,10 @@ class AnalyticsSpec extends GraftSuite {
       assert(row.getAs[Long]("n_outliers") == expected,
         s"$flag: ${row.getAs[Long]("n_outliers")} vs independent $expected")
     }
+    // both dispatch arms produce identical rows: ceiling 0 forces the
+    // distributed rank-selection arm the default (driver) arm replaced
+    val dist = rows(Analytics.outlierFilter(spark, sf, driverMaxValues = 0L))
+    assert(dist == r, s"distributed arm $dist != driver arm $r")
   }
 
   test("q_shipmode_priority high+low partitions the window's joined lines") {
