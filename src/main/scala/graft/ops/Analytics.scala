@@ -1228,35 +1228,52 @@ object Analytics {
   private[graft] def outlierFilter(spark: SparkSession, sfDir: String,
       driverMaxValues: Long): DataFrame = {
     import spark.implicits._
-    val vc = Tables.lineitem(spark, sfDir)
-      .select($"l_returnflag".as("flag"),
-        round($"l_extendedprice" * 100).as("price_c"))
-      .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+    outlierOfCounts(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_returnflag".as("flag"),
+          round($"l_extendedprice" * 100).as("price_c"))
+        .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c")),
+      driverMaxValues)
+  }
+
+  /** Driver-side value-at-rank median over an ASCENDING (value, count)
+    * array — [[medianOfCounts]]'s exact algebra (1-based ranks
+    * lo=(n+1)/2, hi=n/2+1; med=(v_lo+v_hi)/2, exact IEEE on
+    * integer-valued doubles), extracted so a ScalaCheck law can pin it
+    * against the naive expanded-multiset median over random inputs. */
+  private[graft] def medianOfValueCounts(pairs: Array[(Double, Long)]): Double = {
+    val n = pairs.iterator.map(_._2).sum
+    val lo = (n + 1) / 2
+    val hi = n / 2 + 1
+    var cum = 0L
+    var vlo = 0.0
+    var vhi = 0.0
+    var i = 0
+    while (i < pairs.length && cum < hi) {
+      val next = cum + pairs(i)._2
+      if (cum < lo && lo <= next) vlo = pairs(i)._1
+      if (cum < hi && hi <= next) vhi = pairs(i)._1
+      cum = next
+      i += 1
+    }
+    (vlo + vhi) / 2.0
+  }
+
+  /** [[outlierFilter]]'s algorithm core over a prepared (flag, price_c,
+    * __c) value-count relation — extracted so synthetic both-arms tests
+    * can drive it with adversarial tie/parity cases the fixture never
+    * hits. */
+  private[graft] def outlierOfCounts(vc0: DataFrame,
+      driverMaxValues: Long): DataFrame = {
+    val spark = vc0.sparkSession
+    import spark.implicits._
+    val vc = vc0.localCheckpoint(true)
     // checkpointed above, so this count is a cheap local job driving
     // only the arm dispatch
     val nVals = vc.count()
     if (nVals > 0 && nVals <= driverMaxValues) {
-      // value-at-rank over (value asc, count) with medianOfCounts's
-      // 1-based ranks lo=(n+1)/2, hi=n/2+1; med=(v_lo+v_hi)/2 — the
-      // identical interpolation (exact IEEE on integer-valued doubles)
-      def medOf(pairs: Array[(Double, Long)]): Double = {
-        val n = pairs.iterator.map(_._2).sum
-        val lo = (n + 1) / 2
-        val hi = n / 2 + 1
-        var cum = 0L
-        var vlo = 0.0
-        var vhi = 0.0
-        var i = 0
-        while (i < pairs.length && cum < hi) {
-          val next = cum + pairs(i)._2
-          if (cum < lo && lo <= next) vlo = pairs(i)._1
-          if (cum < hi && hi <= next) vhi = pairs(i)._1
-          cum = next
-          i += 1
-        }
-        (vlo + vhi) / 2.0
-      }
+      def medOf(pairs: Array[(Double, Long)]): Double =
+        medianOfValueCounts(pairs)
       val flat = vc.as[(String, Double, Long)].collect()
       val out = flat.groupBy(_._1).toSeq.flatMap { case (flag, xs) =>
         val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)

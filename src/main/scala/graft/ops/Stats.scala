@@ -778,12 +778,24 @@ object Stats {
   private[graft] def theilSen(spark: SparkSession, sfDir: String,
       driverMaxPairs: Long): DataFrame = {
     import spark.implicits._
-    val daily = Tables.orders(spark, sfDir)
-      .select(
-        Epoch.day($"o_orderdate").as("day"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
-      .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
-      .localCheckpoint(true)
+    theilSenOfDaily(
+      Tables.orders(spark, sfDir)
+        .select(
+          Epoch.day($"o_orderdate").as("day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+        .groupBy($"day").agg(sum($"rev_c").as("rev_c")),
+      driverMaxPairs)
+  }
+
+  /** [[theilSen]]'s algorithm core over a prepared (day, rev_c) daily
+    * relation — extracted so synthetic both-arms tests can drive it with
+    * adversarial parity/tie cases (even/odd pair counts, tied slopes at
+    * the median) the fixture calendar never hits. */
+  private[graft] def theilSenOfDaily(daily0: DataFrame,
+      driverMaxPairs: Long): DataFrame = {
+    val spark = daily0.sparkSession
+    import spark.implicits._
+    val daily = daily0.localCheckpoint(true)
     // checkpointed above, so this count is a cheap local job — it only
     // drives the arm dispatch (days are calendar-bounded, never data-sized)
     val nDays = daily.count()

@@ -175,6 +175,28 @@ class AnalyticsSpec extends GraftSuite {
     assert(dist == r, s"distributed arm $dist != driver arm $r")
   }
 
+  test("outlierOfCounts arms agree on adversarial value grids") {
+    import spark.implicits._
+    // tie/parity layouts the fixture can't produce: a lone value (MAD 0
+    // means any distinct value is an outlier... but there is none — the
+    // flag must be ABSENT from both arms), even counts with both middle
+    // ranks inside one group, a flag with zero outliers next to one
+    // with many, negative values
+    val cases: Seq[Seq[(String, Double, Long)]] = Seq(
+      Seq(("A", 1.0, 3L), ("A", 2.0, 1L), ("A", 100.0, 1L)),
+      Seq(("A", 5.0, 4L)),
+      Seq(("A", 1.0, 1L), ("A", 2.0, 1L), ("A", 3.0, 1L), ("A", 4.0, 1L)),
+      Seq(("A", -10.0, 2L), ("A", 0.0, 2L), ("B", 7.0, 1L), ("B", 1000.0, 3L)),
+      Seq(("A", 0.0, 1L), ("A", 1.0, 1L), ("A", 2.0, 1L), ("A", 50.0, 2L)))
+    cases.foreach { vs =>
+      val a = rows(Analytics.outlierOfCounts(
+        vs.toDF("flag", "price_c", "__c"), driverMaxValues = Long.MaxValue))
+      val b = rows(Analytics.outlierOfCounts(
+        vs.toDF("flag", "price_c", "__c"), driverMaxValues = 0L))
+      assert(a == b, s"arms disagree on $vs: $a vs $b")
+    }
+  }
+
   test("q_shipmode_priority high+low partitions the window's joined lines") {
     import spark.implicits._
     val r = Analytics.qShipmodePriority(spark, sf)

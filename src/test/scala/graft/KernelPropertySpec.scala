@@ -69,6 +69,26 @@ class KernelPropertySpec extends GraftSuite {
     }, "bpe lossless + marker contract")
   }
 
+  test("medianOfValueCounts equals the naive expanded-multiset median") {
+    // the driver-arm rank selection behind q_outlier_filter's dispatch:
+    // 1-based ranks lo=(n+1)/2, hi=n/2+1 over (value asc, count) must
+    // equal the plain sorted-expansion median for every parity and tie
+    // layout, including counts that put both middle ranks inside one
+    // value group
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)).map(_.distinct.sorted)
+      cs <- Gen.listOfN(vs.size, Gen.chooseNum(1L, 4L))
+    } yield vs.map(_.toDouble).zip(cs)
+    checkProp(Prop.forAll(gen) { pairs =>
+      val expanded = pairs.flatMap { case (v, c) =>
+        Seq.fill(c.toInt)(v)
+      }.sorted
+      val n = expanded.size
+      val naive = (expanded((n - 1) / 2) + expanded(n / 2)) / 2.0
+      graft.ops.Analytics.medianOfValueCounts(pairs.toArray) == naive
+    }, "value-count median == expanded median")
+  }
+
   test("simhash band geometry guarantees recall at the declared radius") {
     val bits = Similarity.SimhashBits
     val bands = Similarity.SimhashBands

@@ -274,6 +274,26 @@ class StatsSpec extends GraftSuite {
     assert(dist == r, s"distributed arm $dist != driver arm $r")
   }
 
+  test("theilSen arms agree on adversarial parity/tie grids") {
+    import spark.implicits._
+    // cases the fixture calendar never hits: a single pair, odd/even
+    // pair counts straddling the two-middle average, all-tied slopes,
+    // negative slopes around the median
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((0L, 10L), (1L, 20L)),
+      Seq((0L, 10L), (1L, 20L), (3L, 5L)),
+      Seq((0L, 0L), (2L, 0L), (5L, 0L), (9L, 0L)),
+      Seq((0L, 100L), (1L, -50L), (2L, 75L), (4L, -100L)),
+      (0L until 9L).map(d => (d, d * d * 7L - 30L * d)))
+    cases.foreach { ds =>
+      val a = rows(Stats.theilSenOfDaily(ds.toDF("day", "rev_c"),
+        driverMaxPairs = Long.MaxValue))
+      val b = rows(Stats.theilSenOfDaily(ds.toDF("day", "rev_c"),
+        driverMaxPairs = 0L))
+      assert(a == b, s"arms disagree on $ds: $a vs $b")
+    }
+  }
+
   test("q_psi matches the exact decile-bin replay; PSI small on a random split") {
     val ds = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
