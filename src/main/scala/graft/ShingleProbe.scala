@@ -37,10 +37,18 @@ object ShingleProbe {
       .select(explode(call_function("graft_pairs", $"ds", lit(true))).as("e"))
       .select($"e.x".as("a"), $"e.y".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    val dig2 = sh.select($"doc_id",
+      call_function("graft_md5_split", $"shs").as("dg"))
+      .select($"doc_id", $"dg"(0).as("sh1"), $"dg"(1).as("sh2"))
     probe("scan") { docs.select(count($"text")).head() }
     probe("shingles") { sh.select(count($"shs")).head() }
     probe("md5") { md.select(count($"m")).head() }
     probe("digest") { dig.select(avg($"sh1"), avg($"sh2")).head() }
+    probe("digest_kernel") { dig2.select(avg($"sh1"), avg($"sh2")).head() }
+    probe("digest_match") {
+      dig.exceptAll(dig2).union(dig2.exceptAll(dig))
+        .select(count(lit(1))).head()
+    }
     probe("lists_agg") { lists.select(count(lit(1))).head() }
     probe("pair_counts") { counts.select(count(lit(1))).head() }
     probe("full_core") {

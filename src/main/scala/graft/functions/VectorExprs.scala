@@ -410,6 +410,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => unary(children, NfcNormalize.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_md5_split"),
+      new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
+      (children: Seq[Expression]) => unary(children, Md5Split.apply)))
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)

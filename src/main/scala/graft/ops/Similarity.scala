@@ -49,9 +49,13 @@ object Similarity {
     * mod-N bucketing/sampling digests (splits, band buckets, Count-Min
     * rows) keep a single long, where collisions are part of the
     * operator's contract. */
-  private[ops] def digestLo(m: Column): Column =
+  // private[graft]: the hot paths now ride the compiled
+  // `graft_md5_split` kernel (bit-identical by spec), so these conv
+  // spellings remain as the oracle-mirroring reference definition the
+  // equivalence test pins the kernel against
+  private[graft] def digestLo(m: Column): Column =
     conv(substring(m, 1, 15), 16, 10).cast("long")
-  private[ops] def digestHi(m: Column): Column =
+  private[graft] def digestHi(m: Column): Column =
     conv(substring(m, 17, 15), 16, 10).cast("long")
   // Codegen'd native kernels (graft.functions.VectorExprs, registered via
   // GraftExtensions): same left-to-right summation as the HOF spelling, so
@@ -127,8 +131,8 @@ object Similarity {
     val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
-      .select($"doc_id", md5($"shs").as("m"))
-      .select($"doc_id", digestLo($"m").as("sh1"), digestHi($"m").as("sh2"))
+      .select($"doc_id", call_function("graft_md5_split", $"shs").as("dg"))
+      .select($"doc_id", $"dg"(0).as("sh1"), $"dg"(1).as("sh2"))
       .groupBy($"sh1", $"sh2")
       .agg(sort_array(collect_set($"doc_id")).as("ds"))
       .where(size($"ds") <= ShingleMaxDf)
@@ -1443,8 +1447,8 @@ object Similarity {
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
-      .select($"doc_id", md5($"s").as("m"))
-      .select($"doc_id", digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+      .select($"doc_id", call_function("graft_md5_split", $"s").as("dg"))
+      .select($"doc_id", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
       .distinct()
     val bp = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
       .where($"df" >= BoilerplateMinDf).select($"h1", $"h2")
@@ -1691,9 +1695,9 @@ object Similarity {
         (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
-      .select($"doc_id", $"bucket", md5($"s").as("m"))
       .select($"doc_id", $"bucket",
-        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+        call_function("graft_md5_split", $"s").as("dg"))
+      .select($"doc_id", $"bucket", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
       .distinct()
       // the shingle relation feeds FOUR subtrees (train side twice for the
       // df cap and the pair join, test side twice for the join and the
@@ -1776,9 +1780,9 @@ object Similarity {
         (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
-      .select($"doc_id", $"bucket", md5($"s").as("m"))
       .select($"doc_id", $"bucket",
-        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+        call_function("graft_md5_split", $"s").as("dg"))
+      .select($"doc_id", $"bucket", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
     val ev = sh.where($"bucket" >= 90).select($"h1", $"h2").distinct()
     val contaminated = sh.where($"bucket" < 80)
       .join(ev, Seq("h1", "h2"), "left_semi")
@@ -1840,9 +1844,9 @@ object Similarity {
         (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
-      .select($"source", $"bucket", md5($"s").as("m"))
       .select($"source", $"bucket",
-        digestLo($"m").as("h1"), digestHi($"m").as("h2"))
+        call_function("graft_md5_split", $"s").as("dg"))
+      .select($"source", $"bucket", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
     val tr = sh.where($"bucket" < 80).select($"h1", $"h2").distinct()
     val ev = sh.where($"bucket" >= 90)
       .select($"source", $"h1", $"h2").distinct()
@@ -2059,8 +2063,8 @@ object Similarity {
     val lists = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))
-      .select($"doc_id", md5($"shs").as("m"))
-      .select($"doc_id", digestLo($"m").as("sh1"), digestHi($"m").as("sh2"))
+      .select($"doc_id", call_function("graft_md5_split", $"shs").as("dg"))
+      .select($"doc_id", $"dg"(0).as("sh1"), $"dg"(1).as("sh2"))
       .groupBy($"doc_id", $"sh1", $"sh2").agg(count(lit(1)).as("tf"))
       .groupBy($"sh1", $"sh2")
       .agg(count(lit(1)).as("df"),

@@ -2642,10 +2642,11 @@ object Text {
       .select($"doc_id",
         explode(transform(sequence(lit(1L), $"n" - (win - 1)),
           i => struct(i.as("pos"),
-            md5(concat_ws(" ", slice($"t", i.cast("int"), lit(win)))).as("m"))))
+            call_function("graft_md5_split",
+              concat_ws(" ", slice($"t", i.cast("int"), lit(win)))).as("dg"))))
           .as("g"))
       .select($"doc_id", $"g.pos".as("pos"),
-        Similarity.digestLo($"g.m").as("g1"), Similarity.digestHi($"g.m").as("g2"))
+        $"g.dg"(0).as("g1"), $"g.dg"(1).as("g2"))
     // distinct-doc-count >= 2 ⟺ min(doc) != max(doc): ONE gram-keyed
     // window replaces the aggregate + join-back (which would digest and
     // shuffle the 8-gram explode twice)
