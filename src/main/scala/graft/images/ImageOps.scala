@@ -196,8 +196,7 @@ object ImageOps {
     * and every image's brightness scales by 1 + (digest mod
     * `jitterSteps` − jitterSteps/2)/100. */
   def randomTransform(df: DataFrame, jitterSteps: Int = 11): DataFrame = {
-    val digest = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val digest = graft.ops.Similarity.digest60(col("id").cast("string"))
     val factor = lit(1.0) +
       (digest % jitterSteps - lit(jitterSteps / 2)).cast("double") / 100.0
     df.withColumn("image",

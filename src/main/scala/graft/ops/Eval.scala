@@ -711,8 +711,7 @@ object Eval {
     * share window over the folds×languages-bounded grid. */
   def qKfoldSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fold = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long") % 5L
+    val fold = graft.ops.Similarity.digest60($"doc_id".cast("string")) % 5L
     Tables.documents(spark, sfDir)
       .select(fold.as("fold"), $"lang")
       .groupBy($"fold", $"lang")

@@ -1523,8 +1523,7 @@ object Sessions {
     Tables.events(spark, sfDir)
       .select($"event_type", $"event_id", unix_micros($"ts").as("tu"))
       .withColumn("jit_s",
-        conv(substring(md5($"event_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 1800)
+        Similarity.digest60($"event_id".cast("string")) % 1800)
       .withColumn("atu", $"tu" + $"jit_s" * 1000000L)
       .withColumn("pm", max($"tu").over(w))
       .withColumn("late_us", when($"pm" - $"tu" > 600000000L, $"pm" - $"tu"))

@@ -57,6 +57,11 @@ object Similarity {
     conv(substring(m, 1, 15), 16, 10).cast("long")
   private[graft] def digestHi(m: Column): Column =
     conv(substring(m, 17, 15), 16, 10).cast("long")
+  /** First 60 md5 bits of a raw string via the compiled kernel —
+    * value-identical to `digestLo(md5(c))` (spec-pinned); the spelling
+    * for every hot single-long hash/bucket projection. */
+  private[graft] def digest60(c: Column): Column =
+    call_function("graft_md5_split", c)(0)
   // Codegen'd native kernels (graft.functions.VectorExprs, registered via
   // GraftExtensions): same left-to-right summation as the HOF spelling, so
   // results and DuckDB oracles are bit-identical — just not interpreted.
@@ -337,8 +342,7 @@ object Similarity {
     val hd = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(call_function("graft_shingles", $"text", lit(3))).as("shx"))
-      .select($"doc_id",
-        (conv(substring(md5($"shx"), 1, 15), 16, 10).cast("long") % P).as("h"))
+      .select($"doc_id", (digest60($"shx") % P).as("h"))
       .distinct()
     val minCols = (0 until MinhashHashes).map { j =>
       val a = 2654435761L * j % P + 1
@@ -349,7 +353,7 @@ object Similarity {
     val rowsPerBand = MinhashHashes / MinhashBands
     val buckets = (0 until MinhashBands).map { b =>
       val slice = (0 until rowsPerBand).map(k => col(s"s${b * rowsPerBand + k}"))
-      conv(substring(md5(concat_ws(",", slice: _*)), 1, 15), 16, 10).cast("long")
+      digest60(concat_ws(",", slice: _*))
     }
     val banded = sig.select($"doc_id",
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
@@ -758,8 +762,7 @@ object Similarity {
     import spark.implicits._
     val toksH = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("tok"))
-      .select($"doc_id",
-        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      .select($"doc_id", digest60($"tok").as("h"))
     val voteCols = (0 until SimhashBits).map(b =>
       sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     val votes = toksH.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
@@ -1498,8 +1501,7 @@ object Similarity {
     * the primary key needs nothing. */
   def qStratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val b = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+    val b = digest60($"doc_id".cast("string")) % 100
     val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
     Tables.documents(spark, sfDir)
       .select($"lang", split.as("split"))
@@ -1536,8 +1538,8 @@ object Similarity {
     val ratePct = (lit(25) +
       coalesce(regexp_extract($"source", "\\d+", 0).cast("int"), lit(0)) % 4 * 25)
       .cast("long")
-    val bucket = conv(substring(md5(concat(lit("mix"), $"doc_id".cast("string"))),
-      1, 15), 16, 10).cast("long") % 100
+    val bucket =
+      digest60(concat(lit("mix"), $"doc_id".cast("string"))) % 100
     val nToks = size(filter(split($"text", " "), x => x =!= "")).cast("long")
     Tables.documents(spark, sfDir)
       .select($"source", ratePct.as("target_pct"), (bucket < ratePct).as("keep"),
@@ -1692,8 +1694,7 @@ object Similarity {
     import spark.implicits._
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"),
+        (digest60($"doc_id".cast("string")) % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(3))).as("s"))
       .select($"doc_id", $"bucket",
         call_function("graft_md5_split", $"s").as("dg"))
@@ -1773,12 +1774,10 @@ object Similarity {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"))
+        (digest60($"doc_id".cast("string")) % 100).as("bucket"))
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"),
+        (digest60($"doc_id".cast("string")) % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
       .select($"doc_id", $"bucket",
         call_function("graft_md5_split", $"s").as("dg"))
@@ -1837,12 +1836,10 @@ object Similarity {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"))
+        (digest60($"doc_id".cast("string")) % 100).as("bucket"))
     val sh = Tables.documents(spark, sfDir)
       .select($"doc_id", $"source",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"),
+        (digest60($"doc_id".cast("string")) % 100).as("bucket"),
         explode(call_function("graft_shingles", $"text", lit(DecontamN))).as("s"))
       .select($"source", $"bucket",
         call_function("graft_md5_split", $"s").as("dg"))

@@ -690,8 +690,8 @@ object Stats {
     // Poisson(1) CDF cutpoints scaled to the 60-bit uniform's 2^60 range
     val cut = Seq(424136118829305344L, 848272237658610688L,
       1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
-    val u = conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
-      $"r".cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = Similarity.digest60(
+      concat($"doc_id".cast("string"), lit(":"), $"r".cast("string")))
     val w = cut.zipWithIndex.foldRight(lit(5L): Column) {
       case ((c, i), rest) => when(u < c, i.toLong).otherwise(rest)
     }
@@ -889,8 +889,7 @@ object Stats {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir)
       .select($"n_chars".as("v"),
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 10L < 8L).as("is_train"))
+        (graft.ops.Similarity.digest60($"doc_id".cast("string")) % 10L < 8L).as("is_train"))
     val vc = d.where($"is_train").groupBy($"v").agg(count(lit(1)).as("cnt"))
     val cuts = Dist.withPrefix(vc, Seq($"v"), Seq("cnt" -> "cumb"))
       .crossJoin(broadcast(vc.agg(sum($"cnt").as("n"))))

@@ -1560,8 +1560,7 @@ object Text {
     * aggregation; no shuffle carries text. */
   def qHashSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sampled = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long") % 10 === 0
+    val sampled = graft.ops.Similarity.digest60($"doc_id".cast("string")) % 10 === 0
     Tables.documents(spark, sfDir)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -1878,8 +1877,7 @@ object Text {
     val wGlobal = Window.partitionBy($"lang").orderBy($"d", $"doc_id")
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
-        conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long").as("d"),
+        graft.ops.Similarity.digest60($"doc_id".cast("string")).as("d"),
         pmod(hash($"doc_id"), lit(32)).as("salt"))
       .withColumn("lrn", row_number().over(wLocal))
       .where($"lrn" <= 2) // global bottom-2 ⊆ union of per-salt bottom-2s
@@ -1924,8 +1922,7 @@ object Text {
     * two-phase discipline as [[graft.sources.Skew.saltedSumCount]]). */
   def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val d = graft.ops.Similarity.digest60($"doc_id".cast("string"))
     val u = (d + lit(1L)).cast("double") / lit(math.pow(2, 60))
     val wLocal = Window.partitionBy($"lang", $"salt")
       .orderBy($"key".desc, $"doc_id")
@@ -2506,8 +2503,7 @@ object Text {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100).as("bucket"),
+        (graft.ops.Similarity.digest60($"doc_id".cast("string")) % 100).as("bucket"),
         toks($"text").as("t"))
     val train = docs.where($"bucket" < 80)
     val held = docs.where($"bucket" >= 80)
@@ -2924,8 +2920,7 @@ object Text {
     * aggregate. */
   def qOovRate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val isTrain = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
-      .cast("long") % 10L < 8L
+    val isTrain = graft.ops.Similarity.digest60($"doc_id".cast("string")) % 10L < 8L
     val tokens = Tables.documents(spark, sfDir)
       .select($"source", isTrain.as("is_train"), explode(toks($"text")).as("token"))
     val vocab = tokens.where($"is_train")
