@@ -2202,6 +2202,26 @@ object Analytics {
       |SELECT node AS suppkey, CAST(min(dist) AS BIGINT) AS dist
       |FROM walk GROUP BY 1 ORDER BY suppkey""".stripMargin
 
+  /** The distinct (l_orderkey, p_brand) basket relation both
+    * market-basket queries ([[qPartAffinity]], [[qPairChisq]]) hang four
+    * subtrees off (pair self-join twice, per-brand counts, order total).
+    * Catalyst does NOT reuse the exchange across those subtrees (plan
+    * read under Probe: the lineitem⋈part + distinct ran FOUR times), so
+    * materialize it once — pre-partitioned on the self-join key, the
+    * triangle-count `ori` pattern: LogicalRDD keeps the hash
+    * partitioning, so the basket self-join needs no exchange on either
+    * side. ~|orders|·brands rows, never fact-sized. */
+  private def orderBrands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+      .distinct()
+      .repartition($"l_orderkey")
+      .localCheckpoint(true)
+  }
+
   /** Market-basket affinity: lift = P(a,b) / (P(a)·P(b)) for every brand
     * pair over the order baskets — association mining at the brand grain,
     * where the pair space is dimension-bounded (≤ brands², never
@@ -2216,11 +2236,7 @@ object Analytics {
     * dimension-bounded pair relation. */
   def qPartAffinity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ob = Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)
-        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand")
-      .distinct()
+    val ob = orderBrands(spark, sfDir)
     val pairCounts = ob.as("a")
       .join(ob.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
@@ -2316,11 +2332,7 @@ object Analytics {
     * tie-break. */
   def qPairChisq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ob = Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)
-        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand")
-      .distinct()
+    val ob = orderBrands(spark, sfDir)
     val pairCounts = ob.as("a")
       .join(ob.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
