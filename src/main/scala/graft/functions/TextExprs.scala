@@ -24,15 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Whitespace n-gram shingles of `text`: split on single spaces, drop
-    * empty tokens (exactly `filter(split(text, " "), _ =!= "")`), then join
-    * each run of `n` consecutive tokens with one space. Returns an empty
-    * array when the doc has fewer than `n` tokens. */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
+  /** Manual single-space tokenizer: same result as regex-split " " +
+    * drop-empties, without the regex or the empty-token garbage. */
+  private def tokenize(s: String): java.util.ArrayList[String] = {
     val len = s.length
-    // manual single-space tokenizer: same result as regex-split " " +
-    // drop-empties, without the regex or the empty-token garbage
     val toks = new java.util.ArrayList[String]()
     var i = 0
     while (i < len) {
@@ -41,6 +36,32 @@ object TextKernels {
       while (i < len && s.charAt(i) != ' ') i += 1
       if (i > start) toks.add(s.substring(start, i))
     }
+    toks
+  }
+
+  /** Whitespace tokens of `text` — exactly
+    * `filter(split(text, " "), _ =!= "")`, as ONE compiled call. Exists
+    * because the filter HOF evaluates interpreted (per-element lambda
+    * binding) AND, being CodegenFallback, kicks its whole Project out of
+    * whole-stage codegen — every expression sharing the projection pays. */
+  def tokens(text: UTF8String): ArrayData = {
+    val toks = tokenize(text.toString)
+    val out = new Array[Any](toks.size)
+    var j = 0
+    while (j < toks.size) {
+      out(j) = UTF8String.fromString(toks.get(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Whitespace n-gram shingles of `text`: split on single spaces, drop
+    * empty tokens (exactly `filter(split(text, " "), _ =!= "")`), then join
+    * each run of `n` consecutive tokens with one space. Returns an empty
+    * array when the doc has fewer than `n` tokens. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = tokenize(s)
     val t = toks.size
     if (t < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](t - n + 1)
@@ -265,6 +286,34 @@ case class BpeEncode(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BpeEncode = copy(left = newLeft, right = newRight)
+}
+
+/** `graft_tokens(text)` → array<string> whitespace tokens (see
+  * [[TextKernels.tokens]]): the compiled replacement for the
+  * interpreted `filter(split(text, " "), _ =!= "")` HOF across the
+  * token-level text queries. */
+case class TokenArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.tokens(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.tokens($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenArray =
+    copy(child = newChild)
 }
 
 /** `graft_md5_split(s)` → array<long> [lo, hi]: the dedup family's

@@ -413,6 +413,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5_split"),
       new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
       (children: Seq[Expression]) => unary(children, Md5Split.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens"),
+      (children: Seq[Expression]) => unary(children, TokenArray.apply)))
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)

@@ -29,7 +29,7 @@ object Dedup {
     * (64-bit), distinct per doc. Hashing shingles to longs up front keeps
     * every downstream shuffle narrow. */
   def shingleHashes(text: Column, w: Int): Column = {
-    val t = filter(split(text, " "), x => x =!= "")
+    val t = call_function("graft_tokens", text)
     when(size(t) >= w,
       array_distinct(transform(sequence(lit(1), size(t) - (w - 1)), i =>
         xxhash64(concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))))
@@ -105,7 +105,7 @@ object Dedup {
     * expressions over the precomputed per-token hash array — O(64·n) per
     * row, bounded by document length. */
   def simhash(text: Column): Column = {
-    val t = filter(split(text, " "), x => x =!= "")
+    val t = call_function("graft_tokens", text)
     val hs = transform(t, tok => xxhash64(tok))
     val fpBits = (0 until 64).map { b =>
       val vote = aggregate(hs, lit(0L), (acc, h) =>

@@ -124,7 +124,7 @@ object workflow {
     * the declared-query tokenization everywhere in graft.ops.Text). */
   case class Tokenize(in: String, out: String) extends Transformer {
     def apply(df: DataFrame): DataFrame =
-      df.withColumn(out, filter(split(col(in), " "), t => t =!= ""))
+      df.withColumn(out, call_function("graft_tokens", col(in)))
   }
 
   /** ref: nodes.nlp.NGramsFeaturizer — all n-grams for n in [lo, hi],

@@ -139,7 +139,7 @@ object Scalar {
     * serialization of a map (SURVEY §2.B flags raw maps as non-oracle). */
   def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = filter(split($"text", " "), t => t =!= "")
+    val toks = call_function("graft_tokens", $"text")
     val counted = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(toks).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))

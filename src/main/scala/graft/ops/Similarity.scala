@@ -761,7 +761,7 @@ object Similarity {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val toksH = Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(filter(split($"text", " "), x => x =!= "")).as("tok"))
+      .select($"doc_id", explode(call_function("graft_tokens", $"text")).as("tok"))
       .select($"doc_id", digest60($"tok").as("h"))
     val voteCols = (0 until SimhashBits).map(b =>
       sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
@@ -1365,7 +1365,7 @@ object Similarity {
     Tables.documents(spark, sfDir)
       .join(Tables.embeddings(spark, sfDir), $"doc_id" === $"vec_id")
       .select($"doc_id", $"lang", $"label",
-        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_tokens"),
+        size(call_function("graft_tokens", $"text")).cast("long").as("n_tokens"),
         round(l2(dbl($"embedding")), 4).as("vec_norm"))
       .orderBy($"doc_id")
   }
@@ -1391,7 +1391,7 @@ object Similarity {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .withColumn("n_toks",
-        size(filter(split($"text", " "), x => x =!= "")).cast("long"))
+        size(call_function("graft_tokens", $"text")).cast("long"))
     val losers = shingleJaccardPairs(spark, sfDir)
       .select($"doc_b".as("drop_id")).distinct()
     val kept = docs
@@ -1540,7 +1540,7 @@ object Similarity {
       .cast("long")
     val bucket =
       digest60(concat(lit("mix"), $"doc_id".cast("string"))) % 100
-    val nToks = size(filter(split($"text", " "), x => x =!= "")).cast("long")
+    val nToks = size(call_function("graft_tokens", $"text")).cast("long")
     Tables.documents(spark, sfDir)
       .select($"source", ratePct.as("target_pct"), (bucket < ratePct).as("keep"),
         nToks.as("n_toks"))
@@ -1638,7 +1638,7 @@ object Similarity {
     import spark.implicits._
     val perSource = Tables.documents(spark, sfDir)
       .select($"source",
-        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
+        size(call_function("graft_tokens", $"text")).cast("long").as("n_toks"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
       .withColumn("pw_milli",
@@ -1943,7 +1943,7 @@ object Similarity {
     val pairs = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
     val comp = graft.ml.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id", size(filter(split($"text", " "), x => x =!= ""))
+      .select($"doc_id", size(call_function("graft_tokens", $"text"))
         .cast("long").as("n_tokens"))
     val m = comp.join(toks, $"node" === $"doc_id")
       .select($"component", $"node", $"n_tokens")
@@ -2004,7 +2004,7 @@ object Similarity {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang",
-        size(filter(split($"text", " "), x => x =!= "")).cast("long").as("n_toks"))
+        size(call_function("graft_tokens", $"text")).cast("long").as("n_toks"))
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum($"n_toks").over(w))

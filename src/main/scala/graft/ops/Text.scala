@@ -32,7 +32,7 @@ object Text {
 
   /** Filtered token array: split on single space, drop empty tokens. */
   private def toks(c: Column): Column =
-    filter(split(c, " "), t => t =!= "")
+    call_function("graft_tokens", c)
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -570,7 +570,7 @@ object Text {
     Tables.documents(spark, sfDir)
       .select($"doc_id", cleaned.as("clean_text"),
         length(cleaned).cast("long").as("clean_len"),
-        size(filter(split(cleaned, " "), t => t =!= "")).cast("long").as("n_tokens"))
+        size(call_function("graft_tokens", cleaned)).cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
 
