@@ -1714,21 +1714,63 @@ object Analytics {
     * node-cardinality (dimension-sized) — broadcasting them keeps each
     * iteration a map-side join over the checkpointed edges plus one
     * dst-keyed aggregation; corpus-scale relations are never broadcast. */
-  private[graft] def pagerank3(nodes: DataFrame, edgesIn: DataFrame): DataFrame = {
+  private[graft] def pagerank3(nodes: DataFrame, edgesIn: DataFrame): DataFrame =
+    pagerank3(nodes, edgesIn, PagerankDriverMaxEdges)
+
+  /** Edge ceiling for the driver arm: 2M (src, dst, od) tuples — the
+    * triangle-count broadcast budget. The three synchronous iterations
+    * are each a BROADCAST round trip (collect ranks to the driver, ship
+    * to executors, aggregate back), so under the ceiling the whole loop
+    * runs directly on the collected edge array instead — same integer
+    * algebra, no per-iteration exchange. */
+  private val PagerankDriverMaxEdges = 2000000L
+
+  /** [[pagerank3]] with the dispatch ceiling exposed (tests force the
+    * distributed arm with ceiling 0 and assert both arms agree). */
+  private[graft] def pagerank3(nodes: DataFrame, edgesIn: DataFrame,
+      driverMaxEdges: Long): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val edges = edgesIn.localCheckpoint(true)
-    var ranks = nodes.select($"node", lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(broadcast(ranks), edges("src") === ranks("node"))
-        .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("cs"))
-      ranks = nodes
-        .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
-        .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
+    // checkpointed above → cheap local count, driving only the dispatch
+    val nE = edges.count()
+    if (nE > 0 && nE <= driverMaxEdges) {
+      val es = edges.select($"src", $"dst", $"od")
+        .as[(Long, Long, Long)].collect()
+      val ns = nodes.select($"node".cast("long")).as[Long].collect()
+      var r = scala.collection.mutable.LongMap.empty[Long]
+      ns.foreach(n => r(n) = 1000000L)
+      for (_ <- 1 to 3) {
+        val cs = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (src, dst, od) =>
+          // an src outside the node table contributes nothing — the
+          // distributed arm's inner join drops it the same way; the
+          // integer algebra matches `r * 85 DIV (100 * od)` exactly
+          // (all operands positive, so Java truncating division is
+          // identical to Spark's DIV)
+          r.get(src).foreach { rs =>
+            cs(dst) = cs.getOrElse(dst, 0L) + rs * 85L / (100L * od)
+          }
+        }
+        val nr = scala.collection.mutable.LongMap.empty[Long]
+        ns.foreach(n => nr(n) = 150000L + cs.getOrElse(n, 0L))
+        r = nr
+      }
+      spark.createDataset(ns.toSeq.map(n => (n, r(n))))
+        .toDF("node", "rank_ppm")
+    } else {
+      var ranks = nodes.select($"node", lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(broadcast(ranks), edges("src") === ranks("node"))
+          .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("cs"))
+        ranks = nodes
+          .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
+          .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
+      }
+      ranks.select($"node", $"r".as("rank_ppm"))
     }
-    ranks.select($"node", $"r".as("rank_ppm"))
   }
 
   val pagerankSql: String =

@@ -272,6 +272,19 @@ class AnalyticsSpec extends GraftSuite {
       s"rank mass $total outside [0.15N, N] for N=$nSupp")
     // a connected co-purchase graph must rank someone above the base
     assert(r.agg(max($"rank_ppm")).head.getLong(0) > 150000L)
+    // both dispatch arms produce identical ranks on a small ring graph
+    // with asymmetric out-degrees (exercises the contribution division
+    // and the no-inbound-edges base case)
+    import org.apache.spark.sql.functions.{col, lit}
+    val nodes = spark.range(6).select(col("id").as("node"))
+    val edges = Seq((0L, 1L, 2L), (0L, 2L, 2L), (1L, 2L, 1L),
+      (2L, 3L, 1L), (4L, 3L, 1L), (9L, 3L, 1L)) // src 9 outside nodes
+      .toDF("src", "dst", "od")
+    val a = rows(Analytics.pagerank3(nodes, edges,
+      driverMaxEdges = Long.MaxValue).orderBy($"node"))
+    val b = rows(Analytics.pagerank3(nodes, edges.orderBy($"dst"),
+      driverMaxEdges = 0L).orderBy($"node"))
+    assert(a == b, s"arms disagree: $a vs $b")
   }
 
   test("q_triangle_count total equals the naive id-ordered 3-join count") {

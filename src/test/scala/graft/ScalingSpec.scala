@@ -173,7 +173,11 @@ class ScalingSpec extends GraftSuite {
           ((col("src") + when(col("k") <= d, col("k"))
             .otherwise(lit(n) - (col("k") - d))) % n).as("dst"))
         .withColumn("od", lit(2L * d))
-      val ranks = graft.ops.Analytics.pagerank3(nodes, edges)
+      // ceiling 0 forces the DISTRIBUTED arm — the slope canary exists
+      // to watch the distributed plan, which the size dispatch would
+      // otherwise bypass at canary-sized graphs
+      val ranks = graft.ops.Analytics.pagerank3(nodes, edges,
+        driverMaxEdges = 0L)
       // a 2d-regular graph is rank-uniform: every node ends at the same
       // ppm value — asserts the algorithm, not just the slope
       assert(ranks.select(col("rank_ppm")).distinct().count() == 1)
