@@ -1926,37 +1926,75 @@ object Analytics {
     * (partition size = a node's degree). Iteration count is a fixed
     * constant. Nodes outside the thresholded graph keep their own id as a
     * singleton community. */
-  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+  def qLabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    labelProp(spark, sfDir, GraphDriverMaxEdges)
+
+  /** [[qLabelProp]] with the dispatch ceiling exposed (tests force the
+    * distributed arm with ceiling 0 and assert both arms agree). */
+  private[graft] def labelProp(spark: SparkSession, sfDir: String,
+      driverMaxEdges: Long): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, sfDir)
+    val pairs0 = Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
       .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
       .groupBy($"e.x".as("x"), $"e.y".as("y"))
       .agg(count(lit(1)).as("c"))
       .where($"c" >= 6)
-    val edges = pairs
+    val edges = pairs0
       .select(explode(array(
         struct($"x".as("src"), $"y".as("dst")),
         struct($"y".as("src"), $"x".as("dst")))).as("p"))
       .select($"p.src", $"p.dst")
       .localCheckpoint(true)
     val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
-    val wTop = Window.partitionBy($"dst").orderBy($"cnt".desc, $"label")
-    var labels = nodes.select($"node", $"node".as("label"))
-    for (_ <- 1 to 2) {
-      val adopted = edges
-        .join(broadcast(labels), edges("src") === labels("node"))
-        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wTop))
-        .where($"rn" === 1)
-        .select($"dst", $"label".as("new_label"))
-      labels = nodes
-        .join(broadcast(adopted), nodes("node") === adopted("dst"), "left")
-        .select($"node", coalesce($"new_label", $"node").as("label"))
+    val nE = edges.count()
+    if (nE > 0 && nE <= driverMaxEdges) {
+      val es = edges.as[(Long, Long)].collect()
+      val ns = nodes.as[Long].collect()
+      var lab = scala.collection.mutable.LongMap.empty[Long]
+      ns.foreach(n => lab(n) = n)
+      for (_ <- 1 to 2) {
+        // per-dst (label -> count); adoption = max count, ties to the
+        // SMALLEST label — exactly the distributed arm's
+        // row_number() OVER (ORDER BY cnt DESC, label) = 1
+        val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        es.foreach { case (src, dst) =>
+          // srcs outside the node table drop, like the inner join below
+          lab.get(src).foreach { l =>
+            cnt((dst, l)) = cnt.getOrElse((dst, l), 0L) + 1L
+          }
+        }
+        val best = scala.collection.mutable.LongMap.empty[(Long, Long)]
+        cnt.foreach { case ((dst, l), c) =>
+          best.get(dst) match {
+            case Some((bc, bl)) if c < bc || (c == bc && l >= bl) => ()
+            case _ => best(dst) = (c, l)
+          }
+        }
+        val nl = scala.collection.mutable.LongMap.empty[Long]
+        ns.foreach(n => nl(n) = best.get(n).map(_._2).getOrElse(n))
+        lab = nl
+      }
+      spark.createDataset(ns.toSeq.map(n => (n, lab(n))))
+        .toDF("suppkey", "community").orderBy($"suppkey")
+    } else {
+      val wTop = Window.partitionBy($"dst").orderBy($"cnt".desc, $"label")
+      var labels = nodes.select($"node", $"node".as("label"))
+      for (_ <- 1 to 2) {
+        val adopted = edges
+          .join(broadcast(labels), edges("src") === labels("node"))
+          .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wTop))
+          .where($"rn" === 1)
+          .select($"dst", $"label".as("new_label"))
+        labels = nodes
+          .join(broadcast(adopted), nodes("node") === adopted("dst"), "left")
+          .select($"node", coalesce($"new_label", $"node").as("label"))
+      }
+      labels.select($"node".as("suppkey"), $"label".as("community"))
+        .orderBy($"suppkey")
     }
-    labels.select($"node".as("suppkey"), $"label".as("community"))
-      .orderBy($"suppkey")
   }
 
   val labelPropSql: String =
@@ -2014,7 +2052,21 @@ object Analytics {
     * OOMing the driver). The loop `localCheckpoint`s each round to cut
     * the 12-deep lineage and early-exits on edge-count fixpoint, so
     * converged graphs stop paying immediately. */
-  def qKcore(spark: SparkSession, sfDir: String): DataFrame = {
+  def qKcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcore(spark, sfDir, GraphDriverMaxEdges)
+
+  /** Shared edge ceiling for the iterative-graph driver arms (k-core
+    * peel, label propagation): 2M edge tuples — the triangle-count
+    * broadcast budget. Each distributed round is checkpoint + count (or
+    * broadcast + window) driver round trips; under the ceiling the whole
+    * loop runs on the collected edge array with the identical
+    * round/convergence semantics. */
+  private val GraphDriverMaxEdges = 2000000L
+
+  /** [[qKcore]] with the dispatch ceiling exposed (tests force the
+    * distributed peel with ceiling 0 and assert both arms agree). */
+  private[graft] def kcore(spark: SparkSession, sfDir: String,
+      driverMaxEdges: Long): DataFrame = {
     import spark.implicits._
     val k = 3
     var edges = Tables.lineitem(spark, sfDir)
@@ -2026,24 +2078,54 @@ object Analytics {
       .where($"c" >= 2).select($"x", $"y")
       .localCheckpoint(true)
     var nEdges = edges.count()
-    var round = 0
-    var converged = false
-    while (round < KcorePeelRounds && !converged) {
-      val alive = edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("d"))
-        .where($"d" >= k).select($"n")
-      edges = edges
-        .join(alive, edges("x") === alive("n"), "left_semi")
-        .join(alive, edges("y") === alive("n"), "left_semi")
-        .localCheckpoint(true)
-      val m = edges.count()
-      converged = m == nEdges
-      nEdges = m
-      round += 1
+    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+      var alive = edges.as[(Long, Long)].collect()
+      var n = alive.length
+      var round = 0
+      var converged = false
+      // identical round semantics to the distributed peel below: cap at
+      // KcorePeelRounds (the oracle's unroll depth), stop early when an
+      // entire round removes nothing (peeling is monotone, so further
+      // rounds are no-ops — same result as the fixed unroll)
+      while (round < KcorePeelRounds && !converged) {
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        alive.foreach { case (x, y) =>
+          deg(x) = deg.getOrElse(x, 0L) + 1L
+          deg(y) = deg.getOrElse(y, 0L) + 1L
+        }
+        val next = alive.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+        converged = next.length == n
+        n = next.length
+        alive = next
+        round += 1
+      }
+      val cnt = scala.collection.mutable.LongMap.empty[Long]
+      alive.foreach { case (x, y) =>
+        cnt(x) = cnt.getOrElse(x, 0L) + 1L
+        cnt(y) = cnt.getOrElse(y, 0L) + 1L
+      }
+      spark.createDataset(cnt.toSeq)
+        .toDF("p_partkey", "core_deg").orderBy($"p_partkey")
+    } else {
+      var round = 0
+      var converged = false
+      while (round < KcorePeelRounds && !converged) {
+        val alive = edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+          .where($"d" >= k).select($"n")
+        edges = edges
+          .join(alive, edges("x") === alive("n"), "left_semi")
+          .join(alive, edges("y") === alive("n"), "left_semi")
+          .localCheckpoint(true)
+        val m = edges.count()
+        converged = m == nEdges
+        nEdges = m
+        round += 1
+      }
+      edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
+        .groupBy($"n".as("p_partkey")).agg(count(lit(1)).as("core_deg"))
+        .orderBy($"p_partkey")
     }
-    edges.select($"x".as("n")).unionAll(edges.select($"y".as("n")))
-      .groupBy($"n".as("p_partkey")).agg(count(lit(1)).as("core_deg"))
-      .orderBy($"p_partkey")
   }
 
   /** Unrolled [[KcorePeelRounds]]-round peel, mechanically generated so

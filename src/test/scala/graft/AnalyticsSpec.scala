@@ -368,6 +368,16 @@ class AnalyticsSpec extends GraftSuite {
     val distinctCommunities = r.select($"community").distinct().count()
     assert(distinctCommunities < nodes.count(),
       "at least one multi-node community must form")
+    // both dispatch arms produce identical labels: ceiling 0 forces the
+    // distributed broadcast/window arm the driver loop replaced
+    val dist = rows(Analytics.labelProp(spark, sf, driverMaxEdges = 0L))
+    assert(dist == rows(r), "label-prop arms disagree")
+  }
+
+  test("kcore arms agree: the distributed peel equals the driver peel") {
+    val a = rows(Analytics.qKcore(spark, sf))
+    val b = rows(Analytics.kcore(spark, sf, driverMaxEdges = 0L))
+    assert(a == b, s"kcore arms disagree: ${a.take(5)} vs ${b.take(5)}")
   }
 
   test("q_revenue_gini: bounded in [0, 1) and matches a direct computation") {
