@@ -169,6 +169,98 @@ object TextKernels {
     }
   }
 
+  /** Spark's xxhash64 of one UTF8String at the expression default seed
+    * (42) — the SAME bits `functions.xxhash64(stringCol)` produces. */
+  private def xx64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** 64-bit SimHash of a text's whitespace tokens (see [[Simhash64]]):
+    * per-bit majority vote of xxhash64(token), every OCCURRENCE votes
+    * (not distinct tokens) — bit-identical to the 64-aggregate HOF
+    * spelling it replaced ([[graft.ml.Dedup.simhash]]'s old body), in
+    * one compiled pass instead of 64 interpreted array traversals. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenize(text.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.size) {
+      val h = xx64(UTF8String.fromString(toks.get(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Distinct xxhash64 hashes of a text's w-token shingles in
+    * first-occurrence order (see [[ShingleXxHashes]]) — bit-identical to
+    * `array_distinct(transform(sequence(...), i => xxhash64(concat_ws(
+    * " ", tokens...))))` with the `when(size >= w, ..., empty)` guard. */
+  def shingleXxHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val t = toks.size
+    if (t < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= t - w) {
+      val sb = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < w) { sb.append(' ').append(toks.get(j + k)); k += 1 }
+      seen.add(xx64(UTF8String.fromString(sb.toString)))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature of a hashed-shingle array (see [[MinhashSig]]):
+    * per seeded permutation j, min over hashes of
+    * pmod((h % p)·a_j + b_j, p) with p = 2^31−1, a_j = j·2654435761 mod
+    * p + 1, b_j = j·40503 + 1 — the exact integer algebra of the HOF
+    * spelling ([[graft.ml.Dedup.minhashSignature]]), including the
+    * empty-input contract (array_min of empty = null per slot). */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val p = 2147483647L
+    val n = hashes.numElements()
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      if (n == 0) out(j) = null
+      else {
+        val a = j * 2654435761L % p + 1L
+        val b = j * 40503L + 1L
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          // (h % p) keeps Java remainder sign; the pmod then normalizes —
+          // matches pmod((h % p) * a + b, p) exactly ((h%p)·a stays
+          // within ±2^62, no overflow)
+          val x = hashes.getLong(i) % p * a + b
+          var m = x % p
+          if (m < 0L) m += p
+          if (m < mn) mn = m
+          i += 1
+        }
+        out(j) = mn
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -314,6 +406,79 @@ case class TokenArray(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TokenArray =
     copy(child = newChild)
+}
+
+/** `graft_simhash64(text)` → bigint SimHash fingerprint (see
+  * [[TextKernels.simhash64]]): replaces the library spelling that
+  * unrolled to 64 interpreted `aggregate` traversals of the token-hash
+  * array per row. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.simhash64(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.simhash64($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_xxhashes(text, w)` → array<long> distinct w-shingle
+  * xxhash64 hashes in first-occurrence order (see
+  * [[TextKernels.shingleXxHashes]]); `w` must be a foldable positive
+  * int. */
+case class ShingleXxHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_xxhashes"
+
+  override def nullSafeEval(text: Any, w: Any): Any =
+    TextKernels.shingleXxHashes(text.asInstanceOf[UTF8String],
+      w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) =>
+      s"${ev.value} = graft.functions.TextKernels.shingleXxHashes($t, $w);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleXxHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_minhash_sig(hashes, numHashes)` → array<long> MinHash
+  * signature (see [[TextKernels.minhashSig]]); slots are null for an
+  * empty hash array (array_min-of-empty contract), hence
+  * containsNull=true. */
+case class MinhashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(hashes: Any, n: Any): Any =
+    TextKernels.minhashSig(hashes.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, n) =>
+      s"${ev.value} = graft.functions.TextKernels.minhashSig($h, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinhashSig =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_md5_split(s)` → array<long> [lo, hi]: the dedup family's

@@ -416,6 +416,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens"),
       (children: Seq[Expression]) => unary(children, TokenArray.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => unary(children, Simhash64.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_xxhashes"),
+      new ExpressionInfo(classOf[ShingleXxHashes].getName,
+        "graft_shingle_xxhashes"),
+      (children: Seq[Expression]) => binary(children, ShingleXxHashes.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => binary(children, MinhashSig.apply)))
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)

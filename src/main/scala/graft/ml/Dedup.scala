@@ -28,23 +28,24 @@ object Dedup {
   /** Tokenize + w-shingle a text column into an array of shingle hashes
     * (64-bit), distinct per doc. Hashing shingles to longs up front keeps
     * every downstream shuffle narrow. */
-  def shingleHashes(text: Column, w: Int): Column = {
-    val t = call_function("graft_tokens", text)
-    when(size(t) >= w,
-      array_distinct(transform(sequence(lit(1), size(t) - (w - 1)), i =>
-        xxhash64(concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def shingleHashes(text: Column, w: Int): Column =
+    // one compiled call — bit-identical to the HOF spelling
+    // `array_distinct(transform(sequence(1, size(t)-(w-1)), i =>
+    // xxhash64(concat_ws(" ", t[i..i+w-1]))))` with the size>=w guard
+    // (DedupLibSpec pins the equality); the HOF chain evaluated
+    // interpreted per shingle and evicted its Project from whole-stage
+    // codegen
+    call_function("graft_shingle_xxhashes", text, lit(w))
 
   /** MinHash signature of a hashed-shingle array: for each of `numHashes`
     * seeded permutations, the minimum of (a_j * h + b_j mod p). Pure
     * column arithmetic — one pass per row, no shuffle. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val p = lit(2147483647L) // 2^31 - 1, Mersenne prime
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingles, h =>
-        pmod((h % p) * (j * 2654435761L % p + 1) + j * 40503L + 1, p))))
-  }
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    // one compiled call — the exact integer algebra of the HOF spelling
+    // `transform(sequence(0, n-1), j => array_min(transform(shingles,
+    // h => pmod((h % p)·a_j + b_j, p))))` with p = 2^31−1 and the
+    // array_min-of-empty ⇒ null-slot contract (DedupLibSpec pins it)
+    call_function("graft_minhash_sig", shingles, lit(numHashes))
 
   /** Banded MinHash-LSH near-dup candidates: docs sharing at least one
     * band of their signature. Returns (id_a, id_b) candidate pairs with
@@ -98,22 +99,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint of a token array: per-bit majority vote of
-    * the token hashes. Near-identical docs differ in few bits (compare
-    * with [[hammingDistance]]). Bit positions are Scala-side literals
-    * because shiftleft/shiftright take Int, so this unrolls to 64 vote
-    * expressions over the precomputed per-token hash array — O(64·n) per
-    * row, bounded by document length. */
-  def simhash(text: Column): Column = {
-    val t = call_function("graft_tokens", text)
-    val hs = transform(t, tok => xxhash64(tok))
-    val fpBits = (0 until 64).map { b =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    fpBits.reduce((a, x) => a.bitwiseOR(x))
-  }
+  /** 64-bit SimHash fingerprint of a text's whitespace tokens: per-bit
+    * majority vote of xxhash64(token). Near-identical docs differ in few
+    * bits (compare with [[hammingDistance]]). */
+  def simhash(text: Column): Column =
+    // one compiled pass — bit-identical to the spelling that unrolled
+    // to 64 interpreted `aggregate` traversals of the token-hash array
+    // (per-bit ±1 vote of xxhash64(token), every occurrence votes;
+    // DedupLibSpec pins the equality)
+    call_function("graft_simhash64", text)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =

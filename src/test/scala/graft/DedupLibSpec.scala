@@ -16,6 +16,43 @@ class DedupLibSpec extends GraftSuite {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (5L, "spark structured streaming processes unbounded event data with watermarks and state"))
 
+  test("the compiled dedup kernels are bit-identical to the HOF spellings they replaced") {
+    // real corpus texts + edge strings; each kernel vs the exact HOF
+    // chain the library used before (interpreted, Project-evicting)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").unionAll(Seq("", " ", "one", "a b c", "a a a a")
+        .toDF("text"))
+    val w = 3
+    val t = call_function("graft_tokens", $"text")
+    val hofShingles = when(size(t) >= w,
+      array_distinct(transform(sequence(lit(1), size(t) - (w - 1)), i =>
+        xxhash64(concat_ws(" ", (0 until w).map(k => element_at(t, i + k)): _*)))))
+      .otherwise(array().cast("array<bigint>"))
+    val cmpSh = docs.select(
+      Dedup.shingleHashes($"text", w).as("kernel"), hofShingles.as("hof"))
+    assert(cmpSh.where(not($"kernel" <=> $"hof")).count() == 0,
+      "shingle hashes must match the HOF spelling")
+    val p = lit(2147483647L)
+    val hofSig = transform(sequence(lit(0), lit(7)), j =>
+      array_min(transform(Dedup.shingleHashes($"text", w), h =>
+        pmod((h % p) * (j * 2654435761L % p + 1) + j * 40503L + 1, p))))
+    val cmpSig = docs.select(
+      Dedup.minhashSignature(Dedup.shingleHashes($"text", w), 8).as("kernel"),
+      hofSig.as("hof"))
+    assert(cmpSig.where(not($"kernel" <=> $"hof")).count() == 0,
+      "minhash signatures must match the HOF spelling (incl. null slots)")
+    val hs = transform(t, tok => xxhash64(tok))
+    val hofSim = (0 until 64).map { b =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, x) => a.bitwiseOR(x))
+    val cmpSim = docs.select(
+      Dedup.simhash($"text").as("kernel"), hofSim.as("hof"))
+    assert(cmpSim.where(not($"kernel" <=> $"hof")).count() == 0,
+      "simhash fingerprints must match the 64-vote HOF spelling")
+  }
+
   test("Dedup.exact collapses identical content to the min id") {
     val df = base.toDF("id", "text")
     val r = Dedup.exact(df, "id", Seq("text")).collect()
