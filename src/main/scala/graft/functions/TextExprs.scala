@@ -261,6 +261,46 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Sign-random-projection band codes of a double vector (see
+    * [[SrpBands]]): band b's code packs bitsPerBand sign bits, bit k
+    * from projection j = b·bitsPerBand+k with weights
+    * ((i·13 + j·7919) mod 97)/97 − 0.5 over 1-based i ≤ dim, summed
+    * left-to-right — the exact float algebra of the aggregate-HOF
+    * spelling. A null element nulls its projection (bit 0), matching
+    * null-propagating arithmetic; dim beyond the vector is a named
+    * error (ANSI element_at would have raised out-of-bounds). */
+  def srpBands(vec: ArrayData, dim: Int, bands: Int,
+      bitsPerBand: Int): ArrayData = {
+    val n = vec.numElements()
+    if (n < dim) throw new IllegalArgumentException(
+      s"graft_srp_bands: vector of width $n shorter than dim=$dim")
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var code = 0L
+      var k = 0
+      while (k < bitsPerBand) {
+        val j = b * bitsPerBand + k
+        var acc = 0.0
+        var isNull = false
+        var i = 1
+        while (!isNull && i <= dim) {
+          if (vec.isNullAt(i - 1)) isNull = true
+          else {
+            acc += vec.getDouble(i - 1) *
+              (((i * 13 + j * 7919) % 97).toDouble / 97.0 - 0.5)
+            i += 1
+          }
+        }
+        if (!isNull && acc >= 0) code += (1L << k)
+        k += 1
+      }
+      out(b) = code
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -479,6 +519,33 @@ case class MinhashSig(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): MinhashSig =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_srp_bands(vec, dim, bands, bitsPerBand)` → array<long> band
+  * codes (see [[TextKernels.srpBands]]): replaces the library spelling
+  * that unrolled to bands·bitsPerBand interpreted `aggregate`
+  * traversals of the embedding per row. dim/bands/bitsPerBand ride as
+  * int literals. */
+case class SrpBands(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp_bands"
+
+  override def nullSafeEval(v: Any, d: Any, b: Any, k: Any): Any =
+    TextKernels.srpBands(v.asInstanceOf[ArrayData], d.asInstanceOf[Int],
+      b.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, d, b, k) =>
+      s"${ev.value} = graft.functions.TextKernels.srpBands($v, $d, $b, $k);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SrpBands =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 /** `graft_md5_split(s)` → array<long> [lo, hi]: the dedup family's

@@ -426,6 +426,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => binary(children, MinhashSig.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_srp_bands"),
+      new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"expected 4 arguments, got ${children.length}")
+        SrpBands(children(0), children(1), children(2), children(3))
+      }))
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)

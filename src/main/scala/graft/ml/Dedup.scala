@@ -116,35 +116,30 @@ object Dedup {
   /** Sign-random-projection LSH bucketing of an array<double> embedding —
     * the parameterized form of the declared q_embed_neardup geometry.
     * Returns (band, code) rows per input row for equi-join blocking. */
-  def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
-    def proj(j: Int): Column =
-      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
-        acc + element_at(vec, i) *
-          (((i * 13 + j * 7919) % 97).cast("double") / 97.0 - 0.5))
-    array((0 until bands).map { b =>
-      (0 until bitsPerBand).map { k =>
-        when(proj(b * bitsPerBand + k) >= 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-  }
+  def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
+    // one compiled call — the exact float algebra of the HOF spelling
+    // (bands·bitsPerBand interpreted `aggregate` projections per row;
+    // DedupLibSpec pins the equality)
+    call_function("graft_srp_bands", vec, lit(dim), lit(bands), lit(bitsPerBand))
 
   /** Embedding near-dup pairs above a cosine threshold via SRP-LSH
     * blocking + exact cosine verification — the library form of
     * q_embed_neardup with tunable recall/cost. */
   def embedNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
+    val v = col(vecCol).cast("array<double>")
     val e = df.select(col(idCol).as("__id"), v.as("__v"))
-      .withColumn("__nrm", sqrt(aggregate(transform(col("__v"), x => x * x),
-        lit(0.0), (a, x) => a + x)))
+      // graft_norm is bit-identical to sqrt(aggregate(transform(x·x)))
+      // (VectorExprsSpec) — and codegen'd where the HOF was interpreted
+      .withColumn("__nrm", call_function("graft_norm", col("__v")))
     val sig = e.select(col("__id"),
       posexplode(srpBands(col("__v"), dim, bands, bitsPerBand)).as(Seq("band", "code")))
     val pairs = sig.as("a").join(sig.as("b"), Seq("band", "code"))
       .where(col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (a, x) => a + x)
+    // bit-identical to aggregate(zip_with(·), 0.0, +) per VectorExprsSpec
+    val dot = call_function("graft_dot", col("va"), col("vb"))
     pairs
       .join(e.select(col("__id").as("id_a"), col("__v").as("va"), col("__nrm").as("na")), "id_a")
       .join(e.select(col("__id").as("id_b"), col("__v").as("vb"), col("__nrm").as("nb")), "id_b")

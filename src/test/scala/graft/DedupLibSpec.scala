@@ -51,6 +51,23 @@ class DedupLibSpec extends GraftSuite {
       Dedup.simhash($"text").as("kernel"), hofSim.as("hof"))
     assert(cmpSim.where(not($"kernel" <=> $"hof")).count() == 0,
       "simhash fingerprints must match the 64-vote HOF spelling")
+    // srp band codes vs the aggregate-projection spelling on real
+    // embeddings (dim = full width, the library default geometry)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding".cast("array<double>").as("v"))
+    def hofProj(j: Int) =
+      aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+        acc + element_at($"v", i) *
+          (((i * 13 + j * 7919) % 97).cast("double") / 97.0 - 0.5))
+    val hofSrp = array((0 until 4).map { b =>
+      (0 until 4).map { k =>
+        when(hofProj(b * 4 + k) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val cmpSrp = vecs.select(
+      Dedup.srpBands($"v", 64, 4, 4).as("kernel"), hofSrp.as("hof"))
+    assert(cmpSrp.where(not($"kernel" <=> $"hof")).count() == 0,
+      "srp band codes must match the aggregate-projection spelling")
   }
 
   test("Dedup.exact collapses identical content to the min id") {
