@@ -1682,6 +1682,18 @@ object Analytics {
     * fixed constant, not data-dependent. */
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
+    pagerank3(nodes, qPagerankEdgesForTests(spark, sfDir))
+      .select($"node".as("suppkey"), $"rank_ppm")
+      .orderBy($"rank_ppm".desc, $"suppkey")
+  }
+
+  /** [[qPagerank]]'s (src, dst, od) edge build — exposed so the
+    * PlanShapeSpec broadcast guard can drive the forced-distributed
+    * pagerank3 arm with the production edge relation. */
+  private[graft] def qPagerankEdgesForTests(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
     // per-order supplier sets → compiled pair kernel (no self-join): one
     // orderkey shuffle, bounded per-order fan-out, then the simple-graph
     // distinct; both edge directions come from one explode
@@ -1697,12 +1709,7 @@ object Analytics {
     // outdeg rides each edge row via a src-partitioned window (one
     // shuffle, no pairs⋈degree diamond; partition size is bounded by a
     // node's degree ≤ |V|, never by the corpus); pagerank3 checkpoints it
-    val edges = pairs
-      .withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
-    val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
-    pagerank3(nodes, edges)
-      .select($"node".as("suppkey"), $"rank_ppm")
-      .orderBy($"rank_ppm".desc, $"suppkey")
+    pairs.withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
   }
 
   /** Three synchronous ppm-integer PageRank iterations over a prepared

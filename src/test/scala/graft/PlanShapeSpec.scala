@@ -70,11 +70,19 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
-  test("q_pagerank broadcasts the rank table into every iteration") {
-    val plan = planOf("q_pagerank")
-    // iterations must be map-side joins over the checkpointed edges plus
-    // keyed aggregations — a sort-merge join would mean the node-sized
-    // rank table got shuffle-planned
+  test("q_pagerank's distributed arm broadcasts the rank table into every iteration") {
+    // the default (driver) arm plans as a LocalTableScan — force the
+    // DISTRIBUTED arm the size dispatch grades out to past the edge
+    // ceiling; its iterations must be map-side joins over the
+    // checkpointed edges plus keyed aggregations — a sort-merge join
+    // would mean the node-sized rank table got shuffle-planned
+    val plan = graft.ops.Analytics
+      .pagerank3(
+        graft.tables.Tables.supplier(spark, sf)
+          .select(org.apache.spark.sql.functions.col("s_suppkey").as("node")),
+        graft.ops.Analytics.qPagerankEdgesForTests(spark, sf),
+        driverMaxEdges = 0L)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), s"rank joins must broadcast:\n$plan")
   }
