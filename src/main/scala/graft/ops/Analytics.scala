@@ -1118,13 +1118,87 @@ object Analytics {
     * mirrored operand order; each clamped value is quantized to
     * MILLI-CENTS (`round(clamped·10³)` as BIGINT) before the weighted
     * sum, so the mean is exact-integer until two final divisions. */
-  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame =
+    winsorize(spark, sfDir, OutlierDriverMaxValues)
+
+  /** Driver-side value-at-rank p-quantile over an ASCENDING (value,
+    * count) array — [[quantileOfCounts]]'s exact algebra (0-based
+    * h = (n−1)·p, 1-based ranks floor(h)+1 / floor(h)+2, linear
+    * interpolation vlo + frac·(vhi − vlo) with the beyond-end vhi
+    * coalescing to vlo), extracted beside [[medianOfValueCounts]] so a
+    * ScalaCheck law pins it against the naive expanded-multiset
+    * quantile. */
+  private[graft] def quantileOfValueCounts(pairs: Array[(Double, Long)],
+      p: Double): Double = {
+    val n = pairs.iterator.map(_._2).sum
+    val h = (n - 1).toDouble * p
+    val lo = math.floor(h).toLong + 1L
+    val hi = lo + 1L
+    var cum = 0L
+    var vlo = 0.0
+    var vhi = 0.0
+    var hiSeen = false
+    var i = 0
+    while (i < pairs.length && cum < hi) {
+      val next = cum + pairs(i)._2
+      if (cum < lo && lo <= next) vlo = pairs(i)._1
+      if (cum < hi && hi <= next) { vhi = pairs(i)._1; hiSeen = true }
+      cum = next
+      i += 1
+    }
+    val vhiEff = if (hiSeen) vhi else vlo
+    vlo + (h - math.floor(h)) * (vhiEff - vlo)
+  }
+
+  /** [[qWinsorize]] with the dispatch ceiling exposed (shared
+    * [[OutlierDriverMaxValues]] — the same value-count relation): tests
+    * force the distributed rank-selection arm with ceiling 0 and assert
+    * both arms agree. */
+  private[graft] def winsorize(spark: SparkSession, sfDir: String,
+      driverMaxValues: Long): DataFrame = {
     import spark.implicits._
     val vc = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
+    val nVals = vc.count()
+    if (nVals > 0 && nVals <= driverMaxValues) {
+      val flat = vc.as[(String, Double, Long)].collect()
+      val out = flat.groupBy(_._1).toSeq.map { case (flag, xs) =>
+        val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
+        val p05 = quantileOfValueCounts(pv, 0.05)
+        val p95 = quantileOfValueCounts(pv, 0.95)
+        var n = 0L
+        var sMc = 0L
+        var nClip = 0L
+        pv.foreach { case (v, c) =>
+          // same op order as the distributed clamp: round(greatest(p05,
+          // least(p95, v)) * 1e3) as long — Spark's Round on doubles is
+          // BigDecimal.valueOf(x).setScale(0, HALF_UP), replicated here
+          val clamped = math.max(p05, math.min(p95, v))
+          val wMc = java.math.BigDecimal.valueOf(clamped * 1e3)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          n += c
+          sMc += wMc * c
+          if (v < p05 || v > p95) nClip += c
+        }
+        (flag, n, p05, p95, sMc, nClip)
+      }
+      spark.createDataset(out)
+        .toDF("flag", "n", "p05_c", "p95_c", "s_mc", "n_clipped")
+        .select($"flag".as("l_returnflag"), $"n",
+          round($"p05_c" / 100.0, 4).as("p05"),
+          round($"p95_c" / 100.0, 4).as("p95"),
+          round($"s_mc".cast("double") / $"n" / 1e5, 4).as("mean_winsorized"),
+          $"n_clipped")
+        .orderBy($"l_returnflag")
+    } else winsorizeDistributed(vc)
+  }
+
+  private def winsorizeDistributed(vc: DataFrame): DataFrame = {
+    val spark = vc.sparkSession
+    import spark.implicits._
     val bands = quantileOfCounts(vc, "flag", "price_c", 0.05, "p05")
       .join(quantileOfCounts(vc, "flag", "price_c", 0.95, "p95"), "flag")
     val clamped = vc.join(broadcast(bands), "flag")

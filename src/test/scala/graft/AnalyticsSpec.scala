@@ -256,6 +256,10 @@ class AnalyticsSpec extends GraftSuite {
       val frac = row.getAs[Long]("n_clipped").toDouble / row.getAs[Long]("n")
       assert(frac > 0.05 && frac < 0.15, s"clip fraction $frac")
     }
+    // both dispatch arms produce identical rows: ceiling 0 forces the
+    // distributed quantile/clamp arm the driver replay replaced
+    val dist = rows(Analytics.winsorize(spark, sf, driverMaxValues = 0L))
+    assert(dist == r, s"winsorize arms disagree: $dist vs $r")
   }
 
   test("q_pagerank: one row per supplier, ranks bounded, mass conserved") {

@@ -89,6 +89,27 @@ class KernelPropertySpec extends GraftSuite {
     }, "value-count median == expanded median")
   }
 
+  test("quantileOfValueCounts equals the naive expanded-multiset quantile") {
+    // the winsorize driver arm's rank algebra: 0-based h = (n−1)p,
+    // vlo/vhi at 1-based ranks floor(h)+1/+2, linear interpolation with
+    // the beyond-end vhi coalescing to vlo — must match the plain
+    // sorted-expansion quantile at every parity/tie layout and p
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-50, 50)).map(_.distinct.sorted)
+      cs <- Gen.listOfN(vs.size, Gen.chooseNum(1L, 4L))
+      p <- Gen.oneOf(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    } yield (vs.map(_.toDouble).zip(cs), p)
+    checkProp(Prop.forAll(gen) { case (pairs, p) =>
+      val xs = pairs.flatMap { case (v, c) => Seq.fill(c.toInt)(v) }.sorted
+      val h = (xs.size - 1).toDouble * p
+      val lo = math.floor(h).toInt
+      val vlo = xs(lo)
+      val vhi = if (lo + 1 < xs.size) xs(lo + 1) else vlo
+      val naive = vlo + (h - math.floor(h)) * (vhi - vlo)
+      graft.ops.Analytics.quantileOfValueCounts(pairs.toArray, p) == naive
+    }, "value-count quantile == expanded quantile")
+  }
+
   test("simhash band geometry guarantees recall at the declared radius") {
     val bits = Similarity.SimhashBits
     val bands = Similarity.SimhashBands
