@@ -48,4 +48,10 @@ private[graft] object BenchHarness {
     body
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Locale-proof fixed-point formatting for probe/bench output lines —
+    * the default-locale f"%.2f" renders comma decimals under e.g.
+    * LANG=de_DE, corrupting space/JSON-delimited timing columns. */
+  def fmt(v: Double, decimals: Int = 2): String =
+    s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
 }

@@ -16,10 +16,13 @@ object OutlierProbe {
     def run4(label: String)(body: => Any): Unit = {
       val w = body
       val ts = (0 until 4).map { _ =>
-        val t0 = System.nanoTime(); body
-        (System.nanoTime() - t0) / 1e9
+        val t = BenchHarness.time(body)
+        cleanup() // between-sample hygiene, OUTSIDE the timed region
+        t
       }
-      println(f"PROBE $label%-12s ${ts.map(t => f"$t%.2f").mkString(" ")}  ${w.toString.take(60)}")
+      println(f"PROBE $label%-12s " +
+        ts.map(BenchHarness.fmt(_)).mkString(" ") +
+        s"  ${w.toString.take(60)}")
     }
     def cleanup(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -31,7 +34,7 @@ object OutlierProbe {
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    run4("vc_build") { val vc = vcOf(); val n = vc.count(); cleanup(); n }
+    run4("vc_build") { val vc = vcOf(); vc.count() }
     val vc = vcOf()
     vc.count()
     run4("collect") { vc.as[(String, Double, Long)].collect().length }
@@ -46,12 +49,12 @@ object OutlierProbe {
     run4("arm_driver") {
       val r = graft.ops.Analytics
         .outlierFilter(spark, sf, driverMaxValues = Long.MaxValue).collect()
-      cleanup(); r.mkString
+      r.mkString
     }
     run4("arm_dist") {
       val r = graft.ops.Analytics
         .outlierFilter(spark, sf, driverMaxValues = 0L).collect()
-      cleanup(); r.mkString
+      r.mkString
     }
     spark.stop()
   }

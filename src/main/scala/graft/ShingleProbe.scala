@@ -22,7 +22,8 @@ object ShingleProbe {
       val t0 = System.nanoTime(); body
       val t1 = System.nanoTime(); body
       val t2 = System.nanoTime()
-      println(f"PROBE $label%-16s ${(t1 - t0) / 1e9}%.2f ${(t2 - t1) / 1e9}%.2f")
+      println(f"PROBE $label%-16s " + BenchHarness.fmt((t1 - t0) / 1e9) +
+        " " + BenchHarness.fmt((t2 - t1) / 1e9))
     }
     val sh = docs.select($"doc_id",
       explode(call_function("graft_shingles", $"text", lit(3))).as("shs"))

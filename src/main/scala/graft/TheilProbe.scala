@@ -22,10 +22,12 @@ object TheilProbe {
     def run2(label: String)(body: => Any): Unit = {
       val w = body // warm
       val ts = (0 until 4).map { _ =>
-        val t0 = System.nanoTime(); body
-        (System.nanoTime() - t0) / 1e9
+        val t = BenchHarness.time(body)
+        cleanup() // between-sample hygiene, OUTSIDE the timed region
+        t
       }
-      println(f"PROBE $label%-12s ${ts.map(t => f"$t%.2f").mkString(" ")}  $w")
+      println(f"PROBE $label%-12s " +
+        ts.map(BenchHarness.fmt(_)).mkString(" ") + s"  $w")
     }
     def cleanup(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -34,12 +36,12 @@ object TheilProbe {
     }
     run2("distributed") {
       val r = graft.ops.Stats.theilSen(spark, sf, driverMaxPairs = 0L).collect()
-      cleanup(); r.mkString
+      r.mkString
     }
     run2("driver") {
       val r = graft.ops.Stats.theilSen(spark, sf,
         driverMaxPairs = Long.MaxValue).collect()
-      cleanup(); r.mkString
+      r.mkString
     }
     spark.stop()
   }

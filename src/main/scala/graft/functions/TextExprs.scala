@@ -24,32 +24,43 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Manual single-space tokenizer: same result as regex-split " " +
-    * drop-empties, without the regex or the empty-token garbage. */
-  private def tokenize(s: String): java.util.ArrayList[String] = {
-    val len = s.length
-    val toks = new java.util.ArrayList[String]()
+  /** Byte-range single-space tokenizer: fills starts/lens over the raw
+    * UTF-8 bytes and returns the token count. 0x20 is never a
+    * continuation byte in UTF-8, so byte-level splitting is EXACTLY the
+    * char-level split — and the token bytes are EXACTLY the bytes
+    * `UTF8String.fromString(javaToken)` would re-encode, so hashing or
+    * wrapping the ranges is bit-identical to the old decode→substring→
+    * re-encode path, minus all of its per-token allocation. */
+  private def tokenRanges(bytes: Array[Byte], starts: Array[Int],
+      lens: Array[Int]): Int = {
+    val n = bytes.length
+    var t = 0
     var i = 0
-    while (i < len) {
-      while (i < len && s.charAt(i) == ' ') i += 1
-      val start = i
-      while (i < len && s.charAt(i) != ' ') i += 1
-      if (i > start) toks.add(s.substring(start, i))
+    while (i < n) {
+      while (i < n && bytes(i) == 0x20) i += 1
+      val s = i
+      while (i < n && bytes(i) != 0x20) i += 1
+      if (i > s) { starts(t) = s; lens(t) = i - s; t += 1 }
     }
-    toks
+    t
   }
 
   /** Whitespace tokens of `text` — exactly
     * `filter(split(text, " "), _ =!= "")`, as ONE compiled call. Exists
     * because the filter HOF evaluates interpreted (per-element lambda
     * binding) AND, being CodegenFallback, kicks its whole Project out of
-    * whole-stage codegen — every expression sharing the projection pays. */
+    * whole-stage codegen — every expression sharing the projection pays.
+    * Tokens are zero-copy byte-range views over one shared byte array
+    * (at most one copy of the whole text, no per-token decode/encode). */
   def tokens(text: UTF8String): ArrayData = {
-    val toks = tokenize(text.toString)
-    val out = new Array[Any](toks.size)
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length / 2 + 1)
+    val lens = new Array[Int](bytes.length / 2 + 1)
+    val t = tokenRanges(bytes, starts, lens)
+    val out = new Array[Any](t)
     var j = 0
-    while (j < toks.size) {
-      out(j) = UTF8String.fromString(toks.get(j))
+    while (j < t) {
+      out(j) = UTF8String.fromBytes(bytes, starts(j), lens(j))
       j += 1
     }
     new GenericArrayData(out)
@@ -58,19 +69,30 @@ object TextKernels {
   /** Whitespace n-gram shingles of `text`: split on single spaces, drop
     * empty tokens (exactly `filter(split(text, " "), _ =!= "")`), then join
     * each run of `n` consecutive tokens with one space. Returns an empty
-    * array when the doc has fewer than `n` tokens. */
+    * array when the doc has fewer than `n` tokens. One byte copy per
+    * shingle (the space-joined bytes) — no String round trip. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
-    val toks = tokenize(s)
-    val t = toks.size
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length / 2 + 1)
+    val lens = new Array[Int](bytes.length / 2 + 1)
+    val t = tokenRanges(bytes, starts, lens)
     if (t < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](t - n + 1)
     var j = 0
     while (j <= t - n) {
-      val sb = new java.lang.StringBuilder(toks.get(j))
-      var k = 1
-      while (k < n) { sb.append(' ').append(toks.get(j + k)); k += 1 }
-      out(j) = UTF8String.fromString(sb.toString)
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += lens(j + k); k += 1 }
+      val sh = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { sh(pos) = 0x20; pos += 1 }
+        System.arraycopy(bytes, starts(j + k), sh, pos, lens(j + k))
+        pos += lens(j + k)
+        k += 1
+      }
+      out(j) = UTF8String.fromBytes(sh)
       j += 1
     }
     new GenericArrayData(out)
@@ -169,29 +191,32 @@ object TextKernels {
     }
   }
 
-  /** Spark's xxhash64 of one UTF8String at the expression default seed
-    * (42) — the SAME bits `functions.xxhash64(stringCol)` produces. */
-  private def xx64(s: UTF8String): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-
   /** 64-bit SimHash of a text's whitespace tokens (see [[Simhash64]]):
     * per-bit majority vote of xxhash64(token), every OCCURRENCE votes
     * (not distinct tokens) — bit-identical to the 64-aggregate HOF
     * spelling it replaced ([[graft.ml.Dedup.simhash]]'s old body), in
-    * one compiled pass instead of 64 interpreted array traversals. */
+    * one compiled ZERO-ALLOCATION pass (token hashes come straight off
+    * the text's byte ranges) instead of 64 interpreted array
+    * traversals. */
   def simhash64(text: UTF8String): Long = {
-    val toks = tokenize(text.toString)
+    val n = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
     val votes = new Array[Int](64)
     var i = 0
-    while (i < toks.size) {
-      val h = xx64(UTF8String.fromString(toks.get(i)))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    while (i < n) {
+      while (i < n && text.getByte(i) == 0x20) i += 1
+      val s = i
+      while (i < n && text.getByte(i) != 0x20) i += 1
+      if (i > s) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + s, i - s, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
-      i += 1
     }
     var fp = 0L
     var b = 0
@@ -205,18 +230,32 @@ object TextKernels {
   /** Distinct xxhash64 hashes of a text's w-token shingles in
     * first-occurrence order (see [[ShingleXxHashes]]) — bit-identical to
     * `array_distinct(transform(sequence(...), i => xxhash64(concat_ws(
-    * " ", tokens...))))` with the `when(size >= w, ..., empty)` guard. */
+    * " ", tokens...))))` with the `when(size >= w, ..., empty)` guard.
+    * Shingle bytes assemble into ONE reused buffer (tokens can be
+    * separated by runs of spaces, so the joined bytes are not generally
+    * contiguous in the source) and hash from there — no String round
+    * trip, no per-shingle buffer. */
   def shingleXxHashes(text: UTF8String, w: Int): ArrayData = {
-    val toks = tokenize(text.toString)
-    val t = toks.size
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length / 2 + 1)
+    val lens = new Array[Int](bytes.length / 2 + 1)
+    val t = tokenRanges(bytes, starts, lens)
     if (t < w) return new GenericArrayData(Array.empty[Any])
+    val buf = new Array[Byte](bytes.length)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
     while (j <= t - w) {
-      val sb = new java.lang.StringBuilder(toks.get(j))
-      var k = 1
-      while (k < w) { sb.append(' ').append(toks.get(j + k)); k += 1 }
-      seen.add(xx64(UTF8String.fromString(sb.toString)))
+      var pos = 0
+      var k = 0
+      while (k < w) {
+        if (k > 0) { buf(pos) = 0x20; pos += 1 }
+        System.arraycopy(bytes, starts(j + k), buf, pos, lens(j + k))
+        pos += lens(j + k)
+        k += 1
+      }
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          pos, 42L))
       j += 1
     }
     val out = new Array[Any](seen.size)
@@ -486,6 +525,18 @@ case class ShingleXxHashes(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_xxhashes"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects text to be string, got ${left.dataType.catalogString}")
+    else if (right.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects w to be int, got ${right.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullSafeEval(text: Any, w: Any): Any =
     TextKernels.shingleXxHashes(text.asInstanceOf[UTF8String],
       w.asInstanceOf[Int])
@@ -508,6 +559,21 @@ case class MinhashSig(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    left.dataType match {
+      case ArrayType(LongType, _) =>
+        if (right.dataType == org.apache.spark.sql.types.IntegerType)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects numHashes to be int, got " +
+            right.dataType.catalogString)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects hashes to be array<bigint>, got ${other.catalogString}")
+    }
+  }
 
   override def nullSafeEval(hashes: Any, n: Any): Any =
     TextKernels.minhashSig(hashes.asInstanceOf[ArrayData], n.asInstanceOf[Int])
@@ -532,6 +598,24 @@ case class SrpBands(first: Expression, second: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_srp_bands"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    first.dataType match {
+      case ArrayType(DoubleType, _) =>
+        Seq("dim" -> second, "bands" -> third, "bitsPerBand" -> fourth)
+          .collectFirst {
+            case (nm, e) if e.dataType != IntegerType =>
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName expects $nm to be int, got ${e.dataType.catalogString}")
+          }
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects vec to be array<double>, got ${other.catalogString}")
+    }
+  }
 
   override def nullSafeEval(v: Any, d: Any, b: Any, k: Any): Any =
     TextKernels.srpBands(v.asInstanceOf[ArrayData], d.asInstanceOf[Int],

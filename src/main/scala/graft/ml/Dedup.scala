@@ -34,8 +34,12 @@ object Dedup {
     // xxhash64(concat_ws(" ", t[i..i+w-1]))))` with the size>=w guard
     // (DedupLibSpec pins the equality); the HOF chain evaluated
     // interpreted per shingle and evicted its Project from whole-stage
-    // codegen
-    call_function("graft_shingle_xxhashes", text, lit(w))
+    // codegen. The coalesce preserves the old spelling's NULL-text
+    // contract (when(size(null)>=w) fell to the otherwise arm): a null
+    // doc has an EMPTY shingle set, it does not null out downstream
+    // set algebra
+    coalesce(call_function("graft_shingle_xxhashes", text, lit(w)),
+      array().cast("array<bigint>"))
 
   /** MinHash signature of a hashed-shingle array: for each of `numHashes`
     * seeded permutations, the minimum of (a_j * h + b_j mod p). Pure
@@ -44,8 +48,12 @@ object Dedup {
     // one compiled call — the exact integer algebra of the HOF spelling
     // `transform(sequence(0, n-1), j => array_min(transform(shingles,
     // h => pmod((h % p)·a_j + b_j, p))))` with p = 2^31−1 and the
-    // array_min-of-empty ⇒ null-slot contract (DedupLibSpec pins it)
-    call_function("graft_minhash_sig", shingles, lit(numHashes))
+    // array_min-of-empty ⇒ null-slot contract (DedupLibSpec pins it).
+    // The coalesce preserves the old spelling's NULL-array contract
+    // (the outer transform ran over the sequence regardless): a null
+    // shingle set signs as numHashes null slots, not a null signature
+    coalesce(call_function("graft_minhash_sig", shingles, lit(numHashes)),
+      array((0 until numHashes).map(_ => lit(null).cast("long")): _*))
 
   /** Banded MinHash-LSH near-dup candidates: docs sharing at least one
     * band of their signature. Returns (id_a, id_b) candidate pairs with
@@ -106,8 +114,11 @@ object Dedup {
     // one compiled pass — bit-identical to the spelling that unrolled
     // to 64 interpreted `aggregate` traversals of the token-hash array
     // (per-bit ±1 vote of xxhash64(token), every occurrence votes;
-    // DedupLibSpec pins the equality)
-    call_function("graft_simhash64", text)
+    // DedupLibSpec pins the equality). The coalesce preserves the old
+    // spelling's NULL-text contract (null votes fell through every
+    // when(...) to 0): a null doc fingerprints as 0L and still
+    // participates in hammingDistance comparisons
+    coalesce(call_function("graft_simhash64", text), lit(0L))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -119,8 +130,13 @@ object Dedup {
   def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
     // one compiled call — the exact float algebra of the HOF spelling
     // (bands·bitsPerBand interpreted `aggregate` projections per row;
-    // DedupLibSpec pins the equality)
-    call_function("graft_srp_bands", vec, lit(dim), lit(bands), lit(bitsPerBand))
+    // DedupLibSpec pins the equality). The coalesce preserves the old
+    // spelling's NULL-vector contract (every projection nulled, every
+    // when(...) fell to 0): a null embedding lands in band code 0
+    coalesce(
+      call_function("graft_srp_bands", vec, lit(dim), lit(bands),
+        lit(bitsPerBand)),
+      array((0 until bands).map(_ => lit(0L)): _*))
 
   /** Embedding near-dup pairs above a cosine threshold via SRP-LSH
     * blocking + exact cosine verification — the library form of

@@ -19,9 +19,13 @@ class DedupLibSpec extends GraftSuite {
   test("the compiled dedup kernels are bit-identical to the HOF spellings they replaced") {
     // real corpus texts + edge strings; each kernel vs the exact HOF
     // chain the library used before (interpreted, Project-evicting)
+    // the None row pins the NULL contracts: null text must shingle to
+    // EMPTY, sign as null slots, and fingerprint as 0L — the old HOF
+    // spellings' semantics, preserved by the coalesce in each wrapper
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"text").unionAll(Seq("", " ", "one", "a b c", "a a a a")
-        .toDF("text"))
+      .select($"text").unionAll(
+        Seq(Some(""), Some(" "), Some("one"), Some("a b c"),
+          Some("a a a a"), None).toDF("text"))
     val w = 3
     val t = call_function("graft_tokens", $"text")
     val hofShingles = when(size(t) >= w,
@@ -55,6 +59,7 @@ class DedupLibSpec extends GraftSuite {
     // embeddings (dim = full width, the library default geometry)
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"embedding".cast("array<double>").as("v"))
+      .unionAll(Seq(Option.empty[Array[Double]]).toDF("v"))
     def hofProj(j: Int) =
       aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
         acc + element_at($"v", i) *
