@@ -307,7 +307,11 @@ object TextKernels {
     * left-to-right — the exact float algebra of the aggregate-HOF
     * spelling. A null element nulls its projection (bit 0), matching
     * null-propagating arithmetic; dim beyond the vector is a named
-    * error (ANSI element_at would have raised out-of-bounds). */
+    * error (ANSI element_at would have raised out-of-bounds). Accepted
+    * divergence: a NON-ANSI session's element_at would have degraded to
+    * band code 0 instead of erroring — this repo runs Spark 4's ANSI
+    * default everywhere, and a loud named error beats a silent
+    * all-rows-one-bucket degeneration if that ever changes. */
   def srpBands(vec: ArrayData, dim: Int, bands: Int,
       bitsPerBand: Int): ArrayData = {
     val n = vec.numElements()
@@ -368,13 +372,49 @@ object TextKernels {
   }
 }
 
+/** Analysis-time validation of the kernels' documented "foldable
+  * positive int" parameter contracts: a non-foldable, NULL, zero, or
+  * negative width/count fails by name instead of producing degenerate
+  * output (w=0 would shingle empty byte runs, a negative numHashes would
+  * throw NegativeArraySizeException from the executor). */
+private[functions] object FoldableIntArg {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def check(pretty: String, name: String, e: Expression,
+      max: Int = Int.MaxValue): Option[TypeCheckResult.TypeCheckFailure] = {
+    if (e.dataType != org.apache.spark.sql.types.IntegerType)
+      Some(TypeCheckResult.TypeCheckFailure(
+        s"$pretty expects $name to be int, got ${e.dataType.catalogString}"))
+    else if (!e.foldable)
+      Some(TypeCheckResult.TypeCheckFailure(
+        s"$pretty expects $name to be a foldable int literal"))
+    else e.eval(null) match {
+      case null => Some(TypeCheckResult.TypeCheckFailure(
+        s"$pretty $name must not be NULL"))
+      case v: Int if v < 1 || v > max => Some(TypeCheckResult.TypeCheckFailure(
+        s"$pretty $name must be in [1, $max], got $v"))
+      case _ => None
+    }
+  }
+}
+
 /** `graft_shingles(text, n)` → array<string> of whitespace n-gram shingles.
-  * `n` must be a foldable positive integer. */
+  * `n` must be a foldable positive integer (analysis-enforced). */
 case class ShingleArray(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects text to be string, got ${left.dataType.catalogString}")
+    else FoldableIntArg.check(prettyName, "n", right)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def nullSafeEval(text: Any, n: Any): Any =
     TextKernels.shingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
@@ -531,10 +571,8 @@ case class ShingleXxHashes(left: Expression, right: Expression)
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects text to be string, got ${left.dataType.catalogString}")
-    else if (right.dataType != org.apache.spark.sql.types.IntegerType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects w to be int, got ${right.dataType.catalogString}")
-    else TypeCheckResult.TypeCheckSuccess
+    else FoldableIntArg.check(prettyName, "w", right)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
   }
 
   override def nullSafeEval(text: Any, w: Any): Any =
@@ -565,11 +603,8 @@ case class MinhashSig(left: Expression, right: Expression)
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     left.dataType match {
       case ArrayType(LongType, _) =>
-        if (right.dataType == org.apache.spark.sql.types.IntegerType)
-          TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects numHashes to be int, got " +
-            right.dataType.catalogString)
+        FoldableIntArg.check(prettyName, "numHashes", right)
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects hashes to be array<bigint>, got ${other.catalogString}")
     }
@@ -602,15 +637,14 @@ case class SrpBands(first: Expression, second: Expression,
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    import org.apache.spark.sql.types.DoubleType
     first.dataType match {
       case ArrayType(DoubleType, _) =>
-        Seq("dim" -> second, "bands" -> third, "bitsPerBand" -> fourth)
-          .collectFirst {
-            case (nm, e) if e.dataType != IntegerType =>
-              TypeCheckResult.TypeCheckFailure(
-                s"$prettyName expects $nm to be int, got ${e.dataType.catalogString}")
-          }
+        // bitsPerBand caps at 63: bit k shifts into a signed long
+        FoldableIntArg.check(prettyName, "dim", second)
+          .orElse(FoldableIntArg.check(prettyName, "bands", third))
+          .orElse(FoldableIntArg.check(prettyName, "bitsPerBand", fourth,
+            max = 63))
           .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects vec to be array<double>, got ${other.catalogString}")

@@ -378,59 +378,9 @@ case class TopCells(v: Expression, centroids: Expression, nprobe: Expression)
   * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`).
   * Call sites use `functions.call_function("graft_dot", a, b)` etc. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => binary(children, DotProduct.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_norm"),
-      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
-      (children: Seq[Expression]) => unary(children, L2Norm.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_sqdist"),
-      new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_sqdist"),
-      (children: Seq[Expression]) => binary(children, SquaredL2Distance.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_centered_dot"),
-      new ExpressionInfo(classOf[CenteredDot].getName, "graft_centered_dot"),
-      (children: Seq[Expression]) => ternary(children, CenteredDot.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_top_cells"),
-      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
-      (children: Seq[Expression]) => ternary(children, TopCells.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
-      (children: Seq[Expression]) => binary(children, ShingleArray.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_pairs"),
-      new ExpressionInfo(classOf[PairStructs].getName, "graft_pairs"),
-      (children: Seq[Expression]) => binary(children, PairStructs.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_bpe"),
-      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
-      (children: Seq[Expression]) => binary(children, BpeEncode.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_nfc"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (children: Seq[Expression]) => unary(children, NfcNormalize.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_md5_split"),
-      new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
-      (children: Seq[Expression]) => unary(children, Md5Split.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_tokens"),
-      new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens"),
-      (children: Seq[Expression]) => unary(children, TokenArray.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
-      (children: Seq[Expression]) => unary(children, Simhash64.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_shingle_xxhashes"),
-      new ExpressionInfo(classOf[ShingleXxHashes].getName,
-        "graft_shingle_xxhashes"),
-      (children: Seq[Expression]) => binary(children, ShingleXxHashes.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) => binary(children, MinhashSig.apply)))
-    ext.injectFunction((FunctionIdentifier("graft_srp_bands"),
-      new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
-      (children: Seq[Expression]) => {
-        require(children.length == 4,
-          s"expected 4 arguments, got ${children.length}")
-        SrpBands(children(0), children(1), children(2), children(3))
-      }))
+    GraftExtensions.registrations.foreach(ext.injectFunction)
     // optimizer rule: bounded edit-distance predicates run the banded
     // thresholded DP instead of the full O(n·m) one
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
@@ -453,4 +403,86 @@ object GraftExtensions {
     require(children.length == 3, s"expected 3 arguments, got ${children.length}")
     f(children(0), children(1), children(2))
   }
+
+  /** One (identifier, info, builder) row per kernel — the single source
+    * of truth shared by the extension hook and [[ensureRegistered]]. */
+  private val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => binary(children, DotProduct.apply)),
+    (FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_norm"),
+      (children: Seq[Expression]) => unary(children, L2Norm.apply)),
+    (FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => binary(children, SquaredL2Distance.apply)),
+    (FunctionIdentifier("graft_centered_dot"),
+      new ExpressionInfo(classOf[CenteredDot].getName, "graft_centered_dot"),
+      (children: Seq[Expression]) => ternary(children, CenteredDot.apply)),
+    (FunctionIdentifier("graft_top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
+      (children: Seq[Expression]) => ternary(children, TopCells.apply)),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => binary(children, ShingleArray.apply)),
+    (FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[PairStructs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => binary(children, PairStructs.apply)),
+    (FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => binary(children, BpeEncode.apply)),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => unary(children, NfcNormalize.apply)),
+    (FunctionIdentifier("graft_md5_split"),
+      new ExpressionInfo(classOf[Md5Split].getName, "graft_md5_split"),
+      (children: Seq[Expression]) => unary(children, Md5Split.apply)),
+    (FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokenArray].getName, "graft_tokens"),
+      (children: Seq[Expression]) => unary(children, TokenArray.apply)),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => unary(children, Simhash64.apply)),
+    (FunctionIdentifier("graft_shingle_xxhashes"),
+      new ExpressionInfo(classOf[ShingleXxHashes].getName,
+        "graft_shingle_xxhashes"),
+      (children: Seq[Expression]) => binary(children, ShingleXxHashes.apply)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => binary(children, MinhashSig.apply)),
+    (FunctionIdentifier("graft_srp_bands"),
+      new ExpressionInfo(classOf[SrpBands].getName, "graft_srp_bands"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"expected 4 arguments, got ${children.length}")
+        SrpBands(children(0), children(1), children(2), children(3))
+      }))
+
+  /** Idempotently registers every graft kernel into `spark`'s function
+    * registry. Library entry points that emit `call_function("graft_*")`
+    * Columns ([[graft.ml.Dedup]], `workflow.Tokenize`,
+    * `ImageOps.randomTransform`) call this so they resolve on sessions
+    * built WITHOUT `spark.sql.extensions=graft.functions.GraftExtensions`
+    * — the kernels are ordinary Catalyst expressions, only their registry
+    * entries are session-scoped. Does NOT inject the optimizer rule
+    * ([[graft.plans.LevenshteinBandRule]] is a pure optimization; queries
+    * are correct without it — extension-built sessions still get it). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    registrations.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+
+  /** [[ensureRegistered]] against the active/default session, for
+    * Column-building helpers that have no session in hand. A Column built
+    * with NO session anywhere is left alone — it can only ever be
+    * analyzed by a session created later, and creating that session with
+    * the extensions (or passing it through any DataFrame entry point,
+    * which calls [[ensureRegistered]] directly) resolves the functions. */
+  private[graft] def ensureActiveRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(ensureRegistered)
 }

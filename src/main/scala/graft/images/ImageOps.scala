@@ -196,6 +196,9 @@ object ImageOps {
     * and every image's brightness scales by 1 + (digest mod
     * `jitterSteps` − jitterSteps/2)/100. */
   def randomTransform(df: DataFrame, jitterSteps: Int = 11): DataFrame = {
+    // digest60 rides the graft_md5_split kernel — self-register so the
+    // node works on sessions built without GraftExtensions
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
     val digest = graft.ops.Similarity.digest60(col("id").cast("string"))
     val factor = lit(1.0) +
       (digest % jitterSteps - lit(jitterSteps / 2)).cast("double") / 100.0

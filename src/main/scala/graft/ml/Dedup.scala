@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   * of corpus-sized data, no nested-loop joins. Engine-specific hashing
   * (xxhash64, MinHashLSH) makes these non-oracle by design (SURVEY §2.B);
   * the unit suites carry their correctness argument.
+  *
+  * The hot paths ride compiled `graft_*` kernels. Sessions built without
+  * `spark.sql.extensions=graft.functions.GraftExtensions` still work:
+  * every entry point self-registers the kernels into the session at hand
+  * (DataFrame methods) or the active session (Column helpers) via
+  * [[graft.functions.GraftExtensions.ensureRegistered]].
   */
 object Dedup {
+  private def kernels(): Unit =
+    graft.functions.GraftExtensions.ensureActiveRegistered()
 
   /** Exact content dedup: one survivor (min id) per distinct value of
     * `contentCols`. The shuffle key is the 64-bit content hash — never the
@@ -28,7 +36,8 @@ object Dedup {
   /** Tokenize + w-shingle a text column into an array of shingle hashes
     * (64-bit), distinct per doc. Hashing shingles to longs up front keeps
     * every downstream shuffle narrow. */
-  def shingleHashes(text: Column, w: Int): Column =
+  def shingleHashes(text: Column, w: Int): Column = {
+    kernels()
     // one compiled call — bit-identical to the HOF spelling
     // `array_distinct(transform(sequence(1, size(t)-(w-1)), i =>
     // xxhash64(concat_ws(" ", t[i..i+w-1]))))` with the size>=w guard
@@ -40,11 +49,13 @@ object Dedup {
     // set algebra
     coalesce(call_function("graft_shingle_xxhashes", text, lit(w)),
       array().cast("array<bigint>"))
+  }
 
   /** MinHash signature of a hashed-shingle array: for each of `numHashes`
     * seeded permutations, the minimum of (a_j * h + b_j mod p). Pure
     * column arithmetic — one pass per row, no shuffle. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    kernels()
     // one compiled call — the exact integer algebra of the HOF spelling
     // `transform(sequence(0, n-1), j => array_min(transform(shingles,
     // h => pmod((h % p)·a_j + b_j, p))))` with p = 2^31−1 and the
@@ -54,6 +65,7 @@ object Dedup {
     // shingle set signs as numHashes null slots, not a null signature
     coalesce(call_function("graft_minhash_sig", shingles, lit(numHashes)),
       array((0 until numHashes).map(_ => lit(null).cast("long")): _*))
+  }
 
   /** Banded MinHash-LSH near-dup candidates: docs sharing at least one
     * band of their signature. Returns (id_a, id_b) candidate pairs with
@@ -68,6 +80,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 64): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
     val rows = bands
     val rowsPerBand = numHashes / bands
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -110,7 +123,8 @@ object Dedup {
   /** 64-bit SimHash fingerprint of a text's whitespace tokens: per-bit
     * majority vote of xxhash64(token). Near-identical docs differ in few
     * bits (compare with [[hammingDistance]]). */
-  def simhash(text: Column): Column =
+  def simhash(text: Column): Column = {
+    kernels()
     // one compiled pass — bit-identical to the spelling that unrolled
     // to 64 interpreted `aggregate` traversals of the token-hash array
     // (per-bit ±1 vote of xxhash64(token), every occurrence votes;
@@ -119,6 +133,7 @@ object Dedup {
     // when(...) to 0): a null doc fingerprints as 0L and still
     // participates in hammingDistance comparisons
     coalesce(call_function("graft_simhash64", text), lit(0L))
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -127,7 +142,8 @@ object Dedup {
   /** Sign-random-projection LSH bucketing of an array<double> embedding —
     * the parameterized form of the declared q_embed_neardup geometry.
     * Returns (band, code) rows per input row for equi-join blocking. */
-  def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column =
+  def srpBands(vec: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    kernels()
     // one compiled call — the exact float algebra of the HOF spelling
     // (bands·bitsPerBand interpreted `aggregate` projections per row;
     // DedupLibSpec pins the equality). The coalesce preserves the old
@@ -137,12 +153,14 @@ object Dedup {
       call_function("graft_srp_bands", vec, lit(dim), lit(bands),
         lit(bitsPerBand)),
       array((0 until bands).map(_ => lit(0L)): _*))
+  }
 
   /** Embedding near-dup pairs above a cosine threshold via SRP-LSH
     * blocking + exact cosine verification — the library form of
     * q_embed_neardup with tunable recall/cost. */
   def embedNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
     val v = col(vecCol).cast("array<double>")
     val e = df.select(col(idCol).as("__id"), v.as("__v"))
       // graft_norm is bit-identical to sqrt(aggregate(transform(x·x)))

@@ -123,8 +123,12 @@ object workflow {
   /** ref: nodes.nlp.Tokenizer (single-space split, drop empties — matches
     * the declared-query tokenization everywhere in graft.ops.Text). */
   case class Tokenize(in: String, out: String) extends Transformer {
-    def apply(df: DataFrame): DataFrame =
+    def apply(df: DataFrame): DataFrame = {
+      // self-register the kernel so the node works on sessions built
+      // without GraftExtensions (the library entry-point contract)
+      graft.functions.GraftExtensions.ensureRegistered(df.sparkSession)
       df.withColumn(out, call_function("graft_tokens", col(in)))
+    }
   }
 
   /** ref: nodes.nlp.NGramsFeaturizer — all n-grams for n in [lo, hi],

@@ -162,4 +162,67 @@ class DedupLibSpec extends GraftSuite {
     assert(Seq(1L, 2L, 3L, 4L).forall(distChain(_) == 1L) &&
       distChain(20L) == 20L && distChain(21L) == 20L)
   }
+
+  test("library entry points self-register kernels on a session without GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // newSession() inherits the extension object, so simulate an
+    // extension-free session by dropping every graft_* entry from its
+    // (session-scoped) registry — the advisor's scenario: a user session
+    // built without spark.sql.extensions=graft.functions.GraftExtensions
+    val s2 = spark.newSession()
+    val reg = s2.sessionState.functionRegistry
+    reg.listFunction().filter(_.funcName.startsWith("graft_"))
+      .foreach(reg.dropFunction)
+    // sanity: the kernels are genuinely unresolvable on s2 now
+    import s2.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("id", "text")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_simhash64", $"text")).collect()
+    }
+    // DataFrame entry point: registers via df.sparkSession
+    val toks = graft.ml.workflow.Tokenize("text", "toks")(df)
+      .select($"toks").head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "c", "d"))
+    // Column entry points: register via the ACTIVE session
+    val prevActive = SparkSession.getActiveSession
+    try {
+      SparkSession.setActiveSession(s2)
+      reg.listFunction().filter(_.funcName.startsWith("graft_"))
+        .foreach(reg.dropFunction)
+      val fps = df.select(Dedup.simhash($"text").as("fp"))
+        .collect().map(_.getLong(0))
+      assert(fps(0) == fps(1) && fps(0) != fps(2))
+      val sig = df.select(Dedup.minhashSignature(
+        Dedup.shingleHashes($"text", 2), 4).as("sig")).head().getSeq[Long](0)
+      assert(sig.length == 4)
+    } finally prevActive.foreach(SparkSession.setActiveSession)
+  }
+
+  test("degenerate kernel parameters fail at analysis by name") {
+    val df = Seq(("a b c", 2)).toDF("text", "n")
+    def analysisMsg(c: org.apache.spark.sql.Column): String =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).collect()
+      }.getMessage
+    // zero/negative values of the documented positive-int parameters
+    assert(analysisMsg(call_function("graft_shingles", col("text"), lit(0)))
+      .contains("graft_shingles n must be in [1,"))
+    assert(analysisMsg(call_function("graft_shingle_xxhashes", col("text"), lit(0)))
+      .contains("graft_shingle_xxhashes w must be in [1,"))
+    assert(analysisMsg(call_function("graft_minhash_sig",
+        array().cast("array<bigint>"), lit(-1)))
+      .contains("graft_minhash_sig numHashes must be in [1,"))
+    // a 64th sign bit would shift into a signed long's sign
+    assert(analysisMsg(call_function("graft_srp_bands",
+        array(lit(1.0)), lit(1), lit(1), lit(64)))
+      .contains("graft_srp_bands bitsPerBand must be in [1, 63]"))
+    // non-foldable and NULL parameters fail by name too
+    assert(analysisMsg(call_function("graft_shingle_xxhashes", col("text"), col("n")))
+      .contains("graft_shingle_xxhashes expects w to be a foldable int literal"))
+    assert(analysisMsg(call_function("graft_shingles", col("text"),
+        lit(null).cast("int")))
+      .contains("graft_shingles n must not be NULL"))
+  }
 }

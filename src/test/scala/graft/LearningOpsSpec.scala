@@ -620,4 +620,29 @@ class LearningOpsSpec extends GraftSuite {
     assert(msgs.contains("expects dim=33"),
       s"guard message missing from: $msgs")
   }
+
+  test("wide-projection sites stay OUT of whole-stage fusion (JIT-cliff guard)") {
+    // The ZcaBench-measured cliff: a whole-stage-fused Project carrying
+    // ~50+ dot/sqdist expressions passes HotSpot's huge-method JIT limit
+    // and the generated code runs INTERPRETED (~100× at production
+    // widths). CosineRandomFeaturesNode and KernelRidge's landmark map
+    // are pinned out of fusion by their CodegenFallback transform(_.cast)
+    // lambda; this assertion is the inverse of the kernel specs'
+    // codegen-marker checks, so a refactor that "optimizes" the cast into
+    // an array-level Cast fails HERE instead of reintroducing the cliff.
+    val crf = CosineRandomFeaturesNode("v", "rf", dim = 64, numFeatures = 64)
+    val crfPlan = crf(vecs).queryExecution.executedPlan.toString
+    val crfLine = crfPlan.linesIterator.find(_.contains("graft_dot")).get
+    assert(!crfLine.trim.startsWith("*("),
+      "CosineRandomFeaturesNode's D-dot Project must NOT whole-stage-fuse " +
+        s"(huge-method JIT cliff at numFeatures >= ~50):\n$crfPlan")
+    val target = vecs.withColumn("y", lit(1.0))
+    val krOut = KernelRidgeEst("v", "y", "p", gamma = 0.5, numLandmarks = 64)
+      .fit(target)(target)
+    val krPlan = krOut.queryExecution.executedPlan.toString
+    val krLine = krPlan.linesIterator.find(_.contains("graft_sqdist")).get
+    assert(!krLine.trim.startsWith("*("),
+      "KernelRidge's m-landmark feature map must NOT whole-stage-fuse " +
+        s"(huge-method JIT cliff at numLandmarks >= ~50):\n$krPlan")
+  }
 }
