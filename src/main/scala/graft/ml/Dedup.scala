@@ -202,54 +202,56 @@ object Dedup {
     *
     * Returns (node, component) with component = min node id reachable.
     *
-    * Size-aware dispatch: the symmetrized edge set is checkpointed first,
-    * so its count is already materialized; when it fits comfortably on
-    * the driver (`localThreshold` edges — bounded by construction, NOT
-    * corpus-sized) the components are solved with driver union-find in
-    * O(E·α) and zero further Spark jobs, because label propagation's
-    * per-round scheduling overhead dwarfs the actual work on a small
-    * graph. Above the threshold the distributed iterative path runs —
-    * both paths produce the identical min-id labeling. */
+    * Size-aware dispatch via the shared [[graft.ops.Dist.sizeDispatch]]
+    * seam: the raw pair set is checkpointed and counted; when it fits
+    * comfortably on the driver (`localThreshold` edges — bounded by
+    * construction, NOT corpus-sized) the components are solved with
+    * driver union-find in O(E·α) and zero further Spark jobs, because
+    * label propagation's per-round scheduling overhead dwarfs the actual
+    * work on a small graph. Above the threshold (or under
+    * SPARK_GRAFT_FORCE_DISTRIBUTED=1) the distributed iterative path
+    * runs — both paths produce the identical min-id labeling. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
-    // checkpoint the RAW pair set first: the (possibly expensive) pair
-    // producer materializes exactly once; symmetrization below reads the
-    // checkpoint twice instead of recomputing the upstream twice
-    val p = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint(true)
-    if (p.count() <= localThreshold) return ccLocal(p)
-    val edges = p
-      .union(p.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    // round 1 fused into initialization: label = min(self, direct
-    // neighbors) via one aggregation — cheaper than the loop's join+agg,
-    // and every node appears as a u (edges are symmetrized), so the
-    // label table is complete from the start.
-    var labels = edges.groupBy(col("u"))
-      .agg(min(col("v")).as("mn"))
-      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
-      .localCheckpoint(true)
-    var iter = 1
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
-        .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
-      // carry the previous label alongside the new one so convergence is
-      // a LOCAL scan of the checkpointed frame, not another join
-      val next = labels
-        .join(nbrMin, col("node") === col("u"))
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), col("nlabel")).as("label"))
+    // the shared size-dispatch seam checkpoints the RAW pair set first:
+    // the (possibly expensive) pair producer materializes exactly once;
+    // symmetrization below reads the checkpoint twice instead of
+    // recomputing the upstream twice
+    graft.ops.Dist.sizeDispatch(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")),
+      localThreshold)((p, _) => ccLocal(p)) { (p, _) =>
+      val edges = p
+        .union(p.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      converged = next.where(col("label") < col("old")).isEmpty
-      labels = next.select(col("node"), col("label"))
-      iter += 1
+      // round 1 fused into initialization: label = min(self, direct
+      // neighbors) via one aggregation — cheaper than the loop's join+agg,
+      // and every node appears as a u (edges are symmetrized), so the
+      // label table is complete from the start.
+      var labels = edges.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
+        .localCheckpoint(true)
+      var iter = 1
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
+          .groupBy(col("u")).agg(min(col("vlabel")).as("nlabel"))
+        // carry the previous label alongside the new one so convergence is
+        // a LOCAL scan of the checkpointed frame, not another join
+        val next = labels
+          .join(nbrMin, col("node") === col("u"))
+          .select(col("node"), col("label").as("old"),
+            least(col("label"), col("nlabel")).as("label"))
+          .localCheckpoint(true)
+        converged = next.where(col("label") < col("old")).isEmpty
+        labels = next.select(col("node"), col("label"))
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("node"), col("label").as("component"))
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("component"))
   }
 
   /** Driver union-find (union-by-min + path compression) for edge sets

@@ -1157,13 +1157,11 @@ object Analytics {
   private[graft] def winsorize(spark: SparkSession, sfDir: String,
       driverMaxValues: Long): DataFrame = {
     import spark.implicits._
-    val vc = Tables.lineitem(spark, sfDir)
+    val vc0 = Tables.lineitem(spark, sfDir)
       .select($"l_returnflag".as("flag"),
         round($"l_extendedprice" * 100).as("price_c"))
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val nVals = vc.count()
-    if (nVals > 0 && nVals <= driverMaxValues) {
+    Dist.sizeDispatch(vc0, driverMaxValues) { (vc, _) =>
       val flat = vc.as[(String, Double, Long)].collect()
       val out = flat.groupBy(_._1).toSeq.map { case (flag, xs) =>
         val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
@@ -1193,7 +1191,7 @@ object Analytics {
           round($"s_mc".cast("double") / $"n" / 1e5, 4).as("mean_winsorized"),
           $"n_clipped")
         .orderBy($"l_returnflag")
-    } else winsorizeDistributed(vc)
+    } { (vc, _) => winsorizeDistributed(vc) }
   }
 
   private def winsorizeDistributed(vc: DataFrame): DataFrame = {
@@ -1341,11 +1339,7 @@ object Analytics {
       driverMaxValues: Long): DataFrame = {
     val spark = vc0.sparkSession
     import spark.implicits._
-    val vc = vc0.localCheckpoint(true)
-    // checkpointed above, so this count is a cheap local job driving
-    // only the arm dispatch
-    val nVals = vc.count()
-    if (nVals > 0 && nVals <= driverMaxValues) {
+    Dist.sizeDispatch(vc0, driverMaxValues) { (vc, _) =>
       def medOf(pairs: Array[(Double, Long)]): Double =
         medianOfValueCounts(pairs)
       val flat = vc.as[(String, Double, Long)].collect()
@@ -1370,7 +1364,7 @@ object Analytics {
           round($"min_c" / 100.0, 2).as("min_out"),
           round($"max_c" / 100.0, 2).as("max_out"))
         .orderBy($"l_returnflag")
-    } else {
+    } { (vc, _) =>
       val med = medianOfCounts(vc, "flag", "price_c", "med")
         .localCheckpoint(true)
       val devCounts = vc.join(broadcast(med), "flag")
@@ -1812,10 +1806,7 @@ object Analytics {
       driverMaxEdges: Long): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val edges = edgesIn.localCheckpoint(true)
-    // checkpointed above → cheap local count, driving only the dispatch
-    val nE = edges.count()
-    if (nE > 0 && nE <= driverMaxEdges) {
+    Dist.sizeDispatch(edgesIn, driverMaxEdges) { (edges, _) =>
       val es = edges.select($"src", $"dst", $"od")
         .as[(Long, Long, Long)].collect()
       val ns = nodes.select($"node".cast("long")).as[Long].collect()
@@ -1839,7 +1830,7 @@ object Analytics {
       }
       spark.createDataset(ns.toSeq.map(n => (n, r(n))))
         .toDF("node", "rank_ppm")
-    } else {
+    } { (edges, _) =>
       var ranks = nodes.select($"node", lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
         val contrib = edges
@@ -2022,15 +2013,13 @@ object Analytics {
       .groupBy($"e.x".as("x"), $"e.y".as("y"))
       .agg(count(lit(1)).as("c"))
       .where($"c" >= 6)
-    val edges = pairs0
+    val edges0 = pairs0
       .select(explode(array(
         struct($"x".as("src"), $"y".as("dst")),
         struct($"y".as("src"), $"x".as("dst")))).as("p"))
       .select($"p.src", $"p.dst")
-      .localCheckpoint(true)
     val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
-    val nE = edges.count()
-    if (nE > 0 && nE <= driverMaxEdges) {
+    Dist.sizeDispatch(edges0, driverMaxEdges) { (edges, _) =>
       val es = edges.as[(Long, Long)].collect()
       val ns = nodes.as[Long].collect()
       var lab = scala.collection.mutable.LongMap.empty[Long]
@@ -2059,7 +2048,7 @@ object Analytics {
       }
       spark.createDataset(ns.toSeq.map(n => (n, lab(n))))
         .toDF("suppkey", "community").orderBy($"suppkey")
-    } else {
+    } { (edges, _) =>
       val wTop = Window.partitionBy($"dst").orderBy($"cnt".desc, $"label")
       var labels = nodes.select($"node", $"node".as("label"))
       for (_ <- 1 to 2) {
@@ -2150,16 +2139,14 @@ object Analytics {
       driverMaxEdges: Long): DataFrame = {
     import spark.implicits._
     val k = 3
-    var edges = Tables.lineitem(spark, sfDir)
+    val edges0 = Tables.lineitem(spark, sfDir)
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("ps"))
       .select(explode(call_function("graft_pairs", $"ps", lit(false))).as("e"))
       .groupBy($"e.x".as("x"), $"e.y".as("y"))
       .agg(count(lit(1)).as("c"))
       .where($"c" >= 2).select($"x", $"y")
-      .localCheckpoint(true)
-    var nEdges = edges.count()
-    if (nEdges > 0 && nEdges <= driverMaxEdges) {
+    Dist.sizeDispatch(edges0, driverMaxEdges) { (edges, _) =>
       var alive = edges.as[(Long, Long)].collect()
       var n = alive.length
       var round = 0
@@ -2187,7 +2174,9 @@ object Analytics {
       }
       spark.createDataset(cnt.toSeq)
         .toDF("p_partkey", "core_deg").orderBy($"p_partkey")
-    } else {
+    } { (edgesCk, nE) =>
+      var edges = edgesCk
+      var nEdges = nE
       var round = 0
       var converged = false
       while (round < KcorePeelRounds && !converged) {

@@ -21,6 +21,47 @@ import org.apache.spark.sql.types.LongType
   * q_vocab_growth, q_length_drift, q_hybrid_rrf. */
 object Dist {
 
+  /** Kill switch for the driver arms: set SPARK_GRAFT_FORCE_DISTRIBUTED=1
+    * and every [[sizeDispatch]] routes distributed regardless of size —
+    * the operational escape hatch if a driver arm ever misbehaves on a
+    * real deployment (the distributed arms are the 100 TB path and are
+    * correct at every size; the driver arms only save scheduling
+    * overhead under the ceilings). */
+  private val forceDistributed: Boolean =
+    sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED").exists(_ == "1")
+
+  /** The shared size-dispatch seam (the discipline six round-17 driver
+    * arms repeated by convention: checkpoint → count → ceiling test →
+    * collect+local-core | distributed arm). Eagerly `localCheckpoint`s
+    * the dispatch relation — its (possibly expensive) producer
+    * materializes exactly once and the count below becomes a cheap local
+    * job that drives ONLY the dispatch — then runs `driverArm` iff
+    * 0 < measure(count) <= ceiling, else `distArm`. Both arms receive
+    * the CHECKPOINTED relation and its row count.
+    *
+    * Contract: `ceiling` bounds a relation that is
+    * CARDINALITY-BOUNDED BY CONSTRUCTION (value-count grids, calendar
+    * pairs, thresholded edge sets) — never corpus-sized — so the
+    * driver arm's collect is a bounded model-state pull, not a corpus
+    * collect. `measure` maps the row count into ceiling space when the
+    * driver arm's footprint is super-linear in rows (Theil–Sen tests
+    * pairs = n(n−1)/2). Tests pass ceiling 0 to FORCE the distributed
+    * arm — the one seam the derived plan guards drive their invariants
+    * through; `distArm` must therefore be correct at EVERY size, with
+    * `driverArm` a pure scheduling-overhead optimization under the
+    * ceiling. Empty relations (n = 0) always route distributed: several
+    * driver cores index into the collected array. */
+  def sizeDispatch(rel: DataFrame, ceiling: Long,
+      measure: Long => Long = identity)(
+      driverArm: (DataFrame, Long) => DataFrame)(
+      distArm: (DataFrame, Long) => DataFrame): DataFrame = {
+    val d = rel.localCheckpoint(true)
+    val n = d.count()
+    val m = measure(n)
+    if (!forceDistributed && m > 0 && m <= ceiling) driverArm(d, n)
+    else distArm(d, n)
+  }
+
   /** Append to each row of `df`, in `sort` order (must be a total
     * order): for every `(valueCol, outCol)` in `sums`, the EXCLUSIVE
     * prefix sum of valueCol (over rows strictly before this one — add

@@ -795,16 +795,14 @@ object Stats {
       driverMaxPairs: Long): DataFrame = {
     val spark = daily0.sparkSession
     import spark.implicits._
-    val daily = daily0.localCheckpoint(true)
-    // checkpointed above, so this count is a cheap local job — it only
-    // drives the arm dispatch (days are calendar-bounded, never data-sized)
-    val nDays = daily.count()
-    val nPairs = nDays * (nDays - 1L) / 2L
     def pairSlopes(a: DataFrame, b: DataFrame) =
       a.as("a").join(b.as("b"), col("a.day") < col("b.day"))
         .select(floor((col("b.rev_c") - col("a.rev_c")).cast("double") * 1000000.0
           / (col("b.day") - col("a.day")).cast("double")).cast("long").as("s"))
-    if (nPairs > 0 && nPairs <= driverMaxPairs) {
+    // ceiling space is PAIRS, not days (the driver arm collects the
+    // O(days²) slope multiset), hence the measure function
+    Dist.sizeDispatch(daily0, driverMaxPairs,
+        measure = nDays => nDays * (nDays - 1L) / 2L) { (daily, _) =>
       val slopes = pairSlopes(daily, daily).as[Long].collect()
       java.util.Arrays.sort(slopes)
       val n = slopes.length
@@ -818,7 +816,7 @@ object Stats {
       spark.range(1).select(
         lit(n.toLong).as("n_pairs"), lit(nv.toLong).as("n_distinct_slopes"),
         round(lit(m2.toDouble) / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
-    } else {
+    } { (daily, _) =>
       // the O(days²) pair generation feeds THREE evaluations (the totals
       // agg + the prefix pass's two scans) — checkpoint the ~|pairs|-
       // bounded value-count relation so the BNLJ runs exactly once.
