@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   *    into its own split method).
   *
   * The un-JIT-able-fused-method hazard is WIDTH-dependent, not
-  * data-dependent, so the width cap removes it deterministically. */
+  * data-dependent, so the width cap removes it deterministically.
+  *
+  * Round-18 re-measurement on the DERIVED cap
+  * ([[graft.ml.LearningOps.defaultZcaServeWidth]], = 32 on this product
+  * JVM where HugeMethodLimit is unreadable; default CPUs, n=400k):
+  * d=32 expr 0.51/0.46 s vs gemm 0.30/0.29 s (~1.7×); d=64 cliff
+  * re-confirmed at 80.4 s expr vs 0.48 s gemm (~168×). */
 object ZcaBench {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")

@@ -336,8 +336,9 @@ object LearningOps extends Serializable {
     * `applyLocal`/LocalServer (zero-job serving) like every other
     * Transformer, and distributed application is generated code with no
     * object seam. Past the cap it is a per-partition chunked gemm —
-    * level-3 BLAS, no per-row dense-math loop. The cap default (32) is
-    * MEASURED, not guessed (graft.ZcaBench, n=400k, 8 cores, two runs
+    * level-3 BLAS, no per-row dense-math loop. The cap default
+    * ([[defaultZcaServeWidth]], 32 on stock JVMs) is MEASURED, not
+    * guessed (graft.ZcaBench, n=400k, 8 cores, two runs
     * each): at d=32 the expression spelling costs 1.03/1.09 s vs gemm
     * 0.36/0.40 s — a ~2.7× sanctioned gap in exchange for zero-job
     * serving — but at d=64 the whole-stage-codegen-fused Project method
@@ -348,13 +349,39 @@ object LearningOps extends Serializable {
     * constructible ([[zcaExprTransformer]]/[[zcaGemmTransformer]]) so
     * their 1e-9 agreement is a test, not a hope. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5,
-      maxServeWidth: Int = 32)
+      maxServeWidth: Int = defaultZcaServeWidth)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
       val (muArr, wArr, d) = fitZcaModel(train, in, eps)
       if (d <= maxServeWidth) zcaExprTransformer(in, out, muArr, wArr, d)
       else zcaGemmTransformer(in, out, muArr, wArr, d)
     }
+  }
+
+  /** Per-JVM default for [[ZCAWhitenerEst.maxServeWidth]], derived from
+    * THIS JVM's huge-method compile limit instead of hardcoding the
+    * measured value (verdict-17 #7): the d=56–64 cliff was measured on a
+    * stock HotSpot (HugeMethodLimit = 8000 bytecodes, methods past it
+    * never JIT-compile while DontCompileHugeMethods holds — the default);
+    * the generated fused-Project size grows ~linearly in d, so the safe
+    * width scales with the limit. Derivation, conservative on purpose:
+    *  - HugeMethodLimit readable (debug/tuned JVMs): scale the measured
+    *    32 by limit/8000, floored at 32 (never narrower than the
+    *    measured-safe width), capped at 256 — past that the expression
+    *    spelling's ~2.7× arithmetic gap over gemm dominates any serving
+    *    win, cliff or no cliff.
+    *  - Flag unreadable (every product HotSpot — HugeMethodLimit is a
+    *    develop-only flag compiled to the 8000 constant): exactly the
+    *    measured 32. */
+  private[graft] lazy val defaultZcaServeWidth: Int = {
+    val limit = try {
+      val bean = java.lang.management.ManagementFactory.newPlatformMXBeanProxy(
+        java.lang.management.ManagementFactory.getPlatformMBeanServer,
+        "com.sun.management:type=HotSpotDiagnostic",
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+      bean.getVMOption("HugeMethodLimit").getValue.toLong
+    } catch { case _: Throwable => 8000L }
+    math.min(256L, math.max(32L, 32L * limit / 8000L)).toInt
   }
 
   /** [[ZCAWhitenerEst]]'s fit pass: (μ, W column-major d×d, d). */

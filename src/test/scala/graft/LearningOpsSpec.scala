@@ -621,6 +621,24 @@ class LearningOpsSpec extends GraftSuite {
       s"guard message missing from: $msgs")
   }
 
+  test("defaultZcaServeWidth derives from this JVM's huge-method limit, floored at the measured 32") {
+    val w = graft.ml.LearningOps.defaultZcaServeWidth
+    assert(w >= 32 && w <= 256, s"cap out of the sanctioned band: $w")
+    val readable = try {
+      java.lang.management.ManagementFactory.newPlatformMXBeanProxy(
+        java.lang.management.ManagementFactory.getPlatformMBeanServer,
+        "com.sun.management:type=HotSpotDiagnostic",
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        .getVMOption("HugeMethodLimit")
+      true
+    } catch { case _: Throwable => false }
+    // every product HotSpot compiles HugeMethodLimit to a constant (the
+    // flag is develop-only), so the derived cap must land EXACTLY on the
+    // ZcaBench-measured 32 there
+    if (!readable) assert(w == 32,
+      s"unreadable limit must fall back to the measured 32, got $w")
+  }
+
   test("wide-projection sites stay OUT of whole-stage fusion (JIT-cliff guard)") {
     // The ZcaBench-measured cliff: a whole-stage-fused Project carrying
     // ~50+ dot/sqdist expressions passes HotSpot's huge-method JIT limit
