@@ -22,13 +22,17 @@ import org.apache.spark.sql.types.LongType
 object Dist {
 
   /** Kill switch for the driver arms: set SPARK_GRAFT_FORCE_DISTRIBUTED=1
-    * and every [[sizeDispatch]] routes distributed regardless of size —
-    * the operational escape hatch if a driver arm ever misbehaves on a
-    * real deployment (the distributed arms are the 100 TB path and are
-    * correct at every size; the driver arms only save scheduling
-    * overhead under the ceilings). */
-  private val forceDistributed: Boolean =
-    sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED").exists(_ == "1")
+    * (or the `graft.force.distributed` system property, the in-process
+    * spelling tests use) and every [[sizeDispatch]] routes distributed
+    * regardless of size — the operational escape hatch if a driver arm
+    * ever misbehaves on a real deployment (the distributed arms are the
+    * 100 TB path and are correct at every size; the driver arms only
+    * save scheduling overhead under the ceilings). Read per dispatch, so
+    * the property flips without a JVM restart. */
+  private def forceDistributed: Boolean =
+    sys.env.get("SPARK_GRAFT_FORCE_DISTRIBUTED")
+      .orElse(sys.props.get("graft.force.distributed"))
+      .exists(_ == "1")
 
   /** The shared size-dispatch seam (the discipline six round-17 driver
     * arms repeated by convention: checkpoint → count → ceiling test →

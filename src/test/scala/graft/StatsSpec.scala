@@ -294,6 +294,39 @@ class StatsSpec extends GraftSuite {
     }
   }
 
+  test("sizeDispatch kill switch forces the distributed arm at any ceiling") {
+    import spark.implicits._
+    val ds = Seq((0L, 10L), (1L, 20L), (3L, 5L), (4L, 40L))
+    def planOf() = Stats.theilSenOfDaily(ds.toDF("day", "rev_c"),
+      driverMaxPairs = Long.MaxValue).queryExecution.executedPlan.toString
+    // default: the driver arm — a pure local projection, no join anywhere
+    val driverPlan = planOf()
+    assert(!driverPlan.contains("Join"),
+      s"expected the driver-median arm (no joins):\n$driverPlan")
+    val prev = sys.props.get("graft.force.distributed")
+    try {
+      sys.props("graft.force.distributed") = "1"
+      // switch on: the SAME call routes the distributed rank-selection
+      // arm (its pair self-join shows in the plan), and the result row
+      // is identical — the operational escape hatch changes the plan,
+      // never the answer
+      val distPlan = planOf()
+      assert(distPlan.contains("Join"),
+        s"kill switch must route the distributed arm:\n$distPlan")
+      val dist = rows(Stats.theilSenOfDaily(ds.toDF("day", "rev_c"),
+        driverMaxPairs = Long.MaxValue))
+      sys.props.remove("graft.force.distributed")
+      val drv = rows(Stats.theilSenOfDaily(ds.toDF("day", "rev_c"),
+        driverMaxPairs = Long.MaxValue))
+      assert(dist == drv, s"arms disagree under the switch: $dist vs $drv")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.force.distributed") = v
+        case None => sys.props.remove("graft.force.distributed")
+      }
+    }
+  }
+
   test("q_psi matches the exact decile-bin replay; PSI small on a random split") {
     val ds = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
