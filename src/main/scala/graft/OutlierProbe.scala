@@ -6,18 +6,32 @@ import org.apache.spark.sql.functions._
   * driver collect, local math, and both full arms.
   *
   * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.OutlierProbe`
-  */
+  *
+  * Round-18 measurement (sf0.1, 32 cores, warm, 4 samples/stage):
+  * vc_build 0.96-1.34 s, collect 0.22-0.30 s, local_math 0.32-0.50 s;
+  * full arm_driver 2.82-3.19 s ≈ arm_dist 2.67-3.58 s — warm the arms
+  * tie and the ~1.3 s over the stage sum is per-invocation
+  * planning/codegen across the arm's four small plans (checkpointed
+  * build, count, typed collect, 3-row presentation), the same cold
+  * cost Bench pays per query. The relation is price-DOMAIN-bounded
+  * (~594k value pairs at sf0.1), so at corpus scale the build
+  * amortizes and the bound holds. */
 object OutlierProbe {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchHarness.session()
     import spark.implicits._
     spark.read.parquet(s"$sf/lineitem.parquet").count()
-    def run4(label: String)(body: => Any): Unit = {
+    // clean=false for stages that RE-READ a locally-checkpointed frame:
+    // the between-sample unpersist would delete the only copy of its
+    // blocks and the next sample dies with CHECKPOINT_RDD_BLOCK_ID_NOT_
+    // FOUND (a truncated lineage cannot recompute) — exactly the hazard
+    // the r14 self-review flagged for the solver's residual
+    def run4(label: String, clean: Boolean = true)(body: => Any): Unit = {
       val w = body
       val ts = (0 until 4).map { _ =>
         val t = BenchHarness.time(body)
-        cleanup() // between-sample hygiene, OUTSIDE the timed region
+        if (clean) cleanup() // between-sample hygiene, OUTSIDE the timed region
         t
       }
       println(f"PROBE $label%-12s " +
@@ -37,8 +51,9 @@ object OutlierProbe {
     run4("vc_build") { val vc = vcOf(); vc.count() }
     val vc = vcOf()
     vc.count()
-    run4("collect") { vc.as[(String, Double, Long)].collect().length }
+    run4("collect", clean = false) { vc.as[(String, Double, Long)].collect().length }
     val flat = vc.as[(String, Double, Long)].collect()
+    cleanup()
     run4("local_math") {
       flat.groupBy(_._1).toSeq.map { case (flag, xs) =>
         val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
