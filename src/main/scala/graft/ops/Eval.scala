@@ -561,8 +561,27 @@ object Eval {
         least(floor((col("s") - col("mn")) * lit(1000000.0)
           / (col("mx") - col("mn"))).cast("long"), lit(999999L)))
         .otherwise(lit(0L)).as("p_micro"), col("y"))
+    // the ≤10-row bin grid feeds FOUR downstream subtrees (cum's
+    // self-join, pairs via cum, innerMin, the final join) — runtime
+    // reuse audit (graft.ReuseAudit): AQE's stage cache collapsed the
+    // static 12-scan plan only to THREE corpus scans, because the grid
+    // subtrees canonicalize differently. Eagerly materializing the tiny
+    // grid pins the corpus-pass count at its minimum of two (the mm
+    // min/max pass + this binning pass) at ANY corpus size, for the
+    // price of checkpointing ten rows
     val g = p.groupBy(expr("p_micro DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .localCheckpoint(true)
+    isotonicFromGrid(g)
+  }
+
+  /** The bounded-grid half of the minimax isotonic fit: from a
+    * materialized ≤10-row (bin, n, n_pos) relation to the calibrated
+    * per-bin table — zero corpus scans, every join grid-sided.
+    * Factored out so [[qIsotonicApply]] can derive the grid from its
+    * OWN binned relation and share one binning pass between fit and
+    * serve. */
+  private[graft] def isotonicFromGrid(g: DataFrame): DataFrame = {
     // every theta-join below carries an explicit broadcast hint: the
     // sides are ≤10-bin (≤55-pair) relations, but they sit behind
     // aggregations whose stats Catalyst can't bound, so without the hint
@@ -614,16 +633,22 @@ object Eval {
       array_max($"embedding").cast("double").as("s"),
       when(((array_position($"embedding", array_max($"embedding")) - 1) % 10)
         === $"label", 1L).otherwise(0L).as("y"))
-    val fit = isotonicFitFromScores(s.select($"s", $"y"))
-      .select($"bin", $"iso_prob".as("cal_prob"))
+    // ONE binned relation feeds both halves of the lifecycle: the fit
+    // grid aggregates it and the serving join projects it — 3 corpus
+    // passes total (mm, grid agg, serve) instead of fit and serve each
+    // re-deriving their own binning (ReuseAudit: was 4 runtime scans)
     val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
     val binned = s.crossJoin(broadcast(mm))
-      .select($"vec_id", $"s",
+      .select($"vec_id", $"s", $"y",
         when($"mx" > $"mn",
           least(floor(($"s" - $"mn") * lit(1000000.0) / ($"mx" - $"mn"))
             .cast("long"), lit(999999L)))
           .otherwise(lit(0L)).as("p_micro"))
-      .select($"vec_id", $"s", expr("p_micro DIV 100000").as("bin"))
+      .select($"vec_id", $"s", $"y", expr("p_micro DIV 100000").as("bin"))
+    val g = binned.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+      .localCheckpoint(true)
+    val fit = isotonicFromGrid(g).select($"bin", $"iso_prob".as("cal_prob"))
     binned.join(broadcast(fit), "bin")
       .select($"vec_id", $"bin", round($"s", 6).as("conf"), $"cal_prob")
       .orderBy($"vec_id")

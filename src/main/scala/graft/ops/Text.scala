@@ -603,14 +603,23 @@ object Text {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val tokens = docs.select($"doc_id", $"lang", explode(toks($"text")).as("token"))
-    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))        // #classes rows
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))                      // 1 row
+    // #classes rows, MATERIALIZED: priors also supplies n_docs (the sum
+    // of per-class counts IS the doc count — exact integers), saving the
+    // separate corpus-count pass
+    val priors = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
+      .localCheckpoint(true)
+    val nDocs = priors.agg(sum($"nc").as("n_docs"))                       // 1 row
+    // Every other model frame derives from tokClass (vocab × #classes
+    // rows — TOKEN-TYPE-bounded, never corpus-sized), MATERIALIZED:
+    // the round-17 comment here trusted AQE ReuseExchange to dedupe the
+    // three tokClass diamonds, but the round-18 runtime audit
+    // (graft.ReuseAudit) measured SIX corpus scans in the final adaptive
+    // plan — the consumers canonicalize differently, so the reuse never
+    // fired. The eager checkpoint pins the corpus-pass count at its
+    // floor of three (priors, this count aggregation, the per-doc
+    // scoring join below) at any corpus size.
     val tokClass = tokens.groupBy($"token", $"lang").agg(count(lit(1)).as("tc"))
-    // Every other model frame derives from tokClass (vocab × #classes rows)
-    // rather than re-exploding the corpus: the three tokClass references
-    // share one exchange (AQE ReuseExchange dedupes identical shuffle
-    // subtrees), so the whole query makes exactly TWO corpus passes — the
-    // count aggregation here and the per-doc scoring join below.
+      .localCheckpoint(true)
     val classTotals = tokClass.groupBy($"lang").agg(sum($"tc").as("tt"))  // #classes rows
     val vocabTokens = tokClass.select($"token").distinct()
     val vocabSize = vocabTokens.agg(count(lit(1)).as("v"))
