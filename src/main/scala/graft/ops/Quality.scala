@@ -374,12 +374,17 @@ object Quality {
       .select($"c_nationkey".cast("long").as("nation"),
         floor(floor($"c_acctbal" * 100).cast("long") / 100000L).as("bal_band"),
         $"c_mktsegment")
+    // the (class × segment) count grid supplies cls/seg/tot as exact
+    // integer re-sums — ReuseAudit measured the old four-reference
+    // spelling at FOUR runtime fact scans (AQE reuse never fired);
+    // materializing the bounded grid pins the query at ONE fact pass
     val cs = base.groupBy($"nation", $"bal_band", $"c_mktsegment")
       .agg(count(lit(1)).as("c_cs"))
-    val cls = base.groupBy($"nation", $"bal_band")
-      .agg(count(lit(1)).as("class_size"))
-    val seg = base.groupBy($"c_mktsegment").agg(count(lit(1)).as("g_s"))
-    val tot = base.agg(count(lit(1)).as("n_tot"))
+      .localCheckpoint(true)
+    val cls = cs.groupBy($"nation", $"bal_band")
+      .agg(sum($"c_cs").as("class_size"))
+    val seg = cs.groupBy($"c_mktsegment").agg(sum($"c_cs").as("g_s"))
+    val tot = cs.agg(sum($"c_cs").as("n_tot"))
     cls.crossJoin(broadcast(seg))
       .join(cs, Seq("nation", "bal_band", "c_mktsegment"), "left")
       .crossJoin(broadcast(tot))

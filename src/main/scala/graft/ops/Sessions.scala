@@ -650,8 +650,11 @@ object Sessions {
     val p = Tables.events(spark, sfDir)
       .where($"event_type" === "purchase")
       .select($"user_id", to_date($"ts").as("day"))
+    // same shape as qCohortLtv: materialize the user-cardinality cohort
+    // table, derive d0 from it — two event scans instead of three
     val c = p.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    val m = p.agg(min($"day").as("d0"))
+      .localCheckpoint(true)
+    val m = c.agg(min($"cohort_day").as("d0"))
     p.join(c, "user_id")
       .select($"user_id", $"cohort_day",
         datediff($"day", $"cohort_day").cast("long").as("offset_d"))
@@ -1169,8 +1172,14 @@ object Sessions {
       .where($"event_type" === "purchase")
       .select($"user_id", to_date($"ts").as("day"),
         ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // the per-user cohort table (USER-cardinality — orders smaller than
+    // the event stream it summarizes) is read three ways (join key,
+    // cohort sizes, global d0); ReuseAudit measured four runtime event
+    // scans without materialization. d0 = min over users' minima — the
+    // same global minimum, exactly
     val c = p.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    val m = p.agg(min($"day").as("d0"))
+      .localCheckpoint(true)
+    val m = c.agg(min($"cohort_day").as("d0"))
     val sizes = c.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_users"))
     val wCum = Window.partitionBy($"cohort_day").orderBy($"offset_d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

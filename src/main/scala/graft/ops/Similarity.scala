@@ -1441,9 +1441,14 @@ object Similarity {
     * what fraction of its distinct shingles are boilerplate. Shape: ONE
     * digested shingle explode + distinct (the same 120-bit [[digestLo]]/[[digestHi]] digest as
     * the near-dup family, so every shuffle carries a 16-byte key), a
-    * document-frequency aggregation over it, and a semi-join back — the
-    * exchange under the distinct is shared by all three consumers via AQE
-    * reuse. All counts are integers; the only double op is the final
+    * document-frequency aggregation over it, and a semi-join back. The
+    * digested relation feeds THREE consumers (df cap, per-doc totals,
+    * the boilerplate join) — the round-17 comment here trusted AQE to
+    * share the distinct's exchange, but the round-18 runtime audit
+    * (graft.ReuseAudit) measured the explode+digest+distinct running
+    * THREE times (four corpus scans, zero reuse fired); one eager
+    * checkpoint materializes it once — the qContamination discipline.
+    * All counts are integers; the only double op is the final
     * per-doc division. */
   def qBoilerplateFrac(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1453,6 +1458,7 @@ object Similarity {
       .select($"doc_id", call_function("graft_md5_split", $"s").as("dg"))
       .select($"doc_id", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
       .distinct()
+      .localCheckpoint(false)
     val bp = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
       .where($"df" >= BoilerplateMinDf).select($"h1", $"h2")
     val tot = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -1845,8 +1851,13 @@ object Similarity {
         call_function("graft_md5_split", $"s").as("dg"))
       .select($"source", $"bucket", $"dg"(0).as("h1"), $"dg"(1).as("h2"))
     val tr = sh.where($"bucket" < 80).select($"h1", $"h2").distinct()
+    // ev feeds TWO consumers (the coverage semi-join and the n_grams
+    // denominator) and ReuseAudit measured its explode+distinct running
+    // twice — materialize the 10%-slice distinct once; tr stays lazy
+    // (single consumer, and its 80% slice is the expensive side)
     val ev = sh.where($"bucket" >= 90)
       .select($"source", $"h1", $"h2").distinct()
+      .localCheckpoint(true)
     val covered = ev.join(tr, Seq("h1", "h2"), "left_semi")
       .groupBy($"source").agg(count(lit(1)).as("n_covered"))
     val evalDocs = docs.where($"bucket" >= 90)

@@ -1180,8 +1180,12 @@ object Text {
     * source/lang-cardinality broadcasts. */
   def qSourceKl(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // (source × lang)-bounded grid, MATERIALIZED: its three marginal
+    // re-sums otherwise re-scan the corpus (ReuseAudit: four runtime
+    // scans, zero reuse) — one corpus pass at any scale
     val cells = Tables.documents(spark, sfDir)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+      .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
     val total = cells.agg(sum($"c_sl").as("ct"))
@@ -1228,10 +1232,13 @@ object Text {
     * then sources×buckets grid joins over broadcast-sized relations. */
   def qJensenShannon(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // (source × 10-bin)-bounded grid, MATERIALIZED (ReuseAudit measured
+    // two residual corpus scans under AQE reuse) — one pass, pinned
     val cells = Tables.documents(spark, sfDir)
       .groupBy($"source",
         expr("least(CAST(length(text) AS BIGINT) DIV 200, 9L)").as("bin"))
       .agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint(true)
     val srcs = cells.groupBy($"source").agg(sum($"c_sb").as("c_s"))
     val bins = cells.groupBy($"bin").agg(sum($"c_sb").as("c_b"))
     val total = cells.agg(sum($"c_sb").as("ct"))
@@ -1303,8 +1310,11 @@ object Text {
     * degrade to 0, not divide by zero) is unit-testable. */
   private[graft] def mutualInformationFromPairs(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
+    // category-bounded contingency grid, MATERIALIZED (ReuseAudit: four
+    // runtime corpus scans without it) — one corpus pass at any scale
     val cells = pairs
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+      .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
     val total = cells.agg(sum($"c_sl").as("ct"))
@@ -1388,8 +1398,11 @@ object Text {
     * divide by zero) is unit-testable. */
   private[graft] def cramersVFromPairs(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
+    // category-bounded contingency grid, MATERIALIZED (ReuseAudit: four
+    // runtime corpus scans without it) — one corpus pass at any scale
     val cells = pairs
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+      .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
     val total = cells.agg(sum($"c_sl").as("ct"))
@@ -1979,7 +1992,14 @@ object Text {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"source", (floor($"n_chars" / 50) * 50).cast("long").as("bucket"))
+    // the (source × bucket) count grid is dimension-bounded and supplies
+    // EVERY downstream relation as exact integer re-aggregations — the
+    // round-18 runtime reuse audit (graft.ReuseAudit) measured the old
+    // spelling at FIVE corpus scans (grid ×2, cums, corpus CDF, n_s, n
+    // each re-derived; AQE reuse never fired); materializing the grid
+    // pins the query at ONE corpus pass at any scale
     val sb = docs.groupBy($"source", $"bucket").agg(count(lit(1)).as("c_sb"))
+      .localCheckpoint(true)
     val grid = sb.select($"source").distinct()
       .crossJoin(broadcast(sb.select($"bucket").distinct()))
     val wS = Window.partitionBy($"source").orderBy($"bucket")
@@ -1988,11 +2008,11 @@ object Text {
       .select($"source", $"bucket", coalesce($"c_sb", lit(0L)).as("c_sb"))
       .withColumn("cum_s", sum($"c_sb").over(wS))
     val corpus = graft.ops.Dist.withPrefix(
-        docs.groupBy($"bucket").agg(count(lit(1)).as("c_b")),
+        sb.groupBy($"bucket").agg(sum($"c_sb").as("c_b")),
         Seq($"bucket"), Seq("c_b" -> "pre"))
       .select($"bucket", ($"pre" + $"c_b").as("cum_c"))
-    val nS = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    val nS = sb.groupBy($"source").agg(sum($"c_sb").as("n_s"))
+    val n = sb.agg(sum($"c_sb").as("n"))
     cums.join(corpus, "bucket")
       .join(broadcast(nS), "source")
       .crossJoin(broadcast(n))
