@@ -286,10 +286,15 @@ object Eval {
   def qCohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val p = preds(spark, sfDir)
-    val tot = p.agg(count(lit(1)).as("n"),
-      sum(when($"actual" === $"predicted", 1L).otherwise(0L)).as("agree"))
-    val ma = p.groupBy($"actual".as("cls")).agg(count(lit(1)).as("ca"))
-    val mp = p.groupBy($"predicted".as("cls")).agg(count(lit(1)).as("cp"))
+    // class²-bounded confusion grid, MATERIALIZED — totals/marginals are
+    // exact integer re-sums of it (ReuseAudit: three runtime corpus
+    // scans without it); one corpus pass at any scale
+    val cg = p.groupBy($"actual", $"predicted").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = cg.agg(sum($"c").as("n"),
+      sum(when($"actual" === $"predicted", $"c").otherwise(0L)).as("agree"))
+    val ma = cg.groupBy($"actual".as("cls")).agg(sum($"c").as("ca"))
+    val mp = cg.groupBy($"predicted".as("cls")).agg(sum($"c").as("cp"))
     val pe = ma.join(mp, Seq("cls"), "full_outer")
       .agg(sum(coalesce($"ca", lit(0L)) * coalesce($"cp", lit(0L))).as("pe_num"))
     tot.crossJoin(broadcast(pe))
@@ -403,6 +408,9 @@ object Eval {
       .groupBy(expr("p_micro DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p_micro")).as("sum_p"),
         sum(col("y")).as("n_pos"))
+      // ≤10-row grid feeding two consumers — materialize, pinning the
+      // corpus-pass count at two (mm + binning); the isotonic discipline
+      .localCheckpoint(true)
     val total = g.agg(sum(col("n")).as("ct"))
     val gap = abs(col("sum_p").cast("double") / (col("n") * lit(1000000.0))
       - col("n_pos").cast("double") / col("n"))

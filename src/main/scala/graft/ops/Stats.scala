@@ -43,16 +43,20 @@ object Stats {
   def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir).select($"source", $"n_chars")
+    // (source × length)-bounded count grid, MATERIALIZED — source totals,
+    // the global length counts, and the corpus total are exact integer
+    // re-sums of it (ReuseAudit: three runtime corpus scans without it)
     val perSrcVal = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
-    val srcTot = d.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .localCheckpoint(true)
+    val srcTot = perSrcVal.groupBy($"source").agg(sum($"c").as("ns"))
     // global CDF numerator on the distinct-length grid — a distributed
     // two-pass prefix sum, so nothing funnels one partition even if the
     // length domain grows
     val globalCum = Dist.withPrefix(
-        d.groupBy($"n_chars").agg(count(lit(1)).as("cg")),
+        perSrcVal.groupBy($"n_chars").agg(sum($"c").as("cg")),
         Seq($"n_chars"), Seq("cg" -> "pre"))
       .select($"n_chars", ($"pre" + $"cg").as("cumg"))
-    val nTot = d.agg(count(lit(1)).as("ng"))
+    val nTot = perSrcVal.agg(sum($"c").as("ng"))
     val ws = Window.partitionBy($"source").orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     globalCum
@@ -191,6 +195,15 @@ object Stats {
         $"l_quantity".cast("long").as("x"),
         expr("CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT)")
           .as("y"))
+    // the joint (flag, x, y) count grid is domain-bounded (quantities ×
+    // floored dollar prices, ≤ ~5e6 cells/flag at ANY corpus size) and
+    // supplies BOTH rank grids and the weighted Pearson moments —
+    // ReuseAudit measured the old spelling at THREE fact scans (two
+    // grid builds + the moment join over raw rows); materialized, the
+    // fact table is read once and every row-level sum becomes the exact
+    // cnt-weighted cell sum (identical integers, same DECIMAL widening)
+    val vc = rowsDf.groupBy($"flag", $"x", $"y").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     def rank2(col: String): DataFrame = {
       val c = org.apache.spark.sql.functions.col(col)
       // per-flag prefix window over the DISTINCT-value grid: the grid is
@@ -201,23 +214,23 @@ object Stats {
       // round-trips cost more than the bounded sort saves)
       val wb = Window.partitionBy($"flag").orderBy(c)
         .rowsBetween(Window.unboundedPreceding, -1)
-      rowsDf.groupBy($"flag", c)
-        .agg(count(lit(1)).as("cnt"))
+      vc.groupBy($"flag", c)
+        .agg(sum($"cnt").as("cnt"))
         .withColumn("ar2",
           lit(2L) * coalesce(sum($"cnt").over(wb), lit(0L)) + $"cnt" + 1L)
         .select($"flag", c, $"ar2")
     }
     val rx = rank2("x").withColumnRenamed("ar2", "ax")
     val ry = rank2("y").withColumnRenamed("ar2", "ay")
-    rowsDf.join(broadcast(rx), Seq("flag", "x"))
+    vc.join(broadcast(rx), Seq("flag", "x"))
       .join(broadcast(ry), Seq("flag", "y"))
       .groupBy($"flag")
-      .agg(count(lit(1)).as("n"),
-        sum($"ax".cast("decimal(38,0)")).as("sx"),
-        sum($"ay".cast("decimal(38,0)")).as("sy"),
-        sum($"ax".cast("decimal(38,0)") * $"ax").as("sxx"),
-        sum($"ay".cast("decimal(38,0)") * $"ay").as("syy"),
-        sum($"ax".cast("decimal(38,0)") * $"ay").as("sxy"))
+      .agg(sum($"cnt").as("n"),
+        sum($"cnt".cast("decimal(38,0)") * $"ax").as("sx"),
+        sum($"cnt".cast("decimal(38,0)") * $"ay").as("sy"),
+        sum($"cnt".cast("decimal(38,0)") * $"ax" * $"ax").as("sxx"),
+        sum($"cnt".cast("decimal(38,0)") * $"ay" * $"ay").as("syy"),
+        sum($"cnt".cast("decimal(38,0)") * $"ax" * $"ay").as("sxy"))
       .select($"flag".as("l_returnflag"), $"n",
         round(($"n".cast("double") * $"sxy".cast("double")
           - $"sx".cast("double") * $"sy".cast("double"))
@@ -888,24 +901,30 @@ object Stats {
     val d = Tables.documents(spark, sfDir)
       .select($"n_chars".as("v"),
         (graft.ops.Similarity.digest60($"doc_id".cast("string")) % 10L < 8L).as("is_train"))
-    val vc = d.where($"is_train").groupBy($"v").agg(count(lit(1)).as("cnt"))
+    // (length-value × train-flag)-bounded count grid, MATERIALIZED —
+    // the train value counts, the binning pass, and both totals are
+    // exact cnt-weighted re-aggregations of it (ReuseAudit: three
+    // runtime corpus scans without it); one corpus pass at any scale
+    val vc2 = d.groupBy($"v", $"is_train").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val vc = vc2.where($"is_train").select($"v", $"cnt")
     val cuts = Dist.withPrefix(vc, Seq($"v"), Seq("cnt" -> "cumb"))
       .crossJoin(broadcast(vc.agg(sum($"cnt").as("n"))))
       .select($"v", $"cumb", $"cnt", $"n")
       .where(expr(
         "exists(sequence(1, 9), k -> cumb < (k * n) DIV 10 AND (k * n) DIV 10 <= cumb + cnt)"))
       .select($"v".as("cut"))
-    val binned = d.crossJoin(broadcast(cuts.agg(
+    val binned = vc2.crossJoin(broadcast(cuts.agg(
         sort_array(collect_list($"cut")).as("cs"))))
-      .select($"is_train",
+      .select($"is_train", $"cnt",
         aggregate($"cs", lit(0L), (acc, c) => acc + when($"v" > c, 1L).otherwise(0L))
           .as("bin"))
     binned.groupBy($"bin")
-      .agg(sum(when($"is_train", 1L).otherwise(0L)).as("tn"),
-        sum(when(!$"is_train", 1L).otherwise(0L)).as("en"))
+      .agg(sum(when($"is_train", $"cnt").otherwise(0L)).as("tn"),
+        sum(when(!$"is_train", $"cnt").otherwise(0L)).as("en"))
       .crossJoin(broadcast(binned.agg(
-        (sum(when($"is_train", 1L).otherwise(0L)) + 10L).as("tt"),
-        (sum(when(!$"is_train", 1L).otherwise(0L)) + 10L).as("et"))))
+        (sum(when($"is_train", $"cnt").otherwise(0L)) + 10L).as("tt"),
+        (sum(when(!$"is_train", $"cnt").otherwise(0L)) + 10L).as("et"))))
       .select($"bin", $"tn", $"en",
         round((($"tn" + 1L).cast("double") / $"tt" - ($"en" + 1L).cast("double") / $"et")
           * (log(($"tn" + 1L).cast("double") / $"tt")

@@ -301,8 +301,13 @@ object Text {
   def qTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // tf feeds BOTH the df aggregation and the scoring join — ReuseAudit
+    // measured the explode+groupBy running twice; LAZY checkpoint (the
+    // corpus-sized-relation discipline, see qBoilerplateFrac) shares it
+    // within the action without an eager materialization job
     val tf = docs.select($"doc_id", explode(toks($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
