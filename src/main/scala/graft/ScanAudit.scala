@@ -43,9 +43,17 @@ object ScanAudit {
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
         // plan text interleaves "Location" and "ReadSchema" per scan in
-        // order; zip them pairwise
+        // order; zip them pairwise — but ONLY when the counts agree: a
+        // truncated plan string or an interleaved non-parquet scan would
+        // silently misalign the pairing and attribute widths to the
+        // wrong table, so unequal counts are a reported parse error for
+        // this query, not a zip
         val locs = scanRe.findAllMatchIn(plan).map(_.group(1)).toList
         val reads = readRe.findAllMatchIn(plan).map(_.group(1)).toList
+        if (locs.size != reads.size) {
+          println(s"SCAN $name PARSE-ERROR Location/ReadSchema count " +
+            s"mismatch (${locs.size} vs ${reads.size}) — skipped, not zipped")
+        } else
         locs.zip(reads).foreach { case (t, schema) =>
           val nRead =
             if (schema.trim.isEmpty) 0

@@ -388,12 +388,24 @@ private[functions] object FoldableIntArg {
     else if (!e.foldable)
       Some(TypeCheckResult.TypeCheckFailure(
         s"$pretty expects $name to be a foldable int literal"))
-    else e.eval(null) match {
-      case null => Some(TypeCheckResult.TypeCheckFailure(
-        s"$pretty $name must not be NULL"))
-      case v: Int if v < 1 || v > max => Some(TypeCheckResult.TypeCheckFailure(
-        s"$pretty $name must be in [1, $max], got $v"))
-      case _ => None
+    else {
+      // a foldable expression may still THROW on evaluation (e.g. an ANSI
+      // 1/0 literal) — surface that as a named analysis failure, not a
+      // raw runtime exception escaping checkInputDataTypes
+      val evaluated =
+        try Right(e.eval(null))
+        catch { case scala.util.control.NonFatal(ex) => Left(ex) }
+      evaluated match {
+        case Left(ex) => Some(TypeCheckResult.TypeCheckFailure(
+          s"$pretty $name failed to evaluate at analysis time: " +
+            s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
+        case Right(null) => Some(TypeCheckResult.TypeCheckFailure(
+          s"$pretty $name must not be NULL"))
+        case Right(v: Int) if v < 1 || v > max =>
+          Some(TypeCheckResult.TypeCheckFailure(
+            s"$pretty $name must be in [1, $max], got $v"))
+        case Right(_) => None
+      }
     }
   }
 }

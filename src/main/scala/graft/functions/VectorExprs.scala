@@ -472,6 +472,20 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     registrations.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+      else {
+        // the identifier exists — verify it IS our kernel: a pre-existing
+        // user-registered graft_* of a different shape would otherwise
+        // silently shadow the kernel and entry points like Dedup.simhash
+        // would compute with the wrong function
+        val existing = reg.lookupFunction(id).map(_.getClassName).orNull
+        if (existing != info.getClassName)
+          throw new IllegalStateException(
+            s"function '${id.funcName}' is already registered as " +
+              s"$existing, not the graft kernel ${info.getClassName}; " +
+              "rename or drop the conflicting function " +
+              s"(spark.sessionState.functionRegistry.dropFunction) before " +
+              "using graft entry points on this session")
+      }
     }
   }
 

@@ -291,8 +291,11 @@ object Eval {
     // scans without it); one corpus pass at any scale
     val cg = p.groupBy($"actual", $"predicted").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val tot = cg.agg(sum($"c").as("n"),
-      sum(when($"actual" === $"predicted", $"c").otherwise(0L)).as("agree"))
+    // coalesce: an empty corpus must read as 0 docs (the pre-grid count
+    // semantics), not as NULL propagating through the kappa arithmetic
+    val tot = cg.agg(coalesce(sum($"c"), lit(0L)).as("n"),
+      coalesce(sum(when($"actual" === $"predicted", $"c").otherwise(0L)),
+        lit(0L)).as("agree"))
     val ma = cg.groupBy($"actual".as("cls")).agg(sum($"c").as("ca"))
     val mp = cg.groupBy($"predicted".as("cls")).agg(sum($"c").as("cp"))
     val pe = ma.join(mp, Seq("cls"), "full_outer")

@@ -384,7 +384,8 @@ object Quality {
     val cls = cs.groupBy($"nation", $"bal_band")
       .agg(sum($"c_cs").as("class_size"))
     val seg = cs.groupBy($"c_mktsegment").agg(sum($"c_cs").as("g_s"))
-    val tot = cs.agg(sum($"c_cs").as("n_tot"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val tot = cs.agg(coalesce(sum($"c_cs"), lit(0L)).as("n_tot"))
     cls.crossJoin(broadcast(seg))
       .join(cs, Seq("nation", "bal_band", "c_mktsegment"), "left")
       .crossJoin(broadcast(tot))

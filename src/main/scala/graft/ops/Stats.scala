@@ -56,7 +56,8 @@ object Stats {
         perSrcVal.groupBy($"n_chars").agg(sum($"c").as("cg")),
         Seq($"n_chars"), Seq("cg" -> "pre"))
       .select($"n_chars", ($"pre" + $"cg").as("cumg"))
-    val nTot = perSrcVal.agg(sum($"c").as("ng"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val nTot = perSrcVal.agg(coalesce(sum($"c"), lit(0L)).as("ng"))
     val ws = Window.partitionBy($"source").orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     globalCum

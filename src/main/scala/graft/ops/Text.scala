@@ -613,7 +613,8 @@ object Text {
     // separate corpus-count pass
     val priors = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
       .localCheckpoint(true)
-    val nDocs = priors.agg(sum($"nc").as("n_docs"))                       // 1 row
+    // 1 row; coalesce: empty corpus reads as 0 docs (count semantics)
+    val nDocs = priors.agg(coalesce(sum($"nc"), lit(0L)).as("n_docs"))
     // Every other model frame derives from tokClass (vocab × #classes
     // rows — TOKEN-TYPE-bounded, never corpus-sized), MATERIALIZED:
     // the round-17 comment here trusted AQE ReuseExchange to dedupe the
@@ -1193,7 +1194,8 @@ object Text {
       .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    val total = cells.agg(sum($"c_sl").as("ct"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
     cells
       .join(broadcast(bySource), "source")
       .join(broadcast(byLang), "lang")
@@ -1322,7 +1324,8 @@ object Text {
       .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    val total = cells.agg(sum($"c_sl").as("ct"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
     val mi = cells
       .join(broadcast(bySource), "source")
       .join(broadcast(byLang), "lang")
@@ -1410,7 +1413,8 @@ object Text {
       .localCheckpoint(true)
     val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
     val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    val total = cells.agg(sum($"c_sl").as("ct"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
     val dims = bySource.agg(count(lit(1)).as("r"))
       .crossJoin(broadcast(byLang.agg(count(lit(1)).as("c"))))
     val grid = bySource.crossJoin(broadcast(byLang))
@@ -2017,7 +2021,8 @@ object Text {
         Seq($"bucket"), Seq("c_b" -> "pre"))
       .select($"bucket", ($"pre" + $"c_b").as("cum_c"))
     val nS = sb.groupBy($"source").agg(sum($"c_sb").as("n_s"))
-    val n = sb.agg(sum($"c_sb").as("n"))
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val n = sb.agg(coalesce(sum($"c_sb"), lit(0L)).as("n"))
     cums.join(corpus, "bucket")
       .join(broadcast(nS), "source")
       .crossJoin(broadcast(n))

@@ -639,6 +639,23 @@ class LearningOpsSpec extends GraftSuite {
       s"unreadable limit must fall back to the measured 32, got $w")
   }
 
+  test("zcaProbedServeWidth measures THIS JVM's real cliff (probe mode)") {
+    // The flag-gated product-JVM micro-probe: times the actual fused
+    // zcaExprTransformer at 32/64/128/256 and keeps the widest under the
+    // cliff ratio. On this dev JVM ZcaBench measured the d=64 cliff
+    // directly (~168× per element), so the probe must agree and return
+    // exactly the measured-safe 32 — a wider answer means the probe
+    // stopped seeing the interpretation penalty it exists to measure.
+    val w = graft.ml.LearningOps.zcaProbedServeWidth(spark)
+    assert(Set(32, 64, 128, 256).contains(w), s"probed width off-grid: $w")
+    assert(w == 32,
+      s"this JVM's d=64 cliff is ZcaBench-measured; probe returned $w")
+    // cached per JVM: the second call must not re-time
+    val t0 = System.nanoTime()
+    assert(graft.ml.LearningOps.zcaProbedServeWidth(spark) == w)
+    assert((System.nanoTime() - t0) / 1e9 < 0.1, "probe result not cached")
+  }
+
   test("wide-projection sites stay OUT of whole-stage fusion (JIT-cliff guard)") {
     // The ZcaBench-measured cliff: a whole-stage-fused Project carrying
     // ~50+ dot/sqdist expressions passes HotSpot's huge-method JIT limit

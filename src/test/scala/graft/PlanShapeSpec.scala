@@ -114,6 +114,13 @@ class PlanShapeSpec extends GraftSuite {
     // generous (3) and the exception map documents each higher count's
     // runtime adjudication. A new query over the cap fails here by
     // default; a stale exception fails too.
+    // BLIND SPOT (documented): an eager localCheckpoint replaces its
+    // upstream scans with a LogicalRDD at DataFrame-construction time,
+    // so scans feeding a checkpointed grid are INVISIBLE to this static
+    // count — which now covers most of the round-18-rewritten queries.
+    // RuntimeScanSpec complements this guard with a
+    // QueryExecutionListener that observes the checkpoint-building
+    // executions too and pins the adjudicated per-table runtime totals.
     val cartesian = scala.collection.mutable.ArrayBuffer.empty[String]
     val globalWin = scala.collection.mutable.ArrayBuffer.empty[String]
     val scanRe = """Location: [^\n]*/(\w+)\.parquet""".r
