@@ -109,6 +109,11 @@ object Bench {
     // proxy with no plan-choice variance.
     val anchorName =
       sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "q_agg_pricing_summary")
+    // one untimed warm run first: the timed start anchor must measure
+    // the HOST, not the anchor's own one-time plan/codegen cost (the
+    // first instrumented sweep read start=1.21 s vs end=0.40 s for
+    // exactly this reason)
+    timeOne(anchorName)
     val anchorStart = timeOne(anchorName)
     val sweepT0 = System.nanoTime()
     val atBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
