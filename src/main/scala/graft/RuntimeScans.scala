@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Listener-based runtime parquet-scan counter — the instrument behind
+  * RuntimeScanSpec's CI pins and the [[RuntimeScanAudit]] main. The
+  * static plan-text scan count (PlanShapeSpec guard 3 / graft.ScanAudit)
+  * cannot see scans feeding an eager localCheckpoint: the checkpoint
+  * replaces them with a LogicalRDD at DataFrame-CONSTRUCTION time. A
+  * QueryExecutionListener observes EVERY execution the session fires —
+  * checkpoint builds run through `Dataset.withAction` exactly like the
+  * main collect — so per-table totals across all captured executions are
+  * the query's true runtime scan counts.
+  *
+  * Instrument subtleties (mirrors ReuseAudit's lessons):
+  *  - each captured plan is cut at "== Initial Plan ==" so AQE's
+  *    pre-execution tree is never double-counted;
+  *  - the execution-listener bus is async, so the capture waits until
+  *    the count is stable for 3 consecutive 200 ms checks (cap 20 s);
+  *  - LAZY checkpoints materialize inside the main job with no
+  *    QueryExecution of their own — invisible here by construction, but
+  *    RDD block semantics already pin them at one materialization.
+  */
+object RuntimeScans {
+
+  /** Per-table parquet-scan totals across every QueryExecution fired
+    * while `build` constructs a DataFrame and it is collected. */
+  def measure(spark: SparkSession)(build: => DataFrame): Map[String, Int] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString.split("== Initial Plan ==").head)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      build.collect()
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 20000) {
+        Thread.sleep(200); waited += 200
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val scanRe = """Location: [^\n]*/(\w+)\.parquet""".r
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toList
+      .flatMap(p => scanRe.findAllMatchIn(p).map(_.group(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+}
+
+/** Whole-surface runtime scan audit: [[RuntimeScans.measure]] over every
+  * declared query (or the ones named as args) — the offline companion of
+  * RuntimeScanSpec's 18 CI pins, for re-adjudicating the exceptions maps
+  * after a planner change or a rewrite. Prints one line per query with
+  * its per-table runtime totals and a `MAX` summary.
+  *
+  * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.RuntimeScanAudit [query...]`
+  */
+object RuntimeScanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    var worst = 0
+    targets.foreach { name =>
+      try {
+        val counts = RuntimeScans.measure(spark)(
+          SparkEntry.queries(name)(spark, sfDir))
+        val m = if (counts.isEmpty) 0 else counts.values.max
+        worst = math.max(worst, m)
+        val body = counts.toSeq.sortBy(-_._2)
+          .map { case (t, n) => s"$t=$n" }.mkString(" ")
+        println(f"RTSCAN $name%-28s max=$m%2d $body")
+      } catch { case e: Throwable =>
+        println(s"RTSCAN $name ERROR ${String.valueOf(e.getMessage).take(80)}")
+      }
+    }
+    println(s"RTSCAN done: worst per-table runtime scan count = $worst " +
+      s"over ${targets.size} queries")
+    spark.stop()
+  }
+}

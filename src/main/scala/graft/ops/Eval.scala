@@ -647,8 +647,15 @@ object Eval {
     // ONE binned relation feeds both halves of the lifecycle: the fit
     // grid aggregates it and the serving join projects it — 3 corpus
     // passes total (mm, grid agg, serve) instead of fit and serve each
-    // re-deriving their own binning (ReuseAudit: was 4 runtime scans)
-    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx"))
+    // re-deriving their own binning. The 1-ROW mm aggregate is
+    // materialized too: the round-19 listener audit (graft.RuntimeScans)
+    // measured 4 runtime embeddings scans because the serve plan
+    // re-derived mm — the r18 comment claimed the pass was shared, but
+    // the grid checkpoint only covers the AGGREGATED relation, and both
+    // the grid build and the serve plan carried their own mm subtree.
+    // Checkpointing one row pins the query at its 3-pass floor
+    // (RuntimeScanSpec: embeddings=3).
+    val mm = s.agg(min($"s").as("mn"), max($"s").as("mx")).localCheckpoint(true)
     val binned = s.crossJoin(broadcast(mm))
       .select($"vec_id", $"s", $"y",
         when($"mx" > $"mn",

@@ -621,18 +621,32 @@ object Stats {
     val firstTwo = o
       .withColumn("rn", row_number().over(Window.partitionBy($"cust").orderBy($"day")))
       .where($"rn" <= 2)
+    // the 1-row study-end aggregate and the DAY-domain-bounded duration
+    // grid are both materialized: the round-19 listener audit
+    // (graft.RuntimeScans) measured 4 runtime orders scans — subj was
+    // re-derived for the separate ntot count, and each derivation
+    // carried its own dend subtree. ntot re-derives from the grid as an
+    // exact integer re-sum (every subject lands in exactly one duration
+    // bucket, so Σ(d+c) IS the subject count); the checkpoints pin the
+    // query at its 2-pass floor: one orders scan for the per-customer
+    // first/second days, one for the global study end
+    // (RuntimeScanSpec: orders=2).
+    val dend = o.agg(max($"day").as("dend")).localCheckpoint(true)
     val subj = firstTwo.groupBy($"cust")
       .agg(min(when($"rn" === 1, $"day")).as("d0"),
         min(when($"rn" === 2, $"day")).as("d1"))
-      .crossJoin(broadcast(o.agg(max($"day").as("dend"))))
+      .crossJoin(broadcast(dend))
       .select(
         when($"d1".isNotNull, $"d1" - $"d0").otherwise($"dend" - $"d0").as("dur"),
         when($"d1".isNotNull, 1L).otherwise(0L).as("ev"))
     val grid = subj.groupBy($"dur")
       .agg(sum($"ev").as("d"), sum(lit(1L) - $"ev").as("c"))
       .withColumn("tot", $"d" + $"c")
+      .localCheckpoint(true)
+    // coalesce: empty corpus reads as 0 (count semantics), not NULL
+    val ntot = grid.agg(coalesce(sum($"tot"), lit(0L)).as("ntot"))
     val terms = Dist.withPrefix(grid, Seq($"dur"), Seq("tot" -> "cumb"))
-      .crossJoin(broadcast(subj.agg(count(lit(1)).as("ntot"))))
+      .crossJoin(broadcast(ntot))
       .withColumn("n_risk", $"ntot" - $"cumb")
       .withColumn("lt",
         when($"d" > 0 && $"d" < $"n_risk",

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
-
 /** Runtime scan-count smoke over the round-18 repeat-scan adjudications:
   * the static ≤3-scan guard (PlanShapeSpec) counts parquet Locations in
   * the FINAL plan text, but an eager localCheckpoint replaces its
@@ -32,43 +29,11 @@ class RuntimeScanSpec extends GraftSuite {
 
   /** Per-table parquet-scan totals across every QueryExecution fired
     * while constructing + collecting `name` (checkpoint builds, dispatch
-    * counts, the main action — everything on this session). */
-  private def runtimeScans(name: String): Map[String, Int] = {
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit =
-        // AQE's toString appends the pre-execution tree under
-        // "== Initial Plan ==" — count only the final section
-        plans.add(qe.executedPlan.toString.split("== Initial Plan ==").head)
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      SparkEntry.queries(name)(spark, sf).collect()
-      // the execution-listener bus is async — wait until the capture
-      // count has been stable for 3 consecutive checks (cap 20 s)
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 20000) {
-        Thread.sleep(200); waited += 200
-        val n = plans.size
-        if (n == last) stable += 1 else { stable = 0; last = n }
-      }
-    } finally {
-      spark.listenerManager.unregister(listener)
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-    val scanRe = """Location: [^\n]*/(\w+)\.parquet""".r
-    import scala.jdk.CollectionConverters._
-    plans.asScala.toList
-      .flatMap(p => scanRe.findAllMatchIn(p).map(_.group(1)))
-      .groupBy(identity).view.mapValues(_.size).toMap
-  }
+    * counts, the main action — everything on this session). The
+    * instrument itself lives in [[graft.RuntimeScans]], shared with the
+    * whole-surface [[graft.RuntimeScanAudit]] main. */
+  private def runtimeScans(name: String): Map[String, Int] =
+    RuntimeScans.measure(spark)(SparkEntry.queries(name)(spark, sf))
 
   // The pinned adjudications: query -> exact per-table runtime scan
   // totals. Deliberately EXACT (not <=): a count DROPPING below the
@@ -93,6 +58,12 @@ class RuntimeScanSpec extends GraftSuite {
     // min-max pass + binning pass — the isotonic family's 2-pass minimum
     "q_calibration_ece" -> Map("embeddings" -> 2),
     "q_isotonic_fit" -> Map("embeddings" -> 2),
+    // mm + grid agg + serve (round-19 listener-audit find: the serve
+    // plan re-derived mm until the 1-row checkpoint; was 4)
+    "q_isotonic_apply" -> Map("embeddings" -> 3),
+    // per-customer days pass + study-end pass; ntot is an exact re-sum
+    // of the materialized duration grid (round-19 find; was 4)
+    "q_kaplan_meier" -> Map("orders" -> 2),
     // one scan per materialized side multiset (Relational.scala Scaladoc)
     "q_set_ops" -> Map("customer" -> 1, "orders" -> 1),
     "q_set_ops_all" -> Map("customer" -> 2, "orders" -> 2),
