@@ -59,6 +59,20 @@ object RuntimeScans {
       .flatMap(p => scanRe.findAllMatchIn(p).map(_.group(1)))
       .groupBy(identity).view.mapValues(_.size).toMap
   }
+
+  // NEGATIVE RESULT, recorded so the next round doesn't re-try it: a
+  // task-inputMetrics bytesRead listener was built to close the LAZY-
+  // checkpoint blind spot (a lazy localCheckpoint materializes inside
+  // the main job with no QueryExecution, invisible to plan text), but
+  // Spark's TaskMetrics.inputMetrics conflates block-manager CACHE
+  // reads with Hadoop-FS reads — measured here: one full scan of a
+  // 65 KB parquet reported 2977 bytes (the vectorized reader
+  // under-reports FS bytes) while q_boilerplate_frac reported 4.9 MB
+  // (its lazy-checkpointed shingle relation read back from blocks,
+  // counted as "input"). Neither direction of the signal tracks
+  // parquet passes, so no ceiling expressed in it can pin them. The
+  // lazy blind spot stays documented-accepted: RDD block semantics
+  // already guarantee one materialization per lazy checkpoint.
 }
 
 /** Whole-surface runtime scan audit: [[RuntimeScans.measure]] over every

@@ -85,4 +85,8 @@ class RuntimeScanSpec extends GraftSuite {
           "PlanShapeSpec's static exceptions map if the change is intended")
     }
   }
+
+  // The LAZY-checkpoint blind spot stays open by adjudication: a
+  // bytes-read (task inputMetrics) ceiling was tried and measured
+  // unusable — see the negative-result note in graft.RuntimeScans.
 }
