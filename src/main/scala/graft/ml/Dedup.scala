@@ -210,7 +210,14 @@ object Dedup {
     * label propagation's per-round scheduling overhead dwarfs the actual
     * work on a small graph. Above the threshold (or under
     * SPARK_GRAFT_FORCE_DISTRIBUTED=1) the distributed iterative path
-    * runs — both paths produce the identical min-id labeling. */
+    * runs — both paths produce the identical min-id labeling.
+    *
+    * r18-drift adjudication (round 19, q_dedup_clusters 2.58→3.60 s):
+    * the sizeDispatch refactor is acquitted — the r18 pre-audit clean
+    * sweep (182.0 s tree, refactor already in) had the query at 2.30 s,
+    * BELOW its r17 level, and fresh probes (3.41/3.20 s against a
+    * ~1.25× elevated same-run reference) normalize to ≈2.6 s. Host
+    * band; no revert. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
     // the shared size-dispatch seam checkpoints the RAW pair set first:

@@ -1117,7 +1117,14 @@ object Analytics {
     * as the outlier filter). Determinism: quantiles interpolate in
     * mirrored operand order; each clamped value is quantized to
     * MILLI-CENTS (`round(clamped·10³)` as BIGINT) before the weighted
-    * sum, so the mean is exact-integer until two final divisions. */
+    * sum, so the mean is exact-integer until two final divisions.
+    *
+    * r18-drift adjudication (round 19, the orderBrands ABBA discipline):
+    * the driver sweep's 3.96 s never reproduced — probe samples
+    * 2.57/2.11 s against a 1.94–2.43 s q_theil_sen same-run reference,
+    * and the r18 pre-audit clean sweep (182.0 s tree, which already
+    * carried the sizeDispatch refactor) had this query at 2.03 s vs its
+    * r17 2.17 s. Host noise; no revert. */
   def qWinsorize(spark: SparkSession, sfDir: String): DataFrame =
     winsorize(spark, sfDir, OutlierDriverMaxValues)
 

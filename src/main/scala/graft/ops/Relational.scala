@@ -317,7 +317,12 @@ object Relational {
     * is the correct one under ties), ε = 1% — and emits the three
     * booleans; the oracle asserts them literal TRUE. The rank counts
     * ride ONE extra broadcast join of the 3-row sketch relation back to
-    * the fact scan — no sort, no second shuffle. */
+    * the fact scan — no sort, no second shuffle.
+    *
+    * r18-drift adjudication (round 19): the driver sweep's 3.11 s never
+    * reproduced — probe samples 1.85/1.93 s (untouched code, at its
+    * 2.00 s r17 level; the r18 clean sweep had it at 1.82 s). Host
+    * noise; no change. */
   def qAggApproxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sk = Tables.lineitem(spark, sfDir)
