@@ -92,11 +92,26 @@ object Bench {
     // For A/B probes that need a reproducible order, pin
     // SPARK_GRAFT_ORDER_SEED (any long), or SPARK_GRAFT_ORDER=sorted for
     // the legacy fixed alphabetical order.
-    val orderSeed: Long = sys.env.get("SPARK_GRAFT_ORDER_SEED")
-      .map(_.toLong).getOrElse(System.nanoTime())
+    // a typo'd seed must not crash a whole sweep with a raw
+    // NumberFormatException — fall back to a fresh seed with a WARN so
+    // the operator sees the pin didn't take (advisor r19 #3)
+    val orderSeed: Long = sys.env.get("SPARK_GRAFT_ORDER_SEED") match {
+      case Some(s) =>
+        try s.trim.toLong
+        catch { case _: NumberFormatException =>
+          System.err.println(s"[bench] WARN: SPARK_GRAFT_ORDER_SEED=$s " +
+            "is not a long — ignoring it and shuffling on a fresh seed")
+          System.nanoTime()
+        }
+      case None => System.nanoTime()
+    }
+    val sortedOrder = sys.env.get("SPARK_GRAFT_ORDER").contains("sorted")
+    // when the legacy fixed order is in effect no shuffle happened, so
+    // publishing a seed would imply one — the artifact says null instead
+    val orderSeedJson = if (sortedOrder) "null" else orderSeed.toString
     val sortedNames = SparkEntry.queries.keys.toSeq.sorted
-    val sweepOrder =
-      if (sys.env.get("SPARK_GRAFT_ORDER").contains("sorted")) sortedNames
+    val sweepOrder0 =
+      if (sortedOrder) sortedNames
       else new scala.util.Random(orderSeed).shuffle(sortedNames)
     // Host-band anchor: ONE fixed reference query timed at sweep start
     // and again at sweep end (same timeOne body, not counted in the
@@ -115,14 +130,23 @@ object Bench {
     // exactly this reason)
     timeOne(anchorName)
     val anchorStart = timeOne(anchorName)
+    // The anchor query does NOT run again inside the timed sweep: its
+    // warm + anchor runs leave it fully warmed (plan codegen, parquet
+    // footers), so an in-sweep re-run would record a systematically
+    // lower time than every other query's first-run time (advisor r19
+    // #2). Its `queries` entry is the anchorStart sample — a warmed run,
+    // noted as a one-round discontinuity in SURVEY §8 (round 20) so
+    // drift adjudication doesn't read the drop as a real win.
+    val sweepOrder = sweepOrder0.filterNot(_ == anchorName)
     val sweepT0 = System.nanoTime()
     val atBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    atBuf += anchorName -> 0.0
     val results = sweepOrder
       .map { name =>
         val dt = timeOne(name)
         atBuf += name -> (System.nanoTime() - sweepT0) / 1e9
         name -> dt
-      }.toMap
+      }.toMap + (anchorName -> anchorStart)
     // Noise immunization: any query landing over the retry bar gets ONE
     // re-timing at sweep end under the same between-query cleanup, and
     // BOTH numbers are recorded. Three rounds of adjudicating single-query
@@ -244,11 +268,20 @@ object Bench {
     val bandRatios = results.toSeq.flatMap { case (n, t) =>
       priorTimes.get(n).filter(_ > 0.15).map(t / _)
     }.sorted
-    val bandJson =
-      if (bandRatios.isEmpty) "null"
-      else ms(bandRatios(bandRatios.size / 2))
+    val band: Option[Double] =
+      if (bandRatios.isEmpty) None else Some(bandRatios(bandRatios.size / 2))
+    val bandJson = band.map(ms).getOrElse("null")
+    // The headline (verdict-19 #1): value_corrected still carries host
+    // inflation whenever the band sits above 1.0 (the r19 driver sweep
+    // needed judge arithmetic: 212.1 / 1.246 ≈ 170). Publish the
+    // band-normalized total DIRECTLY so every cross-round floor
+    // comparison is a one-field read. Division by the band is exact for
+    // a uniform host shift and conservative for a partial one (the
+    // median only moves when most of the suite moved); when no prior
+    // exists the band is unknowable and the field mirrors corrected.
+    val normalized = band.map(corrected / _).getOrElse(corrected)
     val fileLine =
-      s"""{"metric":"total","value":$total,"value_corrected":$corrected,"unit":"sec","queries":$fullQs,"retry":$retryQs,"drift":$drift$moverMeta,"order_seed":$orderSeed,"anchor":$anchorJson,"band_vs_prior":$bandJson,"at":$atQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_corrected":$corrected,"value_normalized":$normalized,"unit":"sec","queries":$fullQs,"retry":$retryQs,"drift":$drift$moverMeta,"order_seed":$orderSeedJson,"anchor":$anchorJson,"band_vs_prior":$bandJson,"at":$atQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH.json"),
       fileLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -277,7 +310,18 @@ object Bench {
     // BENCH.json carries the full retry map losslessly
     val retryMs = retries.toSeq.sortBy(-_._2).take(8).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"value_corrected":${ms(corrected)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","full":"BENCH.json","order_seed":$orderSeed,"anchor":$anchorJson,"band_vs_prior":$bandJson,"retry":$retryMs,"queries":{$budgetQs}}""")
+    // mover-cap saturation telemetry (verdict-19 stretch #7): when the
+    // retry cap dropped movers, value_corrected is degraded by whatever
+    // host inflation those queries carried — say so at the console, with
+    // the normalized total and the dropped names, so a degraded-host
+    // sweep is self-explaining without opening the JSON
+    if (moversDropped.nonEmpty)
+      System.err.println(s"[bench] WARN: mover cap saturated — " +
+        s"${moversDropped.size} movers dropped unretried " +
+        s"(value_corrected carries their host inflation; " +
+        s"value_normalized ${ms(normalized)} is the honest total): " +
+        moversDropped.sorted.mkString(", "))
+    println(s"""{"metric":"total","value":${ms(total)},"value_corrected":${ms(corrected)},"value_normalized":${ms(normalized)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","full":"BENCH.json","order_seed":$orderSeedJson,"anchor":$anchorJson,"band_vs_prior":$bandJson,"retry":$retryMs,"queries":{$budgetQs}}""")
     spark.stop()
   }
 }

@@ -349,20 +349,32 @@ object LearningOps extends Serializable {
     * constructible ([[zcaExprTransformer]]/[[zcaGemmTransformer]]) so
     * their 1e-9 agreement is a test, not a hope. */
   case class ZCAWhitenerEst(in: String, out: String, eps: Double = 1e-5,
-      maxServeWidth: Int = defaultZcaServeWidth)
+      maxServeWidth: Int = ZCAWhitenerEst.AutoServeWidth)
       extends Estimator {
     def fit(train: DataFrame): Transformer = {
       val (muArr, wArr, d) = fitZcaModel(train, in, eps)
-      // probe mode (flag-gated, off by default): when the cap was left
-      // at the per-JVM default, replace the conservative product-JVM
-      // fallback with THIS JVM's measured cliff ([[zcaProbedServeWidth]])
+      // the sentinel (not the default VALUE) selects auto mode, so an
+      // explicitly supplied width is ALWAYS honored — a caller passing a
+      // deliberate conservative 32 on a stock JVM was previously
+      // indistinguishable from the defaulted cap and got silently
+      // widened when the probe flag was on (advisor r19 #5). Auto:
+      // probe mode measures THIS JVM's cliff ([[zcaProbedServeWidth]]);
+      // otherwise the derived per-JVM default applies.
       val cap =
-        if (zcaProbeEnabled && maxServeWidth == defaultZcaServeWidth)
-          zcaProbedServeWidth(train.sparkSession)
-        else maxServeWidth
+        if (maxServeWidth == ZCAWhitenerEst.AutoServeWidth) {
+          if (zcaProbeEnabled) zcaProbedServeWidth(train.sparkSession)
+          else defaultZcaServeWidth
+        } else maxServeWidth
       if (d <= cap) zcaExprTransformer(in, out, muArr, wArr, d)
       else zcaGemmTransformer(in, out, muArr, wArr, d)
     }
+  }
+  object ZCAWhitenerEst {
+    /** Sentinel for [[ZCAWhitenerEst.maxServeWidth]]: resolve the serve
+      * cap automatically (probe-measured when `graft.zca.probe` is on,
+      * else [[defaultZcaServeWidth]]). Any non-negative width is an
+      * explicit cap and is honored verbatim. */
+    val AutoServeWidth: Int = -1
   }
 
   /** Per-JVM default for [[ZCAWhitenerEst.maxServeWidth]], derived from

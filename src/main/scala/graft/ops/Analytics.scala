@@ -2351,6 +2351,10 @@ object Analytics {
       val adj = edges.collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      // empty graph (degenerate corpus): no source exists, the BFS
+      // result is the empty relation — not an empty.min throw
+      if (adj.isEmpty)
+        return Seq.empty[(Long, Long)].toDF("suppkey", "dist")
       val src = adj.keysIterator.min
       var dist = Map(src -> 0L)
       var frontier = Seq(src)

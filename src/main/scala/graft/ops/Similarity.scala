@@ -465,8 +465,10 @@ object Similarity {
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select($"n_candidates", $"n_truth", $"n_hits",
-        round($"n_hits".cast("double") / $"n_candidates", 6).as("precision"),
-        round($"n_hits".cast("double") / $"n_truth", 6).as("recall"))
+        round($"n_hits".cast("double") / nullif($"n_candidates", lit(0)), 6)
+          .as("precision"),
+        round($"n_hits".cast("double") / nullif($"n_truth", lit(0)), 6)
+          .as("recall"))
   }
 
   val lshQualitySql: String =
@@ -478,9 +480,9 @@ object Similarity {
       |  (SELECT count(*) FROM tr) AS n_truth,
       |  (SELECT count(*) FROM h) AS n_hits,
       |  round(CAST((SELECT count(*) FROM h) AS DOUBLE)
-      |    / (SELECT count(*) FROM c), 6) AS precision,
+      |    / nullif((SELECT count(*) FROM c), 0), 6) AS precision,
       |  round(CAST((SELECT count(*) FROM h) AS DOUBLE)
-      |    / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin
+      |    / nullif((SELECT count(*) FROM tr), 0), 6) AS recall""".stripMargin
 
 
   /** IVF geometry for the oracle-gated ANN query: 8 cells over the 64-dim
@@ -702,7 +704,7 @@ object Similarity {
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select($"n_exact", $"n_hits",
-        expr("n_hits * 1000000 DIV n_exact").as("recall_ppm"))
+        expr("n_hits * 1000000 DIV nullif(n_exact, 0)").as("recall_ppm"))
   }
 
   val annPqRecallSql: String =
@@ -730,7 +732,7 @@ object Similarity {
       |  (SELECT count(*) FROM pr_ex) AS n_exact,
       |  (SELECT count(*) FROM pr_hits) AS n_hits,
       |  (SELECT count(*) FROM pr_hits) * 1000000
-      |    // (SELECT count(*) FROM pr_ex) AS recall_ppm""".stripMargin
+      |    // nullif((SELECT count(*) FROM pr_ex), 0) AS recall_ppm""".stripMargin
 
   /** SimHash fingerprint width (bits). 60 = what a 15-hex-digit md5 prefix
     * yields with engine-portable integer arithmetic. */
@@ -1070,7 +1072,7 @@ object Similarity {
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_blocked"))))
       .select($"n_exact", $"n_blocked",
-        expr("n_blocked * 1000000 DIV n_exact").as("recall_ppm"))
+        expr("n_blocked * 1000000 DIV nullif(n_exact, 0)").as("recall_ppm"))
   }
 
   val semdedupRecallSql: String =
@@ -1108,7 +1110,7 @@ object Similarity {
       |  (SELECT count(*) FROM sr_x) AS n_exact,
       |  (SELECT count(*) FROM sr_b) AS n_blocked,
       |  (SELECT count(*) FROM sr_b) * 1000000
-      |    // (SELECT count(*) FROM sr_x) AS recall_ppm""".stripMargin
+      |    // nullif((SELECT count(*) FROM sr_x), 0) AS recall_ppm""".stripMargin
 
   /** Embedding-space dedup clusters: the SRP-LSH near-dup pairs
     * ([[qEmbedNeardup]]) resolved into connected components with the same
@@ -1238,7 +1240,7 @@ object Similarity {
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .select($"n_exact", $"n_hits",
-        expr("n_hits * 1000000 DIV n_exact").as("recall_ppm"))
+        expr("n_hits * 1000000 DIV nullif(n_exact, 0)").as("recall_ppm"))
   }
 
   // lazy: interpolates cosineTopkSql, which initializes later in the
@@ -1255,7 +1257,7 @@ object Similarity {
       |  (SELECT count(*) FROM ar_bf) AS n_exact,
       |  (SELECT count(*) FROM ar_hits) AS n_hits,
       |  (SELECT count(*) FROM ar_hits) * 1000000
-      |    // (SELECT count(*) FROM ar_bf) AS recall_ppm""".stripMargin
+      |    // nullif((SELECT count(*) FROM ar_bf), 0) AS recall_ppm""".stripMargin
 
   /** Hybrid retrieval with reciprocal-rank fusion (RRF, k = 60): the
     * lexical BM25 top-50 ([[Text.qBm25]]) and the dense cosine top-50

@@ -45,7 +45,17 @@ class EmptyCorpusSpec extends GraftSuite {
 
   cases.foreach { case (name, zeroCols) =>
     test(s"$name survives an empty corpus with count semantics") {
-      val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
+      val df = SparkEntry.queries(name)(spark, emptyDir)
+      // zeroCols staleness (verdict-19 wrong #3): every pinned count
+      // column must still EXIST in the query's schema — a renamed or
+      // dropped column would otherwise silently fall outside the pin
+      // whenever no rows survive (fieldIndex only throws on live rows)
+      val fields = df.schema.fieldNames.toSet
+      zeroCols.foreach { c =>
+        assert(fields.contains(c), s"$name zeroCols pin is STALE: column " +
+          s"'$c' no longer in schema ${fields.toSeq.sorted} — update the pin")
+      }
+      val rows = df.collect()
       zeroCols.foreach { c =>
         rows.foreach { r =>
           val v = r.get(r.fieldIndex(c))
@@ -56,4 +66,34 @@ class EmptyCorpusSpec extends GraftSuite {
       }
     }
   }
+
+  // Whole-registry degenerate-input smoke (verdict-19 #3): the ten pins
+  // above are the STRONG form (count semantics); this sweep is the weak
+  // form over EVERYTHING ELSE — every declared query must construct and
+  // collect on the fully empty corpus without throwing. Catches the next
+  // NULL-vs-0 class (head() on an empty aggregate, an array index into
+  // an empty quantile result, a fit that divides by n) before an advisor
+  // does. Queries that CANNOT be defined on zero rows get an adjudicated
+  // entry with the reason, and the test asserts they still throw — a
+  // stale exemption (the query later made total) fails loudly.
+  private val adjudicatedThrows: Map[String, String] = Map.empty
+
+  private val strong = cases.map(_._1).toSet
+  SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(strong.contains).foreach { name =>
+      adjudicatedThrows.get(name) match {
+        case None =>
+          test(s"$name survives an empty corpus (whole-registry smoke)") {
+            SparkEntry.queries(name)(spark, emptyDir).collect()
+          }
+        case Some(reason) =>
+          test(s"$name is adjudicated partial on an empty corpus") {
+            val threw =
+              try { SparkEntry.queries(name)(spark, emptyDir).collect(); false }
+              catch { case _: Throwable => true }
+            assert(threw, s"$name no longer throws on an empty corpus — " +
+              s"its exemption ('$reason') is stale; promote it to the smoke")
+          }
+      }
+    }
 }

@@ -648,8 +648,29 @@ class LearningOpsSpec extends GraftSuite {
     // stopped seeing the interpretation penalty it exists to measure.
     val w = graft.ml.LearningOps.zcaProbedServeWidth(spark)
     assert(Set(32, 64, 128, 256).contains(w), s"probed width off-grid: $w")
-    assert(w == 32,
-      s"this JVM's d=64 cliff is ZcaBench-measured; probe returned $w")
+    // The exact ==32 pin holds only where the cliff itself holds: a JVM
+    // running -XX:-DontCompileHugeMethods (or a tuned HugeMethodLimit)
+    // JIT-compiles the fused method and the probe LEGITIMATELY returns a
+    // wider width — that is the probe working, not failing (advisor r19
+    // #1). Gate the pin on the flags confirming stock cliff config;
+    // where they are unreadable (every product HotSpot: develop-only
+    // flags compiled to their defaults) the stock cliff is guaranteed
+    // by construction and the pin applies.
+    def vmFlag(name: String): Option[String] = try {
+      Some(java.lang.management.ManagementFactory.newPlatformMXBeanProxy(
+        java.lang.management.ManagementFactory.getPlatformMBeanServer,
+        "com.sun.management:type=HotSpotDiagnostic",
+        classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        .getVMOption(name).getValue)
+    } catch { case _: Throwable => None }
+    val stockCliff =
+      vmFlag("HugeMethodLimit").forall(_ == "8000") &&
+        vmFlag("DontCompileHugeMethods").forall(_ == "true")
+    if (stockCliff)
+      assert(w == 32,
+        s"this JVM's d=64 cliff is ZcaBench-measured; probe returned $w")
+    else
+      assert(w >= 32, s"probe narrowed below the measured-safe floor: $w")
     // cached per JVM: the second call must not re-time
     val t0 = System.nanoTime()
     assert(graft.ml.LearningOps.zcaProbedServeWidth(spark) == w)

@@ -27,6 +27,26 @@ package graft
   */
 class RuntimeScanSpec extends GraftSuite {
 
+  // Every pin below — and PlanShapeSpec's static exceptions map — encodes
+  // SPARK 4.1.2 PLANNER BEHAVIOR (how many executions a checkpoint build
+  // fires, where AQE reuses an exchange, which subtrees replan). A Spark
+  // upgrade must fail HERE, once, with instructions — not as 20+
+  // mysterious pin failures (verdict-19 stretch #6). Re-adjudication
+  // recipe on upgrade: (1) `runMain graft.RuntimeScanAudit` (full
+  // surface, writes RUNTIME_SCANS.json) and diff against the committed
+  // round artifact; (2) `SPARK_GRAFT_JOBS=1 runMain graft.RuntimeScanAudit
+  // q_boilerplate_frac q_tfidf_top_terms` twice; (3) adjudicate every
+  // delta (plan improvement? regression? instrument change?), update the
+  // pins AND PlanShapeSpec's exceptions map, then bump this constant.
+  private val adjudicatedSparkVersion = "4.1.2"
+  test("scan/job pins were adjudicated under THIS Spark version") {
+    assert(spark.version == adjudicatedSparkVersion,
+      s"Spark ${spark.version} != $adjudicatedSparkVersion: the runtime " +
+        "scan/job pins and PlanShapeSpec's exceptions map encode the old " +
+        "planner — re-adjudicate (recipe in RuntimeScanSpec) before " +
+        "trusting or updating any pin")
+  }
+
   /** Per-table parquet-scan totals across every QueryExecution fired
     * while constructing + collecting `name` (checkpoint builds, dispatch
     * counts, the main action — everything on this session). The
@@ -86,7 +106,33 @@ class RuntimeScanSpec extends GraftSuite {
     }
   }
 
-  // The LAZY-checkpoint blind spot stays open by adjudication: a
-  // bytes-read (task inputMetrics) ceiling was tried and measured
-  // unusable — see the negative-result note in graft.RuntimeScans.
+  // The LAZY-checkpoint blind spot, closed with the instrument that IS
+  // deterministic (verdict-19 #2): a lazy localCheckpoint materializes
+  // inside the main job with no QueryExecution of its own — invisible to
+  // the scan listener and to plan text — but every materialization IS a
+  // Spark job, so the total job count of construct+collect pins it. A
+  // bytes-read (task inputMetrics) ceiling was tried first and measured
+  // unusable (negative-result note in graft.RuntimeScans). Counts
+  // adjudicated via `SPARK_GRAFT_JOBS=1 runMain graft.RuntimeScanAudit`
+  // at sf0.001 under the same local[4]/4-shuffle-partition config as
+  // this suite, twice each, stable: boilerplate = 12 (the lazy
+  // shingle-relation checkpoint + dispatch counts + AQE final jobs),
+  // tfidf = 10. EXACT for the same reason as the scan pins: a DROP
+  // means a materialization silently vanished (the lazy checkpoint
+  // converted or dead), a RISE means something re-materializes.
+  private val jobPins: Map[String, Int] = Map(
+    "q_boilerplate_frac" -> 12,
+    "q_tfidf_top_terms" -> 10)
+
+  jobPins.toSeq.sortBy(_._1).foreach { case (name, expected) =>
+    test(s"$name fires exactly $expected jobs (lazy-checkpoint pin)") {
+      val measured = RuntimeScans.countJobs(spark)(
+        SparkEntry.queries(name)(spark, sf))
+      assert(measured == expected,
+        s"$name job count drifted: measured $measured, adjudicated " +
+          s"$expected — re-run SPARK_GRAFT_JOBS=1 graft.RuntimeScanAudit " +
+          "twice, adjudicate the delta (a new materialization? a lost " +
+          "one?), and update this pin if the change is intended")
+    }
+  }
 }
