@@ -1275,7 +1275,13 @@ object Analytics {
     * (value-cardinality-bounded, not row-bounded) then feeds the median,
     * the deviation median (counts re-keyed by |v−med| and summed — no
     * second fact scan), and the final outlier rollup whose counts/extrema
-    * come from the same table. */
+    * come from the same table.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, anchor 0.37/0.28 s):
+    * 3.49/3.00 s — repeats at the sweep level in BOTH probe positions,
+    * so the ~3 s is the structural cost of the value-count build plus
+    * the bounded driver rank selection, not fixture overhead or block
+    * pressure. Structural; no revert. */
   def qOutlierFilter(spark: SparkSession, sfDir: String): DataFrame =
     outlierFilter(spark, sfDir, OutlierDriverMaxValues)
 

@@ -2214,7 +2214,13 @@ object Similarity {
     * components (driver union-find under the size threshold, label
     * propagation above) → one broadcast-sized join back to the part
     * dimension for the representative's name. Oracle: recursive CTE over
-    * the identical pair relation. */
+    * the identical pair relation.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, anchor 0.37/0.28 s):
+    * 2.72/2.60 s — repeats at its r17 reference-normalized level (~2.6);
+    * the r20 full sweep's 3.95 s retried to 2.21 s (wobble). The level
+    * is the bounded blocked-pair + union-find computation itself.
+    * Structural; no revert. */
   def qEntityResolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = fuzzyPairs(spark, sfDir).select($"key_a", $"key_b")

@@ -791,7 +791,13 @@ object Stats {
     * ~1.3-1.7 s vs ~3.0-3.3 s same-session; graft.TheilProbe). Past the
     * cap (a multi-decade calendar) the SAME query runs the distributed
     * rank-selection arm; both arms share the one pair expression and a
-    * both-arms agreement test pins them to the same row. */
+    * both-arms agreement test pins them to the same row.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, anchor 0.37/0.28 s):
+    * 2.00/1.69 s — the r19 clean-sweep 3.86 s does not reproduce under
+    * probe conditions and the r20 full sweep read 1.86 s; the suite-max
+    * entries are full-sweep block pressure on the bounded driver sort,
+    * not fixture overhead. Structural; no revert. */
   def qTheilSen(spark: SparkSession, sfDir: String): DataFrame =
     theilSen(spark, sfDir, TheilSenDriverMaxPairs)
 
