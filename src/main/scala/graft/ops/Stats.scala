@@ -188,7 +188,13 @@ object Stats {
     * back to the fact rows — the fact relation is never shuffled (the
     * broadcast is justified by domain size, not measured size: ~50
     * quantities and ~10⁵ floored dollar prices per flag regardless of
-    * corpus rows), one hash aggregate. */
+    * corpus rows), one hash aggregate.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, anchor 0.32/0.20 s):
+    * 2.30/1.84 s — the committed sweep's 2.81 s (retried from a 4.49 s
+    * wobble) sits at this structural level plus sweep block pressure;
+    * the level is the two rank-grid builds + the broadcast join-back.
+    * Structural; no revert. */
   def qSpearman(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rowsDf = Tables.lineitem(spark, sfDir)

@@ -178,7 +178,15 @@ object Text {
     * order) — one codegen'd call, no shuffle until the final token
     * aggregation. The oracle spells the identical fixpoint as a
     * boundary-delimited 4-pass `replace` chain over " c h a r s </w> "
-    * (see [[BpePasses]] for why the two spellings agree). */
+    * (see [[BpePasses]] for why the two spellings agree).
+    *
+    * Bench-attribution note (round 20 ABBA probe, anchor 0.32/0.20 s):
+    * 1.30 s in the A position, 0.26 s in the B position — the spread is
+    * the `graft_bpe` kernel's one-time Janino/JIT warm landing on
+    * whichever BPE-family query a seeded sweep order runs first, not a
+    * plan cost (the bench session warm covers the shingle family only).
+    * Direct-band sweep entries for this query may wobble 0.3–1.3 s
+    * accordingly; adjudicated order-attribution, no action. */
   def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, sfDir)
