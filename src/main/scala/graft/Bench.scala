@@ -33,6 +33,17 @@ object Bench {
     // cluster job gets.
     try graft.ops.Similarity.shinglePairStats(spark, sfDir).count()
     catch { case _: Throwable => }
+    // NEGATIVE RESULT (round 20), recorded so the next session doesn't
+    // re-try it: a synthetic graft_bpe warm here (20k generated words
+    // through the real kernel) did NOT flatten q_bpe_apply's first-run
+    // cost — measured 1.51 s first / 0.28 s second WITH the warm vs
+    // 1.30/0.26 without (isolated fresh-session triple: 2.31/0.49/0.49).
+    // The ~1.2-1.8 s is a query-specific first-run cost (its own stage
+    // compile + corpus-shaped JIT), amortized only by whichever
+    // BPE-family predecessor the seeded order happens to run first —
+    // an attribution wobble the drift ledger carries per-query
+    // (adjudication in qBpeApply's Scaladoc), not a warmable session
+    // cost like the shingle family's shared sub-pipeline above.
     // Time one query, then block-manager hygiene: several operators pin
     // blocks for the duration of ONE query (localCheckpointed graph /
     // index relations, cached intermediates). Over a 270-query sequential

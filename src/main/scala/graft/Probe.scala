@@ -42,6 +42,8 @@ object Probe {
     }
     try graft.ops.Similarity.shinglePairStats(spark, sfDir).count()
     catch { case _: Throwable => }
+    // (a synthetic graft_bpe warm was tried here and measured
+    // ineffective — negative-result note in Bench.scala's warm block)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val byName = all.toMap
     val targets = if (args.nonEmpty) args.toIndexedSeq else all.map(_._1)

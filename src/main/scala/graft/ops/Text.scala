@@ -180,13 +180,15 @@ object Text {
     * boundary-delimited 4-pass `replace` chain over " c h a r s </w> "
     * (see [[BpePasses]] for why the two spellings agree).
     *
-    * Bench-attribution note (round 20 ABBA probe, anchor 0.32/0.20 s):
-    * 1.30 s in the A position, 0.26 s in the B position — the spread is
-    * the `graft_bpe` kernel's one-time Janino/JIT warm landing on
-    * whichever BPE-family query a seeded sweep order runs first, not a
-    * plan cost (the bench session warm covers the shingle family only).
-    * Direct-band sweep entries for this query may wobble 0.3–1.3 s
-    * accordingly; adjudicated order-attribution, no action. */
+    * Bench-attribution note (round 20, probed three ways): first-run
+    * 2.31 s isolated / 1.30-1.51 s after a generic prefix, steady-state
+    * 0.26-0.49 s — a query-specific first-run cost (own stage compile +
+    * corpus-shaped JIT) amortized only when a BPE-family predecessor
+    * happens to run first in the seeded sweep order. A synthetic
+    * graft_bpe session warm was tried and measured ineffective
+    * (negative result in Bench.scala's warm block). Direct-band sweep
+    * entries wobble 0.3-1.3 s accordingly; adjudicated
+    * order-attribution, no action. */
   def qBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, sfDir)
