@@ -133,8 +133,18 @@ object Bench {
     // committed reference anchor) instead of eyeballed. Q1-shape by
     // default: one full lineitem pass, no joins — a pure scan+agg host
     // proxy with no plan-choice variance.
-    val anchorName =
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "q_agg_pricing_summary")
+    // a typo'd anchor name would otherwise inject a bogus ~0 s entry
+    // into the artifact's queries map (timeOne swallows the lookup
+    // failure) and silently skew n_queries/band — fall back loudly
+    val anchorName = {
+      val a = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "q_agg_pricing_summary")
+      if (SparkEntry.queries.contains(a)) a
+      else {
+        System.err.println(s"[bench] WARN: SPARK_GRAFT_ANCHOR=$a is not a " +
+          "declared query — using q_agg_pricing_summary")
+        "q_agg_pricing_summary"
+      }
+    }
     // one untimed warm run first: the timed start anchor must measure
     // the HOST, not the anchor's own one-time plan/codegen cost (the
     // first instrumented sweep read start=1.21 s vs end=0.40 s for
