@@ -106,6 +106,35 @@ class RuntimeScanSpec extends GraftSuite {
     }
   }
 
+  // The committed round artifact (RUNTIME_SCANS_r*.json, written by
+  // RuntimeScanAudit at the same sf0.001 these pins run at) must agree
+  // with the pins above: a re-adjudicated pin without a regenerated
+  // artifact — or vice versa — would leave the "one-line diff" story
+  // stale. Reads the NEWEST committed artifact; skips if none exists.
+  test("the committed runtime-scan artifact agrees with the CI pins") {
+    val dir = new java.io.File(".")
+    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("RUNTIME_SCANS_r\\d+\\.json"))
+      .sortBy(_.getName)
+    assume(arts.nonEmpty, "no committed RUNTIME_SCANS artifact")
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      arts.last.toPath), java.nio.charset.StandardCharsets.UTF_8)
+    // artifact values are flat {"table":n,...} objects per query
+    def entry(q: String): Map[String, Int] = {
+      val re = ("\"" + q + "\": \\{([^}]*)\\}").r
+      re.findFirstMatchIn(txt).map { m =>
+        """"(\w+)":(\d+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toInt).toMap
+      }.getOrElse(Map.empty)
+    }
+    adjudicated.foreach { case (q, pin) =>
+      assert(entry(q) == pin,
+        s"${arts.last.getName} disagrees with the pin for $q: artifact " +
+          s"${entry(q)}, pin $pin — re-run graft.RuntimeScanAudit and " +
+          "commit a fresh artifact alongside any pin change")
+    }
+  }
+
   // The LAZY-checkpoint blind spot, closed with the instrument that IS
   // deterministic (verdict-19 #2): a lazy localCheckpoint materializes
   // inside the main job with no QueryExecution of its own — invisible to
