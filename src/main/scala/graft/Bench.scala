@@ -44,6 +44,19 @@ object Bench {
     // an attribution wobble the drift ledger carries per-query
     // (adjudication in qBpeApply's Scaladoc), not a warmable session
     // cost like the shingle family's shared sub-pipeline above.
+    // Numeric env knobs parse through ONE guarded helper: a typo'd value
+    // must warn and fall back, never throw a raw NumberFormatException
+    // AFTER the ~190s timed sweep has already run (the advisor-r19-#3
+    // fix, generalized from the seed to every numeric knob).
+    def envNum(name: String, default: Double): Double =
+      sys.env.get(name).map { s =>
+        try s.trim.toDouble
+        catch { case _: NumberFormatException =>
+          System.err.println(s"[bench] WARN: $name=$s is not numeric — " +
+            s"using default $default")
+          default
+        }
+      }.getOrElse(default)
     // Time one query, then block-manager hygiene: several operators pin
     // blocks for the duration of ONE query (localCheckpointed graph /
     // index relations, cached intermediates). Over a 270-query sequential
@@ -155,26 +168,39 @@ object Bench {
     // warm + anchor runs leave it fully warmed (plan codegen, parquet
     // footers), so an in-sweep re-run would record a systematically
     // lower time than every other query's first-run time (advisor r19
-    // #2). Its `queries` entry is the anchorStart sample — a warmed run,
-    // noted as a one-round discontinuity in SURVEY §8 (round 20) so
-    // drift adjudication doesn't read the drop as a real win.
+    // #2). For the DEFAULT anchor its `queries` entry is the anchorStart
+    // sample — a warmed run, noted as a one-round discontinuity in
+    // SURVEY §8 (round 20), and consistent sweep-over-sweep from r20 on
+    // (warmed prior vs warmed current). A NON-default anchor is an
+    // A/B-probe configuration: committing ITS warmed sample would poison
+    // the next default sweep's mover/drift/band comparisons (prior ≈
+    // warmed third run vs a cold first run reads as a 3-6× phantom
+    // mover), so under a custom anchor the query is dropped from the
+    // sweep AND from the queries map — anchorJson still carries its
+    // timed pair, and the committed per-query baseline stays default-
+    // protocol times only.
+    val defaultAnchor = anchorName == "q_agg_pricing_summary"
     val sweepOrder = sweepOrder0.filterNot(_ == anchorName)
     val sweepT0 = System.nanoTime()
+    // "at" holds IN-SWEEP queries only, uniformly: seconds since sweep
+    // start, recorded at query END. The anchor ran before sweepT0, so a
+    // fabricated 0.0 entry would silently break the map's time-window
+    // contract — it is omitted; anchorJson is the anchor's record.
     val atBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    atBuf += anchorName -> 0.0
     val results = sweepOrder
       .map { name =>
         val dt = timeOne(name)
         atBuf += name -> (System.nanoTime() - sweepT0) / 1e9
         name -> dt
-      }.toMap + (anchorName -> anchorStart)
+      }.toMap ++
+      (if (defaultAnchor) Map(anchorName -> anchorStart) else Map.empty)
     // Noise immunization: any query landing over the retry bar gets ONE
     // re-timing at sweep end under the same between-query cleanup, and
     // BOTH numbers are recorded. Three rounds of adjudicating single-query
     // host-noise spikes (documented 1.25–1.4× band, one 4.7× outlier)
     // showed a same-sweep second sample settles structural-vs-wobble at
     // source: a structural cost repeats, a wobble doesn't.
-    val retryBar = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "4.0").toDouble
+    val retryBar = envNum("SPARK_GRAFT_RETRY_SEC", 4.0)
     val slow = results.toSeq.filter(_._2 > retryBar).map(_._1)
     // ALSO retry EVERY round-over-round mover regardless of absolute
     // time: a 2.9x jump that stays under the bar (q_min_cost_supplier,
@@ -191,8 +217,7 @@ object Bench {
     // (~5–6 s of phantom inflation inside value_corrected); a retry
     // costs one extra query run, so correcting the full drift band is
     // the cheap side of the trade.
-    val moverRatio =
-      sys.env.getOrElse("SPARK_GRAFT_MOVER_RATIO", "1.5").toDouble
+    val moverRatio = envNum("SPARK_GRAFT_MOVER_RATIO", 1.5)
     val allMovers = results.toSeq
       .filter { case (n, t) =>
         t >= 0.5 && priorTimes.get(n).exists(p => p > 0 && t / p >= moverRatio)
@@ -205,8 +230,7 @@ object Bench {
     // the sweep env_shifted instead. Below that, a generous ceiling
     // (default 50, SPARK_GRAFT_MOVER_CAP) keeps the worst movers
     // adjudicated while bounding sweep time; dropped names are recorded.
-    val moverCap =
-      sys.env.getOrElse("SPARK_GRAFT_MOVER_CAP", "50").toInt
+    val moverCap = envNum("SPARK_GRAFT_MOVER_CAP", 50.0).toInt
     val envShifted = allMovers.size > results.size / 2
     val rankedMovers =
       if (envShifted) Seq.empty
@@ -222,8 +246,7 @@ object Bench {
     // prior — even when no retry fires — so a slow multi-round creep
     // (three 1.4x steps never trip the 2x mover bar) is an artifact
     // read, not an archaeology dig across old BENCH_r files.
-    val driftBar =
-      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RATIO", "1.5").toDouble
+    val driftBar = envNum("SPARK_GRAFT_DRIFT_RATIO", 1.5)
     val drift = results.toSeq
       .filter { case (n, t) =>
         t >= 0.5 && priorTimes.get(n).exists(p => p > 0 && t / p >= driftBar)
@@ -286,8 +309,19 @@ object Bench {
     // moves only when the HOST moves. band_vs_prior ~ 1.0 means this
     // sweep ran in the prior's band; divide totals by it to compare
     // floors across rounds.
+    //
+    // Ratios use the SAME retry-corrected per-query times as the
+    // value_corrected numerator (min of first run and retry): building
+    // the band from uncorrected first-run times while the numerator has
+    // already corrected its movers would remove the same host inflation
+    // TWICE — a sweep whose band-eligible queries wobbled 1.5× but whose
+    // movers were all retried clean would divide an already-clean
+    // corrected total by 1.5 and understate the floor. A uniform host
+    // shift survives the min (both samples ride the shifted host), so
+    // the band still reads genuine sustained inflation.
     val bandRatios = results.toSeq.flatMap { case (n, t) =>
-      priorTimes.get(n).filter(_ > 0.15).map(t / _)
+      val tc = math.min(t, retries.getOrElse(n, t))
+      priorTimes.get(n).filter(_ > 0.15).map(tc / _)
     }.sorted
     val band: Option[Double] =
       if (bandRatios.isEmpty) None else Some(bandRatios(bandRatios.size / 2))

@@ -144,13 +144,13 @@ object RuntimeScanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val targets =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     // jobs mode (SPARK_GRAFT_JOBS=1): print [[RuntimeScans.countJobs]]
     // per query instead of scan counts — the adjudication tool behind
     // RuntimeScanSpec's job-count pins. Run twice when adjudicating: a
     // count must repeat to be pinnable.
     if (sys.env.get("SPARK_GRAFT_JOBS").contains("1")) {
-      val targets =
-        if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
       targets.foreach { name =>
         try {
           val n1 = RuntimeScans.countJobs(spark)(
@@ -166,8 +166,6 @@ object RuntimeScanAudit {
       spark.stop()
       return
     }
-    val targets =
-      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     var worst = 0
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     targets.foreach { name =>

@@ -666,15 +666,22 @@ class LearningOpsSpec extends GraftSuite {
     val stockCliff =
       vmFlag("HugeMethodLimit").forall(_ == "8000") &&
         vmFlag("DontCompileHugeMethods").forall(_ == "true")
+    // cached per JVM: the second call must not re-time (checked BEFORE
+    // the pin branch so the cache contract is covered on every JVM)
+    val t0 = System.nanoTime()
+    assert(graft.ml.LearningOps.zcaProbedServeWidth(spark) == w)
+    assert((System.nanoTime() - t0) / 1e9 < 0.1, "probe result not cached")
     if (stockCliff)
       assert(w == 32,
         s"this JVM's d=64 cliff is ZcaBench-measured; probe returned $w")
     else
-      assert(w >= 32, s"probe narrowed below the measured-safe floor: $w")
-    // cached per JVM: the second call must not re-time
-    val t0 = System.nanoTime()
-    assert(graft.ml.LearningOps.zcaProbedServeWidth(spark) == w)
-    assert((System.nanoTime() - t0) / 1e9 < 0.1, "probe result not cached")
+      // a w >= 32 assert here would be vacuous (the grid check above
+      // already guarantees it); there is no honest invariant for a tuned
+      // JIT (the cliff may sit anywhere or nowhere), so the exact pin is
+      // EXPLICITLY waived rather than silently passed
+      cancel(s"non-stock JIT config (HugeMethodLimit/DontCompileHugeMethods " +
+        s"tuned) — exact ==32 pin waived; probed width $w is on-grid and " +
+        "the cache contract above was checked")
   }
 
   test("wide-projection sites stay OUT of whole-stage fusion (JIT-cliff guard)") {

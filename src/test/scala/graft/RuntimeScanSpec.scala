@@ -113,12 +113,22 @@ class RuntimeScanSpec extends GraftSuite {
   // stale. Reads the NEWEST committed artifact; skips if none exists.
   test("the committed runtime-scan artifact agrees with the CI pins") {
     val dir = new java.io.File(".")
+    // newest = highest ROUND NUMBER, not lexicographic filename order
+    // (which would put r100 before r99 and silently validate against a
+    // stale artifact across the digit-count boundary)
     val arts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("RUNTIME_SCANS_r\\d+\\.json"))
-      .sortBy(_.getName)
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     assume(arts.nonEmpty, "no committed RUNTIME_SCANS artifact")
     val txt = new String(java.nio.file.Files.readAllBytes(
       arts.last.toPath), java.nio.charset.StandardCharsets.UTF_8)
+    // the pins are adjudicated at THIS suite's scale — an artifact
+    // regenerated at another sf (Bench's default is sf0.1) could agree
+    // on the 20 pinned rows while its other ~260 rows encode wrong-scale
+    // dispatch arms; refuse it outright
+    assert(txt.contains("\"sf\": \"" + sf + "\""),
+      s"${arts.last.getName} was not generated at $sf — regenerate with " +
+        s"SPARK_GRAFT_SF_DIR=$sf runMain graft.RuntimeScanAudit")
     // artifact values are flat {"table":n,...} objects per query
     def entry(q: String): Map[String, Int] = {
       val re = ("\"" + q + "\": \\{([^}]*)\\}").r
