@@ -493,15 +493,14 @@ object Eval {
     val z = greatest(
       (abs(($"b" - $"c").cast("double")) - 1.0) /
         sqrt(($"b" + $"c").cast("double")), lit(0.0))
-    val xAS = z / sqrt(lit(2.0))
-    val tAS = lit(1.0) / (lit(1.0) + lit(0.47047) * xAS)
+    // two-sided p via the shared A&S 7.1.25 spelling ([[ASErfc]]; its
+    // internal abs(z) is the identity here — z is floored at 0 above)
     c.where($"b" + $"c" > 0)
       .select($"n", $"b", $"c",
         round($"ka".cast("double") / $"n", 4).as("acc_a"),
         round($"kb".cast("double") / $"n", 4).as("acc_b"),
         round(z * z, 4).as("chi2"),
-        round(tAS * (lit(0.3480242) + tAS * (lit(-0.0958798) + tAS * lit(0.7478556)))
-          * exp(-xAS * xAS), 6).as("p_value"))
+        round(ASErfc.pTwoSided(z), 6).as("p_value"))
   }
 
   val mcnemarSql: String =
@@ -525,10 +524,7 @@ object Eval {
       |  round(CAST(ka AS DOUBLE) / n, 4) AS acc_a,
       |  round(CAST(kb AS DOUBLE) / n, 4) AS acc_b,
       |  round(z * z, 4) AS chi2,
-      |  round((1.0 / (1.0 + 0.47047 * (z / sqrt(2))))
-      |    * (0.3480242 + (1.0 / (1.0 + 0.47047 * (z / sqrt(2))))
-      |      * (-0.0958798 + (1.0 / (1.0 + 0.47047 * (z / sqrt(2)))) * 0.7478556))
-      |    * exp(-(z / sqrt(2)) * (z / sqrt(2))), 6) AS p_value
+      |  round(""".stripMargin + ASErfc.sqlPTwoSided("z") + """, 6) AS p_value
       |FROM zc""".stripMargin
 
   /** Isotonic (monotone) calibration of the argmax classifier's

@@ -38,8 +38,11 @@ object Stats {
     * DOMAIN-bounded relations — #sources × #distinct-lengths, independent
     * of corpus row count — and windows partitioned by source over that
     * bounded grid. The broadcast side is the source-totals dimension.
-    * The integer numerator needs cum·n ≤ |docs|² < 2^63 — exact up to
-    * ~3e9 documents; past that, widen the two products to DECIMAL(38,0). */
+    * The cross-multiplied products cum·n grow as |docs|², which would
+    * wrap int64 at only ~3e9 documents, so they are widened to
+    * DECIMAL(38,0) on the Spark side and HUGEINT on the oracle side —
+    * exact through ~10¹⁹ documents (the 100 TB scale path), with the
+    * one double division unchanged. */
   def qKsTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir).select($"source", $"n_chars")
@@ -66,9 +69,11 @@ object Stats {
       .withColumn("cums", sum(coalesce($"c", lit(0L))).over(ws))
       .crossJoin(broadcast(nTot))               // 1-row corpus total
       .groupBy($"source", $"ns", $"ng")
-      .agg(max(abs($"cums" * $"ng" - $"cumg" * $"ns")).as("dnum"))
+      .agg(max(abs($"cums".cast("decimal(38,0)") * $"ng"
+        - $"cumg".cast("decimal(38,0)") * $"ns")).as("dnum"))
       .select($"source", $"ns".as("n_docs"),
-        round($"dnum".cast("double") / ($"ns" * $"ng").cast("double"), 6)
+        round($"dnum".cast("double")
+          / ($"ns".cast("decimal(38,0)") * $"ng").cast("double"), 6)
           .as("d_stat"))
       .orderBy($"source")
   }
@@ -89,7 +94,8 @@ object Stats {
       |  FROM g CROSS JOIN st
       |  LEFT JOIN sv ON sv.source = st.source AND sv.n_chars = g.n_chars)
       |SELECT source, CAST(ns AS BIGINT) AS n_docs,
-      |  round(CAST(max(abs(cums * ng - cumg * ns)) AS DOUBLE)
+      |  round(CAST(max(abs(CAST(cums AS HUGEINT) * ng
+      |      - CAST(cumg AS HUGEINT) * ns)) AS DOUBLE)
       |    / (CAST(ns AS DOUBLE) * ng), 6) AS d_stat
       |FROM cum CROSS JOIN tot
       |GROUP BY source, ns, ng ORDER BY source""".stripMargin
@@ -105,8 +111,16 @@ object Stats {
     * Exactness: ranks come from value-grouped counts — for each distinct
     * length, twice the shared midrank is `2·cum_before + cnt + 1`, an
     * integer — so the rank sum 2R_a, the U statistic 2U, and the tie term
-    * Σ(t³−t) are all exact long aggregates; z is assembled from them in
-    * one final double projection. Scale shape: one hash aggregate to the
+    * Σ(t³−t) are exact integer aggregates, WIDENED to DECIMAL(38,0) /
+    * HUGEINT: the bounded length domain makes tie-group sizes grow
+    * linearly with the corpus, so t³ alone wraps int64 at ~2M docs
+    * sharing one length (the [[qSpearman]] overflow discipline — Spark's
+    * non-ANSI long sum wraps SILENTLY while DuckDB errors, so the
+    * engines would diverge instead of both staying exact), and 2R_a ~ 2n²
+    * wraps at ~2e9 rows. z is assembled in one final double projection,
+    * normalized through `+ 0.0` on both engines so a rounded-to-zero
+    * statistic can't diverge as -0.0 vs 0.0 in the string-compared
+    * parity gate. Scale shape: one hash aggregate to the
     * distinct-length relation (domain-bounded), one window over it, one
     * 1-row result — corpus size only enters through the first aggregate's
     * map-side combine. */
@@ -124,19 +138,23 @@ object Stats {
       .agg(
         sum($"ca").as("na"),
         sum($"cnt" - $"ca").as("nb"),
-        sum($"ca" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("r2a"),
-        sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("ties"))
+        sum($"ca".cast("decimal(38,0)") * (lit(2L) * $"cumb" + $"cnt" + 1L))
+          .as("r2a"),
+        sum($"cnt".cast("decimal(38,0)") * $"cnt" * $"cnt" - $"cnt")
+          .as("ties"))
       .select($"na", $"nb",
         // 2U = 2R_a − n_a(n_a+1); halve in double (U can be *.5 under ties)
-        (($"r2a" - $"na" * ($"na" + 1L)).cast("double") / 2.0).as("u"),
+        (($"r2a" - $"na".cast("decimal(38,0)") * ($"na" + 1L)).cast("double")
+          / 2.0).as("u"),
         $"ties", ($"na" + $"nb").as("n"))
       .select($"na", $"nb", round($"u", 1).as("u_stat"),
-        round(
+        (round(
           ($"u" - $"na".cast("double") * $"nb" / 2.0) /
             sqrt($"na".cast("double") * $"nb" / 12.0 *
               (($"n" + 1L).cast("double") -
-                $"ties".cast("double") / ($"n" * ($"n" - 1L)).cast("double"))),
-          4).as("z_score"))
+                $"ties".cast("double")
+                  / ($"n".cast("decimal(38,0)") * ($"n" - 1L)).cast("double"))),
+          4) + 0.0).as("z_score"))
   }
 
   val mannWhitneySql: String =
@@ -154,16 +172,18 @@ object Stats {
       |s AS (
       |  SELECT CAST(sum(ca) AS BIGINT) AS na,
       |    CAST(sum(cnt - ca) AS BIGINT) AS nb,
-      |    CAST(sum(ca * (2 * cumb + cnt + 1)) AS BIGINT) AS r2a,
-      |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      |    sum(CAST(ca AS HUGEINT) * (2 * cumb + cnt + 1)) AS r2a,
+      |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
       |  FROM c)
       |SELECT na, nb,
-      |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
-      |  round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+      |  round(CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0, 1)
+      |    AS u_stat,
+      |  round((CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0
       |      - CAST(na AS DOUBLE) * nb / 2.0)
       |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
       |      * ((na + nb + 1) - CAST(ties AS DOUBLE)
-      |         / ((na + nb) * (na + nb - 1)))), 4) AS z_score
+      |         / CAST(CAST(na + nb AS HUGEINT) * (na + nb - 1) AS DOUBLE))), 4)
+      |    + 0.0 AS z_score
       |FROM s""".stripMargin
 
   // --------------------------------------------- Spearman rank correlation
@@ -239,12 +259,17 @@ object Stats {
         sum($"cnt".cast("decimal(38,0)") * $"ay" * $"ay").as("syy"),
         sum($"cnt".cast("decimal(38,0)") * $"ax" * $"ay").as("sxy"))
       .select($"flag".as("l_returnflag"), $"n",
-        round(($"n".cast("double") * $"sxy".cast("double")
+        // + 0.0 normalizes a rounded-to-zero correlation: a vanishingly
+        // small negative rho rounds to -0.0 on DuckDB but +0.0 through
+        // Spark's BigDecimal HALF_UP, and the parity gate compares
+        // strings ("-0.0" != "0.0") — same idiom as qWelchTtest's t_stat
+        (round(($"n".cast("double") * $"sxy".cast("double")
           - $"sx".cast("double") * $"sy".cast("double"))
           / (sqrt($"n".cast("double") * $"sxx".cast("double")
             - $"sx".cast("double") * $"sx".cast("double"))
             * sqrt($"n".cast("double") * $"syy".cast("double")
-              - $"sy".cast("double") * $"sy".cast("double"))), 6).as("rho"))
+              - $"sy".cast("double") * $"sy".cast("double"))), 6) + 0.0)
+          .as("rho"))
       .orderBy($"l_returnflag")
   }
 
@@ -278,7 +303,7 @@ object Stats {
       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
       |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
       |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-      |    6) AS rho
+      |    6) + 0.0 AS rho
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------- CUSUM changepoint
@@ -378,10 +403,15 @@ object Stats {
     val se2 = v($"q2", $"s2", $"n2") / $"n2".cast("double")
     // degenerate-sample guard: a 1-doc source gives 0/0 variance and a
     // pair of zero-variance samples a 0 standard error — either would
-    // emit NaN/Inf rows; such sources are excluded (identically on both
-    // engines) rather than reported with non-numbers
+    // emit NaN/Inf rows; such sources are excluded rather than reported
+    // with non-numbers. The guard is on se1+se2 — the ACTUAL sqrt
+    // argument, spelled identically on both engines: guarding on the
+    // differently-weighted v1+v2 left a gap where a catastrophic-
+    // cancellation negative variance on the larger sample could pass
+    // one engine's predicate and fail the other's (Spark would emit
+    // sqrt(negative)=NaN while DuckDB hard-errors on it)
     j.where($"n1" >= 2 && $"n2" >= 2)
-      .where(v($"q1", $"s1", $"n1") + v($"q2", $"s2", $"n2") > 0.0)
+      .where(se1 + se2 > 0.0)
       .select($"source", $"n1".as("n_src"),
         round(m($"s1", $"n1"), 4).as("mean_src"),
         round(m($"s2", $"n2"), 4).as("mean_rest"),
@@ -475,16 +505,16 @@ object Stats {
     val v2 = vr($"q2", $"s2", $"n2")
     val zt = j.where($"n1" >= 2 && $"n2" >= 2)
       .withColumn("v1", v1).withColumn("v2", v2)
-      .where($"v1" + $"v2" > 0.0)
+      // guard on the ACTUAL sqrt argument (the n-weighted se sum), not
+      // the unweighted v1+v2 — the latter can be positive while the
+      // weighted sum is negative under catastrophic cancellation, which
+      // would flow NaN into the BH ranking here and hard-error the
+      // oracle's sqrt (same discipline as qWelchTtest's guard)
+      .where($"v1" / $"n1".cast("double") + $"v2" / $"n2".cast("double") > 0.0)
       .withColumn("z",
         md / sqrt($"v1" / $"n1".cast("double") + $"v2" / $"n2".cast("double")))
-    // A&S 7.1.25: erfc(x) ≈ t·(a1 + t·(a2 + t·a3))·e^(−x²), t = 1/(1+px);
-    // x = |z|/√2 gives the two-sided normal p-value
-    val xAS = abs($"z") / sqrt(lit(2.0))
-    val tAS = lit(1.0) / (lit(1.0) + lit(0.47047) * xAS)
-    val pt = zt.withColumn("p", round(
-      tAS * (lit(0.3480242) + tAS * (lit(-0.0958798) + tAS * lit(0.7478556)))
-        * exp(-xAS * xAS), 9))
+    // two-sided normal p via the shared A&S 7.1.25 spelling ([[ASErfc]])
+    val pt = zt.withColumn("p", round(ASErfc.pTwoSided($"z"), 9))
     val fam = pt.crossJoin(broadcast(pt.agg(count(lit(1)).as("m"))))
     val wRank = Window.orderBy($"p", $"source", $"lang")
     val wSuffix = Window.orderBy($"p".desc, $"source".desc, $"lang".desc)
@@ -525,13 +555,10 @@ object Stats {
       |  FROM j WHERE n1 >= 2 AND n2 >= 2),
       |zt AS (
       |  SELECT source, lang, n1, md / sqrt(v1 / n1d + v2 / n2d) AS z
-      |  FROM c WHERE v1 + v2 > 0),
+      |  FROM c WHERE v1 / n1d + v2 / n2d > 0),
       |pt AS (
       |  SELECT source, lang, n1, z,
-      |    round((1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2))))
-      |      * (0.3480242 + (1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2))))
-      |        * (-0.0958798 + (1.0 / (1.0 + 0.47047 * (abs(z) / sqrt(2)))) * 0.7478556))
-      |      * exp(-(abs(z) / sqrt(2)) * (abs(z) / sqrt(2))), 9) AS p
+      |    round(""".stripMargin + ASErfc.sqlPTwoSided("z") + """, 9) AS p
       |  FROM zt),
       |fam AS (SELECT pt.*, m FROM pt CROSS JOIN (SELECT count(*) AS m FROM pt)),
       |r AS (
@@ -852,10 +879,14 @@ object Stats {
       while (i < n) { if (slopes(i) != slopes(i - 1)) nv += 1; i += 1 }
       // the final projection routes m2 through the SAME Spark round the
       // distributed arm uses, so the two arms (and the oracle) agree on
-      // HALF_UP ties at the 6th decimal bit-for-bit
+      // HALF_UP ties at the 6th decimal bit-for-bit; + 0.0 normalizes a
+      // barely-negative median slope that rounds to signed zero (DuckDB
+      // round yields -0.0 where Spark yields +0.0 — a string-compare
+      // parity fail), identically in all three spellings
       spark.range(1).select(
         lit(n.toLong).as("n_pairs"), lit(nv.toLong).as("n_distinct_slopes"),
-        round(lit(m2.toDouble) / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+        (round(lit(m2.toDouble) / 2.0e6 / 100.0, 6) + 0.0)
+          .as("ts_slope_per_day"))
     } { (daily, _) =>
       // the O(days²) pair generation feeds THREE evaluations (the totals
       // agg + the prefix pass's two scans) — checkpoint the ~|pairs|-
@@ -876,7 +907,8 @@ object Stats {
           (sum(when($"cumb" < $"lo" && $"lo" <= $"cumb" + $"cnt", $"s")) +
             sum(when($"cumb" < $"hi" && $"hi" <= $"cumb" + $"cnt", $"s"))).as("m2"))
         .select($"n_pairs", $"n_distinct_slopes",
-          round($"m2".cast("double") / 2.0e6 / 100.0, 6).as("ts_slope_per_day"))
+          (round($"m2".cast("double") / 2.0e6 / 100.0, 6) + 0.0)
+            .as("ts_slope_per_day"))
     }
   }
 
@@ -905,7 +937,7 @@ object Stats {
       |  FROM c CROSS JOIN t)
       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
       |  CAST(nv AS BIGINT) AS n_distinct_slopes,
-      |  round(CAST(m2 AS DOUBLE) / 2.0e6 / 100.0, 6) AS ts_slope_per_day
+      |  round(CAST(m2 AS DOUBLE) / 2.0e6 / 100.0, 6) + 0.0 AS ts_slope_per_day
       |FROM m""".stripMargin
 
   // ------------------------------------- Population Stability Index (PSI)
@@ -1001,37 +1033,60 @@ object Stats {
     * exact up/down/run counts.
     *
     * Exactness: signs, the lag-based run starts, and (n₊, n₋, R) are
-    * exact integers on the day grid (ties — equal consecutive revenues —
-    * can't occur in cents data here and would be dropped identically by
-    * the != comparison on both engines); the mean/variance assembly is
-    * one double projection. Scale shape: one fact aggregate to the
-    * calendar-bounded day grid, [[Dist.withPrefix]] supplies the ordered
-    * previous-day value as an index self-join (no unpartitioned lag
-    * window), one 1-row result. */
+    * exact integers on the day grid. Ties — equal consecutive revenues,
+    * essentially impossible in summed-cents data but reachable on
+    * regenerated fixtures or real deployments — are DROPPED on both
+    * engines (the Wald–Wolfowitz convention), and the retained sign
+    * sequence is RE-INDEXED contiguously before the run-boundary
+    * comparison: without the re-index a dropped tie would leave an index
+    * gap that fabricates a spurious run start. The mean/variance
+    * assembly is one double projection, `+ 0.0`-normalized on both
+    * engines (a z that rounds to signed zero must not diverge as -0.0
+    * vs 0.0 in the string-compared parity gate). Scale shape: one fact
+    * aggregate to the calendar-bounded day grid, [[Dist.withPrefix]]
+    * supplies the ordered previous-day value as an index self-join (no
+    * unpartitioned lag window), one 1-row result. */
   def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.orders(spark, sfDir)
-      .select(
-        Epoch.day($"o_orderdate").as("day"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
-      .groupBy($"day").agg(sum($"rev_c").as("rev_c"))
+    runsTestOfDaily(
+      Tables.orders(spark, sfDir)
+        .select(
+          Epoch.day($"o_orderdate").as("day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("rev_c"))
+        .groupBy($"day").agg(sum($"rev_c").as("rev_c")))
+  }
+
+  /** [[qRunsTest]]'s algorithm core over a prepared (day, rev_c) daily
+    * relation — extracted so synthetic tests can drive the TIE path
+    * (equal consecutive revenues) the fixture calendar never produces:
+    * a dropped tie must neither count as a move nor fabricate a run
+    * boundary across the gap it leaves. */
+  private[graft] def runsTestOfDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
     val g = Dist.withPrefix(daily, Seq($"day"), Seq("rev_c" -> "pre"), Some("idx"))
       .localCheckpoint(true)
     val prev = g.select(($"idx" + 1L).as("idx"), $"rev_c".as("prev_rev"))
-    val signs = g.join(prev, Seq("idx"))                 // drops the first row
-      .select($"idx", ($"rev_c" > $"prev_rev").as("up"))
-    val prevSign = signs.select(($"idx" + 1L).as("idx"), $"up".as("prev_up"))
-    signs.join(prevSign, Seq("idx"), "left")
+    val signs0 = g.join(prev, Seq("idx"))                // drops the first row
+      .where($"rev_c" =!= $"prev_rev")                   // ties dropped
+      .select($"idx".as("day_idx"), ($"rev_c" > $"prev_rev").as("up"))
+    // contiguous re-index of the tie-free sign sequence (day-grid
+    // bounded), so each retained sign compares to the PREVIOUS RETAINED
+    // sign even across a dropped-tie gap
+    val signs = Dist.withPrefix(signs0, Seq($"day_idx"), Seq.empty, Some("sidx"))
+    val prevSign = signs.select(($"sidx" + 1L).as("sidx"), $"up".as("prev_up"))
+    signs.join(prevSign, Seq("sidx"), "left")
       .agg(count(lit(1)).as("n"),
         sum(when($"up", 1L).otherwise(0L)).as("n_up"),
         sum(when($"prev_up".isNull || $"up" =!= $"prev_up", 1L).otherwise(0L))
           .as("runs"))
       .select($"n", $"n_up", ($"n" - $"n_up").as("n_down"), $"runs",
-        round(($"runs".cast("double")
+        (round(($"runs".cast("double")
           - (lit(2.0) * $"n_up" * ($"n" - $"n_up") / $"n" + 1.0))
           / sqrt((lit(2.0) * $"n_up" * ($"n" - $"n_up")
               * (lit(2.0) * $"n_up" * ($"n" - $"n_up") - $"n"))
-            / ($"n".cast("double") * $"n" * ($"n" - 1L))), 4).as("z_score"))
+            / ($"n".cast("double") * $"n" * ($"n" - 1L))), 4) + 0.0)
+          .as("z_score"))
   }
 
   val runsTestSql: String =
@@ -1040,12 +1095,12 @@ object Stats {
       |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
       |  FROM orders GROUP BY 1),
       |s AS (
-      |  SELECT day, rev_c > lag(rev_c) OVER (ORDER BY day) AS up,
+      |  SELECT day, rev_c, rev_c > lag(rev_c) OVER (ORDER BY day) AS up,
       |    lag(rev_c) OVER (ORDER BY day) AS prev_rev
       |  FROM daily),
       |s2 AS (
       |  SELECT up, lag(up) OVER (ORDER BY day) AS prev_up
-      |  FROM s WHERE prev_rev IS NOT NULL),
+      |  FROM s WHERE prev_rev IS NOT NULL AND rev_c <> prev_rev),
       |m AS (
       |  SELECT count(*) AS n,
       |    sum(CASE WHEN up THEN 1 ELSE 0 END) AS n_up,
@@ -1057,7 +1112,7 @@ object Stats {
       |  round((CAST(runs AS DOUBLE)
       |    - (2.0 * n_up * (n - n_up) / n + 1.0))
       |    / sqrt((2.0 * n_up * (n - n_up) * (2.0 * n_up * (n - n_up) - n))
-      |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z_score
+      |      / (CAST(n AS DOUBLE) * n * (n - 1))), 4) + 0.0 AS z_score
       |FROM m""".stripMargin
 
   // ------------------------------------------------------------- registry

@@ -393,6 +393,23 @@ class StatsSpec extends GraftSuite {
     assert(r.getDouble(4) == z)
   }
 
+  test("runsTestOfDaily drops ties per Wald-Wolfowitz, runs stay contiguous") {
+    import spark.implicits._
+    // revenues 10,20,20,15,18,18,25 → moves U,tie,D,U,tie,U → retained
+    // signs U D U U: n=4, n_up=3, runs=3. The final U sits across a
+    // dropped-tie gap from the previous U and must CONTINUE its run —
+    // a spelling that joins prev-sign on the raw day index would find
+    // nothing at the gap and fabricate a 4th run start. z = (3 − (2·3·1/4
+    // + 1)) / sqrt(2·3·1·(2·3·1 − 4) / (4²·3)) = 0.5 / 0.5 = 1.0 exactly.
+    val daily = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 15L),
+      (5L, 18L), (6L, 18L), (7L, 25L)).toDF("day", "rev_c")
+    val r = rows(Stats.runsTestOfDaily(daily)).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 1L, 3L)),
+      s"tie handling drifted from the Wald-Wolfowitz convention: $r")
+    assert(r.getDouble(4) == 1.0, s"z off the hand-computed 1.0: $r")
+  }
+
   test("Epoch.day guards the nonnegative-day-index invariant") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
