@@ -1653,8 +1653,15 @@ object Analytics {
     * clustered or dispersed hot keys.
     *
     * Exactness: degrees are bounded by |V|, so the five Pearson moments
-    * over the directed edge list are exact BIGINT sums; one double
-    * assembly ends it. Scale shape: one degree aggregate + one edge-keyed
+    * over the directed edge list are exact integer sums, with the three
+    * degree-product sums widened to DECIMAL(38,0)/HUGEINT on the operand
+    * (a hub-heavy graph puts deg² near |V|² per edge, so the SUM passes
+    * 2^63 long before the fixture suggests — Spark's non-ANSI long sum
+    * wraps silently where DuckDB stays exact, and the engines would
+    * diverge); one double assembly ends it, `+ 0.0`-normalized on both
+    * engines because a near-neutral graph sits at r ≈ 0 by construction
+    * and a tiny negative r rounds to -0.0 on DuckDB vs +0.0 on Spark in
+    * the string-compared parity gate. Scale shape: one degree aggregate + one edge-keyed
     * join of the degree dimension onto each endpoint, then a single
     * 1-row reduction. */
   def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1667,18 +1674,22 @@ object Analytics {
       .join(deg.select($"node".as("src"), $"deg".as("dx")), Seq("src"))
       .join(deg.select($"node".as("dst"), $"deg".as("dy")), Seq("dst"))
       .agg(count(lit(1)).as("m"), sum($"dx").as("sx"), sum($"dy").as("sy"),
-        sum($"dx" * $"dy").as("sxy"), sum($"dx" * $"dx").as("sxx"),
-        sum($"dy" * $"dy").as("syy"))
+        sum($"dx".cast("decimal(38,0)") * $"dy").as("sxy"),
+        sum($"dx".cast("decimal(38,0)") * $"dx").as("sxx"),
+        sum($"dy".cast("decimal(38,0)") * $"dy").as("syy"))
       // a regular graph (every degree equal — sf0.001's K10) has zero
       // degree variance: the correlation is undefined there, and under
       // ANSI mode an unguarded 0/0 double division THROWS — emit null
       .withColumn("den",
-        sqrt($"m".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
-          * sqrt($"m".cast("double") * $"syy" - $"sy".cast("double") * $"sy"))
+        sqrt($"m".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx")
+          * sqrt($"m".cast("double") * $"syy".cast("double")
+            - $"sy".cast("double") * $"sy"))
       .select(expr("m DIV 2").as("n_edges"),
         when($"den" > 0.0,
-          round(($"m".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
-            / $"den", 6)).as("assortativity"))
+          round(($"m".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy")
+            / $"den", 6) + 0.0).as("assortativity"))
   }
 
   val assortativitySql: String =
@@ -1691,14 +1702,21 @@ object Analytics {
        |  FROM adj JOIN deg a ON adj.src = a.node JOIN deg b ON adj.dst = b.node),
        |m AS (
        |  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
-       |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+       |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+       |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+       |    sum(CAST(dy AS HUGEINT) * dy) AS syy
        |  FROM j)
        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
-       |  CASE WHEN sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-       |      * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
-       |    THEN round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-       |      / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-       |        * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+       |  CASE WHEN sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * sx)
+       |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * sy) > 0
+       |    THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * sy)
+       |      / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * sx)
+       |        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
        |  END AS assortativity
        |FROM m""".stripMargin
 

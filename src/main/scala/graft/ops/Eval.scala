@@ -279,8 +279,14 @@ object Eval {
     *
     * Exactness: κ = (N·agree − Σ_c rowtot_c·coltot_c) / (N² − Σ_c ...) is
     * assembled entirely from exact integer counts with ONE double division
-    * at the end — both engines bit-identical. N² needs N < ~3e9; past
-    * that, widen the two products to DECIMAL(38,0). Scale shape: three
+    * at the end — both engines bit-identical. The marginal-product sum
+    * and the N·agree / N² assembly are widened to DECIMAL(38,0)/HUGEINT
+    * (they pass 2^63 around N ≈ 3e9 eval docs — Spark's non-ANSI long
+    * arithmetic wraps SILENTLY there while DuckDB stays exact, so the
+    * engines would diverge), and the rounded κ is `+ 0.0`-normalized on
+    * both engines: near-chance agreement sits at κ ≈ 0 BY CONSTRUCTION,
+    * and a tiny negative κ rounds to -0.0 on DuckDB vs +0.0 on Spark —
+    * a hard fail in the string-compared parity gate. Scale shape: three
     * hash aggregates (one corpus pass + two class-bounded marginals) and a
     * 10-row grid join — corpus size only enters map-side. */
   def qCohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
@@ -299,11 +305,13 @@ object Eval {
     val ma = cg.groupBy($"actual".as("cls")).agg(sum($"c").as("ca"))
     val mp = cg.groupBy($"predicted".as("cls")).agg(sum($"c").as("cp"))
     val pe = ma.join(mp, Seq("cls"), "full_outer")
-      .agg(sum(coalesce($"ca", lit(0L)) * coalesce($"cp", lit(0L))).as("pe_num"))
+      .agg(sum(coalesce($"ca", lit(0L)).cast("decimal(38,0)")
+        * coalesce($"cp", lit(0L))).as("pe_num"))
     tot.crossJoin(broadcast(pe))
       .select($"n", $"agree".as("n_agree"),
-        round(($"n" * $"agree" - $"pe_num").cast("double")
-          / ($"n" * $"n" - $"pe_num"), 6).as("kappa"))
+        (round(($"n".cast("decimal(38,0)") * $"agree" - $"pe_num").cast("double")
+          / ($"n".cast("decimal(38,0)") * $"n" - $"pe_num").cast("double"), 6)
+          + 0.0).as("kappa"))
   }
 
   val cohensKappaSql: String =
@@ -313,10 +321,12 @@ object Eval {
        |      FROM preds),
        |ma AS (SELECT actual AS cls, count(*) AS ca FROM preds GROUP BY 1),
        |mp AS (SELECT predicted AS cls, count(*) AS cp FROM preds GROUP BY 1),
-       |pe AS (SELECT sum(coalesce(ca, 0) * coalesce(cp, 0)) AS pe_num
+       |pe AS (SELECT sum(CAST(coalesce(ca, 0) AS HUGEINT) * coalesce(cp, 0))
+       |         AS pe_num
        |       FROM ma FULL OUTER JOIN mp USING (cls))
        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
-       |  round(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6) AS kappa
+       |  round(CAST(CAST(n AS HUGEINT) * agree - pe_num AS DOUBLE)
+       |    / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 6) + 0.0 AS kappa
        |FROM t CROSS JOIN pe""".stripMargin
 
   /** Calibration (reliability) table + per-bin Brier score: scores are the

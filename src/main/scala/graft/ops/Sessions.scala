@@ -192,14 +192,17 @@ object Sessions {
     * dashboard fits, as a pure aggregation (no ML library, no iteration).
     *
     * Exactness: the five OLS moments (n, Σx, Σy, Σxy, Σx²) are exact
-    * BIGINT sums over the (segment, day)-bounded daily grid — x is the
-    * epoch-day index, y exact cents through the DECIMAL(18,2) cast; the
-    * closed-form slope/intercept assembly happens in doubles with
-    * identical op order on both engines (the n·Σxy cross-product would
-    * pass 2^63 around 100× this revenue scale — the double assembly of
-    * exact integers stays deterministic regardless). Scale shape: one
-    * fact aggregate to the daily grid, one grid aggregate — corpus size
-    * only enters map-side. */
+    * integer sums over the (segment, day)-bounded daily grid — x is the
+    * epoch-day index, y exact cents through the DECIMAL(18,2) cast. The
+    * Σxy accumulation is widened to DECIMAL(38,0)/HUGEINT (per-day x·y
+    * stays under 2^63, but the SUM passes it around 100× this revenue
+    * scale — Spark's non-ANSI long sum wraps SILENTLY while DuckDB's
+    * HUGEINT stays exact, so the engines would diverge); the closed-form
+    * slope/intercept assembly happens in doubles with identical op order
+    * on both engines, `+ 0.0`-normalized so a flat segment's
+    * barely-negative slope can't diverge as -0.0 vs 0.0 in the
+    * string-compared parity gate. Scale shape: one fact aggregate to the
+    * daily grid, one grid aggregate — corpus size only enters map-side. */
   def qTrendSlope(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.orders(spark, sfDir)
@@ -211,17 +214,20 @@ object Sessions {
       .groupBy($"segment", $"x").agg(sum($"y_c").as("y"))
     daily.groupBy($"segment")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"))
       .select($"segment", $"n".as("n_days"),
-        round(
-          (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+        (round(
+          (($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy")
             / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
-            / 100.0, 4).as("slope_per_day"),
-        round(
+            / 100.0, 4) + 0.0).as("slope_per_day"),
+        (round(
           ($"sy".cast("double")
-            - (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+            - (($"n".cast("double") * $"sxy".cast("double")
+                - $"sx".cast("double") * $"sy")
               / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
-              * $"sx") / $"n" / 100.0, 2).as("intercept"))
+              * $"sx") / $"n" / 100.0, 2) + 0.0).as("intercept"))
       .orderBy($"segment")
   }
 
@@ -234,16 +240,18 @@ object Sessions {
       |  GROUP BY 1, 2),
       |m AS (
       |  SELECT segment, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(x * x) AS sxx
       |  FROM daily GROUP BY 1)
       |SELECT segment, CAST(n AS BIGINT) AS n_days,
-      |  round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * sy)
       |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) / 100.0, 4)
-      |    AS slope_per_day,
+      |    + 0.0 AS slope_per_day,
       |  round((CAST(sy AS DOUBLE)
-      |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * sy)
       |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-      |    / n / 100.0, 2) AS intercept
+      |    / n / 100.0, 2) + 0.0 AS intercept
       |FROM m ORDER BY segment""".stripMargin
 
   /** Maximum drawdown of each segment's daily revenue series — the
@@ -335,8 +343,16 @@ object Sessions {
     * (sum, n) instead of dividing, and each day's residual
     * rev − sum/n = (rev·n − sum)/n is cleared of its denominator by
     * scaling with 420/n (420 = lcm(4..7) covers the edge windows), so
-    * the per-weekday accumulation is an exact BIGINT sum — division and
-    * the one double appear only in the 7-row final projection. Scale
+    * the per-weekday accumulation is an exact integer sum, WIDENED to
+    * DECIMAL(38,0) on the Spark side (per-day r420 terms stay under
+    * 2^63 but their SUM passes it at ~100× this revenue scale — the
+    * oracle's HUGEINT sum is already exact there, so an unwidened Spark
+    * long sum would wrap silently and diverge); division and the one
+    * double appear only in the 7-row final projection, with the
+    * seasonal component `+ 0.0`-normalized on both engines (weekday
+    * residual means sit near zero BY CONSTRUCTION, and a tiny negative
+    * mean rounds to -0.0 on DuckDB vs +0.0 on Spark — a hard fail in
+    * the string-compared parity gate). Scale
     * shape: one fact aggregate to the day grid; the centered ROWS window
     * is spelled as TWO lookups into [[Dist.withPrefix]]'s distributed
     * cumulative sum (c[min(i+3, n−1)] − pre[max(i−3, 0)]) joined by row
@@ -368,8 +384,8 @@ object Sessions {
       .withColumn("r420", ($"rev_c" * $"tn" - $"tsum") * expr("420 DIV tn"))
       .groupBy(pmod($"day", lit(7L)).cast("long").as("dow"))
       .agg(count(lit(1)).as("n_days"),
-        round(sum($"r420").cast("double") / (lit(420.0) * count(lit(1))) / 100.0, 4)
-          .as("seasonal"),
+        (round(sum($"r420".cast("decimal(38,0)")).cast("double")
+          / (lit(420.0) * count(lit(1))) / 100.0, 4) + 0.0).as("seasonal"),
         round(avg($"tsum".cast("double") / $"tn") / 100.0, 2).as("mean_trend"))
       .orderBy($"dow")
   }
@@ -386,7 +402,7 @@ object Sessions {
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
       |SELECT day % 7 AS dow, count(*) AS n_days,
       |  round(CAST(sum((rev_c * tn - tsum) * (420 // tn)) AS DOUBLE)
-      |    / (420.0 * count(*)) / 100.0, 4) AS seasonal,
+      |    / (420.0 * count(*)) / 100.0, 4) + 0.0 AS seasonal,
       |  round(avg(CAST(tsum AS DOUBLE) / tn) / 100.0, 2) AS mean_trend
       |FROM t GROUP BY 1 ORDER BY dow""".stripMargin
 
@@ -396,9 +412,15 @@ object Sessions {
     * [[qHourlyAutocorr]]'s single fixed lag.
     *
     * Exactness: both series are exact integers on the day grid (cents,
-    * counts); per-lag moments are exact sums — the revenue² sum is
-    * widened to DECIMAL(38,0) (cents² terms pass 2^63 at ~100 high-revenue
-    * days) — and each lag's r is one double assembly, round 6. Scale
+    * counts); per-lag moments are exact sums, with Σa, Σa², Σab and Σb²
+    * widened to DECIMAL(38,0)/HUGEINT on the OPERAND — the cast must sit
+    * on the factor, not the finished product: `(a*a).cast(decimal)`
+    * wraps the long multiply BEFORE widening once daily cents pass ~3e9
+    * (and DuckDB hard-errors the same BIGINT multiply), which is exactly
+    * the silent-divergence class the widening exists to prevent — and
+    * each lag's r is one double assembly, round 6, `+ 0.0`-normalized on
+    * both engines (a near-zero negative correlation must not diverge as
+    * -0.0 vs 0.0 in the string-compared parity gate). Scale
     * shape: the lag dimension is a 15-row broadcast against the
     * calendar-bounded day grid, matched by a shifted-key equi-join (no
     * dense series materialized), then a 15-key aggregate. */
@@ -416,16 +438,18 @@ object Sessions {
       .join(shifted, $"day2" === $"day" + $"lag")
       .groupBy($"lag")
       .agg(count(lit(1)).as("n"),
-        sum($"a").as("sa"), sum($"b2").as("sb"),
-        sum($"a" * $"b2").as("sab"),
-        sum(($"a" * $"a").cast("decimal(38,0)")).as("saa"),
-        sum($"b2" * $"b2").as("sbb"))
+        sum($"a".cast("decimal(38,0)")).as("sa"), sum($"b2").as("sb"),
+        sum($"a".cast("decimal(38,0)") * $"b2").as("sab"),
+        sum($"a".cast("decimal(38,0)") * $"a").as("saa"),
+        sum($"b2".cast("decimal(38,0)") * $"b2").as("sbb"))
       .select($"lag", $"n".as("n_days"),
-        round(($"n".cast("double") * $"sab" - $"sa".cast("double") * $"sb")
+        (round(($"n".cast("double") * $"sab".cast("double")
+            - $"sa".cast("double") * $"sb")
           / (sqrt($"n".cast("double") * $"saa".cast("double")
-              - $"sa".cast("double") * $"sa")
-            * sqrt($"n".cast("double") * $"sbb" - $"sb".cast("double") * $"sb")),
-          6).as("xcorr"))
+              - $"sa".cast("double") * $"sa".cast("double"))
+            * sqrt($"n".cast("double") * $"sbb".cast("double")
+              - $"sb".cast("double") * $"sb")),
+          6) + 0.0).as("xcorr"))
       .orderBy($"lag")
   }
 
@@ -441,15 +465,18 @@ object Sessions {
       |  FROM g CROSS JOIN l JOIN g s ON s.day = g.day + l.lag),
       |m AS (
       |  SELECT lag, count(*) AS n, sum(a) AS sa, sum(b2) AS sb,
-      |    sum(a * b2) AS sab,
-      |    sum(CAST(a * a AS DECIMAL(38,0))) AS saa, sum(b2 * b2) AS sbb
+      |    sum(CAST(a AS HUGEINT) * b2) AS sab,
+      |    sum(CAST(a AS HUGEINT) * a) AS saa,
+      |    sum(CAST(b2 AS HUGEINT) * b2) AS sbb
       |  FROM j GROUP BY 1)
       |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
-      |  round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+      |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+      |      - CAST(sa AS DOUBLE) * sb)
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-      |        - CAST(sa AS DOUBLE) * sa)
-      |      * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)),
-      |  6) AS xcorr
+      |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |        - CAST(sb AS DOUBLE) * sb)),
+      |  6) + 0.0 AS xcorr
       |FROM m ORDER BY lag""".stripMargin
 
   /** Burstiness of each event type's daily arrival counts — the Fano
@@ -1258,8 +1285,16 @@ object Sessions {
   /** Lag-24 h autocorrelation of hourly event volume per type — the
     * one-number daily-seasonality detector. Hourly counts pair with their
     * 24-hours-earlier bucket by an equi-join on the shifted hour key (no
-    * dense series needed); all five Pearson sums are exact BIGINTs and
-    * the final r is the same four double ops on both engines. */
+    * dense series needed); all five Pearson sums are exact integers with
+    * the second moments widened to DECIMAL(38,0)/HUGEINT on the operand,
+    * and the n·Σxy − Σx·Σy assembly kept exact in the SAME wide integer
+    * type before its single double cast (the previous long assembly
+    * wrapped silently on Spark once Σx·Σx passed 2^63 — total-events²
+    * per type, reached around 1e10 events — while DuckDB's HUGEINT
+    * stayed exact, so the engines would diverge instead of both staying
+    * exact). The rounded r is `+ 0.0`-normalized on both engines (a
+    * near-zero negative autocorrelation must not diverge as -0.0 vs 0.0
+    * in the string-compared parity gate). */
   def qHourlyAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val hc = Tables.events(spark, sfDir)
@@ -1272,12 +1307,16 @@ object Sessions {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-        sum($"x" * $"y").as("sxy"))
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
       .select($"event_type", $"n".as("n_pairs"),
-        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-          / (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
-            * sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6)
+        (round(($"n" * $"sxy" - $"sx".cast("decimal(38,0)") * $"sy")
+            .cast("double")
+          / (sqrt(($"n" * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx")
+              .cast("double"))
+            * sqrt(($"n" * $"syy" - $"sy".cast("decimal(38,0)") * $"sy")
+              .cast("double"))), 6) + 0.0)
           .as("r_lag24"))
       .orderBy($"event_type")
   }
@@ -1294,14 +1333,15 @@ object Sessions {
       |s AS (
       |  SELECT event_type, count(*) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
       |  FROM j GROUP BY 1)
       |SELECT event_type, n AS n_pairs,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r_lag24
+      |  round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+      |    + 0.0 AS r_lag24
       |FROM s ORDER BY event_type""".stripMargin
 
   /** Conversion latency: seconds from a user's first view to their first

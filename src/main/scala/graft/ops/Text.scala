@@ -1563,11 +1563,16 @@ object Text {
         sum($"lx").as("sx"), sum($"ly").as("sy"),
         sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
       .select($"n_terms",
-        round(($"n_terms" * $"sxy" - $"sx" * $"sy")
-          / ($"n_terms" * $"sxx" - $"sx" * $"sx"), 4).as("zipf_slope"),
-        round(($"sy" - ($"n_terms" * $"sxy" - $"sx" * $"sy")
+        // + 0.0 normalizes the degenerate flat-frequency corpus: the OLS
+        // numerator is analytically 0 there but carries ±1e-13 of double
+        // summation residue, and round(-1e-13, 4) prints -0.0 on DuckDB
+        // vs 0.0 on Spark — a hard fail in the string-compared parity
+        // gate (same idiom as q_trend_slope / the Stats z-scores)
+        (round(($"n_terms" * $"sxy" - $"sx" * $"sy")
+          / ($"n_terms" * $"sxx" - $"sx" * $"sx"), 4) + 0.0).as("zipf_slope"),
+        (round(($"sy" - ($"n_terms" * $"sxy" - $"sx" * $"sy")
           / ($"n_terms" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n_terms", 4)
-          .as("intercept"))
+          + 0.0).as("intercept"))
   }
 
   val zipfSlopeSql: String =
@@ -1586,9 +1591,9 @@ object Text {
        |  FROM r)
        |SELECT n_terms,
        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
-       |    AS zipf_slope,
+       |    + 0.0 AS zipf_slope,
        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
-       |    * sx) / n_terms, 4) AS intercept
+       |    * sx) / n_terms, 4) + 0.0 AS intercept
        |FROM m""".stripMargin
 
   /** Deterministic hash sampling: the stable ~10% corpus sample every
