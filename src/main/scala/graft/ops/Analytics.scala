@@ -1213,7 +1213,11 @@ object Analytics {
         ($"price_c" < $"p05" || $"price_c" > $"p95").as("clipped"))
     clamped.groupBy($"flag")
       .agg(sum($"__c").as("n"),
-        sum($"w_mc" * $"__c").as("s_mc"),
+        // operand-widened: w_mc (clamped milli-cents ~1e8) times a
+        // value-count that carries ~N rows per group passes 2^63 near
+        // 1e11 corpus rows — Spark's long sum wraps silently where the
+        // oracle's HUGEINT stays exact
+        sum($"w_mc".cast("decimal(38,0)") * $"__c").as("s_mc"),
         sum(when($"clipped", $"__c").otherwise(0L)).as("n_clipped"),
         min($"p05").as("p05_c"), min($"p95").as("p95_c"))
       .select($"flag".as("l_returnflag"), $"n",
@@ -1260,7 +1264,8 @@ object Analytics {
       |SELECT flag AS l_returnflag, CAST(sum(c) AS BIGINT) AS n,
       |  round(min(p05) / 100.0, 4) AS p05,
       |  round(min(p95) / 100.0, 4) AS p95,
-      |  round(CAST(sum(w_mc * c) AS DOUBLE) / sum(c) / 1e5, 4) AS mean_winsorized,
+      |  round(CAST(sum(CAST(w_mc AS HUGEINT) * c) AS DOUBLE) / sum(c) / 1e5, 4)
+      |    AS mean_winsorized,
       |  CAST(sum(CASE WHEN clipped THEN c ELSE 0 END) AS BIGINT) AS n_clipped
       |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1559,7 +1564,10 @@ object Analytics {
         max($"total").as("tot"),
         sum(when($"idx" <= $"k", $"rev").otherwise(0L)).as("toprev"))
       .select($"n_customers", $"top_k",
-        expr("toprev * 1000000 DIV tot").as("top20_share_ppm"))
+        // widened: toprev is corpus cents (~2e18 at 100 TB), so *1e6
+        // wraps the long on Spark while the oracle's HUGEINT stays exact
+        expr("CAST(CAST(toprev AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("top20_share_ppm"))
   }
 
   val paretoShareSql: String =
@@ -1572,8 +1580,8 @@ object Analytics {
       |  FROM pc),
       |t AS (SELECT count(*) AS n, sum(rev) AS total FROM pc)
       |SELECT CAST(n AS BIGINT) AS n_customers, CAST(n // 5 AS BIGINT) AS top_k,
-      |  CAST(sum(CASE WHEN idx <= n // 5 THEN rev ELSE 0 END) * 1000000
-      |    // total AS BIGINT) AS top20_share_ppm
+      |  CAST(CAST(sum(CASE WHEN idx <= n // 5 THEN rev ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // total AS BIGINT) AS top20_share_ppm
       |FROM r CROSS JOIN t GROUP BY n, total""".stripMargin
 
   /** Statistical MODE per group — the most frequent quantity per return
@@ -2517,9 +2525,13 @@ object Analytics {
     * own the volume".
     *
     * Determinism: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) with x ascending
-    * cents and i the 1-based rank. Every sum is an exact BIGINT (all
-    * < 2^48); numerator and denominator are each exact in a double, so
-    * the single division is bit-identical. Ranking uses the two-phase
+    * cents and i the 1-based rank. The rank-weighted sum Σ(i·xᵢ) and the
+    * (n+1)·Σx / n·Σx assembly are widened to DECIMAL(38,0)/HUGEINT —
+    * Σ(i·xᵢ) ≤ n·Σx grows as suppliers × corpus cents and passes 2^63
+    * around 1e6 suppliers at ~$10¹¹ total (Spark's long sum wraps
+    * silently, DuckDB errors on the BIGINT product → divergence either
+    * way); numerator and denominator are each exact before their single
+    * double cast, so the division is bit-identical. Ranking uses the two-phase
     * sorted `zipWithIndex` (the [[graft.ops.Text.qWordIdEncode]]
     * discipline) — never an unpartitioned corpus window. */
   def qRevenueGini(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2533,10 +2545,11 @@ object Analytics {
         case (r, i) => (i + 1, r.getLong(1))
       }).toDF("rank", "cents")
     ranked.agg(count(lit(1)).as("n"), sum($"cents").as("s"),
-        sum($"rank" * $"cents").as("s1"))
+        sum($"rank".cast("decimal(38,0)") * $"cents").as("s1"))
       .select($"n".as("n_suppliers"), $"s".as("total_cents"),
-        round((lit(2L) * $"s1" - ($"n" + 1) * $"s").cast("double")
-          / ($"n" * $"s").cast("double"), 6).as("gini"))
+        round((lit(2L) * $"s1" - ($"n" + 1).cast("decimal(38,0)") * $"s")
+          .cast("double")
+          / ($"n".cast("decimal(38,0)") * $"s").cast("double"), 6).as("gini"))
   }
 
   val revenueGiniSql: String =
@@ -2551,11 +2564,11 @@ object Analytics {
       |  FROM rev),
       |a AS (
       |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
-      |    CAST(sum(rank * cents) AS BIGINT) AS s1
+      |    sum(CAST(rank AS HUGEINT) * cents) AS s1
       |  FROM r)
       |SELECT n AS n_suppliers, s AS total_cents,
-      |  round(CAST(2 * s1 - (n + 1) * s AS DOUBLE)
-      |    / CAST(n * s AS DOUBLE), 6) AS gini
+      |  round(CAST(2 * s1 - CAST(n + 1 AS HUGEINT) * s AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS gini
       |FROM a""".stripMargin
 
   /** Association significance: the χ² statistic for each brand pair's
@@ -2715,10 +2728,15 @@ object Analytics {
   /** Column-pair profiling: Pearson correlation of quantity vs
     * whole-dollar price per return flag — the feature-correlation staple
     * of any dataset profile, spelled engine-exact: the five sums are
-    * exact BIGINTs (qty ≤ 50, dollars ≤ 10⁵ keep every Σ far below 2^63),
-    * then the r formula runs entirely in doubles CAST from those
-    * identical integers (each ≤ 2^53, exactly representable) in the same
-    * op order on both engines. One aggregation, 3 rows. */
+    * exact integers with the second moments widened to
+    * DECIMAL(38,0)/HUGEINT (Σy² of ~10⁵-dollar prices passes 2^63 near
+    * 1e9 rows per flag — Spark's long sum wraps silently where DuckDB's
+    * HUGEINT stays exact, so the engines would diverge), then the r
+    * formula runs entirely in doubles CAST from those identical integers
+    * in the same op order on both engines, `+ 0.0`-normalized (the
+    * columns are independent by design, so r sits near 0 and a tiny
+    * negative rounds to -0.0 on DuckDB vs +0.0 on Spark). One
+    * aggregation, 3 rows. */
   def qQtyPriceCorr(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
@@ -2731,15 +2749,23 @@ object Analytics {
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-        sum($"x" * $"y").as("sxy"))
+        // operand-widened second moments: Σy² of ~1e5-dollar prices
+        // passes 2^63 near 1e9 rows per flag — Spark's long sum wraps
+        // silently where the oracle's HUGEINT stays exact
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"))
       .select($"l_returnflag", $"n",
-        round(($"n".cast("double") * $"sxy".cast("double")
+        // + 0.0: quantity and price are independent by design, so r sits
+        // near 0 and a tiny negative rounds to -0.0 on DuckDB vs +0.0 on
+        // Spark in the string-compared parity gate
+        (round(($"n".cast("double") * $"sxy".cast("double")
           - $"sx".cast("double") * $"sy".cast("double"))
           / (sqrt($"n".cast("double") * $"sxx".cast("double")
             - $"sx".cast("double") * $"sx".cast("double"))
             * sqrt($"n".cast("double") * $"syy".cast("double")
-              - $"sy".cast("double") * $"sy".cast("double"))), 6).as("r"))
+              - $"sy".cast("double") * $"sy".cast("double"))), 6) + 0.0)
+          .as("r"))
       .orderBy($"l_returnflag")
   }
 
@@ -2751,9 +2777,9 @@ object Analytics {
       |s AS (
       |  SELECT l_returnflag, count(*) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
       |  FROM t GROUP BY 1)
       |SELECT l_returnflag, n,
       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -2761,7 +2787,7 @@ object Analytics {
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS r
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -143,8 +143,12 @@ object Eval {
     * trapezoid 1/2 exactly rather than approximately.
     *
     * Exactness: scores are grouped (never averaged), so ranks come from
-    * integer counts; 2·R⁺ = Σ pos·(2·cum_before + cnt + 1) is an exact long
-    * and one double division ends it. Scale shape: one hash aggregate to
+    * integer counts; 2·R⁺ = Σ pos·(2·cum_before + cnt + 1) is an exact
+    * integer WIDENED to DECIMAL(38,0)/HUGEINT — the q_mann_whitney rank-sum
+    * discipline: 2·R⁺ ~ 2n² passes 2^63 at ~2e9 rows, where Spark's
+    * non-ANSI long sum wraps silently while DuckDB's HUGEINT stays exact,
+    * so the engines would diverge — and one double division ends it.
+    * Scale shape: one hash aggregate to
     * the distinct-score relation, then the prefix count over it runs as
     * [[Dist.withPrefix]]'s DISTRIBUTED two-pass prefix sum, one 1-row
     * result. The
@@ -162,9 +166,11 @@ object Eval {
       .agg(
         sum($"np").as("n_pos"),
         sum($"cnt" - $"np").as("n_neg"),
-        sum($"np" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("r2p"))
+        sum($"np".cast("decimal(38,0)") * (lit(2L) * $"cumb" + $"cnt" + 1L))
+          .as("r2p"))
       .select($"n_pos", $"n_neg",
-        round(($"r2p" - $"n_pos" * ($"n_pos" + 1L)).cast("double")
+        round(($"r2p" - $"n_pos".cast("decimal(38,0)") * ($"n_pos" + 1L))
+          .cast("double")
           / (lit(2.0) * $"n_pos" * $"n_neg"), 6).as("auc"))
   }
 
@@ -181,10 +187,10 @@ object Eval {
       |m AS (
       |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
       |    CAST(sum(cnt - np) AS BIGINT) AS n_neg,
-      |    CAST(sum(np * (2 * cumb + cnt + 1)) AS BIGINT) AS r2p
+      |    sum(CAST(np AS HUGEINT) * (2 * cumb + cnt + 1)) AS r2p
       |  FROM c)
       |SELECT n_pos, n_neg,
-      |  round(CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+      |  round(CAST(r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
       |    / (2.0 * n_pos * n_neg), 6) AS auc
       |FROM m""".stripMargin
 

@@ -279,7 +279,11 @@ object Sessions {
       .groupBy($"segment")
       .agg(count(lit(1)).as("n_days"),
         round(max($"peak_c").cast("double") / 100.0, 2).as("peak_rev"),
-        max(expr("(peak_c - rev_c) * 1000000 DIV peak_c")).as("max_drawdown_ppm"))
+        // HUGEINT/DECIMAL widening: daily cents pass ~9e12 once corpus
+        // revenue does, and (peak-rev)*1e6 then wraps the long on Spark
+        // while DuckDB errors on the BIGINT multiply
+        max(expr("CAST((CAST(peak_c AS DECIMAL(38,0)) - rev_c) * 1000000" +
+          " DIV peak_c AS BIGINT)")).as("max_drawdown_ppm"))
       .orderBy($"segment")
   }
 
@@ -297,8 +301,8 @@ object Sessions {
       |  FROM daily)
       |SELECT segment, count(*) AS n_days,
       |  round(CAST(max(peak_c) AS DOUBLE) / 100.0, 2) AS peak_rev,
-      |  CAST(max((peak_c - rev_c) * 1000000 // peak_c) AS BIGINT)
-      |    AS max_drawdown_ppm
+      |  CAST(max((CAST(peak_c AS HUGEINT) - rev_c) * 1000000 // peak_c)
+      |    AS BIGINT) AS max_drawdown_ppm
       |FROM p GROUP BY segment ORDER BY segment""".stripMargin
 
   /** Top event paths — 3-step behavioral path mining: each user's
@@ -500,12 +504,19 @@ object Sessions {
     val span = daily.agg((max($"day") - min($"day") + 1L).as("n_days"))
     daily.groupBy($"event_type")
       .agg(count(lit(1)).as("active_days"), sum($"c").as("s"),
-        sum($"c" * $"c").as("sq"))
+        // operand-widened: daily counts pass ~3e9/day at ~1000× fixture
+        // event rates, where c² wraps the long sum silently on Spark
+        // while the oracle's HUGEINT stays exact (the q_lead_lag class)
+        sum($"c".cast("decimal(38,0)") * $"c").as("sq"))
       .crossJoin(broadcast(span))
       // zero days contribute 0 to s and sq; only n changes: n = n_days
       .select($"event_type", $"n_days", $"active_days", $"s".as("n_events"),
-        round(($"n_days".cast("double") * $"sq" - $"s".cast("double") * $"s")
-          / ($"n_days".cast("double") * $"s"), 6).as("fano"))
+        // + 0.0: a constant daily series has fano = 0 exactly in integers
+        // but the double assembly carries residue once sq passes 2^53 —
+        // a tiny negative rounds to -0.0 on DuckDB vs +0.0 on Spark
+        (round(($"n_days".cast("double") * $"sq".cast("double")
+            - $"s".cast("double") * $"s")
+          / ($"n_days".cast("double") * $"s"), 6) + 0.0).as("fano"))
       .orderBy($"event_type")
   }
 
@@ -517,13 +528,14 @@ object Sessions {
       |span AS (SELECT max(day) - min(day) + 1 AS n_days FROM daily),
       |g AS (
       |  SELECT event_type, count(*) AS active_days, sum(c) AS s,
-      |    sum(c * c) AS sq
+      |    sum(CAST(c AS HUGEINT) * c) AS sq
       |  FROM daily GROUP BY 1)
       |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
       |  CAST(active_days AS BIGINT) AS active_days,
       |  CAST(s AS BIGINT) AS n_events,
-      |  round((CAST(n_days AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
-      |    / (CAST(n_days AS DOUBLE) * s), 6) AS fano
+      |  round((CAST(n_days AS DOUBLE) * CAST(sq AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * s)
+      |    / (CAST(n_days AS DOUBLE) * s), 6) + 0.0 AS fano
       |FROM g CROSS JOIN span ORDER BY event_type""".stripMargin
 
   /** The ACTUAL `session_window` operator in the oracle gate:

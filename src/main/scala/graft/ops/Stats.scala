@@ -317,8 +317,10 @@ object Stats {
     * Exactness: with revenue in integer cents, n·S_t = n·cum_t − t·total
     * is an exact long (argmax is invariant under the ×n scaling); the
     * reported statistic divides back out in one double step. Magnitudes:
-    * n_days·total-cents must stay < 2^63 — exact through ~2.6e6 daily
-    * totals of ~$10B each; widen to DECIMAL(38,0) beyond. Scale shape:
+    * n_days·total-cents is WIDENED to DECIMAL(38,0)/HUGEINT — a long
+    * spelling wraps silently on Spark (and errors on DuckDB's BIGINT
+    * multiply) once corpus revenue passes ~$38T over a ~2400-day
+    * calendar, which a 100 TB corpus exceeds. Scale shape:
     * one hash aggregate to the per-day relation (days are domain-bounded),
     * one window cumsum over it, one top-1 — fact rows only touch the
     * first aggregate. */
@@ -336,7 +338,8 @@ object Stats {
       .withColumn("cum", $"pre" + $"cents")
       .crossJoin(broadcast(tot))                 // 1-row totals
       .select($"day", $"nd",
-        abs($"nd" * $"cum" - $"t" * $"total").as("ns_abs"))
+        abs($"nd".cast("decimal(38,0)") * $"cum"
+          - $"t".cast("decimal(38,0)") * $"total").as("ns_abs"))
       .orderBy($"ns_abs".desc, $"day")
       .limit(1)
       .select($"day".as("changepoint"), $"nd".as("n_days"),
@@ -354,9 +357,10 @@ object Stats {
       |               count(*) AS nd FROM daily),
       |c AS (
       |  SELECT day, nd,
-      |    abs(nd * sum(cents) OVER (ORDER BY day
+      |    abs(CAST(nd AS HUGEINT) * sum(cents) OVER (ORDER BY day
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      - (row_number() OVER (ORDER BY day)) * total) AS ns_abs
+      |      - CAST(row_number() OVER (ORDER BY day) AS HUGEINT) * total)
+      |      AS ns_abs
       |  FROM daily CROSS JOIN tot)
       |SELECT day AS changepoint, CAST(nd AS BIGINT) AS n_days,
       |  round(CAST(ns_abs AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0), 2)
@@ -380,7 +384,10 @@ object Stats {
     * with the identical operand order on both engines (same discipline
     * as the autocorrelation query), so results are bit-identical;
     * integer sums avoid the n·q overflow a cross-multiplied spelling
-    * would hit (Σx² of byte-bounded lengths stays exact past 10¹² docs).
+    * would hit, and Σx² is widened to DECIMAL(38,0)/HUGEINT — the
+    * long sum only stays under 2^63 while max_chars·total_chars does,
+    * which a corpus of long documents breaks well before 10¹² docs
+    * (Spark wraps silently, DuckDB stays exact → divergence).
     * Scale shape: one aggregation + a 1-row broadcast — fact rows touch
     * exactly one shuffle. */
   def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -388,9 +395,11 @@ object Stats {
     val d = Tables.documents(spark, sfDir)
       .select($"source", $"n_chars".cast("long").as("x"))
     val per = d.groupBy($"source").agg(count(lit(1)).as("n1"),
-      sum($"x").as("s1"), sum($"x" * $"x").as("q1"))
+      sum($"x").as("s1"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("q1"))
     val tot = d.agg(count(lit(1)).as("ng"),
-      sum($"x").as("sg"), sum($"x" * $"x").as("qg"))
+      sum($"x").as("sg"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("qg"))
     val j = per.crossJoin(broadcast(tot))
       .select($"source", $"n1", $"s1", $"q1",
         ($"ng" - $"n1").as("n2"), ($"sg" - $"s1").as("s2"),
@@ -427,11 +436,11 @@ object Stats {
     """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
       |per AS (
       |  SELECT source, count(*) AS n1, CAST(sum(x) AS BIGINT) AS s1,
-      |    CAST(sum(x * x) AS BIGINT) AS q1
+      |    sum(CAST(x AS HUGEINT) * x) AS q1
       |  FROM d GROUP BY 1),
       |tot AS (
       |  SELECT count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
-      |    CAST(sum(x * x) AS BIGINT) AS qg
+      |    sum(CAST(x AS HUGEINT) * x) AS qg
       |  FROM d),
       |j AS (
       |  SELECT source, n1, s1, q1, ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2
@@ -489,9 +498,11 @@ object Stats {
     val d = Tables.documents(spark, sfDir)
       .select($"source", $"lang", $"n_chars".cast("long").as("x"))
     val per = d.groupBy($"source", $"lang").agg(count(lit(1)).as("n1"),
-      sum($"x").as("s1"), sum($"x" * $"x").as("q1"))
+      sum($"x").as("s1"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("q1"))
     val tot = d.agg(count(lit(1)).as("ng"),
-      sum($"x").as("sg"), sum($"x" * $"x").as("qg"))
+      sum($"x").as("sg"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("qg"))
     val j = per.crossJoin(broadcast(tot))
       .select($"source", $"lang", $"n1", $"s1", $"q1",
         ($"ng" - $"n1").as("n2"), ($"sg" - $"s1").as("s2"),
@@ -534,11 +545,11 @@ object Stats {
     """WITH d AS (SELECT source, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
       |per AS (
       |  SELECT source, lang, count(*) AS n1, CAST(sum(x) AS BIGINT) AS s1,
-      |    CAST(sum(x * x) AS BIGINT) AS q1
+      |    sum(CAST(x AS HUGEINT) * x) AS q1
       |  FROM d GROUP BY 1, 2),
       |tot AS (
       |  SELECT count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
-      |    CAST(sum(x * x) AS BIGINT) AS qg
+      |    sum(CAST(x AS HUGEINT) * x) AS qg
       |  FROM d),
       |j AS (
       |  SELECT source, lang, n1, s1, q1, ng - n1 AS n2, sg - s1 AS s2, qg - q1 AS q2

@@ -2008,8 +2008,11 @@ object Text {
     *
     * Determinism: the CDF gap is cleared of divisions —
     *   |cum_s/n_s − cum_c/n| = |cum_s·n − cum_c·n_s| / (n_s·n)
-    * so the max runs over exact BIGINTs and only the final ppm value
-    * divides. Scale shape: the (source × bucket) grid is
+    * so the max runs over exact integers, WIDENED to DECIMAL(38,0)/
+    * HUGEINT (cum·n grows as |docs|² and passes 2^63 at ~3e9 docs —
+    * the q_ks_test discipline: Spark's long product wraps silently
+    * where DuckDB errors, so the engines would diverge), and only the
+    * final ppm value divides. Scale shape: the (source × bucket) grid is
     * dimension-bounded (buckets ≤ max-doc-length/50); CDFs are
     * constant-bounded windows over that grid, never over rows. */
   def qLengthDrift(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2042,9 +2045,11 @@ object Text {
       .join(broadcast(nS), "source")
       .crossJoin(broadcast(n))
       .groupBy($"source")
-      .agg(max(abs($"cum_s" * $"n" - $"cum_c" * $"n_s")).as("d"),
-        max($"n_s" * $"n").as("den"))
-      .select($"source", expr("d * 1000000 DIV den").as("ks_ppm"))
+      .agg(max(abs($"cum_s".cast("decimal(38,0)") * $"n"
+          - $"cum_c".cast("decimal(38,0)") * $"n_s")).as("d"),
+        max($"n_s".cast("decimal(38,0)") * $"n").as("den"))
+      .select($"source",
+        expr("CAST(d * 1000000 DIV den AS BIGINT)").as("ks_ppm"))
       .orderBy($"source")
   }
 
@@ -2071,8 +2076,9 @@ object Text {
       |ns AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM d)
       |SELECT c.source,
-      |  max(abs(c.cum_s * n.n - co.cum_c * ns.n_s)) * 1000000
-      |    // max(ns.n_s * n.n) AS ks_ppm
+      |  CAST(max(abs(CAST(c.cum_s AS HUGEINT) * n.n
+      |      - CAST(co.cum_c AS HUGEINT) * ns.n_s)) * 1000000
+      |    // max(CAST(ns.n_s AS HUGEINT) * n.n) AS BIGINT) AS ks_ppm
       |FROM cums c JOIN corpus co ON c.bucket = co.bucket
       |JOIN ns ON c.source = ns.source, n
       |GROUP BY c.source ORDER BY c.source""".stripMargin
@@ -2114,10 +2120,14 @@ object Text {
     * flagging repetitive/degenerate docs relative to their own source.
     *
     * Determinism: per-doc entropy is the micro-nat BIGINT; per-source
-    * Σx/Σx² are exact BIGINTs; the 2σ test runs in doubles CAST FROM
-    * those identical integers in the same op order on both engines
-    * ((s−n·x)² > 4·(n·Σx²−s²), one-sided), so the flag set is
-    * bit-identical. Scale shape: one token aggregation, one
+    * Σx/Σx² are exact integers with Σx² and the n·x / n·Σx² guard
+    * products widened to DECIMAL(38,0)/HUGEINT (micro-nat entropies ~2e7
+    * put n·x past 2^63 near 1e12 docs and Σx² far earlier — Spark's
+    * non-ANSI long arithmetic wraps silently where DuckDB stays exact,
+    * so the engines would diverge on the flag set); the 2σ test runs in
+    * doubles CAST FROM those identical integers in the same op order on
+    * both engines ((s−n·x)² > 4·(n·Σx²−s²), one-sided), so the flag set
+    * is bit-identical. Scale shape: one token aggregation, one
     * source-keyed stats aggregation broadcast back. */
   def qEntropyOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2132,11 +2142,11 @@ object Text {
       .agg(sum($"h_micro").as("x"))
     val stats = ent.groupBy($"source")
       .agg(count(lit(1)).as("ns"), sum($"x").as("s"),
-        sum($"x" * $"x").as("ss"))
+        sum($"x".cast("decimal(38,0)") * $"x").as("ss"))
     ent.join(broadcast(stats), "source")
-      .where($"s" > $"ns" * $"x" &&
-        ($"s" - $"ns" * $"x").cast("double")
-          * ($"s" - $"ns" * $"x").cast("double")
+      .where($"s" > $"ns".cast("decimal(38,0)") * $"x" &&
+        ($"s" - $"ns".cast("decimal(38,0)") * $"x").cast("double")
+          * ($"s" - $"ns".cast("decimal(38,0)") * $"x").cast("double")
           > lit(4.0) * ($"ns".cast("double") * $"ss".cast("double")
             - $"s".cast("double") * $"s".cast("double")))
       .select($"doc_id", $"source", ($"x".cast("double") / 1e6).as("entropy_nats"))
@@ -2158,12 +2168,13 @@ object Text {
        |  FROM w GROUP BY 1, 2),
        |st AS (
        |  SELECT source, count(*) AS ns, CAST(sum(x) AS BIGINT) AS s,
-       |    CAST(sum(x * x) AS BIGINT) AS ss
+       |    sum(CAST(x AS HUGEINT) * x) AS ss
        |  FROM e GROUP BY 1)
        |SELECT doc_id, e.source, CAST(x AS DOUBLE) / 1e6 AS entropy_nats
        |FROM e JOIN st ON e.source = st.source
-       |WHERE s > ns * x
-       |  AND CAST(s - ns * x AS DOUBLE) * CAST(s - ns * x AS DOUBLE)
+       |WHERE s > CAST(ns AS HUGEINT) * x
+       |  AND CAST(s - CAST(ns AS HUGEINT) * x AS DOUBLE)
+       |    * CAST(s - CAST(ns AS HUGEINT) * x AS DOUBLE)
        |    > 4.0 * (CAST(ns AS DOUBLE) * CAST(ss AS DOUBLE)
        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
        |ORDER BY doc_id""".stripMargin
@@ -2890,7 +2901,10 @@ object Text {
         sum(least($"toks", lit(1024L))).as("kept_tokens"),
         sum($"trunc").as("n_truncated"))
       .withColumn("padding_waste_ppm",
-        expr("(n_docs * bucket - kept_tokens) * 1000000 DIV (n_docs * bucket)"))
+        // widened: n_docs*bucket is corpus tokens (~1e16 at 100 TB), so
+        // *1e6 wraps the long on Spark and errors DuckDB's BIGINT multiply
+        expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * bucket - kept_tokens)" +
+          " * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * bucket) AS BIGINT)"))
       .orderBy($"bucket")
   }
 
@@ -2912,8 +2926,8 @@ object Text {
       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(kept_tokens AS BIGINT) AS kept_tokens,
       |  CAST(n_truncated AS BIGINT) AS n_truncated,
-      |  CAST((n_docs * bucket - kept_tokens) * 1000000 // (n_docs * bucket)
-      |    AS BIGINT) AS padding_waste_ppm
+      |  CAST((CAST(n_docs AS HUGEINT) * bucket - kept_tokens) * 1000000
+      |    // (CAST(n_docs AS HUGEINT) * bucket) AS BIGINT) AS padding_waste_ppm
       |FROM g ORDER BY bucket""".stripMargin
 
   /** Unicode NFC normalization audit — the ingest step that makes
@@ -2986,7 +3000,10 @@ object Text {
       .groupBy($"source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      // widened: n_oov can approach corpus token count (~1e14), so *1e6
+      // wraps the long on Spark while the oracle's HUGEINT stays exact
+      .withColumn("oov_ppm",
+        expr("CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
       .orderBy($"source")
   }
 
@@ -3002,8 +3019,8 @@ object Text {
        |  GROUP BY token HAVING count(*) >= 5)
        |SELECT source, count(*) AS n_tokens,
        |  CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       |  CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) * 1000000
-       |    // count(*) AS BIGINT) AS oov_ppm
+       |  CAST(CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS HUGEINT)
+       |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
        |FROM d LEFT JOIN vocab USING (token)
        |WHERE NOT is_train
        |GROUP BY source ORDER BY source""".stripMargin

@@ -286,10 +286,15 @@ object Vectors {
         round($"v".cast("double") * 1e6).cast("long").as("m"))
       .groupBy($"dim")
       .agg(count(lit(1)).as("n"), sum($"m").as("s"),
-        sum($"m" * $"m").as("ss"),
+        // operand-widened: m² of micro-quantized elements (~1e14) passes
+        // 2^63 near 1e5 rows·dims per key at full magnitude — Spark's
+        // long sum wraps silently where the oracle's HUGEINT stays exact
+        sum($"m".cast("decimal(38,0)") * $"m").as("ss"),
         min($"m").as("mn"), max($"m").as("mx"))
       .select($"dim", $"n",
-        round($"s".cast("double") / $"n" / 1e6, 6).as("mean"),
+        // + 0.0: centered dims have mean ≈ 0, and a tiny negative mean
+        // rounds to -0.0 on DuckDB vs +0.0 on Spark (string-compared)
+        (round($"s".cast("double") / $"n" / 1e6, 6) + 0.0).as("mean"),
         round(sqrt(($"ss".cast("double") / $"n" -
           ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n")) / 1e12),
           6).as("std"),
@@ -305,11 +310,11 @@ object Vectors {
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
       |a AS (
       |  SELECT dim, count(*) AS n, CAST(sum(m) AS BIGINT) AS s,
-      |    CAST(sum(m * m) AS BIGINT) AS ss,
+      |    sum(CAST(m AS HUGEINT) * m) AS ss,
       |    min(m) AS mn, max(m) AS mx
       |  FROM e GROUP BY 1)
       |SELECT dim, n,
-      |  round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+      |  round(CAST(s AS DOUBLE) / n / 1e6, 6) + 0.0 AS mean,
       |  round(sqrt((CAST(ss AS DOUBLE) / n -
       |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e12), 6) AS std,
       |  round(mn / 1e6, 6) AS min_v,
