@@ -1215,7 +1215,7 @@ object Analytics {
       .agg(sum($"__c").as("n"),
         // operand-widened: w_mc (clamped milli-cents ~1e8) times a
         // value-count that carries ~N rows per group passes 2^63 near
-        // 1e11 corpus rows — Spark's long sum wraps silently where the
+        // 1e11 corpus rows — Spark's long sum overflows where the
         // oracle's HUGEINT stays exact
         sum($"w_mc".cast("decimal(38,0)") * $"__c").as("s_mc"),
         sum(when($"clipped", $"__c").otherwise(0L)).as("n_clipped"),
@@ -1565,7 +1565,7 @@ object Analytics {
         sum(when($"idx" <= $"k", $"rev").otherwise(0L)).as("toprev"))
       .select($"n_customers", $"top_k",
         // widened: toprev is corpus cents (~2e18 at 100 TB), so *1e6
-        // wraps the long on Spark while the oracle's HUGEINT stays exact
+        // overflows the long on Spark while the oracle's HUGEINT stays exact
         expr("CAST(CAST(toprev AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
           .as("top20_share_ppm"))
   }
@@ -1664,8 +1664,8 @@ object Analytics {
     * over the directed edge list are exact integer sums, with the three
     * degree-product sums widened to DECIMAL(38,0)/HUGEINT on the operand
     * (a hub-heavy graph puts deg² near |V|² per edge, so the SUM passes
-    * 2^63 long before the fixture suggests — Spark's non-ANSI long sum
-    * wraps silently where DuckDB stays exact, and the engines would
+    * 2^63 long before the fixture suggests — Spark's long sum
+    * overflows where DuckDB stays exact, and the engines would
     * diverge); one double assembly ends it, `+ 0.0`-normalized on both
     * engines because a near-neutral graph sits at r ≈ 0 by construction
     * and a tiny negative r rounds to -0.0 on DuckDB vs +0.0 on Spark in
@@ -2730,7 +2730,7 @@ object Analytics {
     * of any dataset profile, spelled engine-exact: the five sums are
     * exact integers with the second moments widened to
     * DECIMAL(38,0)/HUGEINT (Σy² of ~10⁵-dollar prices passes 2^63 near
-    * 1e9 rows per flag — Spark's long sum wraps silently where DuckDB's
+    * 1e9 rows per flag — Spark's long sum overflows where DuckDB's
     * HUGEINT stays exact, so the engines would diverge), then the r
     * formula runs entirely in doubles CAST from those identical integers
     * in the same op order on both engines, `+ 0.0`-normalized (the

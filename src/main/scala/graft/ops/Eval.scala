@@ -146,7 +146,7 @@ object Eval {
     * integer counts; 2·R⁺ = Σ pos·(2·cum_before + cnt + 1) is an exact
     * integer WIDENED to DECIMAL(38,0)/HUGEINT — the q_mann_whitney rank-sum
     * discipline: 2·R⁺ ~ 2n² passes 2^63 at ~2e9 rows, where Spark's
-    * non-ANSI long sum wraps silently while DuckDB's HUGEINT stays exact,
+    * long sum overflows while DuckDB's HUGEINT stays exact,
     * so the engines would diverge — and one double division ends it.
     * Scale shape: one hash aggregate to
     * the distinct-score relation, then the prefix count over it runs as
@@ -287,8 +287,8 @@ object Eval {
     * assembled entirely from exact integer counts with ONE double division
     * at the end — both engines bit-identical. The marginal-product sum
     * and the N·agree / N² assembly are widened to DECIMAL(38,0)/HUGEINT
-    * (they pass 2^63 around N ≈ 3e9 eval docs — Spark's non-ANSI long
-    * arithmetic wraps SILENTLY there while DuckDB stays exact, so the
+    * (they pass 2^63 around N ≈ 3e9 eval docs — Spark's long
+    * arithmetic overflows there while DuckDB stays exact, so the
     * engines would diverge), and the rounded κ is `+ 0.0`-normalized on
     * both engines: near-chance agreement sits at κ ≈ 0 BY CONSTRUCTION,
     * and a tiny negative κ rounds to -0.0 on DuckDB vs +0.0 on Spark —

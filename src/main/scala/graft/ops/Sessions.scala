@@ -196,7 +196,7 @@ object Sessions {
     * epoch-day index, y exact cents through the DECIMAL(18,2) cast. The
     * Σxy accumulation is widened to DECIMAL(38,0)/HUGEINT (per-day x·y
     * stays under 2^63, but the SUM passes it around 100× this revenue
-    * scale — Spark's non-ANSI long sum wraps SILENTLY while DuckDB's
+    * scale — Spark's long sum overflows while DuckDB's
     * HUGEINT stays exact, so the engines would diverge); the closed-form
     * slope/intercept assembly happens in doubles with identical op order
     * on both engines, `+ 0.0`-normalized so a flat segment's
@@ -280,7 +280,7 @@ object Sessions {
       .agg(count(lit(1)).as("n_days"),
         round(max($"peak_c").cast("double") / 100.0, 2).as("peak_rev"),
         // HUGEINT/DECIMAL widening: daily cents pass ~9e12 once corpus
-        // revenue does, and (peak-rev)*1e6 then wraps the long on Spark
+        // revenue does, and (peak-rev)*1e6 then overflows the long on Spark
         // while DuckDB errors on the BIGINT multiply
         max(expr("CAST((CAST(peak_c AS DECIMAL(38,0)) - rev_c) * 1000000" +
           " DIV peak_c AS BIGINT)")).as("max_drawdown_ppm"))
@@ -351,7 +351,7 @@ object Sessions {
     * DECIMAL(38,0) on the Spark side (per-day r420 terms stay under
     * 2^63 but their SUM passes it at ~100× this revenue scale — the
     * oracle's HUGEINT sum is already exact there, so an unwidened Spark
-    * long sum would wrap silently and diverge); division and the one
+    * long sum would overflow and diverge); division and the one
     * double appear only in the 7-row final projection, with the
     * seasonal component `+ 0.0`-normalized on both engines (weekday
     * residual means sit near zero BY CONSTRUCTION, and a tiny negative
@@ -419,7 +419,7 @@ object Sessions {
     * counts); per-lag moments are exact sums, with Σa, Σa², Σab and Σb²
     * widened to DECIMAL(38,0)/HUGEINT on the OPERAND — the cast must sit
     * on the factor, not the finished product: `(a*a).cast(decimal)`
-    * wraps the long multiply BEFORE widening once daily cents pass ~3e9
+    * overflows the long multiply BEFORE widening once daily cents pass ~3e9
     * (and DuckDB hard-errors the same BIGINT multiply), which is exactly
     * the silent-divergence class the widening exists to prevent — and
     * each lag's r is one double assembly, round 6, `+ 0.0`-normalized on
@@ -505,7 +505,7 @@ object Sessions {
     daily.groupBy($"event_type")
       .agg(count(lit(1)).as("active_days"), sum($"c").as("s"),
         // operand-widened: daily counts pass ~3e9/day at ~1000× fixture
-        // event rates, where c² wraps the long sum silently on Spark
+        // event rates, where c² overflows the long sum on Spark
         // while the oracle's HUGEINT stays exact (the q_lead_lag class)
         sum($"c".cast("decimal(38,0)") * $"c").as("sq"))
       .crossJoin(broadcast(span))

@@ -115,7 +115,7 @@ object Stats {
     * HUGEINT: the bounded length domain makes tie-group sizes grow
     * linearly with the corpus, so t³ alone wraps int64 at ~2M docs
     * sharing one length (the [[qSpearman]] overflow discipline — Spark's
-    * non-ANSI long sum wraps SILENTLY while DuckDB errors, so the
+    * long sum overflows while DuckDB errors, so the
     * engines would diverge instead of both staying exact), and 2R_a ~ 2n²
     * wraps at ~2e9 rows. z is assembled in one final double projection,
     * normalized through `+ 0.0` on both engines so a rounded-to-zero
@@ -198,9 +198,20 @@ object Stats {
     * five Pearson moments are exact DECIMAL(38,0) sums — ρ is invariant
     * under the ×2 scaling so one final double projection yields it. The
     * moments MUST be decimal, not long: Σ(ax²) with doubled ranks grows
-    * ~4n³/3, which wraps int64 at only ~2M rows per flag (≈ SF1) — and
-    * Spark's non-ANSI long sum wraps SILENTLY while DuckDB errors, so the
-    * engines would diverge instead of both staying exact. DECIMAL(38,0)
+    * ~4n³/3, which passes int64 at only ~2M rows per flag (≈ SF1). THE
+    * OVERFLOW DISCIPLINE (the anchor every widened site cites): a long
+    * spelling cannot survive 2^63 on either engine — these sessions run
+    * Spark 4's ANSI default, where the overflow THROWS at scale (a
+    * legacy/non-ANSI session would instead wrap silently to a wrong
+    * value), and DuckDB errors on a BIGINT product while its plain
+    * BIGINT sum silently widens to an exact HUGEINT — so depending on
+    * mode and shape the unwidened query either dies at scale or
+    * silently diverges from the oracle. Widening the OPERAND to
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) is the one spelling that
+    * stays exact AND running on both engines; the cast must sit on the
+    * factor, never the finished product, which has already overflowed
+    * by the time a cast sees it. OverflowDisciplineSpec pins all three
+    * underlying behaviors in CI. DECIMAL(38,0)
     * is exact through 4n³/3 < 10³⁸ ≈ 4×10¹² rows per flag. Scale shape:
     * two domain-bounded rank relations (distinct quantities / distinct
     * price cents per flag; the rank windows partition by flag, which is
@@ -318,7 +329,7 @@ object Stats {
     * is an exact long (argmax is invariant under the ×n scaling); the
     * reported statistic divides back out in one double step. Magnitudes:
     * n_days·total-cents is WIDENED to DECIMAL(38,0)/HUGEINT — a long
-    * spelling wraps silently on Spark (and errors on DuckDB's BIGINT
+    * spelling overflows on Spark (and errors on DuckDB's BIGINT
     * multiply) once corpus revenue passes ~$38T over a ~2400-day
     * calendar, which a 100 TB corpus exceeds. Scale shape:
     * one hash aggregate to the per-day relation (days are domain-bounded),
@@ -387,7 +398,7 @@ object Stats {
     * would hit, and Σx² is widened to DECIMAL(38,0)/HUGEINT — the
     * long sum only stays under 2^63 while max_chars·total_chars does,
     * which a corpus of long documents breaks well before 10¹² docs
-    * (Spark wraps silently, DuckDB stays exact → divergence).
+    * (Spark overflows, DuckDB stays exact → divergence).
     * Scale shape: one aggregation + a 1-row broadcast — fact rows touch
     * exactly one shuffle. */
   def qWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {

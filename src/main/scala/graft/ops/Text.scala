@@ -2010,7 +2010,7 @@ object Text {
     *   |cum_s/n_s − cum_c/n| = |cum_s·n − cum_c·n_s| / (n_s·n)
     * so the max runs over exact integers, WIDENED to DECIMAL(38,0)/
     * HUGEINT (cum·n grows as |docs|² and passes 2^63 at ~3e9 docs —
-    * the q_ks_test discipline: Spark's long product wraps silently
+    * the q_ks_test discipline: Spark's long product overflows
     * where DuckDB errors, so the engines would diverge), and only the
     * final ppm value divides. Scale shape: the (source × bucket) grid is
     * dimension-bounded (buckets ≤ max-doc-length/50); CDFs are
@@ -2123,7 +2123,7 @@ object Text {
     * Σx/Σx² are exact integers with Σx² and the n·x / n·Σx² guard
     * products widened to DECIMAL(38,0)/HUGEINT (micro-nat entropies ~2e7
     * put n·x past 2^63 near 1e12 docs and Σx² far earlier — Spark's
-    * non-ANSI long arithmetic wraps silently where DuckDB stays exact,
+    * long arithmetic overflows where DuckDB stays exact,
     * so the engines would diverge on the flag set); the 2σ test runs in
     * doubles CAST FROM those identical integers in the same op order on
     * both engines ((s−n·x)² > 4·(n·Σx²−s²), one-sided), so the flag set
@@ -2902,7 +2902,7 @@ object Text {
         sum($"trunc").as("n_truncated"))
       .withColumn("padding_waste_ppm",
         // widened: n_docs*bucket is corpus tokens (~1e16 at 100 TB), so
-        // *1e6 wraps the long on Spark and errors DuckDB's BIGINT multiply
+        // *1e6 overflows the long on Spark and errors DuckDB's BIGINT multiply
         expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * bucket - kept_tokens)" +
           " * 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * bucket) AS BIGINT)"))
       .orderBy($"bucket")
@@ -3001,7 +3001,7 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
       // widened: n_oov can approach corpus token count (~1e14), so *1e6
-      // wraps the long on Spark while the oracle's HUGEINT stays exact
+      // overflows the long on Spark while the oracle's HUGEINT stays exact
       .withColumn("oov_ppm",
         expr("CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000 DIV n_tokens AS BIGINT)"))
       .orderBy($"source")

@@ -288,7 +288,7 @@ object Vectors {
       .agg(count(lit(1)).as("n"), sum($"m").as("s"),
         // operand-widened: m² of micro-quantized elements (~1e14) passes
         // 2^63 near 1e5 rows·dims per key at full magnitude — Spark's
-        // long sum wraps silently where the oracle's HUGEINT stays exact
+        // long sum overflows where the oracle's HUGEINT stays exact
         sum($"m".cast("decimal(38,0)") * $"m").as("ss"),
         min($"m").as("mn"), max($"m").as("mx"))
       .select($"dim", $"n",
