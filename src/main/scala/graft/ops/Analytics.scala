@@ -1671,7 +1671,13 @@ object Analytics {
     * and a tiny negative r rounds to -0.0 on DuckDB vs +0.0 on Spark in
     * the string-compared parity gate. Scale shape: one degree aggregate + one edge-keyed
     * join of the degree dimension onto each endpoint, then a single
-    * 1-row reduction. */
+    * 1-row reduction.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, post-widening):
+    * 1.38/1.80 s — first position reads AT the 1.41 s pre-widening
+    * baseline, so the decimal edge-sum's cost is mostly block-pressure
+    * sensitivity, not a fixed structural increment; the sweep-level
+    * ~1.95 s reading carries the host band on top. No revert. */
   def qAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = affinityEdges(spark, sfDir).localCheckpoint(true)

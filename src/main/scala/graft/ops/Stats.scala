@@ -1067,7 +1067,13 @@ object Stats {
     * vs 0.0 in the string-compared parity gate). Scale shape: one fact
     * aggregate to the calendar-bounded day grid, [[Dist.withPrefix]]
     * supplies the ordered previous-day value as an index self-join (no
-    * unpartitioned lag window), one 1-row result. */
+    * unpartitioned lag window), one 1-row result.
+    *
+    * Clean-band adjudication (round 20 ABBA probe, post-tie-fix):
+    * 1.01/1.15 s in both positions vs the 0.88 s pre-fix baseline — the
+    * ~+0.2 s is the tie-drop's second day-grid prefix pass (calendar-
+    * bounded at any corpus scale). Structural; correctness-motivated;
+    * no revert. */
   def qRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runsTestOfDaily(
