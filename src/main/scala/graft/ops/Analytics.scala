@@ -1933,8 +1933,10 @@ object Analytics {
     * [[TriangleBroadcastMaxEdges]] — above it the closure runs as a plain
     * shuffle equi-join on (x, y), so a dense graph degrades to a shuffle
     * instead of OOMing the driver. The oriented wedge relation is
-    * hash-partitioned on its apex and checkpointed, so the wedge
-    * self-join reuses one exchange instead of shuffling both sides.
+    * checkpointed once (deg, wedges and closure all read it) but NOT
+    * pre-partitioned — round 20 measured that an eager localCheckpoint
+    * surfaces as UnknownPartitioning under AQE, so a pre-checkpoint
+    * repartition never reaches the join and is a wasted exchange.
     * All arithmetic is integer-exact. */
   def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame =
     triangleCount(spark, sfDir, TriangleBroadcastMaxEdges)
@@ -1980,9 +1982,15 @@ object Analytics {
     val nEdges = pairs.count()
     val deg = pairs.select($"x".as("n")).unionAll(pairs.select($"y".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
-    // pre-partition the oriented edges on the wedge apex and checkpoint:
-    // LogicalRDD keeps the hash partitioning, so the self-join below
-    // reuses ONE exchange instead of shuffling both recomputed sides
+    // checkpoint the oriented edges: deg/wedge/closure all read them.
+    // Round 20 (optimization round): the former `.repartition($"u")`
+    // before this checkpoint is GONE — the captured plan
+    // (plans/r20/q_triangle_count_before.txt) shows the eager
+    // localCheckpoint surfaces as UnknownPartitioning(0) under AQE, so
+    // the pre-partitioning never reached the wedge self-join (which
+    // planned its own distribution regardless: broadcast under the
+    // ceiling, its own exchanges above it) — the repartition was purely
+    // a wasted full-relation exchange in the checkpoint build.
     val ori = pairs
       .join(broadcast(deg).withColumnsRenamed(Map("n" -> "nx", "d" -> "dx")),
         $"x" === $"nx")
@@ -1993,7 +2001,6 @@ object Analytics {
           .otherwise($"y").as("u"),
         when($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"), $"y")
           .otherwise($"x").as("v"))
-      .repartition($"u")
       .localCheckpoint(true)
     val wedges = ori.alias("e1")
       .join(ori.alias("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
@@ -2445,34 +2452,58 @@ object Analytics {
       |SELECT node AS suppkey, CAST(min(dist) AS BIGINT) AS dist
       |FROM walk GROUP BY 1 ORDER BY suppkey""".stripMargin
 
-  /** The distinct (l_orderkey, p_brand) basket relation both
-    * market-basket queries ([[qPartAffinity]], [[qPairChisq]]) hang four
-    * subtrees off (pair self-join twice, per-brand counts, order total).
-    * Catalyst does NOT reuse the exchange across those subtrees (plan
-    * read under Probe: the lineitem⋈part + distinct ran FOUR times), so
-    * materialize it once — pre-partitioned on the self-join key, the
-    * triangle-count `ori` pattern: LogicalRDD keeps the hash
-    * partitioning, so the basket self-join needs no exchange on either
-    * side. ~|orders|·brands rows, never fact-sized.
+  /** Per-order sorted brand SETS — the basket relation both market-basket
+    * queries ([[qPartAffinity]], [[qPairChisq]]) hang their subtrees off
+    * (pair counts, per-brand counts, order total). Catalyst does NOT
+    * reuse the exchange across those subtrees (plan read under Probe:
+    * the lineitem⋈part + distinct ran FOUR times), so materialize it
+    * once. ~|orders| rows with ≤|brands|-element arrays, never
+    * fact-sized.
     *
-    * Adjudicated round 18 (the r17 driver sweep showed 3.65/3.59 s on
-    * these two queries, the only sub-2× drifters on touched code): an
-    * ABBA Probe A/B of this checkpoint vs the inline spelling, with
-    * q_theil_sen as the same-run reference — checkpointed 2.61/2.29 s
-    * (q_part_affinity) and 2.05/2.00 s (q_pair_chisq) vs inline
-    * 2.62/2.17 s and 2.52/2.06 s, references 1.75–2.21 s across all four
-    * runs. Reference-normalized the variants are indistinguishable and
-    * the 3.6 s level never reproduced: host noise, checkpoint kept (at
-    * corpus scale the single fact scan strictly wins). */
+    * Round-20 restructure (optimization round; guide §2.4, the
+    * [[qPagerankEdgesForTests]] discipline): the previous spelling kept
+    * flat DISTINCT (l_orderkey, p_brand) rows pre-`repartition`ed on the
+    * self-join key, claiming the LogicalRDD keeps the hash partitioning.
+    * The captured plan (plans/r20/q_pair_chisq_before.txt) disproves
+    * that: under AQE the eager localCheckpoint surfaces as
+    * `Scan ExistingRDD ... UnknownPartitioning(0)`, so the basket
+    * self-join re-shuffled BOTH sides anyway (2 Exchanges + 2 Sorts +
+    * SortMergeJoin) and the pre-checkpoint repartition was a third,
+    * wasted fact-sized exchange. Aggregating to one sorted brand set per
+    * order instead (one map-side-combinable orderkey exchange) lets the
+    * pair relation come out of a compiled in-order pair expansion over
+    * the array — no self-join, no exchange — and the order total become
+    * count(1) over the checkpoint instead of a two-exchange
+    * count(DISTINCT l_orderkey) over the flat rows. 3 fact-sized
+    * exchanges + SMJ + distinct-count expand → 1 fact-sized exchange.
+    * NULL note: collect_set drops NULL brands where the old DISTINCT
+    * kept them; p_brand is non-nullable in the schema (and TPC-H), and
+    * the oracle's inner join sees the identical domain, so results are
+    * unchanged (282/282 parity re-proven on the changed tree). */
   private def orderBrands(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, sfDir)
       .join(broadcast(Tables.part(spark, sfDir)
         .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand")
-      .distinct()
-      .repartition($"l_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("bs"))
+      .select($"bs")
       .localCheckpoint(true)
+  }
+
+  /** In-order brand pairs per basket, counted — `bs` is a sorted set, so
+    * pairing each element with every LATER element yields exactly the
+    * `brand_a < brand_b` pairs the old self-join produced, without any
+    * join or exchange (both generators are codegen'd; the per-basket
+    * fan-out is bounded by the brand count). */
+  private def brandPairCounts(ob: DataFrame): DataFrame = {
+    val spark = ob.sparkSession
+    import spark.implicits._
+    ob.select(posexplode($"bs").as(Seq("i", "brand_a")), $"bs")
+      .select($"brand_a",
+        explode(slice($"bs", $"i" + lit(2), size($"bs"))).as("brand_b"))
+      .groupBy($"brand_a", $"brand_b")
+      .agg(count(lit(1)).as("c_ab"))
   }
 
   /** Market-basket affinity: lift = P(a,b) / (P(a)·P(b)) for every brand
@@ -2490,13 +2521,12 @@ object Analytics {
   def qPartAffinity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ob = orderBrands(spark, sfDir)
-    val pairCounts = ob.as("a")
-      .join(ob.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
-      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
-      .agg(count(lit(1)).as("c_ab"))
-    val brandCounts = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
-    val total = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
+    val pairCounts = brandPairCounts(ob)
+    val brandCounts = ob.select(explode($"bs").as("p_brand"))
+      .groupBy($"p_brand").agg(count(lit(1)).as("c"))
+    // one basket row per order, so the order total is a plain count —
+    // the old spelling's two-exchange count(DISTINCT l_orderkey) expand
+    val total = ob.agg(count(lit(1)).as("n_orders"))
     pairCounts
       .join(broadcast(brandCounts)
         .withColumnsRenamed(Map("p_brand" -> "brand_a", "c" -> "c_a")), "brand_a")
@@ -2591,13 +2621,11 @@ object Analytics {
   def qPairChisq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ob = orderBrands(spark, sfDir)
-    val pairCounts = ob.as("a")
-      .join(ob.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
-      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
-      .agg(count(lit(1)).as("ca"))
-    val brandCounts = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
-    val total = ob.agg(countDistinct($"l_orderkey").as("n"))
+    val pairCounts = brandPairCounts(ob).withColumnRenamed("c_ab", "ca")
+    val brandCounts = ob.select(explode($"bs").as("p_brand"))
+      .groupBy($"p_brand").agg(count(lit(1)).as("c"))
+    // one basket row per order — see qPartAffinity's total note
+    val total = ob.agg(count(lit(1)).as("n"))
     pairCounts
       .join(broadcast(brandCounts)
         .withColumnsRenamed(Map("p_brand" -> "brand_a", "c" -> "c_a")), "brand_a")
