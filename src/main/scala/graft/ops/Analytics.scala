@@ -374,6 +374,15 @@ object Analytics {
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")).as("late"))
+    // Round-20 optimization note (examined, deliberately left alone): at
+    // fixture scale orders broadcasts, so the (l_orderkey, l_suppkey)
+    // aggregation and the l_orderkey window each pay an exchange and an
+    // explicit repartition($"l_orderkey") would halve that — but at
+    // corpus scale the join grades to a shuffle join on l_orderkey whose
+    // output partitioning already satisfies BOTH (subset rule), making
+    // the agg and window exchange-free; the explicit repartition would
+    // then be a REDUNDANT fact-sized exchange. The current spelling is
+    // the scale-correct one.
     val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
       .agg(sum(when($"late", 1L).otherwise(0L)).as("n_late_lines"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")

@@ -458,12 +458,24 @@ object Similarity {
     * the audit adds one pair-keyed join and three 1-row aggregates. */
   def qLshQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Round 20 (optimization round, guide §2.4): the three counts come
+    // from ONE full-outer join + ONE single-row aggregate instead of
+    // three separate aggregation branches glued by crossJoins — the old
+    // spelling consumed each expensive pair pipeline TWICE (its own
+    // count + the hits join), paying the downstream join/agg work again
+    // even where AQE exchange reuse spared the recompute. Same counts:
+    // sum(is_c) over the full-outer rows = |cand|, sum(is_t) = |truth|,
+    // both-present rows = |cand ∩ truth| (pair keys are unique per side,
+    // so the full-outer join is 1:1 and no count inflates). coalesce
+    // keeps the empty-corpus counts at 0 (sum over no rows is NULL).
     val cand = minhashCore(spark, sfDir)._2.select($"doc_a", $"doc_b")
     val truth = shingleJaccardPairs(spark, sfDir).select($"doc_a", $"doc_b")
-    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
-    cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+    cand.withColumn("is_c", lit(1L))
+      .join(truth.withColumn("is_t", lit(1L)), Seq("doc_a", "doc_b"),
+        "full_outer")
+      .agg(coalesce(sum($"is_c"), lit(0L)).as("n_candidates"),
+        coalesce(sum($"is_t"), lit(0L)).as("n_truth"),
+        coalesce(sum($"is_c" * $"is_t"), lit(0L)).as("n_hits"))
       .select($"n_candidates", $"n_truth", $"n_hits",
         round($"n_hits".cast("double") / nullif($"n_candidates", lit(0)), 6)
           .as("precision"),
@@ -1587,6 +1599,16 @@ object Similarity {
   def qDupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    // Round-20 optimization note (re-measured, deliberately left alone):
+    // eagerly checkpointing the (src_lo, src_hi) cell relation — so the
+    // total branch reads the checkpoint instead of re-deriving the whole
+    // near-dup pipeline (runtime scan audit: documents=5) — was re-tried
+    // this round and was SLOWER again, reproducing the r17 adjudication
+    // in PlanShapeSpec's exceptions map: min-of-4 Probe, q_theil_sen
+    // reference, checkpointed 2.22 s @ ref 1.66 (ratio 1.34) vs inline
+    // 2.41 s @ ref 2.11 (ratio 1.14). AQE exchange reuse already spares
+    // the expensive recompute; the eager checkpoint only adds a
+    // materialization barrier. Revert stands.
     val pairs = shingleJaccardPairs(spark, sfDir)
       .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
       .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
