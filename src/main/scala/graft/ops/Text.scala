@@ -361,13 +361,23 @@ object Text {
       transform(sequence(lit(1), size($"t") - 1),
         i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val bi = docsT.select(explode(bigrams).as("b"))
-      .select($"b.w1", $"b.w2")
-      .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
     // top-10 unigram cut via orderBy.limit (TakeOrderedAndProject) — no
     // unpartitioned window over the vocabulary.
     val top = uni.orderBy($"uc".desc, $"token").limit(10)
       .select($"token", $"uc")
+    // Round 20 (optimization round, guide §3.2): the scoring grid LEFT-
+    // joins the bigram table, and a left join cannot broadcast its tiny
+    // left side — unfiltered, the FULL vocab²-scale bigram table
+    // shuffles to answer 100 probes. Two broadcast semi-joins against
+    // the top-10 tokens BEFORE the count aggregation drop every
+    // non-probeable bigram ahead of the shuffle; surviving counts are
+    // untouched (a count per key never depends on other keys).
+    val topT = broadcast(top.select($"token"))
+    val bi = docsT.select(explode(bigrams).as("b"))
+      .select($"b.w1", $"b.w2")
+      .join(topT.withColumnRenamed("token", "w1"), Seq("w1"), "left_semi")
+      .join(topT.withColumnRenamed("token", "w2"), Seq("w2"), "left_semi")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
     val total = uni.agg(sum($"uc").as("total_tokens"))
     top.select($"token".as("w1"), $"uc".as("uc1"))
       .crossJoin(broadcast(top.select($"token".as("w2"), $"uc".as("uc2"))))
@@ -418,7 +428,15 @@ object Text {
       transform(sequence(lit(1), size($"t") - 1),
         i => struct(element_at($"t", i).as("w1"), element_at($"t", i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val top = uni.orderBy($"uc".desc, $"token").limit(5).select($"token", $"uc")
+    // same §3.2 pre-shuffle semi-join filter as qStupidBackoffBigram:
+    // both bi probes (w1w2 and w2w3 contexts) and the tri probe only
+    // ever carry top-5 tokens in every position, so the corpus-scale
+    // gram tables are cut to ≤25/≤125 rows BEFORE their count shuffles
+    val topT = broadcast(top.select($"token"))
     val bi = docsT.select(explode(bigrams).as("b")).select($"b.w1", $"b.w2")
+      .join(topT.withColumnRenamed("token", "w1"), Seq("w1"), "left_semi")
+      .join(topT.withColumnRenamed("token", "w2"), Seq("w2"), "left_semi")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("bc"))
     val trigrams = when(size($"t") >= 3,
       transform(sequence(lit(1), size($"t") - 2),
@@ -427,8 +445,10 @@ object Text {
       .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
     val tri = docsT.select(explode(trigrams).as("g"))
       .select($"g.w1", $"g.w2", $"g.w3")
+      .join(topT.withColumnRenamed("token", "w1"), Seq("w1"), "left_semi")
+      .join(topT.withColumnRenamed("token", "w2"), Seq("w2"), "left_semi")
+      .join(topT.withColumnRenamed("token", "w3"), Seq("w3"), "left_semi")
       .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("tc"))
-    val top = uni.orderBy($"uc".desc, $"token").limit(5).select($"token", $"uc")
     val total = uni.agg(sum($"uc").as("total_tokens"))
     val grid = top.select($"token".as("w1"))
       .crossJoin(broadcast(top.select($"token".as("w2"), $"uc".as("uc2"))))
@@ -511,7 +531,36 @@ object Text {
       .groupBy($"doc_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"id"))),
         s => s.getField("id")).as("ids"))
-    val (tables, total) = StupidBackoff.countTables(docIds, "ids", 4)
+    val (tables0, total) = StupidBackoff.countTables(docIds, "ids", 4)
+    // Round 20 (optimization round, guide §3.2 / §2.3): the scoring
+    // cascade LEFT-joins the 256-row candidate grid against every count
+    // table — a left join cannot broadcast its tiny LEFT side, so each
+    // backoff level shuffled a full vocab-scale table to answer ≤256
+    // probes. Every key the grid can probe (n-grams, their backoff
+    // suffixes, their denominator prefixes) has ALL ids < 4 by
+    // construction (ids are frequency ranks; the grid is the top-4
+    // crossed), so each order-k table is pre-filtered to the 4^k packed
+    // keys the grid can reach — a static InSet that Catalyst pushes
+    // BELOW the count aggregation, shrinking each table's shuffle from
+    // the corpus's k-gram vocabulary to ≤256 rows. Counts of surviving
+    // keys are untouched (a count per key never depends on other keys);
+    // `total` still aggregates the UNfiltered unigram table.
+    // "all ids < 4" as ONE subtract-AND-compare on the packed key (an
+    // InSet over the explicit 4^k key lists was measured ~10% slower at
+    // fixture scale — a hash probe per corpus n-gram vs this register
+    // op): a valid order-k key has its k occupied 15-bit slots holding
+    // id+1 ∈ 1..4 and the rest 0, so (g − base_k) leaves only the two
+    // low id bits of each occupied slot, and masking everything else
+    // must give 0 (an id ≥ 4 sets a higher slot bit; an absent occupied
+    // slot borrows and floods the mask; a non-zero trailing slot
+    // survives the mask directly).
+    val tables = tables0.zipWithIndex.map { case (t, i) =>
+      val k = i + 1
+      val bits = graft.functions.NGramIndexer.bitsFor(4)
+      val base = (0 until k).map(j => 1L << (bits * (3 - j))).sum
+      val mask = ~((0 until k).map(j => 3L << (bits * (3 - j))).sum)
+      t.where((col("g") - base).bitwiseAND(mask) === 0L)
+    }
     val top = vocab.where($"id" < 4)
     val grid = top.select($"token".as("w1"), $"id".as("i1"))
       .crossJoin(broadcast(top.select($"token".as("w2"), $"id".as("i2"))))
