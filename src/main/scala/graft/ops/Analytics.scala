@@ -1373,9 +1373,13 @@ object Analytics {
       val out = flat.groupBy(_._1).toSeq.flatMap { case (flag, xs) =>
         val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
         val med = medOf(pv)
-        val dev = pv.groupBy { case (v, _) => math.abs(v - med) }
-          .map { case (d, ys) => (d, ys.iterator.map(_._2).sum) }
-          .toArray.sortBy(_._1)
+        // Round 20 (optimization round, guide §1.2 per-task work): no
+        // hash-merge of equal distances — medianOfValueCounts walks
+        // cumulative counts, so duplicate (d, c) entries sorted adjacent
+        // yield the identical median (equal values across the run), and
+        // the boxed groupBy+sum over the ~price-domain-sized array was
+        // pure allocation overhead in the driver arm's hot loop.
+        val dev = pv.map { case (v, c) => (math.abs(v - med), c) }.sortBy(_._1)
         val mad = medOf(dev)
         // same operand order as the distributed filter: abs > 2.0 * mad
         val outs = pv.filter { case (v, _) => math.abs(v - med) > 2.0 * mad }
