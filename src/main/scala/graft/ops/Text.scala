@@ -540,7 +540,7 @@ object Text {
     // suffixes, their denominator prefixes) has ALL ids < 4 by
     // construction (ids are frequency ranks; the grid is the top-4
     // crossed), so each order-k table is pre-filtered to the 4^k packed
-    // keys the grid can reach — a static InSet that Catalyst pushes
+    // keys the grid can reach — a static predicate that Catalyst pushes
     // BELOW the count aggregation, shrinking each table's shuffle from
     // the corpus's k-gram vocabulary to ≤256 rows. Counts of surviving
     // keys are untouched (a count per key never depends on other keys);
