@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON contract from the LAST
+// ~2000 chars of stdout. With sbt's default LoggedOutput strategy the
+// forked app's stdout is re-logged as "[info] {json}" and sbt appends a
+// "[success] Total time ..." line after it — BENCH_r01..r20.json all have
+// parsed:null for exactly this reason. StdoutOutput passes the forked
+// process's stdout through verbatim (stderr likewise, where Spark logs
+// already go), and showSuccess drops the trailing [success] line, so the
+// contract line printed by graft.Bench is genuinely the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
