@@ -1798,10 +1798,11 @@ object Analytics {
     * unrolls the same three steps as CTEs). Scale shape: every iteration
     * is one src-keyed equi-join plus one dst-keyed aggregation — the
     * standard distributed PageRank step. The ONLY diamond in the lineage
-    * is the O(lineitem) pair self-join (consumed by all three
-    * iterations), so the fused (src, dst, outdeg) relation is
-    * `localCheckpoint`ed once (same discipline as
-    * [[graft.ml.Dedup.connectedComponents]]); the rank chain itself is
+    * is the O(lineitem) pair build (consumed by all three iterations), so
+    * the DISTINCT HALF-edge set is `localCheckpoint`ed once (same
+    * discipline as [[graft.ml.Dedup.connectedComponents]]; round 21 moved
+    * the checkpoint from the mirrored+outdeg-windowed relation down to
+    * the half set — see [[qPagerankHalfEdges]]); the rank chain itself is
     * linear — each iteration's table appears exactly once in the next —
     * so the three steps compile into ONE job of small keyed joins over the
     * checkpointed edges, not a job per iteration. The iteration count is a
@@ -1809,34 +1810,56 @@ object Analytics {
   def qPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nodes = Tables.supplier(spark, sfDir).select($"s_suppkey".as("node"))
-    pagerank3(nodes, qPagerankEdgesForTests(spark, sfDir))
+    pagerankHalf(nodes, qPagerankHalfEdges(spark, sfDir))
       .select($"node".as("suppkey"), $"rank_ppm")
       .orderBy($"rank_ppm".desc, $"suppkey")
+  }
+
+  /** [[qPagerank]]'s undirected half-edge build: the DISTINCT (x < y)
+    * supplier co-purchase pairs. Round 21 (guide §2.4): the dispatch
+    * relation is now THIS half set — the former pipeline mirrored both
+    * directions and ran a src-partitioned outdeg window BEFORE the
+    * size-dispatch checkpoint, so the checkpoint materialized (and the
+    * driver arm collected) 2|E| windowed rows; the mirror and the degree
+    * are recomputed from the half set by whichever arm needs them (the
+    * driver arm derives degrees in one local pass, the distributed arm
+    * via [[mirrorWithOutdeg]] post-checkpoint — same exchange count as
+    * before, half the materialized/collected bytes, one full-relation
+    * window+sort removed from the driver path). */
+  private[graft] def qPagerankHalfEdges(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    // per-order supplier sets → compiled pair kernel (no self-join): one
+    // orderkey shuffle, bounded per-order fan-out, then the simple-graph
+    // distinct
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
+      .select($"e.x", $"e.y").distinct()
+  }
+
+  /** Mirror an (x, y) half-edge relation into directed (src, dst, od)
+    * rows: both directions from one explode, outdeg riding each edge row
+    * via a src-partitioned window (one shuffle, no pairs⋈degree diamond;
+    * partition size is bounded by a node's degree ≤ |V|, never by the
+    * corpus). */
+  private def mirrorWithOutdeg(half: DataFrame): DataFrame = {
+    import half.sparkSession.implicits._
+    half
+      .select(explode(array(
+        struct($"x".as("src"), $"y".as("dst")),
+        struct($"y".as("src"), $"x".as("dst")))).as("p"))
+      .select($"p.src", $"p.dst")
+      .withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
   }
 
   /** [[qPagerank]]'s (src, dst, od) edge build — exposed so the
     * PlanShapeSpec broadcast guard can drive the forced-distributed
     * pagerank3 arm with the production edge relation. */
   private[graft] def qPagerankEdgesForTests(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    import spark.implicits._
-    // per-order supplier sets → compiled pair kernel (no self-join): one
-    // orderkey shuffle, bounded per-order fan-out, then the simple-graph
-    // distinct; both edge directions come from one explode
-    val pairs = Tables.lineitem(spark, sfDir)
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
-      .select(explode(call_function("graft_pairs", $"ss", lit(false))).as("e"))
-      .select($"e.x", $"e.y").distinct() // dedup the (x < y) half first…
-      .select(explode(array(               // …then mirror both directions
-        struct($"x".as("src"), $"y".as("dst")),
-        struct($"y".as("src"), $"x".as("dst")))).as("p"))
-      .select($"p.src", $"p.dst")
-    // outdeg rides each edge row via a src-partitioned window (one
-    // shuffle, no pairs⋈degree diamond; partition size is bounded by a
-    // node's degree ≤ |V|, never by the corpus); pagerank3 checkpoints it
-    pairs.withColumn("od", count(lit(1)).over(Window.partitionBy($"src")))
-  }
+      sfDir: String): DataFrame =
+    mirrorWithOutdeg(qPagerankHalfEdges(spark, sfDir))
 
   /** Three synchronous ppm-integer PageRank iterations over a prepared
     * node table ("node") and (src, dst, od) edge relation — the algorithm
@@ -1888,19 +1911,77 @@ object Analytics {
       }
       spark.createDataset(ns.toSeq.map(n => (n, r(n))))
         .toDF("node", "rank_ppm")
-    } { (edges, _) =>
-      var ranks = nodes.select($"node", lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(broadcast(ranks), edges("src") === ranks("node"))
-          .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
-          .groupBy($"dst").agg(sum($"c").as("cs"))
-        ranks = nodes
-          .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
-          .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
-      }
-      ranks.select($"node", $"r".as("rank_ppm"))
+    } { (edges, _) => pagerankIterations(nodes, edges) }
+  }
+
+  /** The three synchronous distributed iterations over a prepared
+    * (src, dst, od) edge relation — shared by [[pagerank3]]'s distributed
+    * arm and [[pagerankHalf]]'s (which mirrors its checkpointed half-edge
+    * set first). Each iteration broadcasts the node-cardinality rank
+    * table into a map-side join over the edges plus one dst-keyed
+    * aggregation. */
+  private def pagerankIterations(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    var ranks = nodes.select($"node", lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(broadcast(ranks), edges("src") === ranks("node"))
+        .select($"dst", expr("r * 85 DIV (100 * od)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("cs"))
+      ranks = nodes
+        .join(broadcast(contrib), nodes("node") === contrib("dst"), "left")
+        .select($"node", (lit(150000L) + coalesce($"cs", lit(0L))).as("r"))
     }
+    ranks.select($"node", $"r".as("rank_ppm"))
+  }
+
+  /** [[pagerank3]] over an undirected (x, y) HALF-edge relation — the
+    * production [[qPagerank]] path since round 21. The size dispatch
+    * checkpoints/counts/collects the half set (half the rows of the
+    * mirrored relation, and no outdeg window ahead of the checkpoint);
+    * `measure = ×2` keeps the ceiling in directed-edge units, so the
+    * driver/distributed grade-out point is unchanged. The driver arm
+    * derives degrees in one local pass and applies each half edge in
+    * both directions (od(src) divides each contribution exactly as the
+    * mirrored relation's window od did — od(v) = distinct-neighbor count
+    * of v); the distributed arm mirrors the CHECKPOINTED half set via
+    * [[mirrorWithOutdeg]] and runs the shared [[pagerankIterations]],
+    * paying the same exchanges the former pre-dispatch pipeline paid. */
+  private[graft] def pagerankHalf(nodes: DataFrame, halfIn: DataFrame,
+      driverMaxEdges: Long = PagerankDriverMaxEdges): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    Dist.sizeDispatch(halfIn, driverMaxEdges, measure = n => n * 2) { (half, _) =>
+      val hs = half.select($"x", $"y").as[(Long, Long)].collect()
+      val ns = nodes.select($"node".cast("long")).as[Long].collect()
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      hs.foreach { case (x, y) =>
+        deg(x) = deg.getOrElse(x, 0L) + 1L
+        deg(y) = deg.getOrElse(y, 0L) + 1L
+      }
+      var r = scala.collection.mutable.LongMap.empty[Long]
+      ns.foreach(n => r(n) = 1000000L)
+      for (_ <- 1 to 3) {
+        val cs = scala.collection.mutable.LongMap.empty[Long]
+        hs.foreach { case (x, y) =>
+          // both directions of the undirected edge, each divided by its
+          // OWN source's degree — identical algebra to the mirrored
+          // (src, dst, od) rows; an endpoint outside the node table
+          // contributes nothing, mirroring the distributed inner join
+          r.get(x).foreach { rs =>
+            cs(y) = cs.getOrElse(y, 0L) + rs * 85L / (100L * deg(x))
+          }
+          r.get(y).foreach { rs =>
+            cs(x) = cs.getOrElse(x, 0L) + rs * 85L / (100L * deg(y))
+          }
+        }
+        val nr = scala.collection.mutable.LongMap.empty[Long]
+        ns.foreach(n => nr(n) = 150000L + cs.getOrElse(n, 0L))
+        r = nr
+      }
+      spark.createDataset(ns.toSeq.map(n => (n, r(n))))
+        .toDF("node", "rank_ppm")
+    } { (half, _) => pagerankIterations(nodes, mirrorWithOutdeg(half)) }
   }
 
   val pagerankSql: String =

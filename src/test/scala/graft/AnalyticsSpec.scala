@@ -291,6 +291,42 @@ class AnalyticsSpec extends GraftSuite {
     assert(a == b, s"arms disagree: $a vs $b")
   }
 
+  test("pagerankHalf: both arms agree with each other and with pagerank3 on the production graph") {
+    import spark.implicits._
+    // the round-21 half-edge dispatch: driver arm (local degree pass +
+    // both-direction application) and distributed arm (mirror + outdeg
+    // window over the checkpointed half set) must reproduce pagerank3
+    // over the mirrored relation exactly — same integer algebra, so
+    // bit-identical ranks, including a half edge touching a node outside
+    // the node table (only the in-table endpoint receives contributions)
+    val nodes = spark.range(5).select(col("id").as("node"))
+    val half = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 7L))
+      .toDF("x", "y") // 7 outside nodes: its rank is dropped, its degree still divides
+    val viaDriver = rows(Analytics.pagerankHalf(nodes, half,
+      driverMaxEdges = Long.MaxValue).orderBy($"node"))
+    val viaDist = rows(Analytics.pagerankHalf(nodes, half.orderBy($"y"),
+      driverMaxEdges = 0L).orderBy($"node"))
+    assert(viaDriver == viaDist, s"half arms disagree: $viaDriver vs $viaDist")
+    // reference: the mirrored (src, dst, od) spelling fed to pagerank3
+    val mirrored = half.flatMap { r =>
+      Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))
+    }.toDF("src", "dst")
+    val deg = mirrored.groupBy($"src").agg(count(lit(1)).as("od"))
+    val edges = mirrored.join(deg, "src").select($"src", $"dst", $"od")
+    val viaP3 = rows(Analytics.pagerank3(nodes, edges,
+      driverMaxEdges = 0L).orderBy($"node"))
+    assert(viaDriver == viaP3, s"half vs mirrored disagree: $viaDriver vs $viaP3")
+    // production fixture: the half-edge path reproduces the mirrored path
+    val prodHalf = rows(Analytics.pagerankHalf(
+      graft.tables.Tables.supplier(spark, sf).select($"s_suppkey".as("node")),
+      Analytics.qPagerankHalfEdges(spark, sf)).orderBy($"node"))
+    val prodP3 = rows(Analytics.pagerank3(
+      graft.tables.Tables.supplier(spark, sf).select($"s_suppkey".as("node")),
+      Analytics.qPagerankEdgesForTests(spark, sf),
+      driverMaxEdges = Long.MaxValue).orderBy($"node"))
+    assert(prodHalf == prodP3, "production half-edge ranks drifted from the mirrored spelling")
+  }
+
   test("q_triangle_count total equals the naive id-ordered 3-join count") {
     import spark.implicits._
     val got = Analytics.qTriangleCount(spark, sf)
