@@ -1179,8 +1179,7 @@ object Analytics {
       .groupBy($"flag", $"price_c").agg(count(lit(1)).as("__c"))
     Dist.sizeDispatch(vc0, driverMaxValues) { (vc, _) =>
       val flat = vc.as[(String, Double, Long)].collect()
-      val out = flat.groupBy(_._1).toSeq.map { case (flag, xs) =>
-        val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      val out = byKeyValueAscending(flat).map { case (flag, pv) =>
         val p05 = quantileOfValueCounts(pv, 0.05)
         val p95 = quantileOfValueCounts(pv, 0.95)
         var n = 0L
@@ -1358,6 +1357,31 @@ object Analytics {
     (vlo + vhi) / 2.0
   }
 
+  /** Partition a collected (key, value, count) array into per-key
+    * value-ASCENDING (value, count) arrays. Round 21 (guide §1.2
+    * per-task work): the former `flat.groupBy(_._1)` + `xs.map(...)` +
+    * `sortBy(_._1)` chain in the outlier/winsorize driver arms cost
+    * ~0.4–0.6 s at the 594k-row fixture grid in pure allocation — the
+    * hash-map groupBy's per-key buffers, the re-mapped tuple arrays, and
+    * sortBy's mapped copy. One bucketing pass plus an in-place sort per
+    * key produces identical arrays (first-appearance key order; callers
+    * order their 3–5-row output downstream anyway). */
+  private[graft] def byKeyValueAscending(
+      flat: Array[(String, Double, Long)]): Seq[(String, Array[(Double, Long)])] = {
+    val m = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuilder[(Double, Long)]]
+    flat.foreach { t =>
+      m.getOrElseUpdate(t._1,
+        scala.collection.mutable.ArrayBuilder.make[(Double, Long)]) +=
+        ((t._2, t._3))
+    }
+    m.iterator.map { case (k, b) =>
+      val a = b.result()
+      a.sortInPlaceBy(_._1)
+      (k, a)
+    }.toSeq
+  }
+
   /** [[outlierFilter]]'s algorithm core over a prepared (flag, price_c,
     * __c) value-count relation — extracted so synthetic both-arms tests
     * can drive it with adversarial tie/parity cases the fixture never
@@ -1370,8 +1394,7 @@ object Analytics {
       def medOf(pairs: Array[(Double, Long)]): Double =
         medianOfValueCounts(pairs)
       val flat = vc.as[(String, Double, Long)].collect()
-      val out = flat.groupBy(_._1).toSeq.flatMap { case (flag, xs) =>
-        val pv = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      val out = byKeyValueAscending(flat).flatMap { case (flag, pv) =>
         val med = medOf(pv)
         // Round 20 (optimization round, guide §1.2 per-task work): no
         // hash-merge of equal distances — medianOfValueCounts walks
@@ -1379,7 +1402,8 @@ object Analytics {
         // yield the identical median (equal values across the run), and
         // the boxed groupBy+sum over the ~price-domain-sized array was
         // pure allocation overhead in the driver arm's hot loop.
-        val dev = pv.map { case (v, c) => (math.abs(v - med), c) }.sortBy(_._1)
+        val dev = pv.map { case (v, c) => (math.abs(v - med), c) }
+        dev.sortInPlaceBy(_._1)
         val mad = medOf(dev)
         // same operand order as the distributed filter: abs > 2.0 * mad
         val outs = pv.filter { case (v, _) => math.abs(v - med) > 2.0 * mad }

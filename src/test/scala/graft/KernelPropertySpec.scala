@@ -110,6 +110,26 @@ class KernelPropertySpec extends GraftSuite {
     }, "value-count quantile == expanded quantile")
   }
 
+  test("byKeyValueAscending equals the groupBy+sortBy reference") {
+    // the round-21 driver-arm bucketing pass (outlier/winsorize dispatch):
+    // one pass + in-place per-key sort must produce exactly the per-key
+    // ascending (value, count) arrays the boxed groupBy+map+sortBy chain
+    // did, for every key interleaving and duplicate-value layout
+    val gen = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("A", "N", "R")
+      v <- Gen.chooseNum(-20, 20).map(_.toDouble)
+      c <- Gen.chooseNum(1L, 5L)
+    } yield (k, v, c))
+    checkProp(Prop.forAll(gen) { rows =>
+      val flat = rows.toArray
+      val got = graft.ops.Analytics.byKeyValueAscending(flat)
+        .map { case (k, a) => k -> a.toSeq }.toMap
+      val ref = flat.groupBy(_._1).view
+        .mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+      got == ref
+    }, "bucketed ascending == groupBy+sortBy")
+  }
+
   test("simhash band geometry guarantees recall at the declared radius") {
     val bits = Similarity.SimhashBits
     val bands = Similarity.SimhashBands
