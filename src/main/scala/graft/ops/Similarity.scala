@@ -1615,10 +1615,18 @@ object Similarity {
       // canonical unordered cell: (min, max) so A→B and B→A accumulate once
       .select(least($"source_a", $"source_b").as("src_lo"),
         greatest($"source_a", $"source_b").as("src_hi"))
-    val total = pairs.agg(count(lit(1)).as("n_total"))
-    pairs.groupBy($"src_lo", $"src_hi")
+    // Round 21 (guide §2.4): the total is Σ n_pairs over the CELL rollup,
+    // not a separate count over the raw pair relation — both consumers of
+    // the expensive pair pipeline now share the whole subtree up to and
+    // including the (src_lo, src_hi) exchange, so ReusedExchange collapses
+    // the former second pipeline derivation (runtime scan audit:
+    // documents 5 → 3; the two remaining extra scans are the doc_a/doc_b
+    // source projections). Identical algebra: every pair lands in exactly
+    // one cell, so the cell-count sum IS the pair count.
+    val cells = pairs.groupBy($"src_lo", $"src_hi")
       .agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(total))
+    val total = cells.agg(sum($"n_pairs").as("n_total"))
+    cells.crossJoin(broadcast(total))
       .select($"src_lo", $"src_hi", $"n_pairs",
         round($"n_pairs".cast("double") / $"n_total", 4).as("pair_share"))
       .orderBy($"src_lo", $"src_hi")

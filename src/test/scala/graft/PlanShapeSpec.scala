@@ -145,7 +145,9 @@ class PlanShapeSpec extends GraftSuite {
     val repeatScanExceptions = Map(
       "q_dup_rate_by_source" -> ("per-source dup families have no bounded " +
         "cover; r17 measured forced materialization SLOWER (2.07->2.82 s) " +
-        "and reverted; AQE reuse collapses 10 static to 5 runtime scans"),
+        "and reverted; r21 moved the total onto the cell rollup so both " +
+        "consumers share the cell exchange — AQE reuse now collapses 10 " +
+        "static to 3 runtime scans"),
       "q_lsh_quality" -> ("same r17 adjudication as q_dup_rate_by_source; " +
         "AQE collapses 8 static to 2 runtime scans"),
       "q_stupid_backoff_bigram" -> ("each n-gram ORDER is its own " +
