@@ -2090,7 +2090,13 @@ object Similarity {
     * shingle) — read that aggregation's exchange, which AQE materializes
     * once. No join-back, no checkpoint, no cache lifecycle. (A join-back
     * spelling that re-scanned a (doc, sh, weight) relation from both
-    * sides of the dot product benched 8–10 s at sf0.1; this one ~2 s.)
+    * sides of the dot product benched 8–10 s at sf0.1; this one ~2 s.
+    * Round 21 closed the family's one untried variant: a LAZY
+    * `localCheckpoint(false)` on this lists aggregation — interleaved
+    * probes, q_theil_sen reference — read ratio-to-ref 1.59/1.71 vs
+    * 1.44/1.48 inline, i.e. ~15% SLOWER: the checkpoint replaces the
+    * already-reused exchange with an RDD materialization plus lineage
+    * truncation and buys nothing. The AQE-reuse spelling stands.)
     *
     * Determinism: idf is quantized per shingle (`round(ln(N/df)·10⁴)` as
     * BIGINT — one libm call on identical bits); the dot product and the
