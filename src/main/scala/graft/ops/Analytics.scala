@@ -2614,7 +2614,7 @@ object Analytics {
     * `brand_a < brand_b` pairs the old self-join produced, without any
     * join or exchange (both generators are codegen'd; the per-basket
     * fan-out is bounded by the brand count). */
-  private def brandPairCounts(ob: DataFrame): DataFrame = {
+  private[graft] def brandPairCounts(ob: DataFrame): DataFrame = {
     val spark = ob.sparkSession
     import spark.implicits._
     ob.select(posexplode($"bs").as(Seq("i", "brand_a")), $"bs")

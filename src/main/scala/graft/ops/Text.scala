@@ -554,14 +554,27 @@ object Text {
     // must give 0 (an id ≥ 4 sets a higher slot bit; an absent occupied
     // slot borrows and floods the mask; a non-zero trailing slot
     // survives the mask directly).
+    // The grid bound and the bitmask are COUPLED (advisor, round 20): the
+    // subtract-AND test is sound only when grid ids 0..GridTop−1 fill a
+    // slot's low bits EXACTLY, i.e. GridTop is a power of two (a non-power
+    // bound would admit packed keys the grid cannot reach — silently
+    // filtering probeable keys and flipping backoff branches with no
+    // error). Everything below derives from this one constant; the
+    // require trips at construction, not as a wrong answer.
+    val GridTop = 4L
+    require(GridTop > 0 && (GridTop & (GridTop - 1)) == 0,
+      s"stupid-backoff 4gram grid bound $GridTop must be a power of two " +
+        "for the packed-key bitmask pre-filter to be exact")
+    require(GridTop - 1 <= graft.functions.NGramIndexer.maxIdFor(4),
+      s"grid bound $GridTop exceeds the 4-slot packed-id capacity")
     val tables = tables0.zipWithIndex.map { case (t, i) =>
       val k = i + 1
       val bits = graft.functions.NGramIndexer.bitsFor(4)
       val base = (0 until k).map(j => 1L << (bits * (3 - j))).sum
-      val mask = ~((0 until k).map(j => 3L << (bits * (3 - j))).sum)
+      val mask = ~((0 until k).map(j => (GridTop - 1) << (bits * (3 - j))).sum)
       t.where((col("g") - base).bitwiseAND(mask) === 0L)
     }
-    val top = vocab.where($"id" < 4)
+    val top = vocab.where($"id" < GridTop)
     val grid = top.select($"token".as("w1"), $"id".as("i1"))
       .crossJoin(broadcast(top.select($"token".as("w2"), $"id".as("i2"))))
       .crossJoin(broadcast(top.select($"token".as("w3"), $"id".as("i3"))))

@@ -327,6 +327,23 @@ class AnalyticsSpec extends GraftSuite {
     assert(prodHalf == prodP3, "production half-edge ranks drifted from the mirrored spelling")
   }
 
+  test("brandPairCounts pins the posexplode/slice pair expansion on literal baskets") {
+    import spark.implicits._
+    // advisor (round 20): the in-order pair expansion relies on
+    // slice(bs, i+2, size(bs)) returning an EMPTY array at the last
+    // element (start past length) and on bs arriving sorted+deduped —
+    // pin the off-by-one on literal baskets independent of the fixture:
+    // a 3-set (all C(3,2) in-order pairs), a singleton and an empty set
+    // (no pairs), and a repeated pair across baskets (counted)
+    val ob = Seq(
+      Seq("A", "B", "C"), Seq("X"), Seq.empty[String], Seq("A", "B")
+    ).toDF("bs")
+    val got = Analytics.brandPairCounts(ob)
+      .orderBy($"brand_a", $"brand_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
   test("q_triangle_count total equals the naive id-ordered 3-join count") {
     import spark.implicits._
     val got = Analytics.qTriangleCount(spark, sf)

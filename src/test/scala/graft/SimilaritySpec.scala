@@ -436,6 +436,18 @@ class SimilaritySpec extends GraftSuite {
     // on the small truth set anything below 0.5 means banding is broken
     assert(r.getAs[Double]("recall") >= 0.5,
       s"LSH recall ${r.getAs[Double]("recall")} collapsed")
+    // advisor (round 20): the full-outer-join count rewrite is sound only
+    // while both pair sets are per-side UNIQUE — a future upstream change
+    // emitting duplicate pairs would inflate all three sums
+    // multiplicatively rather than just the affected count. Pin the
+    // structural guarantee explicitly.
+    val cand = Similarity.minhashCore(spark, sf)._2.select("doc_a", "doc_b")
+    assert(cand.count() == cand.distinct().count(),
+      "minhash candidate pairs must be unique per (doc_a, doc_b)")
+    val truth = Similarity.shingleJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(truth.count() == truth.distinct().count(),
+      "truth pairs must be unique per (doc_a, doc_b)")
   }
 
   test("q_semantic_clusters: components cover exactly the paired vectors") {
