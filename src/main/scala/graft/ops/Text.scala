@@ -1384,47 +1384,105 @@ object Text {
       Tables.documents(spark, sfDir).select($"source", $"lang"))
   }
 
+  /** Cell ceiling for the contingency-grid driver arms ([[qMutualInformation]],
+    * [[qCramersV]]): 2M (source, lang, count) tuples — category-bounded by
+    * construction (|sources| × |langs|), never corpus-sized; past the cap
+    * the same query grades out to the distributed fan. */
+  private val ContingencyDriverMaxCells = 2000000L
+
+  /** Spark's `round(double)` then `cast("long")`, replicated exactly
+    * (BigDecimal HALF_UP at scale 0 — the [[graft.ops.Analytics]]
+    * winsorize idiom); and `round(x, 6)` at scale 6. */
+  private def rnd0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+  private def rnd6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
   /** MI core over a (source, lang) frame — factored out so the degenerate
     * single-category corpus (min marginal entropy exactly 0 → NMI must
-    * degrade to 0, not divide by zero) is unit-testable. */
-  private[graft] def mutualInformationFromPairs(pairs: DataFrame): DataFrame = {
-    import pairs.sparkSession.implicits._
-    // category-bounded contingency grid, MATERIALIZED (ReuseAudit: four
-    // runtime corpus scans without it) — one corpus pass at any scale
-    val cells = pairs
-      .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
-      .localCheckpoint(true)
-    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
-    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    // coalesce: empty corpus reads as 0 (count semantics), not NULL
-    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
-    val mi = cells
-      .join(broadcast(bySource), "source")
-      .join(broadcast(byLang), "lang")
-      .crossJoin(broadcast(total))
-      .select(round(($"c_sl".cast("double") / $"ct")
-        * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
-        * 1e9).cast("long").as("mi_nano"))
-      .agg(sum($"mi_nano").as("mi_nano"))
-    val hS = bySource.crossJoin(broadcast(total))
-      .select(round(-($"c_s".cast("double") / $"ct")
-        * log($"c_s".cast("double") / $"ct") * 1e9).cast("long").as("h"))
-      .agg(sum($"h").as("hs_nano"))
-    val hL = byLang.crossJoin(broadcast(total))
-      .select(round(-($"c_l".cast("double") / $"ct")
-        * log($"c_l".cast("double") / $"ct") * 1e9).cast("long").as("h"))
-      .agg(sum($"h").as("hl_nano"))
-    mi.crossJoin(broadcast(hS)).crossJoin(broadcast(hL))
-      .select(
-        ($"mi_nano".cast("double") / 1e9).as("mi_nats"),
-        ($"hs_nano".cast("double") / 1e9).as("h_source"),
-        ($"hl_nano".cast("double") / 1e9).as("h_lang"),
-        // a single-source (or single-language) corpus has zero min
-        // marginal entropy — NMI degrades to 0 by convention instead of
-        // tripping Spark 4's ANSI DIVIDE_BY_ZERO
-        when(least($"hs_nano", $"hl_nano") > 0,
-          round($"mi_nano".cast("double") / least($"hs_nano", $"hl_nano"), 6))
-          .otherwise(lit(0.0)).as("nmi"))
+    * degrade to 0, not divide by zero) is unit-testable.
+    *
+    * Round 21 (guide §1.2): the post-grid computation fans six tiny
+    * aggregations over a ≤(r·c)-row relation through broadcast glue —
+    * 17 Spark jobs of pure scheduling overhead at the fixture (floor
+    * profile, plans/r21/floor_profile.txt). The grid now rides the shared
+    * [[Dist.sizeDispatch]] seam: under the cell ceiling the marginals,
+    * entropies and MI replay in local math with the IDENTICAL op order
+    * (long marginal adds; `Math.multiplyExact` mirrors ANSI's throwing
+    * long product; BigDecimal HALF_UP mirrors Spark's round), above it
+    * the original distributed fan runs unchanged. Still one corpus pass
+    * (the dispatch checkpoint IS the former grid materialization —
+    * RuntimeScanSpec's documents=1 pin unchanged). */
+  private[graft] def mutualInformationFromPairs(pairs: DataFrame): DataFrame =
+    mutualInformationFromPairs(pairs, ContingencyDriverMaxCells)
+
+  private[graft] def mutualInformationFromPairs(pairs: DataFrame,
+      driverMaxCells: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cells0 = pairs.groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+    Dist.sizeDispatch(cells0, driverMaxCells) { (cells, _) =>
+      val cs = cells.as[(String, String, Long)].collect()
+      val bySource = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val byLang = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var ct = 0L
+      cs.foreach { case (s, l, c) =>
+        bySource(s) = bySource.getOrElse(s, 0L) + c
+        byLang(l) = byLang.getOrElse(l, 0L) + c
+        ct += c
+      }
+      var miNano = 0L
+      cs.foreach { case (s, l, cSl) =>
+        miNano += rnd0((cSl.toDouble / ct) *
+          Math.log(Math.multiplyExact(cSl, ct).toDouble /
+            Math.multiplyExact(bySource(s), byLang(l)).toDouble) * 1e9)
+      }
+      def entNano(marginals: Iterable[Long]): Long =
+        marginals.iterator.map { c =>
+          rnd0(-(c.toDouble / ct) * Math.log(c.toDouble / ct) * 1e9)
+        }.sum
+      val hs = entNano(bySource.values)
+      val hl = entNano(byLang.values)
+      val nmi =
+        if (math.min(hs, hl) > 0) rnd6(miNano.toDouble / math.min(hs, hl))
+        else 0.0
+      Seq((miNano.toDouble / 1e9, hs.toDouble / 1e9, hl.toDouble / 1e9, nmi))
+        .toDF("mi_nats", "h_source", "h_lang", "nmi")
+    } { (cells, _) =>
+      val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+      val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+      // coalesce: empty corpus reads as 0 (count semantics), not NULL
+      val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
+      val mi = cells
+        .join(broadcast(bySource), "source")
+        .join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(total))
+        .select(round(($"c_sl".cast("double") / $"ct")
+          * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
+          * 1e9).cast("long").as("mi_nano"))
+        .agg(sum($"mi_nano").as("mi_nano"))
+      val hS = bySource.crossJoin(broadcast(total))
+        .select(round(-($"c_s".cast("double") / $"ct")
+          * log($"c_s".cast("double") / $"ct") * 1e9).cast("long").as("h"))
+        .agg(sum($"h").as("hs_nano"))
+      val hL = byLang.crossJoin(broadcast(total))
+        .select(round(-($"c_l".cast("double") / $"ct")
+          * log($"c_l".cast("double") / $"ct") * 1e9).cast("long").as("h"))
+        .agg(sum($"h").as("hl_nano"))
+      mi.crossJoin(broadcast(hS)).crossJoin(broadcast(hL))
+        .select(
+          ($"mi_nano".cast("double") / 1e9).as("mi_nats"),
+          ($"hs_nano".cast("double") / 1e9).as("h_source"),
+          ($"hl_nano".cast("double") / 1e9).as("h_lang"),
+          // a single-source (or single-language) corpus has zero min
+          // marginal entropy — NMI degrades to 0 by convention instead of
+          // tripping Spark 4's ANSI DIVIDE_BY_ZERO
+          when(least($"hs_nano", $"hl_nano") > 0,
+            round($"mi_nano".cast("double") / least($"hs_nano", $"hl_nano"), 6))
+            .otherwise(lit(0.0)).as("nmi"))
+    }
   }
 
   val mutualInformationSql: String =
@@ -1475,42 +1533,84 @@ object Text {
 
   /** Cramér's V core over a (source, lang) frame — factored out so the
     * degenerate 1×c table (min dimension 1 → V must degrade to 0, not
-    * divide by zero) is unit-testable. */
-  private[graft] def cramersVFromPairs(pairs: DataFrame): DataFrame = {
-    import pairs.sparkSession.implicits._
-    // category-bounded contingency grid, MATERIALIZED (ReuseAudit: four
-    // runtime corpus scans without it) — one corpus pass at any scale
-    val cells = pairs
-      .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
-      .localCheckpoint(true)
-    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
-    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    // coalesce: empty corpus reads as 0 (count semantics), not NULL
-    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
-    val dims = bySource.agg(count(lit(1)).as("r"))
-      .crossJoin(broadcast(byLang.agg(count(lit(1)).as("c"))))
-    val grid = bySource.crossJoin(broadcast(byLang))
-      .join(cells, Seq("source", "lang"), "left")
-      .na.fill(0L, Seq("c_sl"))
-      .crossJoin(broadcast(total))
-    val expCnt = ($"c_s" * $"c_l").cast("double") / $"ct"
-    grid
-      .select($"ct",
-        round(($"c_sl".cast("double") - expCnt)
-          * ($"c_sl".cast("double") - expCnt) / expCnt * 1e6)
-          .cast("long").as("chi_micro"))
-      .groupBy($"ct".as("n"))
-      .agg(sum($"chi_micro").as("chi_micro"))
-      .crossJoin(broadcast(dims))
-      .select($"n",
-        ($"chi_micro".cast("double") / 1e6).as("chi2"),
-        ((least($"r", $"c") - 1) * (greatest($"r", $"c") - 1)).as("dof"),
-        // a 1×c table has no association dimensions — V degrades to 0 by
-        // convention instead of tripping Spark 4's ANSI DIVIDE_BY_ZERO
-        when(least($"r", $"c") > 1,
-          round(sqrt(($"chi_micro".cast("double") / 1e6)
-            / ($"n" * (least($"r", $"c") - 1)).cast("double")), 6))
-          .otherwise(lit(0.0)).as("cramers_v"))
+    * divide by zero) is unit-testable.
+    *
+    * Round 21 (guide §1.2): same driver-arm dispatch as
+    * [[mutualInformationFromPairs]] — the full-grid χ² over a
+    * category-bounded table was the worst overhead case in the family
+    * (the r×c crossJoin grid, marginals, dims and total each materialize
+    * broadcast stages; 2.6 s committed for a ≤200-cell grid). Identical
+    * op order in the local replay (`Math.multiplyExact` for the ANSI
+    * long products, BigDecimal HALF_UP rounds); the distributed fan is
+    * unchanged above the ceiling; still one corpus pass. */
+  private[graft] def cramersVFromPairs(pairs: DataFrame): DataFrame =
+    cramersVFromPairs(pairs, ContingencyDriverMaxCells)
+
+  private[graft] def cramersVFromPairs(pairs: DataFrame,
+      driverMaxCells: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cells0 = pairs.groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
+    Dist.sizeDispatch(cells0, driverMaxCells) { (cells, _) =>
+      val cs = cells.as[(String, String, Long)].collect()
+      val bySource = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val byLang = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var ct = 0L
+      cs.foreach { case (s, l, c) =>
+        bySource(s) = bySource.getOrElse(s, 0L) + c
+        byLang(l) = byLang.getOrElse(l, 0L) + c
+        ct += c
+      }
+      val present = cs.iterator.map(t => (t._1, t._2) -> t._3).toMap
+      var chiMicro = 0L
+      bySource.foreach { case (s, cS) =>
+        byLang.foreach { case (l, cL) =>
+          val cSl = present.getOrElse((s, l), 0L)
+          val exp = Math.multiplyExact(cS, cL).toDouble / ct
+          chiMicro += rnd0(
+            (cSl.toDouble - exp) * (cSl.toDouble - exp) / exp * 1e6)
+        }
+      }
+      val r = bySource.size.toLong
+      val c = byLang.size.toLong
+      val dof = (math.min(r, c) - 1) * (math.max(r, c) - 1)
+      val v =
+        if (math.min(r, c) > 1)
+          rnd6(Math.sqrt((chiMicro.toDouble / 1e6) /
+            Math.multiplyExact(ct, math.min(r, c) - 1).toDouble))
+        else 0.0
+      Seq((ct, chiMicro.toDouble / 1e6, dof, v))
+        .toDF("n", "chi2", "dof", "cramers_v")
+    } { (cells, _) =>
+      val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+      val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+      // coalesce: empty corpus reads as 0 (count semantics), not NULL
+      val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
+      val dims = bySource.agg(count(lit(1)).as("r"))
+        .crossJoin(broadcast(byLang.agg(count(lit(1)).as("c"))))
+      val grid = bySource.crossJoin(broadcast(byLang))
+        .join(cells, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("c_sl"))
+        .crossJoin(broadcast(total))
+      val expCnt = ($"c_s" * $"c_l").cast("double") / $"ct"
+      grid
+        .select($"ct",
+          round(($"c_sl".cast("double") - expCnt)
+            * ($"c_sl".cast("double") - expCnt) / expCnt * 1e6)
+            .cast("long").as("chi_micro"))
+        .groupBy($"ct".as("n"))
+        .agg(sum($"chi_micro").as("chi_micro"))
+        .crossJoin(broadcast(dims))
+        .select($"n",
+          ($"chi_micro".cast("double") / 1e6).as("chi2"),
+          ((least($"r", $"c") - 1) * (greatest($"r", $"c") - 1)).as("dof"),
+          // a 1×c table has no association dimensions — V degrades to 0 by
+          // convention instead of tripping Spark 4's ANSI DIVIDE_BY_ZERO
+          when(least($"r", $"c") > 1,
+            round(sqrt(($"chi_micro".cast("double") / 1e6)
+              / ($"n" * (least($"r", $"c") - 1)).cast("double")), 6))
+            .otherwise(lit(0.0)).as("cramers_v"))
+    }
   }
 
   val cramersVSql: String =

@@ -511,6 +511,25 @@ class TextSpec extends GraftSuite {
     assert(cv.getDouble(3) == 0.0, "V must degrade to 0, not divide by 0")
   }
 
+  test("MI and Cramér's V dispatch arms agree (fixture and degenerate frames)") {
+    import spark.implicits._
+    // round 21: the contingency-grid driver arms replay the distributed
+    // fan's exact op order (ANSI-mirrored long products, HALF_UP rounds) —
+    // ceiling 0 forces the distributed arm; results must be bit-identical
+    val fixture = graft.tables.Tables.documents(spark, sf)
+      .select($"source", $"lang")
+    val degenerate = Seq(("s0", "en"), ("s0", "de"), ("s0", "en"))
+      .toDF("source", "lang")
+    for (pairs <- Seq(fixture, degenerate)) {
+      val miD = rows(Text.mutualInformationFromPairs(pairs, Long.MaxValue))
+      val miX = rows(Text.mutualInformationFromPairs(pairs, 0L))
+      assert(miD == miX, s"MI arms disagree: $miD vs $miX")
+      val cvD = rows(Text.cramersVFromPairs(pairs, Long.MaxValue))
+      val cvX = rows(Text.cramersVFromPairs(pairs, 0L))
+      assert(cvD == cvX, s"Cramér's V arms disagree: $cvD vs $cvX")
+    }
+  }
+
   test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
     import spark.implicits._
     val r = Text.qVocabGrowth(spark, sf).collect()
