@@ -1258,27 +1258,53 @@ object Text {
     * source/lang-cardinality broadcasts. */
   def qSourceKl(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // (source × lang)-bounded grid, MATERIALIZED: its three marginal
-    // re-sums otherwise re-scan the corpus (ReuseAudit: four runtime
-    // scans, zero reuse) — one corpus pass at any scale
-    val cells = Tables.documents(spark, sfDir)
+    // (source × lang)-bounded grid — one corpus pass at any scale (the
+    // sizeDispatch checkpoint is the former grid materialization;
+    // ReuseAudit had measured four runtime scans with no checkpoint).
+    // Round 21: same contingency-grid driver-arm dispatch as
+    // [[mutualInformationFromPairs]] (identical op order, ANSI-mirrored
+    // long products, HALF_UP rounds); the distributed fan below is
+    // unchanged above the ceiling.
+    val cells0 = Tables.documents(spark, sfDir)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("c_sl"))
-      .localCheckpoint(true)
-    val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
-    val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
-    // coalesce: empty corpus reads as 0 (count semantics), not NULL
-    val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
-    cells
-      .join(broadcast(bySource), "source")
-      .join(broadcast(byLang), "lang")
-      .crossJoin(broadcast(total))
-      .select($"source",
-        round($"c_sl".cast("double") / $"c_s"
-          * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
-          * 1e6).cast("long").as("kl_micro"))
-      .groupBy($"source")
-      .agg((sum($"kl_micro").cast("double") / 1e6).as("kl_nats"))
-      .orderBy($"source")
+    Dist.sizeDispatch(cells0, ContingencyDriverMaxCells) { (cells, _) =>
+      val cs = cells.as[(String, String, Long)].collect()
+      val bySource = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val byLang = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var ct = 0L
+      cs.foreach { case (s, l, c) =>
+        bySource(s) = bySource.getOrElse(s, 0L) + c
+        byLang(l) = byLang.getOrElse(l, 0L) + c
+        ct += c
+      }
+      val klMicro = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      cs.foreach { case (s, l, cSl) =>
+        val t = rnd0(cSl.toDouble / bySource(s) *
+          Math.log(Math.multiplyExact(cSl, ct).toDouble /
+            Math.multiplyExact(bySource(s), byLang(l)).toDouble) * 1e6)
+        klMicro(s) = klMicro.getOrElse(s, 0L) + t
+      }
+      spark.createDataset(klMicro.toSeq.map { case (s, k) =>
+        (s, k.toDouble / 1e6) })
+        .toDF("source", "kl_nats")
+        .orderBy($"source")
+    } { (cells, _) =>
+      val bySource = cells.groupBy($"source").agg(sum($"c_sl").as("c_s"))
+      val byLang = cells.groupBy($"lang").agg(sum($"c_sl").as("c_l"))
+      // coalesce: empty corpus reads as 0 (count semantics), not NULL
+      val total = cells.agg(coalesce(sum($"c_sl"), lit(0L)).as("ct"))
+      cells
+        .join(broadcast(bySource), "source")
+        .join(broadcast(byLang), "lang")
+        .crossJoin(broadcast(total))
+        .select($"source",
+          round($"c_sl".cast("double") / $"c_s"
+            * log(($"c_sl" * $"ct").cast("double") / ($"c_s" * $"c_l").cast("double"))
+            * 1e6).cast("long").as("kl_micro"))
+        .groupBy($"source")
+        .agg((sum($"kl_micro").cast("double") / 1e6).as("kl_nats"))
+        .orderBy($"source")
+    }
   }
 
   val sourceKlSql: String =
@@ -1311,31 +1337,62 @@ object Text {
     * then sources×buckets grid joins over broadcast-sized relations. */
   def qJensenShannon(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // (source × 10-bin)-bounded grid, MATERIALIZED (ReuseAudit measured
-    // two residual corpus scans under AQE reuse) — one pass, pinned
-    val cells = Tables.documents(spark, sfDir)
+    // (source × 10-bin)-bounded grid — one corpus pass at any scale (the
+    // sizeDispatch checkpoint is the former grid materialization;
+    // ReuseAudit had measured two residual corpus scans under AQE reuse
+    // without it). Round 21: same contingency-grid driver-arm dispatch
+    // as [[mutualInformationFromPairs]] — the FULL sources×bins grid
+    // (absent cells as 0) replays locally with the identical op order;
+    // the distributed fan below is unchanged above the ceiling.
+    val cells0 = Tables.documents(spark, sfDir)
       .groupBy($"source",
         expr("least(CAST(length(text) AS BIGINT) DIV 200, 9L)").as("bin"))
       .agg(count(lit(1)).as("c_sb"))
-      .localCheckpoint(true)
-    val srcs = cells.groupBy($"source").agg(sum($"c_sb").as("c_s"))
-    val bins = cells.groupBy($"bin").agg(sum($"c_sb").as("c_b"))
-    val total = cells.agg(sum($"c_sb").as("ct"))
-    val grid = srcs.crossJoin(broadcast(bins))
-      .join(cells, Seq("source", "bin"), "left")
-      .na.fill(0L, Seq("c_sb"))
-      .crossJoin(broadcast(total))
-    val p = $"c_sb".cast("double") / $"c_s"
-    val q = $"c_b".cast("double") / $"ct"
-    val term =
-      when($"c_sb" > 0, lit(0.5) * p * log(lit(2.0) * p / (p + q)))
-        .otherwise(lit(0.0)) +
-        lit(0.5) * q * log(lit(2.0) * q / (p + q))
-    grid
-      .select($"source", round(term * 1e6).cast("long").as("js_micro"))
-      .groupBy($"source")
-      .agg((sum($"js_micro").cast("double") / 1e6).as("js_nats"))
-      .orderBy($"source")
+    Dist.sizeDispatch(cells0, ContingencyDriverMaxCells) { (cells, _) =>
+      val cs = cells.as[(String, Long, Long)].collect()
+      val bySource = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val byBin = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      var ct = 0L
+      cs.foreach { case (s, b, c) =>
+        bySource(s) = bySource.getOrElse(s, 0L) + c
+        byBin(b) = byBin.getOrElse(b, 0L) + c
+        ct += c
+      }
+      val present = cs.iterator.map(t => (t._1, t._2) -> t._3).toMap
+      val out = bySource.toSeq.map { case (s, cS) =>
+        var jsMicro = 0L
+        byBin.foreach { case (b, cB) =>
+          val cSb = present.getOrElse((s, b), 0L)
+          val p = cSb.toDouble / cS
+          val q = cB.toDouble / ct
+          val term =
+            (if (cSb > 0) 0.5 * p * Math.log(2.0 * p / (p + q)) else 0.0) +
+              0.5 * q * Math.log(2.0 * q / (p + q))
+          jsMicro += rnd0(term * 1e6)
+        }
+        (s, jsMicro.toDouble / 1e6)
+      }
+      spark.createDataset(out).toDF("source", "js_nats").orderBy($"source")
+    } { (cells, _) =>
+      val srcs = cells.groupBy($"source").agg(sum($"c_sb").as("c_s"))
+      val bins = cells.groupBy($"bin").agg(sum($"c_sb").as("c_b"))
+      val total = cells.agg(sum($"c_sb").as("ct"))
+      val grid = srcs.crossJoin(broadcast(bins))
+        .join(cells, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("c_sb"))
+        .crossJoin(broadcast(total))
+      val p = $"c_sb".cast("double") / $"c_s"
+      val q = $"c_b".cast("double") / $"ct"
+      val term =
+        when($"c_sb" > 0, lit(0.5) * p * log(lit(2.0) * p / (p + q)))
+          .otherwise(lit(0.0)) +
+          lit(0.5) * q * log(lit(2.0) * q / (p + q))
+      grid
+        .select($"source", round(term * 1e6).cast("long").as("js_micro"))
+        .groupBy($"source")
+        .agg((sum($"js_micro").cast("double") / 1e6).as("js_nats"))
+        .orderBy($"source")
+    }
   }
 
   val jensenShannonSql: String =

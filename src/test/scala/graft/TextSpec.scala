@@ -530,6 +530,26 @@ class TextSpec extends GraftSuite {
     }
   }
 
+  test("q_source_kl / q_jensen_shannon dispatch arms agree on the fixture") {
+    // round 21: both ride the contingency-grid driver seam; the kill
+    // switch forces the distributed fan — results must be bit-identical
+    val driverSide =
+      (rows(Text.qSourceKl(spark, sf)), rows(Text.qJensenShannon(spark, sf)))
+    val prev = sys.props.get("graft.force.distributed")
+    try {
+      sys.props("graft.force.distributed") = "1"
+      assert(rows(Text.qSourceKl(spark, sf)) == driverSide._1,
+        "source_kl arms disagree")
+      assert(rows(Text.qJensenShannon(spark, sf)) == driverSide._2,
+        "jensen_shannon arms disagree")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.force.distributed") = v
+        case None => sys.props.remove("graft.force.distributed")
+      }
+    }
+  }
+
   test("q_vocab_growth: monotone curve ending at the full bigram vocabulary") {
     import spark.implicits._
     val r = Text.qVocabGrowth(spark, sf).collect()
