@@ -982,12 +982,65 @@ object Stats {
     val d = Tables.documents(spark, sfDir)
       .select($"n_chars".as("v"),
         (graft.ops.Similarity.digest60($"doc_id".cast("string")) % 10L < 8L).as("is_train"))
-    // (length-value × train-flag)-bounded count grid, MATERIALIZED —
-    // the train value counts, the binning pass, and both totals are
-    // exact cnt-weighted re-aggregations of it (ReuseAudit: three
-    // runtime corpus scans without it); one corpus pass at any scale
-    val vc2 = d.groupBy($"v", $"is_train").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    // (length-value × train-flag)-bounded count grid — the train value
+    // counts, the binning pass, and both totals are exact cnt-weighted
+    // re-aggregations of it (ReuseAudit: three runtime corpus scans
+    // without the materialization); one corpus pass at any scale. Round
+    // 21: the grid rides the shared sizeDispatch seam — under the
+    // ceiling the decile cuts, binning, and PSI terms replay locally in
+    // the identical op order (integer DIV rank cuts, +1 smoothing,
+    // HALF_UP micro rounding); the distributed Dist.withPrefix +
+    // broadcast-grid fan below is unchanged above it.
+    val vc20 = d.groupBy($"v", $"is_train").agg(count(lit(1)).as("cnt"))
+    Dist.sizeDispatch(vc20, PsiDriverMaxValues) { (vc2d, _) =>
+      val rows = vc2d.as[(Long, Boolean, Long)].collect()
+      // train value counts in ascending value order (the withPrefix sort)
+      val train = rows.iterator.filter(_._2).map(t => (t._1, t._3)).toArray
+      train.sortInPlaceBy(_._1)
+      val n = train.iterator.map(_._2).sum
+      // decile cuts: value whose cumulative span [cumb, cumb+cnt] covers
+      // rank (k·n) DIV 10 — same integer arithmetic as the exists() SQL
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cumb = 0L
+      train.foreach { case (v, cnt) =>
+        if ((1 to 9).exists { k =>
+          val r = k * n / 10; cumb < r && r <= cumb + cnt
+        }) cuts += v
+        cumb += cnt
+      }
+      // bin = #cuts strictly below v; accumulate per (bin, is_train)
+      val tn = scala.collection.mutable.LongMap.empty[Long]
+      val en = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach { case (v, isTrain, cnt) =>
+        var bin = 0L
+        cuts.foreach { c => if (v > c) bin += 1L }
+        if (isTrain) tn(bin) = tn.getOrElse(bin, 0L) + cnt
+        else en(bin) = en.getOrElse(bin, 0L) + cnt
+      }
+      val bins = (tn.keySet ++ en.keySet).toSeq.sorted
+      val tt = tn.values.sum + 10L
+      val et = en.values.sum + 10L
+      val out = bins.map { b =>
+        val t = tn.getOrElse(b, 0L)
+        val e = en.getOrElse(b, 0L)
+        val term = Dist.rnd6(((t + 1L).toDouble / tt - (e + 1L).toDouble / et) *
+          (Math.log((t + 1L).toDouble / tt) - Math.log((e + 1L).toDouble / et)))
+        (b, t, e, term)
+      }
+      spark.createDataset(out).toDF("bin", "tn", "en", "psi_term")
+        .orderBy($"bin")
+    } { (vc2, _) => psiDistributed(vc2) }
+  }
+
+  /** Value-row ceiling for [[qPsi]]'s driver arm: the (length value ×
+    * train flag) grid is length-domain-bounded (≤ 2·|distinct n_chars|),
+    * never corpus-sized — the same boundedness class as the
+    * outlier/winsorize cents grids, same 2M ceiling. */
+  private val PsiDriverMaxValues = 2000000L
+
+  private def psiDistributed(vc2: DataFrame): DataFrame = {
+    val spark = vc2.sparkSession
+    import spark.implicits._
     val vc = vc2.where($"is_train").select($"v", $"cnt")
     val cuts = Dist.withPrefix(vc, Seq($"v"), Seq("cnt" -> "cumb"))
       .crossJoin(broadcast(vc.agg(sum($"cnt").as("n"))))

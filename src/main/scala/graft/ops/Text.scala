@@ -1447,15 +1447,9 @@ object Text {
     * the same query grades out to the distributed fan. */
   private val ContingencyDriverMaxCells = 2000000L
 
-  /** Spark's `round(double)` then `cast("long")`, replicated exactly
-    * (BigDecimal HALF_UP at scale 0 — the [[graft.ops.Analytics]]
-    * winsorize idiom); and `round(x, 6)` at scale 6. */
-  private def rnd0(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-  private def rnd6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  // Spark-round replication for the driver arms: [[Dist.rnd0]]/[[Dist.rnd6]]
+  private def rnd0(x: Double): Long = Dist.rnd0(x)
+  private def rnd6(x: Double): Double = Dist.rnd6(x)
 
   /** MI core over a (source, lang) frame — factored out so the degenerate
     * single-category corpus (min marginal entropy exactly 0 → NMI must

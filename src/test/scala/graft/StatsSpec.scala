@@ -327,6 +327,23 @@ class StatsSpec extends GraftSuite {
     }
   }
 
+  test("q_psi dispatch arms agree on the fixture") {
+    // round 21: the (value x train-flag) grid rides the sizeDispatch
+    // seam; the kill switch forces the distributed withPrefix fan —
+    // results must be bit-identical to the local decile/bin replay
+    val driverSide = rows(Stats.qPsi(spark, sf))
+    val prev = sys.props.get("graft.force.distributed")
+    try {
+      sys.props("graft.force.distributed") = "1"
+      assert(rows(Stats.qPsi(spark, sf)) == driverSide, "psi arms disagree")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.force.distributed") = v
+        case None => sys.props.remove("graft.force.distributed")
+      }
+    }
+  }
+
   test("q_psi matches the exact decile-bin replay; PSI small on a random split") {
     val ds = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
